@@ -1,0 +1,303 @@
+package graft.ext
+
+import graft.Q
+import graft.ops.{Num, Tables}
+import graft.ops.Num.{r6, r6Sql}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over `documents` / `embeddings` — the dedup
+  * family a 100 TB pretraining pipeline runs before anything else.
+  *
+  * Scale design, common to every variant: candidate generation is always a
+  * BUCKETED self-join (LSH bands / simhash bands / blocking keys), never an
+  * all-pairs cross join — pair count stays near-linear in corpus size and
+  * each bucket is one shuffle partition's work. Hash functions are built
+  * from md5 (available and bit-identical on both engines) so every query
+  * here is DuckDB-oracle-checkable; swapping in xxhash64 for speed is a
+  * one-line change that keeps the same plan shape.
+  */
+object Dedup {
+  // ------------------------------------------------------------ exact dedup
+  /** Exact dedup via content-hash groupBy (hash-groupBy dedup): one shuffle
+    * on the fingerprint, min(doc_id) as the canonical survivor. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("fp", md5(Text.normalized(col("text"))))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_docs"))
+      .select("canonical_doc_id", "n_docs")
+      .orderBy("canonical_doc_id")
+
+  val exactSql: String =
+    """SELECT min(doc_id) AS canonical_doc_id, count(*) AS n_docs
+      |FROM (SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp FROM documents)
+      |GROUP BY fp ORDER BY canonical_doc_id""".stripMargin
+
+  // ------------------------------------------------------- shared shingling
+  /** Distinct word 3-gram shingles. Guarded sequence: Spark's sequence(a,b)
+    * DESCENDS when a > b, so short docs must short-circuit to an empty
+    * array. */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= lit(3),
+      array_distinct(transform(sequence(lit(0), size(toks) - lit(3)),
+        i => concat_ws(" ", slice(toks, i + lit(1), 3)))))
+      .otherwise(array().cast("array<string>"))
+
+  def shingles3Sql(t: String): String =
+    s"""CASE WHEN len($t) >= 3
+       |     THEN list_distinct(list_transform(range(0, len($t) - 2), i -> array_to_string(($t)[i+1:i+3], ' ')))
+       |     ELSE [] END""".stripMargin
+
+  /** 28-bit base hash from the md5 hex prefix — engine-portable: Spark
+    * conv(hex,16,10) ≡ DuckDB ('0x'||hex)::BIGINT. Small enough that
+    * (a*h+b) stays under 2^63 in exact integer arithmetic. */
+  def baseHash(s: Column): Column = conv(substring(md5(s), 1, 7), 16, 10).cast("long")
+  def baseHashSql(s: String): String = s"('0x' || substr(md5($s), 1, 7))::BIGINT"
+
+  // ---------------------------------------------------------- MinHash + LSH
+  /** Universal-hash family (a_i * h + b_i) mod P over the 28-bit base hash;
+    * constants generated once and spliced identically into the oracle SQL. */
+  val P = 2147483647L // 2^31 - 1
+  val NumHashes = 16
+  val NumBands = 4
+  val RowsPerBand = NumHashes / NumBands
+  val hashA: IndexedSeq[Long] = (1 to NumHashes).map(i => math.max(1L, (1103515245L * i + 12345L) % P))
+  val hashB: IndexedSeq[Long] = (1 to NumHashes).map(i => (69069L * i + 1L) % P)
+
+  /** MinHash signatures + banded LSH candidate pairs with the estimated
+    * Jaccard (= fraction of agreeing minhashes). The classic
+    * shingle → minhash → band → bucket-join pipeline: band buckets are the
+    * join key, so the self-join is linear-ish in corpus size; the 4×4
+    * banding targets ~0.5 Jaccard at the usual S-curve threshold.
+    *
+    * At 100 TB: explode(shingles) is the widest stage — it map-side combines
+    * into min() partials before the one shuffle per signature, and band
+    * buckets are salted by construction (md5 keys distribute uniformly). */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val exploded = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles3(toks)).as("s"))
+      .withColumn("hh", baseHash(col("s")))
+    val mh = exploded.groupBy("doc_id").agg(
+      (0 until NumHashes).map(i =>
+        min((lit(hashA(i)) * col("hh") + lit(hashB(i))) % lit(P)).as(s"mh_$i")): _*)
+    val bands = mh.select(col("doc_id"), explode(array((0 until NumBands).map { j =>
+      struct(lit(j).as("band_idx"),
+        md5(concat_ws(",", (0 until RowsPerBand).map(k => col(s"mh_${j * RowsPerBand + k}")): _*)).as("sig"))
+    }: _*)).as("b")).select(col("doc_id"), col("b.band_idx"), col("b.sig"))
+    val cand = bands.as("l").join(bands.as("r"),
+        col("l.band_idx") === col("r.band_idx") && col("l.sig") === col("r.sig")
+          && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val agree = (0 until NumHashes).map(i =>
+      when(col(s"x.mh_$i") === col(s"y.mh_$i"), lit(1)).otherwise(lit(0))).reduce(_ + _)
+    cand
+      .join(mh.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(mh.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"), (agree / lit(16.0)).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val minhashLshSql: String = {
+    val mhCols = (0 until NumHashes)
+      .map(i => s"min((${hashA(i)} * hh + ${hashB(i)}) % $P) AS mh_$i").mkString(",\n         ")
+    val bandSelects = (0 until NumBands).map { j =>
+      val cols = (0 until RowsPerBand).map(k => s"mh_${j * RowsPerBand + k}").mkString(", ")
+      s"SELECT doc_id, $j AS band_idx, md5(concat_ws(',', $cols)) AS sig FROM mh"
+    }.mkString("\n  UNION ALL\n  ")
+    val agree = (0 until NumHashes)
+      .map(i => s"(CASE WHEN x.mh_$i = y.mh_$i THEN 1 ELSE 0 END)").reduce((a, b) => s"($a + $b)")
+    s"""WITH toks AS (SELECT doc_id, ${Text.tokensSql("text")} AS t FROM documents),
+       |sh AS (SELECT doc_id, ${shingles3Sql("t")} AS shingles FROM toks),
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |h AS (SELECT doc_id, ${baseHashSql("s")} AS hh FROM ex),
+       |mh AS (
+       |  SELECT doc_id,
+       |         $mhCols
+       |  FROM h GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r ON l.band_idx = r.band_idx AND l.sig = r.sig AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b, $agree / 16.0 AS est_jaccard
+       |FROM cand c JOIN mh x ON c.doc_a = x.doc_id JOIN mh y ON c.doc_b = y.doc_id
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin
+  }
+
+  // ----------------------------------------------------------------- SimHash
+  /** 32-bit SimHash fingerprints: per-token hash bits voted with ±1 weights
+    * (multiplicity counts), bit set where the vote is positive. */
+  val SimBits = 32
+
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val exploded = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+    val votes = exploded.groupBy("doc_id").agg(
+      (0 until SimBits).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === lit(1L), lit(1)).otherwise(lit(-1))).as(s"w_$b")): _*)
+    val fp = (0 until SimBits).map(b =>
+      when(col(s"w_$b") > lit(0), lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    votes.select(col("doc_id"), fp.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val simhashSql: String = {
+    val votes = (0 until SimBits)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS w_$b").mkString(",\n         ")
+    val fp = (0 until SimBits)
+      .map(b => s"(CASE WHEN w_$b > 0 THEN ${1L << b} ELSE 0 END)").reduce((a, b) => s"($a + $b)")
+    s"""WITH ex AS (
+       |  SELECT doc_id, unnest(${Text.tokensSql("text")}) AS tok FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM ex),
+       |votes AS (
+       |  SELECT doc_id,
+       |         $votes
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash
+       |FROM votes ORDER BY doc_id""".stripMargin
+  }
+
+  /** SimHash near-dup pairs: 4 bands of 8 bits as the bucket key (pigeonhole:
+    * hamming ≤ 3 ⟹ at least one band agrees), exact hamming verify via
+    * bit_count(xor). */
+  val HammingMax = 3
+
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fp = simhash(spark, dir)
+    val bands = fp.select(col("doc_id"), col("simhash"), explode(array((0 until 4).map { k =>
+      struct(lit(k).as("band_idx"), shiftright(col("simhash"), k * 8).bitwiseAND(lit(255L)).as("band"))
+    }: _*)).as("b")).select(col("doc_id"), col("simhash"), col("b.band_idx"), col("b.band"))
+    bands.as("l").join(bands.as("r"),
+        col("l.band_idx") === col("r.band_idx") && col("l.band") === col("r.band")
+          && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= lit(HammingMax))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val simhashPairsSql: String = {
+    val votes = (0 until SimBits)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS w_$b").mkString(",\n         ")
+    val fp = (0 until SimBits)
+      .map(b => s"(CASE WHEN w_$b > 0 THEN ${1L << b} ELSE 0 END)").reduce((a, b) => s"($a + $b)")
+    s"""WITH ex AS (
+       |  SELECT doc_id, unnest(${Text.tokensSql("text")}) AS tok FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM ex),
+       |votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+       |fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes),
+       |bands AS (
+       |  SELECT doc_id, simhash, k AS band_idx, (simhash >> (k * 8)) & 255 AS band
+       |  FROM fps, (SELECT unnest([0, 1, 2, 3]) AS k)),
+       |pairs AS (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |         bit_count(xor(l.simhash, r.simhash)) AS hamming
+       |  FROM bands l JOIN bands r ON l.band_idx = r.band_idx AND l.band = r.band AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+       |FROM pairs WHERE hamming <= $HammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // -------------------------------------------------------- n-gram Jaccard
+  /** Exact word-2-gram Jaccard over blocked candidate pairs. Blocking key =
+    * (lang, exact token count): cheap, deterministic, and keeps the
+    * self-join near-linear; at 100 TB the same plan holds with a coarser
+    * length bucket. */
+  val JaccardMin = 0.05
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val grams = when(size(toks) >= lit(2),
+      array_distinct(transform(sequence(lit(0), size(toks) - lit(2)),
+        i => concat_ws(" ", slice(toks, i + lit(1), 2)))))
+      .otherwise(array().cast("array<string>"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), size(toks).cast("long").as("n_tok"), grams.as("grams"))
+    val pairs = docs.as("l").join(docs.as("r"),
+      col("l.lang") === col("r.lang") && col("l.n_tok") === col("r.n_tok")
+        && col("l.doc_id") < col("r.doc_id"))
+    pairs
+      .withColumn("n_inter", size(array_intersect(col("l.grams"), col("r.grams"))).cast("long"))
+      .withColumn("n_union", size(col("l.grams")).cast("long") + size(col("r.grams")).cast("long") - col("n_inter"))
+      .filter(col("n_union") > lit(0L))
+      .withColumn("jaccard", col("n_inter") / col("n_union"))
+      .filter(col("jaccard") >= lit(JaccardMin))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"), col("n_inter"), col("n_union"),
+        r6(col("jaccard")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val ngramJaccardSql: String = {
+    val grams2 =
+      s"""CASE WHEN len(t) >= 2
+         |     THEN list_distinct(list_transform(range(0, len(t) - 1), i -> array_to_string((t)[i+1:i+2], ' ')))
+         |     ELSE [] END""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, lang, ${Text.tokensSql("text")} AS t FROM documents),
+       |docs AS (
+       |  SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tok, $grams2 AS grams
+       |  FROM toks),
+       |pairs AS (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |         CAST(len(list_intersect(l.grams, r.grams)) AS BIGINT) AS n_inter,
+       |         CAST(len(l.grams) + len(r.grams) - len(list_intersect(l.grams, r.grams)) AS BIGINT) AS n_union
+       |  FROM docs l JOIN docs r ON l.lang = r.lang AND l.n_tok = r.n_tok AND l.doc_id < r.doc_id)
+       |SELECT doc_a, doc_b, n_inter, n_union, ${r6Sql("n_inter / n_union")} AS jaccard
+       |FROM pairs WHERE n_union > 0 AND n_inter / n_union >= $JaccardMin
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------------------------------- embedding near-dup
+  /** Embedding-cosine near-dup with sign-LSH blocking: bucket = (label,
+    * sign bits of the first 4 dims) — a deterministic random-hyperplane LSH
+    * with coordinate hyperplanes. Pairs are only formed inside a bucket, so
+    * the join stays near-linear; a production variant adds more planes per
+    * band and multiple bands, same plan shape. */
+  val CosineMin = 0.25
+
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.withNorm(Tables.embeddings(spark, dir))
+      .withColumn("bucket", (0 until 4).map(i =>
+        when(element_at(col("embedding"), i + 1) > lit(0.0f), lit(1L << i)).otherwise(lit(0L))).reduce(_ + _))
+    val pairs = e.as("l").join(e.as("r"),
+      col("l.label") === col("r.label") && col("l.bucket") === col("r.bucket")
+        && col("l.vec_id") < col("r.vec_id"))
+    pairs
+      .withColumn("cos",
+        Similarity.dot(col("l.embedding"), col("r.embedding")) / (col("l.nrm") * col("r.nrm")))
+      .filter(col("cos") >= lit(CosineMin))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"), r6(col("cos")).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val embedNearDupSql: String = {
+    val bucket = (0 until 4)
+      .map(i => s"(CASE WHEN embedding[${i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END)").reduce((a, b) => s"($a + $b)")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding, ${Similarity.normSql("embedding")} AS nrm,
+       |         $bucket AS bucket
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+       |         ${Similarity.dotSql("l.embedding", "r.embedding")} / (l.nrm * r.nrm) AS cos
+       |  FROM e l JOIN e r ON l.label = r.label AND l.bucket = r.bucket AND l.vec_id < r.vec_id)
+       |SELECT vec_a, vec_b, ${r6Sql("cos")} AS cosine
+       |FROM pairs WHERE cos >= $CosineMin
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("dd_exact", exact _, exactSql),
+    Q("dd_minhash_lsh", minhashLsh _, minhashLshSql),
+    Q("dd_simhash", simhash _, simhashSql),
+    Q("dd_simhash_pairs", simhashPairs _, simhashPairsSql),
+    Q("dd_ngram_jaccard", ngramJaccard _, ngramJaccardSql),
+    Q("dd_embed_neardup", embedNearDup _, embedNearDupSql),
+  )
+}

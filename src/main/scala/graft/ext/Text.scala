@@ -1,0 +1,182 @@
+package graft.ext
+
+import graft.Q
+import graft.ops.{Num, Tables}
+import graft.ops.Num.{r6, r6Sql}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text analysis over the `documents` table — the language-ID / quality /
+  * token-counting / fingerprinting operators a training-data pipeline needs
+  * (beyond the reference surface; BASELINE.json north-star).
+  *
+  * Everything is built from codegen'd builtins (split/regexp/md5/aggregate)
+  * — no UDFs — so the operators stay inside whole-stage codegen and scale
+  * linearly with document count; there is no per-doc driver work anywhere.
+  */
+object Text {
+  /** Whitespace tokens with empties dropped — identical semantics to DuckDB
+    * list_filter(string_split_regex(...)). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= lit(""))
+
+  def tokensSql(text: String): String =
+    s"list_filter(string_split_regex($text, '\\s+'), t -> t <> '')"
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val punctClass = "[!-/:-@\\[-`{-~]" // ASCII punctuation ranges — same regex dialect on both engines
+
+  /** Per-document quality metrics: token count, mean token length,
+    * punctuation ratio, stopword ratio, and a composite quality score —
+    * the length/punct/stopword heuristics of C4/Gopher-style filters. */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    val stopHits = size(filter(toks, t => t.isInCollection(stopwords))).cast("long")
+    val base = Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("len_chars", length(col("text")).cast("long"))
+      .withColumn("sum_token_len", sumLen)
+      .withColumn("n_punct", regexp_count(col("text"), lit(punctClass)).cast("long"))
+      .withColumn("n_stop", stopHits)
+      .withColumn("avg_token_len", col("sum_token_len") / col("n_tokens"))
+      .withColumn("punct_ratio", col("n_punct") / col("len_chars"))
+      .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
+    base
+      .withColumn("quality_score", r6(
+        (least(lit(1.0), col("n_tokens") / lit(100.0))
+          + (lit(1.0) - least(lit(1.0), col("punct_ratio") * lit(10.0)))
+          + least(lit(1.0), col("stop_ratio") * lit(5.0))) / lit(3.0)))
+      .select(col("doc_id"), col("n_tokens"), col("len_chars"),
+        r6(col("avg_token_len")).as("avg_token_len"),
+        r6(col("punct_ratio")).as("punct_ratio"),
+        r6(col("stop_ratio")).as("stop_ratio"),
+        col("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  private val stopList = stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  val textStatsSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |         CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens,
+       |         CAST(length(text) AS BIGINT) AS len_chars,
+       |         CAST(list_sum(list_transform(${tokensSql("text")}, t -> length(t))) AS BIGINT) AS sum_token_len,
+       |         CAST(len(regexp_extract_all(text, '$punctClass')) AS BIGINT) AS n_punct,
+       |         CAST(len(list_filter(${tokensSql("text")}, t -> t IN $stopList)) AS BIGINT) AS n_stop
+       |  FROM documents),
+       |ratios AS (
+       |  SELECT *, sum_token_len / n_tokens AS avg_token_len,
+       |         n_punct / len_chars AS punct_ratio,
+       |         n_stop / n_tokens AS stop_ratio
+       |  FROM base)
+       |SELECT doc_id, n_tokens, len_chars,
+       |       ${r6Sql("avg_token_len")} AS avg_token_len,
+       |       ${r6Sql("punct_ratio")} AS punct_ratio,
+       |       ${r6Sql("stop_ratio")} AS stop_ratio,
+       |       ${r6Sql("(((least(1.0, n_tokens / 100.0) + (1.0 - least(1.0, punct_ratio * 10.0))) + least(1.0, stop_ratio * 5.0)) / 3.0)")} AS quality_score
+       |FROM ratios ORDER BY doc_id""".stripMargin
+
+  /** Language ID via marker-word n-gram counts (the classic stopword
+    * heuristic — fastText-style models plug in here the same way, as a
+    * per-partition scorer). Deterministic argmax with a fixed priority
+    * order. */
+  private val markers = Seq(
+    "en" -> "\\b(the|and|of|to|is|a)\\b",
+    "de" -> "\\b(der|die|und|das|ist)\\b",
+    "fr" -> "\\b(le|la|et|les|est)\\b",
+    "es" -> "\\b(el|los|las|que|es)\\b",
+  )
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = markers.foldLeft(Tables.documents(spark, dir)) { case (df, (l, pat)) =>
+      df.withColumn(s"c_$l", regexp_count(lower(col("text")), lit(pat)).cast("long"))
+    }
+    scored
+      .withColumn("predicted_lang",
+        when(col("c_en") + col("c_de") + col("c_fr") + col("c_es") === lit(0L), lit("und"))
+          .when(col("c_en") >= col("c_de") && col("c_en") >= col("c_fr") && col("c_en") >= col("c_es"), lit("en"))
+          .when(col("c_de") >= col("c_fr") && col("c_de") >= col("c_es"), lit("de"))
+          .when(col("c_fr") >= col("c_es"), lit("fr"))
+          .otherwise(lit("es")))
+      .withColumn("is_match", when(col("predicted_lang") === col("lang"), lit(1L)).otherwise(lit(0L)))
+      .select("doc_id", "lang", "c_en", "c_de", "c_fr", "c_es", "predicted_lang", "is_match")
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String = {
+    val counts = markers.map { case (l, pat) =>
+      s"CAST(len(regexp_extract_all(lower(text), '$pat')) AS BIGINT) AS c_$l"
+    }.mkString(",\n       ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |       $counts
+       |  FROM documents)
+       |SELECT doc_id, lang, c_en, c_de, c_fr, c_es,
+       |       CASE WHEN c_en + c_de + c_fr + c_es = 0 THEN 'und'
+       |            WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+       |            WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+       |            WHEN c_fr >= c_es THEN 'fr'
+       |            ELSE 'es' END AS predicted_lang,
+       |       CASE WHEN (CASE WHEN c_en + c_de + c_fr + c_es = 0 THEN 'und'
+       |            WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+       |            WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+       |            WHEN c_fr >= c_es THEN 'fr'
+       |            ELSE 'es' END) = lang THEN 1 ELSE 0 END AS is_match
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token counting two ways: whitespace and a BPE-ish lexical regex
+    * (letter runs | digit runs | single non-space symbol) — the standard
+    * cheap proxy for LLM token budgets. */
+  private val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_ws_tokens", size(tokens(col("text"))).cast("long"))
+      .withColumn("n_bpe_tokens", regexp_count(col("text"), lit(bpePattern)).cast("long"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "n_ws_tokens", "n_bpe_tokens", "n_chars")
+      .orderBy("doc_id")
+
+  val tokenCountSql: String =
+    s"""SELECT doc_id,
+       |       CAST(len(${tokensSql("text")}) AS BIGINT) AS n_ws_tokens,
+       |       CAST(len(regexp_extract_all(text, '$bpePattern')) AS BIGINT) AS n_bpe_tokens,
+       |       CAST(length(text) AS BIGINT) AS n_chars
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprinting: md5 over the whitespace-normalized lowercase
+    * text (the content-defined fingerprint a rolling-hash scheme reduces to
+    * for whole-document identity), plus the canonical (minimum) doc_id per
+    * fingerprint group. NB DuckDB regexp_replace needs the 'g' flag to match
+    * Spark's replace-all default. */
+  def normalized(text: Column): Column = lower(regexp_replace(text, "\\s+", " "))
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("fp")
+    Tables.documents(spark, dir)
+      .withColumn("fp", md5(normalized(col("text"))))
+      .withColumn("canonical_doc_id", min(col("doc_id")).over(w))
+      .withColumn("is_canonical", when(col("doc_id") === col("canonical_doc_id"), lit(1L)).otherwise(lit(0L)))
+      .select("doc_id", "fp", "canonical_doc_id", "is_canonical")
+      .orderBy("doc_id")
+  }
+
+  val fingerprintSql: String =
+    """WITH fps AS (
+      |  SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp FROM documents)
+      |SELECT doc_id, fp,
+      |       min(doc_id) OVER (PARTITION BY fp) AS canonical_doc_id,
+      |       CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY fp) THEN 1 ELSE 0 END AS is_canonical
+      |FROM fps ORDER BY doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("t_text_stats", textStats _, textStatsSql),
+    Q("t_lang_id", langId _, langIdSql),
+    Q("t_token_count", tokenCount _, tokenCountSql),
+    Q("t_fingerprint", fingerprint _, fingerprintSql),
+  )
+}
