@@ -41,7 +41,7 @@ object Dedup {
   def shingles3(toks: Column): Column =
     when(size(toks) >= lit(3),
       array_distinct(transform(sequence(lit(0), size(toks) - lit(3)),
-        i => concat_ws(" ", slice(toks, i + lit(1), 3)))))
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(3))))))
       .otherwise(array().cast("array<string>"))
 
   def shingles3Sql(t: String): String =
@@ -79,9 +79,9 @@ object Dedup {
     val exploded = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(shingles3(toks)).as("s"))
       .withColumn("hh", baseHash(col("s")))
-    val mh = exploded.groupBy("doc_id").agg(
-      (0 until NumHashes).map(i =>
-        min((lit(hashA(i)) * col("hh") + lit(hashB(i))) % lit(P)).as(s"mh_$i")): _*)
+    val mhCols = (0 until NumHashes).map(i =>
+      min((lit(hashA(i)) * col("hh") + lit(hashB(i))) % lit(P)).as(s"mh_$i"))
+    val mh = exploded.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
     val bands = mh.select(col("doc_id"), explode(array((0 until NumBands).map { j =>
       struct(lit(j).as("band_idx"),
         md5(concat_ws(",", (0 until RowsPerBand).map(k => col(s"mh_${j * RowsPerBand + k}")): _*)).as("sig"))
@@ -137,9 +137,9 @@ object Dedup {
     val exploded = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-    val votes = exploded.groupBy("doc_id").agg(
-      (0 until SimBits).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === lit(1L), lit(1)).otherwise(lit(-1))).as(s"w_$b")): _*)
+    val voteCols = (0 until SimBits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === lit(1L), lit(1)).otherwise(lit(-1))).as(s"w_$b"))
+    val votes = exploded.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
     val fp = (0 until SimBits).map(b =>
       when(col(s"w_$b") > lit(0), lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
     votes.select(col("doc_id"), fp.as("simhash"))
@@ -216,7 +216,7 @@ object Dedup {
     val toks = Text.tokens(col("text"))
     val grams = when(size(toks) >= lit(2),
       array_distinct(transform(sequence(lit(0), size(toks) - lit(2)),
-        i => concat_ws(" ", slice(toks, i + lit(1), 2)))))
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(2))))))
       .otherwise(array().cast("array<string>"))
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), size(toks).cast("long").as("n_tok"), grams.as("grams"))

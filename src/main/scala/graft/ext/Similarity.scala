@@ -1,0 +1,175 @@
+package graft.ext
+
+import graft.Q
+import graft.ops.Tables
+import graft.ops.Num.{r6, r6Sql}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity over `embeddings.embedding: array<float>` — the
+  * similarity-search leg of a training-data pipeline (near-dup blocking,
+  * semantic retrieval, ANN top-k).
+  *
+  * All math is double-precision left-to-right folds over the array, built
+  * from the codegen'd higher-order builtins `zip_with`/`aggregate` — no UDF,
+  * no driver collect. DuckDB's `list_sum(list_transform(...))` evaluates the
+  * identical left-associated sum, so the oracle compares bit-identical
+  * doubles before the shared round-to-6 step.
+  *
+  * Scale: brute-force top-k is the O(n·q) baseline — fine when the query set
+  * is a broadcast-able sample; the sign-LSH bucketed variant bounds each
+  * probe to one bucket's candidates (near-linear), the same plan shape an
+  * IVF index produces with learned centroids instead of coordinate
+  * hyperplanes.
+  */
+object Similarity {
+  /** dot(a,b) as a sequential fold in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** DuckDB twin: 1-based list indexing, same left-to-right summation. */
+  def dotSql(a: String, b: String): String =
+    s"coalesce(list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), 0.0)"
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+  def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  /** Adds the L2 norm (`nrm`) so cosine = dot / (nrm_l * nrm_r) reuses one
+    * pass per vector instead of recomputing per pair. */
+  def withNorm(embeddings: DataFrame): DataFrame =
+    embeddings.withColumn("nrm", norm(col("embedding")))
+
+  /** Deterministic query-vector sample: every 25th vec_id. Small (~n/25) →
+    * broadcast side of the probe join. */
+  private val QueryStride = 25
+  private val TopK = 5
+
+  /** Brute-force cosine top-k: probe set × corpus, rank per probe, keep k.
+    * The O(n·q) baseline every ANN variant is measured against. At scale the
+    * probe side broadcasts and the corpus streams — one scan, no shuffle
+    * until the tiny per-probe top-k. */
+  def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val queries = e.filter(col("vec_id") % lit(QueryStride) === lit(0))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= lit(TopK))
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), r6(col("cos")).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  val knnBruteForceSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id % $QueryStride = 0),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id,
+       |         ${dotSql("q.q_emb", "e.embedding")} / (q.q_nrm * e.nrm) AS cos
+       |  FROM e JOIN q ON e.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id,  cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, vec_id AS neighbor_id, ${r6Sql("cos")} AS cosine
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** Sign-LSH bits of the first `nPlanes` coordinates — the coordinate-
+    * hyperplane random projection used as the ANN bucket key. */
+  private val NPlanes = 4
+
+  def signBucket(emb: Column): Column =
+    (0 until NPlanes).map(i =>
+      when(element_at(emb, i + 1) > lit(0.0f), lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+
+  def signBucketSql(emb: String): String =
+    (0 until NPlanes)
+      .map(i => s"(CASE WHEN $emb[${i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END)")
+      .reduce((a, b) => s"($a + $b)")
+
+  /** LSH-bucketed ANN: probes only compare against corpus vectors in the
+    * same sign bucket — the IVF plan shape (cells = buckets), recall bounded
+    * by bucket collisions. Per-probe ranking and top-k as in brute force. */
+  def knnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+      .withColumn("bucket", signBucket(col("embedding")))
+    val queries = e.filter(col("vec_id") % lit(QueryStride) === lit(0))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+    val scored = e.join(broadcast(queries),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= lit(TopK))
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), r6(col("cos")).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  val knnLshSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+       |         ${signBucketSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, bucket AS q_bucket
+       |      FROM e WHERE vec_id % $QueryStride = 0),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id,
+       |         ${dotSql("q.q_emb", "e.embedding")} / (q.q_nrm * e.nrm) AS cos
+       |  FROM e JOIN q ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, vec_id AS neighbor_id, ${r6Sql("cos")} AS cosine
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** Per-label centroid stats: mean vector norm + cosine of each vector to
+    * its label centroid — the IVF "assign to nearest centroid" building
+    * block, expressed as array-aggregate + rejoin. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("emb_d", transform(col("embedding"), x => x.cast("double")))
+    val dims = 64 // embeddings.parquet vectors are 64-dim
+    val centroid = e.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        array((0 until dims).map(i => sum(element_at(col("emb_d"), i + 1))): _*).as("sums"))
+      .withColumn("centroid", transform(col("sums"), s => s / col("n")))
+      .select("label", "n", "centroid")
+    e.join(broadcast(centroid), Seq("label"))
+      .withColumn("cos_to_centroid",
+        dot(col("emb_d"), col("centroid")) / (norm(col("emb_d")) * norm(col("centroid"))))
+      .select(col("vec_id"), col("label"), col("n").as("label_n"),
+        r6(col("cos_to_centroid")).as("cos_to_centroid"))
+      .orderBy("vec_id")
+  }
+
+  val labelCentroidsSql: String = {
+    val dims = 64
+    val sums = (0 until dims).map(i => s"sum(CAST(embedding[${i + 1}] AS DOUBLE))").mkString(", ")
+    s"""WITH centroid AS (
+       |  SELECT label, count(*) AS n, [$sums] AS sums
+       |  FROM embeddings GROUP BY label),
+       |c2 AS (SELECT label, n, list_transform(sums, s -> s / n) AS centroid FROM centroid),
+       |j AS (
+       |  SELECT e.vec_id, e.label, c2.n,
+       |         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS emb_d, c2.centroid
+       |  FROM embeddings e JOIN c2 ON e.label = c2.label)
+       |SELECT vec_id, label, n AS label_n,
+       |       ${r6Sql(s"${dotSql("emb_d", "centroid")} / (${normSql("emb_d")} * ${normSql("centroid")})")} AS cos_to_centroid
+       |FROM j ORDER BY vec_id""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("s_knn_bruteforce", knnBruteForce _, knnBruteForceSql),
+    Q("s_knn_lsh", knnLsh _, knnLshSql),
+    Q("s_label_centroids", labelCentroids _, labelCentroidsSql),
+  )
+}

@@ -63,7 +63,7 @@ object Text {
        |  SELECT doc_id,
        |         CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens,
        |         CAST(length(text) AS BIGINT) AS len_chars,
-       |         CAST(list_sum(list_transform(${tokensSql("text")}, t -> length(t))) AS BIGINT) AS sum_token_len,
+       |         CAST(coalesce(list_sum(list_transform(${tokensSql("text")}, t -> length(t))), 0) AS BIGINT) AS sum_token_len,
        |         CAST(len(regexp_extract_all(text, '$punctClass')) AS BIGINT) AS n_punct,
        |         CAST(len(list_filter(${tokensSql("text")}, t -> t IN $stopList)) AS BIGINT) AS n_stop
        |  FROM documents),

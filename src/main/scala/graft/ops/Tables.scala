@@ -14,7 +14,16 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects. Read it as raw nanos (legacy nanosAsLong conf, set here so any
+    * session works) and truncate to a micros TimestampType — the identical
+    * truncation DuckDB applies when it reads the same file as TIMESTAMP. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.expr
+    table(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")

@@ -160,8 +160,10 @@ object Micro {
     * centered rolling-7 mean over the present days (rows, not range —
     * hard-part 5). */
   def rollingDaily(spark: SparkSession, dir: String): DataFrame = {
+    // ship_day as 'YYYY-MM-DD' string: a DATE column would hash-mismatch on
+    // physical type alone (Spark date32 vs DuckDB datetime64)
     val daily = Tables.lineitem(spark, dir)
-      .groupBy(to_date(col("l_shipdate")).as("ship_day"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
       .agg(count(lit(1)).as("n_items"))
     val w = Window.orderBy("ship_day")
     daily
@@ -171,7 +173,7 @@ object Micro {
 
   val rollingDailySql: String =
     s"""WITH daily AS (
-       |  SELECT CAST(l_shipdate AS DATE) AS ship_day, count(*) AS n_items
+       |  SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_day, count(*) AS n_items
        |  FROM lineitem GROUP BY 1)
        |SELECT ship_day, n_items,
        |       ${r6Sql(Smoothing.centeredMeanSql("CAST(n_items AS DOUBLE)", "wsm", 3))} AS smoothed
