@@ -1,0 +1,36 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles3: short docs yield empty array, no descending sequence") {
+    val got = Seq("one two", "one two three four").toDF("t")
+      .select(size(Dedup.shingles3(Text.tokens(col("t")))).as("n")).as[Int].collect().toSeq
+    assert(got === Seq(0, 2)) // "one two three", "two three four"
+  }
+
+  test("shingles3 deduplicates repeated shingles") {
+    val got = Seq("a b c a b c a b c").toDF("t")
+      .select(size(Dedup.shingles3(Text.tokens(col("t")))).as("n")).as[Int].head()
+    assert(got === 3) // "a b c", "b c a", "c a b"
+  }
+
+  test("baseHash is stable and within 28 bits") {
+    val got = Seq("hello", "hello", "world").toDF("s")
+      .select(Dedup.baseHash(col("s")).as("h")).as[Long].collect().toSeq
+    assert(got(0) === got(1))
+    assert(got(0) !== got(2))
+    assert(got.forall(h => h >= 0 && h < (1L << 28)))
+  }
+
+  test("minhash universal-hash constants stay positive under the prime") {
+    assert(Dedup.hashA.forall(a => a > 0 && a < Dedup.P))
+    assert(Dedup.hashB.forall(b => b >= 0 && b < Dedup.P))
+    // (a*h+b) with h < 2^28 must not overflow Long
+    val maxH = (1L << 28) - 1
+    assert(Dedup.hashA.forall(a => a <= Long.MaxValue / maxH))
+  }
+}
