@@ -12,8 +12,9 @@ import graft.{queries => q}
   */
 object SparkEntry {
   private val registry: Seq[Q] =
-    q.Micro.all ++ q.Reference.all ++
-      ext.Text.all ++ ext.Dedup.all ++ ext.Similarity.all
+    q.Micro.all ++ q.Reference.all ++ q.Sessions.all ++
+      ext.Text.all ++ ext.Dedup.all ++ ext.Similarity.all ++
+      multimodal.Multimodal.all
 
   /** Flagship query (Script C city-league analog); driver smoke-checks
     * rows>0 on /root/testdata/sf0.001. */

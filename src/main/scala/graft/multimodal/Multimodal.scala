@@ -1,0 +1,171 @@
+package graft.multimodal
+
+import graft.Q
+import graft.ops.Tables
+import graft.ops.Num.{r6, r6Sql}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads with
+  * typed metadata, plus the decode / feature-extract / resize / frame-sample
+  * plumbing a training-data pipeline runs over them.
+  *
+  * The decode step is a STUB — this container has no image/audio codecs —
+  * but everything Spark-side is real: the schema, the typed Dataset shape,
+  * per-partition batch processing (the shape a vectorized decoder needs:
+  * amortize codec init across a partition, not per row), and deterministic
+  * outputs so the pipeline is testable. A production build swaps
+  * [[StubCodec.decode]] for a JNI/javacpp codec without touching any plan.
+  *
+  * Test payloads are derived from documents.text (UTF-8 bytes) since the
+  * testdata ships no real media; the plumbing is payload-agnostic.
+  */
+object Multimodal {
+  /** One media object: opaque payload + typed metadata. */
+  case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Decoded (stub) features: fixed-size descriptor per media object. */
+  case class MediaFeatures(doc_id: Long, media_type: String, width: Int, height: Int,
+                           n_frames: Int, feature: Array[Float])
+
+  val ChunkBytes = 4096
+  val FrameStride = 4
+
+  /** documents → media records: payload = UTF-8 bytes, media type derived
+    * deterministically from the source column. */
+  def fromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+        col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(conv(substring(md5(col("source")), 1, 4), 16, 10).cast("long"), lit(3)) + lit(1)).cast("int")).as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** STUB codec — deterministic fake standing in for libjpeg/ffmpeg.
+    * Real implementation: decode payload, emit true dims + embedding. */
+  object StubCodec {
+    /** Fake "decode": dims/frames from payload bytes, features = windowed
+      * byte means. Deterministic, pure, cheap — the contract a real codec
+      * must also satisfy (no global state, reusable per partition). */
+    def decode(payload: Array[Byte], mediaType: String): (Int, Int, Int, Array[Float]) = {
+      val n = payload.length
+      val width = 16 + (if (n == 0) 0 else (payload(0) & 0x7f))
+      val height = 16 + (if (n < 2) 0 else (payload(1) & 0x7f))
+      val nFrames = if (mediaType == "video") 1 + n / ChunkBytes else 1
+      val dim = 8
+      val feature = Array.ofDim[Float](dim)
+      if (n > 0) {
+        val window = math.max(1, n / dim)
+        var i = 0
+        while (i < dim) {
+          var s = 0L; var c = 0
+          var j = i * window
+          while (j < math.min(n, (i + 1) * window)) { s += (payload(j) & 0xff); c += 1; j += 1 }
+          feature(i) = if (c == 0) 0f else s.toFloat / c
+          i += 1
+        }
+      }
+      (width, height, nFrames, feature)
+    }
+  }
+
+  /** Decode/feature-extract over partitions: codec "initialized" once per
+    * partition (the expensive part for real codecs), then streamed over the
+    * iterator — never materializing the partition in memory. */
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real codec: open once here, close via it's final map — stub is free
+      it.map { m =>
+        val (w, h, f, feat) = StubCodec.decode(m.payload, m.media_type)
+        MediaFeatures(m.doc_id, m.media_type, w, h, f, feat)
+      }
+    }
+  }
+
+  /** Frame sampling: chunk the payload into ChunkBytes frames, keep every
+    * FrameStride-th — flatMap keeps it streaming (one output row per kept
+    * frame, never the whole frame list in memory). */
+  case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
+
+  def sampleFrames(media: Dataset[MediaRecord]): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val n = m.payload.length
+      val nChunks = (n + ChunkBytes - 1) / ChunkBytes
+      (0 until nChunks).iterator.filter(_ % FrameStride == 0).map { i =>
+        val lo = i * ChunkBytes
+        val hi = math.min(n, lo + ChunkBytes)
+        var crc = new java.util.zip.CRC32()
+        crc.update(m.payload, lo, hi - lo)
+        Frame(m.doc_id, i, hi - lo, crc.getValue)
+      }
+    }
+  }
+
+  /** "Resize": deterministic feature downsample (mean-pool pairs) — the
+    * plumbing slot where a real resize kernel goes. */
+  def resize(features: Dataset[MediaFeatures], outDim: Int): Dataset[MediaFeatures] = {
+    import features.sparkSession.implicits._
+    features.map { f =>
+      val in = f.feature
+      val out = Array.tabulate(outDim) { i =>
+        val lo = i * in.length / outDim
+        val hi = math.max(lo + 1, (i + 1) * in.length / outDim)
+        var s = 0f; var j = lo
+        while (j < hi) { s += in(j); j += 1 }
+        s / (hi - lo)
+      }
+      f.copy(width = outDim, height = outDim, feature = out)
+    }
+  }
+
+  /** Oracle-able metadata query: byte sizes, content hash, chunk counts and
+    * a header fingerprint — the part of the media pipeline both engines can
+    * compute from the same parquet. (DuckDB 1.0 has no blob md5/substring,
+    * so hashes go through the text form; bytes and chars differ and both
+    * sides use octet/char-aware functions accordingly.) */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(
+        col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(conv(substring(md5(col("source")), 1, 4), 16, 10).cast("long"), lit(3)) + lit(1)).cast("int")).as("media_type"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("content_md5"),
+        ceil(length(col("payload")) / lit(ChunkBytes.toDouble)).cast("long").as("n_chunks"),
+        hex(encode(substring(col("text"), 1, 8), "UTF-8")).as("header_hex"))
+      .orderBy("doc_id")
+
+  val mediaMetaSql: String =
+    s"""SELECT doc_id,
+       |       ['image', 'audio', 'video'][(('0x' || substr(md5(source), 1, 4))::BIGINT % 3 + 1)::INT] AS media_type,
+       |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |       md5(text) AS content_md5,
+       |       CAST(ceil(octet_length(encode(text)) / ${ChunkBytes.toDouble}) AS BIGINT) AS n_chunks,
+       |       hex(encode(substring(text, 1, 8))) AS header_hex
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Feature pipeline as a registered (rows-only, no SQL oracle) query:
+    * media → stub decode → resize → per-type feature stats. Deterministic,
+    * so the driver's rows/schema check is stable. */
+  def featurePipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = resize(decodeFeatures(fromDocuments(Tables.documents(spark, dir))), 4)
+    feats.toDF()
+      .select(col("doc_id"), col("media_type"), col("width"), col("n_frames"),
+        aggregate(col("feature"), lit(0.0), (a, x) => a + x.cast("double")).as("feat_sum"))
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n_docs"), sum("n_frames").cast("long").as("total_frames"),
+        r6(avg(col("feat_sum"))).as("avg_feat_sum"))
+      .orderBy("media_type")
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("mm_media_meta", mediaMeta _, mediaMetaSql),
+    Q("mm_feature_pipeline", featurePipeline _, None),
+  )
+}

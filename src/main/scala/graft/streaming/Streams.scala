@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming variants of the batch pipelines (SURVEY §2.10 /
+  * §7.2 M4): the reference is pure batch, but its data model is event-time,
+  * so the push-counting and windowed aggregations re-express naturally as
+  * `readStream → withWatermark → window → writeStream`.
+  *
+  * Scale: the streaming plans keep the same shuffle structure as their batch
+  * twins (hash by window/key), with watermark-bounded state — no unbounded
+  * state, no driver-side accumulation. A 1000-executor cluster runs these
+  * with per-partition state stores and RocksDB backing; nothing here is
+  * local-mode-specific.
+  */
+object Streams {
+  /** events.parquet schema with ts as raw TIMESTAMP(NANOS) int64 (read as
+    * long via the same legacy conf Tables.events uses, then truncated to a
+    * micros timestamp). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a testdata dir. One file = one micro-batch
+    * under AvailableNow; in production this is a growing directory or Kafka
+    * with the same downstream plan. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Streaming twin of Micro.tumblingWindow: tumbling 10-minute event-time
+    * windows per event_type with a 1-hour watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Run a streaming DataFrame to completion against the bounded test input
+    * (AvailableNow trigger + memory sink) and return the result as a batch
+    * DataFrame — the harness for batch/stream parity tests. */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  // ------------------------------------------------------- sessionization
+  case class SessionEvent(user_id: Long, ts_us: Long, value: Double)
+  case class SessionState(sessionStartUs: Long, lastTsUs: Long, n: Long, sumValue: Double)
+  case class SessionOut(user_id: Long, session_start_us: Long, session_end_us: Long,
+                        n_events: Long, sum_value: Double)
+
+  val SessionGapUs: Long = 30L * 60 * 1000000 // 30-minute inactivity gap
+
+  /** Gap-based sessionization with explicit state —
+    * `flatMapGroupsWithState` over per-user event streams. Emits a session
+    * when the inactivity gap is exceeded or the group's input is exhausted
+    * (timeout in a real stream). The batch twin (Micro.sessionize) computes
+    * identical sessions with window functions, giving the oracle cross-check
+    * for this non-SQL operator. */
+  def sessionize(events: Dataset[SessionEvent]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[SessionState]) =>
+          // rows within one group arrive unordered in batch mode: sort by ts
+          val sorted = rows.toSeq.sortBy(e => (e.ts_us))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[SessionOut]
+          for (e <- sorted) {
+            if (st == null) st = SessionState(e.ts_us, e.ts_us, 1L, e.value)
+            else if (e.ts_us - st.lastTsUs > SessionGapUs) {
+              out += SessionOut(uid, st.sessionStartUs, st.lastTsUs, st.n, st.sumValue)
+              st = SessionState(e.ts_us, e.ts_us, 1L, e.value)
+            } else st = SessionState(st.sessionStartUs, e.ts_us, st.n + 1, st.sumValue + e.value)
+          }
+          if (st != null) out += SessionOut(uid, st.sessionStartUs, st.lastTsUs, st.n, st.sumValue)
+          state.remove()
+          out.result().iterator
+      }
+  }
+}

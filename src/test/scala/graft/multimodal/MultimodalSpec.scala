@@ -1,0 +1,64 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("fromDocuments builds binary payloads with a deterministic media type") {
+    val m = Multimodal.fromDocuments(docs((1L, "héllo", "web"), (2L, "héllo", "web")))
+      .collect().sortBy(_.doc_id)
+    assert(m(0).payload.toSeq === "héllo".getBytes("UTF-8").toSeq)
+    assert(m(0).media_type === m(1).media_type) // same source → same type
+    assert(Set("image", "audio", "video").contains(m(0).media_type))
+  }
+
+  test("stub decode is deterministic and batch-shaped") {
+    val payload = Array.tabulate(10000)(i => (i % 251).toByte)
+    val a = Multimodal.StubCodec.decode(payload, "video")
+    val b = Multimodal.StubCodec.decode(payload, "video")
+    assert(a._1 === b._1 && a._4.toSeq === b._4.toSeq)
+    assert(a._3 === 1 + 10000 / Multimodal.ChunkBytes) // video frame count
+    assert(Multimodal.StubCodec.decode(payload, "image")._3 === 1)
+    assert(a._4.length === 8)
+  }
+
+  test("decodeFeatures runs distributed and preserves every record") {
+    val media = Multimodal.fromDocuments(docs(
+      (1L, "short", "a"), (2L, "x" * 5000, "b"), (3L, "", "c")))
+    val feats = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
+    assert(feats.map(_.doc_id).toSeq === Seq(1L, 2L, 3L))
+    assert(feats.forall(_.feature.length === 8))
+    assert(feats(2).feature.toSeq === Seq.fill(8)(0f)) // empty payload
+  }
+
+  test("sampleFrames keeps every FrameStride-th chunk with exact byte counts") {
+    val text = "y" * (Multimodal.ChunkBytes * 9 + 100) // 10 chunks → frames 0,4,8
+    val media = Multimodal.fromDocuments(docs((7L, text, "s")))
+    val frames = Multimodal.sampleFrames(media).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 4, 8))
+    assert(frames.map(_.n_bytes).toSeq === Seq(Multimodal.ChunkBytes, Multimodal.ChunkBytes, Multimodal.ChunkBytes))
+    assert(frames.map(_.checksum).distinct.length === 1) // identical bytes → same crc
+  }
+
+  test("resize mean-pools features to the target dim") {
+    val media = Multimodal.fromDocuments(docs((1L, "some text payload here", "a")))
+    val feats = Multimodal.decodeFeatures(media)
+    val resized = Multimodal.resize(feats, 4).head()
+    val orig = feats.head().feature
+    assert(resized.feature.length === 4)
+    assert(math.abs(resized.feature(0) - (orig(0) + orig(1)) / 2) < 1e-5)
+  }
+
+  test("mediaMeta chunk counts match the frame chunking") {
+    val df = Multimodal.mediaMeta(spark, "/root/testdata/sf0.001")
+    val bad = df.filter(col("n_chunks") =!= ceil(col("n_bytes") / lit(Multimodal.ChunkBytes.toDouble)).cast("long"))
+    assert(bad.count() === 0)
+    assert(df.count() > 0)
+  }
+}

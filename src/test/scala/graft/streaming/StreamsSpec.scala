@@ -1,0 +1,47 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.queries.{Micro, Sessions}
+import org.apache.spark.sql.functions._
+
+/** Batch/stream parity: the streaming plans must produce exactly the rows
+  * their batch twins produce on the same bounded input. */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("streaming tumbling window matches the batch tumbling window") {
+    // Complete mode: with bounded input + append, the final watermark never
+    // advances past the last windows, so they would never emit
+    val streamed = Streams.runToMemory(spark,
+      Streams.tumblingCounts(Streams.readEventsStream(spark, sfDir)), "t_tumbling",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+      .select(col("win_start"), col("event_type"), col("n_events"),
+        graft.ops.Num.r6(col("sum_value")).as("sum_value"))
+      .orderBy("win_start", "event_type")
+      .collect()
+    val batch = Micro.tumblingWindow(spark, sfDir).collect()
+    assert(streamed.length === batch.length)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("flatMapGroupsWithState sessionization matches the window-function batch twin") {
+    val evs = graft.ops.Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[Streams.SessionEvent]
+    val stateful = Streams.sessionize(evs)
+      .toDF()
+      .groupBy("user_id", "session_start_us", "session_end_us")
+      .agg(sum("n_events").as("n_events")) // canonical shape for compare
+      .orderBy("user_id", "session_start_us")
+      .collect()
+    val batch = Sessions.sessionize(spark, sfDir)
+      .groupBy("user_id", "session_start_us", "session_end_us")
+      .agg(sum("n_events").as("n_events"))
+      .orderBy("user_id", "session_start_us")
+      .collect()
+    assert(stateful.length === batch.length)
+    assert(stateful.toSeq === batch.toSeq)
+  }
+}
