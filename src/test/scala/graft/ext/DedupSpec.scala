@@ -26,6 +26,19 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(h => h >= 0 && h < (1L << 28)))
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 9L, 11L)),
+      (Array.empty[Long], Array(1L, 2L)),
+      (Array(4L), Array(4L)),
+      (Array(1L, 2L, 3L), Array(7L, 8L))).toDF("a", "b")
+    val mism = df.filter(
+      call_function("sorted_intersect_count", col("a"), col("b"))
+        =!= size(array_intersect(col("a"), col("b"))).cast("long"))
+    assert(mism.count() === 0)
+  }
+
   test("minhash universal-hash constants stay positive under the prime") {
     assert(Dedup.hashA.forall(a => a > 0 && a < Dedup.P))
     assert(Dedup.hashB.forall(b => b >= 0 && b < Dedup.P))

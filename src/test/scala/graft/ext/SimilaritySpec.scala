@@ -23,6 +23,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Seq(1L + 4L, 0L))
   }
 
+  test("native float_dot is bit-identical to the fold dot on real embeddings") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val mism = e.select(
+      Similarity.dot(col("embedding"), col("embedding")).as("fold"),
+      Similarity.fastDot(col("embedding"), col("embedding")).as("fast"))
+      .filter(col("fold") =!= col("fast"))
+    assert(mism.count() === 0)
+  }
+
+  test("float_dot codegen path evaluates (non-interpreted plan)") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = Seq((Array(1.5f, 2.0f), Array(2.0f, 4.0f))).toDF("a", "b")
+      .select(Similarity.fastDot(col("a"), col("b")).as("d")).as[Double].head()
+    assert(got === 11.0)
+  }
+
   test("cosine of identical vectors is 1") {
     val df = Seq((Array(0.5f, -0.25f, 8.0f), Array(0.5f, -0.25f, 8.0f))).toDF("a", "b")
     val cos = df.select(

@@ -17,7 +17,8 @@ class NumSpec extends SparkSpec {
     val prop = Prop.forAll(Gen.choose(-1e6, 1e6)) { x: Double =>
       val r = math.floor(x * 1e6 + 0.5) / 1e6
       val r2 = math.floor(r * 1e6 + 0.5) / 1e6
-      r == r2 && math.abs(r - x) <= 5.0000001e-7
+      // tolerance: half a decimal step plus the rounding error of x*1e6 itself
+      r == r2 && math.abs(r - x) <= 5e-7 + math.ulp(x * 1e6) / 1e6
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
     assert(res.passed, res.status.toString)
