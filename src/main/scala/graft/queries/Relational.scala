@@ -1,0 +1,259 @@
+package graft.queries
+
+import graft.Q
+import graft.ops.{Dims, Tables}
+import graft.ops.Num.{r6, r6Sql}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators beyond the reference surface (SURVEY §2 notes them
+  * "not present"): as-of join, range join, set ops, rollup, top-k per
+  * group, ranking/lead/cumulative windows, pivot, anti join, exact
+  * percentiles. Rounds out the engine so a user never falls back to
+  * another system for standard analytics shapes.
+  */
+object Relational {
+  // ---------------------------------------------------------------- as-of
+  /** As-of join, Spark-first: for each click, the latest purchase by the
+    * same user at-or-before the click. No per-row probe and no range
+    * explosion — tag both sides, union, and take `last(..., ignoreNulls)`
+    * over a (user, time) window: ONE shuffle, sorted once, linear scan.
+    * This is the sort-merge as-of plan a native engine would run, expressed
+    * with builtins. Ties at the same timestamp order the purchase first
+    * (at-or-before includes equal timestamps); event_id breaks exact ties
+    * deterministically. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        col("event_type"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), lit(1).as("is_left"), col("event_id"),
+        lit(null).cast("double").as("r_value"), lit(null).cast("long").as("r_ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), lit(0).as("is_left"), col("event_id"),
+        col("value").as("r_value"), col("ts_us").as("r_ts_us"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("is_left"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_purchase_value", last("r_value", ignoreNulls = true).over(w))
+      .withColumn("last_purchase_ts_us", last("r_ts_us", ignoreNulls = true).over(w))
+      .filter(col("is_left") === lit(1))
+      .select(col("event_id").as("click_event_id"), col("user_id"),
+        col("ts_us").as("click_ts_us"), col("last_purchase_value"), col("last_purchase_ts_us"))
+      .orderBy("click_event_id")
+  }
+
+  val asofJoinSql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value FROM events),
+      |tagged AS (
+      |  SELECT user_id, ts_us, 1 AS is_left, event_id,
+      |         CAST(NULL AS DOUBLE) AS r_value, CAST(NULL AS BIGINT) AS r_ts_us
+      |  FROM ev WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, ts_us, 0 AS is_left, event_id, value AS r_value, ts_us AS r_ts_us
+      |  FROM ev WHERE event_type = 'purchase'),
+      |win AS (
+      |  SELECT *,
+      |         last_value(r_value IGNORE NULLS) OVER wa AS last_purchase_value,
+      |         last_value(r_ts_us IGNORE NULLS) OVER wa AS last_purchase_ts_us
+      |  FROM tagged
+      |  WINDOW wa AS (PARTITION BY user_id ORDER BY ts_us, is_left, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id AS click_event_id, user_id, ts_us AS click_ts_us,
+      |       last_purchase_value, last_purchase_ts_us
+      |FROM win WHERE is_left = 1
+      |ORDER BY click_event_id""".stripMargin
+
+  // ----------------------------------------------------------- range join
+  /** Range join against a generated band dimension: lineitem priced into
+    * 10k-wide bands via a BETWEEN join. The band table is tiny → broadcast
+    * nested-loop, each row tests ≤10 bands; at scale the same query runs as
+    * a band-key equi-join after assigning floor(price/width) — this form
+    * keeps the BETWEEN semantics visible. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bands = spark.range(0, 10).select(
+      col("id").cast("long").as("band_id"),
+      (col("id") * 10000).cast("double").as("lo"),
+      ((col("id") + 1) * 10000).cast("double").as("hi"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(bands),
+        col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy("band_id", "lo", "hi")
+      .agg(count(lit(1)).as("n_items"), r6(avg(col("l_discount"))).as("avg_discount"))
+      .orderBy("band_id")
+  }
+
+  val rangeJoinSql: String =
+    s"""WITH bands AS (
+       |  SELECT range AS band_id, CAST(range * 10000 AS DOUBLE) AS lo,
+       |         CAST((range + 1) * 10000 AS DOUBLE) AS hi
+       |  FROM range(10))
+       |SELECT band_id, lo, hi, count(*) AS n_items, ${r6Sql("avg(l_discount)")} AS avg_discount
+       |FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
+       |GROUP BY 1, 2, 3 ORDER BY band_id""".stripMargin
+
+  // -------------------------------------------------------------- set ops
+  /** UNION / INTERSECT / EXCEPT in one result: furniture-segment customers
+    * split by order activity. Tags make the three set results one
+    * deterministic relation. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val furn = Tables.customer(spark, dir)
+      .filter(lower(col("c_mktsegment")).contains("furniture"))
+      .select("c_custkey")
+    val active = Tables.orders(spark, dir)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= lit(12))
+      .select(col("o_custkey").as("c_custkey"))
+    furn.intersect(active).withColumn("tag", lit("furniture_active"))
+      .unionByName(furn.except(active).withColumn("tag", lit("furniture_inactive")))
+      .orderBy("tag", "c_custkey")
+  }
+
+  val setOpsSql: String =
+    """WITH furn AS (SELECT c_custkey FROM customer WHERE contains(lower(c_mktsegment), 'furniture')),
+      |active AS (SELECT o_custkey AS c_custkey FROM orders GROUP BY 1 HAVING count(*) >= 12)
+      |SELECT c_custkey, 'furniture_active' AS tag FROM (SELECT * FROM furn INTERSECT SELECT * FROM active)
+      |UNION ALL
+      |SELECT c_custkey, 'furniture_inactive' AS tag FROM (SELECT * FROM furn EXCEPT SELECT * FROM active)
+      |ORDER BY tag, c_custkey""".stripMargin
+
+  // --------------------------------------------------------------- rollup
+  /** ROLLUP over (category, age_group): subtotals + grand total in one
+    * pass (partial aggregation handles the lattice — no re-scan per
+    * level). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Dims.withAgeGroup(Dims.withCategory(Tables.customer(spark, dir)))
+      .filter(col("age_group").isNotNull)
+      .rollup("category", "age_group")
+      .agg(count(lit(1)).as("n_customers"), r6(sum(col("c_acctbal"))).as("sum_balance"))
+      .orderBy(col("category").asc_nulls_first, col("age_group").asc_nulls_first)
+
+  val rollupAggSql: String =
+    s"""SELECT category, age_group, count(*) AS n_customers, ${r6Sql("sum(c_acctbal)")} AS sum_balance
+       |FROM (SELECT ${Dims.categorySql} AS category, ${Dims.ageGroupSql} AS age_group, c_acctbal FROM customer)
+       |WHERE age_group IS NOT NULL
+       |GROUP BY ROLLUP (category, age_group)
+       |ORDER BY category NULLS FIRST, age_group NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------ top-k per group
+  /** Top-3 orders by price per market segment — rank inside the window,
+    * filter, never a global sort of the fact table. */
+  def topKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    joined
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= lit(3))
+      .select(col("c_mktsegment"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("c_mktsegment", "rk")
+  }
+
+  val topKPerGroupSql: String =
+    """SELECT c_mktsegment, rk, o_orderkey, o_totalprice
+      |FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |             row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |      FROM orders JOIN customer ON o_custkey = c_custkey)
+      |WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin
+
+  // ------------------------------------------------------- window family
+  /** Ranking / lead / cumulative frames over each customer's order
+    * history — the window-function families the reference never used. */
+  def windowFamily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("rk", rank().over(w))
+      .withColumn("drk", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("next_price", lead("o_totalprice", 1).over(w))
+      .withColumn("cum_spend", r6(sum(col("o_totalprice")).over(wCum)))
+      .select("o_custkey", "o_orderkey", "rk", "drk", "quartile", "next_price", "cum_spend")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val windowFamilySql: String =
+    s"""SELECT o_custkey, o_orderkey,
+       |       rank() OVER wo AS rk,
+       |       dense_rank() OVER wo AS drk,
+       |       ntile(4) OVER wo AS quartile,
+       |       lead(o_totalprice) OVER wo AS next_price,
+       |       ${r6Sql("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS cum_spend
+       |FROM orders
+       |WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+       |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- pivot
+  /** Pivot order counts: status columns per priority. Spark `pivot` with an
+    * explicit value list (no extra distinct-scan); the oracle is the
+    * equivalent conditional aggregation. */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("O", "F", "P"))
+      .orderBy("o_orderpriority")
+
+  val pivotStatusSql: String =
+    """SELECT o_orderpriority,
+      |       count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+      |       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+      |       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------------------------ anti join
+  /** Customers with no orders since 2000 — LEFT ANTI join (NOT EXISTS).
+    * (Unqualified "no orders at all" is empty on this data — every customer
+    * has orders — which would make the check degenerate.) */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ----------------------------------------------------------- percentile
+  /** Exact interpolated percentiles per group (both engines define
+    * quantiles as linear interpolation at p*(n-1)). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        r6(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+        r6(expr("percentile(l_extendedprice, 0.9)")).as("p90"),
+        r6(expr("percentile(l_extendedprice, 0.99)")).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val percentilesSql: String =
+    s"""SELECT l_returnflag,
+       |       ${r6Sql("quantile_cont(l_extendedprice, 0.5)")} AS p50,
+       |       ${r6Sql("quantile_cont(l_extendedprice, 0.9)")} AS p90,
+       |       ${r6Sql("quantile_cont(l_extendedprice, 0.99)")} AS p99,
+       |       count(*) AS n
+       |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("r_asof_join", asofJoin _, asofJoinSql),
+    Q("r_range_join", rangeJoin _, rangeJoinSql),
+    Q("r_set_ops", setOps _, setOpsSql),
+    Q("r_rollup", rollupAgg _, rollupAggSql),
+    Q("r_topk_per_group", topKPerGroup _, topKPerGroupSql),
+    Q("r_window_family", windowFamily _, windowFamilySql),
+    Q("r_pivot", pivotStatus _, pivotStatusSql),
+    Q("r_anti_join", antiJoin _, antiJoinSql),
+    Q("r_percentiles", percentiles _, percentilesSql),
+  )
+}
