@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink formats beyond the Parquet testdata. The reference's only
+  * source is a SQLite full scan (analyse.py:12-15); a standalone engine
+  * needs the standard lake formats with explicit schemas (never inference —
+  * schema inference re-reads the data and produces drifting types).
+  *
+  * All readers take an explicit schema and return a plain DataFrame so the
+  * whole query library composes over any of them unchanged. Writers default
+  * to snappy parquet; CSV/JSON writers exist for interchange, not as the
+  * scale path (row formats lose pushdown and columnar pruning — at 100 TB
+  * everything lands in parquet/ORC with partitioning).
+  */
+object Formats {
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      // coerce-to-null on malformed cells, mirroring the engine-wide
+      // errors='coerce' convention (SURVEY §7.4 hard-part 8)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+}

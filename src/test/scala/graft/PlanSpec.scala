@@ -1,0 +1,52 @@
+package graft
+
+import graft.queries.{Micro, Reference, Relational}
+import graft.ext.Similarity
+
+/** Plan-shape regression tests: the physical plans the 100 TB design
+  * depends on (broadcasts for dims, parquet pushdown/pruning, no stray
+  * shuffles) must not silently degrade as queries evolve. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("projected filtered scan pushes filters into the parquet reader") {
+    val p = plan(Micro.projectFilterSort(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
+    // column pruning: the scan schema must not include unused wide columns
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_comment") && !p.contains("l_returnflag"), "scan reads unused columns")
+  }
+
+  test("city league joins its dimension tables via broadcast, not shuffle") {
+    val p = plan(Reference.c1CityLeague(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("top-k per group broadcasts the customer dim") {
+    val p = plan(Relational.topKPerGroup(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("knn probes broadcast the query side (corpus never shuffles for the join)") {
+    val p = plan(Similarity.knnBruteForce(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("lag-rate pipeline has exactly one pre-window shuffle (by push key)") {
+    val p = plan(Reference.a2LagRates(spark, dir))
+    // exchanges: one hashpartitioning(push_id) for the window + the final
+    // rangepartitioning for the ORDER BY — nothing else
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"unexpected extra shuffles ($exchanges):\n${p.take(3000)}")
+  }
+
+  test("aggregations run partial (map-side combine) before the shuffle") {
+    val p = plan(Micro.minMaxBy(spark, dir))
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
+  }
+}

@@ -1,0 +1,61 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Round-trip every interchange format against the parquet ground truth. */
+class FormatsSpec extends SparkSpec {
+
+  private val src = "/root/testdata/sf0.001"
+  private lazy val tmp = Files.createTempDirectory("graft_formats").toString
+
+  private def ordersSorted = graft.ops.Tables.orders(spark, src).orderBy("o_orderkey")
+
+  test("csv round-trip preserves rows and values under an explicit schema") {
+    val orig = ordersSorted
+    Formats.writeCsv(orig, s"$tmp/orders_csv")
+    val back = Formats.readCsv(spark, s"$tmp/orders_csv", orig.schema).orderBy("o_orderkey")
+    assert(back.count() === orig.count())
+    assert(back.collect().toSeq === orig.collect().toSeq)
+  }
+
+  test("jsonl round-trip preserves rows and values") {
+    val orig = ordersSorted
+    Formats.writeJsonl(orig, s"$tmp/orders_json")
+    val back = Formats.readJsonl(spark, s"$tmp/orders_json", orig.schema).orderBy("o_orderkey")
+    assert(back.collect().toSeq === orig.collect().toSeq)
+  }
+
+  test("orc round-trip preserves rows and values") {
+    val orig = ordersSorted
+    Formats.writeOrc(orig, s"$tmp/orders_orc")
+    val back = Formats.readOrc(spark, s"$tmp/orders_orc").orderBy("o_orderkey")
+    assert(back.collect().toSeq === orig.collect().toSeq)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val orig = ordersSorted
+    Formats.writeParquet(orig, s"$tmp/orders_part", Seq("o_orderstatus"))
+    val back = Formats.readParquet(spark, s"$tmp/orders_part")
+    val one = back.filter(col("o_orderstatus") === "O")
+    // partition pruning: the filtered scan must read fewer files than the full scan
+    assert(one.count() === orig.filter(col("o_orderstatus") === "O").count())
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"), plan)
+  }
+
+  test("malformed csv cells coerce to null, not error") {
+    val dir = s"$tmp/bad_csv"
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/part.csv"),
+      "k,v\n1,2.5\n2,not_a_number\n3,\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    val got = Formats.readCsv(spark, dir, schema).orderBy("k").collect()
+    assert(got.length === 3)
+    assert(got(0).getDouble(1) === 2.5)
+    assert(got(1).isNullAt(1) && got(2).isNullAt(1))
+  }
+}
