@@ -173,10 +173,69 @@ object Text {
       |       CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY fp) THEN 1 ELSE 0 END AS is_canonical
       |FROM fps ORDER BY doc_id""".stripMargin
 
+  /** Rolling-hash winnowing fingerprints (the MOSS scheme over word
+    * tokens): polynomial rolling hash of each 4-token window, then keep the
+    * MINIMUM hash of every 5-window band — near-duplicate regions share
+    * fingerprints even when absolute positions shift. All exact integer
+    * arithmetic on the portable 28-bit token hash, so DuckDB computes the
+    * identical fingerprint set. */
+  private val RollW = 4   // tokens per hash window
+  private val WinnowW = 5 // windows per winnow band
+  private val RollB = 1000003L // polynomial base, keeps 4-term sums < 2^63
+  private val RollP = 2147483647L
+
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val th = transform(toks, t => graft.ext.Dedup.baseHash(t))
+    // hash of window starting at i (0-based): ((h0*B + h1)%P *B + h2)%P ...
+    val wh = when(size(toks) >= lit(RollW),
+      transform(sequence(lit(0), size(toks) - lit(RollW)),
+        i => (1 until RollW).foldLeft(element_at(th, i + 1)) { (acc, k) =>
+          (acc * lit(RollB) + element_at(th, i + k + 1)) % lit(RollP)
+        }))
+      .otherwise(array().cast("array<long>"))
+    val fps = when(size(col("wh")) >= lit(WinnowW),
+      array_distinct(transform(sequence(lit(0), size(col("wh")) - lit(WinnowW)),
+        i => array_min(slice(col("wh"), i + 1, lit(WinnowW))))))
+      .otherwise(array_distinct(col("wh")))
+    Tables.documents(spark, dir)
+      .withColumn("wh", wh)
+      .withColumn("fps", fps)
+      .select(col("doc_id"),
+        size(col("wh")).cast("long").as("n_windows"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        coalesce(array_min(col("fps")), lit(-1L)).as("min_fp"))
+      .orderBy("doc_id")
+  }
+
+  val winnowFingerprintsSql: String = {
+    val tokH = s"list_transform(${tokensSql("text")}, t -> ${graft.ext.Dedup.baseHashSql("t")})"
+    val poly = (1 until RollW).foldLeft("th[i+1]") { (acc, k) => s"(($acc * $RollB + th[i+${k + 1}]) % $RollP)" }
+    s"""WITH th0 AS (SELECT doc_id, $tokH AS th FROM documents),
+       |wh0 AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(th) >= $RollW
+       |              THEN list_transform(range(0, len(th) - ${RollW - 1}), i -> $poly)
+       |              ELSE [] END AS wh
+       |  FROM th0),
+       |fp0 AS (
+       |  SELECT doc_id, wh,
+       |         CASE WHEN len(wh) >= $WinnowW
+       |              THEN list_distinct(list_transform(range(0, len(wh) - ${WinnowW - 1}),
+       |                     i -> list_min(wh[i+1:i+$WinnowW])))
+       |              ELSE list_distinct(wh) END AS fps
+       |  FROM wh0)
+       |SELECT doc_id, CAST(len(wh) AS BIGINT) AS n_windows,
+       |       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       |       coalesce(list_min(fps), -1) AS min_fp
+       |FROM fp0 ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("t_text_stats", textStats _, textStatsSql),
     Q("t_lang_id", langId _, langIdSql),
     Q("t_token_count", tokenCount _, tokenCountSql),
     Q("t_fingerprint", fingerprint _, fingerprintSql),
+    Q("t_winnow_fp", winnowFingerprints _, winnowFingerprintsSql),
   )
 }

@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.Q
+import graft.functions.KmvSketch
+import graft.ops.{Dims, Tables}
+import graft.ops.Num.{r6, r6Sql}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sketching, skew handling, and grouping-set lattices — aggregation
+  * machinery beyond plain groupBy. */
+object Sketches {
+  /** KMV distinct-count sketch per event_type (custom typed Aggregator via
+    * `udaf`), alongside the exact count. The sketch's bounded O(k) state
+    * merges associatively — Spark plans it partial-then-final exactly like
+    * a builtin, which is what makes it usable at 100 TB where exact
+    * count-distinct needs a full shuffle of the distinct keys. The
+    * deterministic portable hash makes even the ESTIMATE oracle-checkable.
+    */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val kmv = udaf(KmvSketch.agg)
+    Tables.events(spark, dir)
+      .withColumn("uid_str", col("user_id").cast("string"))
+      .groupBy("event_type")
+      .agg(
+        r6(kmv(col("uid_str"))).as("est_distinct_users"),
+        countDistinct(col("user_id")).as("exact_distinct_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  val kmvDistinctSql: String = {
+    val est = KmvSketch.estimateSql("CAST(user_id AS VARCHAR)", "events", "event_type")
+    s"""WITH est AS ($est),
+       |exact AS (
+       |  SELECT event_type, count(DISTINCT user_id) AS exact_distinct_users,
+       |         count(*) AS n_events
+       |  FROM events GROUP BY 1)
+       |SELECT e.event_type, ${r6Sql("est.est_distinct")} AS est_distinct_users,
+       |       e.exact_distinct_users, e.n_events
+       |FROM exact e JOIN est ON e.event_type = est.event_type
+       |ORDER BY e.event_type""".stripMargin
+  }
+
+  /** CUBE over (category, age_group): the full grouping lattice in one
+    * pass (2^2 grouping sets, partial aggregation shared). */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Dims.withAgeGroup(Dims.withCategory(Tables.customer(spark, dir)))
+      .filter(col("age_group").isNotNull)
+      .cube("category", "age_group")
+      .agg(count(lit(1)).as("n_customers"), r6(sum(col("c_acctbal"))).as("sum_balance"))
+      .orderBy(col("category").asc_nulls_first, col("age_group").asc_nulls_first)
+
+  val cubeAggSql: String =
+    s"""SELECT category, age_group, count(*) AS n_customers, ${r6Sql("sum(c_acctbal)")} AS sum_balance
+       |FROM (SELECT ${Dims.categorySql} AS category, ${Dims.ageGroupSql} AS age_group, c_acctbal FROM customer)
+       |WHERE age_group IS NOT NULL
+       |GROUP BY CUBE (category, age_group)
+       |ORDER BY category NULLS FIRST, age_group NULLS FIRST""".stripMargin
+
+  /** Salted two-stage aggregation — the skew pattern. event_type has ~5
+    * values, so a plain groupBy funnels the whole table through 5 reducers;
+    * salting by a hash of the row spreads stage 1 over 16×5 keys, stage 2
+    * combines the partials. Counts/integer sums are exact regardless of
+    * combining order, so the oracle is the PLAIN aggregation — proof the
+    * rewrite is semantics-preserving. */
+  val SaltBuckets = 16
+
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(SaltBuckets)))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("pc"), sum(col("value").cast("long")).as("pv"))
+      .groupBy("event_type")
+      .agg(sum("pc").as("n_events"), sum("pv").as("sum_value_floor"))
+      .orderBy("event_type")
+
+  val saltedAggSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |       sum(CAST(trunc(value) AS BIGINT)) AS sum_value_floor
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("k_kmv_distinct", kmvDistinct _, kmvDistinctSql),
+    Q("k_cube", cubeAgg _, cubeAggSql),
+    Q("k_salted_agg", saltedAgg _, saltedAggSql),
+  )
+}

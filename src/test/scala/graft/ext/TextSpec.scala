@@ -18,6 +18,27 @@ class TextSpec extends SparkSpec {
     assert(got === "hello world foo")
   }
 
+  test("winnow fingerprints: shifted text shares most fingerprints") {
+    // winnowing selects window-minima, which are position-independent for
+    // shared regions — a shifted copy must overlap heavily in fingerprints
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val shifted = "prefix words added here " + base
+    val df = Seq((1L, base, "en", "s", 0L), (2L, shifted, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    df.createOrReplaceTempView("winnow_docs")
+    val toks = Text.tokens(col("text"))
+    val th = transform(toks, t => Dedup.baseHash(t))
+    val wh = transform(sequence(lit(0), size(toks) - lit(4)),
+      i => (1 until 4).foldLeft(element_at(th, i + 1)) { (acc, k) =>
+        (acc * lit(1000003L) + element_at(th, i + k + 1)) % lit(2147483647L) })
+    val fps = df.withColumn("wh", wh)
+      .withColumn("fps", array_distinct(transform(sequence(lit(0), size(col("wh")) - lit(5)),
+        i => array_min(slice(col("wh"), i + 1, lit(5))))))
+      .select("doc_id", "fps").as[(Long, Seq[Long])].collect().toMap
+    val shared = fps(1L).toSet.intersect(fps(2L).toSet).size
+    assert(shared >= (fps(1L).size * 2) / 3, s"only $shared of ${fps(1L).size} shared")
+  }
+
   test("fingerprint groups identical normalized text to one canonical id") {
     val docs = Seq((1L, "Hello  World", "en", "s", 11L), (2L, "hello world", "en", "s", 11L),
       (3L, "different", "en", "s", 9L))
