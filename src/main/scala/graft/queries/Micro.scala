@@ -212,6 +212,23 @@ object Micro {
        |       count(*) AS n_events, ${r6Sql("sum(value)")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Sliding event-time windows (size 10 min, slide 5 min): each event
+    * lands in size/slide = 2 overlapping windows. Spark explodes the
+    * window set inside `window()`; the oracle reproduces it with an
+    * unnested offset join. */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), r6(sum(col("value"))).as("sum_value"))
+      .select(col("win.start").as("win_start"), col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  val slidingWindowSql: String =
+    s"""SELECT time_bucket(INTERVAL '5 minutes', ts) - k * INTERVAL '5 minutes' AS win_start,
+       |       event_type, count(*) AS n_events, ${r6Sql("sum(value)")} AS sum_value
+       |FROM events, (SELECT unnest([0, 1]) AS k)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("m_project_filter_sort", projectFilterSort _, projectFilterSortSql),
     Q("m_derived_cols", derivedCols _, derivedColsSql),
@@ -224,5 +241,6 @@ object Micro {
     Q("m_rolling_daily", rollingDaily _, rollingDailySql),
     Q("m_json_extract", jsonExtract _, jsonExtractSql),
     Q("w_tumbling_window", tumblingWindow _, tumblingWindowSql),
+    Q("w_sliding_window", slidingWindow _, slidingWindowSql),
   )
 }

@@ -50,6 +50,16 @@ object Streams {
       .select(col("win.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding twin (10-minute windows sliding by 5): same plan shape, each
+    * event feeds size/slide windows of watermark-bounded state. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** Run a streaming DataFrame to completion against the bounded test input
     * (AvailableNow trigger + memory sink) and return the result as a batch
     * DataFrame — the harness for batch/stream parity tests. */

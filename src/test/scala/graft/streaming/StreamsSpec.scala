@@ -26,6 +26,18 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming sliding window matches the batch sliding window") {
+    val streamed = Streams.runToMemory(spark,
+      Streams.slidingCounts(Streams.readEventsStream(spark, sfDir)), "t_sliding",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+      .select(col("win_start"), col("event_type"), col("n_events"),
+        graft.ops.Num.r6(col("sum_value")).as("sum_value"))
+      .orderBy("win_start", "event_type")
+      .collect()
+    val batch = Micro.slidingWindow(spark, sfDir).collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("flatMapGroupsWithState sessionization matches the window-function batch twin") {
     val evs = graft.ops.Tables.events(spark, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
