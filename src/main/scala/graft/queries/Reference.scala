@@ -176,8 +176,11 @@ object Reference {
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), Dims.cleanCity(col("n_name")).as("city"))
       .filter(col("city").isNotNull) // F8 post-clean dropna
+    // persisted: c1 references this subplan twice (HAVING gate + gains);
+    // without it the scan + window + broadcast join runs twice
     withPushAge(Tables.events(spark, dir))
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .persist()
   }
 
   private def cityJoinedSql: String =
