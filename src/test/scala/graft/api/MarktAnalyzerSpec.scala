@@ -1,0 +1,106 @@
+package graft.api
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+/** Reference-semantics tests over the reference's OWN schema, using the
+  * FIXTURES.md synthetic edge rows: coerce boundaries, bin edges, discard
+  * paths, HAVING boundary, dedup determinism. */
+class MarktAnalyzerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def monitorDf(rows: (Long, String, Int, Double, Double)*) =
+    rows.toDF("id", "ad_unique_id", "push_counter", "ad_age_in_minutes", "views")
+
+  test("age buckets: boundaries 17/18/19.5/26, garbage and empty coerce to null") {
+    val profiles = Seq(
+      ("a", 1, "17", "x sexchat y"), ("a", 2, "18", "sexchat"), ("a", 3, "19.5", "SEXCHAT!"),
+      ("a", 4, "26", "sexchat"), ("a", 5, "abc", "sexchat"), ("a", 6, "", "sexchat"))
+      .toDF("ad_unique_id", "push_counter", "age", "profile_url")
+    val monitor = monitorDf(
+      (1, "a", 1, 0, 0), (2, "a", 1, 10, 5),
+      (3, "a", 2, 0, 0), (4, "a", 2, 10, 5),
+      (5, "a", 3, 0, 0), (6, "a", 3, 10, 5),
+      (7, "a", 4, 0, 0), (8, "a", 4, 10, 5),
+      (9, "a", 5, 0, 0), (10, "a", 5, 10, 5),
+      (11, "a", 6, 0, 0), (12, "a", 6, 10, 5))
+    val out = MarktAnalyzer.lifetimeRateCurves(monitor, profiles)
+      .select("age_group").distinct().as[String].collect().toSet
+    // 17 (<18), "abc", "" are dropped; 18 → 18-19, 19.5 → 18-19, 26 → 26+
+    assert(out === Set("18-19", "26+"))
+  }
+
+  test("category: both substrings present → first match wins; null url → other (excluded)") {
+    val profiles = Seq(
+      ("a", 1, "20", "has sexbilder-sexvideos and sexchat"),
+      ("a", 2, "20", null))
+      .toDF("ad_unique_id", "push_counter", "age", "profile_url")
+    val monitor = monitorDf((1, "a", 1, 0, 0), (2, "a", 1, 10, 5), (3, "a", 2, 0, 0), (4, "a", 2, 10, 5))
+    val cats = MarktAnalyzer.lifetimeRateCurves(monitor, profiles)
+      .select("category").distinct().as[String].collect().toSeq
+    assert(cats === Seq("sexbilder-sexvideos")) // first-wins; null url excluded by isin
+  }
+
+  test("computeViewRate drops single-row pushes and zero-gap ties, clips negatives") {
+    val monitor = monitorDf(
+      (1, "x", 1, 0, 100),            // single-row push → dropped
+      (2, "y", 1, 10, 50), (3, "y", 1, 10, 60), (4, "y", 1, 70, 80), // tie then +20 in 60min
+      (5, "z", 1, 0, 90), (6, "z", 1, 60, 30)) // decreasing → clip 0
+    val rates = MarktAnalyzer.computeViewRate(monitor)
+      .select("ad_push", "views_per_hour").as[(String, Double)].collect()
+    assert(!rates.map(_._1).contains("x_1"))
+    assert(rates.toSet === Set(("y_1", 20.0), ("z_1", 0.0)))
+  }
+
+  test("Script C: discard paths — no record <=40, latest not after earliest, HAVING boundary") {
+    // city "Nine" has 9 pushes (below gate), "Ten" has 10 (at gate)
+    val profiles = (1 to 9).map(i => (s"n$i", 1, "Nine", ts("2024-01-01 00:00:00"))) ++
+      (1 to 10).map(i => (s"t$i", 1, " Ten ", ts("2024-01-01 00:00:00")))
+    val pdf = profiles.toDF("ad_unique_id", "push_counter", "city", "posting_time")
+    // each push: good pair (age 10 → 100) except t1 (first record at age 50
+    // → no earliest) and t2 (only one record ≤ 400 → latest == earliest)
+    val monRows = profiles.zipWithIndex.flatMap { case ((ad, pc, _, _), i) =>
+      if (ad == "t1") Seq((i * 10L + 1, ad, pc, 50.0, 10.0), (i * 10L + 2, ad, pc, 100.0, 30.0))
+      else if (ad == "t2") Seq((i * 10L + 1, ad, pc, 10.0, 10.0))
+      else Seq((i * 10L + 1, ad, pc, 10.0, 10.0), (i * 10L + 2, ad, pc, 100.0, 30.0))
+    }
+    val monitor = monRows.toDF("id", "ad_unique_id", "push_counter", "ad_age_in_minutes", "views")
+    val out = MarktAnalyzer.cityLeagueTable(monitor, pdf)
+      .as[(String, Double, Long)].collect()
+    // "Nine" excluded by the >=10 gate; city trimmed; t1/t2 discarded → 8 used
+    assert(out.toSeq === Seq(("Ten", 20.0, 8L)))
+  }
+
+  test("initial-rate gate: pushes with one distinct age are excluded; hour zero-fill feeds smoother") {
+    val profiles = Seq(("a", 1, ts("2024-01-01 05:30:00")), ("b", 1, ts("2024-01-01 05:40:00")))
+      .toDF("ad_unique_id", "push_counter", "posting_time")
+    val monitor = monitorDf(
+      (1, "a", 1, 10, 0), (2, "a", 1, 110, 50),   // rate = 50/100*60 = 30
+      (3, "b", 1, 10, 0), (4, "b", 1, 10, 99))    // nunique(age)=1 → excluded (:259)
+    val out = MarktAnalyzer.initialRateByPostingHour(monitor, profiles)
+      .select("posting_hour", "avg_initial_rate", "smoothed_rate")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(out.length === 24)
+    val at5 = out(5)
+    assert(at5._2 === 30.0)
+    // neighbors are zero-filled → smoothed at hours 4/5/6 = (0+0+30)/3 each
+    assert(math.abs(at5._3 - 10.0) < 1e-12)
+    assert(out(4)._3 === 10.0 && out(6)._3 === 10.0)
+    assert(out(3)._3 === 0.0 && out(7)._3 === 0.0)
+  }
+
+  test("push counts: all 144 time bins, labels formatted, dedup keeps one row per push") {
+    val profiles = Seq(
+      ("a", 1, ts("2024-01-01 00:05:00")), ("a", 1, ts("2024-01-01 23:59:00")), // dupe push
+      ("b", 1, ts("2024-01-01 00:07:00")))
+      .toDF("ad_unique_id", "push_counter", "posting_time")
+    val out = MarktAnalyzer.pushCountsByTimeOfDay(profiles)
+    assert(out.count() === 144)
+    val nonzero = out.filter(col("n_pushes") > 0)
+      .select("bin_label", "n_pushes").as[(String, Long)].collect().toSeq
+    assert(nonzero === Seq(("00:00", 2L))) // both land in [00:00,00:10); dupe keeps first posting_time
+  }
+}
