@@ -80,9 +80,25 @@ object Sketches {
       |       sum(CAST(trunc(value) AS BIGINT)) AS sum_value_floor
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Builtin approximate aggregates (HLL++ distinct, quantile sketch).
+    * Their estimates are engine-specific, so no SQL oracle — the driver
+    * records a rows-only check, and the spec bounds them against exact
+    * values. At 100 TB these replace exact distinct/percentile wherever a
+    * few-percent error is acceptable: bounded state, one pass, mergeable. */
+  def approxAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        r6(expr("approx_percentile(value, 0.5, 1000)")).as("approx_p50"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   val all: Seq[Q] = Seq(
     Q("k_kmv_distinct", kmvDistinct _, kmvDistinctSql),
     Q("k_cube", cubeAgg _, cubeAggSql),
     Q("k_salted_agg", saltedAgg _, saltedAggSql),
+    Q("k_approx_agg", approxAgg _, None),
   )
 }

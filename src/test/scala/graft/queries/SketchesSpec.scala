@@ -1,0 +1,38 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("approx aggregates land within tolerance of exact values") {
+    val rows = Sketches.approxAgg(spark, dir)
+      .select("approx_users", "exact_users").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.1,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
+  test("KMV estimate stays near the exact distinct count on real data") {
+    val rows = Sketches.kmvDistinct(spark, dir)
+      .select("est_distinct_users", "exact_distinct_users").as[(Double, Long)].collect()
+    rows.foreach { case (est, exact) =>
+      // k=64 → ~12.6% std error; allow 3 sigma
+      assert(math.abs(est - exact) / exact < 0.4, s"est $est vs exact $exact")
+    }
+  }
+
+  test("salted aggregation equals the plain aggregation") {
+    val salted = Sketches.saltedAgg(spark, dir).as[(String, Long, Long)].collect().toSeq
+    val plain = graft.ops.Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("value").cast("long")).as("sum_value_floor"))
+      .orderBy("event_type").as[(String, Long, Long)].collect().toSeq
+    assert(salted === plain)
+  }
+}
