@@ -74,19 +74,32 @@ object MarktAnalyzer {
 
   /** bin_and_smooth (analyse.py:78-92) generalized over grouping columns
     * (the reference's 2×3 python loop = groupCols Seq("category",
-    * "age_group")). */
+    * "age_group")).
+    *
+    * pd.cut yields a Categorical, and the groupby at analyse.py:86 keeps
+    * ALL bin categories (pandas observed=False default) — so the rolling
+    * window at :90 runs over the full 288-bin grid with NaN means in empty
+    * bins, which the NaN-skipping rolling mean then ignores. Reproduced by
+    * outer-joining the full center grid per group before smoothing:
+    * empty bins surface as null avg_rate rows and the centered mean counts
+    * only non-null neighbors (null when the whole window is empty). */
   def binAndSmooth(rates: DataFrame, groupCols: Seq[String],
                    binSizeMin: Double = LifetimeBinMin,
                    smoothingWindow: Int = 5): DataFrame = {
     val half = smoothingWindow / 2
     val gcols = groupCols.map(col)
+    val nBins = (LifetimeMaxMin / binSizeMin).toInt
     val binned = rates
       .withColumn("bin", Binning.cutRightClosed(col("mid_age"), binSizeMin, LifetimeMaxMin))
-      .filter(col("bin").isNotNull) // pandas groupby drops NaN keys (A1)
+      .filter(col("bin").isNotNull) // out-of-range mid_age → NaN key → dropped
       .groupBy(gcols :+ col("bin"): _*)
       .agg(avg("views_per_hour").as("avg_rate"))
+    val centers = rates.sparkSession.range(0, nBins)
+      .select((col("id") * binSizeMin + binSizeMin / 2).as("bin"))
+    val domain = binned.select(gcols: _*).distinct().crossJoin(centers)
+    val filled = domain.join(binned, groupCols :+ "bin", "left")
     val w = Window.partitionBy(gcols: _*).orderBy("bin")
-    binned
+    filled
       .withColumn("smoothed_rate", Smoothing.centeredMean(col("avg_rate"), w, half))
       .withColumn("time_hours", col("bin") / 60.0)
       .orderBy(gcols :+ col("bin"): _*)
@@ -119,10 +132,14 @@ object MarktAnalyzer {
   }
 
   /** Script B part 1 (analyse.py:192-227): new pushes per 10-minute
-    * interval of the day, all 144 bins present, zero-filled. */
+    * interval of the day, all 144 bins present, zero-filled.
+    * Cleaning precedes dedup, matching the reference order (dropna at
+    * :180 before drop_duplicates at :194) — the other way round, a null
+    * row can win the keep-first race and silently drop the whole push. */
   def pushCountsByTimeOfDay(profiles: DataFrame): DataFrame = {
-    val deduped = dedupProfiles(profiles, Seq("posting_time"))
-      .filter(col("posting_time").isNotNull) // dropna :180
+    val deduped = dedupProfiles(
+      profiles.filter(col("posting_time").isNotNull), // dropna :180 FIRST
+      Seq("posting_time"))
     val counts = deduped
       .withColumn("minute_of_day", hour(col("posting_time")) * 60 + minute(col("posting_time"))) // :204
       .withColumn("time_bin", Binning.floorBin(col("minute_of_day").cast("long"), 10))           // :214-218
@@ -138,10 +155,18 @@ object MarktAnalyzer {
     * hours 0-23, centered rolling-3 smoothed. */
   def initialRateByPostingHour(monitor: DataFrame, profiles: DataFrame,
                                idCol: String = "id"): DataFrame = {
-    val dim = dedupProfiles(profiles, Seq("posting_time"))                       // :237
-      .filter(col("posting_time").isNotNull)
+    // monitor-side coercion + dropna (analyse.py:175-185) BEFORE any use:
+    // a null views/age row would otherwise poison first/last into a
+    // spurious 0.0 rate via greatest(0.0, null)
+    val cleanedMonitor = monitor
+      .withColumn("ad_age_in_minutes", expr("try_cast(ad_age_in_minutes AS double)")) // :183
+      .withColumn("views", expr("try_cast(views AS double)"))                          // :184
+      .filter(col("ad_age_in_minutes").isNotNull && col("views").isNotNull)            // :185
+    val dim = dedupProfiles(
+      profiles.filter(col("posting_time").isNotNull), // dropna :180 before dedup :237
+      Seq("posting_time"))
       .select("ad_unique_id", "push_counter", "posting_time")
-    val joined = monitor.join(broadcast(dim), Seq("ad_unique_id", "push_counter")) // :235-240
+    val joined = cleanedMonitor.join(broadcast(dim), Seq("ad_unique_id", "push_counter")) // :235-240
       .filter(col("ad_age_in_minutes") <= MaxAgeMinutes)                           // :245
       .withColumn("ad_push", adPush)
     val w = Window.partitionBy("ad_push").orderBy(col("ad_age_in_minutes"), col(idCol))
@@ -181,9 +206,14 @@ object MarktAnalyzer {
       .withColumn("ad_age_in_minutes", expr("try_cast(ad_age_in_minutes AS double)")) // :386
       .withColumn("views", expr("try_cast(views AS double)"))                          // :387
       .filter(col("ad_age_in_minutes").isNotNull && col("views").isNotNull)            // :388
-    val dim = dedupProfiles(profiles, Seq("city"))                                     // :408
-      .withColumn("city", nullif(trim(col("city")), lit("")))                          // :390-391
-      .filter(col("city").isNotNull)                                                   // :392
+    // clean city BEFORE dedup (reference: trim/''→NaN/dropna at :390-392
+    // precede drop_duplicates at :408) — inverted order would let a blank
+    // city win keep-first and drop the push
+    val dim = dedupProfiles(
+      profiles
+        .withColumn("city", nullif(trim(col("city")), lit("")))                        // :390-391
+        .filter(col("city").isNotNull),                                                // :392
+      Seq("city"))                                                                     // :408
       .select("ad_unique_id", "push_counter", "city")
     val joined = cleanedMonitor.join(broadcast(dim), Seq("ad_unique_id", "push_counter")) // :406-411
       .withColumn("ad_push", adPush)

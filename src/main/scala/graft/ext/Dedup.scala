@@ -278,8 +278,7 @@ object Dedup {
 
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = Similarity.withNorm(Tables.embeddings(spark, dir))
-      .withColumn("bucket", (0 until 4).map(i =>
-        when(element_at(col("embedding"), i + 1) > lit(0.0f), lit(1L << i)).otherwise(lit(0L))).reduce(_ + _))
+      .withColumn("bucket", Similarity.signBucket(col("embedding")))
     val pairs = e.as("l").join(e.as("r"),
       col("l.label") === col("r.label") && col("l.bucket") === col("r.bucket")
         && col("l.vec_id") < col("r.vec_id"))
@@ -292,8 +291,7 @@ object Dedup {
   }
 
   val embedNearDupSql: String = {
-    val bucket = (0 until 4)
-      .map(i => s"(CASE WHEN embedding[${i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END)").reduce((a, b) => s"($a + $b)")
+    val bucket = Similarity.signBucketSql("embedding")
     s"""WITH e AS (
        |  SELECT vec_id, label, embedding, ${Similarity.normSql("embedding")} AS nrm,
        |         $bucket AS bucket

@@ -111,6 +111,8 @@ object Multimodal {
     import features.sparkSession.implicits._
     features.map { f =>
       val in = f.feature
+      if (in.isEmpty) f.copy(width = outDim, height = outDim, feature = Array.ofDim[Float](outDim))
+      else {
       val out = Array.tabulate(outDim) { i =>
         val lo = i * in.length / outDim
         val hi = math.max(lo + 1, (i + 1) * in.length / outDim)
@@ -119,6 +121,7 @@ object Multimodal {
         s / (hi - lo)
       }
       f.copy(width = outDim, height = outDim, feature = out)
+      }
     }
   }
 

@@ -22,7 +22,10 @@ object Smoothing {
     }
     val s = terms.map(t => coalesce(t, lit(0.0))).reduce(_ + _)
     val n = terms.map(t => when(t.isNotNull, lit(1)).otherwise(lit(0))).reduce(_ + _)
-    s / n
+    // all-null window (possible on a NaN-filled grid) → NULL, matching the
+    // pandas NaN result and DuckDB's x/0 — guarded lazily so ANSI mode
+    // never sees the zero divisor
+    when(n > lit(0), s / n)
   }
 
   /** Identical expression as SQL; `w` is a named WINDOW clause. */

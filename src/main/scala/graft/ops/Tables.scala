@@ -11,8 +11,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * declaration and the physical scan reads only what the query needs.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // engine-wide coerce-to-null semantics (SURVEY §7.4 hard-part 8):
+    // Spark 4 defaults ANSI ON, where x/0 THROWS — the DuckDB oracle (and
+    // the reference's errors='coerce' pandas) return NULL. Pin it here so
+    // every query built on these readers behaves identically in any session.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     * rejects. Read it as raw nanos (legacy nanosAsLong conf, set here so any

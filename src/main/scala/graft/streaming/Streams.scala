@@ -30,14 +30,20 @@ object Streams {
 
   /** File-source stream over a testdata dir. One file = one micro-batch
     * under AvailableNow; in production this is a growing directory or Kafka
-    * with the same downstream plan. */
+    * with the same downstream plan. Mirrors Tables.events' dual handling:
+    * nanos-typed files stream as raw longs and truncate to micros;
+    * micros-typed files stream with their native timestamp schema. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
+    val batchSchema = graft.ops.Tables.table(spark, dir, "events").schema
+    val tsIsRawNanos = batchSchema("ts").dataType == LongType
+    val schema = if (tsIsRawNanos) eventsRawSchema
+      else StructType(eventsRawSchema.map(f => if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+    val raw = spark.readStream
+      .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    if (tsIsRawNanos) raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)")) else raw
   }
 
   /** Streaming twin of Micro.tumblingWindow: tumbling 10-minute event-time

@@ -55,6 +55,36 @@ class MarktAnalyzerSpec extends SparkSpec {
     assert(rates.toSet === Set(("y_1", 20.0), ("z_1", 0.0)))
   }
 
+  test("binAndSmooth keeps the full 288-bin grid (pandas observed=False) and smooths over grid neighbors") {
+    val profiles = Seq(("a", 1, "20", "sexchat"), ("b", 1, "20", "sexchat"))
+      .toDF("ad_unique_id", "push_counter", "age", "profile_url")
+    // two pushes with ONE delta each: bin (0,5] (mid 2.5) and (10,15] (mid 12.5)
+    val monitor = monitorDf(
+      (1, "a", 1, 0.0, 0.0), (2, "a", 1, 5.0, 10.0),    // rate 120/h at mid 2.5
+      (3, "b", 1, 10.0, 10.0), (4, "b", 1, 15.0, 20.0)) // rate 120/h at mid 12.5
+    val out = MarktAnalyzer.lifetimeRateCurves(monitor, profiles)
+    assert(out.count() === 288) // full grid, empty bins present as null-rate rows
+    val rows = out.select("bin", "avg_rate", "smoothed_rate")
+      .collect().map(r => (r.getDouble(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    val byBin = rows.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byBin(2.5)._1 === Some(120.0))
+    assert(byBin(7.5)._1 === None) // empty bin kept
+    // centered-5 window at empty bin 7.5 sees 2.5 and 12.5 → (120+120)/2
+    assert(byBin(7.5)._2 === Some(120.0))
+    // far-away empty bins: whole window empty → null smoothed (NaN in pandas)
+    assert(byBin(722.5)._1 === None && byBin(722.5)._2 === None)
+  }
+
+  test("dedup after cleaning: a null-posting_time duplicate row cannot erase the push") {
+    val profiles = Seq(
+      ("a", 1, null.asInstanceOf[Timestamp]), // would win keep-first if dedup ran before dropna
+      ("a", 1, ts("2024-01-01 00:05:00")))
+      .toDF("ad_unique_id", "push_counter", "posting_time")
+    val nonzero = MarktAnalyzer.pushCountsByTimeOfDay(profiles)
+      .filter(col("n_pushes") > 0).select("bin_label").as[String].collect().toSeq
+    assert(nonzero === Seq("00:00"))
+  }
+
   test("Script C: discard paths — no record <=40, latest not after earliest, HAVING boundary") {
     // city "Nine" has 9 pushes (below gate), "Ten" has 10 (at gate)
     val profiles = (1 to 9).map(i => (s"n$i", 1, "Nine", ts("2024-01-01 00:00:00"))) ++
