@@ -66,7 +66,7 @@ object Similarity {
       .withColumn("cos", fastDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     scored
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long")) // DuckDB ranks are BIGINT
       .filter(col("rank") <= lit(TopK))
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), r6(col("cos")).as("cosine"))
       .orderBy("q_id", "rank")
@@ -114,7 +114,7 @@ object Similarity {
       .withColumn("cos", fastDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     scored
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long")) // DuckDB ranks are BIGINT
       .filter(col("rank") <= lit(TopK))
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), r6(col("cos")).as("cosine"))
       .orderBy("q_id", "rank")

@@ -120,11 +120,11 @@ object Text {
        |            WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
        |            WHEN c_fr >= c_es THEN 'fr'
        |            ELSE 'es' END AS predicted_lang,
-       |       CASE WHEN (CASE WHEN c_en + c_de + c_fr + c_es = 0 THEN 'und'
+       |       CAST(CASE WHEN (CASE WHEN c_en + c_de + c_fr + c_es = 0 THEN 'und'
        |            WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
        |            WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
        |            WHEN c_fr >= c_es THEN 'fr'
-       |            ELSE 'es' END) = lang THEN 1 ELSE 0 END AS is_match
+       |            ELSE 'es' END) = lang THEN 1 ELSE 0 END AS BIGINT) AS is_match
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
@@ -170,7 +170,7 @@ object Text {
       |  SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp FROM documents)
       |SELECT doc_id, fp,
       |       min(doc_id) OVER (PARTITION BY fp) AS canonical_doc_id,
-      |       CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY fp) THEN 1 ELSE 0 END AS is_canonical
+      |       CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY fp) THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
       |FROM fps ORDER BY doc_id""".stripMargin
 
   /** Rolling-hash winnowing fingerprints (the MOSS scheme over word

@@ -56,15 +56,18 @@ object Micro {
     Tables.orders(spark, dir)
       .withColumn("status_num", expr("try_cast(o_orderstatus AS double)"))
       .withColumn("prio_num", expr("try_cast(substring(o_orderpriority, 1, 1) AS double)"))
-      .withColumn("date_roundtrip", try_to_timestamp(col("o_orderdate").cast("string")))
-      .select("o_orderkey", "status_num", "prio_num", "date_roundtrip")
+      // epoch micros, not a raw timestamp: pandas reads Spark timestamps at
+      // ns resolution but DuckDB yields us — equal values, different dtype,
+      // a needless hash hazard
+      .withColumn("date_roundtrip_us", unix_micros(try_to_timestamp(col("o_orderdate").cast("string"))))
+      .select("o_orderkey", "status_num", "prio_num", "date_roundtrip_us")
       .orderBy("o_orderkey")
 
   val tryCastsSql: String =
     """SELECT o_orderkey,
       |       try_cast(o_orderstatus AS DOUBLE) AS status_num,
       |       try_cast(substring(o_orderpriority, 1, 1) AS DOUBLE) AS prio_num,
-      |       try_cast(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP) AS date_roundtrip
+      |       epoch_us(try_cast(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP)) AS date_roundtrip_us
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   /** X1/X2/X3 + F3/F4 + A-family: contains-categorization and when-chain
@@ -204,11 +207,12 @@ object Micro {
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "10 minutes").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), r6(sum(col("value"))).as("sum_value"))
-      .select(col("win.start").as("win_start"), col("event_type"), col("n_events"), col("sum_value"))
-      .orderBy("win_start", "event_type")
+      .select(unix_micros(col("win.start")).as("win_start_us"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("win_start_us", "event_type")
 
   val tumblingWindowSql: String =
-    s"""SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start, event_type,
+    s"""SELECT epoch_us(time_bucket(INTERVAL '10 minutes', ts)) AS win_start_us, event_type,
        |       count(*) AS n_events, ${r6Sql("sum(value)")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
@@ -220,11 +224,12 @@ object Micro {
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), r6(sum(col("value"))).as("sum_value"))
-      .select(col("win.start").as("win_start"), col("event_type"), col("n_events"), col("sum_value"))
-      .orderBy("win_start", "event_type")
+      .select(unix_micros(col("win.start")).as("win_start_us"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("win_start_us", "event_type")
 
   val slidingWindowSql: String =
-    s"""SELECT time_bucket(INTERVAL '5 minutes', ts) - k * INTERVAL '5 minutes' AS win_start,
+    s"""SELECT epoch_us(time_bucket(INTERVAL '5 minutes', ts) - k * INTERVAL '5 minutes') AS win_start_us,
        |       event_type, count(*) AS n_events, ${r6Sql("sum(value)")} AS sum_value
        |FROM events, (SELECT unnest([0, 1]) AS k)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin

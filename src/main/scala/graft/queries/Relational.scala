@@ -146,7 +146,7 @@ object Relational {
         col("o_custkey") === col("c_custkey"))
     val w = Window.partitionBy("c_mktsegment").orderBy(col("o_totalprice").desc, col("o_orderkey"))
     joined
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long")) // DuckDB ranks are BIGINT
       .filter(col("rk") <= lit(3))
       .select(col("c_mktsegment"), col("rk"), col("o_orderkey"), col("o_totalprice"))
       .orderBy("c_mktsegment", "rk")
@@ -166,9 +166,9 @@ object Relational {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
     val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(spark, dir)
-      .withColumn("rk", rank().over(w))
-      .withColumn("drk", dense_rank().over(w))
-      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("rk", rank().over(w).cast("long"))        // DuckDB ranks are BIGINT
+      .withColumn("drk", dense_rank().over(w).cast("long"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
       .withColumn("next_price", lead("o_totalprice", 1).over(w))
       .withColumn("cum_spend", r6(sum(col("o_totalprice")).over(wCum)))
       .select("o_custkey", "o_orderkey", "rk", "drk", "quartile", "next_price", "cum_spend")

@@ -77,7 +77,7 @@ object Sketches {
 
   val saltedAggSql: String =
     """SELECT event_type, count(*) AS n_events,
-      |       sum(CAST(trunc(value) AS BIGINT)) AS sum_value_floor
+      |       CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS sum_value_floor
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
   /** Builtin approximate aggregates (HLL++ distinct, quantile sketch).

@@ -17,9 +17,9 @@ class StreamsSpec extends SparkSpec {
     val streamed = Streams.runToMemory(spark,
       Streams.tumblingCounts(Streams.readEventsStream(spark, sfDir)), "t_tumbling",
       org.apache.spark.sql.streaming.OutputMode.Complete())
-      .select(col("win_start"), col("event_type"), col("n_events"),
-        graft.ops.Num.r6(col("sum_value")).as("sum_value"))
-      .orderBy("win_start", "event_type")
+      .select(unix_micros(col("win_start")).as("win_start_us"), col("event_type"),
+        col("n_events"), graft.ops.Num.r6(col("sum_value")).as("sum_value"))
+      .orderBy("win_start_us", "event_type")
       .collect()
     val batch = Micro.tumblingWindow(spark, sfDir).collect()
     assert(streamed.length === batch.length)
@@ -30,9 +30,9 @@ class StreamsSpec extends SparkSpec {
     val streamed = Streams.runToMemory(spark,
       Streams.slidingCounts(Streams.readEventsStream(spark, sfDir)), "t_sliding",
       org.apache.spark.sql.streaming.OutputMode.Complete())
-      .select(col("win_start"), col("event_type"), col("n_events"),
-        graft.ops.Num.r6(col("sum_value")).as("sum_value"))
-      .orderBy("win_start", "event_type")
+      .select(unix_micros(col("win_start")).as("win_start_us"), col("event_type"),
+        col("n_events"), graft.ops.Num.r6(col("sum_value")).as("sum_value"))
+      .orderBy("win_start_us", "event_type")
       .collect()
     val batch = Micro.slidingWindow(spark, sfDir).collect()
     assert(streamed.toSeq === batch.toSeq)

@@ -53,12 +53,18 @@ def main(sf_dir: str, out_dir: str) -> None:
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
             n_bad += 1
             continue
-        # exact compare, column by column (mirrors the driver's value hash)
+        # exact compare, column by column (mirrors the driver's value hash);
+        # dtype-strict — the driver hashes raw values, so int32 vs int64 or
+        # datetime64[ns] vs [us] must be treated as failures even when the
+        # values coerce equal
         bad_cols = []
         for c in g.columns:
             a, b = g[c], w[c]
+            if a.dtype != b.dtype:
+                bad_cols.append(f"{c}[dtype {a.dtype}!={b.dtype}]")
+                continue
             try:
-                if not a.equals(b.astype(a.dtype)):
+                if not a.equals(b):
                     bad_cols.append(c)
             except Exception:
                 if not a.astype(str).equals(b.astype(str)):
