@@ -139,6 +139,78 @@ object Similarity {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
 
+  /** IVF-style ANN: cells = per-label centroids (the learned coarse
+    * quantizer slot — k-means centroids plug in here unchanged), each probe
+    * ranks cells by centroid cosine and searches only the top `NProbe`
+    * cells. This is the scale path for similarity search: at 100 TB the
+    * centroid table stays tiny (broadcast), the corpus is scanned once with
+    * its cell id, and each probe's candidate set is bounded by nprobe/ncells
+    * of the corpus instead of all of it.
+    *
+    * Determinism: centroid components are group-sums of doubles whose
+    * accumulation order differs between Spark (partial aggregates) and the
+    * sequential oracle, so cell ranking uses the 9-decimal-rounded cosine
+    * ([[graft.ops.Num.r9]]) with the cell id as tiebreak; candidate cosines
+    * are sequential folds (bit-deterministic) as in the other knn variants.
+    */
+  private val NProbe = 2
+  private val Dims = 64 // embeddings.parquet vectors are 64-dim
+
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Num.r9
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val centroid = Tables.embeddings(spark, dir)
+      .withColumn("emb_d", transform(col("embedding"), x => x.cast("double")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        array((0 until Dims).map(i => sum(element_at(col("emb_d"), i + 1))): _*).as("sums"))
+      .withColumn("centroid", transform(col("sums"), s => s / col("n")))
+      .withColumn("c_nrm", sqrt(dot(col("centroid"), col("centroid"))))
+      .select(col("label").as("cell"), col("centroid"), col("c_nrm"))
+    val queries = e.filter(col("vec_id") % lit(QueryStride) === lit(0))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val wc = Window.partitionBy("q_id").orderBy(col("ccos_r").desc, col("cell"))
+    val probes = queries.crossJoin(broadcast(centroid))
+      .withColumn("ccos_r", r9(dot(col("q_emb"), col("centroid")) / (col("q_nrm") * col("c_nrm"))))
+      .withColumn("cell_rank", row_number().over(wc))
+      .filter(col("cell_rank") <= lit(NProbe))
+      .select("q_id", "q_emb", "q_nrm", "cell")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(probes), col("label") === col("cell") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", fastDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w).cast("long")) // DuckDB ranks are BIGINT
+      .filter(col("rank") <= lit(TopK))
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), r6(col("cos")).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  val knnIvfSql: String = {
+    import graft.ops.Num.r9Sql
+    val sums = (0 until Dims).map(i => s"sum(CAST(embedding[${i + 1}] AS DOUBLE))").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |cent0 AS (SELECT label, count(*) AS n, [$sums] AS sums FROM embeddings GROUP BY label),
+       |cent1 AS (SELECT label AS cell, list_transform(sums, s -> s / n) AS centroid FROM cent0),
+       |cent AS (SELECT cell, centroid, ${normSql("centroid")} AS c_nrm FROM cent1),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id % $QueryStride = 0),
+       |pc AS (
+       |  SELECT q.q_id, q.q_emb, q.q_nrm, c.cell,
+       |         ${r9Sql(s"${dotSql("q.q_emb", "c.centroid")} / (q.q_nrm * c.c_nrm)")} AS ccos_r
+       |  FROM q CROSS JOIN cent c),
+       |pr AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ccos_r DESC, cell) AS cell_rank FROM pc),
+       |probes AS (SELECT q_id, q_emb, q_nrm, cell FROM pr WHERE cell_rank <= $NProbe),
+       |scored AS (
+       |  SELECT p.q_id, e.vec_id,
+       |         ${dotSql("p.q_emb", "e.embedding")} / (p.q_nrm * e.nrm) AS cos
+       |  FROM e JOIN probes p ON e.label = p.cell AND e.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, vec_id AS neighbor_id, ${r6Sql("cos")} AS cosine
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Per-label centroid stats: mean vector norm + cosine of each vector to
     * its label centroid — the IVF "assign to nearest centroid" building
     * block, expressed as array-aggregate + rejoin. */
@@ -178,6 +250,7 @@ object Similarity {
   val all: Seq[Q] = Seq(
     Q("s_knn_bruteforce", knnBruteForce _, knnBruteForceSql),
     Q("s_knn_lsh", knnLsh _, knnLshSql),
+    Q("s_knn_ivf", knnIvf _, knnIvfSql),
     Q("s_label_centroids", labelCentroids _, labelCentroidsSql),
   )
 }

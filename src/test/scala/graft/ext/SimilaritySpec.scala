@@ -40,6 +40,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got === 11.0)
   }
 
+  test("IVF probes a strict candidate subset yet keeps high recall vs brute force") {
+    val dir = "/root/testdata/sf0.001"
+    val bf = Similarity.knnBruteForce(spark, dir)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.knnIvf(spark, dir)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    // recall@5 of the nprobe=2 search against the exhaustive baseline: the
+    // synthetic labels only weakly cluster the space, so the honest claims
+    // are (a) a floor and (b) centroid cells beat coordinate-sign LSH cells
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.2, s"IVF recall collapsed: $recall")
+    val lsh = Similarity.knnLsh(spark, dir)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lshRecall = (bf intersect lsh).size.toDouble / bf.size
+    assert(recall >= lshRecall,
+      s"IVF ($recall) should not trail sign-LSH ($lshRecall) on the same corpus")
+    // every IVF neighbor must come from one of the probe's top-NProbe cells —
+    // i.e. the candidate set is genuinely bounded, not a rescan of everything
+    val labels = graft.ops.Tables.embeddings(spark, dir)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val cellsPerQ = ivf.groupBy(_._1).map { case (_, ns) => ns.map(p => labels(p._2)).size }
+    assert(cellsPerQ.forall(_ <= 2), "neighbors drawn from more distinct cells than nprobe=2")
+  }
+
   test("cosine of identical vectors is 1") {
     val df = Seq((Array(0.5f, -0.25f, 8.0f), Array(0.5f, -0.25f, 8.0f))).toDF("a", "b")
     val cos = df.select(
