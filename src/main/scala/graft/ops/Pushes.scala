@@ -100,6 +100,33 @@ object Pushes {
       .withColumn("l_us", last("ts_us").over(w))
   }
 
+  /** A4/A6 as ONE hash aggregate: min_by/max_by keyed on the fixed-width
+    * zero-padded (ts_us, event_id) string, which both engines compare
+    * lexicographically = numerically. Unlike the window formulation
+    * ([[withFirstLast]], kept as the cross-check twin) this needs no
+    * per-push sort and partial-aggregates map-side, cutting the shuffle
+    * from |events| rows to |pushes| rows — the difference that matters at
+    * 100 TB. */
+  def firstLastAgg(df: DataFrame, extraKeys: String*): DataFrame = {
+    val ordKey = format_string("%020d%012d", col("ts_us"), col("event_id"))
+    df.groupBy("push_id", extraKeys: _*)
+      .agg(min_by(col("value"), ordKey).as("f_val"),
+        max_by(col("value"), ordKey).as("l_val"),
+        min(col("ts_us")).as("f_us"), max(col("ts_us")).as("l_us"),
+        min(col("posted_us")).as("posted_us"),
+        count(lit(1)).as("n_records"))
+  }
+
+  /** Oracle twin of [[firstLastAgg]]; emits relation `per0`. */
+  def firstLastAggSql(in: String, extraCols: String = ""): String =
+    s"""per0 AS (
+       |  SELECT push_id$extraCols,
+       |         arg_min(value, printf('%020d%012d', ts_us, event_id)) AS f_val,
+       |         arg_max(value, printf('%020d%012d', ts_us, event_id)) AS l_val,
+       |         min(ts_us) AS f_us, max(ts_us) AS l_us,
+       |         min(posted_us) AS posted_us, count(*) AS n_records
+       |  FROM $in GROUP BY ALL)""".stripMargin
+
   def firstLastSql(in: String, extraCols: String = ""): String =
     s"""fl AS (
        |  SELECT push_id, posted_us$extraCols,

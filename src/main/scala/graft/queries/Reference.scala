@@ -86,8 +86,11 @@ object Reference {
     * profiles (A2) maps to the push-level groupBy. Minute-of-day is computed
     * on epoch-microsecond integers — exact on both engines. */
   def b1PushesByTimebin(spark: SparkSession, dir: String): DataFrame = {
-    val pushes = withPushAge(Tables.events(spark, dir))
-      .groupBy("push_id").agg(min("posted_us").as("posted_us"))
+    // posted_us = min ts per push: a direct map-side-combinable aggregate —
+    // the withPushAge window would add a per-push sort for nothing here
+    val pushes = Tables.events(spark, dir)
+      .groupBy(concat(col("user_id").cast("string"), lit("_"), col("event_type")).as("push_id"))
+      .agg(min(unix_micros(col("ts"))).as("posted_us"))
     val counts = pushes
       .withColumn("minute_bin", expr("((posted_us DIV 60000000) % 1440) DIV 10 * 10"))
       .groupBy("minute_bin").agg(count(lit(1)).as("n_pushes"))
@@ -98,8 +101,10 @@ object Reference {
   }
 
   val b1Sql: String =
-    s"""WITH $agedSql,
-       |pushes AS (SELECT push_id, min(posted_us) AS posted_us FROM aged GROUP BY 1),
+    s"""WITH pushes AS (
+       |  SELECT CAST(user_id AS VARCHAR) || '_' || event_type AS push_id,
+       |         min(epoch_us(ts)) AS posted_us
+       |  FROM events GROUP BY 1),
        |counts AS (
        |  SELECT ((posted_us // 60000000) % 1440) // 10 * 10 AS minute_bin, count(*) AS n_pushes
        |  FROM pushes GROUP BY 1),
@@ -117,11 +122,7 @@ object Reference {
   def b2InitialRateByHour(spark: SparkSession, dir: String): DataFrame = {
     val lim = withPushAge(Tables.events(spark, dir))
       .filter(col("age_min") <= lit(InitialWindowMinutes))
-    val per = withFirstLast(lim)
-      .groupBy("push_id")
-      .agg(min("f_val").as("f_val"), min("l_val").as("l_val"),
-        min("f_us").as("f_us"), min("l_us").as("l_us"),
-        min("posted_us").as("posted_us"), count(lit(1)).as("n_records"))
+    val per = firstLastAgg(lim)
       .filter(col("n_records") >= lit(2) && col("l_us") > col("f_us")) // F10/F11
       .withColumn("dt_min", (col("l_us") - col("f_us")) / lit(60000000.0))
       .withColumn("initial_rate", greatest(lit(0.0), (col("l_val") - col("f_val")) / col("dt_min") * lit(60.0)))
@@ -140,11 +141,7 @@ object Reference {
   val b2Sql: String =
     s"""WITH $agedSql,
        |lim AS (SELECT * FROM aged WHERE age_min <= $InitialWindowMinutes),
-       |${firstLastSql("lim")},
-       |per0 AS (
-       |  SELECT push_id, min(f_val) AS f_val, min(l_val) AS l_val, min(f_us) AS f_us,
-       |         min(l_us) AS l_us, min(posted_us) AS posted_us, count(*) AS n_records
-       |  FROM fl GROUP BY 1),
+       |${firstLastAggSql("lim")},
        |per AS (
        |  SELECT *, (l_us - f_us) / 60000000.0 AS dt_min
        |  FROM per0 WHERE n_records >= 2 AND l_us > f_us),
@@ -176,11 +173,8 @@ object Reference {
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), Dims.cleanCity(col("n_name")).as("city"))
       .filter(col("city").isNotNull) // F8 post-clean dropna
-    // persisted: c1 references this subplan twice (HAVING gate + gains);
-    // without it the scan + window + broadcast join runs twice
     withPushAge(Tables.events(spark, dir))
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
-      .persist()
   }
 
   private def cityJoinedSql: String =
@@ -196,10 +190,13 @@ object Reference {
     * earliest record within T1, latest within T2, discard when the latest is
     * not strictly later (F14), gain clipped at 0 (P12/X9). */
   private def pushGains(spark: SparkSession, dir: String): DataFrame =
-    withFirstLast(cityJoined(spark, dir).filter(col("age_min") <= lit(T2Minutes)))
-      .groupBy("push_id", "city")
-      .agg(min("f_val").as("f_val"), min("l_val").as("l_val"),
-        min("f_us").as("f_us"), min("l_us").as("l_us"), min("posted_us").as("posted_us"))
+    pushGainsFrom(cityJoined(spark, dir))
+
+  /** Same, over an already-built (possibly persisted) cityJoined frame so
+    * c1 can share ONE instance across its two consumers — two persisted
+    * copies of the same lineage would each materialize separately. */
+  private def pushGainsFrom(cj: DataFrame): DataFrame =
+    firstLastAgg(cj.filter(col("age_min") <= lit(T2Minutes)), "city")
       .withColumn("f_age", (col("f_us") - col("posted_us")) / lit(60000000.0))
       .withColumn("l_age", (col("l_us") - col("posted_us")) / lit(60000000.0))
       .filter(col("f_age") <= lit(T1Minutes) && col("l_age") > col("f_age"))
@@ -208,11 +205,7 @@ object Reference {
   private def pushGainsSql: String =
     s"""$cityJoinedSql,
        |lim AS (SELECT * FROM j WHERE age_min <= $T2Minutes),
-       |${firstLastSql("lim", ", city")},
-       |per0 AS (
-       |  SELECT push_id, city, min(f_val) AS f_val, min(l_val) AS l_val,
-       |         min(f_us) AS f_us, min(l_us) AS l_us, min(posted_us) AS posted_us
-       |  FROM fl GROUP BY 1, 2),
+       |${firstLastAggSql("lim", ", city")},
        |gains AS (
        |  SELECT *, greatest(0.0, l_val - f_val) AS views_gained,
        |         (f_us - posted_us) / 60000000.0 AS f_age,
@@ -225,11 +218,15 @@ object Reference {
     * (A5/J4/F15) then per-city mean gain, sorted desc. This is
     * SparkEntry.entry. */
   def c1CityLeague(spark: SparkSession, dir: String): DataFrame = {
-    val pushes = cityJoined(spark, dir).groupBy("push_id", "city").agg(count(lit(1)).as("n_rows"))
+    // one shared, persisted instance of the scan+window+broadcast-join
+    // front half: both the HAVING gate and the gains branch read it (at
+    // cluster scale: MEMORY_AND_DISK, released by the harness cache clear)
+    val cj = cityJoined(spark, dir).persist()
+    val pushes = cj.groupBy("push_id", "city").agg(count(lit(1)).as("n_rows"))
     val goodCities = pushes.groupBy("city").agg(count(lit(1)).as("n_pushes"))
       .filter(col("n_pushes") >= lit(MinPushesPerCity))
       .select("city")
-    pushGains(spark, dir)
+    pushGainsFrom(cj)
       .join(goodCities, Seq("city"), "left_semi")
       .groupBy("city")
       .agg(r6(avg(col("views_gained"))).as("avg_views_gained"), count(lit(1)).as("n_pushes_used"))

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.SparkSpec
 import java.sql.Timestamp
+import org.apache.spark.sql.functions.min
 
 /** Lag-diff rate semantics (W1/F5/F6/P5-P7) on the FIXTURES.md edge rows:
   * single-row pushes, timestamp ties, decreasing counters. */
@@ -48,5 +49,19 @@ class PushesSpec extends SparkSpec {
     val r = Pushes.withFirstLast(Pushes.withPushAge(df))
       .select("f_val", "l_val").as[(Double, Double)].head()
     assert(r === ((7.0, 9.0))) // event_id 1 wins the ts tie; event 3 is last
+  }
+
+  test("firstLastAgg (hash aggregate) matches the window formulation on real data") {
+    val aged = Pushes.withPushAge(graft.ops.Tables.events(spark, "/root/testdata/sf0.001"))
+    val viaAgg = Pushes.firstLastAgg(aged)
+      .select("push_id", "f_val", "l_val", "f_us", "l_us", "posted_us")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val viaWindow = Pushes.withFirstLast(aged)
+      .groupBy("push_id")
+      .agg(min("f_val").as("f_val"), min("l_val").as("l_val"),
+        min("f_us").as("f_us"), min("l_us").as("l_us"), min("posted_us").as("posted_us"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(viaAgg.size === viaWindow.size)
+    assert(viaAgg === viaWindow)
   }
 }
