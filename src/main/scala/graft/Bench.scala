@@ -24,15 +24,23 @@ object Bench {
     // one-time janino codegen compilation per unique plan (~1-3s for the
     // window/agg-heavy plans), a fixed cost that amortizes away at real
     // data scale but would dominate single-shot numbers at sf0.1.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run to named queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
       // persisted subplans stay warm across a query's two runs (that IS the
-      // steady state) but are released before the next query
+      // steady state) but are released before the next query; the explicit
+      // GC lets the ContextCleaner actually reclaim accumulated broadcast /
+      // shuffle state — on a 48g heap GC otherwise never fires, and dozens
+      // of queries' worth of leaked executor state slows the tail queries
       spark.catalog.clearCache()
+      System.gc()
       name -> times.min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
