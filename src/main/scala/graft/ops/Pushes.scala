@@ -27,6 +27,10 @@ object Pushes {
   val T1Minutes = 2880.0
   val T2Minutes = 14400.0
 
+  /** T1 as exact epoch-micros — integer comparisons where the minute-double
+    * form would be equivalent but needlessly float. */
+  val T1Micros: Long = (T1Minutes * 60000000L).toLong
+
   /** Script B initial window, analog of MAX_AGE_MINUTES = 119 (analyse.py:150
     * — the reference's deliberately-off-by-one "first 2 hours"; we preserve
     * the quirk style with 7199 ~ "first 5 days"). */

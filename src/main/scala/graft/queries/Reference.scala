@@ -218,28 +218,59 @@ object Reference {
     * (A5/J4/F15) then per-city mean gain, sorted desc. This is
     * SparkEntry.entry. */
   def c1CityLeague(spark: SparkSession, dir: String): DataFrame = {
-    // one shared, persisted instance of the scan+window+broadcast-join
-    // front half: both the HAVING gate and the gains branch read it (at
-    // cluster scale: MEMORY_AND_DISK, released by the harness cache clear)
-    val cj = cityJoined(spark, dir).persist()
-    val pushes = cj.groupBy("push_id", "city").agg(count(lit(1)).as("n_rows"))
-    val goodCities = pushes.groupBy("city").agg(count(lit(1)).as("n_pushes"))
-      .filter(col("n_pushes") >= lit(MinPushesPerCity))
-      .select("city")
-    pushGainsFrom(cj)
-      .join(goodCities, Seq("city"), "left_semi")
+    // fused single-pass plan: the HAVING gate (counts ALL pushes per city)
+    // and the gains branch (first/last within the T2 window) come out of ONE
+    // per-(push, city) hash aggregate using FILTER clauses — no persist, no
+    // semi-join, one scan of events. The age-window comparisons are done on
+    // exact epoch-micros integers (equivalent to the minute doubles: both
+    // sides divide by the same positive constant).
+    val lim = s"age_min <= $T2Minutes"
+    val key = "format_string('%020d%012d', ts_us, event_id)"
+    val per = cityJoined(spark, dir)
+      .groupBy("push_id", "city")
+      .agg(
+        expr(s"min_by(value, $key) FILTER (WHERE $lim)").as("f_val"),
+        expr(s"max_by(value, $key) FILTER (WHERE $lim)").as("l_val"),
+        expr(s"min(ts_us) FILTER (WHERE $lim)").as("f_us"),
+        expr(s"max(ts_us) FILTER (WHERE $lim)").as("l_us"),
+        min("posted_us").as("posted_us"))
+    val qualified = col("f_us").isNotNull &&
+      (col("f_us") - col("posted_us")) <= lit(T1Micros) &&
+      col("l_us") > col("f_us")
+    per
+      .withColumn("qualified", qualified)
+      .withColumn("views_gained",
+        when(col("qualified"), greatest(lit(0.0), col("l_val") - col("f_val"))))
       .groupBy("city")
-      .agg(r6(avg(col("views_gained"))).as("avg_views_gained"), count(lit(1)).as("n_pushes_used"))
+      .agg(r6(avg(col("views_gained"))).as("avg_views_gained"),
+        sum(when(col("qualified"), 1L).otherwise(0L)).as("n_pushes_used"),
+        count(lit(1)).as("n_pushes_all"))
+      .filter(col("n_pushes_all") >= lit(MinPushesPerCity) && col("n_pushes_used") > 0)
+      .select("city", "avg_views_gained", "n_pushes_used")
       .orderBy(col("avg_views_gained").desc, col("city"))
   }
 
   val c1Sql: String =
-    s"""WITH $pushGainsSql,
-       |pushes AS (SELECT push_id, city FROM j GROUP BY 1, 2),
-       |good AS (SELECT city FROM pushes GROUP BY city HAVING count(*) >= $MinPushesPerCity)
-       |SELECT city, ${r6Sql("avg(views_gained)")} AS avg_views_gained, count(*) AS n_pushes_used
-       |FROM gains WHERE city IN (SELECT city FROM good)
+    s"""WITH $cityJoinedSql,
+       |per AS (
+       |  SELECT push_id, city,
+       |         arg_min(value, printf('%020d%012d', ts_us, event_id)) FILTER (WHERE age_min <= $T2Minutes) AS f_val,
+       |         arg_max(value, printf('%020d%012d', ts_us, event_id)) FILTER (WHERE age_min <= $T2Minutes) AS l_val,
+       |         min(ts_us) FILTER (WHERE age_min <= $T2Minutes) AS f_us,
+       |         max(ts_us) FILTER (WHERE age_min <= $T2Minutes) AS l_us,
+       |         min(posted_us) AS posted_us
+       |  FROM j GROUP BY 1, 2),
+       |q AS (
+       |  SELECT *,
+       |         (f_us IS NOT NULL AND f_us - posted_us <= $T1Micros AND l_us > f_us) AS qualified,
+       |         CASE WHEN f_us IS NOT NULL AND f_us - posted_us <= $T1Micros AND l_us > f_us
+       |              THEN greatest(0.0, l_val - f_val) END AS views_gained
+       |  FROM per)
+       |SELECT city, ${r6Sql("avg(views_gained)")} AS avg_views_gained,
+       |       CAST(sum(CASE WHEN qualified THEN 1 ELSE 0 END) AS BIGINT) AS n_pushes_used
+       |FROM q
        |GROUP BY city
+       |HAVING count(*) >= $MinPushesPerCity AND sum(CASE WHEN qualified THEN 1 ELSE 0 END) > 0
        |ORDER BY avg_views_gained DESC, city""".stripMargin
 
   /** The city HAVING gate alone (A5, analyse.py:419-422). */
