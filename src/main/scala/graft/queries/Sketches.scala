@@ -95,9 +95,30 @@ object Sketches {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** Explicit GROUPING SETS lattice (the general form cube/rollup are sugar
+    * for): per-(status, year), per-status, and grand-total levels in one
+    * pass. Spark expands the sets into a single Expand + hash aggregate —
+    * one shuffle for all lattice levels, not one scan per level. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("order_year", substring(col("o_orderdate").cast("string"), 1, 4))
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("order_year")), Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("order_year"))
+      .agg(count(lit(1)).as("n_orders"), r6(sum(col("o_totalprice"))).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("order_year").asc_nulls_first)
+
+  val groupingSetsAggSql: String =
+    s"""SELECT o_orderstatus, order_year, count(*) AS n_orders, ${r6Sql("sum(o_totalprice)")} AS sum_price
+       |FROM (SELECT o_orderstatus, substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS order_year, o_totalprice
+       |      FROM orders)
+       |GROUP BY GROUPING SETS ((o_orderstatus, order_year), (o_orderstatus), ())
+       |ORDER BY o_orderstatus NULLS FIRST, order_year NULLS FIRST""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("k_kmv_distinct", kmvDistinct _, kmvDistinctSql),
     Q("k_cube", cubeAgg _, cubeAggSql),
+    Q("k_grouping_sets", groupingSetsAgg _, groupingSetsAggSql),
     Q("k_salted_agg", saltedAgg _, saltedAggSql),
     Q("k_approx_agg", approxAgg _, None),
   )

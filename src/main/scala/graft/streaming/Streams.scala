@@ -66,6 +66,25 @@ object Streams {
       .select(col("win.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: first occurrence of each (user_id, event_type)
+    * key wins. State is one entry per distinct key — the true cost of
+    * global exact dedup in any engine; at 100 TB the state store shards by
+    * key across executors (RocksDB-backed), exactly like the shuffle of the
+    * batch `dropDuplicates`. */
+  def dedupKeysExact(events: DataFrame): DataFrame =
+    events.dropDuplicates(Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"))
+
+  /** Watermark-bounded dedup: suppresses re-occurrences only within the
+    * watermark horizon, so state is bounded by (keys active per horizon)
+    * instead of all-time distinct keys. The right tool when duplicates
+    * cluster in time (retries, replays) — the common streaming case. */
+  def dedupKeysWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+
   /** Run a streaming DataFrame to completion against the bounded test input
     * (AvailableNow trigger + memory sink) and return the result as a batch
     * DataFrame — the harness for batch/stream parity tests. */

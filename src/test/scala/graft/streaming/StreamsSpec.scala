@@ -38,6 +38,28 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming exact dedup emits exactly the batch-distinct key set") {
+    val streamed = Streams.runToMemory(spark,
+      Streams.dedupKeysExact(Streams.readEventsStream(spark, sfDir)), "t_dedup_exact")
+      .select("user_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = graft.ops.Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed === batch)
+  }
+
+  test("watermark-bounded dedup output lies between distinct-keys and all-rows") {
+    val n = Streams.runToMemory(spark,
+      Streams.dedupKeysWithinWatermark(Streams.readEventsStream(spark, sfDir)),
+      "t_dedup_wm").count()
+    val events = graft.ops.Tables.events(spark, sfDir)
+    val distinctKeys = events.select("user_id", "event_type").distinct().count()
+    val total = events.count()
+    assert(n >= distinctKeys, s"$n < $distinctKeys: dropped keys entirely")
+    assert(n < total, s"$n = $total: suppressed nothing")
+  }
+
   test("flatMapGroupsWithState sessionization matches the window-function batch twin") {
     val evs = graft.ops.Tables.events(spark, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
