@@ -40,6 +40,20 @@ object Formats {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Bucketed catalog table: rows are hash-distributed into `nBuckets`
+    * files per partition by `bucketCols` and each bucket sorted. Two tables
+    * bucketed the same way join WITHOUT a shuffle — the exchange that
+    * dominates large fact-fact joins at 100 TB disappears because the data
+    * is already co-located on the join key at write time. Requires the
+    * catalog (`saveAsTable`), since bucket metadata lives there. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 

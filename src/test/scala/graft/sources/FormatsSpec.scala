@@ -45,6 +45,23 @@ class FormatsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"), plan)
   }
 
+  test("co-bucketed tables join with zero shuffle exchanges") {
+    val orders = graft.ops.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = graft.ops.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_quantity")
+    Formats.writeBucketed(orders, "b_orders", Seq("o_orderkey"), 8)
+    Formats.writeBucketed(lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", Seq("o_orderkey"), 8)
+    val joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+    // co-located join: both sides pre-hashed into the same 8 buckets, so
+    // the sort-merge join runs with NO Exchange on either side
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n${plan.take(3000)}")
+    assert(joined.count() === lineitem.count()) // every lineitem has its order
+  }
+
   test("malformed csv cells coerce to null, not error") {
     val dir = s"$tmp/bad_csv"
     Files.createDirectories(java.nio.file.Paths.get(dir))
