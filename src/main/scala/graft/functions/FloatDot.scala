@@ -18,9 +18,11 @@ import org.apache.spark.sql.SparkSessionExtensions
   * dominates — this expression is the SURVEY §7.3 "custom Expression only
   * for perf" case.
   *
-  * Semantics notes (both paths only meet equal-length, non-null vectors):
-  * unequal lengths truncate to the shorter (the fold nulls out instead);
-  * null elements are read as 0-bits rather than propagating null.
+  * Semantics are EXACTLY the fold's — unequal lengths and null elements
+  * yield NULL — so [[NativeDotRewrite]] may substitute this expression for
+  * the declarative pattern anywhere without changing any result. The
+  * per-element null checks are skipped at codegen time when the array type
+  * says containsNull=false (the parquet embeddings case).
   */
 case class FloatDot(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -38,13 +40,21 @@ case class FloatDot(left: Expression, right: Expression)
 
   override def prettyName: String = "float_dot"
 
+  private def mayHaveNullElements: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (mayHaveNullElements && (x.isNullAt(i) || y.isNullAt(i))) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -56,13 +66,22 @@ case class FloatDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val nullElemCheck =
+        if (mayHaveNullElements)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullElemCheck
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -89,5 +108,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.floatDotBuilder))
     ext.injectFunction((FunctionIdentifier("sorted_intersect_count"), SortedIntersectCount.info,
       SortedIntersectCount.builder))
+    ext.injectOptimizerRule(_ => NativeDotRewrite)
   }
 }

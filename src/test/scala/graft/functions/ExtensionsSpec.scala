@@ -38,6 +38,34 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.getLong(0) === 2L)
   }
 
+  test("optimizer rewrites the declarative dot fold to native float_dot") {
+    import org.apache.spark.sql.functions.col
+    // parquet-backed input: a literal frame would constant-fold to a
+    // LocalRelation before the plan can be inspected
+    val df = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(graft.ext.Similarity.dot(col("embedding"), col("embedding")).as("d"))
+    assert(df.queryExecution.optimizedPlan.toString.contains("float_dot"),
+      df.queryExecution.optimizedPlan.toString)
+    // and the rewritten plan computes the identical values
+    val viaRule = df.collect().map(_.getDouble(0))
+    val viaFold = graft.ops.Tables.embeddings(graft.SparkSpec.session, "/root/testdata/sf0.001")
+      .select(graft.ext.Similarity.dot(col("embedding"), col("embedding")).as("d"))
+      .collect().map(_.getDouble(0))
+    assert(viaRule.toSeq === viaFold.toSeq)
+  }
+
+  test("the rewrite preserves NULL semantics on ragged arrays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val mk = (s: SparkSession) => {
+      import s.implicits._
+      Seq((Array(1.0f, 2.0f), Array(3.0f))).toDF("a", "b")
+        .select(graft.ext.Similarity.dot(col("a"), col("b")).as("d"))
+    }
+    assert(mk(spark).head().isNullAt(0), "rewritten path must null-out")
+    assert(mk(graft.SparkSpec.session).head().isNullAt(0), "interpreted path nulls out")
+  }
+
   test("extension functions describe themselves in the catalog") {
     val desc = spark.sql("DESCRIBE FUNCTION float_dot").collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("float_dot"))

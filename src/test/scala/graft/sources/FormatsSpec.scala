@@ -50,6 +50,20 @@ class FormatsSpec extends SparkSpec {
       .select("o_orderkey", "o_custkey", "o_totalprice")
     val lineitem = graft.ops.Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select("l_orderkey", "l_quantity")
+    // a previous JVM may have left the managed location behind without the
+    // (in-memory) catalog entry — clear both before writing
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     Formats.writeBucketed(orders, "b_orders", Seq("o_orderkey"), 8)
     Formats.writeBucketed(lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
       "b_lineitem", Seq("o_orderkey"), 8)
