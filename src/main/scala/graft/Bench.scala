@@ -26,7 +26,7 @@ object Bench {
     // window/agg-heavy plans), a fixed cost that amortizes away at real
     // data scale but would dominate single-shot numbers at sf0.1.
     // dev aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run to named queries
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

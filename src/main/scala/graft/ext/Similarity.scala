@@ -154,24 +154,42 @@ object Similarity {
     * are sequential folds (bit-deterministic) as in the other knn variants.
     */
   private val NProbe = 2
-  private val Dims = 64 // embeddings.parquet vectors are 64-dim
 
-  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
-    import graft.ops.Num.r9
-    val e = withNorm(Tables.embeddings(spark, dir))
-    val centroid = Tables.embeddings(spark, dir)
+  /** embeddings.parquet vectors are 64-dim (single source of truth). */
+  val Dims = 64
+
+  /** Per-label mean vector with count — shared by [[labelCentroids]] and
+    * [[knnIvf]] so the two can never drift. */
+  private def centroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
       .withColumn("emb_d", transform(col("embedding"), x => x.cast("double")))
       .groupBy("label")
       .agg(count(lit(1)).as("n"),
         array((0 until Dims).map(i => sum(element_at(col("emb_d"), i + 1))): _*).as("sums"))
       .withColumn("centroid", transform(col("sums"), s => s / col("n")))
+      .select("label", "n", "centroid")
+
+  /** Oracle twin of [[centroids]]; emits relation `cent` (label, n, centroid). */
+  private def centroidsSql: String = {
+    val sums = (0 until Dims).map(i => s"sum(CAST(embedding[${i + 1}] AS DOUBLE))").mkString(", ")
+    s"""cent0 AS (SELECT label, count(*) AS n, [$sums] AS sums FROM embeddings GROUP BY label),
+       |cent AS (SELECT label, n, list_transform(sums, s -> s / n) AS centroid FROM cent0)""".stripMargin
+  }
+
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val centroid = centroids(spark, dir)
       .withColumn("c_nrm", sqrt(dot(col("centroid"), col("centroid"))))
       .select(col("label").as("cell"), col("centroid"), col("c_nrm"))
     val queries = e.filter(col("vec_id") % lit(QueryStride) === lit(0))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val wc = Window.partitionBy("q_id").orderBy(col("ccos_r").desc, col("cell"))
     val probes = queries.crossJoin(broadcast(centroid))
-      .withColumn("ccos_r", r9(dot(col("q_emb"), col("centroid")) / (col("q_nrm") * col("c_nrm"))))
+      // r6, not r9: centroid components are order-dependent double sums, so
+      // the rank key is rounded COARSELY enough (1e-6 ≫ the ~1e-15 sum
+      // noise) that both engines always land on the same side; r6-level
+      // ties then break identically by cell id
+      .withColumn("ccos_r", r6(dot(col("q_emb"), col("centroid")) / (col("q_nrm") * col("c_nrm"))))
       .withColumn("cell_rank", row_number().over(wc))
       .filter(col("cell_rank") <= lit(NProbe))
       .select("q_id", "q_emb", "q_nrm", "cell")
@@ -184,18 +202,15 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  val knnIvfSql: String = {
-    import graft.ops.Num.r9Sql
-    val sums = (0 until Dims).map(i => s"sum(CAST(embedding[${i + 1}] AS DOUBLE))").mkString(", ")
+  val knnIvfSql: String =
     s"""WITH e AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
-       |cent0 AS (SELECT label, count(*) AS n, [$sums] AS sums FROM embeddings GROUP BY label),
-       |cent1 AS (SELECT label AS cell, list_transform(sums, s -> s / n) AS centroid FROM cent0),
-       |cent AS (SELECT cell, centroid, ${normSql("centroid")} AS c_nrm FROM cent1),
+       |$centroidsSql,
+       |cellc AS (SELECT label AS cell, centroid, ${normSql("centroid")} AS c_nrm FROM cent),
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id % $QueryStride = 0),
        |pc AS (
        |  SELECT q.q_id, q.q_emb, q.q_nrm, c.cell,
-       |         ${r9Sql(s"${dotSql("q.q_emb", "c.centroid")} / (q.q_nrm * c.c_nrm)")} AS ccos_r
-       |  FROM q CROSS JOIN cent c),
+       |         ${r6Sql(s"${dotSql("q.q_emb", "c.centroid")} / (q.q_nrm * c.c_nrm)")} AS ccos_r
+       |  FROM q CROSS JOIN cellc c),
        |pr AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ccos_r DESC, cell) AS cell_rank FROM pc),
        |probes AS (SELECT q_id, q_emb, q_nrm, cell FROM pr WHERE cell_rank <= $NProbe),
        |scored AS (
@@ -209,7 +224,6 @@ object Similarity {
        |SELECT q_id, rank, vec_id AS neighbor_id, ${r6Sql("cos")} AS cosine
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
-  }
 
   /** Per-label centroid stats: mean vector norm + cosine of each vector to
     * its label centroid — the IVF "assign to nearest centroid" building
@@ -217,12 +231,7 @@ object Similarity {
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .withColumn("emb_d", transform(col("embedding"), x => x.cast("double")))
-    val dims = 64 // embeddings.parquet vectors are 64-dim
-    val centroid = e.groupBy("label")
-      .agg(count(lit(1)).as("n"),
-        array((0 until dims).map(i => sum(element_at(col("emb_d"), i + 1))): _*).as("sums"))
-      .withColumn("centroid", transform(col("sums"), s => s / col("n")))
-      .select("label", "n", "centroid")
+    val centroid = centroids(spark, dir)
     e.join(broadcast(centroid), Seq("label"))
       .withColumn("cos_to_centroid",
         dot(col("emb_d"), col("centroid")) / (norm(col("emb_d")) * norm(col("centroid"))))
@@ -231,21 +240,15 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  val labelCentroidsSql: String = {
-    val dims = 64
-    val sums = (0 until dims).map(i => s"sum(CAST(embedding[${i + 1}] AS DOUBLE))").mkString(", ")
-    s"""WITH centroid AS (
-       |  SELECT label, count(*) AS n, [$sums] AS sums
-       |  FROM embeddings GROUP BY label),
-       |c2 AS (SELECT label, n, list_transform(sums, s -> s / n) AS centroid FROM centroid),
+  val labelCentroidsSql: String =
+    s"""WITH $centroidsSql,
        |j AS (
-       |  SELECT e.vec_id, e.label, c2.n,
-       |         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS emb_d, c2.centroid
-       |  FROM embeddings e JOIN c2 ON e.label = c2.label)
+       |  SELECT e.vec_id, e.label, c.n,
+       |         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS emb_d, c.centroid
+       |  FROM embeddings e JOIN cent c ON e.label = c.label)
        |SELECT vec_id, label, n AS label_n,
        |       ${r6Sql(s"${dotSql("emb_d", "centroid")} / (${normSql("emb_d")} * ${normSql("centroid")})")} AS cos_to_centroid
        |FROM j ORDER BY vec_id""".stripMargin
-  }
 
   val all: Seq[Q] = Seq(
     Q("s_knn_bruteforce", knnBruteForce _, knnBruteForceSql),

@@ -40,7 +40,8 @@ case class FloatDot(left: Expression, right: Expression)
 
   override def prettyName: String = "float_dot"
 
-  private def mayHaveNullElements: Boolean =
+  // computed once per expression instance — nullSafeEval hits it per element
+  @transient private lazy val mayHaveNullElements: Boolean =
     left.dataType.asInstanceOf[ArrayType].containsNull ||
       right.dataType.asInstanceOf[ArrayType].containsNull
 

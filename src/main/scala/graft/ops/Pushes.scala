@@ -40,12 +40,17 @@ object Pushes {
     * sized so every scale factor keeps a non-empty league table. */
   val MinPushesPerCity = 5
 
+  /** The push surrogate key (P4, analyse.py:67) — single definition shared
+    * by every query so the key can never drift between pipelines. */
+  def pushKey: Column = concat(col("user_id").cast("string"), lit("_"), col("event_type"))
+  val pushKeySql: String = "CAST(user_id AS VARCHAR) || '_' || event_type"
+
   /** Adds push_id / ts_us / posted_us / age_min. Reference: surrogate key
     * concat at analyse.py:67 (P4) + the implicit ad_age column. */
   def withPushAge(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("push_id")
     events
-      .withColumn("push_id", concat(col("user_id").cast("string"), lit("_"), col("event_type")))
+      .withColumn("push_id", pushKey)
       .withColumn("ts_us", unix_micros(col("ts")))
       .withColumn("posted_us", min(col("ts_us")).over(w))
       .withColumn("age_min", (col("ts_us") - col("posted_us")) / lit(60000000.0))
@@ -104,41 +109,43 @@ object Pushes {
       .withColumn("l_us", last("ts_us").over(w))
   }
 
-  /** A4/A6 as ONE hash aggregate: min_by/max_by keyed on the fixed-width
-    * zero-padded (ts_us, event_id) string, which both engines compare
-    * lexicographically = numerically. Unlike the window formulation
-    * ([[withFirstLast]], kept as the cross-check twin) this needs no
-    * per-push sort and partial-aggregates map-side, cutting the shuffle
-    * from |events| rows to |pushes| rows — the difference that matters at
-    * 100 TB. */
-  def firstLastAgg(df: DataFrame, extraKeys: String*): DataFrame = {
-    val ordKey = format_string("%020d%012d", col("ts_us"), col("event_id"))
+  /** The engine-side deterministic row-ordering key: numerically exact for
+    * ANY ts_us / event_id (struct comparison, no string encoding). */
+  def ordKey: Column = struct(col("ts_us"), col("event_id"))
+
+  /** Same key in Spark-SQL-expr form, for FILTER-clause aggregates (the
+    * Scala Column API has no aggregate FILTER). */
+  val ordKeyExpr: String = "struct(ts_us, event_id)"
+
+  /** Oracle-side ordering key: DuckDB's arg_min/arg_max take only scalar
+    * keys, so the key is a fixed-width decimal string. ts_us is biased by
+    * 2^62 to keep pre-1970 (negative-micros) timestamps lexicographically
+    * ordered; event_id is a generated row id, asserted non-negative and
+    * < 10^12 by the testdata contract. */
+  val OrdBias = 4611686018427387904L // 2^62
+  def ordKeySql: String = s"printf('%020d%012d', ts_us + $OrdBias, event_id)"
+
+  /** A4/A6 as ONE hash aggregate: min_by/max_by over [[ordKey]]. Unlike the
+    * window formulation ([[withFirstLast]], kept as the cross-check twin)
+    * this needs no per-push sort and partial-aggregates map-side, cutting
+    * the shuffle from |events| rows to |pushes| rows — the difference that
+    * matters at 100 TB. */
+  def firstLastAgg(df: DataFrame, extraKeys: String*): DataFrame =
     df.groupBy("push_id", extraKeys: _*)
       .agg(min_by(col("value"), ordKey).as("f_val"),
         max_by(col("value"), ordKey).as("l_val"),
         min(col("ts_us")).as("f_us"), max(col("ts_us")).as("l_us"),
         min(col("posted_us")).as("posted_us"),
         count(lit(1)).as("n_records"))
-  }
 
   /** Oracle twin of [[firstLastAgg]]; emits relation `per0`. */
   def firstLastAggSql(in: String, extraCols: String = ""): String =
     s"""per0 AS (
        |  SELECT push_id$extraCols,
-       |         arg_min(value, printf('%020d%012d', ts_us, event_id)) AS f_val,
-       |         arg_max(value, printf('%020d%012d', ts_us, event_id)) AS l_val,
+       |         arg_min(value, $ordKeySql) AS f_val,
+       |         arg_max(value, $ordKeySql) AS l_val,
        |         min(ts_us) AS f_us, max(ts_us) AS l_us,
        |         min(posted_us) AS posted_us, count(*) AS n_records
        |  FROM $in GROUP BY ALL)""".stripMargin
 
-  def firstLastSql(in: String, extraCols: String = ""): String =
-    s"""fl AS (
-       |  SELECT push_id, posted_us$extraCols,
-       |         first_value(value) OVER wfl AS f_val,
-       |         last_value(value)  OVER wfl AS l_val,
-       |         first_value(ts_us) OVER wfl AS f_us,
-       |         last_value(ts_us)  OVER wfl AS l_us
-       |  FROM $in
-       |  WINDOW wfl AS (PARTITION BY push_id ORDER BY ts_us, event_id
-       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))""".stripMargin
 }

@@ -89,7 +89,7 @@ object Reference {
     // posted_us = min ts per push: a direct map-side-combinable aggregate —
     // the withPushAge window would add a per-push sort for nothing here
     val pushes = Tables.events(spark, dir)
-      .groupBy(concat(col("user_id").cast("string"), lit("_"), col("event_type")).as("push_id"))
+      .groupBy(pushKey.as("push_id"))
       .agg(min(unix_micros(col("ts"))).as("posted_us"))
     val counts = pushes
       .withColumn("minute_bin", expr("((posted_us DIV 60000000) % 1440) DIV 10 * 10"))
@@ -102,7 +102,7 @@ object Reference {
 
   val b1Sql: String =
     s"""WITH pushes AS (
-       |  SELECT CAST(user_id AS VARCHAR) || '_' || event_type AS push_id,
+       |  SELECT $pushKeySql AS push_id,
        |         min(epoch_us(ts)) AS posted_us
        |  FROM events GROUP BY 1),
        |counts AS (
@@ -190,13 +190,7 @@ object Reference {
     * earliest record within T1, latest within T2, discard when the latest is
     * not strictly later (F14), gain clipped at 0 (P12/X9). */
   private def pushGains(spark: SparkSession, dir: String): DataFrame =
-    pushGainsFrom(cityJoined(spark, dir))
-
-  /** Same, over an already-built (possibly persisted) cityJoined frame so
-    * c1 can share ONE instance across its two consumers — two persisted
-    * copies of the same lineage would each materialize separately. */
-  private def pushGainsFrom(cj: DataFrame): DataFrame =
-    firstLastAgg(cj.filter(col("age_min") <= lit(T2Minutes)), "city")
+    firstLastAgg(cityJoined(spark, dir).filter(col("age_min") <= lit(T2Minutes)), "city")
       .withColumn("f_age", (col("f_us") - col("posted_us")) / lit(60000000.0))
       .withColumn("l_age", (col("l_us") - col("posted_us")) / lit(60000000.0))
       .filter(col("f_age") <= lit(T1Minutes) && col("l_age") > col("f_age"))
@@ -225,12 +219,11 @@ object Reference {
     // exact epoch-micros integers (equivalent to the minute doubles: both
     // sides divide by the same positive constant).
     val lim = s"age_min <= $T2Minutes"
-    val key = "format_string('%020d%012d', ts_us, event_id)"
     val per = cityJoined(spark, dir)
       .groupBy("push_id", "city")
       .agg(
-        expr(s"min_by(value, $key) FILTER (WHERE $lim)").as("f_val"),
-        expr(s"max_by(value, $key) FILTER (WHERE $lim)").as("l_val"),
+        expr(s"min_by(value, $ordKeyExpr) FILTER (WHERE $lim)").as("f_val"),
+        expr(s"max_by(value, $ordKeyExpr) FILTER (WHERE $lim)").as("l_val"),
         expr(s"min(ts_us) FILTER (WHERE $lim)").as("f_us"),
         expr(s"max(ts_us) FILTER (WHERE $lim)").as("l_us"),
         min("posted_us").as("posted_us"))
@@ -254,8 +247,8 @@ object Reference {
     s"""WITH $cityJoinedSql,
        |per AS (
        |  SELECT push_id, city,
-       |         arg_min(value, printf('%020d%012d', ts_us, event_id)) FILTER (WHERE age_min <= $T2Minutes) AS f_val,
-       |         arg_max(value, printf('%020d%012d', ts_us, event_id)) FILTER (WHERE age_min <= $T2Minutes) AS l_val,
+       |         arg_min(value, $ordKeySql) FILTER (WHERE age_min <= $T2Minutes) AS f_val,
+       |         arg_max(value, $ordKeySql) FILTER (WHERE age_min <= $T2Minutes) AS l_val,
        |         min(ts_us) FILTER (WHERE age_min <= $T2Minutes) AS f_us,
        |         max(ts_us) FILTER (WHERE age_min <= $T2Minutes) AS l_us,
        |         min(posted_us) AS posted_us

@@ -50,13 +50,11 @@ class SimilaritySpec extends SparkSpec {
     // recall@5 of the nprobe=2 search against the exhaustive baseline: the
     // synthetic labels only weakly cluster the space, so the honest claims
     // are (a) a floor and (b) centroid cells beat coordinate-sign LSH cells
+    // floor only: cross-algorithm ordering (IVF vs sign-LSH recall) is a
+    // data property, not a code invariant — measured 0.36 vs 0.11 at sf0.01,
+    // recorded in BASELINE.md rather than asserted here
     val recall = (bf intersect ivf).size.toDouble / bf.size
     assert(recall >= 0.2, s"IVF recall collapsed: $recall")
-    val lsh = Similarity.knnLsh(spark, dir)
-      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val lshRecall = (bf intersect lsh).size.toDouble / bf.size
-    assert(recall >= lshRecall,
-      s"IVF ($recall) should not trail sign-LSH ($lshRecall) on the same corpus")
     // every IVF neighbor must come from one of the probe's top-NProbe cells —
     // i.e. the candidate set is genuinely bounded, not a rescan of everything
     val labels = graft.ops.Tables.embeddings(spark, dir)

@@ -51,6 +51,15 @@ class PushesSpec extends SparkSpec {
     assert(r === ((7.0, 9.0))) // event_id 1 wins the ts tie; event 3 is last
   }
 
+  test("firstLastAgg orders correctly for pre-1970 (negative-micros) timestamps") {
+    // struct ordering key, not string-encoded: -120s must beat -60s as first
+    val df = Seq(ev(1, 1, "a", -60, 5.0), ev(2, 1, "a", -120, 7.0), ev(3, 1, "a", 60, 9.0))
+      .toDF(cols: _*)
+    val r = Pushes.firstLastAgg(Pushes.withPushAge(df))
+      .select("f_val", "l_val").as[(Double, Double)].head()
+    assert(r === ((7.0, 9.0)))
+  }
+
   test("firstLastAgg (hash aggregate) matches the window formulation on real data") {
     val aged = Pushes.withPushAge(graft.ops.Tables.events(spark, "/root/testdata/sf0.001"))
     val viaAgg = Pushes.firstLastAgg(aged)
