@@ -85,6 +85,39 @@ object Streams {
       .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
       .select(col("user_id"), col("event_type"), col("ts"))
 
+  /** Stream-static enrichment join: the streaming fact joins the static
+    * customer dim — planned as a broadcast hash join per micro-batch, the
+    * streaming twin of every batch dim join in this engine. No state store
+    * involved; the dim re-broadcasts only when its snapshot changes. */
+  def enrichWithCustomer(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(
+        customer.select(col("c_custkey"), col("c_mktsegment"))),
+      events("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        col("value"), col("c_mktsegment"))
+
+  /** Watermarked stream-stream self-join: each "click" event joins "view"
+    * events of the same user within [-30 min, 0]. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so the
+    * state store retains only the watermark horizon per side — the
+    * unbounded-state hazard of naive stream joins is designed out. */
+  def clickViewJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("value").as("v_value"))
+      .withWatermark("v_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_event_id"))
+      .withWatermark("c_ts", "1 hour")
+    clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("c_event_id"), col("c_user").as("user_id"),
+        unix_micros(col("c_ts")).as("c_ts_us"), unix_micros(col("v_ts")).as("v_ts_us"),
+        col("v_value"))
+  }
+
   /** Run a streaming DataFrame to completion against the bounded test input
     * (AvailableNow trigger + memory sink) and return the result as a batch
     * DataFrame — the harness for batch/stream parity tests. */

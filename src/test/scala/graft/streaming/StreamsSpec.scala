@@ -38,6 +38,39 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("stream-static enrichment join matches the batch broadcast join") {
+    val streamed = Streams.runToMemory(spark,
+      Streams.enrichWithCustomer(Streams.readEventsStream(spark, sfDir),
+        graft.ops.Tables.customer(spark, sfDir)), "t_enrich")
+      .select("event_id", "c_mktsegment")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = graft.ops.Tables.events(spark, sfDir)
+      .join(graft.ops.Tables.customer(spark, sfDir),
+        col("user_id") === col("c_custkey"))
+      .select("event_id", "c_mktsegment")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("watermarked stream-stream interval join matches the batch range join") {
+    val streamed = Streams.runToMemory(spark,
+      Streams.clickViewJoin(Streams.readEventsStream(spark, sfDir)), "t_ssjoin")
+      .select("c_event_id", "v_ts_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = graft.ops.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val batch = ev.filter(col("event_type") === "click").as("c")
+      .join(ev.filter(col("event_type") === "view").as("v"),
+        col("c.user_id") === col("v.user_id") &&
+          col("v.ts_us") <= col("c.ts_us") &&
+          col("v.ts_us") >= col("c.ts_us") - lit(30L * 60 * 1000000))
+      .select(col("c.event_id"), col("v.ts_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming exact dedup emits exactly the batch-distinct key set") {
     val streamed = Streams.runToMemory(spark,
       Streams.dedupKeysExact(Streams.readEventsStream(spark, sfDir)), "t_dedup_exact")
