@@ -231,8 +231,41 @@ object Text {
        |FROM fp0 ORDER BY doc_id""".stripMargin
   }
 
+  /** Corpus-level heavy hitters: top 100 word 2-grams by exact count
+    * (explode → map-side-combined count → global top-k). Deterministic
+    * ties: (count DESC, gram ASC) — binary string compare on both engines.
+    * At 100 TB the exact count shuffles |distinct grams| rows after partial
+    * aggregation; a count-min sketch slots into the same query shape when
+    * that's too much. */
+  val TopGrams = 100
+
+  def ngramFreq(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val grams = when(size(toks) >= lit(2),
+      transform(sequence(lit(0), size(toks) - lit(2)),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(spark, dir)
+      .select(explode(grams).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(TopGrams)
+  }
+
+  val ngramFreqSql: String =
+    s"""WITH toks AS (SELECT ${tokensSql("text")} AS t FROM documents),
+       |grams AS (
+       |  SELECT unnest(CASE WHEN len(t) >= 2
+       |                THEN list_transform(range(0, len(t) - 1), i -> array_to_string((t)[i+1:i+2], ' '))
+       |                ELSE [] END) AS gram
+       |  FROM toks)
+       |SELECT gram, count(*) AS n FROM grams
+       |GROUP BY gram ORDER BY n DESC, gram LIMIT $TopGrams""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t_text_stats", textStats _, textStatsSql),
+    Q("t_ngram_freq", ngramFreq _, ngramFreqSql),
     Q("t_lang_id", langId _, langIdSql),
     Q("t_token_count", tokenCount _, tokenCountSql),
     Q("t_fingerprint", fingerprint _, fingerprintSql),

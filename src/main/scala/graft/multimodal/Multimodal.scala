@@ -167,8 +167,23 @@ object Multimodal {
       .orderBy("media_type")
   }
 
+  /** Frame-sampling stats as a registered query (rows-only; CRC32 is not
+    * available in the oracle): media → chunked frames → keep every
+    * FrameStride-th → per-type counts. Exercises the streaming flatMap
+    * path end-to-end under the driver gate. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sampleFrames(fromDocuments(Tables.documents(spark, dir))).toDF()
+      .groupBy((col("doc_id") % lit(10)).as("doc_bucket"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("n_bytes")).as("total_bytes"),
+        countDistinct(col("checksum")).as("n_distinct_checksums"))
+      .orderBy("doc_bucket")
+  }
+
   val all: Seq[Q] = Seq(
     Q("mm_media_meta", mediaMeta _, mediaMetaSql),
     Q("mm_feature_pipeline", featurePipeline _, None),
+    Q("mm_frame_sample", frameSample _, None),
   )
 }
