@@ -37,6 +37,9 @@ object Tables {
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   /** documents/embeddings feed CPU-heavy per-row work (shingling, hashing,
     * dot products). The testdata parquet is a single row group — Spark

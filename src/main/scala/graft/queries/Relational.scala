@@ -245,7 +245,43 @@ object Relational {
        |       count(*) AS n
        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
+  // ----------------------------------------------------------- star join
+  /** Five-way star join over the full TPC-H-ish schema: lineitem fact ⋈
+    * part / supplier / nation / region dims, revenue by (region, part
+    * brand). Every dim broadcasts (they are orders of magnitude smaller
+    * than the fact), so the fact table streams through four broadcast hash
+    * joins with ZERO pre-aggregation shuffles — the one shuffle is the
+    * final groupBy. This is the plan shape that keeps a 100 TB fact scan
+    * join-bound rather than shuffle-bound; Catalyst + AQE pick the join
+    * order and the broadcast side from size estimates. */
+  def starJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "p_brand")
+      // exact integer cents×100 (price and discount carry ≤2+2 decimals):
+      // summation is then order-independent, unlike a raw double sum whose
+      // partial-aggregate ordering noise can cross the r6 boundary
+      .agg((sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(10000.0) + lit(0.5))
+          .cast("long")) / lit(10000.0)).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("r_name", "p_brand")
+
+  val starJoinSql: String =
+    s"""SELECT r_name, p_brand,
+       |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+       |       count(*) AS n_lineitems
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("r_star_join", starJoin _, starJoinSql),
     Q("r_asof_join", asofJoin _, asofJoinSql),
     Q("r_range_join", rangeJoin _, rangeJoinSql),
     Q("r_set_ops", setOps _, setOpsSql),

@@ -36,6 +36,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("star join broadcasts all four dims; the only shuffle is the final groupBy") {
+    val p = plan(Relational.starJoin(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 4, p.take(3000))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 1, s"fact side shuffled before aggregation ($shuffles):\n${p.take(3000)}")
+  }
+
   test("lag-rate pipeline has exactly one pre-window shuffle (by push key)") {
     val p = plan(Reference.a2LagRates(spark, dir))
     // exchanges: one hashpartitioning(push_id) for the window + the final
