@@ -21,13 +21,16 @@ object Dedup {
   // ------------------------------------------------------------ exact dedup
   /** Exact dedup via content-hash groupBy (hash-groupBy dedup): one shuffle
     * on the fingerprint, min(doc_id) as the canonical survivor. */
-  def exact(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  def exactOn(docs: DataFrame): DataFrame =
+    docs
       .withColumn("fp", md5(Text.normalized(col("text"))))
       .groupBy("fp")
       .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_docs"))
       .select("canonical_doc_id", "n_docs")
       .orderBy("canonical_doc_id")
+
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    exactOn(Tables.documents(spark, dir))
 
   val exactSql: String =
     """SELECT min(doc_id) AS canonical_doc_id, count(*) AS n_docs
@@ -74,9 +77,9 @@ object Dedup {
     * At 100 TB: explode(shingles) is the widest stage — it map-side combines
     * into min() partials before the one shuffle per signature, and band
     * buckets are salted by construction (md5 keys distribute uniformly). */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLshOn(docs: DataFrame): DataFrame = {
     val toks = Text.tokens(col("text"))
-    val exploded = Tables.documents(spark, dir)
+    val exploded = docs
       .select(col("doc_id"), explode(shingles3(toks)).as("s"))
       .withColumn("hh", baseHash(col("s")))
     val mhCols = (0 until NumHashes).map(i =>
@@ -101,6 +104,9 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), (agree / lit(16.0)).as("est_jaccard"))
       .orderBy("doc_a", "doc_b")
   }
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshOn(Tables.documents(spark, dir))
 
   val minhashLshSql: String = {
     val mhCols = (0 until NumHashes)
@@ -135,8 +141,8 @@ object Dedup {
     * (multiplicity counts), bit set where the vote is positive. */
   val SimBits = 32
 
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val exploded = Tables.documents(spark, dir)
+  def simhashOn(docs: DataFrame): DataFrame = {
+    val exploded = docs
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
     val voteCols = (0 until SimBits).map(b =>
@@ -147,6 +153,9 @@ object Dedup {
     votes.select(col("doc_id"), fp.as("simhash"))
       .orderBy("doc_id")
   }
+
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashOn(Tables.documents(spark, dir))
 
   val simhashSql: String = {
     val votes = (0 until SimBits)
@@ -169,8 +178,8 @@ object Dedup {
     * bit_count(xor). */
   val HammingMax = 3
 
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val fp = simhash(spark, dir).persist() // both sides of the band self-join
+  def simhashPairsOn(docs: DataFrame): DataFrame = {
+    val fp = simhashOn(docs).persist() // both sides of the band self-join
     val bands = fp.select(col("doc_id"), col("simhash"), explode(array((0 until 4).map { k =>
       struct(lit(k).as("band_idx"), shiftright(col("simhash"), k * 8).bitwiseAND(lit(255L)).as("band"))
     }: _*)).as("b")).select(col("doc_id"), col("simhash"), col("b.band_idx"), col("b.band"))
@@ -183,6 +192,9 @@ object Dedup {
       .filter(col("hamming") <= lit(HammingMax))
       .orderBy("doc_a", "doc_b")
   }
+
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsOn(Tables.documents(spark, dir))
 
   val simhashPairsSql: String = {
     val votes = (0 until SimBits)
@@ -224,18 +236,18 @@ object Dedup {
     * grams ("of the", ...) fan the join out quadratically per gram. At
     * 100 TB the blocking key coarsens (length bucket) and candidates come
     * from MinHash bands instead, same per-pair verify. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
+  def ngramJaccardOn(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val toks = Text.tokens(col("text"))
     // sorted + distinct: the contract sorted_intersect_count needs
     val grams = when(size(toks) >= lit(2),
       array_sort(array_distinct(transform(sequence(lit(0), size(toks) - lit(2)),
         i => baseHash(concat_ws(" ", slice(toks, i + lit(1), lit(2))))))))
       .otherwise(array().cast("array<long>"))
-    val docs = Tables.documents(spark, dir)
+    val blocked = docs
       .select(col("doc_id"), col("lang"), size(toks).cast("long").as("n_tok"), grams.as("grams"))
       .persist() // reused by both sides of the self-join
-    val pairs = docs.as("l").join(docs.as("r"),
+    val pairs = blocked.as("l").join(blocked.as("r"),
       col("l.lang") === col("r.lang") && col("l.n_tok") === col("r.n_tok")
         && col("l.doc_id") < col("r.doc_id"))
     pairs
@@ -248,6 +260,9 @@ object Dedup {
         r6(col("jaccard")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOn(Tables.documents(spark, dir))
 
   val ngramJaccardSql: String = {
     val grams2 =
@@ -276,8 +291,8 @@ object Dedup {
     * band and multiple bands, same plan shape. */
   val CosineMin = 0.25
 
-  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Similarity.withNorm(Tables.embeddings(spark, dir))
+  def embedNearDupOn(embeddings: DataFrame): DataFrame = {
+    val e = Similarity.withNorm(embeddings)
       .withColumn("bucket", Similarity.signBucket(col("embedding")))
     val pairs = e.as("l").join(e.as("r"),
       col("l.label") === col("r.label") && col("l.bucket") === col("r.bucket")
@@ -289,6 +304,9 @@ object Dedup {
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"), r6(col("cos")).as("cosine"))
       .orderBy("vec_a", "vec_b")
   }
+
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame =
+    embedNearDupOn(Tables.embeddings(spark, dir))
 
   val embedNearDupSql: String = {
     val bucket = Similarity.signBucketSql("embedding")

@@ -58,8 +58,8 @@ object Similarity {
     * The O(n·q) baseline every ANN variant is measured against. At scale the
     * probe side broadcasts and the corpus streams — one scan, no shuffle
     * until the tiny per-probe top-k. */
-  def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(spark, dir))
+  def knnBruteForceOn(embeddings: DataFrame): DataFrame = {
+    val e = withNorm(embeddings)
     val queries = e.filter(col("vec_id") % lit(QueryStride) === lit(0))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val scored = e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
@@ -71,6 +71,9 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), r6(col("cos")).as("cosine"))
       .orderBy("q_id", "rank")
   }
+
+  def knnBruteForce(spark: SparkSession, dir: String): DataFrame =
+    knnBruteForceOn(Tables.embeddings(spark, dir))
 
   val knnBruteForceSql: String =
     s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
@@ -103,8 +106,8 @@ object Similarity {
   /** LSH-bucketed ANN: probes only compare against corpus vectors in the
     * same sign bucket — the IVF plan shape (cells = buckets), recall bounded
     * by bucket collisions. Per-probe ranking and top-k as in brute force. */
-  def knnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(spark, dir))
+  def knnLshOn(embeddings: DataFrame): DataFrame = {
+    val e = withNorm(embeddings)
       .withColumn("bucket", signBucket(col("embedding")))
     val queries = e.filter(col("vec_id") % lit(QueryStride) === lit(0))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -119,6 +122,9 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), r6(col("cos")).as("cosine"))
       .orderBy("q_id", "rank")
   }
+
+  def knnLsh(spark: SparkSession, dir: String): DataFrame =
+    knnLshOn(Tables.embeddings(spark, dir))
 
   val knnLshSql: String =
     s"""WITH e AS (
@@ -159,13 +165,14 @@ object Similarity {
   val Dims = 64
 
   /** Per-label mean vector with count — shared by [[labelCentroids]] and
-    * [[knnIvf]] so the two can never drift. */
-  private def centroids(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    * [[knnIvf]] so the two can never drift. `dims` must match the vector
+    * width of the input frame. */
+  def centroidsOn(embeddings: DataFrame, dims: Int = Dims): DataFrame =
+    embeddings
       .withColumn("emb_d", transform(col("embedding"), x => x.cast("double")))
       .groupBy("label")
       .agg(count(lit(1)).as("n"),
-        array((0 until Dims).map(i => sum(element_at(col("emb_d"), i + 1))): _*).as("sums"))
+        array((0 until dims).map(i => sum(element_at(col("emb_d"), i + 1))): _*).as("sums"))
       .withColumn("centroid", transform(col("sums"), s => s / col("n")))
       .select("label", "n", "centroid")
 
@@ -176,9 +183,9 @@ object Similarity {
        |cent AS (SELECT label, n, list_transform(sums, s -> s / n) AS centroid FROM cent0)""".stripMargin
   }
 
-  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(spark, dir))
-    val centroid = centroids(spark, dir)
+  def knnIvfOn(embeddings: DataFrame, dims: Int = Dims): DataFrame = {
+    val e = withNorm(embeddings)
+    val centroid = centroidsOn(embeddings, dims)
       .withColumn("c_nrm", sqrt(dot(col("centroid"), col("centroid"))))
       .select(col("label").as("cell"), col("centroid"), col("c_nrm"))
     val queries = e.filter(col("vec_id") % lit(QueryStride) === lit(0))
@@ -201,6 +208,9 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), r6(col("cos")).as("cosine"))
       .orderBy("q_id", "rank")
   }
+
+  def knnIvf(spark: SparkSession, dir: String): DataFrame =
+    knnIvfOn(Tables.embeddings(spark, dir))
 
   val knnIvfSql: String =
     s"""WITH e AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
@@ -228,10 +238,10 @@ object Similarity {
   /** Per-label centroid stats: mean vector norm + cosine of each vector to
     * its label centroid — the IVF "assign to nearest centroid" building
     * block, expressed as array-aggregate + rejoin. */
-  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+  def labelCentroidsOn(embeddings: DataFrame, dims: Int = Dims): DataFrame = {
+    val e = embeddings
       .withColumn("emb_d", transform(col("embedding"), x => x.cast("double")))
-    val centroid = centroids(spark, dir)
+    val centroid = centroidsOn(embeddings, dims)
     e.join(broadcast(centroid), Seq("label"))
       .withColumn("cos_to_centroid",
         dot(col("emb_d"), col("centroid")) / (norm(col("emb_d")) * norm(col("centroid"))))
@@ -239,6 +249,9 @@ object Similarity {
         r6(col("cos_to_centroid")).as("cos_to_centroid"))
       .orderBy("vec_id")
   }
+
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    labelCentroidsOn(Tables.embeddings(spark, dir))
 
   val labelCentroidsSql: String =
     s"""WITH $centroidsSql,

@@ -30,11 +30,11 @@ object Text {
   /** Per-document quality metrics: token count, mean token length,
     * punctuation ratio, stopword ratio, and a composite quality score —
     * the length/punct/stopword heuristics of C4/Gopher-style filters. */
-  def textStats(spark: SparkSession, dir: String): DataFrame = {
+  def textStatsOn(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
     val stopHits = size(filter(toks, t => t.isInCollection(stopwords))).cast("long")
-    val base = Tables.documents(spark, dir)
+    val base = docs
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("len_chars", length(col("text")).cast("long"))
       .withColumn("sum_token_len", sumLen)
@@ -55,6 +55,9 @@ object Text {
         col("quality_score"))
       .orderBy("doc_id")
   }
+
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    textStatsOn(Tables.documents(spark, dir))
 
   private val stopList = stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
 
@@ -90,8 +93,8 @@ object Text {
     "es" -> "\\b(el|los|las|que|es)\\b",
   )
 
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val scored = markers.foldLeft(Tables.documents(spark, dir)) { case (df, (l, pat)) =>
+  def langIdOn(docs: DataFrame): DataFrame = {
+    val scored = markers.foldLeft(docs) { case (df, (l, pat)) =>
       df.withColumn(s"c_$l", regexp_count(lower(col("text")), lit(pat)).cast("long"))
     }
     scored
@@ -105,6 +108,9 @@ object Text {
       .select("doc_id", "lang", "c_en", "c_de", "c_fr", "c_es", "predicted_lang", "is_match")
       .orderBy("doc_id")
   }
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langIdOn(Tables.documents(spark, dir))
 
   val langIdSql: String = {
     val counts = markers.map { case (l, pat) =>
@@ -133,13 +139,16 @@ object Text {
     * cheap proxy for LLM token budgets. */
   private val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
-  def tokenCount(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  def tokenCountOn(docs: DataFrame): DataFrame =
+    docs
       .withColumn("n_ws_tokens", size(tokens(col("text"))).cast("long"))
       .withColumn("n_bpe_tokens", regexp_count(col("text"), lit(bpePattern)).cast("long"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .select("doc_id", "n_ws_tokens", "n_bpe_tokens", "n_chars")
       .orderBy("doc_id")
+
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    tokenCountOn(Tables.documents(spark, dir))
 
   val tokenCountSql: String =
     s"""SELECT doc_id,
@@ -155,15 +164,18 @@ object Text {
     * Spark's replace-all default. */
   def normalized(text: Column): Column = lower(regexp_replace(text, "\\s+", " "))
 
-  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+  def fingerprintOn(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("fp")
-    Tables.documents(spark, dir)
+    docs
       .withColumn("fp", md5(normalized(col("text"))))
       .withColumn("canonical_doc_id", min(col("doc_id")).over(w))
       .withColumn("is_canonical", when(col("doc_id") === col("canonical_doc_id"), lit(1L)).otherwise(lit(0L)))
       .select("doc_id", "fp", "canonical_doc_id", "is_canonical")
       .orderBy("doc_id")
   }
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    fingerprintOn(Tables.documents(spark, dir))
 
   val fingerprintSql: String =
     """WITH fps AS (
@@ -184,7 +196,7 @@ object Text {
   private val RollB = 1000003L // polynomial base, keeps 4-term sums < 2^63
   private val RollP = 2147483647L
 
-  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+  def winnowFingerprintsOn(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val th = transform(toks, t => graft.ext.Dedup.baseHash(t))
     // hash of window starting at i (0-based): ((h0*B + h1)%P *B + h2)%P ...
@@ -198,7 +210,7 @@ object Text {
       array_distinct(transform(sequence(lit(0), size(col("wh")) - lit(WinnowW)),
         i => array_min(slice(col("wh"), i + 1, lit(WinnowW))))))
       .otherwise(array_distinct(col("wh")))
-    Tables.documents(spark, dir)
+    docs
       .withColumn("wh", wh)
       .withColumn("fps", fps)
       .select(col("doc_id"),
@@ -207,6 +219,9 @@ object Text {
         coalesce(array_min(col("fps")), lit(-1L)).as("min_fp"))
       .orderBy("doc_id")
   }
+
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprintsOn(Tables.documents(spark, dir))
 
   val winnowFingerprintsSql: String = {
     val tokH = s"list_transform(${tokensSql("text")}, t -> ${graft.ext.Dedup.baseHashSql("t")})"
@@ -239,19 +254,22 @@ object Text {
     * that's too much. */
   val TopGrams = 100
 
-  def ngramFreq(spark: SparkSession, dir: String): DataFrame = {
+  def ngramFreqOn(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val grams = when(size(toks) >= lit(2),
       transform(sequence(lit(0), size(toks) - lit(2)),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(2)))))
       .otherwise(array().cast("array<string>"))
-    Tables.documents(spark, dir)
+    docs
       .select(explode(grams).as("gram"))
       .groupBy("gram")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram"))
       .limit(TopGrams)
   }
+
+  def ngramFreq(spark: SparkSession, dir: String): DataFrame =
+    ngramFreqOn(Tables.documents(spark, dir))
 
   val ngramFreqSql: String =
     s"""WITH toks AS (SELECT ${tokensSql("text")} AS t FROM documents),

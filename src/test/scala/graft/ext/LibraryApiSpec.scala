@@ -1,0 +1,56 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The library surface proper: every training-data operator runs on a
+  * caller-supplied DataFrame (the `*On` entry points) with no dependency on
+  * the testdata readers — what "a user of the reference could switch to
+  * this library" actually requires. */
+class LibraryApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat sat on the mat", "en", "web"),
+    (2L, "the cat sat on the mat", "en", "web"),     // exact dup of 1
+    (3L, "der hund und die katze", "de", "web"),
+    (4L, "one two three four five six seven", "en", "book"),
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("exact dedup finds the duplicate pair on a hand-built DataFrame") {
+    val out = Dedup.exactOn(docs).collect()
+    val dupGroup = out.find(_.getLong(1) == 2L)
+    assert(dupGroup.exists(_.getLong(0) == 1L), "canonical of the dup group is min doc_id")
+    assert(out.length === 3) // 3 distinct fingerprints
+  }
+
+  test("text stats + lang id + token count run on the same frame") {
+    assert(Text.textStatsOn(docs).count() === 4)
+    val langs = Text.langIdOn(docs).select("doc_id", "predicted_lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(1L) === "en" && langs(3L) === "de")
+    val toks = Text.tokenCountOn(docs).filter(col("doc_id") === 4L)
+      .select("n_ws_tokens").head().getLong(0)
+    assert(toks === 7L)
+  }
+
+  test("minhash LSH surfaces the exact-duplicate pair as a candidate with jaccard 1") {
+    val pairs = Dedup.minhashLshOn(docs).collect()
+    val dup = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(dup.isDefined, s"expected (1,2) candidate, got ${pairs.mkString(",")}")
+    assert(dup.get.getDouble(2) === 1.0)
+  }
+
+  test("knn and centroids run on a hand-built embeddings frame") {
+    val emb = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d => (((i % 3) + 1).toFloat * (d + 1))), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val knn = Similarity.knnBruteForceOn(emb)
+    assert(knn.count() > 0)
+    val cents = Similarity.labelCentroidsOn(emb, dims = 8)
+    assert(cents.count() === 60)
+    // all vectors within a label are parallel -> cosine to centroid is 1
+    val minCos = cents.agg(min("cos_to_centroid")).head().getDouble(0)
+    assert(math.abs(minCos - 1.0) < 1e-9, s"minCos=$minCos")
+  }
+}
