@@ -46,9 +46,16 @@ object Pushes {
   val pushKeySql: String = "CAST(user_id AS VARCHAR) || '_' || event_type"
 
   /** Adds push_id / ts_us / posted_us / age_min. Reference: surrogate key
-    * concat at analyse.py:67 (P4) + the implicit ad_age column. */
+    * concat at analyse.py:67 (P4) + the implicit ad_age column.
+    *
+    * The min-window carries the SAME (partition, order) spec as the lag
+    * window in [[withLagRates]] — min over an unbounded frame is
+    * order-independent, and the identical spec lets Catalyst's
+    * CollapseWindow run both in one WindowExec over one sort instead of
+    * two differently-sorted passes. */
   def withPushAge(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy("push_id")
+    val w = Window.partitionBy("push_id").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     events
       .withColumn("push_id", pushKey)
       .withColumn("ts_us", unix_micros(col("ts")))
