@@ -41,6 +41,25 @@ class LibraryApiSpec extends SparkSpec {
     assert(dup.get.getDouble(2) === 1.0)
   }
 
+  test("property: exact dedup is idempotent (canonical docs are their own canonicals)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val word = Gen.oneOf("the", "cat", "dog", "sat", "auf", "und", "", "  ")
+    val text = Gen.listOfN(6, word).map(_.mkString(" "))
+    val prop = Prop.forAll(Gen.listOfN(12, text)) { texts =>
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "gen") }
+        .toDF("doc_id", "text", "lang", "source")
+      val canon = Text.fingerprintOn(df).filter(col("is_canonical") === 1L)
+        .select("doc_id").as[Long].collect().toSet
+      val survivors = df.filter(col("doc_id").isInCollection(canon))
+      val again = Text.fingerprintOn(survivors).filter(col("is_canonical") === 1L)
+        .select("doc_id").as[Long].collect().toSet
+      again == canon // dedup of the deduped is the identity
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("knn and centroids run on a hand-built embeddings frame") {
     val emb = (0L until 60L).map { i =>
       (i, Array.tabulate(8)(d => (((i % 3) + 1).toFloat * (d + 1))), (i % 3).toInt)
