@@ -281,8 +281,38 @@ object Text {
        |SELECT gram, count(*) AS n FROM grams
        |GROUP BY gram ORDER BY n DESC, gram LIMIT $TopGrams""".stripMargin
 
+  /** C4/Gopher-style quality FILTER as an operator: keep documents passing
+    * the length / punctuation / stopword gates, emit the metrics that
+    * justified the decision. This is the shape a pretraining pipeline runs
+    * corpus-wide — a codegen'd filter over the per-doc stats, no shuffle at
+    * all until the output sort. */
+  val MinTokens = 5L
+  val MaxPunctRatio = 0.2
+  val MinQuality = 0.4
+
+  def qualityFilterOn(docs: DataFrame): DataFrame =
+    textStatsOn(docs)
+      .filter(col("n_tokens") >= lit(MinTokens) &&
+        (col("punct_ratio") < lit(MaxPunctRatio) || col("punct_ratio").isNull) &&
+        col("quality_score") >= lit(MinQuality))
+      .select("doc_id", "n_tokens", "punct_ratio", "quality_score")
+      .orderBy("doc_id")
+
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    qualityFilterOn(Tables.documents(spark, dir))
+
+  val qualityFilterSql: String =
+    s"""WITH stats AS ($textStatsSql)
+       |SELECT doc_id, n_tokens, punct_ratio, quality_score
+       |FROM stats
+       |WHERE n_tokens >= $MinTokens
+       |  AND (punct_ratio < $MaxPunctRatio OR punct_ratio IS NULL)
+       |  AND quality_score >= $MinQuality
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t_text_stats", textStats _, textStatsSql),
+    Q("t_quality_filter", qualityFilter _, qualityFilterSql),
     Q("t_ngram_freq", ngramFreq _, ngramFreqSql),
     Q("t_lang_id", langId _, langIdSql),
     Q("t_token_count", tokenCount _, tokenCountSql),

@@ -93,6 +93,35 @@ class StreamsSpec extends SparkSpec {
     assert(n < total, s"$n = $total: suppressed nothing")
   }
 
+  test("parquet sink with checkpoint persists the stream durably (production sink path)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val q = Streams.tumblingCounts(Streams.readEventsStream(spark, sfDir))
+      .select(unix_micros(col("win_start")).as("win_start_us"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sunk = spark.read.parquet(s"$base/out")
+    // append mode emits only watermark-closed windows on bounded input; all
+    // emitted rows must agree exactly with the batch twin
+    val batch = Micro.tumblingWindow(spark, sfDir)
+      .withColumnRenamed("sum_value", "b_sum")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val rows = sunk.select(col("win_start_us"), col("event_type"), col("n_events"),
+      graft.ops.Num.r6(col("sum_value")).as("sum_value")).collect()
+    assert(rows.nonEmpty, "append sink emitted nothing")
+    rows.foreach { r =>
+      val k = (r.getLong(0), r.getString(1))
+      assert(batch.contains(k), s"sunk window $k missing from batch")
+      assert(batch(k) === ((r.getLong(2), r.getDouble(3))), s"mismatch at $k")
+    }
+  }
+
   test("flatMapGroupsWithState sessionization matches the window-function batch twin") {
     val evs = graft.ops.Tables.events(spark, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
