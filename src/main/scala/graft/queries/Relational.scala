@@ -280,8 +280,55 @@ object Relational {
        |JOIN region ON n_regionkey = r_regionkey
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------- outer join
+  /** Full outer join: per-nation customer counts vs supplier counts, keeping
+    * nations that have only one side (coalesced to 0). Rounds out the join
+    * family (inner/semi/anti/asof/range/star are covered elsewhere). */
+  def outerJoin(spark: SparkSession, dir: String): DataFrame = {
+    val custPerNation = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("nationkey")).agg(count(lit(1)).as("n_customers"))
+    val suppPerNation = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey").as("nationkey")).agg(count(lit(1)).as("n_suppliers"))
+    custPerNation.join(suppPerNation, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy("nationkey")
+  }
+
+  val outerJoinSql: String =
+    """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+      |       coalesce(c.n_customers, 0) AS n_customers,
+      |       coalesce(s.n_suppliers, 0) AS n_suppliers
+      |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1) s
+      |USING (nationkey)
+      |ORDER BY nationkey""".stripMargin
+
+  // ------------------------------------------------------------- unpivot
+  /** Unpivot (melt): lineitem's three charge components to long form via
+    * `stack` — the inverse of r_pivot, the standard wide→long reshape. */
+  def unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("stack(3, 'price', l_extendedprice, 'discount', l_discount, 'tax', l_tax) AS (component, amount)"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("component"), r6(col("amount")).as("amount"))
+      .orderBy("l_orderkey", "l_linenumber", "component")
+
+  val unpivotSql: String =
+    s"""SELECT l_orderkey, l_linenumber, component, ${r6Sql("amount")} AS amount
+       |FROM (
+       |  SELECT l_orderkey, l_linenumber, 'price' AS component, l_extendedprice AS amount FROM lineitem
+       |  UNION ALL
+       |  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+       |  UNION ALL
+       |  SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem)
+       |ORDER BY l_orderkey, l_linenumber, component""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("r_star_join", starJoin _, starJoinSql),
+    Q("r_outer_join", outerJoin _, outerJoinSql),
+    Q("r_unpivot", unpivot _, unpivotSql),
     Q("r_asof_join", asofJoin _, asofJoinSql),
     Q("r_range_join", rangeJoin _, rangeJoinSql),
     Q("r_set_ops", setOps _, setOpsSql),
