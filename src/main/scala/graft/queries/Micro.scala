@@ -234,8 +234,27 @@ object Micro {
        |FROM events, (SELECT unnest([0, 1]) AS k)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Deterministic list aggregation: collect_list is order-nondeterministic
+    * in a distributed engine, so the engine convention is sort-then-join —
+    * the only safe way to emit a list-valued aggregate under a hash-compare
+    * gate (and the right habit at scale, where input order is never
+    * reproducible). */
+  def collectSorted(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(array_join(sort_array(collect_list(col("l_quantity").cast("long"))), ",").as("quantities"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_orderkey")
+
+  val collectSortedSql: String =
+    """SELECT l_orderkey,
+      |       array_to_string(list_sort(list(CAST(l_quantity AS BIGINT))), ',') AS quantities,
+      |       count(*) AS n_items
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("m_project_filter_sort", projectFilterSort _, projectFilterSortSql),
+    Q("m_collect_sorted", collectSorted _, collectSortedSql),
     Q("m_derived_cols", derivedCols _, derivedColsSql),
     Q("m_try_cast", tryCasts _, tryCastsSql),
     Q("m_when_contains", whenContains _, whenContainsSql),
