@@ -325,8 +325,69 @@ object Relational {
        |  SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem)
        |ORDER BY l_orderkey, l_linenumber, component""".stripMargin
 
+  // --------------------------------------------------- pricing summary (Q1)
+  /** TPC-H Q1-shaped pricing summary: the canonical scan→filter→wide-agg
+    * benchmark plan. Money sums in exact integer ten-thousandths (doubles
+    * would drift with summation order); averages divide the exact sums. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    def cents(c: org.apache.spark.sql.Column) = floor(c * lit(10000.0) + lit(0.5)).cast("long")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))) / lit(10000.0)).as("sum_base_price"),
+        (sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))) / lit(10000.0)).as("sum_disc_price"),
+        r6(avg(col("l_quantity"))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val pricingSummarySql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       |       CAST(sum(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_base_price,
+       |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_disc_price,
+       |       ${r6Sql("avg(l_quantity)")} AS avg_qty,
+       |       count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= '1998-09-02'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------- correlated subquery
+  /** Correlated EXISTS + scalar subquery, via SQL (the DataFrame API has no
+    * correlated-subquery surface): orders that contain a high-quantity
+    * lineitem, flagged against the customer's average order value. Catalyst
+    * decorrelates both into joins — RewriteCorrelatedScalarSubquery plans
+    * the scalar as an aggregate+join, the EXISTS as a left-semi. */
+  def existsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("v_lineitem")
+    spark.sql(
+      s"""SELECT o.o_orderkey, o.o_custkey,
+         |       CAST(CASE WHEN o.o_totalprice >
+         |         (SELECT avg(o2.o_totalprice) FROM v_orders o2 WHERE o2.o_custkey = o.o_custkey)
+         |         THEN 1 ELSE 0 END AS BIGINT) AS above_cust_avg
+         |FROM v_orders o
+         |WHERE EXISTS (SELECT 1 FROM v_lineitem l
+         |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+         |ORDER BY o.o_orderkey""".stripMargin)
+  }
+
+  val existsSubquerySql: String =
+    """SELECT o.o_orderkey, o.o_custkey,
+      |       CAST(CASE WHEN o.o_totalprice >
+      |         (SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |         THEN 1 ELSE 0 END AS BIGINT) AS above_cust_avg
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+      |ORDER BY o.o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("r_star_join", starJoin _, starJoinSql),
+    Q("r_pricing_summary", pricingSummary _, pricingSummarySql),
+    Q("r_exists_subquery", existsSubquery _, existsSubquerySql),
     Q("r_outer_join", outerJoin _, outerJoinSql),
     Q("r_unpivot", unpivot _, unpivotSql),
     Q("r_asof_join", asofJoin _, asofJoinSql),
