@@ -42,6 +42,7 @@ object Bench {
       // of queries' worth of leaked executor state slows the tail queries
       spark.catalog.clearCache()
       System.gc()
+      Thread.sleep(300) // let concurrent GC cycles finish outside the next query's timing
       name -> times.min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
