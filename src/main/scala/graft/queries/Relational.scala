@@ -325,6 +325,37 @@ object Relational {
        |  SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem)
        |ORDER BY l_orderkey, l_linenumber, component""".stripMargin
 
+  // ---------------------------------------------------------- range frame
+  /** RANGE-frame window: per customer, rolling sum of order value over the
+    * trailing 30 days of *order time* (value-based frame, not row count —
+    * rows land in the frame by day distance, so gaps and ties behave
+    * correctly). Exact-cents sum keeps the rolling total order-independent. */
+  def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("o_orderdate"), lit("1990-01-01")).cast("long")
+    val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+    val w = Window.partitionBy("o_custkey").orderBy(col("day"))
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("day", day)
+      .withColumn("cents", cents)
+      .withColumn("trailing_30d_spend", sum(col("cents")).over(w) / lit(100.0))
+      .select("o_custkey", "o_orderkey", "day", "trailing_30d_spend")
+      .orderBy("o_custkey", "day", "o_orderkey")
+  }
+
+  val rangeFrameSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey,
+      |         datediff('day', DATE '1990-01-01', o_orderdate) AS day,
+      |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey, CAST(day AS BIGINT) AS day,
+      |       CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY day
+      |                             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
+      |         AS trailing_30d_spend
+      |FROM o
+      |ORDER BY o_custkey, day, o_orderkey""".stripMargin
+
   // --------------------------------------------------- pricing summary (Q1)
   /** TPC-H Q1-shaped pricing summary: the canonical scan→filter→wide-agg
     * benchmark plan. Money sums in exact integer ten-thousandths (doubles
@@ -387,6 +418,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     Q("r_star_join", starJoin _, starJoinSql),
     Q("r_pricing_summary", pricingSummary _, pricingSummarySql),
+    Q("r_range_frame", rangeFrame _, rangeFrameSql),
     Q("r_exists_subquery", existsSubquery _, existsSubquerySql),
     Q("r_outer_join", outerJoin _, outerJoinSql),
     Q("r_unpivot", unpivot _, unpivotSql),
