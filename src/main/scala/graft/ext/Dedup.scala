@@ -84,26 +84,24 @@ object Dedup {
       .withColumn("hh", baseHash(col("s")))
     val mhCols = (0 until NumHashes).map(i =>
       min((lit(hashA(i)) * col("hh") + lit(hashB(i))) % lit(P)).as(s"mh_$i"))
-    val mh = exploded.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-      .withColumn("sig_arr", array((0 until NumHashes).map(i => col(s"mh_$i")): _*))
-    // bands carry the full signature, so the pair's estimated Jaccard is
-    // computed directly in the self-join — no persist, no signature
-    // rejoins, one shuffle to the band buckets. The signature is 16 longs
-    // (128 bytes) per band row, a fine trade for two fewer joins at scale.
-    val bands = mh.select(col("doc_id"), col("sig_arr"),
-      explode(array((0 until NumBands).map { j =>
-        struct(lit(j).as("band_idx"),
-          md5(concat_ws(",", (0 until RowsPerBand).map(k => col(s"mh_${j * RowsPerBand + k}")): _*)).as("sig"))
-      }: _*)).as("b")).select(col("doc_id"), col("sig_arr"), col("b.band_idx"), col("b.sig"))
-    val agree = aggregate(
-      zip_with(col("l.sig_arr"), col("r.sig_arr"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
-    bands.as("l").join(bands.as("r"),
+    // persisted: referenced 4x downstream (both band sides + both signature
+    // rejoins) — without it the explode+md5+16-min subplan runs 4 times
+    val mh = exploded.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*).persist()
+    val bands = mh.select(col("doc_id"), explode(array((0 until NumBands).map { j =>
+      struct(lit(j).as("band_idx"),
+        md5(concat_ws(",", (0 until RowsPerBand).map(k => col(s"mh_${j * RowsPerBand + k}")): _*)).as("sig"))
+    }: _*)).as("b")).select(col("doc_id"), col("b.band_idx"), col("b.sig"))
+    val cand = bands.as("l").join(bands.as("r"),
         col("l.band_idx") === col("r.band_idx") && col("l.sig") === col("r.sig")
           && col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        (agree / lit(16.0)).as("est_jaccard"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
+    val agree = (0 until NumHashes).map(i =>
+      when(col(s"x.mh_$i") === col(s"y.mh_$i"), lit(1)).otherwise(lit(0))).reduce(_ + _)
+    cand
+      .join(mh.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(mh.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"), (agree / lit(16.0)).as("est_jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -113,27 +111,29 @@ object Dedup {
   val minhashLshSql: String = {
     val mhCols = (0 until NumHashes)
       .map(i => s"min((${hashA(i)} * hh + ${hashB(i)}) % $P) AS mh_$i").mkString(",\n         ")
-    val sigArr = (0 until NumHashes).map(i => s"mh_$i").mkString("[", ", ", "]")
     val bandSelects = (0 until NumBands).map { j =>
       val cols = (0 until RowsPerBand).map(k => s"mh_${j * RowsPerBand + k}").mkString(", ")
-      s"SELECT doc_id, sig_arr, $j AS band_idx, md5(concat_ws(',', $cols)) AS sig FROM mh"
+      s"SELECT doc_id, $j AS band_idx, md5(concat_ws(',', $cols)) AS sig FROM mh"
     }.mkString("\n  UNION ALL\n  ")
-    val agree = s"list_sum(list_transform(range(1, ${NumHashes + 1}), " +
-      "i -> CASE WHEN l.sig_arr[i] = r.sig_arr[i] THEN 1 ELSE 0 END))"
+    val agree = (0 until NumHashes)
+      .map(i => s"(CASE WHEN x.mh_$i = y.mh_$i THEN 1 ELSE 0 END)").reduce((a, b) => s"($a + $b)")
     s"""WITH toks AS (SELECT doc_id, ${Text.tokensSql("text")} AS t FROM documents),
        |sh AS (SELECT doc_id, ${shingles3Sql("t")} AS shingles FROM toks),
        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
        |h AS (SELECT doc_id, ${baseHashSql("s")} AS hh FROM ex),
-       |mh0 AS (
+       |mh AS (
        |  SELECT doc_id,
        |         $mhCols
        |  FROM h GROUP BY doc_id),
-       |mh AS (SELECT *, $sigArr AS sig_arr FROM mh0),
        |bands AS (
-       |  $bandSelects)
-       |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, $agree / 16.0 AS est_jaccard
-       |FROM bands l JOIN bands r ON l.band_idx = r.band_idx AND l.sig = r.sig AND l.doc_id < r.doc_id
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r ON l.band_idx = r.band_idx AND l.sig = r.sig AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b, $agree / 16.0 AS est_jaccard
+       |FROM cand c JOIN mh x ON c.doc_a = x.doc_id JOIN mh y ON c.doc_b = y.doc_id
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin
   }
 
   // ----------------------------------------------------------------- SimHash
