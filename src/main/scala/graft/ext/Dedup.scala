@@ -69,7 +69,10 @@ object Dedup {
   val hashB: IndexedSeq[Long] = (1 to NumHashes).map(i => (69069L * i + 1L) % P)
 
   /** MinHash signatures + banded LSH candidate pairs with the estimated
-    * Jaccard (= fraction of agreeing minhashes). The classic
+    * Jaccard (= fraction of agreeing minhashes). NOTE: persists the
+    * signature table for the duration of the job (4 downstream consumers);
+    * batch callers invoking this repeatedly in one session should
+    * `spark.catalog.clearCache()` between invocations. The classic
     * shingle → minhash → band → bucket-join pipeline: band buckets are the
     * join key, so the self-join is linear-ish in corpus size; the 4×4
     * banding targets ~0.5 Jaccard at the usual S-curve threshold.

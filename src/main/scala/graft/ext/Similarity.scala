@@ -164,10 +164,19 @@ object Similarity {
   /** embeddings.parquet vectors are 64-dim (single source of truth). */
   val Dims = 64
 
+  /** Vector width of a frame's `embedding` column: pass-through when the
+    * caller supplies it, otherwise inferred with a one-row peek (a tiny
+    * action — acceptable at library-call granularity, and the only safe
+    * default: a wrong hardcoded width silently nulls every centroid). */
+  private def dimsOf(embeddings: DataFrame, dims: Int): Int =
+    if (dims > 0) dims
+    else embeddings.select(size(col("embedding"))).head().getInt(0)
+
   /** Per-label mean vector with count — shared by [[labelCentroids]] and
-    * [[knnIvf]] so the two can never drift. `dims` must match the vector
-    * width of the input frame. */
-  def centroidsOn(embeddings: DataFrame, dims: Int = Dims): DataFrame =
+    * [[knnIvf]] so the two can never drift. `dims` ≤ 0 → inferred from the
+    * data. */
+  def centroidsOn(embeddings: DataFrame, dims0: Int = -1): DataFrame = {
+    val dims = dimsOf(embeddings, dims0)
     embeddings
       .withColumn("emb_d", transform(col("embedding"), x => x.cast("double")))
       .groupBy("label")
@@ -175,15 +184,16 @@ object Similarity {
         array((0 until dims).map(i => sum(element_at(col("emb_d"), i + 1))): _*).as("sums"))
       .withColumn("centroid", transform(col("sums"), s => s / col("n")))
       .select("label", "n", "centroid")
+  }
 
-  /** Oracle twin of [[centroids]]; emits relation `cent` (label, n, centroid). */
+  /** Oracle twin of [[centroidsOn]]; emits relation `cent` (label, n, centroid). */
   private def centroidsSql: String = {
     val sums = (0 until Dims).map(i => s"sum(CAST(embedding[${i + 1}] AS DOUBLE))").mkString(", ")
     s"""cent0 AS (SELECT label, count(*) AS n, [$sums] AS sums FROM embeddings GROUP BY label),
        |cent AS (SELECT label, n, list_transform(sums, s -> s / n) AS centroid FROM cent0)""".stripMargin
   }
 
-  def knnIvfOn(embeddings: DataFrame, dims: Int = Dims): DataFrame = {
+  def knnIvfOn(embeddings: DataFrame, dims: Int = -1): DataFrame = {
     val e = withNorm(embeddings)
     val centroid = centroidsOn(embeddings, dims)
       .withColumn("c_nrm", sqrt(dot(col("centroid"), col("centroid"))))
@@ -238,7 +248,7 @@ object Similarity {
   /** Per-label centroid stats: mean vector norm + cosine of each vector to
     * its label centroid — the IVF "assign to nearest centroid" building
     * block, expressed as array-aggregate + rejoin. */
-  def labelCentroidsOn(embeddings: DataFrame, dims: Int = Dims): DataFrame = {
+  def labelCentroidsOn(embeddings: DataFrame, dims: Int = -1): DataFrame = {
     val e = embeddings
       .withColumn("emb_d", transform(col("embedding"), x => x.cast("double")))
     val centroid = centroidsOn(embeddings, dims)

@@ -40,9 +40,12 @@ object Text {
       .withColumn("sum_token_len", sumLen)
       .withColumn("n_punct", regexp_count(col("text"), lit(punctClass)).cast("long"))
       .withColumn("n_stop", stopHits)
-      .withColumn("avg_token_len", col("sum_token_len") / col("n_tokens"))
-      .withColumn("punct_ratio", col("n_punct") / col("len_chars"))
-      .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
+      // nullif guards: x / 0 must be NULL (the coerce-to-null convention and
+      // the DuckDB behavior) even on a stock session with ANSI mode ON —
+      // library callers' sessions don't get the harness's ansi=false
+      .withColumn("avg_token_len", col("sum_token_len") / nullif(col("n_tokens"), lit(0L)))
+      .withColumn("punct_ratio", col("n_punct") / nullif(col("len_chars"), lit(0L)))
+      .withColumn("stop_ratio", col("n_stop") / nullif(col("n_tokens"), lit(0L)))
     base
       .withColumn("quality_score", r6(
         (least(lit(1.0), col("n_tokens") / lit(100.0))

@@ -24,4 +24,14 @@ object Num {
 
   def r6Sql(e: String): String = s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
   def r9Sql(e: String): String = s"floor(($e) * 1000000000.0 + 0.5) / 1000000000.0"
+
+  /** Exact fixed-point integerization for money sums: floor(x·scale + 0.5)
+    * as BIGINT. Summing these is order-INDEPENDENT, unlike raw double sums
+    * whose partial-aggregate ordering noise can cross the r6 boundary —
+    * use for every monetary aggregate, expression-identical to [[centsSql]]. */
+  def cents(c: Column, scale: Double = 100.0): Column =
+    floor(c * lit(scale) + lit(0.5)).cast("long")
+
+  def centsSql(e: String, scale: Double = 100.0): String =
+    s"CAST(floor(($e) * $scale + 0.5) AS BIGINT)"
 }

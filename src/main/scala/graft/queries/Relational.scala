@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Q
-import graft.ops.{Dims, Tables}
+import graft.ops.{Dims, Num, Tables}
 import graft.ops.Num.{r6, r6Sql}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -264,14 +264,13 @@ object Relational {
       // exact integer cents×100 (price and discount carry ≤2+2 decimals):
       // summation is then order-independent, unlike a raw double sum whose
       // partial-aggregate ordering noise can cross the r6 boundary
-      .agg((sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(10000.0) + lit(0.5))
-          .cast("long")) / lit(10000.0)).as("revenue"),
+      .agg((sum(Num.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000.0)) / lit(10000.0)).as("revenue"),
         count(lit(1)).as("n_lineitems"))
       .orderBy("r_name", "p_brand")
 
   val starJoinSql: String =
     s"""SELECT r_name, p_brand,
-       |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+       |       CAST(sum(${Num.centsSql("l_extendedprice * (1.0 - l_discount)", 10000.0)}) AS BIGINT) / 10000.0 AS revenue,
        |       count(*) AS n_lineitems
        |FROM lineitem
        |JOIN part ON l_partkey = p_partkey
@@ -332,7 +331,7 @@ object Relational {
     * correctly). Exact-cents sum keeps the rolling total order-independent. */
   def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
     val day = datediff(col("o_orderdate"), lit("1990-01-01")).cast("long")
-    val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+    val cents = Num.cents(col("o_totalprice"))
     val w = Window.partitionBy("o_custkey").orderBy(col("day"))
       .rangeBetween(-30, Window.currentRow)
     Tables.orders(spark, dir)
@@ -344,10 +343,10 @@ object Relational {
   }
 
   val rangeFrameSql: String =
-    """WITH o AS (
+    s"""WITH o AS (
       |  SELECT o_custkey, o_orderkey,
       |         datediff('day', DATE '1990-01-01', o_orderdate) AS day,
-      |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      |         ${Num.centsSql("o_totalprice")} AS cents
       |  FROM orders)
       |SELECT o_custkey, o_orderkey, CAST(day AS BIGINT) AS day,
       |       CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY day
@@ -361,7 +360,7 @@ object Relational {
     * benchmark plan. Money sums in exact integer ten-thousandths (doubles
     * would drift with summation order); averages divide the exact sums. */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
-    def cents(c: org.apache.spark.sql.Column) = floor(c * lit(10000.0) + lit(0.5)).cast("long")
+    def cents(c: org.apache.spark.sql.Column) = Num.cents(c, 10000.0)
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy("l_returnflag", "l_linestatus")
@@ -377,8 +376,8 @@ object Relational {
   val pricingSummarySql: String =
     s"""SELECT l_returnflag, l_linestatus,
        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-       |       CAST(sum(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_base_price,
-       |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_disc_price,
+       |       CAST(sum(${Num.centsSql("l_extendedprice", 10000.0)}) AS BIGINT) / 10000.0 AS sum_base_price,
+       |       CAST(sum(${Num.centsSql("l_extendedprice * (1.0 - l_discount)", 10000.0)}) AS BIGINT) / 10000.0 AS sum_disc_price,
        |       ${r6Sql("avg(l_quantity)")} AS avg_qty,
        |       count(*) AS count_order
        |FROM lineitem
@@ -394,26 +393,26 @@ object Relational {
   def existsSubquery(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir).createOrReplaceTempView("v_orders")
     Tables.lineitem(spark, dir).createOrReplaceTempView("v_lineitem")
-    spark.sql(
-      s"""SELECT o.o_orderkey, o.o_custkey,
-         |       CAST(CASE WHEN o.o_totalprice >
-         |         (SELECT avg(o2.o_totalprice) FROM v_orders o2 WHERE o2.o_custkey = o.o_custkey)
-         |         THEN 1 ELSE 0 END AS BIGINT) AS above_cust_avg
-         |FROM v_orders o
-         |WHERE EXISTS (SELECT 1 FROM v_lineitem l
-         |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
-         |ORDER BY o.o_orderkey""".stripMargin)
+    spark.sql(existsSubquerySqlFor("v_orders", "v_lineitem"))
   }
 
-  val existsSubquerySql: String =
-    """SELECT o.o_orderkey, o.o_custkey,
-      |       CAST(CASE WHEN o.o_totalprice >
-      |         (SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
-      |         THEN 1 ELSE 0 END AS BIGINT) AS above_cust_avg
-      |FROM orders o
-      |WHERE EXISTS (SELECT 1 FROM lineitem l
-      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
-      |ORDER BY o.o_orderkey""".stripMargin
+  /** One SQL text for both engines — "price above customer average" compares
+    * cents·count > sum(cents) in exact integers, because a raw-double avg's
+    * partial-agg ordering noise could flip the strict compare at the
+    * boundary. */
+  private def existsSubquerySqlFor(orders: String, lineitem: String): String =
+    s"""SELECT o.o_orderkey, o.o_custkey,
+       |       CAST(CASE WHEN ${Num.centsSql("o.o_totalprice")} *
+       |           (SELECT count(*) FROM $orders o2 WHERE o2.o_custkey = o.o_custkey) >
+       |         (SELECT CAST(sum(${Num.centsSql("o2.o_totalprice")}) AS BIGINT)
+       |          FROM $orders o2 WHERE o2.o_custkey = o.o_custkey)
+       |         THEN 1 ELSE 0 END AS BIGINT) AS above_cust_avg
+       |FROM $orders o
+       |WHERE EXISTS (SELECT 1 FROM $lineitem l
+       |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+       |ORDER BY o.o_orderkey""".stripMargin
+
+  val existsSubquerySql: String = existsSubquerySqlFor("orders", "lineitem")
 
   val all: Seq[Q] = Seq(
     Q("r_star_join", starJoin _, starJoinSql),

@@ -66,7 +66,7 @@ class LibraryApiSpec extends SparkSpec {
     }.toDF("vec_id", "embedding", "label")
     val knn = Similarity.knnBruteForceOn(emb)
     assert(knn.count() > 0)
-    val cents = Similarity.labelCentroidsOn(emb, dims = 8)
+    val cents = Similarity.labelCentroidsOn(emb) // dims inferred from the 8-wide data
     assert(cents.count() === 60)
     // all vectors within a label are parallel -> cosine to centroid is 1
     val minCos = cents.agg(min("cos_to_centroid")).head().getDouble(0)
