@@ -35,6 +35,25 @@ class BinningSpec extends SparkSpec {
     assert(got === Seq("00:00", "01:01", "23:50"))
   }
 
+  test("property: every in-range value lands in exactly one right-closed bin (count preservation)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val width = 5.0
+    val max = 100.0
+    val prop = Prop.forAll(Gen.listOfN(50, Gen.choose(-20.0, 120.0))) { xs =>
+      val df = xs.toDF("x").select(Binning.cutRightClosed(col("x"), width, max).as("bin"))
+      val binned = df.filter(col("bin").isNotNull).count()
+      val inRange = xs.count(x => x >= 0.0 && x <= max)
+      // total-count preservation: binned row count == in-range input count,
+      // and every non-null bin is a legal center
+      val centers = df.filter(col("bin").isNotNull).distinct()
+        .collect().map(_.getDouble(0))
+      binned == inRange &&
+        centers.forall(c => (c - width / 2) % width == 0.0 && c > 0 && c < max)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("zeroFillDomain left-joins the full domain and fills missing with 0") {
     val counts = Seq((10L, 7L)).toDF("k", "n")
     val filled = Binning.zeroFillDomain(spark, 3, 10, "k", counts, Seq("n" -> lit(0L)))

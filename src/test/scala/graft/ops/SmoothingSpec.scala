@@ -26,6 +26,24 @@ class SmoothingSpec extends SparkSpec {
     assert(got === Seq(1.5, 11.0, 16.0))
   }
 
+  test("property: smoothed value is bounded by the window's min and max") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.expressions.Window
+    val prop = Prop.forAll(Gen.listOfN(12, Gen.choose(-100.0, 100.0))) { ys =>
+      val df = ys.zipWithIndex.map { case (y, i) => (i.toLong, y) }.toDF("k", "y")
+      val w = Window.orderBy("k")
+      val rows = df.select(col("k"), col("y"),
+          Smoothing.centeredMean(col("y"), w, 2).as("sm"))
+        .collect().map(r => (r.getLong(0).toInt, r.getDouble(1), r.getDouble(2)))
+      rows.forall { case (i, _, sm) =>
+        val window = ys.slice(math.max(0, i - 2), math.min(ys.length, i + 3))
+        sm >= window.min - 1e-9 && sm <= window.max + 1e-9
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("window-5 center value equals plain mean when fully inside") {
     val df = (1 to 9).map(i => (i.toLong, i.toDouble)).toDF("k", "v")
     val w = Window.orderBy("k")
