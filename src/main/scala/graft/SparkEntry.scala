@@ -17,9 +17,18 @@ object SparkEntry {
       multimodal.Multimodal.all
 
   /** Flagship query (Script C city-league analog); driver smoke-checks
-    * rows>0 on /root/testdata/sf0.001. */
-  def entry(spark: SparkSession): DataFrame =
+    * rows>0 on /root/testdata/sf0.001.
+    *
+    * SESSION CONTRACT (graft.ops.Tables scaladoc): the library expects
+    * `spark.sql.ansi.enabled=false` — reference `errors='coerce'` and the
+    * DuckDB oracle both NULL out x/0 / bad casts where ANSI throws. Verify,
+    * Bench and the test harness pin it on their builders; this entry point
+    * pins it too because the driver smoke-checks it with an arbitrary
+    * session. Readers themselves never mutate the caller's session. */
+  def entry(spark: SparkSession): DataFrame = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     q.Reference.c1CityLeague(spark, "/root/testdata/sf0.001")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -59,9 +59,18 @@ object MarktAnalyzer {
 
   /** compute_view_rate (analyse.py:61-76): per-push consecutive deltas over
     * ad_age order (ties broken by idCol), Δt>0, rate clipped at 0,
-    * interval midpoint. */
-  def computeViewRate(monitor: DataFrame, idCol: String = "id"): DataFrame = {
-    val w = Window.partitionBy("ad_push").orderBy(col("ad_age_in_minutes"), col(idCol))
+    * interval midpoint.
+    *
+    * The reference calls compute_view_rate once per (category, age_group)
+    * SUBSET (analyse.py:99-106), so when the un-dedup'd profiles join fans a
+    * push into several subsets, diffs run within each subset independently.
+    * `groupCols` reproduces that: the lag window partitions by ad_push PLUS
+    * the subset columns, so each subset sees its own consecutive-row deltas
+    * (one rate row per subset per age step, exactly as the pandas loop). */
+  def computeViewRate(monitor: DataFrame, idCol: String = "id",
+                      groupCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(("ad_push" +: groupCols).map(col): _*)
+      .orderBy(col("ad_age_in_minutes"), col(idCol))
     monitor
       .withColumn("ad_push", adPush)
       .withColumn("delta_views", col("views") - lag("views", 1).over(w))
@@ -120,7 +129,10 @@ object MarktAnalyzer {
       .filter(col("category").isin("sexbilder-sexvideos", "sexchat"))   // :58
       .select("ad_unique_id", "push_counter", "age_group", "category")
     val joined = monitor.join(broadcast(dim), Seq("ad_unique_id", "push_counter")) // :19-24
-    binAndSmooth(computeViewRate(joined, idCol), Seq("category", "age_group"))
+    // per-subset diffs (analyse.py:99-106): partition the lag window by the
+    // grouping columns too, so duplicate-profile fan-out stays per-subset
+    binAndSmooth(computeViewRate(joined, idCol, Seq("category", "age_group")),
+      Seq("category", "age_group"))
   }
 
   /** Keep-FIRST dedup of profiles by push key (analyse.py:194,237,408) —

@@ -72,7 +72,8 @@ object KmvSketch {
   def estimateSql(valExpr: String, from: String, groupCol: String): String =
     s"""WITH hs AS (
        |  SELECT DISTINCT $groupCol, ('0x' || substr(md5($valExpr), 1, 7))::BIGINT AS hv
-       |  FROM $from),
+       |  FROM $from
+       |  WHERE $valExpr IS NOT NULL),
        |rk AS (
        |  SELECT $groupCol, hv,
        |         row_number() OVER (PARTITION BY $groupCol ORDER BY hv) AS rn,

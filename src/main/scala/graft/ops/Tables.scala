@@ -9,16 +9,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * here Catalyst column pruning + parquet predicate pushdown do that
   * automatically from the lazy plan, so every reader is a full-table
   * declaration and the physical scan reads only what the query needs.
+  *
+  * SESSION CONTRACT — the library assumes `spark.sql.ansi.enabled=false`
+  * (SURVEY §7.4 hard-part 8): the reference's `errors='coerce'` pandas and
+  * the DuckDB oracle both return NULL for x/0, overflow, and bad casts,
+  * where Spark 4's default ANSI mode throws. Set it ON THE SESSION BUILDER
+  * (as `Verify`/`Bench`/`SparkSpec` do); readers deliberately do NOT mutate
+  * the caller's session — a reader that silently flips error semantics for
+  * every other query in the session is worse than a documented requirement.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // engine-wide coerce-to-null semantics (SURVEY §7.4 hard-part 8):
-    // Spark 4 defaults ANSI ON, where x/0 THROWS — the DuckDB oracle (and
-    // the reference's errors='coerce' pandas) return NULL. Pin it here so
-    // every query built on these readers behaves identically in any session.
-    spark.conf.set("spark.sql.ansi.enabled", "false")
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
-  }
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     * rejects. Read it as raw nanos (legacy nanosAsLong conf, set here so any

@@ -142,20 +142,47 @@ object Streams {
   val SessionGapUs: Long = 30L * 60 * 1000000 // 30-minute inactivity gap
 
   /** Gap-based sessionization with explicit state —
-    * `flatMapGroupsWithState` over per-user event streams. Emits a session
-    * when the inactivity gap is exceeded or the group's input is exhausted
-    * (timeout in a real stream). The batch twin (Micro.sessionize) computes
-    * identical sessions with window functions, giving the oracle cross-check
-    * for this non-SQL operator. */
-  def sessionize(events: Dataset[SessionEvent]): Dataset[SessionOut] = {
+    * `flatMapGroupsWithState` over per-user event streams.
+    *
+    * Streaming input: the open session SURVIVES micro-batch boundaries in
+    * the state store; a session is emitted when a later event exceeds the
+    * inactivity gap, or when the event-time watermark passes the session's
+    * last event + gap (EventTimeTimeout) — so input split across many
+    * micro-batches (files, Kafka polls) yields the same sessions as one
+    * batch, up to watermark-late data. Requires in-order-enough arrival:
+    * events later than `watermarkDelay` behind the max seen event time may
+    * land after their session closed (inherent to any streaming engine).
+    *
+    * Batch input: one call per group sees all rows; trailing sessions are
+    * emitted directly (timeouts never fire in batch execution).
+    *
+    * The batch twin (Sessions.sessionize) computes identical sessions with
+    * window functions, giving the oracle cross-check for this non-SQL
+    * operator. */
+  def sessionize(events: Dataset[SessionEvent],
+                 watermarkDelay: String = "1 hour"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events
+    val streaming = events.isStreaming
+    val src =
+      if (streaming)
+        events.withColumn("event_ts", timestamp_micros(col("ts_us")))
+          .withWatermark("event_ts", watermarkDelay)
+          .as[SessionEvent]
+      else events
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
+    src
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[SessionState, SessionOut](OutputMode.Append(), timeoutConf) {
+        case (uid, _, state: GroupState[SessionState]) if state.hasTimedOut =>
+          // watermark passed lastTs + gap: no in-horizon event can extend
+          // this session any more — flush and clear
+          val st = state.get
+          state.remove()
+          Iterator.single(SessionOut(uid, st.sessionStartUs, st.lastTsUs, st.n, st.sumValue))
         case (uid, rows, state: GroupState[SessionState]) =>
-          // rows within one group arrive unordered in batch mode: sort by ts
-          val sorted = rows.toSeq.sortBy(e => (e.ts_us))
+          // rows within one group call arrive unordered: sort by ts
+          val sorted = rows.toSeq.sortBy(_.ts_us)
           var st = state.getOption.orNull
           val out = Seq.newBuilder[SessionOut]
           for (e <- sorted) {
@@ -165,8 +192,20 @@ object Streams {
               st = SessionState(e.ts_us, e.ts_us, 1L, e.value)
             } else st = SessionState(st.sessionStartUs, e.ts_us, st.n + 1, st.sumValue + e.value)
           }
-          if (st != null) out += SessionOut(uid, st.sessionStartUs, st.lastTsUs, st.n, st.sumValue)
-          state.remove()
+          if (streaming) {
+            if (st != null) {
+              state.update(st)
+              // fire once the watermark passes the gap after the last event;
+              // clamp above the current watermark (setTimeoutTimestamp
+              // rejects timestamps at/behind it — possible when this batch's
+              // rows are already near the horizon)
+              val fireAtMs = st.lastTsUs / 1000 + SessionGapUs / 1000
+              state.setTimeoutTimestamp(math.max(fireAtMs, state.getCurrentWatermarkMs() + 1))
+            }
+          } else {
+            if (st != null) out += SessionOut(uid, st.sessionStartUs, st.lastTsUs, st.n, st.sumValue)
+            state.remove()
+          }
           out.result().iterator
       }
   }

@@ -75,6 +75,23 @@ class MarktAnalyzerSpec extends SparkSpec {
     assert(byBin(722.5)._1 === None && byBin(722.5)._2 === None)
   }
 
+  test("duplicate profile rows fan a push into per-subset diff sequences (analyse.py:99-106)") {
+    // Script A does NOT dedup profiles: a push scraped under two ages joins
+    // into BOTH (category, age_group) subsets, and the reference's per-subset
+    // compute_view_rate gives each subset its own consecutive-row deltas.
+    val profiles = Seq(("a", 1, "18", "sexchat"), ("a", 1, "26", "sexchat"))
+      .toDF("ad_unique_id", "push_counter", "age", "profile_url")
+    val monitor = monitorDf((1, "a", 1, 0.0, 0.0), (2, "a", 1, 10.0, 5.0))
+    val out = MarktAnalyzer.lifetimeRateCurves(monitor, profiles)
+      .filter(col("avg_rate").isNotNull)
+      .select("category", "age_group", "bin", "avg_rate")
+      .as[(String, String, Double, Double)].collect().toSet
+    // one 30 views/h delta at mid_age 5.0 → bin (0,5] center 2.5, in EACH subset
+    assert(out === Set(
+      ("sexchat", "18-19", 2.5, 30.0),
+      ("sexchat", "26+", 2.5, 30.0)))
+  }
+
   test("dedup after cleaning: a null-posting_time duplicate row cannot erase the push") {
     val profiles = Seq(
       ("a", 1, null.asInstanceOf[Timestamp]), // would win keep-first if dedup ran before dropna

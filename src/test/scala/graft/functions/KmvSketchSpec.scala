@@ -38,6 +38,15 @@ class KmvSketchSpec extends SparkSpec {
     assert(KmvSketch.agg.merge(br, bl).toSeq === single.toSeq)
   }
 
+  test("null inputs are skipped, matching the oracle SQL's IS NOT NULL filter") {
+    val vals: Seq[String] = Seq("a", null, "b", null, "c")
+    val buf = vals.foldLeft(KmvSketch.agg.zero)(KmvSketch.agg.reduce)
+    // estimateSql filters the hashed expression IS NOT NULL in its hs CTE:
+    // a null row must neither count toward n_distinct_hash nor shift the
+    // exact-count branch
+    assert(KmvSketch.agg.finish(buf) === 3.0)
+  }
+
   test("duplicates do not move the estimate") {
     val once = (1 to 200).map(i => s"u$i")
     val thrice = once ++ once ++ once

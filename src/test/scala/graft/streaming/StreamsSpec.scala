@@ -122,6 +122,68 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming sessionize keeps open sessions across micro-batches and flushes via event-time timeout") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_sessions_stream").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    val ev = graft.ops.Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+    // choose the first slice boundary INSIDE a known multi-event session
+    // (one that also closes well before end-of-stream, so the event-time
+    // timeout must flush it) — that session then MUST be stitched across
+    // micro-batches by the state store
+    val batchPre = Sessions.sessionize(spark, sfDir)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val maxTsPre = batchPre.map(_._3).max
+    val target = batchPre
+      .filter(s => s._4 >= 2 && s._3 > s._2 && s._3 + Streams.SessionGapUs + 1000000 < maxTsPre)
+      .maxBy(_._4)
+    val cuts = Array((target._2 + target._3) / 2, (target._3 + maxTsPre) / 2)
+    // three time-slice files = three micro-batches (maxFilesPerTrigger=1),
+    // in event-time order so the watermark advances monotonically
+    val slices = Seq(
+      col("ts_us") <= cuts(0),
+      col("ts_us") > cuts(0) && col("ts_us") <= cuts(1),
+      col("ts_us") > cuts(1))
+    slices.zipWithIndex.foreach { case (pred, i) =>
+      val tmp = s"$base/tmp$i"
+      ev.filter(pred).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$base/in/slice$i.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(20) // distinct mtimes → deterministic file-source order
+    }
+    val stream = spark.readStream
+      .schema("user_id LONG, ts_us LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+      .as[Streams.SessionEvent]
+    // delay 0: watermark = max seen event time, so by end-of-stream every
+    // session whose gap elapsed before the last event has timed out
+    val streamed = Streams.runToMemory(spark,
+      Streams.sessionize(stream, "0 seconds").toDF(), "t_sessionize_mb")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batchAll = Sessions.sessionize(spark, sfDir)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val batch = batchAll.toSet
+    // every emitted session must be a real batch session — in particular,
+    // sessions spanning a micro-batch boundary must NOT have split
+    assert(streamed.subsetOf(batch),
+      s"streaming emitted ${(streamed -- batch).take(5)} not present in batch sessions")
+    assert(streamed.contains(target),
+      s"session $target spans the first micro-batch boundary at ${cuts(0)} " +
+        "and should have been stitched + flushed, but was not emitted intact")
+    // flush completeness: all sessions that closed >=1s before the final
+    // watermark must have been emitted by the event-time timeout
+    val maxTsUs = batchAll.map(_._3).max
+    val mustEmit = batch.filter(s => s._3 + Streams.SessionGapUs + 1000000 < maxTsUs)
+    assert(mustEmit.subsetOf(streamed),
+      s"timeout failed to flush ${(mustEmit -- streamed).take(5)}")
+  }
+
   test("flatMapGroupsWithState sessionization matches the window-function batch twin") {
     val evs = graft.ops.Tables.events(spark, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
