@@ -13,7 +13,7 @@ import graft.{queries => q}
 object SparkEntry {
   private val registry: Seq[Q] =
     q.Micro.all ++ q.Reference.all ++ q.Sessions.all ++ q.Relational.all ++ q.Sketches.all ++
-      ext.Text.all ++ ext.Dedup.all ++ ext.Similarity.all ++
+      ext.Text.all ++ ext.Corpus.all ++ ext.Dedup.all ++ ext.Similarity.all ++
       multimodal.Multimodal.all
 
   /** Flagship query (Script C city-league analog); driver smoke-checks

@@ -1,0 +1,122 @@
+package graft.ext
+
+import graft.Q
+import graft.ops.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus assembly operators — the steps between "filtered documents" and
+  * "training batches" in a large-scale pipeline: weighted source mixing
+  * (epoch-stable up/down-sampling per source) and sequence packing
+  * (concatenate-and-chunk manifest). Beyond the reference surface;
+  * north-star family like graft.ext.Text.
+  *
+  * Both are built on the engine-wide portable hash
+  * ([[graft.ext.Dedup.baseHash]]), so sampling decisions are DETERMINISTIC
+  * functions of the data: re-running the pipeline (or running it on
+  * different cluster sizes / partitionings) emits the identical mix —
+  * the property that makes a 100 TB mixing job resumable and auditable.
+  * Everything is map-side arithmetic (no UDFs, no shuffles except the
+  * final presentation sort / the packing window), so the plans scale
+  * linearly with corpus size.
+  */
+object Corpus {
+  // ------------------------------------------------------------ source mixing
+  /** Mixing weight in QUARTER units (1..7 → 0.25×..1.75×), derived from the
+    * source name via the portable hash — integer end-to-end so both engines
+    * make bit-identical keep/duplicate decisions (no float thresholds). */
+  private def rateQ(src: org.apache.spark.sql.Column) =
+    lit(1L) + pmod(Dedup.baseHash(src), lit(7L))
+  private def rateQSql(src: String) = s"(1 + ${Dedup.baseHashSql(src)} % 7)"
+
+  /** Weighted corpus mix: every document is emitted `floor(rate)` times,
+    * plus one more copy with probability `rate - floor(rate)` decided by
+    * the document's own hash — deterministic Bernoulli, quarter-resolution
+    * rates. rate > 1 oversamples (duplicate copies with distinct copy_idx,
+    * as an epoch-weighted training mix does), rate < 1 downsamples.
+    *
+    * At 100 TB: one narrow projection + per-row arithmetic + an explode
+    * bounded by ceil(rate) ≤ 2 — no shuffle at all until a downstream
+    * consumer repartitions; the mix decision never looks at another row. */
+  def mixOn(docs: DataFrame): DataFrame = {
+    val rq = rateQ(col("source"))
+    val docHash = Dedup.baseHash(concat(lit("mix:"), col("doc_id").cast("string")))
+    docs
+      .withColumn("rate_q", rq)
+      .withColumn("n_copies",
+        (col("rate_q") / lit(4)).cast("long") +
+          when(pmod(docHash, lit(4L)) < pmod(col("rate_q"), lit(4L)), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("lang"), col("rate_q"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+  }
+
+  def mix(spark: SparkSession, dir: String): DataFrame =
+    mixOn(Tables.documents(spark, dir))
+
+  val mixSql: String = {
+    val docHash = Dedup.baseHashSql("('mix:' || CAST(doc_id AS VARCHAR))")
+    s"""WITH rated AS (
+       |  SELECT doc_id, source, lang, ${rateQSql("source")} AS rate_q,
+       |         (${rateQSql("source")} // 4)
+       |           + (CASE WHEN $docHash % 4 < ${rateQSql("source")} % 4 THEN 1 ELSE 0 END) AS n_copies
+       |  FROM documents)
+       |SELECT doc_id, source, lang, rate_q, unnest(range(1, n_copies + 1)) AS copy_idx
+       |FROM rated WHERE n_copies > 0
+       |ORDER BY doc_id, copy_idx""".stripMargin
+  }
+
+  // ---------------------------------------------------------- sequence packing
+  /** Context length of the packing target, in tokens. */
+  val ContextTokens = 1024L
+
+  /** Concatenate-and-chunk packing manifest: documents are concatenated per
+    * lang in doc_id order into one token stream, which is sliced into
+    * fixed-`ContextTokens` chunks; each document is attributed to the chunk
+    * its first token lands in. Output: one row per (lang, chunk) with the
+    * documents starting there — the work assignment a packing/tokenizing
+    * job shards by.
+    *
+    * At 100 TB: one shuffle by lang for the running-sum window (in
+    * production the stream key is (shard, lang) so no partition exceeds a
+    * task), then a hash agg that reuses the same partitioning. The running
+    * sum is the only sequential dependency — exactly the prefix-sum shape
+    * Spark's window operator distributes. */
+  def seqPackOn(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tok", size(Text.tokens(col("text"))).cast("long"))
+      .withColumn("cum_tok", sum("n_tok").over(w))
+      .withColumn("chunk_id", ((col("cum_tok") - col("n_tok")) / lit(ContextTokens)).cast("long"))
+      .groupBy("lang", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens_started"),
+        min("doc_id").as("first_doc_id"), max("doc_id").as("last_doc_id"))
+      .orderBy("lang", "chunk_id")
+  }
+
+  def seqPack(spark: SparkSession, dir: String): DataFrame =
+    seqPackOn(Tables.documents(spark, dir))
+
+  val seqPackSql: String =
+    s"""WITH toks AS (
+       |  SELECT lang, doc_id, CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |cum AS (
+       |  SELECT lang, doc_id, n_tok,
+       |         CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+       |  FROM toks)
+       |SELECT lang, (cum_tok - n_tok) // $ContextTokens AS chunk_id,
+       |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens_started,
+       |       min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
+       |FROM cum
+       |GROUP BY 1, 2
+       |ORDER BY lang, chunk_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("t_corpus_mix", mix _, mixSql),
+    Q("t_seq_pack", seqPack _, seqPackSql),
+  )
+}

@@ -144,7 +144,11 @@ object Dedup {
     * (multiplicity counts), bit set where the vote is positive. */
   val SimBits = 32
 
-  def simhashOn(docs: DataFrame): DataFrame = {
+  /** Unordered fingerprints — the shared subplan. The registry query
+    * (simhashOn) adds the presentation sort; simhashPairsOn must NOT
+    * inherit it, or the persisted pair input carries a useless full
+    * range-shuffle+sort before the band join re-shuffles anyway. */
+  def simhashFps(docs: DataFrame): DataFrame = {
     val exploded = docs
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
@@ -154,8 +158,10 @@ object Dedup {
     val fp = (0 until SimBits).map(b =>
       when(col(s"w_$b") > lit(0), lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
     votes.select(col("doc_id"), fp.as("simhash"))
-      .orderBy("doc_id")
   }
+
+  def simhashOn(docs: DataFrame): DataFrame =
+    simhashFps(docs).orderBy("doc_id")
 
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashOn(Tables.documents(spark, dir))
@@ -182,7 +188,7 @@ object Dedup {
   val HammingMax = 3
 
   def simhashPairsOn(docs: DataFrame): DataFrame = {
-    val fp = simhashOn(docs).persist() // both sides of the band self-join
+    val fp = simhashFps(docs).persist() // both sides of the band self-join; unsorted
     val bands = fp.select(col("doc_id"), col("simhash"), explode(array((0 until 4).map { k =>
       struct(lit(k).as("band_idx"), shiftright(col("simhash"), k * 8).bitwiseAND(lit(255L)).as("band"))
     }: _*)).as("b")).select(col("doc_id"), col("simhash"), col("b.band_idx"), col("b.band"))

@@ -245,6 +245,139 @@ object Similarity {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
 
+  // --------------------------------------------------- k-means-trained IVF
+  /** Lloyd-iteration k-means coarse quantizer — the LEARNED version of the
+    * per-label cells in [[knnIvfOn]]. Seeds are the first `KmeansK` vectors
+    * on a deterministic vec_id stride; each unrolled iteration assigns every
+    * vector to its nearest centroid by cosine and recomputes centroids as
+    * per-cell means. Two iterations are enough to pull the cells onto the
+    * data's actual clusters (recall measured in SimilaritySpec).
+    *
+    * Cross-engine determinism: iteration-1 cosines are exact (seed vectors
+    * are raw data), later centroids are order-dependent double sums — every
+    * ASSIGNMENT key is therefore the r6-rounded cosine with cent_id
+    * tiebreak, the same convention [[knnIvfOn]] uses for cell ranking.
+    *
+    * At 100 TB this is the standard distributed Lloyd step: centroids are a
+    * broadcast k×d table, assignment is one map-side pass over the corpus,
+    * the update is one map-side-combinable aggregation per iteration. Empty
+    * cells simply drop out of the groupBy (k shrinks), as in FAISS-style
+    * training on skewed data. */
+  val KmeansK = 8
+  val KmeansIters = 2
+  private val SeedStride = 61
+
+  def kmeansCentroidsOn(embeddings: DataFrame, dims0: Int = -1): DataFrame = {
+    val dims = dimsOf(embeddings, dims0)
+    val e = withNorm(embeddings)
+    var cent = e.filter(col("vec_id") % lit(SeedStride) === lit(0))
+      .orderBy("vec_id").limit(KmeansK)
+      .withColumn("cent_id", row_number().over(Window.orderBy("vec_id")).cast("long"))
+      .withColumn("centroid", transform(col("embedding"), x => x.cast("double")))
+      .select(col("cent_id"), col("centroid"), col("nrm").cast("double").as("c_nrm"))
+    for (_ <- 1 to KmeansIters) {
+      val wa = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+      val assigned = e.crossJoin(broadcast(cent))
+        .withColumn("ccos", r6(dot(col("embedding"), col("centroid")) / (col("nrm") * col("c_nrm"))))
+        .withColumn("rn", row_number().over(wa))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cent_id"), col("embedding"))
+      cent = assigned
+        .groupBy("cent_id")
+        .agg(count(lit(1)).as("n"),
+          array((0 until dims).map(i => sum(element_at(col("embedding"), i + 1).cast("double"))): _*).as("sums"))
+        .withColumn("centroid", transform(col("sums"), s => s / col("n")))
+        .withColumn("c_nrm", sqrt(dot(col("centroid"), col("centroid"))))
+        .select("cent_id", "centroid", "c_nrm")
+    }
+    cent
+  }
+
+  /** IVF ANN over the k-means cells: corpus vectors are assigned to their
+    * nearest learned centroid, probes rank cells by centroid cosine and
+    * search the top `NProbe` — [[knnIvfOn]] with the label cells replaced by
+    * the trained quantizer. Same plan shape at scale: broadcast centroids,
+    * one corpus pass for assignment, cell-bounded candidate sets. */
+  def knnIvfKmeansOn(embeddings: DataFrame, dims: Int = -1): DataFrame = {
+    val e = withNorm(embeddings)
+    val cent = kmeansCentroidsOn(embeddings, dims).persist() // 3 consumers: assign, probe rank
+    val wa = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    val cells = e.crossJoin(broadcast(cent))
+      .withColumn("ccos", r6(dot(col("embedding"), col("centroid")) / (col("nrm") * col("c_nrm"))))
+      .withColumn("rn", row_number().over(wa))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+    val queries = e.filter(col("vec_id") % lit(QueryStride) === lit(0))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val wc = Window.partitionBy("q_id").orderBy(col("ccos_r").desc, col("cell"))
+    val probes = queries.crossJoin(broadcast(cent.select(col("cent_id").as("cell"), col("centroid"), col("c_nrm"))))
+      .withColumn("ccos_r", r6(dot(col("q_emb"), col("centroid")) / (col("q_nrm") * col("c_nrm"))))
+      .withColumn("cell_rank", row_number().over(wc))
+      .filter(col("cell_rank") <= lit(NProbe))
+      .select("q_id", "q_emb", "q_nrm", "cell")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    cells.join(broadcast(probes), Seq("cell")).filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", fastDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w).cast("long")) // DuckDB ranks are BIGINT
+      .filter(col("rank") <= lit(TopK))
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), r6(col("cos")).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  def knnIvfKmeans(spark: SparkSession, dir: String): DataFrame =
+    knnIvfKmeansOn(Tables.embeddings(spark, dir))
+
+  val knnIvfKmeansSql: String = {
+    val sums = (0 until Dims).map(i => s"sum(CAST(embedding[${i + 1}] AS DOUBLE))").mkString(", ")
+    // one Lloyd iteration: assign to nearest centroid of `prev`, emit `next`
+    def iter(prev: String, next: String): String =
+      s"""${next}_a AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${r6Sql(s"${dotSql("e.embedding", "c.centroid")} / (e.nrm * c.c_nrm)")} DESC, c.cent_id) AS rn
+         |  FROM e CROSS JOIN $prev c),
+         |${next}_s AS (
+         |  SELECT a.cent_id, count(*) AS n, [$sums] AS sums
+         |  FROM e JOIN ${next}_a a ON e.vec_id = a.vec_id AND a.rn = 1
+         |  GROUP BY a.cent_id),
+         |$next AS (
+         |  SELECT cent_id, list_transform(sums, s -> s / n) AS centroid,
+         |         sqrt(${dotSql("list_transform(sums, s -> s / n)", "list_transform(sums, s -> s / n)")}) AS c_nrm
+         |  FROM ${next}_s)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |seeds AS (SELECT vec_id, embedding, nrm FROM e WHERE vec_id % $SeedStride = 0 ORDER BY vec_id LIMIT $KmeansK),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS cent_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid,
+       |         CAST(nrm AS DOUBLE) AS c_nrm
+       |  FROM seeds),
+       |${iter("c0", "c1")},
+       |${iter("c1", "c2")},
+       |cells_a AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${r6Sql(s"${dotSql("e.embedding", "c.centroid")} / (e.nrm * c.c_nrm)")} DESC, c.cent_id) AS rn
+       |  FROM e CROSS JOIN c2 c),
+       |cells AS (
+       |  SELECT e.vec_id, e.embedding, e.nrm, a.cent_id AS cell
+       |  FROM e JOIN cells_a a ON e.vec_id = a.vec_id AND a.rn = 1),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id % $QueryStride = 0),
+       |pc AS (
+       |  SELECT q.q_id, q.q_emb, q.q_nrm, c.cent_id AS cell,
+       |         row_number() OVER (PARTITION BY q.q_id ORDER BY ${r6Sql(s"${dotSql("q.q_emb", "c.centroid")} / (q.q_nrm * c.c_nrm)")} DESC, c.cent_id) AS cell_rank
+       |  FROM q CROSS JOIN c2 c),
+       |probes AS (SELECT q_id, q_emb, q_nrm, cell FROM pc WHERE cell_rank <= $NProbe),
+       |scored AS (
+       |  SELECT p.q_id, s.vec_id,
+       |         ${dotSql("p.q_emb", "s.embedding")} / (p.q_nrm * s.nrm) AS cos
+       |  FROM cells s JOIN probes p ON s.cell = p.cell AND s.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, vec_id AS neighbor_id, ${r6Sql("cos")} AS cosine
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Per-label centroid stats: mean vector norm + cosine of each vector to
     * its label centroid — the IVF "assign to nearest centroid" building
     * block, expressed as array-aggregate + rejoin. */
@@ -277,6 +410,7 @@ object Similarity {
     Q("s_knn_bruteforce", knnBruteForce _, knnBruteForceSql),
     Q("s_knn_lsh", knnLsh _, knnLshSql),
     Q("s_knn_ivf", knnIvf _, knnIvfSql),
+    Q("s_knn_ivf_kmeans", knnIvfKmeans _, knnIvfKmeansSql),
     Q("s_label_centroids", labelCentroids _, labelCentroidsSql),
   )
 }

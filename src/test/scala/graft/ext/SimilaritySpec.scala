@@ -63,6 +63,22 @@ class SimilaritySpec extends SparkSpec {
     assert(cellsPerQ.forall(_ <= 2), "neighbors drawn from more distinct cells than nprobe=2")
   }
 
+  test("k-means quantizer: trained cells partition the corpus and keep recall vs brute force") {
+    val dir = "/root/testdata/sf0.001"
+    val cent = Similarity.kmeansCentroidsOn(graft.ops.Tables.embeddings(spark, dir))
+    val k = cent.count()
+    assert(k >= 2 && k <= Similarity.KmeansK, s"quantizer produced $k cells")
+    val bf = Similarity.knnBruteForce(spark, dir)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val km = Similarity.knnIvfKmeans(spark, dir)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(km.nonEmpty)
+    // floor only, as with label-IVF above: the trained-vs-label recall
+    // ordering is a data property, measured and recorded in BASELINE.md
+    val recall = (bf intersect km).size.toDouble / bf.size
+    assert(recall >= 0.2, s"k-means IVF recall collapsed: $recall")
+  }
+
   test("cosine of identical vectors is 1") {
     val df = Seq((Array(0.5f, -0.25f, 8.0f), Array(0.5f, -0.25f, 8.0f))).toDF("a", "b")
     val cos = df.select(
