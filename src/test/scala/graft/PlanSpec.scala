@@ -56,4 +56,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(2000))
     assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // the hot-key scenario every 100 TB join eventually hits: one key owns
+    // most of the rows, so one shuffle partition dwarfs the rest. With AQE
+    // skew handling the straggler partition is split into parallel chunks;
+    // this pins the config knobs that make Spark actually do it.
+    import org.apache.spark.sql.functions._
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = spark.range(0, 100000)
+        .select(when(col("id") < 95000, 0L).otherwise(col("id")).as("k"),
+          lpad(col("id").cast("string"), 64, "x").as("payload"))
+      val right = spark.range(0, 64).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = left.join(right, "k")
+      j.collect() // run THIS DataFrame's execution (count() would finalize a different one)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"AQE did not mark the skewed join:\n${p.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -122,6 +122,31 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("RocksDB state store backs stateful streaming (production state backend)") {
+    // at real scale the default in-memory HDFS-backed store OOMs on large
+    // key spaces; RocksDB is the production backend. Same query, same
+    // results — only the state backend changes.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val streamed = Streams.runToMemory(spark,
+        Streams.tumblingCounts(Streams.readEventsStream(spark, sfDir)), "t_rocksdb",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+        .select(unix_micros(col("win_start")).as("win_start_us"), col("event_type"),
+          col("n_events"), graft.ops.Num.r6(col("sum_value")).as("sum_value"))
+        .orderBy("win_start_us", "event_type")
+        .collect()
+      val batch = Micro.tumblingWindow(spark, sfDir).collect()
+      assert(streamed.length === batch.length)
+      assert(streamed.toSeq === batch.toSeq)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming sessionize keeps open sessions across micro-batches and flushes via event-time timeout") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = Files.createTempDirectory("graft_sessions_stream").toString
