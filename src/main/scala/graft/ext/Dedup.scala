@@ -60,13 +60,17 @@ object Dedup {
 
   // ---------------------------------------------------------- MinHash + LSH
   /** Universal-hash family (a_i * h + b_i) mod P over the 28-bit base hash;
-    * constants generated once and spliced identically into the oracle SQL. */
+    * the formula generates any number of hash functions, so the signature
+    * width is a free knob — constants spliced identically into the oracle
+    * SQL for the registry's default configuration. */
   val P = 2147483647L // 2^31 - 1
   val NumHashes = 16
   val NumBands = 4
   val RowsPerBand = NumHashes / NumBands
-  val hashA: IndexedSeq[Long] = (1 to NumHashes).map(i => math.max(1L, (1103515245L * i + 12345L) % P))
-  val hashB: IndexedSeq[Long] = (1 to NumHashes).map(i => (69069L * i + 1L) % P)
+  def hashAOf(i: Int): Long = math.max(1L, (1103515245L * (i + 1) + 12345L) % P)
+  def hashBOf(i: Int): Long = (69069L * (i + 1) + 1L) % P
+  val hashA: IndexedSeq[Long] = (0 until NumHashes).map(hashAOf)
+  val hashB: IndexedSeq[Long] = (0 until NumHashes).map(hashBOf)
 
   /** MinHash signatures + banded LSH candidate pairs with the estimated
     * Jaccard (= fraction of agreeing minhashes). NOTE: persists the
@@ -80,31 +84,39 @@ object Dedup {
     * At 100 TB: explode(shingles) is the widest stage — it map-side combines
     * into min() partials before the one shuffle per signature, and band
     * buckets are salted by construction (md5 keys distribute uniformly). */
-  def minhashLshOn(docs: DataFrame): DataFrame = {
+  /** `numHashes`/`numBands` are free knobs (numBands must divide numHashes):
+    * more bands of fewer rows → more candidates (higher recall, lower
+    * precision) — the S-curve tuning every production LSH job does. Banding
+    * is aligned (band j = rows [j*r, (j+1)*r)), so halving the band width
+    * strictly grows the candidate set (DedupSpec property). */
+  def minhashLshOn(docs: DataFrame,
+                   numHashes: Int = NumHashes, numBands: Int = NumBands): DataFrame = {
+    require(numHashes % numBands == 0, s"numBands=$numBands must divide numHashes=$numHashes")
+    val rowsPerBand = numHashes / numBands
     val toks = Text.tokens(col("text"))
     val exploded = docs
       .select(col("doc_id"), explode(shingles3(toks)).as("s"))
       .withColumn("hh", baseHash(col("s")))
-    val mhCols = (0 until NumHashes).map(i =>
-      min((lit(hashA(i)) * col("hh") + lit(hashB(i))) % lit(P)).as(s"mh_$i"))
+    val mhCols = (0 until numHashes).map(i =>
+      min((lit(hashAOf(i)) * col("hh") + lit(hashBOf(i))) % lit(P)).as(s"mh_$i"))
     // persisted: referenced 4x downstream (both band sides + both signature
-    // rejoins) — without it the explode+md5+16-min subplan runs 4 times
+    // rejoins) — without it the explode+md5+n-min subplan runs 4 times
     val mh = exploded.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*).persist()
-    val bands = mh.select(col("doc_id"), explode(array((0 until NumBands).map { j =>
+    val bands = mh.select(col("doc_id"), explode(array((0 until numBands).map { j =>
       struct(lit(j).as("band_idx"),
-        md5(concat_ws(",", (0 until RowsPerBand).map(k => col(s"mh_${j * RowsPerBand + k}")): _*)).as("sig"))
+        md5(concat_ws(",", (0 until rowsPerBand).map(k => col(s"mh_${j * rowsPerBand + k}")): _*)).as("sig"))
     }: _*)).as("b")).select(col("doc_id"), col("b.band_idx"), col("b.sig"))
     val cand = bands.as("l").join(bands.as("r"),
         col("l.band_idx") === col("r.band_idx") && col("l.sig") === col("r.sig")
           && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
-    val agree = (0 until NumHashes).map(i =>
+    val agree = (0 until numHashes).map(i =>
       when(col(s"x.mh_$i") === col(s"y.mh_$i"), lit(1)).otherwise(lit(0))).reduce(_ + _)
     cand
       .join(mh.as("x"), col("doc_a") === col("x.doc_id"))
       .join(mh.as("y"), col("doc_b") === col("y.doc_id"))
-      .select(col("doc_a"), col("doc_b"), (agree / lit(16.0)).as("est_jaccard"))
+      .select(col("doc_a"), col("doc_b"), (agree / lit(numHashes.toDouble)).as("est_jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 

@@ -39,6 +39,23 @@ class DedupSpec extends SparkSpec {
     assert(mism.count() === 0)
   }
 
+  test("LSH banding knob: narrower aligned bands strictly widen the candidate set") {
+    // band j of the 8-band config is half of band j/2 of the 4-band config:
+    // a 4-row band signature can only match when both aligned 2-row halves
+    // match, so candidates(4 bands of 4) ⊆ candidates(8 bands of 2) — the
+    // recall direction of the LSH S-curve a production job tunes with
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    def pairs(bands: Int) =
+      Dedup.minhashLshOn(docs, numHashes = 16, numBands = bands)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val coarse = pairs(4)
+    val fine = pairs(8)
+    spark.catalog.clearCache() // the knobbed variants persist() internally
+    assert(coarse.subsetOf(fine),
+      s"pairs lost when bands narrowed: ${(coarse -- fine).take(5)}")
+    assert(fine.size > coarse.size, "narrower bands added no candidates (degenerate corpus)")
+  }
+
   test("minhash universal-hash constants stay positive under the prime") {
     assert(Dedup.hashA.forall(a => a > 0 && a < Dedup.P))
     assert(Dedup.hashB.forall(b => b >= 0 && b < Dedup.P))
