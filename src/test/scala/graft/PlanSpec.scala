@@ -57,6 +57,30 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // 100 TB shape: fact ⋈ selectively-filtered dim without broadcast. Spark
+    // injects a bloom filter built from the dim keys into the fact scan, so
+    // most fact rows die before the shuffle instead of after it.
+    import org.apache.spark.sql.functions._
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // shuffle join, the at-scale case
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = graft.ops.Tables.lineitem(spark, dir)
+      val ord = graft.ops.Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n${opt.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     // the hot-key scenario every 100 TB join eventually hits: one key owns
     // most of the rows, so one shuffle partition dwarfs the rest. With AQE
