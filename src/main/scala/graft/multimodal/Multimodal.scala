@@ -87,8 +87,14 @@ object Multimodal {
 
   /** Frame sampling: chunk the payload into ChunkBytes frames, keep every
     * FrameStride-th — flatMap keeps it streaming (one output row per kept
-    * frame, never the whole frame list in memory). */
+    * frame, never the whole frame list in memory). The frame checksum is
+    * the engine-portable 28-bit md5 of the frame's HEX form (byte slicing
+    * isn't expressible over DuckDB blobs, hex slicing is plain VARCHAR
+    * arithmetic on both engines), which is what makes [[frameSample]]
+    * oracle-checkable rather than rows-only. */
   case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
+
+  private val HexDigits = "0123456789ABCDEF".toCharArray
 
   def sampleFrames(media: Dataset[MediaRecord]): Dataset[Frame] = {
     import media.sparkSession.implicits._
@@ -98,9 +104,15 @@ object Multimodal {
       (0 until nChunks).iterator.filter(_ % FrameStride == 0).map { i =>
         val lo = i * ChunkBytes
         val hi = math.min(n, lo + ChunkBytes)
-        var crc = new java.util.zip.CRC32()
-        crc.update(m.payload, lo, hi - lo)
-        Frame(m.doc_id, i, hi - lo, crc.getValue)
+        val hex = new Array[Char]((hi - lo) * 2)
+        var j = lo
+        while (j < hi) {
+          val b = m.payload(j) & 0xff
+          hex((j - lo) * 2) = HexDigits(b >> 4)
+          hex((j - lo) * 2 + 1) = HexDigits(b & 0xf)
+          j += 1
+        }
+        Frame(m.doc_id, i, hi - lo, graft.functions.KmvSketch.hash28(new String(hex)))
       }
     }
   }
@@ -167,23 +179,45 @@ object Multimodal {
       .orderBy("media_type")
   }
 
-  /** Frame-sampling stats as a registered query (rows-only; CRC32 is not
-    * available in the oracle): media → chunked frames → keep every
-    * FrameStride-th → per-type counts. Exercises the streaming flatMap
-    * path end-to-end under the driver gate. */
+  /** Frame-sampling stats as a registered ORACLED query: media → chunked
+    * frames → keep every FrameStride-th → per-bucket counts. Exercises the
+    * streaming flatMap path end-to-end under the driver gate, and the
+    * portable hex-slice checksum lets DuckDB reproduce every frame hash. */
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     sampleFrames(fromDocuments(Tables.documents(spark, dir))).toDF()
       .groupBy((col("doc_id") % lit(10)).as("doc_bucket"))
       .agg(count(lit(1)).as("n_frames"),
-        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("n_bytes")).cast("long").as("total_bytes"),
         countDistinct(col("checksum")).as("n_distinct_checksums"))
       .orderBy("doc_bucket")
+  }
+
+  /** Hex-slice frame twin: hex(payload) is 2 chars per byte, so frame i is
+    * substr(hx, i*2*ChunkBytes + 1, 2*ChunkBytes) — plain VARCHAR ops. */
+  val frameSampleSql: String = {
+    val hc = 2 * ChunkBytes
+    s"""WITH m AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+       |ch AS (SELECT doc_id, hx, CAST(ceil(length(hx) / $hc.0) AS BIGINT) AS n_chunks FROM m),
+       |ix AS (
+       |  SELECT doc_id, hx, unnest(generate_series(0, n_chunks - 1)) AS i
+       |  FROM ch),
+       |fr AS (
+       |  SELECT doc_id,
+       |         CAST(length(substr(hx, CAST(i * $hc + 1 AS BIGINT), $hc)) / 2 AS BIGINT) AS n_bytes,
+       |         ('0x' || substr(md5(substr(hx, CAST(i * $hc + 1 AS BIGINT), $hc)), 1, 7))::BIGINT AS checksum
+       |  FROM ix
+       |  WHERE i % $FrameStride = 0)
+       |SELECT doc_id % 10 AS doc_bucket, count(*) AS n_frames,
+       |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       |       count(DISTINCT checksum) AS n_distinct_checksums
+       |FROM fr
+       |GROUP BY 1 ORDER BY doc_bucket""".stripMargin
   }
 
   val all: Seq[Q] = Seq(
     Q("mm_media_meta", mediaMeta _, mediaMetaSql),
     Q("mm_feature_pipeline", featurePipeline _, None),
-    Q("mm_frame_sample", frameSample _, None),
+    Q("mm_frame_sample", frameSample _, frameSampleSql),
   )
 }

@@ -43,7 +43,7 @@ class MultimodalSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media).collect().sortBy(_.frame_idx)
     assert(frames.map(_.frame_idx).toSeq === Seq(0, 4, 8))
     assert(frames.map(_.n_bytes).toSeq === Seq(Multimodal.ChunkBytes, Multimodal.ChunkBytes, Multimodal.ChunkBytes))
-    assert(frames.map(_.checksum).distinct.length === 1) // identical bytes → same crc
+    assert(frames.map(_.checksum).distinct.length === 1) // identical bytes → same hash
   }
 
   test("resize mean-pools features to the target dim") {
