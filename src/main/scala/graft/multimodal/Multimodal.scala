@@ -164,9 +164,12 @@ object Multimodal {
        |       hex(encode(substring(text, 1, 8))) AS header_hex
        |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Feature pipeline as a registered (rows-only, no SQL oracle) query:
-    * media → stub decode → resize → per-type feature stats. Deterministic,
-    * so the driver's rows/schema check is stable. */
+  /** Feature pipeline as a registered ORACLED query: media → stub decode →
+    * resize → per-type feature stats. The stub's arithmetic is integer byte
+    * sums + two float roundings, both emulable in the oracle: bytes read as
+    * hex slices, float ops as double ops rounded through REAL (a float add
+    * of two floats is exact in double then rounds identically; the one
+    * float division double-rounds with negligible corner probability). */
   def featurePipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val feats = resize(decodeFeatures(fromDocuments(Tables.documents(spark, dir))), 4)
@@ -193,6 +196,47 @@ object Multimodal {
       .orderBy("doc_bucket")
   }
 
+  /** Oracle twin of [[featurePipeline]]. Mirrors StubCodec.decode +
+    * resize(4) exactly: window = max(1, n/8) bytes, feature_i = mean of
+    * window i's unsigned bytes as REAL, resize pairs (f_2i + f_2i+1)/2 as
+    * REAL, feat_sum = left-fold double sum of the 4 resized components. */
+  val featurePipelineSql: String = {
+    val mediaType =
+      "['image', 'audio', 'video'][(('0x' || substr(md5(source), 1, 4))::BIGINT % 3 + 1)::INT]"
+    // byte j (0-based) of the payload, read from the hex form
+    def byteAt(j: String) = s"('0x' || substr(hx, CAST($j * 2 + 1 AS BIGINT), 2))::BIGINT"
+    // sum + count of the unsigned bytes in feature window i (i = 0..7)
+    val winSum = s"coalesce(list_sum(list_transform(generate_series(CAST(i * w AS BIGINT), CAST(least(n, (i + 1) * w) - 1 AS BIGINT)), j -> ${byteAt("j")})), 0)"
+    val winCnt = "greatest(least(n, (i + 1) * w) - i * w, 0)"
+    s"""WITH m AS (
+       |  SELECT doc_id, $mediaType AS media_type,
+       |         hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, media_type, n, hx,
+       |         CASE WHEN media_type = 'video' THEN 1 + n // $ChunkBytes ELSE 1 END AS n_frames,
+       |         greatest(1, n // 8) AS w
+       |  FROM m),
+       |feat AS (
+       |  SELECT doc_id, media_type, n_frames,
+       |         list_transform(generate_series(0, 7), i ->
+       |           CASE WHEN n = 0 OR $winCnt = 0 THEN CAST(0 AS REAL)
+       |                ELSE CAST(CAST($winSum AS REAL) / CAST($winCnt AS REAL) AS REAL) END) AS f
+       |  FROM d),
+       |rs AS (
+       |  SELECT doc_id, media_type, n_frames,
+       |         list_transform(generate_series(0, 3), i ->
+       |           CAST(CAST((CAST(f[2 * i + 1] AS DOUBLE) + CAST(f[2 * i + 2] AS DOUBLE)) AS REAL) / 2 AS REAL)) AS o
+       |  FROM feat),
+       |per AS (
+       |  SELECT doc_id, media_type, n_frames,
+       |         CAST(o[1] AS DOUBLE) + CAST(o[2] AS DOUBLE) + CAST(o[3] AS DOUBLE) + CAST(o[4] AS DOUBLE) AS feat_sum
+       |  FROM rs)
+       |SELECT media_type, count(*) AS n_docs, CAST(sum(n_frames) AS BIGINT) AS total_frames,
+       |       ${r6Sql("avg(feat_sum)")} AS avg_feat_sum
+       |FROM per GROUP BY media_type ORDER BY media_type""".stripMargin
+  }
+
   /** Hex-slice frame twin: hex(payload) is 2 chars per byte, so frame i is
     * substr(hx, i*2*ChunkBytes + 1, 2*ChunkBytes) — plain VARCHAR ops. */
   val frameSampleSql: String = {
@@ -217,7 +261,7 @@ object Multimodal {
 
   val all: Seq[Q] = Seq(
     Q("mm_media_meta", mediaMeta _, mediaMetaSql),
-    Q("mm_feature_pipeline", featurePipeline _, None),
+    Q("mm_feature_pipeline", featurePipeline _, featurePipelineSql),
     Q("mm_frame_sample", frameSample _, frameSampleSql),
   )
 }
