@@ -72,4 +72,32 @@ class LibraryApiSpec extends SparkSpec {
     val minCos = cents.agg(min("cos_to_centroid")).head().getDouble(0)
     assert(math.abs(minCos - 1.0) < 1e-9, s"minCos=$minCos")
   }
+
+  test("k-means quantizer trains on a hand-built embeddings frame (dims inferred)") {
+    // three parallel-vector clusters -> at most 3 surviving cells, and every
+    // vector's nearest trained centroid is its own cluster direction
+    val emb = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d => (((i % 3) + 1).toFloat * (d + 1) * (if (d % 2 == 0) 1 else i % 3 + 1))), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val cent = Similarity.kmeansCentroidsOn(emb)
+    val k = cent.count()
+    assert(k >= 1 && k <= Similarity.KmeansK)
+    val knn = Similarity.knnIvfKmeansOn(emb)
+    assert(knn.count() > 0)
+  }
+
+  test("corpus mixing and packing run on a hand-built documents frame") {
+    val mixed = Corpus.mixOn(docs).collect()
+    // deterministic: same input -> same mix, copies contiguous per doc
+    assert(mixed.nonEmpty)
+    assert(Corpus.mixOn(docs).collect().toSeq === mixed.toSeq)
+    // copy_idx within each doc is 1..n with no gaps
+    mixed.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(4)).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    val packed = Corpus.seqPackOn(docs).collect()
+    // every doc starts in chunk 0 here (tiny corpus, one chunk per lang)
+    assert(packed.nonEmpty)
+    assert(packed.forall(_.getLong(1) === 0L))
+  }
 }
