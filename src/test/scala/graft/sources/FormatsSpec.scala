@@ -76,6 +76,37 @@ class FormatsSpec extends SparkSpec {
     assert(joined.count() === lineitem.count()) // every lineitem has its order
   }
 
+  test("range-clustered layout skips most data on a selective scan; unclustered cannot") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_clustered").toString
+    val ev = graft.ops.Tables.events(spark, src)
+      .select(unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value"))
+    val Array(lo, hi) = ev.stat.approxQuantile("ts_us", Array(0.50, 0.52), 0.0).map(_.toLong)
+    Formats.writeClustered(ev, s"$base/clustered", Seq("ts_us"), 8)
+    // control: identical rows, hash-scrambled order — every file/page spans
+    // the full ts range, so min/max stats can never exclude anything
+    Formats.writeParquet(ev.orderBy(md5(col("event_id").cast("string"))).coalesce(2), s"$base/scrambled")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false") // plain plan → scan metrics reachable
+      def scanned(path: String): (Long, Long) = {
+        val df = spark.read.parquet(path).filter(col("ts_us") >= lo && col("ts_us") < hi)
+        val n = df.collect().length.toLong
+        val scan = df.queryExecution.executedPlan
+          .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.head
+        (n, scan.metrics("numOutputRows").value)
+      }
+      val (nC, readC) = scanned(s"$base/clustered")
+      val (nS, readS) = scanned(s"$base/scrambled")
+      assert(nC === nS, "layouts disagree on query results")
+      assert(nC > 0, "empty test window")
+      // the layout is the only difference: clustered min/max stats confine
+      // the read to the matching slice, scrambled stats cover everything
+      assert(readS >= readC * 4,
+        s"clustering skipped nothing: clustered read $readC rows, scrambled $readS")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("malformed csv cells coerce to null, not error") {
     val dir = s"$tmp/bad_csv"
     Files.createDirectories(java.nio.file.Paths.get(dir))
