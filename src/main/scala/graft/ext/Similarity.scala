@@ -193,7 +193,10 @@ object Similarity {
        |cent AS (SELECT label, n, list_transform(sums, s -> s / n) AS centroid FROM cent0)""".stripMargin
   }
 
-  def knnIvfOn(embeddings: DataFrame, dims: Int = -1): DataFrame = {
+  /** `nProbe` is the recall/cost knob: candidates per probe are bounded by
+    * nProbe/ncells of the corpus; nProbe ≥ ncells degenerates to exact
+    * brute force (SimilaritySpec asserts that equality). */
+  def knnIvfOn(embeddings: DataFrame, dims: Int = -1, nProbe: Int = NProbe): DataFrame = {
     val e = withNorm(embeddings)
     val centroid = centroidsOn(embeddings, dims)
       .withColumn("c_nrm", sqrt(dot(col("centroid"), col("centroid"))))
@@ -208,7 +211,7 @@ object Similarity {
       // ties then break identically by cell id
       .withColumn("ccos_r", r6(dot(col("q_emb"), col("centroid")) / (col("q_nrm") * col("c_nrm"))))
       .withColumn("cell_rank", row_number().over(wc))
-      .filter(col("cell_rank") <= lit(NProbe))
+      .filter(col("cell_rank") <= lit(nProbe))
       .select("q_id", "q_emb", "q_nrm", "cell")
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     e.join(broadcast(probes), col("label") === col("cell") && col("vec_id") =!= col("q_id"))
@@ -267,15 +270,16 @@ object Similarity {
   val KmeansIters = 2
   private val SeedStride = 61
 
-  def kmeansCentroidsOn(embeddings: DataFrame, dims0: Int = -1): DataFrame = {
+  def kmeansCentroidsOn(embeddings: DataFrame, dims0: Int = -1,
+                        k: Int = KmeansK, iters: Int = KmeansIters): DataFrame = {
     val dims = dimsOf(embeddings, dims0)
     val e = withNorm(embeddings)
     var cent = e.filter(col("vec_id") % lit(SeedStride) === lit(0))
-      .orderBy("vec_id").limit(KmeansK)
+      .orderBy("vec_id").limit(k)
       .withColumn("cent_id", row_number().over(Window.orderBy("vec_id")).cast("long"))
       .withColumn("centroid", transform(col("embedding"), x => x.cast("double")))
       .select(col("cent_id"), col("centroid"), col("nrm").cast("double").as("c_nrm"))
-    for (_ <- 1 to KmeansIters) {
+    for (_ <- 1 to iters) {
       val wa = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
       val assigned = e.crossJoin(broadcast(cent))
         .withColumn("ccos", r6(dot(col("embedding"), col("centroid")) / (col("nrm") * col("c_nrm"))))
@@ -298,7 +302,8 @@ object Similarity {
     * search the top `NProbe` — [[knnIvfOn]] with the label cells replaced by
     * the trained quantizer. Same plan shape at scale: broadcast centroids,
     * one corpus pass for assignment, cell-bounded candidate sets. */
-  def knnIvfKmeansOn(embeddings: DataFrame, dims: Int = -1): DataFrame = {
+  def knnIvfKmeansOn(embeddings: DataFrame, dims: Int = -1,
+                     nProbe: Int = NProbe): DataFrame = {
     val e = withNorm(embeddings)
     val cent = kmeansCentroidsOn(embeddings, dims).persist() // 3 consumers: assign, probe rank
     val wa = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
@@ -313,7 +318,7 @@ object Similarity {
     val probes = queries.crossJoin(broadcast(cent.select(col("cent_id").as("cell"), col("centroid"), col("c_nrm"))))
       .withColumn("ccos_r", r6(dot(col("q_emb"), col("centroid")) / (col("q_nrm") * col("c_nrm"))))
       .withColumn("cell_rank", row_number().over(wc))
-      .filter(col("cell_rank") <= lit(NProbe))
+      .filter(col("cell_rank") <= lit(nProbe))
       .select("q_id", "q_emb", "q_nrm", "cell")
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     cells.join(broadcast(probes), Seq("cell")).filter(col("vec_id") =!= col("q_id"))

@@ -169,9 +169,12 @@ object Relational {
       .withColumn("rk", rank().over(w).cast("long"))        // DuckDB ranks are BIGINT
       .withColumn("drk", dense_rank().over(w).cast("long"))
       .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", r6(percent_rank().over(w)))
+      .withColumn("cume", r6(cume_dist().over(w)))
       .withColumn("next_price", lead("o_totalprice", 1).over(w))
       .withColumn("cum_spend", r6(sum(col("o_totalprice")).over(wCum)))
-      .select("o_custkey", "o_orderkey", "rk", "drk", "quartile", "next_price", "cum_spend")
+      .select("o_custkey", "o_orderkey", "rk", "drk", "quartile", "pct_rank", "cume",
+        "next_price", "cum_spend")
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -180,6 +183,8 @@ object Relational {
        |       rank() OVER wo AS rk,
        |       dense_rank() OVER wo AS drk,
        |       ntile(4) OVER wo AS quartile,
+       |       ${r6Sql("percent_rank() OVER wo")} AS pct_rank,
+       |       ${r6Sql("cume_dist() OVER wo")} AS cume,
        |       lead(o_totalprice) OVER wo AS next_price,
        |       ${r6Sql("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS cum_spend
        |FROM orders

@@ -79,6 +79,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"k-means IVF recall collapsed: $recall")
   }
 
+  test("nprobe knob: probing all cells degenerates IVF to exact brute force") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSeq
+    val bf = res(Similarity.knnBruteForceOn(emb))
+    // 10 labels in the testdata → nProbe=10 probes every cell; the candidate
+    // set is then the full corpus and the ranking must match exactly
+    val allCells = res(Similarity.knnIvfOn(emb, nProbe = 10))
+    assert(allCells === bf, "IVF with nprobe=ncells diverged from brute force")
+    // and the recall/cost knob is monotone: more probes never lose neighbors…
+    val n2 = res(Similarity.knnIvfOn(emb, nProbe = 2)).toSet
+    val n4 = res(Similarity.knnIvfOn(emb, nProbe = 4)).toSet
+    val bfSet = bf.toSet
+    assert((n4 intersect bfSet).size >= (n2 intersect bfSet).size,
+      "recall decreased with more probes")
+  }
+
   test("cosine of identical vectors is 1") {
     val df = Seq((Array(0.5f, -0.25f, 8.0f), Array(0.5f, -0.25f, 8.0f))).toDF("a", "b")
     val cos = df.select(
