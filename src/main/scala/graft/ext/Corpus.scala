@@ -39,7 +39,11 @@ object Corpus {
     * At 100 TB: one narrow projection + per-row arithmetic + an explode
     * bounded by ceil(rate) ≤ 2 — no shuffle at all until a downstream
     * consumer repartitions; the mix decision never looks at another row. */
-  def mixOn(docs: DataFrame): DataFrame = {
+  /** Unsorted mix — purely stateless per-row arithmetic, so it runs
+    * unchanged on a STREAMING documents frame (no watermark, no state:
+    * each micro-batch mixes independently and the hash decisions are the
+    * same ones the batch run makes — StreamsSpec asserts the parity). */
+  def mixRowsOn(docs: DataFrame): DataFrame = {
     val rq = rateQ(col("source"))
     val docHash = Dedup.baseHash(concat(lit("mix:"), col("doc_id").cast("string")))
     docs
@@ -50,8 +54,10 @@ object Corpus {
       .filter(col("n_copies") > 0)
       .select(col("doc_id"), col("source"), col("lang"), col("rate_q"),
         explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
-      .orderBy("doc_id", "copy_idx")
   }
+
+  def mixOn(docs: DataFrame): DataFrame =
+    mixRowsOn(docs).orderBy("doc_id", "copy_idx")
 
   def mix(spark: SparkSession, dir: String): DataFrame =
     mixOn(Tables.documents(spark, dir))

@@ -122,6 +122,27 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming corpus mix emits exactly the batch mix (stateless pipeline op on a stream)") {
+    // the mixing decisions are deterministic per-row hashes, so a streamed
+    // corpus produces the identical weighted mix the batch run does —
+    // what makes the 100 TB mixing job incrementally runnable
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    val streamed = Streams.runToMemory(spark,
+      graft.ext.Corpus.mixRowsOn(stream), "t_mix_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4))).toSet
+    val batch = graft.ext.Corpus.mixOn(graft.ops.Tables.documents(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("RocksDB state store backs stateful streaming (production state backend)") {
     // at real scale the default in-memory HDFS-backed store OOMs on large
     // key spaces; RocksDB is the production backend. Same query, same
