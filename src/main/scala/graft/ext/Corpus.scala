@@ -121,6 +121,28 @@ object Corpus {
        |GROUP BY 1, 2
        |ORDER BY lang, chunk_id""".stripMargin
 
+  /** The 100 TB form of [[seqPackOn]]: the packing stream key is
+    * (lang, shard) with a deterministic doc-hash shard, so no window
+    * partition exceeds one task no matter how skewed the language mix is.
+    * Chunks never span shards — exactly how a production packing job
+    * shards — so each (lang, shard) is an independent concatenation
+    * stream; totals are preserved vs the unsharded form (CorpusSpec via
+    * LibraryApiSpec asserts both invariants). */
+  def seqPackShardedOn(docs: DataFrame, nShards: Int): DataFrame = {
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("shard",
+        pmod(Dedup.baseHash(concat(lit("shard:"), col("doc_id").cast("string"))), lit(nShards.toLong)))
+      .withColumn("n_tok", size(Text.tokens(col("text"))).cast("long"))
+      .withColumn("cum_tok", sum("n_tok").over(w))
+      .withColumn("chunk_id", ((col("cum_tok") - col("n_tok")) / lit(ContextTokens)).cast("long"))
+      .groupBy("lang", "shard", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens_started"),
+        min("doc_id").as("first_doc_id"), max("doc_id").as("last_doc_id"))
+      .orderBy("lang", "shard", "chunk_id")
+  }
+
   val all: Seq[Q] = Seq(
     Q("t_corpus_mix", mix _, mixSql),
     Q("t_seq_pack", seqPack _, seqPackSql),

@@ -100,4 +100,21 @@ class LibraryApiSpec extends SparkSpec {
     assert(packed.nonEmpty)
     assert(packed.forall(_.getLong(1) === 0L))
   }
+
+  test("sharded packing preserves totals and keeps per-shard chunk ids contiguous") {
+    val bigDocs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val flat = Corpus.seqPackOn(bigDocs)
+      .agg(sum("n_docs"), sum("tokens_started")).head()
+    val sharded = Corpus.seqPackShardedOn(bigDocs, 4)
+    val shardedTot = sharded.agg(sum("n_docs"), sum("tokens_started")).head()
+    // sharding redistributes docs across independent streams; it must not
+    // lose or duplicate any doc or token
+    assert(shardedTot === flat, s"totals drifted: $shardedTot vs $flat")
+    // chunk ids are a contiguous 0..max sequence within each (lang, shard)
+    val bad = sharded.groupBy("lang", "shard")
+      .agg(min("chunk_id").as("lo"), max("chunk_id").as("hi"),
+        countDistinct("chunk_id").as("n"))
+      .filter(col("lo") =!= 0L || col("n") =!= col("hi") + 1)
+    assert(bad.count() === 0, "gaps in per-shard chunk sequence")
+  }
 }
