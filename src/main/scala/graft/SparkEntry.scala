@@ -30,9 +30,17 @@ object SparkEntry {
     q.Reference.c1CityLeague(spark, "/root/testdata/sf0.001")
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Each wrapper
+    * pins the SESSION CONTRACT (ansi=false, see entry()) so registry
+    * queries self-protect under an arbitrary caller session exactly as
+    * they did when the readers pinned it. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.map(q => q.name -> q.fn).toMap
+    registry.map { q =>
+      q.name -> { (spark: SparkSession, dir: String) =>
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        q.fn(spark, dir)
+      }
+    }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

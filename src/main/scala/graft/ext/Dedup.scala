@@ -146,7 +146,7 @@ object Dedup {
        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM bands l JOIN bands r ON l.band_idx = r.band_idx AND l.sig = r.sig AND l.doc_id < r.doc_id
        |  GROUP BY 1, 2)
-       |SELECT c.doc_a, c.doc_b, $agree / 16.0 AS est_jaccard
+       |SELECT c.doc_a, c.doc_b, $agree / ${NumHashes.toDouble} AS est_jaccard
        |FROM cand c JOIN mh x ON c.doc_a = x.doc_id JOIN mh y ON c.doc_b = y.doc_id
        |ORDER BY c.doc_a, c.doc_b""".stripMargin
   }

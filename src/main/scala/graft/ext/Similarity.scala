@@ -193,6 +193,37 @@ object Similarity {
        |cent AS (SELECT label, n, list_transform(sums, s -> s / n) AS centroid FROM cent0)""".stripMargin
   }
 
+  /** Shared IVF search: strided probes rank the broadcast centroid table by
+    * r6-rounded cosine, take the top `nProbe` cells, and search only corpus
+    * vectors assigned to those cells — the one implementation behind both
+    * the label-cell and the k-means-trained variants, so tie-break/rounding
+    * conventions can never drift between them.
+    *
+    * r6, not r9, on the cell-rank key: centroid components are
+    * order-dependent double sums, so the key is rounded COARSELY enough
+    * (1e-6 ≫ the ~1e-15 sum noise) that both engines always land on the
+    * same side; r6-level ties then break identically by cell id.
+    *
+    * `corpus` columns: vec_id, embedding, nrm, cell;
+    * `cent` columns: cell, centroid, c_nrm. */
+  private def searchCells(corpus: DataFrame, cent: DataFrame, nProbe: Int): DataFrame = {
+    val queries = corpus.filter(col("vec_id") % lit(QueryStride) === lit(0))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val wc = Window.partitionBy("q_id").orderBy(col("ccos_r").desc, col("cell"))
+    val probes = queries.crossJoin(broadcast(cent))
+      .withColumn("ccos_r", r6(dot(col("q_emb"), col("centroid")) / (col("q_nrm") * col("c_nrm"))))
+      .withColumn("cell_rank", row_number().over(wc))
+      .filter(col("cell_rank") <= lit(nProbe))
+      .select("q_id", "q_emb", "q_nrm", "cell")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(probes), Seq("cell")).filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", fastDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w).cast("long")) // DuckDB ranks are BIGINT
+      .filter(col("rank") <= lit(TopK))
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), r6(col("cos")).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
   /** `nProbe` is the recall/cost knob: candidates per probe are bounded by
     * nProbe/ncells of the corpus; nProbe ≥ ncells degenerates to exact
     * brute force (SimilaritySpec asserts that equality). */
@@ -201,25 +232,9 @@ object Similarity {
     val centroid = centroidsOn(embeddings, dims)
       .withColumn("c_nrm", sqrt(dot(col("centroid"), col("centroid"))))
       .select(col("label").as("cell"), col("centroid"), col("c_nrm"))
-    val queries = e.filter(col("vec_id") % lit(QueryStride) === lit(0))
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    val wc = Window.partitionBy("q_id").orderBy(col("ccos_r").desc, col("cell"))
-    val probes = queries.crossJoin(broadcast(centroid))
-      // r6, not r9: centroid components are order-dependent double sums, so
-      // the rank key is rounded COARSELY enough (1e-6 ≫ the ~1e-15 sum
-      // noise) that both engines always land on the same side; r6-level
-      // ties then break identically by cell id
-      .withColumn("ccos_r", r6(dot(col("q_emb"), col("centroid")) / (col("q_nrm") * col("c_nrm"))))
-      .withColumn("cell_rank", row_number().over(wc))
-      .filter(col("cell_rank") <= lit(nProbe))
-      .select("q_id", "q_emb", "q_nrm", "cell")
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    e.join(broadcast(probes), col("label") === col("cell") && col("vec_id") =!= col("q_id"))
-      .withColumn("cos", fastDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
-      .withColumn("rank", row_number().over(w).cast("long")) // DuckDB ranks are BIGINT
-      .filter(col("rank") <= lit(TopK))
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), r6(col("cos")).as("cosine"))
-      .orderBy("q_id", "rank")
+    searchCells(
+      e.select(col("vec_id"), col("embedding"), col("nrm"), col("label").as("cell")),
+      centroid, nProbe)
   }
 
   def knnIvf(spark: SparkSession, dir: String): DataFrame =
@@ -312,21 +327,8 @@ object Similarity {
       .withColumn("rn", row_number().over(wa))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
-    val queries = e.filter(col("vec_id") % lit(QueryStride) === lit(0))
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    val wc = Window.partitionBy("q_id").orderBy(col("ccos_r").desc, col("cell"))
-    val probes = queries.crossJoin(broadcast(cent.select(col("cent_id").as("cell"), col("centroid"), col("c_nrm"))))
-      .withColumn("ccos_r", r6(dot(col("q_emb"), col("centroid")) / (col("q_nrm") * col("c_nrm"))))
-      .withColumn("cell_rank", row_number().over(wc))
-      .filter(col("cell_rank") <= lit(nProbe))
-      .select("q_id", "q_emb", "q_nrm", "cell")
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    cells.join(broadcast(probes), Seq("cell")).filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", fastDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
-      .withColumn("rank", row_number().over(w).cast("long")) // DuckDB ranks are BIGINT
-      .filter(col("rank") <= lit(TopK))
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), r6(col("cos")).as("cosine"))
-      .orderBy("q_id", "rank")
+    searchCells(cells,
+      cent.select(col("cent_id").as("cell"), col("centroid"), col("c_nrm")), nProbe)
   }
 
   def knnIvfKmeans(spark: SparkSession, dir: String): DataFrame =

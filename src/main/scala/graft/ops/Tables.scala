@@ -14,9 +14,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (SURVEY §7.4 hard-part 8): the reference's `errors='coerce'` pandas and
   * the DuckDB oracle both return NULL for x/0, overflow, and bad casts,
   * where Spark 4's default ANSI mode throws. Set it ON THE SESSION BUILDER
-  * (as `Verify`/`Bench`/`SparkSpec` do); readers deliberately do NOT mutate
-  * the caller's session — a reader that silently flips error semantics for
-  * every other query in the session is worse than a documented requirement.
+  * (as `Verify`/`Bench`/`SparkSpec` do; `SparkEntry.entry`/`queries` pin it
+  * as library entry points); readers deliberately do NOT mutate error
+  * semantics on the caller's session. ONE exception, by necessity:
+  * [[events]] must set the read-path conf
+  * `spark.sql.legacy.parquet.nanosAsLong` or the TIMESTAMP(NANOS) file
+  * cannot be read at all — that conf changes how nanos-typed parquet
+  * surfaces in this session's later reads (raw longs), which is exactly
+  * the handling [[events]] itself implements.
   */
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -36,9 +36,10 @@ object Sketches {
        |  SELECT event_type, count(DISTINCT user_id) AS exact_distinct_users,
        |         count(*) AS n_events
        |  FROM events GROUP BY 1)
-       |SELECT e.event_type, ${r6Sql("est.est_distinct")} AS est_distinct_users,
+       |SELECT e.event_type,
+       |       ${r6Sql("coalesce(est.est_distinct, 0.0)")} AS est_distinct_users,
        |       e.exact_distinct_users, e.n_events
-       |FROM exact e JOIN est ON e.event_type = est.event_type
+       |FROM exact e LEFT JOIN est ON e.event_type = est.event_type
        |ORDER BY e.event_type""".stripMargin
   }
 

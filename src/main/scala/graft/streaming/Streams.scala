@@ -181,29 +181,43 @@ object Streams {
           state.remove()
           Iterator.single(SessionOut(uid, st.sessionStartUs, st.lastTsUs, st.n, st.sumValue))
         case (uid, rows, state: GroupState[SessionState]) =>
-          // rows within one group call arrive unordered: sort by ts
-          val sorted = rows.toSeq.sortBy(_.ts_us)
-          var st = state.getOption.orNull
-          val out = Seq.newBuilder[SessionOut]
-          for (e <- sorted) {
-            if (st == null) st = SessionState(e.ts_us, e.ts_us, 1L, e.value)
-            else if (e.ts_us - st.lastTsUs > SessionGapUs) {
-              out += SessionOut(uid, st.sessionStartUs, st.lastTsUs, st.n, st.sumValue)
-              st = SessionState(e.ts_us, e.ts_us, 1L, e.value)
-            } else st = SessionState(st.sessionStartUs, e.ts_us, st.n + 1, st.sumValue + e.value)
+          // session_window-style interval merge: the open session (if any)
+          // and each event become gap-intervals, sorted by start and merged
+          // where the gap between neighbors is within SessionGapUs. This is
+          // ORDER-ROBUST: an out-of-order event inside the watermark horizon
+          // lands in (or bridges) the right interval instead of regressing
+          // the open session's end timestamp.
+          val intervals = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+          state.getOption.foreach(intervals += _)
+          rows.foreach(e => intervals += SessionState(e.ts_us, e.ts_us, 1L, e.value))
+          val merged = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+          for (iv <- intervals.sortBy(s => (s.sessionStartUs, s.lastTsUs))) {
+            if (merged.nonEmpty && iv.sessionStartUs - merged.last.lastTsUs <= SessionGapUs) {
+              val p = merged.last
+              merged(merged.length - 1) = SessionState(p.sessionStartUs,
+                math.max(p.lastTsUs, iv.lastTsUs), p.n + iv.n, p.sumValue + iv.sumValue)
+            } else merged += iv
           }
+          val out = Seq.newBuilder[SessionOut]
+          def emit(s: SessionState): Unit =
+            out += SessionOut(uid, s.sessionStartUs, s.lastTsUs, s.n, s.sumValue)
           if (streaming) {
-            if (st != null) {
-              state.update(st)
-              // fire once the watermark passes the gap after the last event;
-              // clamp above the current watermark (setTimeoutTimestamp
-              // rejects timestamps at/behind it — possible when this batch's
-              // rows are already near the horizon)
-              val fireAtMs = st.lastTsUs / 1000 + SessionGapUs / 1000
-              state.setTimeoutTimestamp(math.max(fireAtMs, state.getCurrentWatermarkMs() + 1))
+            // all but the latest interval are gap-closed relative to this
+            // batch's data → emit; the latest stays open in state until a
+            // later event extends it or the watermark passes its gap
+            merged.init.foreach(emit)
+            merged.lastOption match {
+              case Some(open) =>
+                state.update(open)
+                // clamp above the current watermark (setTimeoutTimestamp
+                // rejects timestamps at/behind it — possible when this
+                // batch's rows are already near the horizon)
+                val fireAtMs = open.lastTsUs / 1000 + SessionGapUs / 1000
+                state.setTimeoutTimestamp(math.max(fireAtMs, state.getCurrentWatermarkMs() + 1))
+              case None => if (state.exists) state.remove()
             }
           } else {
-            if (st != null) out += SessionOut(uid, st.sessionStartUs, st.lastTsUs, st.n, st.sumValue)
+            merged.foreach(emit)
             state.remove()
           }
           out.result().iterator

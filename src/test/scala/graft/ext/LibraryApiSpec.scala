@@ -110,11 +110,14 @@ class LibraryApiSpec extends SparkSpec {
     // sharding redistributes docs across independent streams; it must not
     // lose or duplicate any doc or token
     assert(shardedTot === flat, s"totals drifted: $shardedTot vs $flat")
-    // chunk ids are a contiguous 0..max sequence within each (lang, shard)
+    // per-(lang, shard) invariants that hold for ANY document lengths
+    // (a doc longer than the context legitimately leaves gaps in chunk
+    // ids, so contiguity is NOT asserted): streams start at chunk 0 and
+    // the last chunk id is bounded by the stream's own token volume
     val bad = sharded.groupBy("lang", "shard")
       .agg(min("chunk_id").as("lo"), max("chunk_id").as("hi"),
-        countDistinct("chunk_id").as("n"))
-      .filter(col("lo") =!= 0L || col("n") =!= col("hi") + 1)
-    assert(bad.count() === 0, "gaps in per-shard chunk sequence")
+        sum("tokens_started").as("tok"))
+      .filter(col("lo") =!= 0L || col("hi") > col("tok") / Corpus.ContextTokens)
+    assert(bad.count() === 0, "per-shard chunk ids out of bounds")
   }
 }

@@ -230,6 +230,40 @@ class StreamsSpec extends SparkSpec {
       s"timeout failed to flush ${(mustEmit -- streamed).take(5)}")
   }
 
+  test("streaming sessionize absorbs an out-of-order in-horizon event without corrupting the session end") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val min = 60L * 1000000
+    val base = Files.createTempDirectory("graft_sessions_ooo").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    // batch1: t=T, t=T+10min; batch2: t=T+5min (older than max seen, but
+    // far inside the 1h watermark → NOT dropped); batch3: t=T+50min (> gap
+    // after T+10min → closes the session). A lastTs-regression bug would
+    // end the session at T+5min and fire the gap off the regressed
+    // timestamp. T > 0: an event at exactly epoch 0 ties with the initial
+    // watermark and is dropped as late — not what this test is about.
+    val T = 1000 * min
+    val batches = Seq(Seq(T, T + 10 * min), Seq(T + 5 * min), Seq(T + 50 * min))
+    batches.zipWithIndex.foreach { case (ts, i) =>
+      val tmp = s"$base/tmp$i"
+      ts.map(t => (7L, t, 1.0)).toDF("user_id", "ts_us", "value")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$base/in/b$i.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(20)
+    }
+    val stream = spark.readStream
+      .schema("user_id LONG, ts_us LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+      .as[Streams.SessionEvent]
+    val streamed = Streams.runToMemory(spark,
+      Streams.sessionize(stream).toDF(), "t_sessionize_ooo")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the closed session must span [T, T+10min] with all 3 events; the
+    // [T+50min] session stays open past end-of-stream (watermark delay 1h)
+    assert(streamed === Set((7L, T, T + 10 * min, 3L)), s"got $streamed")
+  }
+
   test("flatMapGroupsWithState sessionization matches the window-function batch twin") {
     val evs = graft.ops.Tables.events(spark, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
