@@ -128,7 +128,13 @@ object Corpus {
     * shards — so each (lang, shard) is an independent concatenation
     * stream; totals are preserved vs the unsharded form (CorpusSpec via
     * LibraryApiSpec asserts both invariants). */
-  def seqPackShardedOn(docs: DataFrame, nShards: Int): DataFrame = {
+  /** Default shard count for the registered sharded-packing query — small
+    * enough that sf0.01 shards stay non-trivial, large enough to prove the
+    * skew-split; production jobs size it to corpus_tokens / (tokens per
+    * task). */
+  val PackShards = 8
+
+  def seqPackShardedOn(docs: DataFrame, nShards: Int = PackShards): DataFrame = {
     val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
@@ -143,8 +149,33 @@ object Corpus {
       .orderBy("lang", "shard", "chunk_id")
   }
 
+  def seqPackSharded(spark: SparkSession, dir: String): DataFrame =
+    seqPackShardedOn(Tables.documents(spark, dir))
+
+  /** Oracle twin of [[seqPackShardedOn]]: the shard is the same portable
+    * doc-hash mod [[PackShards]], so DuckDB reproduces the exact shard
+    * assignment and per-(lang, shard) running sums. */
+  val seqPackShardedSql: String = {
+    val shard = s"${Dedup.baseHashSql("('shard:' || CAST(doc_id AS VARCHAR))")} % $PackShards"
+    s"""WITH toks AS (
+       |  SELECT lang, $shard AS shard, doc_id,
+       |         CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |cum AS (
+       |  SELECT lang, shard, doc_id, n_tok,
+       |         CAST(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+       |  FROM toks)
+       |SELECT lang, shard, (cum_tok - n_tok) // $ContextTokens AS chunk_id,
+       |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens_started,
+       |       min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
+       |FROM cum
+       |GROUP BY 1, 2, 3
+       |ORDER BY lang, shard, chunk_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("t_corpus_mix", mix _, mixSql),
     Q("t_seq_pack", seqPack _, seqPackSql),
+    Q("t_seq_pack_sharded", seqPackSharded _, seqPackShardedSql),
   )
 }

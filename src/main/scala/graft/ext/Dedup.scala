@@ -152,9 +152,23 @@ object Dedup {
   }
 
   // ----------------------------------------------------------------- SimHash
-  /** 32-bit SimHash fingerprints: per-token hash bits voted with ±1 weights
-    * (multiplicity counts), bit set where the vote is positive. */
-  val SimBits = 32
+  /** 64-bit SimHash fingerprints (the Manku/Charikar web-dedup width):
+    * per-token hash bits voted with ±1 weights (multiplicity counts), bit
+    * set where the vote is positive.
+    *
+    * Engine-portable 64-bit construction: a full 16-hex-char md5 parse can
+    * exceed signed-BIGINT range, so the 64 token bits come from TWO 32-bit
+    * md5 windows (hex chars 1-8 → bits 0-31, chars 9-16 → bits 32-63). Bit
+    * 63's fingerprint contribution is Long.MinValue (the signed value whose
+    * bit pattern is 1<<63), so the summed fingerprint is the signed 64-bit
+    * reinterpretation of the bit pattern and no partial sum leaves BIGINT
+    * range on either engine (bits 0-62 sum to ≤ 2^63−1, added first). */
+  val SimBits = 64
+
+  /** Signed contribution of bit `b` to the fingerprint sum. */
+  private def bitValue(b: Int): Long = if (b == 63) Long.MinValue else 1L << b
+  private def bitValueSql(b: Int): String =
+    if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
 
   /** Unordered fingerprints — the shared subplan. The registry query
     * (simhashOn) adds the presentation sort; simhashPairsOn must NOT
@@ -163,12 +177,16 @@ object Dedup {
   def simhashFps(docs: DataFrame): DataFrame = {
     val exploded = docs
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .withColumn("h_lo", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .withColumn("h_hi", conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long"))
+    def bit(b: Int): Column =
+      if (b < 32) shiftright(col("h_lo"), b).bitwiseAND(lit(1L))
+      else shiftright(col("h_hi"), b - 32).bitwiseAND(lit(1L))
     val voteCols = (0 until SimBits).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === lit(1L), lit(1)).otherwise(lit(-1))).as(s"w_$b"))
+      sum(when(bit(b) === lit(1L), lit(1)).otherwise(lit(-1))).as(s"w_$b"))
     val votes = exploded.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
     val fp = (0 until SimBits).map(b =>
-      when(col(s"w_$b") > lit(0), lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+      when(col(s"w_$b") > lit(0), lit(bitValue(b))).otherwise(lit(0L))).reduce(_ + _)
     votes.select(col("doc_id"), fp.as("simhash"))
   }
 
@@ -178,31 +196,52 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashOn(Tables.documents(spark, dir))
 
+  /** Shared oracle SQL: per-bit vote expression over the two hash windows. */
+  private def voteSql(b: Int): String =
+    if (b < 32) s"sum(CASE WHEN (h_lo >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS w_$b"
+    else s"sum(CASE WHEN (h_hi >> ${b - 32}) & 1 = 1 THEN 1 ELSE -1 END) AS w_$b"
+  private def fpSql: String = (0 until SimBits)
+    .map(b => s"(CASE WHEN w_$b > 0 THEN ${bitValueSql(b)} ELSE 0 END)").reduce((a, b) => s"($a + $b)")
+
   val simhashSql: String = {
-    val votes = (0 until SimBits)
-      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS w_$b").mkString(",\n         ")
-    val fp = (0 until SimBits)
-      .map(b => s"(CASE WHEN w_$b > 0 THEN ${1L << b} ELSE 0 END)").reduce((a, b) => s"($a + $b)")
+    val votes = (0 until SimBits).map(voteSql).mkString(",\n         ")
     s"""WITH ex AS (
        |  SELECT doc_id, unnest(${Text.tokensSql("text")}) AS tok FROM documents),
-       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM ex),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h_lo,
+       |             ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_hi FROM ex),
        |votes AS (
        |  SELECT doc_id,
        |         $votes
        |  FROM h GROUP BY doc_id)
-       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash
+       |SELECT doc_id, CAST($fpSql AS BIGINT) AS simhash
        |FROM votes ORDER BY doc_id""".stripMargin
   }
 
-  /** SimHash near-dup pairs: 4 bands of 8 bits as the bucket key (pigeonhole:
-    * hamming ≤ 3 ⟹ at least one band agrees), exact hamming verify via
-    * bit_count(xor). */
+  /** SimHash near-dup pairs, Manku-style banding: the 64-bit fingerprint
+    * splits into `nBands` contiguous blocks of 64/nBands bits as the bucket
+    * key (pigeonhole: hamming ≤ nBands−1 ⟹ at least one band agrees, so
+    * candidate generation is COMPLETE for the default hamming ≤ 3 at 4
+    * bands), exact hamming verify via bit_count(xor).
+    *
+    * Scale: 16-bit bands give 65,536 buckets per band — 256× the old 8-bit
+    * bucket space — so within-bucket self-join work is output-bound (driven
+    * by real near-dup multiplicity) instead of collision-bound until corpus
+    * sizes where a band bucket exceeds a task; past that, `nBands`/band
+    * width re-knob the space (Manku's rotated-table refinement keeps the
+    * same plan shape). DedupSpec pins band-containment and the 10× study
+    * measures pair growth against duplicate multiplicity. */
   val HammingMax = 3
+  val SimBands = 4
 
-  def simhashPairsOn(docs: DataFrame): DataFrame = {
+  def simhashPairsOn(docs: DataFrame, nBands: Int = SimBands,
+                     hammingMax: Int = HammingMax): DataFrame = {
+    require(nBands >= 2 && SimBits % nBands == 0, s"nBands=$nBands must divide $SimBits")
+    val bandBits = SimBits / nBands
+    val mask = (1L << bandBits) - 1 // bandBits ≤ 32 in practice; < 64 by require
     val fp = simhashFps(docs).persist() // both sides of the band self-join; unsorted
-    val bands = fp.select(col("doc_id"), col("simhash"), explode(array((0 until 4).map { k =>
-      struct(lit(k).as("band_idx"), shiftright(col("simhash"), k * 8).bitwiseAND(lit(255L)).as("band"))
+    val bands = fp.select(col("doc_id"), col("simhash"), explode(array((0 until nBands).map { k =>
+      struct(lit(k).as("band_idx"),
+        shiftright(col("simhash"), k * bandBits).bitwiseAND(lit(mask)).as("band"))
     }: _*)).as("b")).select(col("doc_id"), col("simhash"), col("b.band_idx"), col("b.band"))
     bands.as("l").join(bands.as("r"),
         col("l.band_idx") === col("r.band_idx") && col("l.band") === col("r.band")
@@ -210,7 +249,7 @@ object Dedup {
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("long").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= lit(HammingMax))
+      .filter(col("hamming") <= lit(hammingMax))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -218,18 +257,19 @@ object Dedup {
     simhashPairsOn(Tables.documents(spark, dir))
 
   val simhashPairsSql: String = {
-    val votes = (0 until SimBits)
-      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS w_$b").mkString(",\n         ")
-    val fp = (0 until SimBits)
-      .map(b => s"(CASE WHEN w_$b > 0 THEN ${1L << b} ELSE 0 END)").reduce((a, b) => s"($a + $b)")
+    val votes = (0 until SimBits).map(voteSql).mkString(",\n         ")
+    val bandBits = SimBits / SimBands
+    val mask = (1L << bandBits) - 1
+    val ks = (0 until SimBands).mkString(", ")
     s"""WITH ex AS (
        |  SELECT doc_id, unnest(${Text.tokensSql("text")}) AS tok FROM documents),
-       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM ex),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h_lo,
+       |             ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_hi FROM ex),
        |votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
-       |fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes),
+       |fps AS (SELECT doc_id, CAST($fpSql AS BIGINT) AS simhash FROM votes),
        |bands AS (
-       |  SELECT doc_id, simhash, k AS band_idx, (simhash >> (k * 8)) & 255 AS band
-       |  FROM fps, (SELECT unnest([0, 1, 2, 3]) AS k)),
+       |  SELECT doc_id, simhash, k AS band_idx, (simhash >> (k * $bandBits)) & $mask AS band
+       |  FROM fps, (SELECT unnest([$ks]) AS k)),
        |pairs AS (
        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
        |         bit_count(xor(l.simhash, r.simhash)) AS hamming

@@ -82,19 +82,39 @@ object Sketches {
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
   /** Builtin approximate aggregates (HLL++ distinct, quantile sketch).
-    * Their estimates are engine-specific, so no SQL oracle — the driver
-    * records a rows-only check, and the spec bounds them against exact
-    * values. At 100 TB these replace exact distinct/percentile wherever a
-    * few-percent error is acceptable: bounded state, one pass, mergeable. */
+    * Estimates are engine-specific, so the ORACLE checks the error BOUND,
+    * not the estimate: the Spark side emits `|approx − exact| ≤ ε·exact`
+    * (and p50 ∈ [exact p40, exact p60]) as booleans computed against its
+    * own exact aggregates, and the oracle emits literal TRUE for those
+    * columns — a sketch drifting outside its published bound flips the
+    * boolean and fails the hash compare. ε = 0.15 = 3σ of HLL++'s default
+    * 5% rsd; the quantile band is ±10% rank vs approx_percentile's 1/1000
+    * rank error. At 100 TB these replace exact distinct/percentile wherever
+    * a few-percent error is acceptable: bounded state, one pass, mergeable.
+    */
+  val AcdErrBound = 0.15
+
   def approxAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy("event_type")
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"),
-        r6(expr("approx_percentile(value, 0.5, 1000)")).as("approx_p50"),
+        approx_count_distinct(col("user_id")).as("au"),
+        countDistinct(col("user_id")).as("eu"),
+        expr("approx_percentile(value, 0.5, 1000)").as("ap50"),
+        expr("percentile(value, 0.40)").as("p40"),
+        expr("percentile(value, 0.60)").as("p60"),
         count(lit(1)).as("n_events"))
+      .select(col("event_type"),
+        (abs(col("au") - col("eu")) <= lit(AcdErrBound) * col("eu")).as("approx_users_ok"),
+        coalesce(col("ap50") >= col("p40") && col("ap50") <= col("p60"), lit(true))
+          .as("approx_p50_ok"),
+        col("eu").as("exact_users"), col("n_events"))
       .orderBy("event_type")
+
+  val approxAggSql: String =
+    """SELECT event_type, TRUE AS approx_users_ok, TRUE AS approx_p50_ok,
+      |       count(DISTINCT user_id) AS exact_users, count(*) AS n_events
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
   /** Explicit GROUPING SETS lattice (the general form cube/rollup are sugar
     * for): per-(status, year), per-status, and grand-total levels in one
@@ -121,6 +141,6 @@ object Sketches {
     Q("k_cube", cubeAgg _, cubeAggSql),
     Q("k_grouping_sets", groupingSetsAgg _, groupingSetsAggSql),
     Q("k_salted_agg", saltedAgg _, saltedAggSql),
-    Q("k_approx_agg", approxAgg _, None),
+    Q("k_approx_agg", approxAgg _, approxAggSql),
   )
 }

