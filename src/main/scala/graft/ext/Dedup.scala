@@ -89,28 +89,42 @@ object Dedup {
     * precision) — the S-curve tuning every production LSH job does. Banding
     * is aligned (band j = rows [j*r, (j+1)*r)), so halving the band width
     * strictly grows the candidate set (DedupSpec property). */
-  def minhashLshOn(docs: DataFrame,
-                   numHashes: Int = NumHashes, numBands: Int = NumBands): DataFrame = {
-    require(numHashes % numBands == 0, s"numBands=$numBands must divide numHashes=$numHashes")
-    val rowsPerBand = numHashes / numBands
+  /** MinHash signature table (doc_id, mh_0..mh_{n-1}) — the shared subplan
+    * behind the LSH pair query and the LSH-fed Jaccard verify. Callers
+    * persist it (2-4 downstream consumers each). */
+  def minhashSigsOn(docs: DataFrame, numHashes: Int = NumHashes): DataFrame = {
     val toks = Text.tokens(col("text"))
     val exploded = docs
       .select(col("doc_id"), explode(shingles3(toks)).as("s"))
       .withColumn("hh", baseHash(col("s")))
     val mhCols = (0 until numHashes).map(i =>
       min((lit(hashAOf(i)) * col("hh") + lit(hashBOf(i))) % lit(P)).as(s"mh_$i"))
-    // persisted: referenced 4x downstream (both band sides + both signature
-    // rejoins) — without it the explode+md5+n-min subplan runs 4 times
-    val mh = exploded.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*).persist()
+    exploded.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+  }
+
+  /** Banded candidate pairs (doc_a < doc_b) from a signature table — the
+    * bucket-join that keeps every MinHash consumer near-linear: band sigs
+    * are md5 (bucket count grows with data, salt-free). */
+  def minhashCandidates(mh: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
+    require(numHashes % numBands == 0, s"numBands=$numBands must divide numHashes=$numHashes")
+    val rowsPerBand = numHashes / numBands
     val bands = mh.select(col("doc_id"), explode(array((0 until numBands).map { j =>
       struct(lit(j).as("band_idx"),
         md5(concat_ws(",", (0 until rowsPerBand).map(k => col(s"mh_${j * rowsPerBand + k}")): _*)).as("sig"))
     }: _*)).as("b")).select(col("doc_id"), col("b.band_idx"), col("b.sig"))
-    val cand = bands.as("l").join(bands.as("r"),
+    bands.as("l").join(bands.as("r"),
         col("l.band_idx") === col("r.band_idx") && col("l.sig") === col("r.sig")
           && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  def minhashLshOn(docs: DataFrame,
+                   numHashes: Int = NumHashes, numBands: Int = NumBands): DataFrame = {
+    // persisted: referenced 4x downstream (both band sides + both signature
+    // rejoins) — without it the explode+md5+n-min subplan runs 4 times
+    val mh = minhashSigsOn(docs, numHashes).persist()
+    val cand = minhashCandidates(mh, numHashes, numBands)
     val agree = (0 until numHashes).map(i =>
       when(col(s"x.mh_$i") === col(s"y.mh_$i"), lit(1)).otherwise(lit(0))).reduce(_ + _)
     cand
@@ -123,16 +137,18 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLshOn(Tables.documents(spark, dir))
 
-  val minhashLshSql: String = {
-    val mhCols = (0 until NumHashes)
-      .map(i => s"min((${hashA(i)} * hh + ${hashB(i)}) % $P) AS mh_$i").mkString(",\n         ")
-    val bandSelects = (0 until NumBands).map { j =>
-      val cols = (0 until RowsPerBand).map(k => s"mh_${j * RowsPerBand + k}").mkString(", ")
+  /** CTE chain toks→sh→ex→h→mh→bands→cand — the oracle twin of
+    * [[minhashSigsOn]] + [[minhashCandidates]], shared by every MinHash
+    * oracle so the two engines' candidate sets can never drift. */
+  private def minhashCandCtes(numHashes: Int, numBands: Int): String = {
+    val rowsPerBand = numHashes / numBands
+    val mhCols = (0 until numHashes)
+      .map(i => s"min((${hashAOf(i)} * hh + ${hashBOf(i)}) % $P) AS mh_$i").mkString(",\n         ")
+    val bandSelects = (0 until numBands).map { j =>
+      val cols = (0 until rowsPerBand).map(k => s"mh_${j * rowsPerBand + k}").mkString(", ")
       s"SELECT doc_id, $j AS band_idx, md5(concat_ws(',', $cols)) AS sig FROM mh"
     }.mkString("\n  UNION ALL\n  ")
-    val agree = (0 until NumHashes)
-      .map(i => s"(CASE WHEN x.mh_$i = y.mh_$i THEN 1 ELSE 0 END)").reduce((a, b) => s"($a + $b)")
-    s"""WITH toks AS (SELECT doc_id, ${Text.tokensSql("text")} AS t FROM documents),
+    s"""toks AS (SELECT doc_id, ${Text.tokensSql("text")} AS t FROM documents),
        |sh AS (SELECT doc_id, ${shingles3Sql("t")} AS shingles FROM toks),
        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
        |h AS (SELECT doc_id, ${baseHashSql("s")} AS hh FROM ex),
@@ -145,7 +161,13 @@ object Dedup {
        |cand AS (
        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM bands l JOIN bands r ON l.band_idx = r.band_idx AND l.sig = r.sig AND l.doc_id < r.doc_id
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  val minhashLshSql: String = {
+    val agree = (0 until NumHashes)
+      .map(i => s"(CASE WHEN x.mh_$i = y.mh_$i THEN 1 ELSE 0 END)").reduce((a, b) => s"($a + $b)")
+    s"""WITH ${minhashCandCtes(NumHashes, NumBands)}
        |SELECT c.doc_a, c.doc_b, $agree / ${NumHashes.toDouble} AS est_jaccard
        |FROM cand c JOIN mh x ON c.doc_a = x.doc_id JOIN mh y ON c.doc_b = y.doc_id
        |ORDER BY c.doc_a, c.doc_b""".stripMargin
@@ -297,14 +319,27 @@ object Dedup {
     * grams ("of the", ...) fan the join out quadratically per gram. At
     * 100 TB the blocking key coarsens (length bucket) and candidates come
     * from MinHash bands instead, same per-pair verify. */
-  def ngramJaccardOn(docs: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val toks = Text.tokens(col("text"))
-    // sorted + distinct: the contract sorted_intersect_count needs
-    val grams = when(size(toks) >= lit(2),
+  /** Distinct sorted 2-gram hash array — sorted + distinct is the contract
+    * sorted_intersect_count needs; shared by both Jaccard variants. */
+  private def grams2(toks: Column): Column =
+    when(size(toks) >= lit(2),
       array_sort(array_distinct(transform(sequence(lit(0), size(toks) - lit(2)),
         i => baseHash(concat_ws(" ", slice(toks, i + lit(1), lit(2))))))))
       .otherwise(array().cast("array<long>"))
+
+  private def grams2Sql(t: String): String =
+    s"""CASE WHEN len($t) >= 2
+       |     THEN list_distinct(list_transform(range(0, len($t) - 1), i -> ${baseHashSql(s"array_to_string(($t)[i+1:i+2], ' ')")}))
+       |     ELSE [] END""".stripMargin
+
+  /** Test hook: the shared 2-gram hash array on raw text (DedupSpec's
+    * independent recomputation path). */
+  def shingles2ForTest(text: Column): Column = grams2(Text.tokens(text))
+
+  def ngramJaccardOn(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = Text.tokens(col("text"))
+    val grams = grams2(toks)
     val blocked = docs
       .select(col("doc_id"), col("lang"), size(toks).cast("long").as("n_tok"), grams.as("grams"))
       .persist() // reused by both sides of the self-join
@@ -326,13 +361,9 @@ object Dedup {
     ngramJaccardOn(Tables.documents(spark, dir))
 
   val ngramJaccardSql: String = {
-    val grams2 =
-      s"""CASE WHEN len(t) >= 2
-         |     THEN list_distinct(list_transform(range(0, len(t) - 1), i -> ${baseHashSql("array_to_string((t)[i+1:i+2], ' ')")}))
-         |     ELSE [] END""".stripMargin
     s"""WITH toks AS (SELECT doc_id, lang, ${Text.tokensSql("text")} AS t FROM documents),
        |docs AS (
-       |  SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tok, $grams2 AS grams
+       |  SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tok, ${grams2Sql("t")} AS grams
        |  FROM toks),
        |pairs AS (
        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
@@ -344,25 +375,87 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  // ------------------------------------------------- embedding near-dup
-  /** Embedding-cosine near-dup with sign-LSH blocking: bucket = (label,
-    * sign bits of the first 4 dims) — a deterministic random-hyperplane LSH
-    * with coordinate hyperplanes. Pairs are only formed inside a bucket, so
-    * the join stays near-linear; a production variant adds more planes per
-    * band and multiple bands, same plan shape. */
-  val CosineMin = 0.25
+  /** The 100 TB Jaccard form: candidate pairs come from MinHash LSH bands
+    * (data-adaptive bucket count, near-linear self-join) instead of the
+    * constant-cardinality (lang, token-count) blocking above; the per-pair
+    * verify is unchanged — exact 2-gram Jaccard via sorted_intersect_count.
+    * Recall follows the LSH S-curve (numHashes/numBands knobs) rather than
+    * the blocking key's exact-length coincidence, which is the trade every
+    * production dedup makes. The blocked twin stays registered as the
+    * small-scale exact-recall variant. */
+  def ngramJaccardLshOn(docs: DataFrame,
+                        numHashes: Int = NumHashes, numBands: Int = NumBands): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val gtab = docs.select(col("doc_id"), grams2(Text.tokens(col("text"))).as("grams"))
+      .persist() // both pair sides
+    val mh = minhashSigsOn(docs, numHashes).persist() // both band sides
+    val cand = minhashCandidates(mh, numHashes, numBands)
+    cand
+      .join(gtab.as("l"), col("doc_a") === col("l.doc_id"))
+      .join(gtab.as("r"), col("doc_b") === col("r.doc_id"))
+      .withColumn("n_inter", call_function("sorted_intersect_count", col("l.grams"), col("r.grams")))
+      .withColumn("n_union", size(col("l.grams")).cast("long") + size(col("r.grams")).cast("long") - col("n_inter"))
+      .filter(col("n_union") > lit(0L))
+      .withColumn("jaccard", col("n_inter") / col("n_union"))
+      .filter(col("jaccard") >= lit(JaccardMin))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        r6(col("jaccard")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
 
-  def embedNearDupOn(embeddings: DataFrame): DataFrame = {
-    val e = Similarity.withNorm(embeddings)
-      .withColumn("bucket", Similarity.signBucket(col("embedding")))
-    val pairs = e.as("l").join(e.as("r"),
-      col("l.label") === col("r.label") && col("l.bucket") === col("r.bucket")
-        && col("l.vec_id") < col("r.vec_id"))
-    pairs
+  def ngramJaccardLsh(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardLshOn(Tables.documents(spark, dir))
+
+  val ngramJaccardLshSql: String =
+    s"""WITH ${minhashCandCtes(NumHashes, NumBands)},
+       |g AS (SELECT doc_id, ${grams2Sql("t")} AS grams FROM toks),
+       |p AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         CAST(len(list_intersect(l.grams, r.grams)) AS BIGINT) AS n_inter,
+       |         CAST(len(l.grams) + len(r.grams) - len(list_intersect(l.grams, r.grams)) AS BIGINT) AS n_union
+       |  FROM cand c JOIN g l ON c.doc_a = l.doc_id JOIN g r ON c.doc_b = r.doc_id)
+       |SELECT doc_a, doc_b, n_inter, n_union, ${r6Sql("n_inter / n_union")} AS jaccard
+       |FROM p WHERE n_union > 0 AND n_inter / n_union >= $JaccardMin
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------- embedding near-dup
+  /** Embedding-cosine near-dup with banded sign-LSH blocking: band j's
+    * bucket = (label, sign bits of planes [j·nPlanes, (j+1)·nPlanes)) — a
+    * deterministic random-hyperplane LSH with coordinate hyperplanes. Pairs
+    * form inside any agreeing band (union over bands), then the exact
+    * cosine verify filters.
+    *
+    * The knobs mirror [[minhashLshOn]]: more planes per band → finer
+    * buckets (2^nPlanes per band per label — the cardinality lever the
+    * fixed 16-bucket version lacked; 100 TB jobs run 16+ planes for
+    * ~65k·|labels| buckets); more bands → recall (any-band union).
+    * Monotonicity (DedupSpec): at one band, pairs(nPlanes+k) ⊆
+    * pairs(nPlanes) — prefix planes refine; at fixed nPlanes, more bands
+    * only add pairs. Requires nPlanes·nBands ≤ vector width. */
+  val CosineMin = 0.25
+  val EmbedPlanes = 4
+  val EmbedBands = 1
+
+  def embedNearDupOn(embeddings: DataFrame,
+                     nPlanes: Int = EmbedPlanes, nBands: Int = EmbedBands): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 62 && nBands >= 1, s"bad knobs: $nPlanes planes, $nBands bands")
+    val e = Similarity.withNorm(embeddings).persist() // band explode + both verify sides
+    val bands = e.select(col("vec_id"), col("label"), explode(array((0 until nBands).map { j =>
+      struct(lit(j).as("band_idx"),
+        Similarity.signBucket(col("embedding"), nPlanes, j * nPlanes).as("bucket"))
+    }: _*)).as("b")).select(col("vec_id"), col("label"), col("b.band_idx"), col("b.bucket"))
+    val cand = bands.as("l").join(bands.as("r"),
+        col("l.label") === col("r.label") && col("l.band_idx") === col("r.band_idx")
+          && col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.as("x"), col("vec_a") === col("x.vec_id"))
+      .join(e.as("y"), col("vec_b") === col("y.vec_id"))
       .withColumn("cos",
-        Similarity.fastDot(col("l.embedding"), col("r.embedding")) / (col("l.nrm") * col("r.nrm")))
+        Similarity.fastDot(col("x.embedding"), col("y.embedding")) / (col("x.nrm") * col("y.nrm")))
       .filter(col("cos") >= lit(CosineMin))
-      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"), r6(col("cos")).as("cosine"))
+      .select(col("vec_a"), col("vec_b"), r6(col("cos")).as("cosine"))
       .orderBy("vec_a", "vec_b")
   }
 
@@ -390,6 +483,7 @@ object Dedup {
     Q("dd_simhash", simhash _, simhashSql),
     Q("dd_simhash_pairs", simhashPairs _, simhashPairsSql),
     Q("dd_ngram_jaccard", ngramJaccard _, ngramJaccardSql),
+    Q("dd_ngram_jaccard_lsh", ngramJaccardLsh _, ngramJaccardLshSql),
     Q("dd_embed_neardup", embedNearDup _, embedNearDupSql),
   )
 }

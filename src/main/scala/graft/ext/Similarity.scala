@@ -90,17 +90,20 @@ object Similarity {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
 
-  /** Sign-LSH bits of the first `nPlanes` coordinates — the coordinate-
-    * hyperplane random projection used as the ANN bucket key. */
+  /** Sign-LSH bits of `nPlanes` coordinates starting at `offset` — the
+    * coordinate-hyperplane random projection used as the ANN bucket key.
+    * `nPlanes` is the precision/recall knob (bucket space 2^nPlanes);
+    * `offset` lets multi-band callers slice disjoint coordinate windows
+    * (band j = planes [j·nPlanes, (j+1)·nPlanes)). */
   private val NPlanes = 4
 
-  def signBucket(emb: Column): Column =
-    (0 until NPlanes).map(i =>
-      when(element_at(emb, i + 1) > lit(0.0f), lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+  def signBucket(emb: Column, nPlanes: Int = NPlanes, offset: Int = 0): Column =
+    (0 until nPlanes).map(i =>
+      when(element_at(emb, offset + i + 1) > lit(0.0f), lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
 
-  def signBucketSql(emb: String): String =
-    (0 until NPlanes)
-      .map(i => s"(CASE WHEN $emb[${i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END)")
+  def signBucketSql(emb: String, nPlanes: Int = NPlanes, offset: Int = 0): String =
+    (0 until nPlanes)
+      .map(i => s"(CASE WHEN $emb[${offset + i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END)")
       .reduce((a, b) => s"($a + $b)")
 
   /** LSH-bucketed ANN: probes only compare against corpus vectors in the

@@ -56,6 +56,57 @@ class DedupSpec extends SparkSpec {
     assert(fine.size > coarse.size, "narrower bands added no candidates (degenerate corpus)")
   }
 
+  test("LSH-fed Jaccard verify matches an independent exact recomputation") {
+    // The per-pair verify must be a pure function of the pair: recompute
+    // each emitted pair's exact 2-gram Jaccard through array_intersect (a
+    // different code path than sorted_intersect_count) and compare.
+    // (The blocked twin shares no pairs with this one on the testdata —
+    // equal-token-count blocking misses every real near-dup, which is
+    // exactly why the LSH-fed form is the production path.)
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Dedup.ngramJaccardLshOn(docs)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    spark.catalog.clearCache()
+    assert(out.nonEmpty, "LSH candidates produced no verified pair")
+    val ids = out.flatMap(r => Seq(r._1, r._2)).toSet.toSeq
+    val grams = docs.filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), Dedup.shingles2ForTest(col("text")).as("g"))
+      .as[(Long, Array[Long])].collect().toMap
+    out.foreach { case (a, b, nInter, nUnion, jac) =>
+      val inter = grams(a).toSet.intersect(grams(b).toSet).size.toLong
+      val union = grams(a).length + grams(b).length - inter
+      assert(inter === nInter && union === nUnion, s"pair ($a,$b) counts drifted")
+      assert(math.abs(jac - inter.toDouble / union) < 1e-6)
+    }
+  }
+
+  test("simhash banding: wider hamming cutoff only adds pairs; verify is exact") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    def pairs(hMax: Int) = Dedup.simhashPairsOn(docs, hammingMax = hMax)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val tight = pairs(2)
+    val loose = pairs(6)
+    spark.catalog.clearCache()
+    assert(tight.subsetOf(loose))
+    // every emitted hamming is within the cutoff and self-consistent
+    val bad = Dedup.simhashPairsOn(docs).filter(col("hamming") > Dedup.HammingMax).count()
+    spark.catalog.clearCache()
+    assert(bad === 0)
+  }
+
+  test("embed near-dup knobs: more planes refine (subset), more bands recall (superset)") {
+    val emb = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(planes: Int, bands: Int) =
+      Dedup.embedNearDupOn(emb, nPlanes = planes, nBands = bands)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val base = pairs(4, 1)
+    val finer = pairs(6, 1)   // prefix planes: finer buckets refine the base ones
+    val banded = pairs(4, 2)  // band 0 identical + band 1's union
+    spark.catalog.clearCache()
+    assert(finer.subsetOf(base), s"refining planes invented pairs: ${(finer -- base).take(5)}")
+    assert(base.subsetOf(banded), s"adding a band lost pairs: ${(base -- banded).take(5)}")
+  }
+
   test("minhash universal-hash constants stay positive under the prime") {
     assert(Dedup.hashA.forall(a => a > 0 && a < Dedup.P))
     assert(Dedup.hashB.forall(b => b >= 0 && b < Dedup.P))
