@@ -164,27 +164,21 @@ object Similarity {
     */
   private val NProbe = 2
 
-  /** embeddings.parquet vectors are 64-dim (single source of truth). */
+  /** embeddings.parquet vectors are 64-dim — used only to spell out the
+    * testdata-specific ORACLE SQL; the engine side never needs the width
+    * (the [[graft.functions.VecSum]] aggregate takes it from the data). */
   val Dims = 64
 
-  /** Vector width of a frame's `embedding` column: pass-through when the
-    * caller supplies it, otherwise inferred with a one-row peek (a tiny
-    * action — acceptable at library-call granularity, and the only safe
-    * default: a wrong hardcoded width silently nulls every centroid). */
-  private def dimsOf(embeddings: DataFrame, dims: Int): Int =
-    if (dims > 0) dims
-    else embeddings.select(size(col("embedding"))).head().getInt(0)
-
   /** Per-label mean vector with count — shared by [[labelCentroids]] and
-    * [[knnIvf]] so the two can never drift. `dims` ≤ 0 → inferred from the
-    * data. */
-  def centroidsOn(embeddings: DataFrame, dims0: Int = -1): DataFrame = {
-    val dims = dimsOf(embeddings, dims0)
+    * [[knnIvf]] so the two can never drift. One scan + one k×d shuffle via
+    * the typed vector-sum aggregate; no driver action, no per-dim
+    * expression expansion. */
+  def centroidsOn(embeddings: DataFrame): DataFrame = {
+    val vsum = udaf(graft.functions.VecSum.agg)
     embeddings
       .withColumn("emb_d", transform(col("embedding"), x => x.cast("double")))
       .groupBy("label")
-      .agg(count(lit(1)).as("n"),
-        array((0 until dims).map(i => sum(element_at(col("emb_d"), i + 1))): _*).as("sums"))
+      .agg(count(lit(1)).as("n"), vsum(col("emb_d")).as("sums"))
       .withColumn("centroid", transform(col("sums"), s => s / col("n")))
       .select("label", "n", "centroid")
   }
@@ -230,9 +224,9 @@ object Similarity {
   /** `nProbe` is the recall/cost knob: candidates per probe are bounded by
     * nProbe/ncells of the corpus; nProbe ≥ ncells degenerates to exact
     * brute force (SimilaritySpec asserts that equality). */
-  def knnIvfOn(embeddings: DataFrame, dims: Int = -1, nProbe: Int = NProbe): DataFrame = {
+  def knnIvfOn(embeddings: DataFrame, nProbe: Int = NProbe): DataFrame = {
     val e = withNorm(embeddings)
-    val centroid = centroidsOn(embeddings, dims)
+    val centroid = centroidsOn(embeddings)
       .withColumn("c_nrm", sqrt(dot(col("centroid"), col("centroid"))))
       .select(col("label").as("cell"), col("centroid"), col("c_nrm"))
     searchCells(
@@ -288,9 +282,9 @@ object Similarity {
   val KmeansIters = 2
   private val SeedStride = 61
 
-  def kmeansCentroidsOn(embeddings: DataFrame, dims0: Int = -1,
+  def kmeansCentroidsOn(embeddings: DataFrame,
                         k: Int = KmeansK, iters: Int = KmeansIters): DataFrame = {
-    val dims = dimsOf(embeddings, dims0)
+    val vsum = udaf(graft.functions.VecSum.agg)
     val e = withNorm(embeddings)
     var cent = e.filter(col("vec_id") % lit(SeedStride) === lit(0))
       .orderBy("vec_id").limit(k)
@@ -307,7 +301,7 @@ object Similarity {
       cent = assigned
         .groupBy("cent_id")
         .agg(count(lit(1)).as("n"),
-          array((0 until dims).map(i => sum(element_at(col("embedding"), i + 1).cast("double"))): _*).as("sums"))
+          vsum(transform(col("embedding"), x => x.cast("double"))).as("sums"))
         .withColumn("centroid", transform(col("sums"), s => s / col("n")))
         .withColumn("c_nrm", sqrt(dot(col("centroid"), col("centroid"))))
         .select("cent_id", "centroid", "c_nrm")
@@ -320,10 +314,14 @@ object Similarity {
     * search the top `NProbe` — [[knnIvfOn]] with the label cells replaced by
     * the trained quantizer. Same plan shape at scale: broadcast centroids,
     * one corpus pass for assignment, cell-bounded candidate sets. */
-  def knnIvfKmeansOn(embeddings: DataFrame, dims: Int = -1,
-                     nProbe: Int = NProbe): DataFrame = {
+  def knnIvfKmeansOn(embeddings: DataFrame, nProbe: Int = NProbe): DataFrame = {
     val e = withNorm(embeddings)
-    val cent = kmeansCentroidsOn(embeddings, dims).persist() // 3 consumers: assign, probe rank
+    // persisted: 2 consumers (corpus cell assignment + probe cell ranking),
+    // each re-running the full unrolled Lloyd subplan without it. Like
+    // minhashLshOn, the cache lives for the job; batch callers invoking
+    // repeatedly in one session should spark.catalog.clearCache() between
+    // invocations (SimilaritySpec does).
+    val cent = kmeansCentroidsOn(embeddings).persist()
     val wa = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
     val cells = e.crossJoin(broadcast(cent))
       .withColumn("ccos", r6(dot(col("embedding"), col("centroid")) / (col("nrm") * col("c_nrm"))))
@@ -391,10 +389,10 @@ object Similarity {
   /** Per-label centroid stats: mean vector norm + cosine of each vector to
     * its label centroid — the IVF "assign to nearest centroid" building
     * block, expressed as array-aggregate + rejoin. */
-  def labelCentroidsOn(embeddings: DataFrame, dims: Int = -1): DataFrame = {
+  def labelCentroidsOn(embeddings: DataFrame): DataFrame = {
     val e = embeddings
       .withColumn("emb_d", transform(col("embedding"), x => x.cast("double")))
-    val centroid = centroidsOn(embeddings, dims)
+    val centroid = centroidsOn(embeddings)
     e.join(broadcast(centroid), Seq("label"))
       .withColumn("cos_to_centroid",
         dot(col("emb_d"), col("centroid")) / (norm(col("emb_d")) * norm(col("centroid"))))

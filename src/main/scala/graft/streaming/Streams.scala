@@ -139,21 +139,44 @@ object Streams {
   case class SessionOut(user_id: Long, session_start_us: Long, session_end_us: Long,
                         n_events: Long, sum_value: Double)
 
+  /** List-valued session state: every interval the watermark has not yet
+    * sealed, not just the latest open one. */
+  case class SessionBuffer(intervals: Seq[SessionState])
+
   val SessionGapUs: Long = 30L * 60 * 1000000 // 30-minute inactivity gap
+
+  /** Gap-intervals sorted by start, neighbors within the gap merged —
+    * session_window semantics; idempotent on already-merged input. */
+  private def mergeIntervals(ivs: Seq[SessionState]): Seq[SessionState] = {
+    val merged = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+    for (iv <- ivs.sortBy(s => (s.sessionStartUs, s.lastTsUs))) {
+      if (merged.nonEmpty && iv.sessionStartUs - merged.last.lastTsUs <= SessionGapUs) {
+        val p = merged.last
+        merged(merged.length - 1) = SessionState(p.sessionStartUs,
+          math.max(p.lastTsUs, iv.lastTsUs), p.n + iv.n, p.sumValue + iv.sumValue)
+      } else merged += iv
+    }
+    merged.toSeq
+  }
 
   /** Gap-based sessionization with explicit state —
     * `flatMapGroupsWithState` over per-user event streams.
     *
-    * Streaming input: the open session SURVIVES micro-batch boundaries in
-    * the state store; a session is emitted when a later event exceeds the
-    * inactivity gap, or when the event-time watermark passes the session's
-    * last event + gap (EventTimeTimeout) — so input split across many
-    * micro-batches (files, Kafka polls) yields the same sessions as one
-    * batch, up to watermark-late data. Requires in-order-enough arrival:
-    * events later than `watermarkDelay` behind the max seen event time may
-    * land after their session closed (inherent to any streaming engine).
+    * Streaming input: ALL unsealed intervals survive micro-batch boundaries
+    * in list-valued state; an interval is emitted only once the event-time
+    * watermark passes its last event + gap, i.e. when no non-late event can
+    * extend or bridge it any more. This makes the merge order-robust for
+    * EVERY event inside the watermark horizon — including one arriving
+    * after a later gap-separated interval opened (the early interval is
+    * still in state, so the bridge merges them instead of splitting the
+    * session). Events later than `watermarkDelay` behind the max seen event
+    * time may still land after their session sealed (inherent to any
+    * streaming engine). Emission happens via gap-exceeding later events or
+    * the EventTimeTimeout, whichever moves the watermark first; state per
+    * key is bounded by the number of gap-separated intervals inside one
+    * watermark horizon (≤ horizon/gap + 1).
     *
-    * Batch input: one call per group sees all rows; trailing sessions are
+    * Batch input: one call per group sees all rows; every merged session is
     * emitted directly (timeouts never fire in batch execution).
     *
     * The batch twin (Sessions.sessionize) computes identical sessions with
@@ -173,54 +196,36 @@ object Streams {
       if (streaming) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
     src
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](OutputMode.Append(), timeoutConf) {
-        case (uid, _, state: GroupState[SessionState]) if state.hasTimedOut =>
-          // watermark passed lastTs + gap: no in-horizon event can extend
-          // this session any more — flush and clear
-          val st = state.get
-          state.remove()
-          Iterator.single(SessionOut(uid, st.sessionStartUs, st.lastTsUs, st.n, st.sumValue))
-        case (uid, rows, state: GroupState[SessionState]) =>
-          // session_window-style interval merge: the open session (if any)
-          // and each event become gap-intervals, sorted by start and merged
-          // where the gap between neighbors is within SessionGapUs. This is
-          // ORDER-ROBUST: an out-of-order event inside the watermark horizon
-          // lands in (or bridges) the right interval instead of regressing
-          // the open session's end timestamp.
-          val intervals = scala.collection.mutable.ArrayBuffer.empty[SessionState]
-          state.getOption.foreach(intervals += _)
-          rows.foreach(e => intervals += SessionState(e.ts_us, e.ts_us, 1L, e.value))
-          val merged = scala.collection.mutable.ArrayBuffer.empty[SessionState]
-          for (iv <- intervals.sortBy(s => (s.sessionStartUs, s.lastTsUs))) {
-            if (merged.nonEmpty && iv.sessionStartUs - merged.last.lastTsUs <= SessionGapUs) {
-              val p = merged.last
-              merged(merged.length - 1) = SessionState(p.sessionStartUs,
-                math.max(p.lastTsUs, iv.lastTsUs), p.n + iv.n, p.sumValue + iv.sumValue)
-            } else merged += iv
-          }
-          val out = Seq.newBuilder[SessionOut]
-          def emit(s: SessionState): Unit =
-            out += SessionOut(uid, s.sessionStartUs, s.lastTsUs, s.n, s.sumValue)
-          if (streaming) {
-            // all but the latest interval are gap-closed relative to this
-            // batch's data → emit; the latest stays open in state until a
-            // later event extends it or the watermark passes its gap
-            merged.init.foreach(emit)
-            merged.lastOption match {
-              case Some(open) =>
-                state.update(open)
-                // clamp above the current watermark (setTimeoutTimestamp
-                // rejects timestamps at/behind it — possible when this
-                // batch's rows are already near the horizon)
-                val fireAtMs = open.lastTsUs / 1000 + SessionGapUs / 1000
-                state.setTimeoutTimestamp(math.max(fireAtMs, state.getCurrentWatermarkMs() + 1))
-              case None => if (state.exists) state.remove()
-            }
-          } else {
-            merged.foreach(emit)
+      .flatMapGroupsWithState[SessionBuffer, SessionOut](OutputMode.Append(), timeoutConf) {
+        // one handler for data batches AND timeouts: on timeout `rows` is
+        // empty and the re-merge of prior intervals is idempotent
+        case (uid, rows, state: GroupState[SessionBuffer]) =>
+          val prior = state.getOption.map(_.intervals).getOrElse(Seq.empty)
+          val fresh = rows.map(e => SessionState(e.ts_us, e.ts_us, 1L, e.value)).toSeq
+          val merged = mergeIntervals(prior ++ fresh)
+          def emit(s: SessionState): SessionOut =
+            SessionOut(uid, s.sessionStartUs, s.lastTsUs, s.n, s.sumValue)
+          if (!streaming) {
             state.remove()
+            merged.iterator.map(emit)
+          } else {
+            // watermark-gated emission: seal only intervals whose
+            // lastTs + gap is at/behind the watermark; everything else —
+            // including gap-closed-within-this-batch intervals — stays in
+            // state, because an in-horizon out-of-order event can still
+            // extend or bridge it
+            val wmUs = state.getCurrentWatermarkMs() * 1000
+            val (flushed, open) = merged.partition(s => s.lastTsUs + SessionGapUs <= wmUs)
+            if (open.nonEmpty) {
+              state.update(SessionBuffer(open))
+              // earliest unsealed interval drives the next flush; clamp
+              // above the current watermark (setTimeoutTimestamp rejects
+              // timestamps at/behind it — ms truncation can land there)
+              val fireAtMs = open.map(_.lastTsUs).min / 1000 + SessionGapUs / 1000
+              state.setTimeoutTimestamp(math.max(fireAtMs, state.getCurrentWatermarkMs() + 1))
+            } else if (state.exists) state.remove()
+            flushed.iterator.map(emit)
           }
-          out.result().iterator
       }
   }
 }

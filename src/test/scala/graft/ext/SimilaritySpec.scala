@@ -96,8 +96,11 @@ class SimilaritySpec extends SparkSpec {
     val o2 = objective(2)
     // assignment-by-cosine + mean update = spherical k-means: each step
     // cannot worsen the mean assigned cosine (measured 0.245 → 0.261 →
-    // 0.268 over iters 1..3 at this SF); tiny epsilon absorbs double noise
-    assert(o2 >= o1 - 1e-9, s"objective worsened: it1=$o1 it2=$o2")
+    // 0.268 over iters 1..3 at this SF). Epsilon 1e-6 = the r6 quantum:
+    // kmeansCentroidsOn assigns by r6-ROUNDED cosine while this objective
+    // uses unrounded cosines, so rounding-induced assignment ties can
+    // legitimately cost up to ~the quantum per vector
+    assert(o2 >= o1 - 1e-6, s"objective worsened: it1=$o1 it2=$o2")
   }
 
   test("nprobe knob: probing all cells degenerates IVF to exact brute force") {

@@ -237,12 +237,18 @@ class StreamsSpec extends SparkSpec {
     Files.createDirectories(Paths.get(s"$base/in"))
     // batch1: t=T, t=T+10min; batch2: t=T+5min (older than max seen, but
     // far inside the 1h watermark → NOT dropped); batch3: t=T+50min (> gap
-    // after T+10min → closes the session). A lastTs-regression bug would
-    // end the session at T+5min and fire the gap off the regressed
-    // timestamp. T > 0: an event at exactly epoch 0 ties with the initial
-    // watermark and is dropped as late — not what this test is about.
+    // after T+10min, but the session is only SEALED once the watermark
+    // passes T+10min+gap — not merely gap-closed within a batch); batch4:
+    // t=T+110min pushes the watermark (delay 1h) to T+50min > T+40min,
+    // sealing the first session. A lastTs-regression bug would end the
+    // session at T+5min and fire the gap off the regressed timestamp; an
+    // eager-emission bug would seal it while T+5min-style stragglers could
+    // still arrive. T > 0: an event at exactly epoch 0 ties with the
+    // initial watermark and is dropped as late — not what this test is
+    // about.
     val T = 1000 * min
-    val batches = Seq(Seq(T, T + 10 * min), Seq(T + 5 * min), Seq(T + 50 * min))
+    val batches = Seq(
+      Seq(T, T + 10 * min), Seq(T + 5 * min), Seq(T + 50 * min), Seq(T + 110 * min))
     batches.zipWithIndex.foreach { case (ts, i) =>
       val tmp = s"$base/tmp$i"
       ts.map(t => (7L, t, 1.0)).toDF("user_id", "ts_us", "value")
@@ -259,9 +265,43 @@ class StreamsSpec extends SparkSpec {
     val streamed = Streams.runToMemory(spark,
       Streams.sessionize(stream).toDF(), "t_sessionize_ooo")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-    // the closed session must span [T, T+10min] with all 3 events; the
-    // [T+50min] session stays open past end-of-stream (watermark delay 1h)
+    // the sealed session must span [T, T+10min] with all 3 events; the
+    // [T+50min] and [T+110min] sessions stay unsealed past end-of-stream
+    // (final watermark T+50min is behind both ends + gap)
     assert(streamed === Set((7L, T, T + 10 * min, 3L)), s"got $streamed")
+  }
+
+  test("streaming sessionize bridges gap-separated intervals from one batch via a later in-horizon event") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val min = 60L * 1000000
+    val base = Files.createTempDirectory("graft_sessions_bridge").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    // batch1 alone holds TWO gap-separated intervals [T] and [T+40min]
+    // (40min > the 30min gap). Eager emission would seal [T,T] right away;
+    // watermark-gated emission must keep both, so batch2's T+20min bridge
+    // (well inside the 1h horizon) merges everything into ONE session.
+    // batch3's T+150min event drives the watermark to T+90min, past the
+    // merged end + gap = T+70min, sealing exactly one 3-event session.
+    val T = 1000 * min
+    val batches = Seq(Seq(T, T + 40 * min), Seq(T + 20 * min), Seq(T + 150 * min))
+    batches.zipWithIndex.foreach { case (ts, i) =>
+      val tmp = s"$base/tmp$i"
+      ts.map(t => (7L, t, 1.0)).toDF("user_id", "ts_us", "value")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$base/in/b$i.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(20)
+    }
+    val stream = spark.readStream
+      .schema("user_id LONG, ts_us LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+      .as[Streams.SessionEvent]
+    val streamed = Streams.runToMemory(spark,
+      Streams.sessionize(stream).toDF(), "t_sessionize_bridge")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed === Set((7L, T, T + 40 * min, 3L)),
+      s"expected one bridged session, got $streamed")
   }
 
   test("flatMapGroupsWithState sessionization matches the window-function batch twin") {
