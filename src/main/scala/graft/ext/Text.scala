@@ -30,7 +30,10 @@ object Text {
   /** Per-document quality metrics: token count, mean token length,
     * punctuation ratio, stopword ratio, and a composite quality score —
     * the length/punct/stopword heuristics of C4/Gopher-style filters. */
-  def textStatsOn(docs: DataFrame): DataFrame = {
+  /** Unsorted per-doc stats — pure row-local projections, so the frame
+    * streams unchanged (the quality filter's streaming twin builds on
+    * this); the registry query adds the presentation sort. */
+  def textStatsRowsOn(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
     val stopHits = size(filter(toks, t => t.isInCollection(stopwords))).cast("long")
@@ -56,8 +59,10 @@ object Text {
         r6(col("punct_ratio")).as("punct_ratio"),
         r6(col("stop_ratio")).as("stop_ratio"),
         col("quality_score"))
-      .orderBy("doc_id")
   }
+
+  def textStatsOn(docs: DataFrame): DataFrame =
+    textStatsRowsOn(docs).orderBy("doc_id")
 
   def textStats(spark: SparkSession, dir: String): DataFrame =
     textStatsOn(Tables.documents(spark, dir))
@@ -293,13 +298,19 @@ object Text {
   val MaxPunctRatio = 0.2
   val MinQuality = 0.4
 
-  def qualityFilterOn(docs: DataFrame): DataFrame =
-    textStatsOn(docs)
+  /** Unsorted filter — stateless per-row gates, so it runs unchanged on a
+    * STREAMING documents frame (each micro-batch filters independently and
+    * makes the same keep decisions the batch run makes; StreamsSpec
+    * asserts the parity). The registry query adds the presentation sort. */
+  def qualityFilterRowsOn(docs: DataFrame): DataFrame =
+    textStatsRowsOn(docs)
       .filter(col("n_tokens") >= lit(MinTokens) &&
         (col("punct_ratio") < lit(MaxPunctRatio) || col("punct_ratio").isNull) &&
         col("quality_score") >= lit(MinQuality))
       .select("doc_id", "n_tokens", "punct_ratio", "quality_score")
-      .orderBy("doc_id")
+
+  def qualityFilterOn(docs: DataFrame): DataFrame =
+    qualityFilterRowsOn(docs).orderBy("doc_id")
 
   def qualityFilter(spark: SparkSession, dir: String): DataFrame =
     qualityFilterOn(Tables.documents(spark, dir))

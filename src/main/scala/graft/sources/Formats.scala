@@ -35,6 +35,42 @@ object Formats {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** JDBC source — the one source the reference actually uses (its whole
+    * pipeline starts from a database full scan). `table` is a table name or
+    * a "(subquery) alias" pushed to the database.
+    *
+    * Scale: pass `partitionColumn` + bounds + `numPartitions` so N tasks
+    * each pull one range slice in parallel — without them a database read
+    * is a single task no matter how large the cluster, which is the first
+    * bottleneck every JDBC ingest hits. Filters and column pruning push
+    * into the database query (FormatsSpec asserts PushedFilters), so the
+    * lake-side plan starts from the smallest possible transfer. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               driver: String = null,
+               partitionColumn: String = null,
+               lowerBound: Long = 0L, upperBound: Long = 0L,
+               numPartitions: Int = 1): DataFrame = {
+    var r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if (driver != null) r = r.option("driver", driver)
+    if (partitionColumn != null)
+      r = r.option("partitionColumn", partitionColumn)
+        .option("lowerBound", lowerBound)
+        .option("upperBound", upperBound)
+        .option("numPartitions", numPartitions)
+    r.load()
+  }
+
+  /** JDBC sink (overwrite). Interchange-grade like the CSV/JSON writers:
+    * row-at-a-time inserts don't scale — at 100 TB results land in parquet
+    * and only small summaries go back to a database. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                driver: String = null): Unit = {
+    var w = df.write.mode("overwrite").format("jdbc")
+      .option("url", url).option("dbtable", table)
+    if (driver != null) w = w.option("driver", driver)
+    w.save()
+  }
+
   def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)

@@ -118,6 +118,23 @@ object Streams {
         col("v_value"))
   }
 
+  /** Streaming sequence packing via foreachBatch: every micro-batch is
+    * packed independently by the SAME sharded packer the batch job runs
+    * ([[graft.ext.Corpus.seqPackShardedOn]]). Chunks never span
+    * micro-batches, exactly as they never span shards — each batch is just
+    * more shards — so per-(lang, shard) token totals are preserved against
+    * a one-shot batch run and only chunk boundaries differ at batch edges:
+    * the standard incremental-packing contract. `onBatch` receives the
+    * packed manifest and the micro-batch id (provenance for resume). */
+  def packBatches(docs: DataFrame, nShards: Int = graft.ext.Corpus.PackShards)
+                 (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        onBatch(graft.ext.Corpus.seqPackShardedOn(batch.toDF(), nShards), id)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Run a streaming DataFrame to completion against the bounded test input
     * (AvailableNow trigger + memory sink) and return the result as a batch
     * DataFrame — the harness for batch/stream parity tests. */

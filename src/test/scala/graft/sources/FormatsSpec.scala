@@ -27,6 +27,38 @@ class FormatsSpec extends SparkSpec {
     assert(back.collect().toSeq === orig.collect().toSeq)
   }
 
+  test("jdbc round-trip through embedded Derby: partitioned parallel read + filter pushdown") {
+    import spark.implicits._
+    // keep Derby's derby.log out of the repo working dir
+    System.setProperty("derby.system.home", tmp)
+    val url = s"jdbc:derby:$tmp/jdbc_db;create=true"
+    val orig = spark.range(0, 100)
+      .select(col("id"), (col("id") % 7).as("grp"),
+        concat(lit("name_"), col("id")).as("name"))
+    Formats.writeJdbc(orig, url, "people")
+    // plain read: whole table through one connection
+    val back = Formats.readJdbc(spark, url, "people")
+    assert(back.count() === 100)
+    // partitioned read: 4 range slices pulled by 4 parallel tasks — the
+    // scale path for database ingest — with identical contents
+    val par = Formats.readJdbc(spark, url, "people",
+      partitionColumn = "id", lowerBound = 0L, upperBound = 100L, numPartitions = 4)
+    assert(par.rdd.getNumPartitions === 4)
+    assert(par.select("id").as[Long].collect().toSet === (0L until 100L).toSet)
+    // predicates reach the database instead of filtering after transfer
+    val filtered = par.filter(col("id") > 90)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"), plan)
+    assert(filtered.count() === 9)
+    // subquery pushdown: the database computes the aggregate, Spark reads 7 rows
+    // (Spark's JDBC writer quotes column names, so Derby holds them
+    // case-sensitive lowercase — quote them in database-side SQL)
+    val agg = Formats.readJdbc(spark, url,
+      """(SELECT "grp", count(*) AS n FROM people GROUP BY "grp") t""")
+    assert(agg.count() === 7)
+    assert(agg.agg(sum("n")).head().getLong(0) === 100L)
+  }
+
   test("orc round-trip preserves rows and values") {
     val orig = ordersSorted
     Formats.writeOrc(orig, s"$tmp/orders_orc")

@@ -122,6 +122,59 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  private def documentsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+
+  test("streaming quality filter keeps exactly the batch survivors (stateless gate on a stream)") {
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    val streamed = Streams.runToMemory(spark,
+      graft.ext.Text.qualityFilterRowsOn(stream), "t_quality_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.ext.Text.qualityFilter(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming packer preserves per-(lang, shard) token totals across micro-batches") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_pack_stream").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    // split the corpus into two micro-batches by doc_id parity
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    Seq(0, 1).foreach { p =>
+      val tmp = s"$base/tmp$p"
+      docs.filter(col("doc_id") % 2 === p).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$base/in/b$p.parquet"), StandardCopyOption.ATOMIC_MOVE)
+    }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = Streams.packBatches(stream) { (manifest, _) =>
+      val rows = manifest.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+      buf.synchronized { buf ++= rows }
+    }
+    q.awaitTermination()
+    assert(buf.nonEmpty, "packer emitted no manifest rows")
+    // chunks never span micro-batches (as they never span shards), so
+    // per-(lang, shard) doc and token totals must match the one-shot batch
+    // packing exactly; only chunk boundaries may differ at batch edges
+    val streamedTotals = buf.groupBy(t => (t._1, t._2))
+      .view.mapValues(v => (v.map(_._3).sum, v.map(_._4).sum)).toMap
+    val batchTotals = graft.ext.Corpus.seqPackShardedOn(docs)
+      .groupBy("lang", "shard").agg(sum("n_docs").as("nd"), sum("tokens_started").as("ts"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(streamedTotals === batchTotals)
+  }
+
   test("streaming corpus mix emits exactly the batch mix (stateless pipeline op on a stream)") {
     // the mixing decisions are deterministic per-row hashes, so a streamed
     // corpus produces the identical weighted mix the batch run does —
