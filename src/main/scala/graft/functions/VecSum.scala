@@ -22,7 +22,7 @@ import org.apache.spark.sql.expressions.Aggregator
   * before any cross-engine comparison for exactly this reason.
   */
 object VecSum {
-  private def add(b: Array[Double], a: Seq[Double]): Array[Double] = {
+  private def add(b: Array[Double], a: Array[Double]): Array[Double] = {
     if (a == null || a.isEmpty) return b
     val out = if (b.length >= a.length) b else java.util.Arrays.copyOf(b, a.length)
     var i = 0
@@ -30,16 +30,25 @@ object VecSum {
     out
   }
 
-  val agg: Aggregator[Seq[Double], Array[Double], Seq[Double]] =
-    new Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+  // primitive Array[Double] end-to-end: the expression encoders use the
+  // no-boxing toDoubleArray/fromPrimitiveArray paths, which matters when
+  // every corpus row passes through reduce()
+  val agg: Aggregator[Array[Double], Array[Double], Array[Double]] =
+    new Aggregator[Array[Double], Array[Double], Array[Double]] {
       def zero: Array[Double] = Array.emptyDoubleArray
-      def reduce(b: Array[Double], a: Seq[Double]): Array[Double] = add(b, a)
-      def merge(x: Array[Double], y: Array[Double]): Array[Double] =
-        add(x, scala.collection.immutable.ArraySeq.unsafeWrapArray(y))
-      def finish(b: Array[Double]): Seq[Double] =
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+      def reduce(b: Array[Double], a: Array[Double]): Array[Double] = add(b, a)
+      def merge(x: Array[Double], y: Array[Double]): Array[Double] = add(x, y)
+      def finish(b: Array[Double]): Array[Double] = b
       def bufferEncoder: Encoder[Array[Double]] = Encoders.kryo[Array[Double]]
-      def outputEncoder: Encoder[Seq[Double]] =
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+      def outputEncoder: Encoder[Array[Double]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
     }
+
+  /** The one shared UserDefinedFunction. Callers MUST use this instead of
+    * wrapping `agg` themselves: every `udaf(...)` call builds fresh encoder
+    * expression trees, and plans containing different instances stop being
+    * cache-equal — repeated invocations of a centroid query would then miss
+    * the persisted-subplan cache they rely on. */
+  lazy val fn: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(agg)
 }

@@ -103,6 +103,22 @@ class SimilaritySpec extends SparkSpec {
     assert(o2 >= o1 - 1e-6, s"objective worsened: it1=$o1 it2=$o2")
   }
 
+  test("VecSum and static per-dim centroid paths agree") {
+    val emb = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def cents(dims: Int) = Similarity.kmeansCentroidsOn(emb, dims = dims)
+      .orderBy("cent_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq, r.getDouble(2)))
+    val dynamic = cents(-1)
+    val static64 = cents(64)
+    assert(dynamic.length === static64.length)
+    dynamic.zip(static64).foreach { case ((ca, va, na), (cb, vb, nb)) =>
+      assert(ca === cb)
+      // the two aggregates sum in different orders → equal to fp noise
+      va.zip(vb).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+      assert(math.abs(na - nb) < 1e-9)
+    }
+  }
+
   test("nprobe knob: probing all cells degenerates IVF to exact brute force") {
     val dir = "/root/testdata/sf0.001"
     val emb = graft.ops.Tables.embeddings(spark, dir)
