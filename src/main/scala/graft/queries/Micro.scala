@@ -199,6 +199,59 @@ object Micro {
       |       try_cast(json_extract_string(props, '$.k') AS BIGINT) AS k_num
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Map-typed column operators (beyond the reference surface — §1.1: "no
+    * maps anywhere"; the testdata's props is single-key, so the map is
+    * BUILT from event columns to get real multi-key coverage): `map`
+    * construction, `map_filter` (drop null values), `transform_values`
+    * (rewrite to key=value), `element_at` lookup, `size`, and map
+    * `explode` into rows, folded back through a relational aggregate so
+    * the result is oracle-hashable. DuckDB emulates the map relationally
+    * (UNION ALL of the key/value pairs) — the point of the oracle is the
+    * SEMANTICS, not the physical type. All map exprs are codegen'd
+    * builtins; explode fans out ≤3 rows per event — same scan-bound shape
+    * as any projection at 100 TB. */
+  def mapOps(spark: SparkSession, dir: String): DataFrame = {
+    val m = map(
+      lit("type"), col("event_type"),
+      lit("k"), get_json_object(col("props"), "$.k"),
+      lit("vband"), when(col("value") >= lit(50.0), lit("high")).otherwise(lit("low")))
+    Tables.events(spark, dir)
+      .withColumn("m", transform_values(map_filter(m, (_, v) => v.isNotNull),
+        (k, v) => concat(k, lit("="), v)))
+      .withColumn("n_keys", size(col("m")).cast("long"))
+      .withColumn("type_val", element_at(col("m"), "type"))
+      .select(col("event_id"), col("n_keys"), col("type_val"),
+        explode(col("m")).as(Seq("mk", "mv")))
+      .groupBy("mk")
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("mv")).as("n_vals"),
+        min("n_keys").as("min_keys"), countDistinct(col("type_val")).as("n_types"))
+      .orderBy("mk")
+  }
+
+  val mapOpsSql: String =
+    """WITH base AS (
+      |  SELECT event_id, event_type AS type_v,
+      |         json_extract_string(props, '$.k') AS k_v,
+      |         CASE WHEN value >= 50.0 THEN 'high' ELSE 'low' END AS vband_v
+      |  FROM events),
+      |flat AS (
+      |  SELECT event_id,
+      |         (CASE WHEN type_v IS NOT NULL THEN 1 ELSE 0 END
+      |          + CASE WHEN k_v IS NOT NULL THEN 1 ELSE 0 END
+      |          + CASE WHEN vband_v IS NOT NULL THEN 1 ELSE 0 END) AS n_keys,
+      |         CASE WHEN type_v IS NOT NULL THEN 'type=' || type_v END AS type_val,
+      |         mk, mv
+      |  FROM (
+      |    SELECT *, 'type' AS mk, 'type=' || type_v AS mv FROM base WHERE type_v IS NOT NULL
+      |    UNION ALL
+      |    SELECT *, 'k' AS mk, 'k=' || k_v AS mv FROM base WHERE k_v IS NOT NULL
+      |    UNION ALL
+      |    SELECT *, 'vband' AS mk, 'vband=' || vband_v AS mv FROM base WHERE vband_v IS NOT NULL))
+      |SELECT mk, count(*) AS n_rows, count(DISTINCT mv) AS n_vals,
+      |       CAST(min(n_keys) AS BIGINT) AS min_keys,
+      |       count(DISTINCT type_val) AS n_types
+      |FROM flat GROUP BY mk ORDER BY mk""".stripMargin
+
   /** Event-time tumbling window aggregation — the batch twin of the
     * Structured Streaming query in graft.streaming (§2.10 extension). Spark
     * `window()` and DuckDB `time_bucket` are both epoch-aligned for
@@ -264,6 +317,7 @@ object Micro {
     Q("m_cut_right_closed", cutRightClosed _, cutRightClosedSql),
     Q("m_rolling_daily", rollingDaily _, rollingDailySql),
     Q("m_json_extract", jsonExtract _, jsonExtractSql),
+    Q("m_map_ops", mapOps _, mapOpsSql),
     Q("w_tumbling_window", tumblingWindow _, tumblingWindowSql),
     Q("w_sliding_window", slidingWindow _, slidingWindowSql),
   )

@@ -106,6 +106,45 @@ object Formats {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Z-order (Morton-interleaved) multi-column clustering — the layout for
+    * tables queried selectively on SEVERAL columns. Each cluster column is
+    * min/max-normalized to a `bitsPerCol`-bit integer (one tiny distributed
+    * bounds aggregation up front — the same stats pass production
+    * OPTIMIZE-ZORDER jobs run), the bit planes are interleaved into one
+    * z-value, and rows are range-partitioned and sorted by it. Every file
+    * then covers a small hyper-rectangle of the key space, so parquet
+    * min/max statistics skip files/row groups for selective predicates on
+    * ANY clustered column — [[writeClustered]]'s lexicographic sort only
+    * skips on its leading column. Numeric columns; NULLs sort to bucket 0.
+    * The z-value math is plain codegen'd shifts/ors, so the write costs one
+    * extra projection over the range shuffle it needs anyway. */
+  def writeZOrdered(df: DataFrame, path: String, clusterCols: Seq[String],
+                    nFiles: Int, bitsPerCol: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    val n = clusterCols.size
+    require(n >= 1 && bitsPerCol >= 1 && n * bitsPerCol <= 62,
+      s"${n} cols x $bitsPerCol bits exceed a signed 64-bit z-value")
+    val boundExprs = clusterCols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"mn_$c"), max(col(c).cast("double")).as(s"mx_$c")))
+    val row = df.agg(boundExprs.head, boundExprs.tail: _*).head()
+    val maxBucket = (1L << bitsPerCol) - 1
+    val scaled = clusterCols.zipWithIndex.map { case (c, i) =>
+      val (mn, mx) = (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+      val span = if (mx > mn) mx - mn else 1.0
+      // greatest/least also route NULLs to bucket 0 (greatest skips nulls)
+      least(lit(maxBucket), greatest(lit(0L),
+        ((col(c).cast("double") - lit(mn)) / lit(span) * lit(maxBucket.toDouble)).cast("long")))
+    }
+    val z = (0 until bitsPerCol).flatMap(b => scaled.zipWithIndex.map { case (sc, i) =>
+      shiftleft(shiftright(sc, b).bitwiseAND(lit(1L)), b * n + i) // disjoint bits: + == OR
+    }).reduce(_ + _)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 

@@ -139,6 +139,49 @@ class FormatsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("z-ordered layout skips data on BOTH clustered columns; linear clustering only on the leading one") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val ev = graft.ops.Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("event_id"), col("user_id"), col("value"))
+    // narrow band on each dimension (~4% of each key range)
+    val Array(uLo, uHi) = ev.stat.approxQuantile("user_id", Array(0.50, 0.54), 0.0).map(_.toLong)
+    val Array(vLo, vHi) = ev.stat.approxQuantile("value", Array(0.50, 0.54), 0.0)
+    // 64 files → each covers ~1/64 of z-space (a ~1/8 x 1/8 hyper-rect):
+    // granularity matters — too few files and every thin band crosses
+    // every coarse cell, the same sizing rule a production OPTIMIZE uses
+    Formats.writeZOrdered(ev, s"$base/zorder", Seq("user_id", "value"), 64)
+    Formats.writeClustered(ev, s"$base/linear", Seq("user_id", "value"), 64)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def scanned(path: String, pred: org.apache.spark.sql.Column): (Long, Long) = {
+        val df = spark.read.parquet(path).filter(pred)
+        val nRows = df.collect().length.toLong
+        val scan = df.queryExecution.executedPlan
+          .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.head
+        (nRows, scan.metrics("numOutputRows").value)
+      }
+      val onUser = col("user_id") >= uLo && col("user_id") < uHi
+      val onValue = col("value") >= vLo && col("value") < vHi
+      val total = ev.count()
+      val (nzU, readZU) = scanned(s"$base/zorder", onUser)
+      val (nlU, readLU) = scanned(s"$base/linear", onUser)
+      val (nzV, readZV) = scanned(s"$base/zorder", onValue)
+      val (nlV, readLV) = scanned(s"$base/linear", onValue)
+      assert(nzU === nlU && nzV === nlV, "layouts disagree on query results")
+      assert(nzU > 0 && nzV > 0, "empty test band")
+      // both layouts skip on the leading column...
+      assert(readZU * 2 <= total, s"z-order skipped nothing on user_id: $readZU of $total")
+      assert(readLU * 2 <= total, s"linear skipped nothing on user_id: $readLU of $total")
+      // ...but only z-order also skips on the second column: the linear
+      // sort spreads every value range across every user_id file
+      assert(readZV * 2 <= total, s"z-order skipped nothing on value: $readZV of $total")
+      assert(readZV * 2 <= readLV,
+        s"z-order ($readZV rows) should read well under linear ($readLV) on the trailing column")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("malformed csv cells coerce to null, not error") {
     val dir = s"$tmp/bad_csv"
     Files.createDirectories(java.nio.file.Paths.get(dir))
