@@ -57,6 +57,31 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
   }
 
+  test("sharded packer's window and aggregate share one (lang, shard) shuffle") {
+    val p = plan(graft.ext.Corpus.seqPackShardedOn(
+      graft.ops.Tables.documents(spark, dir)))
+    // one hashpartitioning(lang, shard) feeds the running-sum window AND the
+    // downstream partial-agg'd groupBy (its keys are a superset); the only
+    // other exchange is the presentation sort's rangepartitioning
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"unexpected extra shuffles ($exchanges):\n${p.take(3000)}")
+    assert(p.contains("hashpartitioning(lang"), p.take(2000))
+  }
+
+  test("map-ops query aggregates partially after the map explode") {
+    val p = plan(Micro.mapOps(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
+    assert(p.contains("Generate explode"), p.take(2000))
+  }
+
+  test("LSH-fed jaccard joins candidates to grams by doc_id, no cartesian anywhere") {
+    val p = plan(graft.ext.Dedup.ngramJaccardLshOn(
+      graft.ops.Tables.documents(spark, dir)))
+    spark.catalog.clearCache() // the query persists its gram/signature tables
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation degenerated to all-pairs:\n${p.take(3000)}")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // 100 TB shape: fact ⋈ selectively-filtered dim without broadcast. Spark
     // injects a bloom filter built from the dim keys into the fact scan, so
