@@ -418,6 +418,90 @@ object Dedup {
        |FROM p WHERE n_union > 0 AND n_inter / n_union >= $JaccardMin
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------- near-dup clustering
+  /** Connected components over the near-dup pair graph + canonical
+    * selection — the step a dedup pipeline runs AFTER pair generation:
+    * pairs only say "these two match"; what the corpus keeps is one
+    * canonical doc per transitive cluster.
+    *
+    * Edges: MinHash pairs with est_jaccard ≥ [[ClusterEstMin]]. Components
+    * by iterative min-label propagation — each round every doc takes the
+    * min cluster label among itself and its neighbors, converging in
+    * O(cluster diameter) rounds (near-dup clusters are shallow; a cap
+    * bounds the loop). This is the standard distributed CC shape: each
+    * round is one shuffle join + one aggregate, state is (doc_id, label),
+    * and the driver sees only an O(1) convergence count per round — the
+    * same per-iteration driver role Lloyd training has. At 100 TB the
+    * round count stays diameter-bound; the large-star/small-star variant
+    * drops in if diameters ever grow.
+    *
+    * Output per doc: its cluster id (min doc_id in the component), the
+    * cluster size, and whether this doc is the canonical survivor. */
+  val ClusterEstMin = 0.5
+  val ClusterMaxIters = 10
+
+  def dupClustersOn(docs: DataFrame,
+                    numHashes: Int = NumHashes, numBands: Int = NumBands): DataFrame = {
+    val pairs = minhashLshOn(docs, numHashes, numBands)
+      .filter(col("est_jaccard") >= lit(ClusterEstMin))
+      .select("doc_a", "doc_b")
+    val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a"))).persist()
+    var comp = docs.select(col("doc_id"), col("doc_id").as("comp")).persist()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < ClusterMaxIters) {
+      val nbrMin = sym
+        .join(comp.select(col("doc_id").as("nbr"), col("comp").as("nbr_comp")),
+          col("doc_b") === col("nbr"))
+        .groupBy(col("doc_a"))
+        .agg(min("nbr_comp").as("nbr_min"))
+      val next = comp
+        .join(nbrMin, comp("doc_id") === nbrMin("doc_a"), "left")
+        .select(comp("doc_id"),
+          least(comp("comp"), coalesce(col("nbr_min"), comp("comp"))).as("comp"))
+        .persist()
+      changed = next.as("n").join(comp.as("o"), "doc_id")
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      comp.unpersist()
+      comp = next
+      iters += 1
+    }
+    val sizes = comp.groupBy(col("comp").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.select(col("doc_id"), col("comp").as("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    dupClustersOn(Tables.documents(spark, dir))
+
+  /** Oracle: exact transitive closure via recursive CTE, component =
+    * min reachable doc_id — tractable at oracle scale, semantically the
+    * fixpoint the propagation loop converges to. */
+  val dupClustersSql: String = {
+    val agree = (0 until NumHashes)
+      .map(i => s"(CASE WHEN x.mh_$i = y.mh_$i THEN 1 ELSE 0 END)").reduce((a, b) => s"($a + $b)")
+    s"""WITH RECURSIVE ${minhashCandCtes(NumHashes, NumBands)},
+       |edges AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM cand c JOIN mh x ON c.doc_a = x.doc_id JOIN mh y ON c.doc_b = y.doc_id
+       |  WHERE $agree / ${NumHashes.toDouble} >= $ClusterEstMin),
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+       |        UNION ALL SELECT doc_b, doc_a FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+       |comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+       |SELECT c.doc_id, c.cluster_id, s.cluster_size, c.doc_id = c.cluster_id AS is_canonical
+       |FROM comp c JOIN sizes s ON c.cluster_id = s.cluster_id
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------- embedding near-dup
   /** Embedding-cosine near-dup with banded sign-LSH blocking: band j's
     * bucket = (label, sign bits of planes [j·nPlanes, (j+1)·nPlanes)) — a
@@ -485,5 +569,6 @@ object Dedup {
     Q("dd_ngram_jaccard", ngramJaccard _, ngramJaccardSql),
     Q("dd_ngram_jaccard_lsh", ngramJaccardLsh _, ngramJaccardLshSql),
     Q("dd_embed_neardup", embedNearDup _, embedNearDupSql),
+    Q("dd_dup_clusters", dupClusters _, dupClustersSql),
   )
 }

@@ -107,6 +107,27 @@ class DedupSpec extends SparkSpec {
     assert(base.subsetOf(banded), s"adding a band lost pairs: ${(base -- banded).take(5)}")
   }
 
+  test("dup clusters: pair endpoints share a component, canonical is the min member, sizes add up") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val edges = Dedup.minhashLshOn(docs)
+      .filter(col("est_jaccard") >= Dedup.ClusterEstMin)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val rows = Dedup.dupClustersOn(docs)
+      .as[(Long, Long, Long, Boolean)].collect()
+    spark.catalog.clearCache()
+    val cl = rows.map(r => r._1 -> r._2).toMap
+    edges.foreach { case (a, b) =>
+      assert(cl(a) === cl(b), s"edge ($a,$b) split across clusters ${cl(a)}/${cl(b)}")
+    }
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min === cid, s"cluster $cid not labeled by its min member")
+      assert(members.forall(_._3 === members.length), s"cluster $cid sizes inconsistent")
+      assert(members.count(_._4) === 1 && members.find(_._4).get._1 === cid,
+        s"cluster $cid canonical flag wrong")
+    }
+    assert(rows.exists(_._3 > 1), "no multi-doc cluster found (degenerate corpus)")
+  }
+
   test("minhash universal-hash constants stay positive under the prime") {
     assert(Dedup.hashA.forall(a => a > 0 && a < Dedup.P))
     assert(Dedup.hashB.forall(b => b >= 0 && b < Dedup.P))
