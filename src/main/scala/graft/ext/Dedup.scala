@@ -164,14 +164,20 @@ object Dedup {
        |  GROUP BY 1, 2)""".stripMargin
   }
 
-  val minhashLshSql: String = {
-    val agree = (0 until NumHashes)
+  /** Signature-agreement fraction between aliases x and y — shared by every
+    * oracle that rejoins signatures, so the estimate can never drift
+    * between them. */
+  private def agreeSql(numHashes: Int): String = {
+    val agree = (0 until numHashes)
       .map(i => s"(CASE WHEN x.mh_$i = y.mh_$i THEN 1 ELSE 0 END)").reduce((a, b) => s"($a + $b)")
+    s"$agree / ${numHashes.toDouble}"
+  }
+
+  val minhashLshSql: String =
     s"""WITH ${minhashCandCtes(NumHashes, NumBands)}
-       |SELECT c.doc_a, c.doc_b, $agree / ${NumHashes.toDouble} AS est_jaccard
+       |SELECT c.doc_a, c.doc_b, ${agreeSql(NumHashes)} AS est_jaccard
        |FROM cand c JOIN mh x ON c.doc_a = x.doc_id JOIN mh y ON c.doc_b = y.doc_id
        |ORDER BY c.doc_a, c.doc_b""".stripMargin
-  }
 
   // ----------------------------------------------------------------- SimHash
   /** 64-bit SimHash fingerprints (the Manku/Charikar web-dedup width):
@@ -255,9 +261,15 @@ object Dedup {
   val HammingMax = 3
   val SimBands = 4
 
+  /** RECALL CONTRACT: candidate generation is complete only for
+    * `hammingMax ≤ nBands − 1` (the pigeonhole bound). Larger cutoffs are
+    * allowed — the result is then "pairs within hammingMax AMONG band-
+    * sharing candidates", useful for recall studies (DedupSpec) — but a
+    * caller needing complete recall at a larger radius must raise nBands. */
   def simhashPairsOn(docs: DataFrame, nBands: Int = SimBands,
                      hammingMax: Int = HammingMax): DataFrame = {
     require(nBands >= 2 && SimBits % nBands == 0, s"nBands=$nBands must divide $SimBits")
+    require(hammingMax >= 0, s"hammingMax=$hammingMax must be non-negative")
     val bandBits = SimBits / nBands
     val mask = (1L << bandBits) - 1 // bandBits ≤ 32 in practice; < 64 by require
     val fp = simhashFps(docs).persist() // both sides of the band self-join; unsorted
@@ -425,20 +437,19 @@ object Dedup {
     * canonical doc per transitive cluster.
     *
     * Edges: MinHash pairs with est_jaccard ≥ [[ClusterEstMin]]. Components
-    * by iterative min-label propagation — each round every doc takes the
-    * min cluster label among itself and its neighbors, converging in
-    * O(cluster diameter) rounds (near-dup clusters are shallow; a cap
-    * bounds the loop). This is the standard distributed CC shape: each
-    * round is one shuffle join + one aggregate, state is (doc_id, label),
-    * and the driver sees only an O(1) convergence count per round — the
-    * same per-iteration driver role Lloyd training has. At 100 TB the
-    * round count stays diameter-bound; the large-star/small-star variant
-    * drops in if diameters ever grow.
+    * by iterative min-label propagation with pointer jumping — each round
+    * every doc takes the min label among itself and its neighbors, then
+    * shortcuts to its label's label (path halving), so convergence is
+    * O(log n) rounds even on a long transitive chain and the loop runs to
+    * the exact fixpoint the closure oracle computes (no iteration cap).
+    * This is the standard distributed CC shape: each round is a shuffle
+    * join + aggregate + self-join, state is (doc_id, label), and the
+    * driver sees only an O(1) convergence count per round — the same
+    * per-iteration driver role Lloyd training has.
     *
     * Output per doc: its cluster id (min doc_id in the component), the
     * cluster size, and whether this doc is the canonical survivor. */
   val ClusterEstMin = 0.5
-  val ClusterMaxIters = 10
 
   def dupClustersOn(docs: DataFrame,
                     numHashes: Int = NumHashes, numBands: Int = NumBands): DataFrame = {
@@ -448,23 +459,30 @@ object Dedup {
     val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a"))).persist()
     var comp = docs.select(col("doc_id"), col("doc_id").as("comp")).persist()
     var changed = 1L
-    var iters = 0
-    while (changed > 0 && iters < ClusterMaxIters) {
+    while (changed > 0) {
       val nbrMin = sym
         .join(comp.select(col("doc_id").as("nbr"), col("comp").as("nbr_comp")),
           col("doc_b") === col("nbr"))
         .groupBy(col("doc_a"))
         .agg(min("nbr_comp").as("nbr_min"))
-      val next = comp
+      val prop = comp
         .join(nbrMin, comp("doc_id") === nbrMin("doc_a"), "left")
         .select(comp("doc_id"),
           least(comp("comp"), coalesce(col("nbr_min"), comp("comp"))).as("comp"))
+      // pointer jump (path halving): comp(v) := comp(comp(v)). Labels only
+      // ever point at equal-or-smaller ids, so the jump is monotone and the
+      // label distance to the component min halves — convergence in
+      // O(log n) rounds even on a long chain, which is why the loop needs
+      // no iteration cap to stay exact (matching the closure oracle).
+      val next = prop.as("a")
+        .join(prop.select(col("doc_id").as("p_id"), col("comp").as("p_comp")).as("b"),
+          col("a.comp") === col("p_id"))
+        .select(col("a.doc_id").as("doc_id"), col("p_comp").as("comp"))
         .persist()
       changed = next.as("n").join(comp.as("o"), "doc_id")
         .filter(col("n.comp") =!= col("o.comp")).count()
       comp.unpersist()
       comp = next
-      iters += 1
     }
     val sizes = comp.groupBy(col("comp").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
@@ -482,13 +500,11 @@ object Dedup {
     * min reachable doc_id — tractable at oracle scale, semantically the
     * fixpoint the propagation loop converges to. */
   val dupClustersSql: String = {
-    val agree = (0 until NumHashes)
-      .map(i => s"(CASE WHEN x.mh_$i = y.mh_$i THEN 1 ELSE 0 END)").reduce((a, b) => s"($a + $b)")
     s"""WITH RECURSIVE ${minhashCandCtes(NumHashes, NumBands)},
        |edges AS (
        |  SELECT c.doc_a, c.doc_b
        |  FROM cand c JOIN mh x ON c.doc_a = x.doc_id JOIN mh y ON c.doc_b = y.doc_id
-       |  WHERE $agree / ${NumHashes.toDouble} >= $ClusterEstMin),
+       |  WHERE ${agreeSql(NumHashes)} >= $ClusterEstMin),
        |sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
        |        UNION ALL SELECT doc_b, doc_a FROM edges),
        |reach(src, dst) AS (

@@ -97,14 +97,21 @@ object Similarity {
     * (band j = planes [j·nPlanes, (j+1)·nPlanes)). */
   private val NPlanes = 4
 
+  /** NULL when the plane window runs past the vector's end — a join on the
+    * bucket then produces NO candidates instead of silently collapsing all
+    * out-of-range vectors into one quadratic mega-bucket (and instead of
+    * an ANSI-mode index error). */
   def signBucket(emb: Column, nPlanes: Int = NPlanes, offset: Int = 0): Column =
-    (0 until nPlanes).map(i =>
-      when(element_at(emb, offset + i + 1) > lit(0.0f), lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    when(size(emb) >= lit(offset + nPlanes),
+      (0 until nPlanes).map(i =>
+        when(element_at(emb, offset + i + 1) > lit(0.0f), lit(1L << i)).otherwise(lit(0L))).reduce(_ + _))
 
-  def signBucketSql(emb: String, nPlanes: Int = NPlanes, offset: Int = 0): String =
-    (0 until nPlanes)
+  def signBucketSql(emb: String, nPlanes: Int = NPlanes, offset: Int = 0): String = {
+    val bits = (0 until nPlanes)
       .map(i => s"(CASE WHEN $emb[${offset + i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END)")
       .reduce((a, b) => s"($a + $b)")
+    s"(CASE WHEN len($emb) >= ${offset + nPlanes} THEN $bits END)"
+  }
 
   /** LSH-bucketed ANN: probes only compare against corpus vectors in the
     * same sign bucket — the IVF plan shape (cells = buckets), recall bounded

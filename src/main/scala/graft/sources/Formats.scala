@@ -129,7 +129,9 @@ object Formats {
     val row = df.agg(boundExprs.head, boundExprs.tail: _*).head()
     val maxBucket = (1L << bitsPerCol) - 1
     val scaled = clusterCols.zipWithIndex.map { case (c, i) =>
-      val (mn, mx) = (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+      // all-NULL column or empty frame → null bounds → constant bucket 0
+      val mn = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
+      val mx = if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1)
       val span = if (mx > mn) mx - mn else 1.0
       // greatest/least also route NULLs to bucket 0 (greatest skips nulls)
       least(lit(maxBucket), greatest(lit(0L),

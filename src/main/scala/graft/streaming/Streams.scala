@@ -125,14 +125,19 @@ object Streams {
     * more shards — so per-(lang, shard) token totals are preserved against
     * a one-shot batch run and only chunk boundaries differ at batch edges:
     * the standard incremental-packing contract. `onBatch` receives the
-    * packed manifest and the micro-batch id (provenance for resume). */
-  def packBatches(docs: DataFrame, nShards: Int = graft.ext.Corpus.PackShards)
+    * packed manifest and the micro-batch id (provenance for resume).
+    * `trigger` defaults to AvailableNow (drain-and-stop); pass e.g.
+    * `Trigger.ProcessingTime(...)` to pack a live growing source
+    * continuously. */
+  def packBatches(docs: DataFrame, nShards: Int = graft.ext.Corpus.PackShards,
+                  trigger: org.apache.spark.sql.streaming.Trigger =
+                    org.apache.spark.sql.streaming.Trigger.AvailableNow())
                  (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         onBatch(graft.ext.Corpus.seqPackShardedOn(batch.toDF(), nShards), id)
       }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
   /** Run a streaming DataFrame to completion against the bounded test input

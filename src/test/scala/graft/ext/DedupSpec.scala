@@ -82,6 +82,9 @@ class DedupSpec extends SparkSpec {
 
   test("simhash banding: wider hamming cutoff only adds pairs; verify is exact") {
     val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    // NB: hammingMax beyond nBands-1 (here 6 > 3) is the documented
+    // partial-recall regime — pairs within the cutoff among band-sharing
+    // candidates — which is exactly what the containment property needs
     def pairs(hMax: Int) = Dedup.simhashPairsOn(docs, hammingMax = hMax)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     val tight = pairs(2)
