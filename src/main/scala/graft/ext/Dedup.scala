@@ -458,6 +458,15 @@ object Dedup {
       .select("doc_a", "doc_b")
     val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a"))).persist()
     var comp = docs.select(col("doc_id"), col("doc_id").as("comp")).persist()
+    // convergence via the label-sum invariant: every step can only DECREASE
+    // a node's label, so sum(comp) is strictly decreasing until the
+    // fixpoint and equality means no node moved — one cheap aggregate per
+    // round instead of a full old-vs-new join
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum("comp")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var curSum = labelSum(comp)
     var changed = 1L
     while (changed > 0) {
       val nbrMin = sym
@@ -479,8 +488,9 @@ object Dedup {
           col("a.comp") === col("p_id"))
         .select(col("a.doc_id").as("doc_id"), col("p_comp").as("comp"))
         .persist()
-      changed = next.as("n").join(comp.as("o"), "doc_id")
-        .filter(col("n.comp") =!= col("o.comp")).count()
+      val nextSum = labelSum(next)
+      changed = if (nextSum == curSum) 0L else 1L
+      curSum = nextSum
       comp.unpersist()
       comp = next
     }
