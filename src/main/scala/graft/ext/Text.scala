@@ -324,9 +324,72 @@ object Text {
        |  AND quality_score >= $MinQuality
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- PII scrub
+  /** PII redaction — the corpus-wide scrub a pretraining pipeline runs
+    * before data ships: emails → <EMAIL>, phone numbers → <PHONE>, IPv4
+    * literals → <IP>, with per-doc match counts for audit. The synthetic
+    * corpus contains no PII, so the query first INJECTS deterministic
+    * doc-keyed PII strings (self-seeding, documented — the redaction is
+    * the operator under test), then counts and strips them; the oracle
+    * md5-compares the ENTIRE scrubbed text. Regexes stay within the
+    * Java-regex ∩ RE2 common dialect (classes, bounded repeats — no
+    * lookaround, no \b) so both engines match identically. Pure regexp
+    * projections: scan-bound, codegen'd, no shuffle before the sort. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\(\\d{3}\\) \\d{3}-\\d{4}"
+  val IpRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  def piiSeeded(docs: DataFrame): DataFrame =
+    docs.withColumn("seeded_text", concat(col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com now")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit(" call (555) 123-4567 ref"), col("doc_id").cast("string")))
+        .otherwise(concat(lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".7 gateway")))))
+
+  def piiScrubOn(docs: DataFrame): DataFrame =
+    piiSeeded(docs)
+      .withColumn("n_emails", regexp_count(col("seeded_text"), lit(EmailRe)).cast("long"))
+      .withColumn("n_phones", regexp_count(col("seeded_text"), lit(PhoneRe)).cast("long"))
+      .withColumn("n_ips", regexp_count(col("seeded_text"), lit(IpRe)).cast("long"))
+      .withColumn("clean",
+        regexp_replace(regexp_replace(regexp_replace(col("seeded_text"),
+          EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        length(col("clean")).cast("long").as("clean_len"), md5(col("clean")).as("clean_md5"))
+      .orderBy("doc_id")
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrubOn(Tables.documents(spark, dir))
+
+  val piiScrubSql: String = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\(\\d{3}\\) \\d{3}-\\d{4}"
+    val ip = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+    s"""WITH seeded AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+       |         WHEN doc_id % 3 = 1 THEN ' call (555) 123-4567 ref' || CAST(doc_id AS VARCHAR)
+       |         ELSE ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 gateway' END AS seeded_text
+       |  FROM documents),
+       |counted AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_extract_all(seeded_text, '$email')) AS BIGINT) AS n_emails,
+       |         CAST(len(regexp_extract_all(seeded_text, '$phone')) AS BIGINT) AS n_phones,
+       |         CAST(len(regexp_extract_all(seeded_text, '$ip')) AS BIGINT) AS n_ips,
+       |         regexp_replace(regexp_replace(regexp_replace(seeded_text,
+       |           '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS clean
+       |  FROM seeded)
+       |SELECT doc_id, n_emails, n_phones, n_ips,
+       |       CAST(length(clean) AS BIGINT) AS clean_len, md5(clean) AS clean_md5
+       |FROM counted ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("t_text_stats", textStats _, textStatsSql),
     Q("t_quality_filter", qualityFilter _, qualityFilterSql),
+    Q("t_pii_scrub", piiScrub _, piiScrubSql),
     Q("t_ngram_freq", ngramFreq _, ngramFreqSql),
     Q("t_lang_id", langId _, langIdSql),
     Q("t_token_count", tokenCount _, tokenCountSql),

@@ -172,9 +172,10 @@ object Relational {
       .withColumn("pct_rank", r6(percent_rank().over(w)))
       .withColumn("cume", r6(cume_dist().over(w)))
       .withColumn("next_price", lead("o_totalprice", 1).over(w))
+      .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(wCum))
       .withColumn("cum_spend", r6(sum(col("o_totalprice")).over(wCum)))
       .select("o_custkey", "o_orderkey", "rk", "drk", "quartile", "pct_rank", "cume",
-        "next_price", "cum_spend")
+        "next_price", "second_price", "cum_spend")
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -186,6 +187,7 @@ object Relational {
        |       ${r6Sql("percent_rank() OVER wo")} AS pct_rank,
        |       ${r6Sql("cume_dist() OVER wo")} AS cume,
        |       lead(o_totalprice) OVER wo AS next_price,
+       |       nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_price,
        |       ${r6Sql("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS cum_spend
        |FROM orders
        |WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)

@@ -6,6 +6,32 @@ import org.apache.spark.sql.functions._
 class TextSpec extends SparkSpec {
   import spark.implicits._
 
+  test("PII scrub redacts every seeded match and each doc seeds exactly one class") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = Text.piiScrubOn(docs)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (docId, nEmails, nPhones, nIps, _, _) =>
+      val expected = (docId % 3) match {
+        case 0 => (1L, 0L, 0L); case 1 => (0L, 1L, 0L); case _ => (0L, 0L, 1L)
+      }
+      // >= : the raw text could in principle contain a match of its own;
+      // the seeded class must be counted at least once
+      assert(nEmails >= expected._1 && nPhones >= expected._2 && nIps >= expected._3,
+        s"doc $docId seeded class missing: ($nEmails,$nPhones,$nIps)")
+    }
+    // completeness + idempotence: nothing PII-shaped survives a scrub, so
+    // scrubbing the scrubbed text is the identity
+    val clean = Text.piiSeeded(docs).withColumn("clean",
+      regexp_replace(regexp_replace(regexp_replace(col("seeded_text"),
+        Text.EmailRe, "<EMAIL>"), Text.PhoneRe, "<PHONE>"), Text.IpRe, "<IP>"))
+    val survivors = clean.filter(
+      regexp_count(col("clean"), lit(Text.EmailRe)) > 0 ||
+        regexp_count(col("clean"), lit(Text.PhoneRe)) > 0 ||
+        regexp_count(col("clean"), lit(Text.IpRe)) > 0).count()
+    assert(survivors === 0, s"$survivors docs still contain PII-shaped text after scrub")
+  }
+
   test("tokens drops empty strings from consecutive whitespace") {
     val got = Seq("a  b\t c", "  ", "").toDF("t")
       .select(size(Text.tokens(col("t"))).as("n")).as[Int].collect().toSeq
