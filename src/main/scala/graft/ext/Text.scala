@@ -348,14 +348,18 @@ object Text {
         .otherwise(concat(lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
           lit(".7 gateway")))))
 
+  /** The redaction chain itself — one definition, used by the query AND
+    * the completeness spec so they can never drift. */
+  def piiClean(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")
+
   def piiScrubOn(docs: DataFrame): DataFrame =
     piiSeeded(docs)
       .withColumn("n_emails", regexp_count(col("seeded_text"), lit(EmailRe)).cast("long"))
       .withColumn("n_phones", regexp_count(col("seeded_text"), lit(PhoneRe)).cast("long"))
       .withColumn("n_ips", regexp_count(col("seeded_text"), lit(IpRe)).cast("long"))
-      .withColumn("clean",
-        regexp_replace(regexp_replace(regexp_replace(col("seeded_text"),
-          EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>"))
+      .withColumn("clean", piiClean(col("seeded_text")))
       .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
         length(col("clean")).cast("long").as("clean_len"), md5(col("clean")).as("clean_md5"))
       .orderBy("doc_id")
@@ -364,9 +368,8 @@ object Text {
     piiScrubOn(Tables.documents(spark, dir))
 
   val piiScrubSql: String = {
-    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-    val phone = "\\(\\d{3}\\) \\d{3}-\\d{4}"
-    val ip = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+    // the SAME escaped pattern text works verbatim in both engines
+    val (email, phone, ip) = (EmailRe, PhoneRe, IpRe)
     s"""WITH seeded AS (
        |  SELECT doc_id, text ||
        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'

@@ -22,9 +22,8 @@ class TextSpec extends SparkSpec {
     }
     // completeness + idempotence: nothing PII-shaped survives a scrub, so
     // scrubbing the scrubbed text is the identity
-    val clean = Text.piiSeeded(docs).withColumn("clean",
-      regexp_replace(regexp_replace(regexp_replace(col("seeded_text"),
-        Text.EmailRe, "<EMAIL>"), Text.PhoneRe, "<PHONE>"), Text.IpRe, "<IP>"))
+    val clean = Text.piiSeeded(docs)
+      .withColumn("clean", Text.piiClean(col("seeded_text")))
     val survivors = clean.filter(
       regexp_count(col("clean"), lit(Text.EmailRe)) > 0 ||
         regexp_count(col("clean"), lit(Text.PhoneRe)) > 0 ||
