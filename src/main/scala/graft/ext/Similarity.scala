@@ -289,6 +289,12 @@ object Similarity {
   val KmeansIters = 2
   private val SeedStride = 61
 
+  /** Lloyd knobs, grouped so no Int can be hit positionally: `dims` once
+    * moved position in the parameter list, and a positional caller like
+    * `knnIvfKmeansOn(emb, 64)` would have silently changed meaning from
+    * dims=64 to nProbe=64 with no compile error. */
+  final case class KmeansCfg(k: Int = KmeansK, iters: Int = KmeansIters, dims: Int = -1)
+
   /** `dims` > 0 switches the Lloyd update from the VecSum aggregate to
     * `dims` static per-dimension sums. Semantically identical (spec-pinned);
     * the static form exists because plans containing a udaf never compare
@@ -297,9 +303,8 @@ object Similarity {
     * the bench harness, a knob sweep — only re-hits the persisted centroid
     * cache on the static path. With an unknown width, VecSum (one O(d)
     * buffer, no width needed, ~8× faster per pass) is the right default. */
-  def kmeansCentroidsOn(embeddings: DataFrame,
-                        k: Int = KmeansK, iters: Int = KmeansIters,
-                        dims: Int = -1): DataFrame = {
+  def kmeansCentroidsOn(embeddings: DataFrame, cfg: KmeansCfg = KmeansCfg()): DataFrame = {
+    import cfg.{k, iters, dims}
     def vecSumCol(emb: Column): Column =
       if (dims > 0) array((0 until dims).map(i => sum(element_at(emb, i + 1).cast("double"))): _*)
       else graft.functions.VecSum.fn(transform(emb, x => x.cast("double")))
@@ -332,14 +337,14 @@ object Similarity {
     * the trained quantizer. Same plan shape at scale: broadcast centroids,
     * one corpus pass for assignment, cell-bounded candidate sets. */
   def knnIvfKmeansOn(embeddings: DataFrame, nProbe: Int = NProbe,
-                     dims: Int = -1): DataFrame = {
+                     cfg: KmeansCfg = KmeansCfg()): DataFrame = {
     val e = withNorm(embeddings)
     // persisted: 2 consumers (corpus cell assignment + probe cell ranking),
     // each re-running the full unrolled Lloyd subplan without it. Like
     // minhashLshOn, the cache lives for the job; batch callers invoking
     // repeatedly in one session should spark.catalog.clearCache() between
     // invocations (SimilaritySpec does).
-    val cent = kmeansCentroidsOn(embeddings, dims = dims).persist()
+    val cent = kmeansCentroidsOn(embeddings, cfg).persist()
     val wa = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
     val cells = e.crossJoin(broadcast(cent))
       .withColumn("ccos", r6(dot(col("embedding"), col("centroid")) / (col("nrm") * col("c_nrm"))))
@@ -353,7 +358,7 @@ object Similarity {
   def knnIvfKmeans(spark: SparkSession, dir: String): DataFrame =
     // static width (the oracle SQL hardcodes the same 64) → the Lloyd
     // plans stay cache-equal across repeated invocations
-    knnIvfKmeansOn(Tables.embeddings(spark, dir), dims = Dims)
+    knnIvfKmeansOn(Tables.embeddings(spark, dir), cfg = KmeansCfg(dims = Dims))
 
   val knnIvfKmeansSql: String = {
     val sums = (0 until Dims).map(i => s"sum(CAST(embedding[${i + 1}] AS DOUBLE))").mkString(", ")

@@ -102,19 +102,26 @@ object Sketches {
         countDistinct(col("user_id")).as("eu"),
         expr("approx_percentile(value, 0.5, 1000)").as("ap50"),
         expr("percentile(value, 0.40)").as("p40"),
+        expr("percentile(value, 0.50)").as("p50"),
         expr("percentile(value, 0.60)").as("p60"),
         count(lit(1)).as("n_events"))
       .select(col("event_type"),
         (abs(col("au") - col("eu")) <= lit(AcdErrBound) * col("eu")).as("approx_users_ok"),
         coalesce(col("ap50") >= col("p40") && col("ap50") <= col("p60"), lit(true))
           .as("approx_p50_ok"),
-        col("eu").as("exact_users"), col("n_events"))
+        col("eu").as("exact_users"),
+        // exact medians ride along (oracle-checked) so a bound flip is
+        // diagnosable from the correctness record, not just a hash mismatch
+        r6(col("p50")).as("exact_p50"),
+        col("n_events"))
       .orderBy("event_type")
 
   val approxAggSql: String =
-    """SELECT event_type, TRUE AS approx_users_ok, TRUE AS approx_p50_ok,
-      |       count(DISTINCT user_id) AS exact_users, count(*) AS n_events
-      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+    s"""SELECT event_type, TRUE AS approx_users_ok, TRUE AS approx_p50_ok,
+       |       count(DISTINCT user_id) AS exact_users,
+       |       ${r6Sql("quantile_cont(value, 0.5)")} AS exact_p50,
+       |       count(*) AS n_events
+       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
   /** Explicit GROUPING SETS lattice (the general form cube/rollup are sugar
     * for): per-(status, year), per-status, and grand-total levels in one

@@ -84,7 +84,7 @@ class SimilaritySpec extends SparkSpec {
     val emb = graft.ops.Tables.embeddings(spark, dir)
     val e = Similarity.withNorm(emb)
     def objective(iters: Int): Double = {
-      val cent = Similarity.kmeansCentroidsOn(emb, iters = iters)
+      val cent = Similarity.kmeansCentroidsOn(emb, Similarity.KmeansCfg(iters = iters))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
       e.crossJoin(broadcast(cent))
@@ -105,7 +105,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("VecSum and static per-dim centroid paths agree") {
     val emb = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
-    def cents(dims: Int) = Similarity.kmeansCentroidsOn(emb, dims = dims)
+    def cents(dims: Int) = Similarity.kmeansCentroidsOn(emb, Similarity.KmeansCfg(dims = dims))
       .orderBy("cent_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq, r.getDouble(2)))
     val dynamic = cents(-1)
