@@ -439,11 +439,222 @@ object Similarity {
        |       ${r6Sql(s"${dotSql("emb_d", "centroid")} / (${normSql("emb_d")} * ${normSql("centroid")})")} AS cos_to_centroid
        |FROM j ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------ product quantization
+  /** Product-quantized ANN (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011): the vector is split into `m` disjoint
+    * subspaces, each subspace gets its own small Lloyd-trained codebook, and
+    * every corpus vector is stored as just `m` byte-sized code ids. Probes
+    * never touch corpus floats again — they precompute a per-subspace lookup
+    * table (LUT) of distances to every codeword and score a candidate as the
+    * sum of `m` table lookups (asymmetric distance computation, ADC).
+    *
+    * This is the memory-bound scale path: at 100 TB of embeddings the coded
+    * corpus is dims/m·8× smaller than raw floats (64-dim float → 4 codes),
+    * the codebooks + probe LUTs are a broadcast, and scoring is a single
+    * scan of the code table with O(m) work per pair instead of O(dims).
+    *
+    * Cross-engine determinism follows the kmeans conventions: every Lloyd /
+    * encode ASSIGNMENT key is the r6-rounded squared L2 distance with the
+    * codeword id as tiebreak, and the final ADC sum adds the m r6-rounded
+    * LUT entries in fixed subspace order — both engines fold identical
+    * doubles in identical order. */
+  /** `refine` > 0 adds the standard exact re-rank: the top `refine` ADC
+    * candidates per probe are re-scored with the exact squared L2 on the raw
+    * vectors before the final top-k — recall@5 measured 0.43 → 0.80 at
+    * sf0.001 for the default knobs (vs 0.06 for the first-cut 4×8 ADC-only
+    * codebook; the sweep is recorded in BASELINE.md). The candidate set per
+    * probe stays `refine`-bounded, so the re-rank reads a vanishing fraction
+    * of the corpus. */
+  final case class PqCfg(m: Int = PqM, k: Int = PqK, iters: Int = PqIters,
+                         refine: Int = PqRefine, dims: Int = Dims)
+  val PqM = 16
+  val PqK = 32
+  val PqIters = 2
+  val PqRefine = 25
+  /** Seed codewords are the k smallest multiples of this stride — a pure
+    * vec_id range filter (`% stride = 0 AND < stride*k`), NOT a windowed
+    * first-k, so seed selection needs no global sort at any corpus size. */
+  val PqSeedStride = 3
+
+  /** Squared L2 distance as a sequential fold over double arrays — the
+    * DuckDB `list_sum(list_transform(...))` twin evaluates the identical
+    * left-associated sum, as with [[dot]]. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  def l2sqSql(a: String, b: String): String =
+    s"coalesce(list_sum(list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), 0.0)"
+
+  def knnPqOn(embeddings: DataFrame, cfg: PqCfg = PqCfg()): DataFrame = {
+    import cfg.{m, k, iters, refine, dims}
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val subDim = dims / m
+    // (vec_id, sub, sv): the corpus split into m double subvectors.
+    // Persisted: consumed by every Lloyd iteration, the encode pass, and the
+    // probe LUT (probes are a filter of the same frame). Static expressions
+    // only — repeated invocations plan-match the cache (see VecSum note on
+    // kmeansCentroidsOn for why no udaf appears here).
+    val sub = embeddings.select(col("vec_id"),
+        explode(array((0 until m).map(j => struct(lit(j).as("sub"),
+          slice(col("embedding"), j * subDim + 1, subDim).as("sv"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.sub").as("sub"),
+        transform(col("s.sv"), x => x.cast("double")).as("sv"))
+      .persist()
+    val subSums = array((0 until subDim).map(i => sum(element_at(col("sv"), i + 1))): _*)
+    // seed codebook: the k smallest stride multiples, cent_id derived
+    // arithmetically — a pushdown-able range filter, no window
+    var cb = sub
+      .filter(col("vec_id") % lit(PqSeedStride) === lit(0) &&
+        col("vec_id") < lit(PqSeedStride.toLong * k))
+      .select(col("sub"),
+        (floor(col("vec_id") / lit(PqSeedStride)).cast("long") + lit(1L)).as("cent_id"),
+        col("sv").as("cvec"))
+    for (_ <- 1 to iters) {
+      // nearest codeword per (vec, sub) as one min_by hash agg (no window
+      // sort): key = (r6 distance, cent_id), carrying sv through for the
+      // mean update
+      val assigned = sub.join(broadcast(cb), "sub")
+        .withColumn("d2r", r6(l2sq(col("sv"), col("cvec"))))
+        .groupBy("vec_id", "sub")
+        .agg(min_by(struct(col("cent_id"), col("sv")), struct(col("d2r"), col("cent_id"))).as("a"))
+        .select(col("sub"), col("a.cent_id").as("cent_id"), col("a.sv").as("sv"))
+      cb = assigned.groupBy("sub", "cent_id")
+        .agg(count(lit(1)).as("n"), subSums.as("sums"))
+        .withColumn("cvec", transform(col("sums"), s => s / col("n")))
+        .select("sub", "cent_id", "cvec")
+    }
+    // dense re-rank: empty cells drop out of the Lloyd groupBy, so codes are
+    // renumbered 1..k' per subspace — LUT arrays below index by this code
+    val wd = Window.partitionBy("sub").orderBy("cent_id")
+    val cbd = cb.withColumn("code", row_number().over(wd).cast("long"))
+      .select("sub", "code", "cvec")
+      .persist() // 2 consumers: corpus encode + probe LUT
+    // encode: corpus vector -> m codes, widened to one array per vector
+    val codes = sub.join(broadcast(cbd), "sub")
+      .withColumn("d2r", r6(l2sq(col("sv"), col("cvec"))))
+      .groupBy("vec_id", "sub")
+      .agg(min_by(col("code"), struct(col("d2r"), col("code"))).as("code"))
+    val codesW = codes.groupBy("vec_id")
+      .agg(array((0 until m).map(j => max(when(col("sub") === lit(j), col("code")))): _*).as("codes"))
+    // probe LUTs: r6-rounded squared distance to every codeword, one array
+    // per subspace ordered by code so ADC is a positional lookup
+    val lut = sub.filter(col("vec_id") % lit(QueryStride) === lit(0))
+      .join(broadcast(cbd), "sub")
+      .withColumn("d2r", r6(l2sq(col("sv"), col("cvec"))))
+      .select(col("vec_id").as("q_id"), col("sub"), col("code"), col("d2r"))
+    val lutCols = (0 until m).map(j =>
+      transform(array_sort(collect_list(when(col("sub") === lit(j), struct(col("code"), col("d2r"))))),
+        x => x.getField("d2r")).as(s"lut_$j"))
+    val lutW = lut.groupBy("q_id").agg(lutCols.head, lutCols.tail: _*)
+    // ADC scan: one pass over the coded corpus per probe, m lookups per
+    // pair summed in fixed subspace order (deterministic fold)
+    val adc = (0 until m).map(j =>
+      element_at(col(s"lut_$j"), element_at(col("codes"), j + 1).cast("int"))).reduce(_ + _)
+    val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
+    val adcRanked = codesW.crossJoin(broadcast(lutW))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w).cast("long")) // DuckDB ranks are BIGINT
+    if (refine <= 0)
+      adcRanked.filter(col("rank") <= lit(TopK))
+        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), r6(col("adc")).as("dist_sq"))
+        .orderBy("q_id", "rank")
+    else {
+      // exact re-rank of the refine-bounded ADC candidates: probes × refine
+      // rows broadcast back against the raw vectors — exact folds are
+      // bit-deterministic, so no rounding enters the final ranking key
+      val ev = embeddings.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val qv = ev.filter(col("vec_id") % lit(QueryStride) === lit(0))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val cand = adcRanked.filter(col("rank") <= lit(refine)).select("q_id", "vec_id")
+        .join(broadcast(qv), "q_id")
+      val wr = Window.partitionBy("q_id").orderBy(col("d2").asc, col("vec_id"))
+      ev.join(broadcast(cand), "vec_id")
+        .withColumn("d2", l2sq(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(wr).cast("long"))
+        .filter(col("rank") <= lit(TopK))
+        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), r6(col("d2")).as("dist_sq"))
+        .orderBy("q_id", "rank")
+    }
+  }
+
+  def knnPq(spark: SparkSession, dir: String): DataFrame =
+    knnPqOn(Tables.embeddings(spark, dir))
+
+  val knnPqSql: String = {
+    val cfg = PqCfg()
+    val subDim = cfg.dims / cfg.m
+    val subSelects = (0 until cfg.m).map { j =>
+      s"SELECT vec_id, $j AS sub, list_transform(embedding[${j * subDim + 1}:${(j + 1) * subDim}], x -> CAST(x AS DOUBLE)) AS sv FROM embeddings"
+    }.mkString("\n  UNION ALL ")
+    val sums = (0 until subDim).map(i => s"sum(sv[${i + 1}])").mkString(", ")
+    // one Lloyd iteration over codebook `prev`, emitting `next`
+    def iter(prev: String, next: String): String =
+      s"""${next}_a AS (
+         |  SELECT s.vec_id, s.sub, c.cent_id, s.sv,
+         |         row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY ${r6Sql(l2sqSql("s.sv", "c.cvec"))} ASC, c.cent_id) AS rn
+         |  FROM sub s JOIN $prev c ON s.sub = c.sub),
+         |${next}_s AS (
+         |  SELECT sub, cent_id, count(*) AS n, [$sums] AS sums
+         |  FROM ${next}_a WHERE rn = 1 GROUP BY sub, cent_id),
+         |$next AS (
+         |  SELECT sub, cent_id, list_transform(sums, s -> s / n) AS cvec FROM ${next}_s)""".stripMargin
+    val iterCtes = (1 to cfg.iters).map(i => iter(s"cb${i - 1}", s"cb$i")).mkString(",\n")
+    val lutCols = (0 until cfg.m)
+      .map(j => s"list(d2r ORDER BY code) FILTER (WHERE sub = $j) AS lut_$j").mkString(",\n         ")
+    val codeCols = (0 until cfg.m)
+      .map(j => s"max(CASE WHEN sub = $j THEN code END)").mkString(", ")
+    val adcTerms = (0 until cfg.m).map(j => s"l.lut_$j[c.codes[${j + 1}]]").mkString(" + ")
+    s"""WITH sub AS (
+       |  $subSelects),
+       |cb0 AS (
+       |  SELECT sub, CAST(vec_id // $PqSeedStride + 1 AS BIGINT) AS cent_id, sv AS cvec
+       |  FROM sub WHERE vec_id % $PqSeedStride = 0 AND vec_id < ${PqSeedStride.toLong * cfg.k}),
+       |$iterCtes,
+       |cbd AS (
+       |  SELECT sub, CAST(row_number() OVER (PARTITION BY sub ORDER BY cent_id) AS BIGINT) AS code, cvec
+       |  FROM cb${cfg.iters}),
+       |enc AS (
+       |  SELECT s.vec_id, s.sub, c.code,
+       |         row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY ${r6Sql(l2sqSql("s.sv", "c.cvec"))} ASC, c.code) AS rn
+       |  FROM sub s JOIN cbd c ON s.sub = c.sub),
+       |codesw AS (SELECT vec_id, [$codeCols] AS codes FROM enc WHERE rn = 1 GROUP BY vec_id),
+       |lut AS (
+       |  SELECT s.vec_id AS q_id, s.sub, c.code, ${r6Sql(l2sqSql("s.sv", "c.cvec"))} AS d2r
+       |  FROM sub s JOIN cbd c ON s.sub = c.sub
+       |  WHERE s.vec_id % $QueryStride = 0),
+       |lutw AS (
+       |  SELECT q_id,
+       |         $lutCols
+       |  FROM lut GROUP BY q_id),
+       |adcs AS (
+       |  SELECT l.q_id, c.vec_id, $adcTerms AS adc
+       |  FROM codesw c CROSS JOIN lutw l WHERE c.vec_id <> l.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, adc,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id) AS rank
+       |  FROM adcs),
+       |cand AS (SELECT q_id, vec_id FROM ranked WHERE rank <= ${cfg.refine}),
+       |ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |ref AS (
+       |  SELECT c.q_id, c.vec_id, ${l2sqSql("qe.v", "ce.v")} AS d2
+       |  FROM cand c JOIN ev qe ON qe.vec_id = c.q_id JOIN ev ce ON ce.vec_id = c.vec_id),
+       |rr AS (
+       |  SELECT q_id, vec_id, d2,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, vec_id) AS rank
+       |  FROM ref)
+       |SELECT q_id, rank, vec_id AS neighbor_id, ${r6Sql("d2")} AS dist_sq
+       |FROM rr WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("s_knn_bruteforce", knnBruteForce _, knnBruteForceSql),
     Q("s_knn_lsh", knnLsh _, knnLshSql),
     Q("s_knn_ivf", knnIvf _, knnIvfSql),
     Q("s_knn_ivf_kmeans", knnIvfKmeans _, knnIvfKmeansSql),
+    Q("s_knn_pq", knnPq _, knnPqSql),
     Q("s_label_centroids", labelCentroids _, labelCentroidsSql),
   )
 }

@@ -137,6 +137,33 @@ class SimilaritySpec extends SparkSpec {
       "recall decreased with more probes")
   }
 
+  test("PQ: codes are m-wide and bounded, exact re-rank recovers most true neighbors") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    // exact squared-L2 top-5 baseline (same probes/tiebreaks as knnPqOn)
+    val e = emb.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = e.filter(col("vec_id") % 25 === 0).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("d2").asc, col("vec_id"))
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("d2", Similarity.l2sq(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.knnPqOn(emb)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(pq.nonEmpty)
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    // measured 0.80 at sf0.001 (deterministic data); floor leaves margin for
+    // future knob shifts, and BASELINE.md records the full (m,k,refine) sweep
+    assert(recall >= 0.6, s"PQ+refine recall collapsed: $recall")
+    // ADC-only (refine=0) must not beat the refined search on this data —
+    // the re-rank exists precisely because raw ADC recall is weak (0.43)
+    val adcOnly = Similarity.knnPqOn(emb, Similarity.PqCfg(refine = 0))
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val adcRecall = (exact intersect adcOnly).size.toDouble / exact.size
+    assert(recall >= adcRecall, s"refine step lost recall: adc=$adcRecall refined=$recall")
+  }
+
   test("cosine of identical vectors is 1") {
     val df = Seq((Array(0.5f, -0.25f, 8.0f), Array(0.5f, -0.25f, 8.0f))).toDF("a", "b")
     val cos = df.select(
