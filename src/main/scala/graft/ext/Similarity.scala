@@ -210,15 +210,23 @@ object Similarity {
     *
     * `corpus` columns: vec_id, embedding, nrm, cell;
     * `cent` columns: cell, centroid, c_nrm. */
-  private def searchCells(corpus: DataFrame, cent: DataFrame, nProbe: Int): DataFrame = {
-    val queries = corpus.filter(col("vec_id") % lit(QueryStride) === lit(0))
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+  /** Top-`nProbe` cells per probe by r6-rounded centroid cosine (cell-id
+    * tiebreak) — the coarse-search step shared by [[searchCells]] and the
+    * IVF-PQ ADC bound, so the two can never drift on the probed set.
+    * `queries` columns: q_id, q_emb, q_nrm; output adds `cell`. */
+  private def probeCells(queries: DataFrame, cent: DataFrame, nProbe: Int): DataFrame = {
     val wc = Window.partitionBy("q_id").orderBy(col("ccos_r").desc, col("cell"))
-    val probes = queries.crossJoin(broadcast(cent))
+    queries.crossJoin(broadcast(cent))
       .withColumn("ccos_r", r6(dot(col("q_emb"), col("centroid")) / (col("q_nrm") * col("c_nrm"))))
       .withColumn("cell_rank", row_number().over(wc))
       .filter(col("cell_rank") <= lit(nProbe))
       .select("q_id", "q_emb", "q_nrm", "cell")
+  }
+
+  private def searchCells(corpus: DataFrame, cent: DataFrame, nProbe: Int): DataFrame = {
+    val queries = corpus.filter(col("vec_id") % lit(QueryStride) === lit(0))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val probes = probeCells(queries, cent, nProbe)
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     corpus.join(broadcast(probes), Seq("cell")).filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", fastDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
@@ -336,6 +344,20 @@ object Similarity {
     * search the top `NProbe` — [[knnIvfOn]] with the label cells replaced by
     * the trained quantizer. Same plan shape at scale: broadcast centroids,
     * one corpus pass for assignment, cell-bounded candidate sets. */
+  /** Corpus cell assignment against a trained quantizer: each vector takes
+    * its max-cosine centroid (r6 key, cent_id tiebreak). Shared by the
+    * k-means IVF search and the IVF-PQ coarse stage.
+    * `e` columns: vec_id, embedding, nrm (+ ignored extras);
+    * `cent` columns: cent_id, centroid, c_nrm. */
+  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame = {
+    val wa = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("ccos", r6(dot(col("embedding"), col("centroid")) / (col("nrm") * col("c_nrm"))))
+      .withColumn("rn", row_number().over(wa))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+  }
+
   def knnIvfKmeansOn(embeddings: DataFrame, nProbe: Int = NProbe,
                      cfg: KmeansCfg = KmeansCfg()): DataFrame = {
     val e = withNorm(embeddings)
@@ -345,12 +367,7 @@ object Similarity {
     // repeatedly in one session should spark.catalog.clearCache() between
     // invocations (SimilaritySpec does).
     val cent = kmeansCentroidsOn(embeddings, cfg).persist()
-    val wa = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
-    val cells = e.crossJoin(broadcast(cent))
-      .withColumn("ccos", r6(dot(col("embedding"), col("centroid")) / (col("nrm") * col("c_nrm"))))
-      .withColumn("rn", row_number().over(wa))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+    val cells = assignCells(e, cent)
     searchCells(cells,
       cent.select(col("cent_id").as("cell"), col("centroid"), col("c_nrm")), nProbe)
   }
@@ -360,7 +377,11 @@ object Similarity {
     // plans stay cache-equal across repeated invocations
     knnIvfKmeansOn(Tables.embeddings(spark, dir), cfg = KmeansCfg(dims = Dims))
 
-  val knnIvfKmeansSql: String = {
+  /** Oracle twin of [[kmeansCentroidsOn]] (static 2-iteration unroll, final
+    * codebook = relation `c2`) + [[assignCells]] (relation `cells`): the
+    * shared coarse-quantizer CTEs behind both the k-means IVF oracle and the
+    * IVF-PQ oracle. Also emits `e` (embeddings + nrm). */
+  private def kmeansCellsSql: String = {
     val sums = (0 until Dims).map(i => s"sum(CAST(embedding[${i + 1}] AS DOUBLE))").mkString(", ")
     // one Lloyd iteration: assign to nearest centroid of `prev`, emit `next`
     def iter(prev: String, next: String): String =
@@ -376,7 +397,7 @@ object Similarity {
          |  SELECT cent_id, list_transform(sums, s -> s / n) AS centroid,
          |         sqrt(${dotSql("list_transform(sums, s -> s / n)", "list_transform(sums, s -> s / n)")}) AS c_nrm
          |  FROM ${next}_s)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
        |seeds AS (SELECT vec_id, embedding, nrm FROM e WHERE vec_id % $SeedStride = 0 ORDER BY vec_id LIMIT $KmeansK),
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) AS cent_id,
@@ -391,7 +412,11 @@ object Similarity {
        |  FROM e CROSS JOIN c2 c),
        |cells AS (
        |  SELECT e.vec_id, e.embedding, e.nrm, a.cent_id AS cell
-       |  FROM e JOIN cells_a a ON e.vec_id = a.vec_id AND a.rn = 1),
+       |  FROM e JOIN cells_a a ON e.vec_id = a.vec_id AND a.rn = 1)""".stripMargin
+  }
+
+  val knnIvfKmeansSql: String = {
+    s"""WITH $kmeansCellsSql,
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id % $QueryStride = 0),
        |pc AS (
        |  SELECT q.q_id, q.q_emb, q.q_nrm, c.cent_id AS cell,
@@ -485,21 +510,23 @@ object Similarity {
   def l2sqSql(a: String, b: String): String =
     s"coalesce(list_sum(list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), 0.0)"
 
-  def knnPqOn(embeddings: DataFrame, cfg: PqCfg = PqCfg()): DataFrame = {
-    import cfg.{m, k, iters, refine, dims}
-    require(dims % m == 0, s"m=$m must divide dims=$dims")
-    val subDim = dims / m
-    // (vec_id, sub, sv): the corpus split into m double subvectors.
-    // Persisted: consumed by every Lloyd iteration, the encode pass, and the
-    // probe LUT (probes are a filter of the same frame). Static expressions
-    // only — repeated invocations plan-match the cache (see VecSum note on
-    // kmeansCentroidsOn for why no udaf appears here).
-    val sub = embeddings.select(col("vec_id"),
+  /** (vec_id, sub, sv): the corpus split into m double subvectors.
+    * Persisted: consumed by every Lloyd iteration, the encode pass, and the
+    * probe LUT (probes are a filter of the same frame). Static expressions
+    * only — repeated invocations plan-match the cache (see VecSum note on
+    * kmeansCentroidsOn for why no udaf appears here). */
+  private def pqSub(embeddings: DataFrame, m: Int, subDim: Int): DataFrame =
+    embeddings.select(col("vec_id"),
         explode(array((0 until m).map(j => struct(lit(j).as("sub"),
           slice(col("embedding"), j * subDim + 1, subDim).as("sv"))): _*)).as("s"))
       .select(col("vec_id"), col("s.sub").as("sub"),
         transform(col("s.sv"), x => x.cast("double")).as("sv"))
       .persist()
+
+  /** Per-subspace Lloyd-trained codebook, densely renumbered: (sub, code,
+    * cvec) with code 1..k' per subspace (empty cells drop out of the Lloyd
+    * groupBy) so LUT arrays index positionally by code. */
+  private def pqCodebook(sub: DataFrame, k: Int, iters: Int, subDim: Int): DataFrame = {
     val subSums = array((0 until subDim).map(i => sum(element_at(col("sv"), i + 1))): _*)
     // seed codebook: the k smallest stride multiples, cent_id derived
     // arithmetically — a pushdown-able range filter, no window
@@ -523,21 +550,25 @@ object Similarity {
         .withColumn("cvec", transform(col("sums"), s => s / col("n")))
         .select("sub", "cent_id", "cvec")
     }
-    // dense re-rank: empty cells drop out of the Lloyd groupBy, so codes are
-    // renumbered 1..k' per subspace — LUT arrays below index by this code
     val wd = Window.partitionBy("sub").orderBy("cent_id")
-    val cbd = cb.withColumn("code", row_number().over(wd).cast("long"))
+    cb.withColumn("code", row_number().over(wd).cast("long"))
       .select("sub", "code", "cvec")
       .persist() // 2 consumers: corpus encode + probe LUT
-    // encode: corpus vector -> m codes, widened to one array per vector
+  }
+
+  /** Encode: corpus vector -> m codes, widened to one array per vector. */
+  private def pqCodesWide(sub: DataFrame, cbd: DataFrame, m: Int): DataFrame = {
     val codes = sub.join(broadcast(cbd), "sub")
       .withColumn("d2r", r6(l2sq(col("sv"), col("cvec"))))
       .groupBy("vec_id", "sub")
       .agg(min_by(col("code"), struct(col("d2r"), col("code"))).as("code"))
-    val codesW = codes.groupBy("vec_id")
+    codes.groupBy("vec_id")
       .agg(array((0 until m).map(j => max(when(col("sub") === lit(j), col("code")))): _*).as("codes"))
-    // probe LUTs: r6-rounded squared distance to every codeword, one array
-    // per subspace ordered by code so ADC is a positional lookup
+  }
+
+  /** Probe LUTs: r6-rounded squared distance to every codeword, one array
+    * per subspace ordered by code so ADC is a positional lookup. */
+  private def pqLutWide(sub: DataFrame, cbd: DataFrame, m: Int): DataFrame = {
     val lut = sub.filter(col("vec_id") % lit(QueryStride) === lit(0))
       .join(broadcast(cbd), "sub")
       .withColumn("d2r", r6(l2sq(col("sv"), col("cvec"))))
@@ -545,24 +576,26 @@ object Similarity {
     val lutCols = (0 until m).map(j =>
       transform(array_sort(collect_list(when(col("sub") === lit(j), struct(col("code"), col("d2r"))))),
         x => x.getField("d2r")).as(s"lut_$j"))
-    val lutW = lut.groupBy("q_id").agg(lutCols.head, lutCols.tail: _*)
-    // ADC scan: one pass over the coded corpus per probe, m lookups per
-    // pair summed in fixed subspace order (deterministic fold)
-    val adc = (0 until m).map(j =>
+    lut.groupBy("q_id").agg(lutCols.head, lutCols.tail: _*)
+  }
+
+  /** ADC score: m LUT lookups per (probe, candidate) pair summed in fixed
+    * subspace order (deterministic fold). */
+  private def adcCol(m: Int): Column =
+    (0 until m).map(j =>
       element_at(col(s"lut_$j"), element_at(col("codes"), j + 1).cast("int"))).reduce(_ + _)
-    val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
-    val adcRanked = codesW.crossJoin(broadcast(lutW))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adc", adc)
-      .withColumn("rank", row_number().over(w).cast("long")) // DuckDB ranks are BIGINT
+
+  /** Final top-k from the ADC-ranked candidates: straight ADC cut when
+    * `refine` ≤ 0, else the exact squared-L2 re-rank of the top `refine`
+    * ADC candidates per probe (exact folds are bit-deterministic, so no
+    * rounding enters the final ranking key). */
+  private def pqFinish(embeddings: DataFrame, adcRanked: DataFrame, refine: Int): DataFrame =
     if (refine <= 0)
       adcRanked.filter(col("rank") <= lit(TopK))
         .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), r6(col("adc")).as("dist_sq"))
         .orderBy("q_id", "rank")
     else {
-      // exact re-rank of the refine-bounded ADC candidates: probes × refine
-      // rows broadcast back against the raw vectors — exact folds are
-      // bit-deterministic, so no rounding enters the final ranking key
+      // probes × refine rows broadcast back against the raw vectors
       val ev = embeddings.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       val qv = ev.filter(col("vec_id") % lit(QueryStride) === lit(0))
@@ -577,13 +610,85 @@ object Similarity {
         .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), r6(col("d2")).as("dist_sq"))
         .orderBy("q_id", "rank")
     }
+
+  def knnPqOn(embeddings: DataFrame, cfg: PqCfg = PqCfg()): DataFrame = {
+    import cfg.{m, k, iters, refine, dims}
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val subDim = dims / m
+    val sub = pqSub(embeddings, m, subDim)
+    val cbd = pqCodebook(sub, k, iters, subDim)
+    val codesW = pqCodesWide(sub, cbd, m)
+    val lutW = pqLutWide(sub, cbd, m)
+    // flat ADC: one pass over the ENTIRE coded corpus per probe — the
+    // exhaustive-PQ baseline; [[knnIvfPqOn]] is the cell-bounded scale form
+    val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
+    val adcRanked = codesW.crossJoin(broadcast(lutW))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc", adcCol(m))
+      .withColumn("rank", row_number().over(w).cast("long")) // DuckDB ranks are BIGINT
+    pqFinish(embeddings, adcRanked, refine)
   }
+
+  /** IVF-PQ (Jégou et al. 2011, the IVFADC system): the k-means coarse
+    * quantizer of [[knnIvfKmeansOn]] bounds WHICH codes each probe scans,
+    * and the PQ machinery of [[knnPqOn]] compresses WHAT is scanned. Each
+    * probe ranks the broadcast centroid table, takes its top `nProbe` cells,
+    * ADC-scores only the codes assigned to those cells, and exact-re-ranks
+    * the top `refine` survivors.
+    *
+    * This is the 100 TB ANN form the flat-PQ scan lacks: per-probe work
+    * drops from O(n) code rows to O(n·nProbe/ncells), the corpus is stored
+    * once as (cell, m byte codes) — dims/m·8× smaller than floats — and
+    * everything a probe needs (centroids, codebooks, LUTs) broadcasts.
+    * Residual encoding (coding v − centroid(v) instead of v) is the one
+    * deliberate simplification vs the paper: it would couple every codebook
+    * to the coarse step for ~equal recall at these dims, and the exact
+    * re-rank already recovers the tail.
+    *
+    * Determinism: cell ranking/assignment use the shared r6-cosine
+    * conventions ([[probeCells]]/[[assignCells]]); ADC and re-rank keys are
+    * the [[knnPqOn]] ones unchanged. */
+  def knnIvfPqOn(embeddings: DataFrame, nProbe: Int = NProbe,
+                 kcfg: KmeansCfg = KmeansCfg(), pcfg: PqCfg = PqCfg()): DataFrame = {
+    import pcfg.{m, k, iters, refine, dims}
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val subDim = dims / m
+    val e = withNorm(embeddings)
+    // persisted: 2 consumers (corpus cell assignment + probe cell ranking)
+    val cent = kmeansCentroidsOn(embeddings, kcfg).persist()
+    val cells = assignCells(e, cent).select("vec_id", "cell")
+    val sub = pqSub(embeddings, m, subDim)
+    val cbd = pqCodebook(sub, k, iters, subDim)
+    val coded = pqCodesWide(sub, cbd, m).join(cells, "vec_id")
+    val lutW = pqLutWide(sub, cbd, m)
+    val queries = e.filter(col("vec_id") % lit(QueryStride) === lit(0))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val pcells = probeCells(queries,
+        cent.select(col("cent_id").as("cell"), col("centroid"), col("c_nrm")), nProbe)
+      .select("q_id", "cell")
+    // cell-bounded ADC: candidates = codes in the probe's nProbe cells only
+    val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
+    val adcRanked = coded.join(broadcast(pcells), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(lutW), Seq("q_id"))
+      .withColumn("adc", adcCol(m))
+      .withColumn("rank", row_number().over(w).cast("long")) // DuckDB ranks are BIGINT
+    pqFinish(embeddings, adcRanked, refine)
+  }
+
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame =
+    // static Lloyd width (oracle hardcodes the same 64) → cache-equal plans
+    // across repeated invocations, as with knnIvfKmeans
+    knnIvfPqOn(Tables.embeddings(spark, dir), kcfg = KmeansCfg(dims = Dims))
 
   def knnPq(spark: SparkSession, dir: String): DataFrame =
     knnPqOn(Tables.embeddings(spark, dir))
 
-  val knnPqSql: String = {
-    val cfg = PqCfg()
+  /** Oracle twin of [[pqSub]]/[[pqCodebook]]/[[pqCodesWide]]/[[pqLutWide]]:
+    * CTEs `sub`, `cb0..cbN`, `cbd`, `enc`, `codesw`, `lutw` — shared by the
+    * flat-PQ and IVF-PQ oracles so codebook/encode/LUT semantics can never
+    * drift between them. */
+  private def pqCtesSql(cfg: PqCfg): String = {
     val subDim = cfg.dims / cfg.m
     val subSelects = (0 until cfg.m).map { j =>
       s"SELECT vec_id, $j AS sub, list_transform(embedding[${j * subDim + 1}:${(j + 1) * subDim}], x -> CAST(x AS DOUBLE)) AS sv FROM embeddings"
@@ -605,8 +710,7 @@ object Similarity {
       .map(j => s"list(d2r ORDER BY code) FILTER (WHERE sub = $j) AS lut_$j").mkString(",\n         ")
     val codeCols = (0 until cfg.m)
       .map(j => s"max(CASE WHEN sub = $j THEN code END)").mkString(", ")
-    val adcTerms = (0 until cfg.m).map(j => s"l.lut_$j[c.codes[${j + 1}]]").mkString(" + ")
-    s"""WITH sub AS (
+    s"""sub AS (
        |  $subSelects),
        |cb0 AS (
        |  SELECT sub, CAST(vec_id // $PqSeedStride + 1 AS BIGINT) AS cent_id, sv AS cvec
@@ -627,15 +731,19 @@ object Similarity {
        |lutw AS (
        |  SELECT q_id,
        |         $lutCols
-       |  FROM lut GROUP BY q_id),
-       |adcs AS (
-       |  SELECT l.q_id, c.vec_id, $adcTerms AS adc
-       |  FROM codesw c CROSS JOIN lutw l WHERE c.vec_id <> l.q_id),
-       |ranked AS (
-       |  SELECT q_id, vec_id, adc,
-       |         row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id) AS rank
-       |  FROM adcs),
-       |cand AS (SELECT q_id, vec_id FROM ranked WHERE rank <= ${cfg.refine}),
+       |  FROM lut GROUP BY q_id)""".stripMargin
+  }
+
+  /** Oracle twin of [[adcCol]]: the m positional LUT lookups summed in fixed
+    * subspace order. `c` = coded-corpus alias, `l` = LUT alias. */
+  private def pqAdcTermsSql(m: Int): String =
+    (0 until m).map(j => s"l.lut_$j[c.codes[${j + 1}]]").mkString(" + ")
+
+  /** Oracle twin of [[pqFinish]] (refine > 0): exact re-rank of the top
+    * `refine` rows of relation `ranked` (q_id, vec_id, adc, rank) + the
+    * final TopK SELECT. */
+  private def pqRerankTailSql(refine: Int): String =
+    s"""cand AS (SELECT q_id, vec_id FROM ranked WHERE rank <= $refine),
        |ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |ref AS (
        |  SELECT c.q_id, c.vec_id, ${l2sqSql("qe.v", "ce.v")} AS d2
@@ -647,6 +755,41 @@ object Similarity {
        |SELECT q_id, rank, vec_id AS neighbor_id, ${r6Sql("d2")} AS dist_sq
        |FROM rr WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
+
+  val knnPqSql: String = {
+    val cfg = PqCfg()
+    s"""WITH ${pqCtesSql(cfg)},
+       |adcs AS (
+       |  SELECT l.q_id, c.vec_id, ${pqAdcTermsSql(cfg.m)} AS adc
+       |  FROM codesw c CROSS JOIN lutw l WHERE c.vec_id <> l.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, adc,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id) AS rank
+       |  FROM adcs),
+       |${pqRerankTailSql(cfg.refine)}""".stripMargin
+  }
+
+  val knnIvfPqSql: String = {
+    val cfg = PqCfg()
+    s"""WITH $kmeansCellsSql,
+       |${pqCtesSql(cfg)},
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id % $QueryStride = 0),
+       |pc AS (
+       |  SELECT q.q_id, c.cent_id AS cell,
+       |         row_number() OVER (PARTITION BY q.q_id ORDER BY ${r6Sql(s"${dotSql("q.q_emb", "c.centroid")} / (q.q_nrm * c.c_nrm)")} DESC, c.cent_id) AS cell_rank
+       |  FROM q CROSS JOIN c2 c),
+       |probecells AS (SELECT q_id, cell FROM pc WHERE cell_rank <= $NProbe),
+       |adcs AS (
+       |  SELECT p.q_id, c.vec_id, ${pqAdcTermsSql(cfg.m)} AS adc
+       |  FROM codesw c
+       |  JOIN cells s ON c.vec_id = s.vec_id
+       |  JOIN probecells p ON s.cell = p.cell AND c.vec_id <> p.q_id
+       |  JOIN lutw l ON l.q_id = p.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, adc,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id) AS rank
+       |  FROM adcs),
+       |${pqRerankTailSql(cfg.refine)}""".stripMargin
   }
 
   val all: Seq[Q] = Seq(
@@ -655,6 +798,7 @@ object Similarity {
     Q("s_knn_ivf", knnIvf _, knnIvfSql),
     Q("s_knn_ivf_kmeans", knnIvfKmeans _, knnIvfKmeansSql),
     Q("s_knn_pq", knnPq _, knnPqSql),
+    Q("s_knn_ivfpq", knnIvfPq _, knnIvfPqSql),
     Q("s_label_centroids", labelCentroids _, labelCentroidsSql),
   )
 }

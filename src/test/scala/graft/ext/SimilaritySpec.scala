@@ -164,6 +164,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= adcRecall, s"refine step lost recall: adc=$adcRecall refined=$recall")
   }
 
+  test("IVF-PQ: probing all cells degenerates to flat PQ; cell bound keeps recall") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSeq
+    // nProbe = KmeansK probes every cell → the ADC candidate set is the full
+    // coded corpus and IVF-PQ must equal the flat-PQ search row for row
+    // (same codebooks, same ADC keys, same re-rank)
+    val flat = res(Similarity.knnPqOn(emb))
+    spark.catalog.clearCache()
+    val allCells = res(Similarity.knnIvfPqOn(emb, nProbe = Similarity.KmeansK,
+      kcfg = Similarity.KmeansCfg(dims = Similarity.Dims)))
+    assert(allCells === flat, "IVF-PQ with nprobe=ncells diverged from flat PQ")
+    // the default cell-bounded search keeps most of the flat-PQ answer while
+    // scanning only nProbe/ncells of the codes
+    spark.catalog.clearCache()
+    val bounded = res(Similarity.knnIvfPqOn(emb,
+        kcfg = Similarity.KmeansCfg(dims = Similarity.Dims)))
+      .map(t => (t._1, t._3)).toSet
+    val flatSet = flat.map(t => (t._1, t._3)).toSet
+    val agree = (bounded intersect flatSet).size.toDouble / flatSet.size
+    assert(agree >= 0.4, s"cell-bounded ADC lost too much of the flat-PQ answer: $agree")
+    spark.catalog.clearCache()
+  }
+
   test("cosine of identical vectors is 1") {
     val df = Seq((Array(0.5f, -0.25f, 8.0f), Array(0.5f, -0.25f, 8.0f))).toDF("a", "b")
     val cos = df.select(
