@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.Q
 import graft.ops.Tables
+import graft.ops.Num.r6Sql
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -173,9 +174,84 @@ object Corpus {
        |ORDER BY lang, shard, chunk_id""".stripMargin
   }
 
+  // ------------------------------------------------------- decontamination
+  /** Benchmark decontamination (GPT-3 App. C / The Pile): flag training
+    * documents whose word-3-gram shingles collide with an evaluation set,
+    * so eval answers can't leak into the training corpus. The benchmark is
+    * a deterministic held-out slice (doc_id % 10 = [[BenchSlice]]) standing
+    * in for an external eval suite; shingles and their 28-bit portable
+    * hashes are the shared [[Dedup.shingles3]]/[[Dedup.baseHash]], so the
+    * contamination decision is the same hash space the dedup family uses.
+    *
+    * Per training doc: distinct shingle count, how many of those shingles
+    * occur in ANY benchmark doc, the contaminated fraction (r6), and
+    * keep = fraction ≤ [[MaxContamination]]. Shingle-less docs (< 3
+    * tokens) are conservatively kept with contamination 0.
+    *
+    * 100 TB design: eval suites are tiny next to the corpus, so the
+    * DISTINCT benchmark hash set builds with one dedup shuffle over
+    * benchmark data only and then BROADCASTS; the corpus side is one scan
+    * + explode + broadcast left join + one groupBy(doc_id) — the only
+    * corpus-sized shuffle carries (doc_id, long) pairs, never text. A
+    * benchmark too large to broadcast degrades to the identical plan with
+    * a hash-partitioned join on the gram hash. */
+  val BenchSlice = 7
+  val MaxContamination = 0.25
+
+  def decontaminateOn(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+        explode(Dedup.shingles3(graft.ext.Text.tokens(col("text")))).as("gram"))
+      .select(col("doc_id"), Dedup.baseHash(col("gram")).as("h"))
+    val bench = grams.filter(pmod(col("doc_id"), lit(10)) === lit(BenchSlice))
+      .select("h").distinct()
+    val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(BenchSlice))
+    // explode_outer keeps shingle-less docs in the output with n_grams = 0
+    val tg = train.select(col("doc_id"),
+        explode_outer(Dedup.shingles3(graft.ext.Text.tokens(col("text")))).as("gram"))
+      .withColumn("h", Dedup.baseHash(col("gram")))
+    val counted = tg.join(broadcast(bench.withColumn("hit", lit(1L))), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("gram")).as("n_grams"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+      .withColumn("contamination",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(graft.ops.Num.r6(col("n_contaminated") / col("n_grams"))))
+    counted
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"), col("contamination"),
+        (col("contamination") <= lit(MaxContamination)).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateOn(Tables.documents(spark, dir))
+
+  val decontaminateSql: String =
+    s"""WITH toks AS (SELECT doc_id, ${Text.tokensSql("text")} AS t FROM documents),
+       |g AS (SELECT doc_id, unnest(${Dedup.shingles3Sql("t")}) AS gram FROM toks),
+       |gh AS (SELECT doc_id, ${Dedup.baseHashSql("gram")} AS h FROM g),
+       |bench AS (SELECT DISTINCT h FROM gh WHERE doc_id % 10 = $BenchSlice),
+       |hits AS (
+       |  SELECT gh.doc_id, count(*) AS n_grams,
+       |         CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+       |  FROM gh LEFT JOIN bench b ON gh.h = b.h
+       |  WHERE gh.doc_id % 10 <> $BenchSlice
+       |  GROUP BY gh.doc_id),
+       |scored AS (
+       |  SELECT d.doc_id,
+       |         CAST(coalesce(h.n_grams, 0) AS BIGINT) AS n_grams,
+       |         CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       |         CASE WHEN coalesce(h.n_grams, 0) = 0 THEN 0.0
+       |              ELSE ${r6Sql("coalesce(h.n_contaminated, 0) / h.n_grams")} END AS contamination
+       |  FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |  WHERE d.doc_id % 10 <> $BenchSlice)
+       |SELECT doc_id, n_grams, n_contaminated, contamination,
+       |       contamination <= $MaxContamination AS keep
+       |FROM scored ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t_corpus_mix", mix _, mixSql),
     Q("t_seq_pack", seqPack _, seqPackSql),
     Q("t_seq_pack_sharded", seqPackSharded _, seqPackShardedSql),
+    Q("t_decontaminate", decontaminate _, decontaminateSql),
   )
 }

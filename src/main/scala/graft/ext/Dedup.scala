@@ -497,13 +497,18 @@ object Dedup {
       comp.unpersist()
       comp = next
     }
+    // sym fed only the loop, and the final comp cache is already
+    // materialized (labelSum aggregated over every partition) — drop the
+    // edge cache now; worst case under later eviction is a recompute
+    // through lineage, never a wrong result
+    sym.unpersist()
     val sizes = comp.groupBy(col("comp").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
-    // sym and the final comp stay persisted DELIBERATELY, same convention
-    // as minhashLshOn's signature cache: the returned plan consumes comp
+    // the final comp stays persisted DELIBERATELY, same convention as
+    // minhashLshOn's signature cache: the returned plan consumes comp
     // twice (sizes + join), and a repeated invocation in one session
-    // plan-matches both caches — measured 60% slower per repeat when they
-    // are unpersisted here (the whole LSH + loop recomputes). Batch callers
+    // plan-matches the cache — measured 60% slower per repeat when it is
+    // unpersisted here (the whole LSH + loop recomputes). Batch callers
     // should spark.catalog.clearCache() between invocations, as Verify and
     // Bench both do.
     comp.select(col("doc_id"), col("comp").as("cluster_id"))

@@ -101,6 +101,25 @@ class LibraryApiSpec extends SparkSpec {
     assert(packed.forall(_.getLong(1) === 0L))
   }
 
+  test("decontamination flags benchmark-overlapping docs and keeps the rest") {
+    // doc 17 lands in the benchmark slice (17 % 10 = 7); doc 20 copies its
+    // text verbatim (a leaked eval answer), doc 21 shares nothing
+    val d = Seq(
+      (17L, "alpha beta gamma delta epsilon zeta", "en", "web"),
+      (20L, "alpha beta gamma delta epsilon zeta", "en", "web"),
+      (21L, "one two three four five six seven", "en", "book"),
+      (22L, "hi", "en", "web"), // < 3 tokens: no shingles, conservatively kept
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Corpus.decontaminateOn(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(!out.contains(17L), "benchmark docs are not judged")
+    assert(out(20L)._2 === 1.0 && !out(20L)._3, "verbatim copy of a benchmark doc must be dropped")
+    assert(out(21L)._1 === 0L && out(21L)._3, "non-overlapping doc must be kept")
+    assert(out(22L)._2 === 0.0 && out(22L)._3, "shingle-less doc is kept with contamination 0")
+    // deterministic: same corpus -> same decisions
+    assert(Corpus.decontaminateOn(d).collect().toSeq === Corpus.decontaminateOn(d).collect().toSeq)
+  }
+
   test("sharded packing preserves totals and keeps per-shard chunk ids contiguous") {
     val bigDocs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
     val flat = Corpus.seqPackOn(bigDocs)
