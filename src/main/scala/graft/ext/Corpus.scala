@@ -198,13 +198,15 @@ object Corpus {
   val BenchSlice = 7
   val MaxContamination = 0.25
 
-  def decontaminateOn(docs: DataFrame): DataFrame = {
-    val grams = docs.select(col("doc_id"),
-        explode(Dedup.shingles3(graft.ext.Text.tokens(col("text")))).as("gram"))
-      .select(col("doc_id"), Dedup.baseHash(col("gram")).as("h"))
-    val bench = grams.filter(pmod(col("doc_id"), lit(10)) === lit(BenchSlice))
-      .select("h").distinct()
-    val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(BenchSlice))
+  /** The real-world entry point: decontaminate `train` against a SEPARATE
+    * evaluation DataFrame (any frame with a `text` column — an eval suite
+    * loaded from its own files, not a slice of the corpus). The registered
+    * [[decontaminateOn]] delegates here with its deterministic doc_id-slice
+    * standing in as the eval set. */
+  def decontaminateAgainstOn(train: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val bench = evalDocs
+      .select(explode(Dedup.shingles3(graft.ext.Text.tokens(col("text")))).as("gram"))
+      .select(Dedup.baseHash(col("gram")).as("h")).distinct()
     // explode_outer keeps shingle-less docs in the output with n_grams = 0
     val tg = train.select(col("doc_id"),
         explode_outer(Dedup.shingles3(graft.ext.Text.tokens(col("text")))).as("gram"))
@@ -221,6 +223,11 @@ object Corpus {
         (col("contamination") <= lit(MaxContamination)).as("keep"))
       .orderBy("doc_id")
   }
+
+  def decontaminateOn(docs: DataFrame): DataFrame =
+    decontaminateAgainstOn(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(BenchSlice)),
+      docs.filter(pmod(col("doc_id"), lit(10)) === lit(BenchSlice)))
 
   def decontaminate(spark: SparkSession, dir: String): DataFrame =
     decontaminateOn(Tables.documents(spark, dir))

@@ -102,21 +102,57 @@ object Dedup {
     exploded.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
   }
 
-  /** Banded candidate pairs (doc_a < doc_b) from a signature table — the
-    * bucket-join that keeps every MinHash consumer near-linear: band sigs
-    * are md5 (bucket count grows with data, salt-free). */
-  def minhashCandidates(mh: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
+  /** Band signatures (doc_id, band_idx, sig) of a signature table — band
+    * sigs are md5 (bucket count grows with data, salt-free). Shared by the
+    * batch self-join and the incremental new-vs-all join. */
+  def minhashBands(mh: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
     require(numHashes % numBands == 0, s"numBands=$numBands must divide numHashes=$numHashes")
     val rowsPerBand = numHashes / numBands
-    val bands = mh.select(col("doc_id"), explode(array((0 until numBands).map { j =>
+    mh.select(col("doc_id"), explode(array((0 until numBands).map { j =>
       struct(lit(j).as("band_idx"),
         md5(concat_ws(",", (0 until rowsPerBand).map(k => col(s"mh_${j * rowsPerBand + k}")): _*)).as("sig"))
     }: _*)).as("b")).select(col("doc_id"), col("b.band_idx"), col("b.sig"))
+  }
+
+  /** Banded candidate pairs (doc_a < doc_b) from a signature table — the
+    * bucket-join that keeps every MinHash consumer near-linear. */
+  def minhashCandidates(mh: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
+    val bands = minhashBands(mh, numHashes, numBands)
     bands.as("l").join(bands.as("r"),
         col("l.band_idx") === col("r.band_idx") && col("l.sig") === col("r.sig")
           && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Incremental candidates: banded pairs between NEW signatures and the
+    * full signature set (old ∪ new), normalized to doc_a < doc_b. Every
+    * pair here involves at least one new doc, so a stream that calls this
+    * per micro-batch emits each unordered pair exactly once — in the batch
+    * its later member arrives in ([[graft.streaming.Streams
+    * .minhashDedupBatches]]). */
+  def minhashCandidatesAgainst(newSigs: DataFrame, allSigs: DataFrame,
+                               numHashes: Int, numBands: Int): DataFrame = {
+    val bn = minhashBands(newSigs, numHashes, numBands)
+    val ba = minhashBands(allSigs, numHashes, numBands)
+    bn.as("l").join(ba.as("r"),
+        col("l.band_idx") === col("r.band_idx") && col("l.sig") === col("r.sig")
+          && col("l.doc_id") =!= col("r.doc_id"))
+      .select(least(col("l.doc_id"), col("r.doc_id")).as("doc_a"),
+        greatest(col("l.doc_id"), col("r.doc_id")).as("doc_b"))
+      .distinct()
+  }
+
+  /** Candidate pairs + the estimated Jaccard (= fraction of agreeing
+    * minhashes), via the signature rejoin — the one implementation behind
+    * the batch and incremental variants. Unsorted. */
+  def minhashEstJaccard(cand: DataFrame, mh: DataFrame, numHashes: Int): DataFrame = {
+    val agree = (0 until numHashes).map(i =>
+      when(col(s"x.mh_$i") === col(s"y.mh_$i"), lit(1)).otherwise(lit(0))).reduce(_ + _)
+    cand
+      .join(mh.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(mh.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"), (agree / lit(numHashes.toDouble)).as("est_jaccard"))
   }
 
   def minhashLshOn(docs: DataFrame,
@@ -125,12 +161,7 @@ object Dedup {
     // rejoins) — without it the explode+md5+n-min subplan runs 4 times
     val mh = minhashSigsOn(docs, numHashes).persist()
     val cand = minhashCandidates(mh, numHashes, numBands)
-    val agree = (0 until numHashes).map(i =>
-      when(col(s"x.mh_$i") === col(s"y.mh_$i"), lit(1)).otherwise(lit(0))).reduce(_ + _)
-    cand
-      .join(mh.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(mh.as("y"), col("doc_b") === col("y.doc_id"))
-      .select(col("doc_a"), col("doc_b"), (agree / lit(numHashes.toDouble)).as("est_jaccard"))
+    minhashEstJaccard(cand, mh, numHashes)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -451,8 +482,16 @@ object Dedup {
     * cluster size, and whether this doc is the canonical survivor. */
   val ClusterEstMin = 0.5
 
+  /** `checkpointRounds` = true swaps each round's persist() for an eager
+    * localCheckpoint(): same caching, but the lineage is CUT each round, so
+    * plan size stays O(1) in round count instead of O(rounds). At sf0.1's
+    * ~3 rounds the nested plans are small and the trade is a wash
+    * (measured numbers in BASELINE.md round 7); it exists for deep-chain
+    * graphs where O(rounds) plan growth would dominate. Checkpointed
+    * blocks lack the lineage fallback, so the default stays persist(). */
   def dupClustersOn(docs: DataFrame,
-                    numHashes: Int = NumHashes, numBands: Int = NumBands): DataFrame = {
+                    numHashes: Int = NumHashes, numBands: Int = NumBands,
+                    checkpointRounds: Boolean = false): DataFrame = {
     val pairs = minhashLshOn(docs, numHashes, numBands)
       .filter(col("est_jaccard") >= lit(ClusterEstMin))
       .select("doc_a", "doc_b")
@@ -486,11 +525,11 @@ object Dedup {
       // label distance to the component min halves — convergence in
       // O(log n) rounds even on a long chain, which is why the loop needs
       // no iteration cap to stay exact (matching the closure oracle).
-      val next = prop.as("a")
+      val jumped = prop.as("a")
         .join(prop.select(col("doc_id").as("p_id"), col("comp").as("p_comp")).as("b"),
           col("a.comp") === col("p_id"))
         .select(col("a.doc_id").as("doc_id"), col("p_comp").as("comp"))
-        .persist()
+      val next = if (checkpointRounds) jumped.localCheckpoint() else jumped.persist()
       val nextSum = labelSum(next)
       changed = if (nextSum.compareTo(curSum) == 0) 0L else 1L
       curSum = nextSum
@@ -561,6 +600,21 @@ object Dedup {
   val EmbedPlanes = 4
   val EmbedBands = 1
 
+  /** The scale knobs, registered as their own oracle-checked query
+    * (`dd_embed_neardup_scale`): 12 planes × 4 bands → 4,096 buckets per
+    * band per label — bucket space ≫ corpus at the oracle's sf0.01 (500
+    * vectors), which is exactly the operating regime a production job tunes
+    * planes INTO at any corpus size (the within-bucket self-join stays
+    * output-bound; same cardinality argument as the 16-bit simhash bands —
+    * at billions of vectors the same regime is 16+ planes). The 4 bands
+    * buy back recall band-union-style where single-band 12-plane blocking
+    * keeps only sign-identical prefixes (knob sweep in BASELINE.md round
+    * 7: 16 planes find nothing even at 2-4 bands on this corpus — the
+    * testdata has no near-exact duplicate embeddings). The default 4-plane
+    * knobs stay registered as the high-recall small-scale variant. */
+  val EmbedScalePlanes = 12
+  val EmbedScaleBands = 4
+
   def embedNearDupOn(embeddings: DataFrame,
                      nPlanes: Int = EmbedPlanes, nBands: Int = EmbedBands): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 62 && nBands >= 1, s"bad knobs: $nPlanes planes, $nBands bands")
@@ -587,20 +641,37 @@ object Dedup {
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     embedNearDupOn(Tables.embeddings(spark, dir))
 
-  val embedNearDupSql: String = {
-    val bucket = Similarity.signBucketSql("embedding")
+  def embedNearDupScale(spark: SparkSession, dir: String): DataFrame =
+    embedNearDupOn(Tables.embeddings(spark, dir), EmbedScalePlanes, EmbedScaleBands)
+
+  /** Oracle twin of [[embedNearDupOn]] for any (nPlanes, nBands) — one SQL
+    * builder behind both registered knob sets so banding semantics can
+    * never drift between them. */
+  def embedNearDupSqlFor(nPlanes: Int, nBands: Int): String = {
+    val bandSelects = (0 until nBands).map { j =>
+      s"SELECT vec_id, label, $j AS band_idx, ${Similarity.signBucketSql("embedding", nPlanes, j * nPlanes)} AS bucket FROM e"
+    }.mkString("\n  UNION ALL\n  ")
     s"""WITH e AS (
-       |  SELECT vec_id, label, embedding, ${Similarity.normSql("embedding")} AS nrm,
-       |         $bucket AS bucket
+       |  SELECT vec_id, label, embedding, ${Similarity.normSql("embedding")} AS nrm
        |  FROM embeddings),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b
+       |  FROM bands l JOIN bands r ON l.label = r.label AND l.band_idx = r.band_idx
+       |    AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |  GROUP BY 1, 2),
        |pairs AS (
-       |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
-       |         ${Similarity.dotSql("l.embedding", "r.embedding")} / (l.nrm * r.nrm) AS cos
-       |  FROM e l JOIN e r ON l.label = r.label AND l.bucket = r.bucket AND l.vec_id < r.vec_id)
+       |  SELECT c.vec_a, c.vec_b,
+       |         ${Similarity.dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
+       |  FROM cand c JOIN e x ON c.vec_a = x.vec_id JOIN e y ON c.vec_b = y.vec_id)
        |SELECT vec_a, vec_b, ${r6Sql("cos")} AS cosine
        |FROM pairs WHERE cos >= $CosineMin
        |ORDER BY vec_a, vec_b""".stripMargin
   }
+
+  val embedNearDupSql: String = embedNearDupSqlFor(EmbedPlanes, EmbedBands)
+  val embedNearDupScaleSql: String = embedNearDupSqlFor(EmbedScalePlanes, EmbedScaleBands)
 
   val all: Seq[Q] = Seq(
     Q("dd_exact", exact _, exactSql),
@@ -610,6 +681,7 @@ object Dedup {
     Q("dd_ngram_jaccard", ngramJaccard _, ngramJaccardSql),
     Q("dd_ngram_jaccard_lsh", ngramJaccardLsh _, ngramJaccardLshSql),
     Q("dd_embed_neardup", embedNearDup _, embedNearDupSql),
+    Q("dd_embed_neardup_scale", embedNearDupScale _, embedNearDupScaleSql),
     Q("dd_dup_clusters", dupClusters _, dupClustersSql),
   )
 }

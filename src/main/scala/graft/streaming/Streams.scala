@@ -140,6 +140,50 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Incremental MinHash near-dup detection via foreachBatch: each
+    * micro-batch's documents are signed with the SAME
+    * [[graft.ext.Dedup.minhashSigsOn]] the batch job uses, banded against
+    * the union of the persisted signature table and the batch itself, and
+    * every candidate pair involving a new document is emitted with its
+    * estimated Jaccard; the new signatures are then appended to the
+    * signature table at `sigPath`. Signatures are deterministic functions
+    * of the text, so each unordered pair is emitted EXACTLY once — in the
+    * micro-batch its later member arrives — and the union of all batch
+    * outputs equals the one-shot batch [[graft.ext.Dedup.minhashLshOn]]
+    * run over all documents seen (StreamsSpec parity). Assumes doc_ids are
+    * unique across batches (the dedup input contract).
+    *
+    * At 100 TB the signature table is the persistent index a streaming
+    * dedup keeps anyway (doc_id + numHashes longs, ~100 B/doc — 3 orders
+    * smaller than the corpus); each batch costs sigs(batch) + one band
+    * bucket join of |batch| new rows against it — never corpus × corpus.
+    * `sigPath` is any Spark-writable directory (object store at scale; at
+    * very large |index| the plain parquet read degrades to a bucketed
+    * table on the band key so the join prunes buckets). */
+  def minhashDedupBatches(docs: DataFrame, sigPath: String,
+                          numHashes: Int = graft.ext.Dedup.NumHashes,
+                          numBands: Int = graft.ext.Dedup.NumBands,
+                          trigger: org.apache.spark.sql.streaming.Trigger =
+                            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                         (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val D = graft.ext.Dedup
+        val spark = batch.sparkSession
+        // persisted: consumed by its own bands, the union's bands, both
+        // est-jaccard rejoins, and the state append
+        val newSigs = D.minhashSigsOn(batch.toDF(), numHashes).persist()
+        val old = scala.util.Try(spark.read.parquet(sigPath)).toOption
+        val all = old.map(_.unionByName(newSigs)).getOrElse(newSigs.toDF())
+        val cand = D.minhashCandidatesAgainst(newSigs, all, numHashes, numBands)
+        onBatch(D.minhashEstJaccard(cand, all, numHashes), id)
+        newSigs.write.mode("append").parquet(sigPath)
+        newSigs.unpersist()
+        ()
+      }
+      .trigger(trigger)
+      .start()
+
   /** Run a streaming DataFrame to completion against the bounded test input
     * (AvailableNow trigger + memory sink) and return the result as a batch
     * DataFrame — the harness for batch/stream parity tests. */

@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measurement mains behind the numbers recorded in BASELINE.md — not part
+  * of the query registry, but kept in-tree so every published recall /
+  * trade-off figure is reproducible with one `runMain`. */
+object Tools {
+  def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions().apply(_))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** recall@5 of every ANN variant against the brute-force top-5 on a testdata
+  * dir (arg 0, default sf0.01): the per-probe |bf ∩ variant| / 5, averaged.
+  * PQ variants rank by L2 rather than cosine, so a recall below 1.0 mixes
+  * metric disagreement with index loss — comparing `s_knn_ivfpq` against
+  * `s_knn_pq` (same metric, same knobs) isolates what the IVF cell bound
+  * alone drops. */
+object AnnRecall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = Tools.session()
+    def top5(name: String): Map[Long, Set[Long]] =
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .select("q_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val bf = top5("s_knn_bruteforce")
+    spark.catalog.clearCache()
+    for (v <- Seq("s_knn_lsh", "s_knn_ivf", "s_knn_ivf_kmeans", "s_knn_pq", "s_knn_ivfpq")) {
+      val got = top5(v)
+      val recall = bf.keys.toSeq.map(q => (bf(q) intersect got.getOrElse(q, Set.empty)).size / 5.0)
+      println(f"$v%-18s recall@5 = ${recall.sum / recall.size}%.3f over ${recall.size} probes ($sfDir)")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
+
+/** dup-clusters lineage study: persist-per-round vs localCheckpoint-per-round
+  * (args: testdata dirs, default sf0.1). Min of 2 runs each, caches cleared
+  * between — the measurement behind the `checkpointRounds` knob note. */
+object CcCheckpointBench {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq else Seq("/root/testdata/sf0.1")
+    val spark = Tools.session()
+    spark.range(1000000).selectExpr("sum(id)").collect() // JIT warmup
+    for (dir <- dirs; ckpt <- Seq(false, true)) {
+      val t = (1 to 2).map { _ =>
+        val docs = graft.ops.Tables.documents(spark, dir)
+        val t0 = System.nanoTime()
+        graft.ext.Dedup.dupClustersOn(docs, checkpointRounds = ckpt).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        System.gc(); Thread.sleep(300)
+        dt
+      }.min
+      println(f"dup_clusters $dir checkpointRounds=$ckpt: $t%.2f s (min of 2)")
+    }
+    spark.stop()
+  }
+}

@@ -110,6 +110,21 @@ class DedupSpec extends SparkSpec {
     assert(base.subsetOf(banded), s"adding a band lost pairs: ${(base -- banded).take(5)}")
   }
 
+  test("embed near-dup 100 TB knobs: registered scale config obeys the same band/plane laws") {
+    val emb = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    def pairs(planes: Int, bands: Int) =
+      Dedup.embedNearDupOn(emb, nPlanes = planes, nBands = bands)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val oneBand = pairs(Dedup.EmbedScalePlanes, 1)
+    val scale = pairs(Dedup.EmbedScalePlanes, Dedup.EmbedScaleBands)
+    val coarse = pairs(4, 1)
+    spark.catalog.clearCache()
+    // adding band 2 only adds pairs; 16-plane buckets refine the 4-plane ones
+    assert(oneBand.subsetOf(scale), s"adding a band lost pairs: ${(oneBand -- scale).take(5)}")
+    assert(oneBand.subsetOf(coarse), s"refining planes invented pairs: ${(oneBand -- coarse).take(5)}")
+    assert(scale.nonEmpty, "scale knobs found nothing on sf0.01 (degenerate corpus)")
+  }
+
   test("dup clusters: pair endpoints share a component, canonical is the min member, sizes add up") {
     val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
     val edges = Dedup.minhashLshOn(docs)

@@ -120,6 +120,29 @@ class LibraryApiSpec extends SparkSpec {
     assert(Corpus.decontaminateOn(d).collect().toSeq === Corpus.decontaminateOn(d).collect().toSeq)
   }
 
+  test("decontaminateAgainstOn takes a separate eval frame (the real-world entry point)") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "web"), // verbatim leak
+      (2L, "one two three four five six seven", "en", "book"),  // clean
+      (3L, "hi", "en", "web"),                                  // shingle-less
+    ).toDF("doc_id", "text", "lang", "source")
+    // any frame with a text column works as the eval suite — no doc_id needed
+    val evalSuite = Seq("alpha beta gamma delta epsilon zeta").toDF("text")
+    val out = Corpus.decontaminateAgainstOn(train, evalSuite).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(1L)._2 === 1.0 && !out(1L)._3, "verbatim copy of an eval doc must be dropped")
+    assert(out(2L)._2 === 0.0 && out(2L)._3, "clean doc must be kept")
+    assert(out(3L)._1 === 0L && out(3L)._3, "shingle-less doc is kept with contamination 0")
+    // the registered slice query is the same computation with the doc_id
+    // slice as the eval frame: spot-check on real testdata that delegation
+    // preserved the original semantics
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val viaSlice = Corpus.decontaminateOn(docs)
+    assert(viaSlice.filter(pmod(col("doc_id"), lit(10)) === lit(Corpus.BenchSlice)).count() === 0,
+      "benchmark docs are never judged")
+    assert(viaSlice.count() > 0)
+  }
+
   test("sharded packing preserves totals and keeps per-shard chunk ids contiguous") {
     val bigDocs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
     val flat = Corpus.seqPackOn(bigDocs)

@@ -175,6 +175,40 @@ class StreamsSpec extends SparkSpec {
     assert(streamedTotals === batchTotals)
   }
 
+  test("incremental minhash dedup across micro-batches emits exactly the batch LSH pairs, each once") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_minhash_stream").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    // two micro-batches by doc_id parity: near-dup pairs in the testdata
+    // overwhelmingly pair adjacent doc_ids, so most pairs SPAN the batches
+    // and must come from the new-vs-persisted-signature join, not the
+    // within-batch join
+    Seq(0, 1).foreach { p =>
+      val tmp = s"$base/tmp$p"
+      docs.filter(col("doc_id") % 2 === p).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$base/in/b$p.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(20) // distinct mtimes → deterministic file-source order
+    }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = Streams.minhashDedupBatches(stream, s"$base/sigs") { (pairs, _) =>
+      val rows = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      buf.synchronized { buf ++= rows }
+    }
+    q.awaitTermination()
+    val batch = graft.ext.Dedup.minhashLshOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.catalog.clearCache()
+    assert(batch.nonEmpty, "degenerate corpus: batch LSH found no pairs")
+    assert(buf.size === buf.toSet.size, s"a pair was emitted in more than one micro-batch")
+    assert(buf.toSet === batch,
+      s"missing: ${(batch -- buf.toSet).take(5)}; extra: ${(buf.toSet -- batch).take(5)}")
+  }
+
   test("streaming corpus mix emits exactly the batch mix (stateless pipeline op on a stream)") {
     // the mixing decisions are deterministic per-row hashes, so a streamed
     // corpus produces the identical weighted mix the batch run does —
