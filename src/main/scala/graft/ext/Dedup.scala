@@ -482,16 +482,24 @@ object Dedup {
     * cluster size, and whether this doc is the canonical survivor. */
   val ClusterEstMin = 0.5
 
-  /** `checkpointRounds` = true swaps each round's persist() for an eager
-    * localCheckpoint(): same caching, but the lineage is CUT each round, so
-    * plan size stays O(1) in round count instead of O(rounds). At sf0.1's
-    * ~3 rounds the nested plans are small and the trade is a wash
-    * (measured numbers in BASELINE.md round 7); it exists for deep-chain
-    * graphs where O(rounds) plan growth would dominate. Checkpointed
-    * blocks lack the lineage fallback, so the default stays persist(). */
+  /** `checkpointRounds` (default true) replaces each round's persist() with
+    * an eager localCheckpoint(): same caching, but the LOGICAL plan is cut
+    * each round, so per-round analysis/optimization/cache-lookup cost stays
+    * O(1) in round count instead of growing with the nested lineage.
+    * Measured (BASELINE.md round 7): sf0.1 min 3.1 s vs 5.9 s persist —
+    * and the persist path is BIMODAL (5.9–20 s across identical runs; the
+    * round-5 "13.4 s regression" was this mode, not box load) while the
+    * checkpointed path is stable; at 10× data 6.9 s vs 16.9 s. This is the
+    * same per-iteration checkpoint every production distributed-CC
+    * implementation carries. The trade: checkpointed blocks drop the
+    * lineage fallback, so an executor loss mid-job fails the query instead
+    * of recomputing — on a real cluster an iterative job at this round
+    * count either accepts that (retry is cheap, rounds are few) or swaps
+    * in reliable checkpointing to the cluster FS; `checkpointRounds =
+    * false` keeps the pure-lineage form for callers that need it. */
   def dupClustersOn(docs: DataFrame,
                     numHashes: Int = NumHashes, numBands: Int = NumBands,
-                    checkpointRounds: Boolean = false): DataFrame = {
+                    checkpointRounds: Boolean = true): DataFrame = {
     val pairs = minhashLshOn(docs, numHashes, numBands)
       .filter(col("est_jaccard") >= lit(ClusterEstMin))
       .select("doc_a", "doc_b")

@@ -56,8 +56,9 @@ object CcCheckpointBench {
     val dirs = if (args.nonEmpty) args.toSeq else Seq("/root/testdata/sf0.1")
     val spark = Tools.session()
     spark.range(1000000).selectExpr("sum(id)").collect() // JIT warmup
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     for (dir <- dirs; ckpt <- Seq(false, true)) {
-      val t = (1 to 2).map { _ =>
+      val ts = (1 to reps).map { _ =>
         val docs = graft.ops.Tables.documents(spark, dir)
         val t0 = System.nanoTime()
         graft.ext.Dedup.dupClustersOn(docs, checkpointRounds = ckpt).count()
@@ -65,8 +66,9 @@ object CcCheckpointBench {
         spark.catalog.clearCache()
         System.gc(); Thread.sleep(300)
         dt
-      }.min
-      println(f"dup_clusters $dir checkpointRounds=$ckpt: $t%.2f s (min of 2)")
+      }
+      val all = ts.map(t => f"$t%.2f").mkString(", ")
+      println(f"dup_clusters $dir checkpointRounds=$ckpt: min ${ts.min}%.2f s (runs: $all)")
     }
     spark.stop()
   }
