@@ -323,12 +323,17 @@ object Similarity {
       .withColumn("centroid", transform(col("embedding"), x => x.cast("double")))
       .select(col("cent_id"), col("centroid"), col("nrm").cast("double").as("c_nrm"))
     for (_ <- 1 to iters) {
-      val wa = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+      // argmax-by-cosine as ONE min_by hash agg on the cosine DISTANCE
+      // (1 − ccos is exactly monotone in ccos, so the (key, cent_id)
+      // min_by picks the identical centroid the oracle's row_number
+      // ORDER BY ccos DESC, cent_id picks) — no per-iteration window
+      // shuffle+sort over the corpus, same rewrite pqCodebook carries
       val assigned = e.crossJoin(broadcast(cent))
         .withColumn("ccos", r6(dot(col("embedding"), col("centroid")) / (col("nrm") * col("c_nrm"))))
-        .withColumn("rn", row_number().over(wa))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cent_id"), col("embedding"))
+        .groupBy("vec_id")
+        .agg(min_by(struct(col("cent_id"), col("embedding")),
+          struct(lit(1.0) - col("ccos"), col("cent_id"))).as("a"))
+        .select(col("vec_id"), col("a.cent_id").as("cent_id"), col("a.embedding").as("embedding"))
       cent = assigned
         .groupBy("cent_id")
         .agg(count(lit(1)).as("n"), vecSumCol(col("embedding")).as("sums"))
@@ -349,14 +354,16 @@ object Similarity {
     * k-means IVF search and the IVF-PQ coarse stage.
     * `e` columns: vec_id, embedding, nrm (+ ignored extras);
     * `cent` columns: cent_id, centroid, c_nrm. */
-  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame = {
-    val wa = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
+    // same min_by-on-cosine-distance rewrite as the Lloyd loop: the corpus
+    // assignment pass is a hash agg, not a window sort
     e.crossJoin(broadcast(cent))
       .withColumn("ccos", r6(dot(col("embedding"), col("centroid")) / (col("nrm") * col("c_nrm"))))
-      .withColumn("rn", row_number().over(wa))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
-  }
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("embedding"), col("nrm"), col("cent_id")),
+        struct(lit(1.0) - col("ccos"), col("cent_id"))).as("a"))
+      .select(col("vec_id"), col("a.embedding").as("embedding"),
+        col("a.nrm").as("nrm"), col("a.cent_id").as("cell"))
 
   def knnIvfKmeansOn(embeddings: DataFrame, nProbe: Int = NProbe,
                      cfg: KmeansCfg = KmeansCfg()): DataFrame = {
