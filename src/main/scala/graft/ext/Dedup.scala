@@ -461,6 +461,89 @@ object Dedup {
        |FROM p WHERE n_union > 0 AND n_inter / n_union >= $JaccardMin
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------- duplicated-span coverage
+  /** Exact-substring duplication coverage (the training-data dedup measure
+    * of Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better", at token granularity): for every overlapping [[SpanK]]-token
+    * span, count global occurrences of its hash across the corpus; a span
+    * seen ≥2 times anywhere is DUPLICATED, and a document's dup_frac is the
+    * fraction of its tokens covered by the union of its duplicated spans
+    * (interval union, so overlapping spans don't double-count). Documents
+    * above [[SpanDupFracMax]] are the memorization/boilerplate risk the
+    * pipeline drops or trims.
+    *
+    * 100 TB shape: per-doc span totals come from array length (zero
+    * shuffle); the global span census is one map-side-combinable
+    * groupBy(h) carrying only (28-bit hash, count) partials; duplicated
+    * hashes (count ≥ 2 — a small fraction of distinct spans) hash-join
+    * back against the exploded spans, so the only doc-keyed shuffle
+    * carries duplicated (doc_id, pos) pairs. The per-doc interval union is
+    * an array op bounded by document length. */
+  val SpanK = 4
+  val SpanDupFracMax = 0.5
+
+  def spanCoverageOn(docs: DataFrame): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val base = docs
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        when(size(col("t")) >= lit(SpanK),
+          transform(sequence(lit(0), size(col("t")) - lit(SpanK)),
+            i => struct(i.cast("long").as("pos"),
+              baseHash(concat_ws(" ", slice(col("t"), i + lit(1), lit(SpanK)))).as("h"))))
+          .otherwise(array().cast("array<struct<pos:long,h:long>>")).as("spans"))
+    val flat = base.select(col("doc_id"), explode(col("spans")).as("sp"))
+      .select(col("doc_id"), col("sp.pos").as("pos"), col("sp.h").as("h"))
+    val dupH = flat.groupBy("h").agg(count(lit(1)).as("c")).filter(col("c") > 1).select("h")
+    val perdoc = flat.join(dupH, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        size(array_distinct(flatten(collect_list(
+          sequence(col("pos"), col("pos") + lit(SpanK - 1L)))))).cast("long").as("covered_tokens"))
+    base
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("spans")).cast("long").as("n_spans"))
+      .join(perdoc, Seq("doc_id"), "left")
+      .withColumn("n_dup_spans", coalesce(col("n_dup_spans"), lit(0L)))
+      .withColumn("covered_tokens", coalesce(col("covered_tokens"), lit(0L)))
+      .withColumn("dup_frac",
+        coalesce(r6(col("covered_tokens") / nullif(col("n_tokens"), lit(0L))), lit(0.0)))
+      .withColumn("keep", col("dup_frac") <= lit(SpanDupFracMax))
+      .select("doc_id", "n_tokens", "n_spans", "n_dup_spans", "covered_tokens",
+        "dup_frac", "keep")
+      .orderBy("doc_id")
+  }
+
+  def spanCoverage(spark: SparkSession, dir: String): DataFrame =
+    spanCoverageOn(Tables.documents(spark, dir))
+
+  val spanCoverageSql: String =
+    s"""WITH toks AS (SELECT doc_id, ${Text.tokensSql("text")} AS t FROM documents),
+       |base AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |         CAST(CASE WHEN len(t) >= $SpanK THEN len(t) - ${SpanK - 1} ELSE 0 END AS BIGINT) AS n_spans
+       |  FROM toks),
+       |flat AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(t) >= $SpanK
+       |         THEN list_transform(range(0, len(t) - ${SpanK - 1}),
+       |                i -> struct_pack(pos := i, h := ${baseHashSql(s"array_to_string((t)[i+1:i+$SpanK], ' ')")}))
+       |         ELSE [] END) AS sp
+       |  FROM toks),
+       |sp AS (SELECT doc_id, sp.pos AS pos, sp.h AS h FROM flat),
+       |duph AS (SELECT h FROM sp GROUP BY h HAVING count(*) > 1),
+       |perdoc AS (
+       |  SELECT s.doc_id, count(*) AS n_dup_spans,
+       |         CAST(len(list_distinct(flatten(list(range(s.pos, s.pos + $SpanK))))) AS BIGINT) AS covered_tokens
+       |  FROM sp s JOIN duph d ON s.h = d.h
+       |  GROUP BY s.doc_id)
+       |SELECT b.doc_id, b.n_tokens, b.n_spans,
+       |       CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       |       CAST(coalesce(p.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       |       coalesce(${r6Sql("coalesce(p.covered_tokens, 0) / nullif(b.n_tokens, 0)")}, 0.0) AS dup_frac,
+       |       coalesce(${r6Sql("coalesce(p.covered_tokens, 0) / nullif(b.n_tokens, 0)")}, 0.0) <= $SpanDupFracMax AS keep
+       |FROM base b LEFT JOIN perdoc p ON b.doc_id = p.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
   // ------------------------------------------------- near-dup clustering
   /** Connected components over the near-dup pair graph + canonical
     * selection — the step a dedup pipeline runs AFTER pair generation:
@@ -688,6 +771,7 @@ object Dedup {
     Q("dd_simhash_pairs", simhashPairs _, simhashPairsSql),
     Q("dd_ngram_jaccard", ngramJaccard _, ngramJaccardSql),
     Q("dd_ngram_jaccard_lsh", ngramJaccardLsh _, ngramJaccardLshSql),
+    Q("dd_span_coverage", spanCoverage _, spanCoverageSql),
     Q("dd_embed_neardup", embedNearDup _, embedNearDupSql),
     Q("dd_embed_neardup_scale", embedNearDupScale _, embedNearDupScaleSql),
     Q("dd_dup_clusters", dupClusters _, dupClustersSql),

@@ -24,6 +24,20 @@ object Text {
   def tokensSql(text: String): String =
     s"list_filter(string_split_regex($text, '\\s+'), t -> t <> '')"
 
+  /** Overlapping word n-grams (non-distinct, in document order). Guarded
+    * sequence: Spark's sequence(a,b) DESCENDS when a > b, so short docs
+    * short-circuit to an empty array. */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= lit(n),
+      transform(sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  def ngramsSql(t: String, n: Int): String =
+    s"""CASE WHEN len($t) >= $n
+       |     THEN list_transform(range(0, len($t) - ${n - 1}), i -> array_to_string(($t)[i+1:i+$n], ' '))
+       |     ELSE [] END""".stripMargin
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
   private val punctClass = "[!-/:-@\\[-`{-~]" // ASCII punctuation ranges — same regex dialect on both engines
 
@@ -263,11 +277,7 @@ object Text {
   val TopGrams = 100
 
   def ngramFreqOn(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val grams = when(size(toks) >= lit(2),
-      transform(sequence(lit(0), size(toks) - lit(2)),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(2)))))
-      .otherwise(array().cast("array<string>"))
+    val grams = ngrams(tokens(col("text")), 2)
     docs
       .select(explode(grams).as("gram"))
       .groupBy("gram")
@@ -282,9 +292,7 @@ object Text {
   val ngramFreqSql: String =
     s"""WITH toks AS (SELECT ${tokensSql("text")} AS t FROM documents),
        |grams AS (
-       |  SELECT unnest(CASE WHEN len(t) >= 2
-       |                THEN list_transform(range(0, len(t) - 1), i -> array_to_string((t)[i+1:i+2], ' '))
-       |                ELSE [] END) AS gram
+       |  SELECT unnest(${ngramsSql("t", 2)}) AS gram
        |  FROM toks)
        |SELECT gram, count(*) AS n FROM grams
        |GROUP BY gram ORDER BY n DESC, gram LIMIT $TopGrams""".stripMargin
@@ -323,6 +331,147 @@ object Text {
        |  AND (punct_ratio < $MaxPunctRatio OR punct_ratio IS NULL)
        |  AND quality_score >= $MinQuality
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------- repetition filtering
+  /** Gopher-style repetition gates (Rae et al. 2021 §A1.1): documents whose
+    * content is dominated by repeated tokens or a single repeated n-gram are
+    * boilerplate/spam, not prose. Per doc: duplicate-token fraction
+    * (1 − distinct/total), the most frequent token's share, and the token
+    * share of the most frequent word 2-gram (counting overlapping
+    * occurrences, ×2 tokens each). Thresholds are tuned to the synthetic
+    * corpus the same way Gopher's 0.18/0.2 char-fraction gates were tuned to
+    * web text; the metrics are the operator, the knobs are free.
+    *
+    * 100 TB shape: two explode → two-level hash aggregates, both map-side
+    * combinable — the only shuffled rows are (doc_id, token/gram) partial
+    * counts, never text — then a doc_id-keyed join of three tiny per-doc
+    * frames. No windows, no driver state. */
+  val DupTokenMax = 0.75
+  val TopTokenMax = 0.25
+  val Top2GramMax = 0.18
+
+  def repetitionStatsOn(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+    val uni = base
+      .select(col("doc_id"), explode(col("t")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct"), max(col("c")).as("top_token_c"))
+    val g2 = base
+      .select(col("doc_id"), explode(ngrams(col("t"), 2)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_gram_c"))
+    base.select("doc_id", "n_tokens")
+      .join(uni, Seq("doc_id"), "left")
+      .join(g2, Seq("doc_id"), "left")
+      .withColumn("n_distinct", coalesce(col("n_distinct"), lit(0L)))
+      .withColumn("top_token_c", coalesce(col("top_token_c"), lit(0L)))
+      .withColumn("top_gram_c", coalesce(col("top_gram_c"), lit(0L)))
+      .withColumn("dup_token_frac",
+        coalesce(r6(lit(1.0) - col("n_distinct") / nullif(col("n_tokens"), lit(0L))), lit(0.0)))
+      .withColumn("top_token_frac",
+        coalesce(r6(col("top_token_c") / nullif(col("n_tokens"), lit(0L))), lit(0.0)))
+      // overlapping occurrences each count 2 tokens, so the raw share can
+      // exceed 1 on degenerate docs ("a a a a") — cap at 1.0. NB least()
+      // skips NULLs on both engines, so the zero-token case needs an
+      // explicit guard, not coalesce-after-least.
+      .withColumn("top_2gram_frac",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(r6(least(lit(1.0), col("top_gram_c") * lit(2.0) / col("n_tokens")))))
+      .withColumn("keep",
+        col("dup_token_frac") <= lit(DupTokenMax) &&
+          col("top_token_frac") <= lit(TopTokenMax) &&
+          col("top_2gram_frac") <= lit(Top2GramMax))
+      .select("doc_id", "n_tokens", "n_distinct", "top_token_c", "top_gram_c",
+        "dup_token_frac", "top_token_frac", "top_2gram_frac", "keep")
+      .orderBy("doc_id")
+  }
+
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    repetitionStatsOn(Tables.documents(spark, dir))
+
+  val repetitionStatsSql: String =
+    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+       |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+       |tokc AS (
+       |  SELECT doc_id, token, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(t) AS token FROM toks) GROUP BY 1, 2),
+       |uni AS (
+       |  SELECT doc_id, count(*) AS n_distinct, max(c) AS top_token_c FROM tokc GROUP BY 1),
+       |gramc AS (
+       |  SELECT doc_id, gram, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(${ngramsSql("t", 2)}) AS gram FROM toks) GROUP BY 1, 2),
+       |g2 AS (SELECT doc_id, max(c) AS top_gram_c FROM gramc GROUP BY 1),
+       |m AS (
+       |  SELECT b.doc_id, b.n_tokens,
+       |         CAST(coalesce(u.n_distinct, 0) AS BIGINT) AS n_distinct,
+       |         CAST(coalesce(u.top_token_c, 0) AS BIGINT) AS top_token_c,
+       |         CAST(coalesce(g.top_gram_c, 0) AS BIGINT) AS top_gram_c,
+       |         coalesce(${r6Sql("1.0 - coalesce(u.n_distinct, 0) / nullif(b.n_tokens, 0)")}, 0.0) AS dup_token_frac,
+       |         coalesce(${r6Sql("coalesce(u.top_token_c, 0) / nullif(b.n_tokens, 0)")}, 0.0) AS top_token_frac,
+       |         CASE WHEN b.n_tokens = 0 THEN 0.0
+       |              ELSE ${r6Sql("least(1.0, coalesce(g.top_gram_c, 0) * 2.0 / b.n_tokens)")} END AS top_2gram_frac
+       |  FROM base b LEFT JOIN uni u ON b.doc_id = u.doc_id
+       |              LEFT JOIN g2 g ON b.doc_id = g.doc_id)
+       |SELECT doc_id, n_tokens, n_distinct, top_token_c, top_gram_c,
+       |       dup_token_frac, top_token_frac, top_2gram_frac,
+       |       (dup_token_frac <= $DupTokenMax AND top_token_frac <= $TopTokenMax
+       |          AND top_2gram_frac <= $Top2GramMax) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------- TF-IDF keyword extract
+  /** Per-document keyword extraction: the top [[TopKeywords]] terms by
+    * smoothed TF-IDF (tf · (ln((N+1)/(df+1)) + 1), scikit-learn's smooth-idf
+    * form). The RANK is integer-exact — (tf DESC, df ASC, term ASC) orders
+    * identically to tfidf within a document wherever tfidf is
+    * strictly monotone in (tf, −df), and deterministically otherwise — so
+    * engine log()-ulp differences can never flip row selection; the float
+    * tfidf is emitted r6-rounded as a value column only.
+    *
+    * 100 TB shape: (doc_id, term) partial counts shuffle once; the df table
+    * is |vocab|-sized and BROADCASTS (vocab ≪ corpus — a few M terms at
+    * most); N is a 1-row broadcast cross join. The only window partitions by
+    * doc_id over ≤|distinct terms per doc| rows. */
+  val TopKeywords = 3
+
+  def tfidfKeywordsOn(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= lit(TopKeywords))
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        r6(col("tfidf")).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame =
+    tfidfKeywordsOn(Tables.documents(spark, dir))
+
+  val tfidfKeywordsSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents)
+       |  GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |         tf.tf * (ln(((SELECT count(*) FROM documents) + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf,
+       |         row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+       |  FROM tf JOIN df ON tf.term = df.term)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, ${r6Sql("tfidf")} AS tfidf
+       |FROM scored WHERE rank <= $TopKeywords
+       |ORDER BY doc_id, rank""".stripMargin
 
   // ------------------------------------------------------------- PII scrub
   /** PII redaction — the corpus-wide scrub a pretraining pipeline runs
@@ -398,5 +547,7 @@ object Text {
     Q("t_token_count", tokenCount _, tokenCountSql),
     Q("t_fingerprint", fingerprint _, fingerprintSql),
     Q("t_winnow_fp", winnowFingerprints _, winnowFingerprintsSql),
+    Q("t_repetition", repetitionStats _, repetitionStatsSql),
+    Q("t_tfidf_keywords", tfidfKeywords _, tfidfKeywordsSql),
   )
 }

@@ -22,6 +22,37 @@ object Tools {
   }
 }
 
+/** Selective correctness dump for fast iteration on a few queries:
+  * `runMain graft.tools.VerifySome <sfDir> <outDir> <name>[,<name>...]`
+  * writes the named queries' parquet + an oracle_sql.json restricted to
+  * them, in the exact layout tools/check.py expects. */
+object VerifySome {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, namesCsv) = args
+    val names = namesCsv.split(",").toSeq
+    val spark = Tools.session()
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      spark.catalog.clearCache()
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = graft.SparkEntry.oracleSql.view.filterKeys(names.contains)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}
+
 /** recall@5 of every ANN variant against the brute-force top-5 on a testdata
   * dir (arg 0, default sf0.01): the per-probe |bf ∩ variant| / 5, averaged.
   * PQ variants rank by L2 rather than cosine, so a recall below 1.0 mixes

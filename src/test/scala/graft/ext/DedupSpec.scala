@@ -125,6 +125,23 @@ class DedupSpec extends SparkSpec {
     assert(scale.nonEmpty, "scale knobs found nothing on sf0.01 (degenerate corpus)")
   }
 
+  test("span coverage: planted shared substring covers the interval union, short docs pass") {
+    // d1 and d2 share the 5-token run "p q r s t" → two shared 4-token
+    // spans each; their [pos, pos+3] intervals union to exactly 5 tokens
+    val docs = Seq(
+      (1L, "p q r s t u v w", "en", "s", 0L), // dup spans at pos 0,1 → tokens 0..4
+      (2L, "a b c p q r s t", "en", "s", 0L), // dup spans at pos 3,4 → tokens 3..7
+      (3L, "k l m n o one two eight", "en", "s", 0L), // no span repeats anywhere
+      (4L, "x y z", "en", "s", 0L)) // shorter than SpanK → zero spans
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.spanCoverageOn(docs)
+      .as[(Long, Long, Long, Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got(0) === ((1L, 8L, 5L, 2L, 5L, 0.625, false)))
+    assert(got(1) === ((2L, 8L, 5L, 2L, 5L, 0.625, false)))
+    assert(got(2) === ((3L, 8L, 5L, 0L, 0L, 0.0, true)))
+    assert(got(3) === ((4L, 3L, 0L, 0L, 0L, 0.0, true)))
+  }
+
   test("dup clusters: pair endpoints share a component, canonical is the min member, sizes add up") {
     val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
     val edges = Dedup.minhashLshOn(docs)

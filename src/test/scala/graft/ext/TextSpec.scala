@@ -64,6 +64,39 @@ class TextSpec extends SparkSpec {
     assert(shared >= (fps(1L).size * 2) / 3, s"only $shared of ${fps(1L).size} shared")
   }
 
+  test("repetition stats: hand-computed metrics and gate decisions") {
+    // "a a a a b": 5 tokens, 2 distinct, top token a×4; 2-grams
+    // "a a"×3 (overlapping) + "a b"×1 → top_2gram share 2·3/5 capped at 1.0
+    val unique = (1 to 20).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, "a a a a b", "en", "s", 0L), (2L, unique, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Text.repetitionStatsOn(docs)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(got(0) === ((1L, 5L, 2L, 4L, 3L, 0.6, 0.8, 1.0, false)))
+    // 20 unique tokens: no repetition anywhere, every gate passes
+    // (top_2gram_frac = 2·1/20 = 0.1 ≤ 0.18)
+    assert(got(1) === ((2L, 20L, 20L, 1L, 1L, 0.0, 0.05, 0.1, true)))
+  }
+
+  test("tfidf keywords: integer-exact rank (tf desc, df asc, term asc) and smooth-idf value") {
+    val docs = Seq((1L, "x x y", "en", "s", 0L), (2L, "y z", "en", "s", 0L),
+      (3L, "z z z w", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Text.tfidfKeywordsOn(docs)
+      .as[(Long, Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    // doc 2: y and z tie on tf=1 and df=2 — term ASC breaks the tie
+    assert(got((1L, 1L))._1 === "x" && got((1L, 2L))._1 === "y")
+    assert(got((2L, 1L))._1 === "y" && got((2L, 2L))._1 === "z")
+    assert(got((3L, 1L))._1 === "z" && got((3L, 2L))._1 === "w")
+    // smooth idf: tfidf(doc1, x) = 2 · (ln((3+1)/(1+1)) + 1), r6-rounded
+    val want = math.floor(2.0 * (math.log(4.0 / 2.0) + 1.0) * 1e6 + 0.5) / 1e6
+    assert(got((1L, 1L))._4 === want)
+    // rank never exceeds TopKeywords and doc 2 has only 2 distinct terms
+    assert(!got.contains((2L, 3L)))
+  }
+
   test("fingerprint groups identical normalized text to one canonical id") {
     val docs = Seq((1L, "Hello  World", "en", "s", 11L), (2L, "hello world", "en", "s", 11L),
       (3L, "different", "en", "s", 9L))
