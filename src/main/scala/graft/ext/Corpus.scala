@@ -255,10 +255,81 @@ object Corpus {
        |       contamination <= $MaxContamination AS keep
        |FROM scored ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------- bloom-pruned decontamination
+  /** Bloom-filter form of [[decontaminateAgainstOn]] — same output row for
+    * row (the registered query shares `t_decontaminate`'s oracle): the
+    * DISTINCT eval-shingle hashes aggregate into a bloom filter
+    * DISTRIBUTED-side (Spark's own BloomFilterAggregate, one
+    * map-side-combinable pass), the corpus side probes the bloom FIRST, and
+    * only probe survivors carry a join key into the exact verify join —
+    * bloom false positives are rejected there, so the bound only prunes,
+    * never changes a result.
+    *
+    * Why this exists next to the broadcast-set form: a bloom at ~10 bits/
+    * item is 10-50× smaller than the exact hash set, so the eval suite can
+    * grow far past set-broadcast limits while the corpus-side probe stays
+    * one codegen'd expression per row (the deserialized bloom is cached per
+    * task). At 100 TB the shape is: tiny bloom to every executor, ~99% of
+    * corpus shingles never enter the verify join, and the join that remains
+    * carries only candidate (doc_id, hash) pairs. The collected bloom bytes
+    * are O(numBits/8) driver state — the same bounded transfer Spark's own
+    * InjectRuntimeFilter performs.
+    *
+    * `numBits` is the knob: [[BloomBits]] default gives ~10 bits per
+    * expected eval shingle (fp ≈ 1%); undersizing it only grows the verify
+    * join, never corrupts output (parity spec pins a 1024-bit bloom). */
+  val BloomEstItems = 100000L
+  val BloomBits = 1000000L
+
+  def decontaminateBloomAgainstOn(train: DataFrame, evalDocs: DataFrame,
+      numBits: Long = BloomBits): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    val bench = evalDocs
+      .select(explode(Dedup.shingles3(graft.ext.Text.tokens(col("text")))).as("gram"))
+      .select(Dedup.baseHash(col("gram")).as("bh")).distinct()
+    // distributed bloom build; one O(numBits/8) row comes back to the driver
+    val bloomBytes = bench
+      .agg(call_function("graft_bloom_agg", xxhash64(col("bh")),
+        lit(BloomEstItems), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val bloomLit =
+      if (bloomBytes == null) lit(null).cast("binary") else lit(bloomBytes)
+    val tg = train.select(col("doc_id"),
+        explode_outer(Dedup.shingles3(graft.ext.Text.tokens(col("text")))).as("gram"))
+      .withColumn("h", Dedup.baseHash(col("gram")))
+      // bloom-rejected shingles get a NULL join key: they skip the verify
+      // probe entirely but still count toward n_grams in the same pass
+      .withColumn("hj",
+        when(call_function("graft_bloom_might_contain", bloomLit, xxhash64(col("h"))), col("h")))
+    val counted = tg
+      .join(broadcast(bench.withColumn("hit", lit(1L))), col("hj") === col("bh"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("gram")).as("n_grams"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+      .withColumn("contamination",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(graft.ops.Num.r6(col("n_contaminated") / col("n_grams"))))
+    counted
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"), col("contamination"),
+        (col("contamination") <= lit(MaxContamination)).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  def decontaminateBloomOn(docs: DataFrame): DataFrame =
+    decontaminateBloomAgainstOn(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(BenchSlice)),
+      docs.filter(pmod(col("doc_id"), lit(10)) === lit(BenchSlice)))
+
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame =
+    decontaminateBloomOn(Tables.documents(spark, dir))
+
   val all: Seq[Q] = Seq(
     Q("t_corpus_mix", mix _, mixSql),
     Q("t_seq_pack", seqPack _, seqPackSql),
     Q("t_seq_pack_sharded", seqPackSharded _, seqPackShardedSql),
     Q("t_decontaminate", decontaminate _, decontaminateSql),
+    // same semantics as t_decontaminate (bloom only PRUNES; the exact
+    // verify join rejects its false positives) → the oracle is shared
+    Q("t_decontaminate_bloom", decontaminateBloom _, decontaminateSql),
   )
 }

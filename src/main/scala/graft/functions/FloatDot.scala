@@ -93,13 +93,35 @@ case class FloatDot(left: Expression, right: Expression)
 /** Registration for the engine's native functions: imperative (any session)
   * and via SparkSessionExtensions (spark.sql.extensions=graft.functions.GraftExtensions). */
 object GraftFunctions {
+  import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+  import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
   val floatDotInfo = new ExpressionInfo(classOf[FloatDot].getName, "float_dot")
   val floatDotBuilder: Seq[Expression] => Expression = exprs => FloatDot(exprs(0), exprs(1))
+
+  /** Spark's own runtime-filter machinery (BloomFilterAggregate /
+    * BloomFilterMightContain, SPARK-32268) exposed as callable functions —
+    * the distributed bloom build + probe a semi-join prune needs. The
+    * aggregate's input must be an xxhash64() long; the probe's bloom side
+    * must be a foldable binary (a collected build result via lit()). Graft-
+    * prefixed names so a future Spark SQL surface can't collide. */
+  val bloomAggInfo = new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg")
+  val bloomAggBuilder: Seq[Expression] => Expression = {
+    case Seq(c) => new BloomFilterAggregate(c)
+    case Seq(c, est) => new BloomFilterAggregate(c, est)
+    case exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+  }
+  val bloomMightContainInfo =
+    new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_bloom_might_contain")
+  val bloomMightContainBuilder: Seq[Expression] => Expression =
+    exprs => BloomFilterMightContain(exprs(0), exprs(1))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("float_dot", floatDotBuilder, "built-in")
     reg.createOrReplaceTempFunction("sorted_intersect_count", SortedIntersectCount.builder, "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_agg", bloomAggBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_might_contain", bloomMightContainBuilder, "built-in")
   }
 }
 
@@ -109,6 +131,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.floatDotBuilder))
     ext.injectFunction((FunctionIdentifier("sorted_intersect_count"), SortedIntersectCount.info,
       SortedIntersectCount.builder))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_agg"), GraftFunctions.bloomAggInfo,
+      GraftFunctions.bloomAggBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_might_contain"),
+      GraftFunctions.bloomMightContainInfo, GraftFunctions.bloomMightContainBuilder))
     ext.injectOptimizerRule(_ => NativeDotRewrite)
   }
 }

@@ -143,6 +143,22 @@ class LibraryApiSpec extends SparkSpec {
     assert(viaSlice.count() > 0)
   }
 
+  test("bloom decontamination is row-identical to the exact form, even with a tiny saturated bloom") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Corpus.decontaminateOn(docs).collect().toSeq
+    val bloom = Corpus.decontaminateBloomOn(docs).collect().toSeq
+    assert(bloom === exact, "bloom prune changed a decontamination result")
+    // 1024-bit bloom over thousands of shingles ≈ every probe passes: the
+    // prune degrades to a no-op and the exact verify join must still reject
+    // every false positive — undersizing the knob can cost time, never
+    // correctness
+    val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(Corpus.BenchSlice))
+    val evalDocs = docs.filter(pmod(col("doc_id"), lit(10)) === lit(Corpus.BenchSlice))
+    val saturated = Corpus.decontaminateBloomAgainstOn(train, evalDocs, numBits = 1024L)
+      .collect().toSeq
+    assert(saturated === exact, "saturated bloom changed a decontamination result")
+  }
+
   test("sharded packing preserves totals and keeps per-shard chunk ids contiguous") {
     val bigDocs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
     val flat = Corpus.seqPackOn(bigDocs)
