@@ -421,6 +421,56 @@ object Text {
        |          AND top_2gram_frac <= $Top2GramMax) AS keep
        |FROM m ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------- CMS-pruned heavy hitters
+  /** EXACT heavy hitters with bounded aggregate state — the scale form the
+    * [[ngramFreqOn]] scaladoc promises: all word 2-grams with global count ≥
+    * [[HeavyHitterMin]]. Pass 1 builds a count-min sketch over the gram
+    * stream DISTRIBUTED-side (Spark's `stat.countMinSketch`; ~1 MB driver
+    * state, like the decontamination bloom); pass 2 filters each gram on its
+    * sketch estimate BEFORE the hash aggregate and counts survivors exactly.
+    * CMS never undercounts, so the pruned set is a SUPERSET of the true
+    * heavy hitters and the exact count + HAVING re-filter make the output
+    * EXACT — the oracle is a plain GROUP BY/HAVING.
+    *
+    * Why it matters at 100 TB: an exact gram census must hold |distinct
+    * grams| aggregation state (billions of keys on web-scale corpora); here
+    * the hash agg only ever sees grams the sketch already considers heavy —
+    * state bounded near |true heavy hitters| + (eps·N)-overcounted stragglers
+    * — while the sketch build is fixed-size mergeable state per task. On
+    * this synthetic corpus the tiny vocab makes most grams heavy (the prune
+    * is demonstrative, not load-bearing); on Zipfian text it is the
+    * difference between a spilling census and a bounded one. */
+  val HeavyHitterMin = 30L
+  val CmsEps = 0.0001
+  val CmsConfidence = 0.99
+  val CmsSeed = 42
+
+  def heavyHittersOn(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val grams = docs
+      .select(explode(ngrams(tokens(col("text")), 2)).as("gram"))
+    val cms = grams.stat.countMinSketch(col("gram"), CmsEps, CmsConfidence, CmsSeed)
+    val bos = new java.io.ByteArrayOutputStream()
+    cms.writeTo(bos)
+    grams
+      .filter(call_function("graft_cms_estimate", lit(bos.toByteArray), col("gram"))
+        >= lit(HeavyHitterMin))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= lit(HeavyHitterMin))
+      .orderBy(col("n").desc, col("gram"))
+  }
+
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersOn(Tables.documents(spark, dir))
+
+  val heavyHittersSql: String =
+    s"""WITH toks AS (SELECT ${tokensSql("text")} AS t FROM documents),
+       |grams AS (SELECT unnest(${ngramsSql("t", 2)}) AS gram FROM toks)
+       |SELECT gram, count(*) AS n FROM grams
+       |GROUP BY gram HAVING count(*) >= $HeavyHitterMin
+       |ORDER BY n DESC, gram""".stripMargin
+
   // -------------------------------------------------- TF-IDF keyword extract
   /** Per-document keyword extraction: the top [[TopKeywords]] terms by
     * smoothed TF-IDF (tf · (ln((N+1)/(df+1)) + 1), scikit-learn's smooth-idf
@@ -437,9 +487,13 @@ object Text {
   val TopKeywords = 3
 
   def tfidfKeywordsOn(docs: DataFrame): DataFrame = {
+    // persisted: the (doc_id, term, tf) table feeds BOTH the df() census
+    // and the scored join — without it the corpus-wide explode+agg (the
+    // heaviest shuffle here) runs twice (same convention as minhashSigsOn)
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
@@ -549,5 +603,6 @@ object Text {
     Q("t_winnow_fp", winnowFingerprints _, winnowFingerprintsSql),
     Q("t_repetition", repetitionStats _, repetitionStatsSql),
     Q("t_tfidf_keywords", tfidfKeywords _, tfidfKeywordsSql),
+    Q("t_heavy_hitters", heavyHitters _, heavyHittersSql),
   )
 }

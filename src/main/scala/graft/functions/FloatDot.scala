@@ -122,6 +122,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("sorted_intersect_count", SortedIntersectCount.builder, "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_agg", bloomAggBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_might_contain", bloomMightContainBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_cms_estimate", CmsEstimate.builder, "built-in")
   }
 }
 
@@ -135,6 +136,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.bloomAggBuilder))
     ext.injectFunction((FunctionIdentifier("graft_bloom_might_contain"),
       GraftFunctions.bloomMightContainInfo, GraftFunctions.bloomMightContainBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_cms_estimate"), CmsEstimate.info,
+      CmsEstimate.builder))
     ext.injectOptimizerRule(_ => NativeDotRewrite)
   }
 }

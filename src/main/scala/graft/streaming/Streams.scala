@@ -140,6 +140,28 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Streaming benchmark decontamination via foreachBatch: each micro-batch
+    * of arriving training documents is scored against the STATIC eval suite
+    * by the same [[graft.ext.Corpus.decontaminateAgainstOn]] the batch job
+    * runs. The contamination decision is per-document and the eval set is
+    * fixed, so the operator is STATELESS across batches: the union of batch
+    * outputs is row-identical to the one-shot batch run over all documents
+    * seen (StreamsSpec parity). The eval-shingle set rebuilds per trigger
+    * here for simplicity; a long-running ingest job precomputes the distinct
+    * eval-hash frame once — or its bloom filter
+    * ([[graft.ext.Corpus.decontaminateBloomAgainstOn]]'s build side) — and
+    * closes over it across triggers. */
+  def decontaminateBatches(docs: DataFrame, evalDocs: DataFrame,
+                           trigger: org.apache.spark.sql.streaming.Trigger =
+                             org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                          (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        onBatch(graft.ext.Corpus.decontaminateAgainstOn(batch.toDF(), evalDocs), id)
+      }
+      .trigger(trigger)
+      .start()
+
   /** Incremental MinHash near-dup detection via foreachBatch: each
     * micro-batch's documents are signed with the SAME
     * [[graft.ext.Dedup.minhashSigsOn]] the batch job uses, banded against

@@ -97,6 +97,23 @@ class TextSpec extends SparkSpec {
     assert(!got.contains((2L, 3L)))
   }
 
+  test("heavy hitters: CMS prune + exact verify equals the plain exact census") {
+    // corpus where one gram clears the threshold and the long tail does not:
+    // "hot pair" appears 35 times (≥ HeavyHitterMin=30), everything else once
+    val docs = (Seq.fill(35)("hot pair") ++ (1 to 50).map(i => s"cold$i gram$i"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Text.heavyHittersOn(docs).as[(String, Long)].collect().toSeq
+    assert(got === Seq(("hot pair", 35L)))
+    // the exact census over the same frame agrees (the CMS is a prune, not
+    // an estimator of the output)
+    val exact = docs.select(explode(Text.ngrams(Text.tokens(col("text")), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= Text.HeavyHitterMin)
+      .as[(String, Long)].collect().toSeq
+    assert(got === exact)
+  }
+
   test("fingerprint groups identical normalized text to one canonical id") {
     val docs = Seq((1L, "Hello  World", "en", "s", 11L), (2L, "hello world", "en", "s", 11L),
       (3L, "different", "en", "s", 9L))

@@ -70,4 +70,37 @@ class ExtensionsSpec extends AnyFunSuite {
     val desc = spark.sql("DESCRIBE FUNCTION float_dot").collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("float_dot"))
   }
+
+  test("graft_cms_estimate never undercounts and resolves through the extension") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // known multiplicities: "a"×100, "b"×10, "c"×1
+    val items = (Seq.fill(100)("a") ++ Seq.fill(10)("b") ++ Seq("c")).toDF("v")
+    val cms = items.stat.countMinSketch(col("v"), 0.001, 0.99, 42)
+    val bos = new java.io.ByteArrayOutputStream()
+    cms.writeTo(bos)
+    val est = Seq("a", "b", "c", "never-seen").toDF("v")
+      .select(col("v"), call_function("graft_cms_estimate", lit(bos.toByteArray), col("v")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the CMS contract: estimate ≥ true count, always
+    assert(est("a") >= 100L && est("b") >= 10L && est("c") >= 1L)
+    assert(est("never-seen") >= 0L)
+    // null value stays null through the codegen path
+    assert(Seq(Option.empty[String]).toDF("v")
+      .select(call_function("graft_cms_estimate", lit(bos.toByteArray), col("v")).as("e"))
+      .head().isNullAt(0))
+  }
+
+  test("graft_bloom_agg + graft_bloom_might_contain round-trip through plain SQL") {
+    val hits = spark.sql(
+      """WITH built AS (
+        |  SELECT graft_bloom_agg(xxhash64(id), 1000L, 8000L) AS bf
+        |  FROM range(0, 100)
+        |)
+        |SELECT sum(CASE WHEN graft_bloom_might_contain((SELECT bf FROM built), xxhash64(id))
+        |                THEN 1 ELSE 0 END) AS present
+        |FROM range(0, 100)""".stripMargin).head().getLong(0)
+    // a bloom filter has no false negatives: every inserted key must probe true
+    assert(hits === 100L)
+  }
 }

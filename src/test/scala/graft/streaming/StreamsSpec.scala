@@ -209,6 +209,39 @@ class StreamsSpec extends SparkSpec {
       s"missing: ${(batch -- buf.toSet).take(5)}; extra: ${(buf.toSet -- batch).take(5)}")
   }
 
+  test("streaming decontamination across micro-batches matches the batch run doc for doc") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_decon_stream").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val train = docs.filter(col("doc_id") % 10 =!= lit(graft.ext.Corpus.BenchSlice))
+    val evalDocs = docs.filter(col("doc_id") % 10 === lit(graft.ext.Corpus.BenchSlice))
+    // two micro-batches of training docs by doc_id parity
+    Seq(0, 1).foreach { p =>
+      val tmp = s"$base/tmp$p"
+      train.filter(col("doc_id") % 2 === p).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$base/in/b$p.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(20)
+    }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double, Boolean)]
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = Streams.decontaminateBatches(stream, evalDocs) { (scored, _) =>
+      val rows = scored.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      buf.synchronized { buf ++= rows }
+    }
+    q.awaitTermination()
+    val batch = graft.ext.Corpus.decontaminateAgainstOn(train, evalDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toSet
+    assert(batch.exists(!_._5), "degenerate corpus: batch run dropped nothing")
+    assert(buf.size === buf.toSet.size, "a doc was scored in more than one micro-batch")
+    assert(buf.toSet === batch,
+      s"missing: ${(batch -- buf.toSet).take(3)}; extra: ${(buf.toSet -- batch).take(3)}")
+  }
+
   test("streaming corpus mix emits exactly the batch mix (stateless pipeline op on a stream)") {
     // the mixing decisions are deterministic per-row hashes, so a streamed
     // corpus produces the identical weighted mix the batch run does —
