@@ -53,6 +53,24 @@ object VerifySome {
   }
 }
 
+/** Executed-plan dump for plan review:
+  * `runMain graft.tools.ExplainSome <sfDir> <name>[,<name>...]` executes
+  * each named registry query and prints its final (post-AQE) physical plan. */
+object ExplainSome {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, namesCsv) = args
+    val spark = Tools.session()
+    namesCsv.split(",").foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.count() // force execution so AQE finalizes the plan
+      println(s"===== $name =====")
+      println(df.queryExecution.executedPlan.toString)
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
+
 /** recall@5 of every ANN variant against the brute-force top-5 on a testdata
   * dir (arg 0, default sf0.01): the per-probe |bf ∩ variant| / 5, averaged.
   * PQ variants rank by L2 rather than cosine, so a recall below 1.0 mixes
