@@ -82,6 +82,40 @@ class PlanSpec extends SparkSpec {
       s"candidate generation degenerated to all-pairs:\n${p.take(3000)}")
   }
 
+  test("span coverage: totals come from the array, only the span census aggregates partially") {
+    val p = plan(graft.ext.Dedup.spanCoverageOn(
+      graft.ops.Tables.documents(spark, dir)))
+    // the global span census must map-side combine before its one shuffle
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
+    // scan reads only what the operator needs (doc_id + text), never the
+    // unused metadata columns
+    assert(!p.contains("n_chars#") || !p.contains("FileScan parquet [doc_id#"),
+      "scan width check lost its anchor")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("tfidf keywords broadcast the vocabulary-sized df table and the 1-row N") {
+    val p = plan(graft.ext.Text.tfidfKeywordsOn(
+      graft.ops.Tables.documents(spark, dir)))
+    spark.catalog.clearCache() // the query persists its tf table
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange IdentityBroadcastMode"),
+      "the 1-row doc count should cross-join via broadcast")
+  }
+
+  test("bloom decontamination keeps one corpus-side shuffle (the doc_id aggregate)") {
+    val p = plan(graft.ext.Corpus.decontaminateBloomOn(
+      graft.ops.Tables.documents(spark, dir)))
+    // corpus side: scan → explode → bloom probe → broadcast verify join →
+    // partial agg → ONE hashpartitioning(doc_id) shuffle (+ the output
+    // sort's rangepartitioning; the tiny bench side aggregates separately)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // BloomFilterMightContain prints its own prettyName, not the alias
+    assert(p.contains("might_contain"), "bloom probe missing from the plan")
+    val corpusShuffles = "hashpartitioning\\(doc_id".r.findAllIn(p).size
+    assert(corpusShuffles === 1, s"expected one doc_id shuffle, got $corpusShuffles:\n${p.take(3000)}")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // 100 TB shape: fact ⋈ selectively-filtered dim without broadcast. Spark
     // injects a bloom filter built from the dim keys into the fact scan, so
