@@ -255,6 +255,71 @@ object Corpus {
        |       contamination <= $MaxContamination AS keep
        |FROM scored ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------- temperature-rebalanced mixing
+  /** Temperature-based multinomial rebalancing (the XLM-R/mT5 low-resource
+    * upsampling scheme, α = 0.5): each language's share of the output corpus
+    * is ∝ sqrt(its input share), so dominant languages shrink and
+    * low-resource ones grow, at CONSTANT total corpus size. Unlike
+    * [[mixRowsOn]]'s fixed per-source rates, the rates here are DATA-DRIVEN
+    * — yet every decision is exact integer arithmetic: weights are
+    * floor(sqrt(share)·2^20) (IEEE sqrt is correctly rounded and ·2^20 is
+    * exact, so both engines compute the identical integer), per-lang quotas
+    * are integer division of N·w by Σw, and the quota remainder goes to the
+    * docs with the smallest (hash, doc_id) rank — a deterministic total
+    * order. No float ever crosses a keep/copy decision boundary.
+    *
+    * 100 TB shape: the lang census is one tiny map-side-combinable agg; the
+    * |langs|-row quota table BROADCASTS back; the only corpus-sized work is
+    * the per-lang row_number window for remainder assignment — the same
+    * (lang)-keyed prefix shuffle the packer already pays, and at production
+    * scale the same (lang, shard) sharding splits it. */
+  val TempWScale: Long = 1L << 20
+
+  def tempMixOn(docs: DataFrame): DataFrame = {
+    val langs = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val n = docs.agg(count(lit(1)).as("n_total"))
+    val w = langs.crossJoin(broadcast(n))
+      .withColumn("w", floor(sqrt(col("n_lang") / col("n_total")) * lit(TempWScale.toDouble)).cast("long"))
+    val sumW = w.agg(sum(col("w")).as("sum_w"))
+    val quotas = w.crossJoin(broadcast(sumW))
+      .withColumn("quota", expr("(n_total * w) div sum_w"))
+      .select("lang", "n_lang", "quota")
+    val rankWin = Window.partitionBy("lang")
+      .orderBy(Dedup.baseHash(concat(lit("tmix:"), col("doc_id").cast("string"))), col("doc_id"))
+    docs.join(broadcast(quotas), "lang")
+      .withColumn("rnk", row_number().over(rankWin).cast("long") - lit(1L))
+      .withColumn("n_copies",
+        expr("quota div n_lang") + when(col("rnk") < pmod(col("quota"), col("n_lang")), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"), col("source"), col("quota"), col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+  }
+
+  def tempMix(spark: SparkSession, dir: String): DataFrame =
+    tempMixOn(Tables.documents(spark, dir))
+
+  val tempMixSql: String = {
+    val docHash = Dedup.baseHashSql("('tmix:' || CAST(doc_id AS VARCHAR))")
+    s"""WITH langs AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_lang) AS BIGINT) AS n_total FROM langs),
+       |w AS (SELECT lang, n_lang, CAST(floor(sqrt(n_lang / n_total) * $TempWScale) AS BIGINT) AS w
+       |      FROM langs, tot),
+       |sw AS (SELECT CAST(sum(w) AS BIGINT) AS sum_w FROM w),
+       |q AS (SELECT lang, n_lang, ((SELECT n_total FROM tot) * w) // sum_w AS quota FROM w, sw),
+       |ranked AS (
+       |  SELECT d.doc_id, d.lang, d.source, q.n_lang, q.quota,
+       |         row_number() OVER (PARTITION BY d.lang ORDER BY $docHash, d.doc_id) - 1 AS rnk
+       |  FROM documents d JOIN q USING (lang)),
+       |c AS (
+       |  SELECT doc_id, lang, source, quota,
+       |         quota // n_lang + CASE WHEN rnk < quota % n_lang THEN 1 ELSE 0 END AS n_copies
+       |  FROM ranked)
+       |SELECT doc_id, lang, source, quota, CAST(n_copies AS BIGINT) AS n_copies,
+       |       unnest(range(1, n_copies + 1)) AS copy_idx
+       |FROM c WHERE n_copies > 0 ORDER BY doc_id, copy_idx""".stripMargin
+  }
+
   // --------------------------------------- bloom-pruned decontamination
   /** Bloom-filter form of [[decontaminateAgainstOn]] — same output row for
     * row (the registered query shares `t_decontaminate`'s oracle): the
@@ -325,6 +390,7 @@ object Corpus {
 
   val all: Seq[Q] = Seq(
     Q("t_corpus_mix", mix _, mixSql),
+    Q("t_temp_mix", tempMix _, tempMixSql),
     Q("t_seq_pack", seqPack _, seqPackSql),
     Q("t_seq_pack_sharded", seqPackSharded _, seqPackShardedSql),
     Q("t_decontaminate", decontaminate _, decontaminateSql),

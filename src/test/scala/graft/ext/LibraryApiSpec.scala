@@ -143,6 +143,33 @@ class LibraryApiSpec extends SparkSpec {
     assert(viaSlice.count() > 0)
   }
 
+  test("temperature mix upsamples low-resource langs at constant corpus size, exactly per quota") {
+    val bigDocs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val in = bigDocs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val outDf = Corpus.tempMixOn(bigDocs)
+    val out = outDf.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (nIn, nOut) = (in.values.sum, out.values.sum)
+    // constant corpus size up to per-lang floor loss
+    assert(nOut <= nIn && nOut >= nIn - in.size, s"total drifted: $nIn -> $nOut")
+    // α=0.5 compresses shares toward uniform: every lang's output share
+    // must sit between its input share and the uniform share
+    val uni = 1.0 / in.size
+    in.foreach { case (lang, n) =>
+      val (si, so) = (n.toDouble / nIn, out(lang).toDouble / nOut)
+      val (lo, hi) = (math.min(si, uni), math.max(si, uni))
+      assert(so >= lo - 0.01 && so <= hi + 0.01, s"$lang share $si -> $so not toward uniform $uni")
+    }
+    // the quota is hit EXACTLY: per-lang emitted copies == the quota column
+    val byQuota = outDf.groupBy("lang", "quota").count().collect()
+    byQuota.foreach { r =>
+      assert(r.getLong(2) === r.getLong(1), s"${r.getString(0)} emitted ${r.getLong(2)} != quota ${r.getLong(1)}")
+    }
+    // deterministic: same input -> same mix
+    assert(outDf.collect().toSeq === Corpus.tempMixOn(bigDocs).collect().toSeq)
+  }
+
   test("bloom decontamination is row-identical to the exact form, even with a tiny saturated bloom") {
     val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
     val exact = Corpus.decontaminateOn(docs).collect().toSeq
