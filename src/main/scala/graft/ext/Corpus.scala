@@ -349,9 +349,12 @@ object Corpus {
   def decontaminateBloomAgainstOn(train: DataFrame, evalDocs: DataFrame,
       numBits: Long = BloomBits): DataFrame = {
     graft.functions.GraftFunctions.register(train.sparkSession)
+    // persisted: consumed by the bloom-build job and again by the verify
+    // join — without it the eval tokenize+shingle+distinct runs twice
     val bench = evalDocs
       .select(explode(Dedup.shingles3(graft.ext.Text.tokens(col("text")))).as("gram"))
       .select(Dedup.baseHash(col("gram")).as("bh")).distinct()
+      .persist()
     // distributed bloom build; one O(numBits/8) row comes back to the driver
     val bloomBytes = bench
       .agg(call_function("graft_bloom_agg", xxhash64(col("bh")),
@@ -359,22 +362,27 @@ object Corpus {
       .head().getAs[Array[Byte]](0)
     val bloomLit =
       if (bloomBytes == null) lit(null).cast("binary") else lit(bloomBytes)
-    val tg = train.select(col("doc_id"),
-        explode_outer(Dedup.shingles3(graft.ext.Text.tokens(col("text")))).as("gram"))
-      .withColumn("h", Dedup.baseHash(col("gram")))
-      // bloom-rejected shingles get a NULL join key: they skip the verify
-      // probe entirely but still count toward n_grams in the same pass
-      .withColumn("hj",
-        when(call_function("graft_bloom_might_contain", bloomLit, xxhash64(col("h"))), col("h")))
-    val counted = tg
-      .join(broadcast(bench.withColumn("hit", lit(1L))), col("hj") === col("bh"), "left")
-      .groupBy("doc_id")
-      .agg(count(col("gram")).as("n_grams"),
-        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+    // per-doc totals are a PURE PROJECTION: shingles3 is already distinct,
+    // so n_grams is the array size — no explode, no shuffle, no join
+    val totals = train.select(col("doc_id"),
+      size(Dedup.shingles3(graft.ext.Text.tokens(col("text")))).cast("long").as("n_grams"))
+    // only bloom SURVIVORS reach the verify join, and the join is
+    // deliberately UNHINTED: a small eval set broadcasts via the planner's
+    // own threshold/AQE (no corpus shuffle at all); one too big to
+    // broadcast degrades to a hash join where only the survivor rows
+    // shuffle — the regime this operator exists for. A broadcast() hint
+    // would override the threshold and ship the full exact set anyway.
+    val hits = train.select(col("doc_id"),
+        explode(Dedup.shingles3(graft.ext.Text.tokens(col("text")))).as("gram"))
+      .select(col("doc_id"), Dedup.baseHash(col("gram")).as("h"))
+      .filter(call_function("graft_bloom_might_contain", bloomLit, xxhash64(col("h"))))
+      .join(bench, col("h") === col("bh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
       .withColumn("contamination",
         when(col("n_grams") === 0, lit(0.0))
           .otherwise(graft.ops.Num.r6(col("n_contaminated") / col("n_grams"))))
-    counted
       .select(col("doc_id"), col("n_grams"), col("n_contaminated"), col("contamination"),
         (col("contamination") <= lit(MaxContamination)).as("keep"))
       .orderBy("doc_id")

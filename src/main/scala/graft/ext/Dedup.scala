@@ -484,16 +484,15 @@ object Dedup {
 
   def spanCoverageOn(docs: DataFrame): DataFrame = {
     val toks = Text.tokens(col("text"))
+    // the shared guarded n-gram builder supplies the spans; posexplode
+    // carries each span's 0-based start position
     val base = docs
-      .select(col("doc_id"), toks.as("t"))
-      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
-        when(size(col("t")) >= lit(SpanK),
-          transform(sequence(lit(0), size(col("t")) - lit(SpanK)),
-            i => struct(i.cast("long").as("pos"),
-              baseHash(concat_ws(" ", slice(col("t"), i + lit(1), lit(SpanK)))).as("h"))))
-          .otherwise(array().cast("array<struct<pos:long,h:long>>")).as("spans"))
-    val flat = base.select(col("doc_id"), explode(col("spans")).as("sp"))
-      .select(col("doc_id"), col("sp.pos").as("pos"), col("sp.h").as("h"))
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        Text.ngrams(toks, SpanK).as("spans"))
+    val flat = base
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        baseHash(col("gram")).as("h"))
     val dupH = flat.groupBy("h").agg(count(lit(1)).as("c")).filter(col("c") > 1).select("h")
     val perdoc = flat.join(dupH, "h")
       .groupBy("doc_id")
@@ -523,13 +522,9 @@ object Dedup {
        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
        |         CAST(CASE WHEN len(t) >= $SpanK THEN len(t) - ${SpanK - 1} ELSE 0 END AS BIGINT) AS n_spans
        |  FROM toks),
-       |flat AS (
-       |  SELECT doc_id, unnest(CASE WHEN len(t) >= $SpanK
-       |         THEN list_transform(range(0, len(t) - ${SpanK - 1}),
-       |                i -> struct_pack(pos := i, h := ${baseHashSql(s"array_to_string((t)[i+1:i+$SpanK], ' ')")}))
-       |         ELSE [] END) AS sp
-       |  FROM toks),
-       |sp AS (SELECT doc_id, sp.pos AS pos, sp.h AS h FROM flat),
+       |g AS (SELECT doc_id, ${Text.ngramsSql("t", SpanK)} AS g FROM toks),
+       |sp0 AS (SELECT doc_id, unnest(range(0, len(g))) AS pos, unnest(g) AS gram FROM g),
+       |sp AS (SELECT doc_id, pos, ${baseHashSql("gram")} AS h FROM sp0),
        |duph AS (SELECT h FROM sp GROUP BY h HAVING count(*) > 1),
        |perdoc AS (
        |  SELECT s.doc_id, count(*) AS n_dup_spans,

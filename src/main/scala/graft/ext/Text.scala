@@ -425,8 +425,8 @@ object Text {
   /** EXACT heavy hitters with bounded aggregate state — the scale form the
     * [[ngramFreqOn]] scaladoc promises: all word 2-grams with global count ≥
     * [[HeavyHitterMin]]. Pass 1 builds a count-min sketch over the gram
-    * stream DISTRIBUTED-side (Spark's `stat.countMinSketch`; ~1 MB driver
-    * state, like the decontamination bloom); pass 2 filters each gram on its
+    * stream DISTRIBUTED-side (the `count_min_sketch` SQL aggregate; ~1 MB
+    * driver state, like the decontamination bloom); pass 2 filters each gram on its
     * sketch estimate BEFORE the hash aggregate and counts survivors exactly.
     * CMS never undercounts, so the pruned set is a SUPERSET of the true
     * heavy hitters and the exact count + HAVING re-filter make the output
@@ -451,9 +451,9 @@ object Text {
       .select(explode(ngrams(tokens(col("text")), 2)).as("gram"))
     // build via the codegen'd count_min_sketch AGGREGATE, not
     // stat.countMinSketch — the stat helper drops to an RDD aggregate that
-    // deserializes every row (measured 5x slower); both hash the same UTF-8
-    // bytes, so the probe contract is identical. O(w·d) bytes come back to
-    // the driver, like the decontamination bloom.
+    // deserializes every row (measured 2.2x slower in-suite, BASELINE.md);
+    // both hash the same UTF-8 bytes, so the probe contract is identical.
+    // O(w·d) bytes come back to the driver, like the decontamination bloom.
     val cmsBytes = grams
       .agg(expr(s"count_min_sketch(gram, CAST($CmsEps AS DOUBLE), " +
         s"CAST($CmsConfidence AS DOUBLE), $CmsSeed)").as("cms"))
@@ -480,11 +480,11 @@ object Text {
   // -------------------------------------------------- TF-IDF keyword extract
   /** Per-document keyword extraction: the top [[TopKeywords]] terms by
     * smoothed TF-IDF (tf · (ln((N+1)/(df+1)) + 1), scikit-learn's smooth-idf
-    * form). The RANK is integer-exact — (tf DESC, df ASC, term ASC) orders
-    * identically to tfidf within a document wherever tfidf is
-    * strictly monotone in (tf, −df), and deterministically otherwise — so
-    * engine log()-ulp differences can never flip row selection; the float
-    * tfidf is emitted r6-rounded as a value column only.
+    * form). Ranking uses the repo's r9 convention ([[graft.ops.Num.r9]]): the
+    * score is rounded to 9 decimals as the primary sort key so an engine
+    * log()-ulp difference can't flip a rank, with (tf DESC, df ASC, term
+    * ASC) breaking exact score ties deterministically; the value column is
+    * the usual r6 rounding.
     *
     * 100 TB shape: (doc_id, term) partial counts shuffle once; the df table
     * is |vocab|-sized and BROADCASTS (vocab ≪ corpus — a few M terms at
@@ -503,7 +503,8 @@ object Text {
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
-      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      .orderBy(graft.ops.Num.r9(col("tfidf")).desc,
+        col("tf").desc, col("df").asc, col("term").asc)
     tf.join(broadcast(df), "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
@@ -527,7 +528,9 @@ object Text {
        |scored AS (
        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
        |         tf.tf * (ln(((SELECT count(*) FROM documents) + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf,
-       |         row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+       |         row_number() OVER (PARTITION BY tf.doc_id
+       |           ORDER BY ${graft.ops.Num.r9Sql("tf.tf * (ln(((SELECT count(*) FROM documents) + 1.0) / (df.df + 1.0)) + 1.0)")} DESC,
+       |                    tf.tf DESC, df.df ASC, tf.term ASC) AS rank
        |  FROM tf JOIN df ON tf.term = df.term)
        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, ${r6Sql("tfidf")} AS tfidf
        |FROM scored WHERE rank <= $TopKeywords

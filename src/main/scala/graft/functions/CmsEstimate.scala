@@ -51,10 +51,12 @@ case class CmsEstimate(left: Expression, right: Expression)
     else CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
   }
 
-  /** Codegen entry point: boxed so the null-sketch case stays a null result. */
+  /** Codegen entry point: boxed so the null-sketch case stays a null result.
+    * Probes with the raw UTF-8 bytes — the same bytes the build side hashed
+    * — avoiding a per-row String decode + re-encode in the hot filter. */
   def estimateBoxed(v: UTF8String): java.lang.Long =
     if (sketch == null || v == null) null
-    else java.lang.Long.valueOf(sketch.estimateCount(v.toString))
+    else java.lang.Long.valueOf(sketch.estimateCount(v.getBytes))
 
   override def eval(input: InternalRow): Any = {
     val v = right.eval(input)

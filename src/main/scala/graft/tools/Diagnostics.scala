@@ -62,7 +62,10 @@ object ExplainSome {
     val spark = Tools.session()
     namesCsv.split(",").foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
-      df.count() // force execution so AQE finalizes the plan
+      // collect() executes THIS df's QueryExecution so its AdaptiveSparkPlan
+      // finalizes (count() would build and run a separate groupBy plan and
+      // leave this one at isFinalPlan=false)
+      df.collect()
       println(s"===== $name =====")
       println(df.queryExecution.executedPlan.toString)
       spark.catalog.clearCache()

@@ -103,17 +103,20 @@ class PlanSpec extends SparkSpec {
       "the 1-row doc count should cross-join via broadcast")
   }
 
-  test("bloom decontamination keeps one corpus-side shuffle (the doc_id aggregate)") {
+  test("bloom decontamination: survivors-only verify join, totals never explode") {
     val p = plan(graft.ext.Corpus.decontaminateBloomOn(
       graft.ops.Tables.documents(spark, dir)))
-    // corpus side: scan → explode → bloom probe → broadcast verify join →
-    // partial agg → ONE hashpartitioning(doc_id) shuffle (+ the output
-    // sort's rangepartitioning; the tiny bench side aggregates separately)
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
-    // BloomFilterMightContain prints its own prettyName, not the alias
+    // the bloom probe must gate the verify join's corpus side
+    // (BloomFilterMightContain prints its own prettyName, not the alias)
     assert(p.contains("might_contain"), "bloom probe missing from the plan")
-    val corpusShuffles = "hashpartitioning\\(doc_id".r.findAllIn(p).size
-    assert(corpusShuffles === 1, s"expected one doc_id shuffle, got $corpusShuffles:\n${p.take(3000)}")
+    // hits aggregate partially before its one doc_id shuffle; the totals
+    // side is a pure projection (no explode), so at most two doc_id-keyed
+    // exchanges exist in the whole plan (hits agg + the unhinted final
+    // join's left side before AQE converts it to broadcast)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
+    val docShuffles = "hashpartitioning\\(doc_id".r.findAllIn(p).size
+    assert(docShuffles <= 2, s"expected <=2 doc_id shuffles, got $docShuffles:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
