@@ -255,6 +255,78 @@ object Corpus {
        |       contamination <= $MaxContamination AS keep
        |FROM scored ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- train/val/test split
+  /** Deterministic corpus split manifest: every document is assigned to
+    * train/val/test by its own hash (90/5/5 in percent points of the
+    * engine-wide portable hash), so the split is a pure function of the
+    * data — reproducible across runs, cluster sizes and partitionings, and
+    * any future re-ingest of the same documents lands in the same split
+    * (no leakage drift). Pure map-side projection; the only shuffle is the
+    * presentation sort.
+    *
+    * The salt ("split:") decorrelates this hash from every other decision
+    * hash in the engine (mix/tmix/shard) — a doc's split must not predict
+    * its mixing fate. */
+  val TrainPct = 90L
+  val ValPct = 5L // test gets the remainder
+
+  /** Unsorted per-doc assignment — stateless row-local arithmetic, safe on
+    * a streaming frame like the other manifest ops. */
+  def splitRowsOn(docs: DataFrame): DataFrame = {
+    val h = pmod(Dedup.baseHash(concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+    docs.select(col("doc_id"), col("lang"),
+      when(h < lit(TrainPct), lit("train"))
+        .when(h < lit(TrainPct + ValPct), lit("val"))
+        .otherwise(lit("test")).as("split"),
+      size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+  }
+
+  def splitOn(docs: DataFrame): DataFrame =
+    splitRowsOn(docs).orderBy("doc_id")
+
+  def split(spark: SparkSession, dir: String): DataFrame =
+    splitOn(Tables.documents(spark, dir))
+
+  val splitSql: String = {
+    val h = s"${Dedup.baseHashSql("('split:' || CAST(doc_id AS VARCHAR))")} % 100"
+    s"""SELECT doc_id, lang,
+       |       CASE WHEN $h < $TrainPct THEN 'train'
+       |            WHEN $h < ${TrainPct + ValPct} THEN 'val'
+       |            ELSE 'test' END AS split,
+       |       CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tok
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------- length bucketing
+  /** Length-bucket table for dynamic batching: documents bucketed by token
+    * count ([[LengthBucketWidth]]-token steps, capped at
+    * [[LengthBuckets]]−1) per language, with doc and token totals per
+    * bucket — the planning table a batcher uses to build similar-length
+    * batches (minimal padding waste). One map-side-combinable aggregate;
+    * integer bucket arithmetic so both engines agree exactly. */
+  val LengthBucketWidth = 16L
+  val LengthBuckets = 8L
+
+  def lengthBucketsOn(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("bucket", least(lit(LengthBuckets - 1), expr(s"n_tok div $LengthBucketWidth")))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        min("n_tok").as("min_tok"), max("n_tok").as("max_tok"))
+      .orderBy("lang", "bucket")
+
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    lengthBucketsOn(Tables.documents(spark, dir))
+
+  val lengthBucketsSql: String =
+    s"""WITH toks AS (
+       |  SELECT lang, CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tok FROM documents),
+       |b AS (SELECT lang, n_tok, least(${LengthBuckets - 1}, n_tok // $LengthBucketWidth) AS bucket FROM toks)
+       |SELECT lang, bucket, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |       min(n_tok) AS min_tok, max(n_tok) AS max_tok
+       |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+
   // --------------------------------------- temperature-rebalanced mixing
   /** Temperature-based multinomial rebalancing (the XLM-R/mT5 low-resource
     * upsampling scheme, α = 0.5): each language's share of the output corpus
@@ -399,6 +471,8 @@ object Corpus {
   val all: Seq[Q] = Seq(
     Q("t_corpus_mix", mix _, mixSql),
     Q("t_temp_mix", tempMix _, tempMixSql),
+    Q("t_split", split _, splitSql),
+    Q("t_length_buckets", lengthBuckets _, lengthBucketsSql),
     Q("t_seq_pack", seqPack _, seqPackSql),
     Q("t_seq_pack_sharded", seqPackSharded _, seqPackShardedSql),
     Q("t_decontaminate", decontaminate _, decontaminateSql),

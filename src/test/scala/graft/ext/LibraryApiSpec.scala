@@ -143,6 +143,22 @@ class LibraryApiSpec extends SparkSpec {
     assert(viaSlice.count() > 0)
   }
 
+  test("train/val/test split is deterministic, exhaustive, and near the 90/5/5 target") {
+    val bigDocs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.01")
+    val out = Corpus.splitOn(bigDocs)
+    val bylot = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = bylot.values.sum
+    assert(n === bigDocs.count(), "split dropped or duplicated docs")
+    assert(bylot.keySet === Set("train", "val", "test"))
+    // hash-Bernoulli 90/5/5: binomial noise at n=500 stays well within ±5pp
+    assert(math.abs(bylot("train").toDouble / n - 0.90) < 0.05, bylot.toString)
+    // a doc's split never changes across runs or input orderings
+    val a = out.collect().toSeq
+    val b = Corpus.splitOn(bigDocs.orderBy(org.apache.spark.sql.functions.rand(7))).collect().toSeq
+    assert(a === b, "split depends on input ordering")
+  }
+
   test("temperature mix upsamples low-resource langs at constant corpus size, exactly per quota") {
     val bigDocs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
     val in = bigDocs.groupBy("lang").count().collect()
