@@ -482,26 +482,33 @@ object Dedup {
   val SpanK = 4
   val SpanDupFracMax = 0.5
 
-  def spanCoverageOn(docs: DataFrame): DataFrame = {
-    val toks = Text.tokens(col("text"))
-    // the shared guarded n-gram builder supplies the spans; posexplode
-    // carries each span's 0-based start position
-    val base = docs
-      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
-        Text.ngrams(toks, SpanK).as("spans"))
-    val flat = base
-      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "gram")))
+  /** Shared census behind coverage and trim: per doc with ≥1 duplicated
+    * span, the duplicated-span count and the DISTINCT covered token
+    * positions (interval union as a long array). The shared guarded n-gram
+    * builder supplies the spans; posexplode carries each span's 0-based
+    * start position. */
+  private def spanCensus(docs: DataFrame): DataFrame = {
+    val flat = docs
+      .select(col("doc_id"), posexplode(Text.ngrams(Text.tokens(col("text")), SpanK)).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         baseHash(col("gram")).as("h"))
     val dupH = flat.groupBy("h").agg(count(lit(1)).as("c")).filter(col("c") > 1).select("h")
-    val perdoc = flat.join(dupH, "h")
+    flat.join(dupH, "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_spans"),
-        size(array_distinct(flatten(collect_list(
-          sequence(col("pos"), col("pos") + lit(SpanK - 1L)))))).cast("long").as("covered_tokens"))
+        array_distinct(flatten(collect_list(
+          sequence(col("pos"), col("pos") + lit(SpanK - 1L))))).as("covered"))
+  }
+
+  def spanCoverageOn(docs: DataFrame): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val base = docs
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        size(Text.ngrams(toks, SpanK)).cast("long").as("n_spans"))
+    val perdoc = spanCensus(docs)
+      .select(col("doc_id"), col("n_dup_spans"),
+        size(col("covered")).cast("long").as("covered_tokens"))
     base
-      .select(col("doc_id"), col("n_tokens"),
-        size(col("spans")).cast("long").as("n_spans"))
       .join(perdoc, Seq("doc_id"), "left")
       .withColumn("n_dup_spans", coalesce(col("n_dup_spans"), lit(0L)))
       .withColumn("covered_tokens", coalesce(col("covered_tokens"), lit(0L)))
@@ -538,6 +545,50 @@ object Dedup {
        |       coalesce(${r6Sql("coalesce(p.covered_tokens, 0) / nullif(b.n_tokens, 0)")}, 0.0) <= $SpanDupFracMax AS keep
        |FROM base b LEFT JOIN perdoc p ON b.doc_id = p.doc_id
        |ORDER BY b.doc_id""".stripMargin
+
+  // ------------------------------------------------ duplicated-span trim
+  /** The TRANSFORMATION the span census exists for (Lee et al. 2021 remove
+    * duplicated substrings rather than whole documents): rebuild each
+    * document with every token covered by a duplicated span removed. Output
+    * carries the md5 of the retained token stream, so the oracle verifies
+    * the exact surviving text, not just counts. Same plan as
+    * [[spanCoverageOn]] up to the census; the rebuild is a per-row indexed
+    * list filter (bounded by doc length, codegen'd). */
+  def spanTrimOn(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), Text.tokens(col("text")).as("t"))
+    val cov = spanCensus(docs).select("doc_id", "covered")
+    base.join(cov, Seq("doc_id"), "left")
+      .withColumn("covered", coalesce(col("covered"), array().cast("array<long>")))
+      .withColumn("retained",
+        filter(col("t"), (x, i) => !array_contains(col("covered"), i.cast("long"))))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - size(col("retained"))).cast("long").as("n_removed"),
+        md5(concat_ws(" ", col("retained"))).as("retained_md5"))
+      .orderBy("doc_id")
+  }
+
+  def spanTrim(spark: SparkSession, dir: String): DataFrame =
+    spanTrimOn(Tables.documents(spark, dir))
+
+  /** DuckDB list_filter's optional lambda index is 1-BASED (Spark's is
+    * 0-based) — hence the `i - 1`. */
+  val spanTrimSql: String =
+    s"""WITH toks AS (SELECT doc_id, ${Text.tokensSql("text")} AS t FROM documents),
+       |g AS (SELECT doc_id, ${Text.ngramsSql("t", SpanK)} AS g FROM toks),
+       |sp0 AS (SELECT doc_id, unnest(range(0, len(g))) AS pos, unnest(g) AS gram FROM g),
+       |sp AS (SELECT doc_id, pos, ${baseHashSql("gram")} AS h FROM sp0),
+       |duph AS (SELECT h FROM sp GROUP BY h HAVING count(*) > 1),
+       |cov AS (
+       |  SELECT s.doc_id, list_distinct(flatten(list(range(s.pos, s.pos + $SpanK)))) AS covered
+       |  FROM sp s JOIN duph d ON s.h = d.h GROUP BY s.doc_id),
+       |trimmed AS (
+       |  SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+       |         list_filter(tk.t, (x, i) -> NOT list_contains(coalesce(c.covered, []), i - 1)) AS retained
+       |  FROM toks tk LEFT JOIN cov c ON tk.doc_id = c.doc_id)
+       |SELECT doc_id, n_tokens, CAST(n_tokens - len(retained) AS BIGINT) AS n_removed,
+       |       -- DuckDB array_to_string([]) is NULL where Spark concat_ws gives ''
+       |       md5(coalesce(array_to_string(retained, ' '), '')) AS retained_md5
+       |FROM trimmed ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------- near-dup clustering
   /** Connected components over the near-dup pair graph + canonical
@@ -767,6 +818,7 @@ object Dedup {
     Q("dd_ngram_jaccard", ngramJaccard _, ngramJaccardSql),
     Q("dd_ngram_jaccard_lsh", ngramJaccardLsh _, ngramJaccardLshSql),
     Q("dd_span_coverage", spanCoverage _, spanCoverageSql),
+    Q("dd_span_trim", spanTrim _, spanTrimSql),
     Q("dd_embed_neardup", embedNearDup _, embedNearDupSql),
     Q("dd_embed_neardup_scale", embedNearDupScale _, embedNearDupScaleSql),
     Q("dd_dup_clusters", dupClusters _, dupClustersSql),

@@ -142,6 +142,23 @@ class DedupSpec extends SparkSpec {
     assert(got(3) === ((4L, 3L, 0L, 0L, 0L, 0.0, true)))
   }
 
+  test("span trim removes exactly the covered tokens and keeps the rest in order") {
+    val docs = Seq(
+      (1L, "p q r s t u v w", "en", "s", 0L), // covered 0..4 → retains "u v w"
+      (2L, "a b c p q r s t", "en", "s", 0L), // covered 3..7 → retains "a b c"
+      (3L, "k l m n o one two eight", "en", "s", 0L), // untouched
+      (4L, "x y z", "en", "s", 0L)) // shorter than SpanK → untouched
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.spanTrimOn(docs)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(0) === ((1L, 8L, 5L, h("u v w"))))
+    assert(got(1) === ((2L, 8L, 5L, h("a b c"))))
+    assert(got(2) === ((3L, 8L, 0L, h("k l m n o one two eight"))))
+    assert(got(3) === ((4L, 3L, 0L, h("x y z"))))
+  }
+
   test("dup clusters: pair endpoints share a component, canonical is the min member, sizes add up") {
     val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
     val edges = Dedup.minhashLshOn(docs)
