@@ -257,12 +257,14 @@ object Corpus {
 
   // ------------------------------------------------- train/val/test split
   /** Deterministic corpus split manifest: every document is assigned to
-    * train/val/test by its own hash (90/5/5 in percent points of the
-    * engine-wide portable hash), so the split is a pure function of the
-    * data — reproducible across runs, cluster sizes and partitionings, and
-    * any future re-ingest of the same documents lands in the same split
-    * (no leakage drift). Pure map-side projection; the only shuffle is the
-    * presentation sort.
+    * train/val/test (90/5/5 in percent points of the engine-wide portable
+    * hash) by its CONTENT hash — the whitespace-normalized text, the same
+    * identity [[Dedup.exactOn]] groups by — so the split is a pure function
+    * of the document itself: reproducible across runs, cluster sizes and
+    * partitionings, stable under a re-ingest that assigns fresh doc_ids,
+    * and exact duplicates always land in the same split (no train/test
+    * leakage through copies). Pure map-side projection; the only shuffle is
+    * the presentation sort.
     *
     * The salt ("split:") decorrelates this hash from every other decision
     * hash in the engine (mix/tmix/shard) — a doc's split must not predict
@@ -273,7 +275,7 @@ object Corpus {
   /** Unsorted per-doc assignment — stateless row-local arithmetic, safe on
     * a streaming frame like the other manifest ops. */
   def splitRowsOn(docs: DataFrame): DataFrame = {
-    val h = pmod(Dedup.baseHash(concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+    val h = pmod(Dedup.baseHash(concat(lit("split:"), md5(Text.normalized(col("text"))))), lit(100L))
     docs.select(col("doc_id"), col("lang"),
       when(h < lit(TrainPct), lit("train"))
         .when(h < lit(TrainPct + ValPct), lit("val"))
@@ -288,13 +290,17 @@ object Corpus {
     splitOn(Tables.documents(spark, dir))
 
   val splitSql: String = {
-    val h = s"${Dedup.baseHashSql("('split:' || CAST(doc_id AS VARCHAR))")} % 100"
-    s"""SELECT doc_id, lang,
-       |       CASE WHEN $h < $TrainPct THEN 'train'
-       |            WHEN $h < ${TrainPct + ValPct} THEN 'val'
+    val h = Dedup.baseHashSql("('split:' || md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))))")
+    s"""WITH hashed AS (
+       |  SELECT doc_id, lang, $h % 100 AS h,
+       |         CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents)
+       |SELECT doc_id, lang,
+       |       CASE WHEN h < $TrainPct THEN 'train'
+       |            WHEN h < ${TrainPct + ValPct} THEN 'val'
        |            ELSE 'test' END AS split,
-       |       CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tok
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |       n_tok
+       |FROM hashed ORDER BY doc_id""".stripMargin
   }
 
   // ------------------------------------------------- length bucketing

@@ -502,9 +502,12 @@ object Dedup {
 
   def spanCoverageOn(docs: DataFrame): DataFrame = {
     val toks = Text.tokens(col("text"))
+    // span count is pure arithmetic — building the gram strings a second
+    // time just to size() them would double the row-local work
     val base = docs
       .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
-        size(Text.ngrams(toks, SpanK)).cast("long").as("n_spans"))
+        when(size(toks) >= lit(SpanK), (size(toks) - lit(SpanK - 1)).cast("long"))
+          .otherwise(lit(0L)).as("n_spans"))
     val perdoc = spanCensus(docs)
       .select(col("doc_id"), col("n_dup_spans"),
         size(col("covered")).cast("long").as("covered_tokens"))
@@ -559,8 +562,17 @@ object Dedup {
     val cov = spanCensus(docs).select("doc_id", "covered")
     base.join(cov, Seq("doc_id"), "left")
       .withColumn("covered", coalesce(col("covered"), array().cast("array<long>")))
+      // positions via array_except (hash-based, order-preserving on the
+      // left array): O(n + covered) per row — a per-token array_contains
+      // scan would be O(n · covered), quadratic on heavily duplicated docs.
+      // Guarded sequence: sequence(0, -1) would DESCEND on empty docs.
+      .withColumn("retained_pos",
+        array_except(
+          when(size(col("t")) >= 1, sequence(lit(0L), size(col("t")).cast("long") - 1))
+            .otherwise(array().cast("array<long>")),
+          col("covered")))
       .withColumn("retained",
-        filter(col("t"), (x, i) => !array_contains(col("covered"), i.cast("long"))))
+        transform(col("retained_pos"), i => element_at(col("t"), (i + 1).cast("int"))))
       .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
         (size(col("t")) - size(col("retained"))).cast("long").as("n_removed"),
         md5(concat_ws(" ", col("retained"))).as("retained_md5"))

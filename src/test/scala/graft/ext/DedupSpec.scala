@@ -147,7 +147,8 @@ class DedupSpec extends SparkSpec {
       (1L, "p q r s t u v w", "en", "s", 0L), // covered 0..4 → retains "u v w"
       (2L, "a b c p q r s t", "en", "s", 0L), // covered 3..7 → retains "a b c"
       (3L, "k l m n o one two eight", "en", "s", 0L), // untouched
-      (4L, "x y z", "en", "s", 0L)) // shorter than SpanK → untouched
+      (4L, "x y z", "en", "s", 0L), // shorter than SpanK → untouched
+      (5L, "1 2 3 4 1 2 3 4", "en", "s", 0L)) // internal dup covers ALL positions
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val got = Dedup.spanTrimOn(docs)
       .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
@@ -157,6 +158,10 @@ class DedupSpec extends SparkSpec {
     assert(got(1) === ((2L, 8L, 5L, h("a b c"))))
     assert(got(2) === ((3L, 8L, 0L, h("k l m n o one two eight"))))
     assert(got(3) === ((4L, 3L, 0L, h("x y z"))))
+    // fully-trimmed doc: retained = [] — the one spot the engines' empty
+    // string handling diverges (DuckDB array_to_string([]) is NULL); the
+    // Spark side must emit md5("")
+    assert(got(4) === ((5L, 8L, 8L, h(""))))
   }
 
   test("dup clusters: pair endpoints share a component, canonical is the min member, sizes add up") {
