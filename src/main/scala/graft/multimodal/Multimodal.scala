@@ -259,9 +259,86 @@ object Multimodal {
        |GROUP BY 1 ORDER BY doc_bucket""".stripMargin
   }
 
+  // -------------------------------------------- perceptual-hash dedup
+  /** Integer perceptual hash over the payload: bit i is set iff byte
+    * window i's mean exceeds the whole-payload mean, compared by integer
+    * CROSS-MULTIPLICATION (winSum·n > total·winCnt) so no float ever
+    * enters the hash — both engines agree bit for bit. This is the
+    * aHash/pHash shape (a real deployment swaps in a 64-bit DCT hash over
+    * decoded pixels via the per-partition codec); the dedup itself is one
+    * (media_type, phash) hash aggregate — the image-dedup plan at 100 TB
+    * is a groupBy, never a pairwise compare. */
+  def phash(payload: Array[Byte]): Int = {
+    val n = payload.length
+    if (n == 0) return 0
+    val w = math.max(1, n / 8)
+    var total = 0L
+    var j = 0
+    while (j < n) { total += (payload(j) & 0xff); j += 1 }
+    var code = 0
+    var i = 0
+    while (i < 8) {
+      var s = 0L; var c = 0L
+      var k = i * w
+      val end = math.min(n, (i + 1) * w)
+      while (k < end) { s += (payload(k) & 0xff); c += 1; k += 1 }
+      if (s * n > total * c) code |= 1 << i
+      i += 1
+    }
+    code
+  }
+
+  case class MediaHash(doc_id: Long, media_type: String, phash: Long)
+
+  def phashOn(media: Dataset[MediaRecord]): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(it => it.map(m => MediaHash(m.doc_id, m.media_type, phash(m.payload).toLong)))
+  }
+
+  /** Registered dedup query: hash groups with more than one member are the
+    * near-dup candidate clusters (toy 8-bit hash space on the stub codec;
+    * the group-by shape is unchanged at 64 bits). */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    phashOn(fromDocuments(Tables.documents(spark, dir))).toDF()
+      .groupBy("media_type", "phash")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc_id"))
+      .filter(col("n_docs") > 1)
+      .orderBy("media_type", "phash")
+  }
+
+  /** Oracle twin: payload bytes via the proven hex-slice route; the same
+    * integer cross-multiplication decides every bit. */
+  val phashDedupSql: String = {
+    val mediaType =
+      "['image', 'audio', 'video'][(('0x' || substr(md5(source), 1, 4))::BIGINT % 3 + 1)::INT]"
+    def byteAt(j: String) = s"('0x' || substr(hx, CAST($j * 2 + 1 AS BIGINT), 2))::BIGINT"
+    val winSum = s"coalesce(list_sum(list_transform(generate_series(CAST(i * w AS BIGINT), CAST(least(n, (i + 1) * w) - 1 AS BIGINT)), j -> ${byteAt("j")})), 0)"
+    val winCnt = "greatest(least(n, (i + 1) * w) - i * w, 0)"
+    s"""WITH m AS (
+       |  SELECT doc_id, $mediaType AS media_type, hex(encode(text)) AS hx,
+       |         octet_length(encode(text)) AS n
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, media_type, hx, n, greatest(1, n // 8) AS w,
+       |         coalesce(list_sum(list_transform(generate_series(0, CAST(n - 1 AS BIGINT)), j -> ${byteAt("j")})), 0) AS total
+       |  FROM m),
+       |ph AS (
+       |  SELECT doc_id, media_type,
+       |         CAST(CASE WHEN n = 0 THEN 0 ELSE
+       |           coalesce(list_sum(list_transform(generate_series(0, 7), i ->
+       |             CASE WHEN $winSum * n > total * $winCnt THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)), 0)
+       |         END AS BIGINT) AS phash
+       |  FROM d)
+       |SELECT media_type, phash, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+       |FROM ph GROUP BY 1, 2 HAVING count(*) > 1
+       |ORDER BY media_type, phash""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("mm_media_meta", mediaMeta _, mediaMetaSql),
     Q("mm_feature_pipeline", featurePipeline _, featurePipelineSql),
     Q("mm_frame_sample", frameSample _, frameSampleSql),
+    Q("mm_phash_dedup", phashDedup _, phashDedupSql),
   )
 }

@@ -61,4 +61,17 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.count() === 0)
     assert(df.count() > 0)
   }
+
+  test("phash: identical payloads collide, a shifted-brightness payload diverges, empty is 0") {
+    // all-ASCII text whose byte windows have distinct means
+    val a = "aaaa bbbb cccc dddd eeee ffff gggg zzzz".getBytes("UTF-8")
+    assert(Multimodal.phash(a) === Multimodal.phash(a.clone()))
+    // brightening ONE window (raising its bytes) must flip at least its bit
+    val b = a.clone()
+    (0 until 5).foreach(i => b(i) = 'z'.toByte)
+    assert(Multimodal.phash(a) !== Multimodal.phash(b))
+    assert(Multimodal.phash(Array.emptyByteArray) === 0)
+    // hash is within 8 bits
+    assert((Multimodal.phash(a) & ~0xff) === 0)
+  }
 }
