@@ -474,6 +474,83 @@ object Corpus {
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame =
     decontaminateBloomOn(Tables.documents(spark, dir))
 
+  // ------------------------------------------------- importance selection
+  /** DSIR-shaped data selection (Xie et al. 2023, arXiv:2302.03169): score
+    * every pool document by how target-domain-like its hashed n-gram
+    * profile is, keep the top K. Features are hashed unigrams in
+    * [[DsirBuckets]] buckets (the paper's hashed n-gram reduction); the
+    * per-bucket importance weight is the smoothed target/pool count ratio
+    * in 2^-20 fixed point — INTEGER end to end, so both engines rank
+    * identically with no log() in any comparison path (same determinism
+    * discipline as t_temp_mix's quotas). The published method scores
+    * log-ratios; monotone per-bucket, and the fixed-point linear form keeps
+    * the exact-arithmetic guarantee the oracle gate needs.
+    *
+    * Scale shape: pass 1 builds the weight table — one hash aggregate over
+    * (bucket), map-side combinable, output = [[DsirBuckets]] rows, which
+    * then BROADCASTS; pass 2 rescans the corpus, joins each token to the
+    * broadcast weights, and sums per doc — one (doc_id) shuffle carrying
+    * (doc_id, long). Top-K is TakeOrdered (no global sort materialized);
+    * the rank window runs over K rows, not the corpus. At 100 TB the
+    * target sample is a separate small frame (here src0 stands in for the
+    * curated domain sample) and pass 1 runs over target ∪ a pool sample,
+    * not the full pool — the weight table stays [[DsirBuckets]] rows
+    * regardless. */
+  val DsirBuckets = 1024
+  val DsirScaleBits = 20
+  val DsirTargetSource = "src0"
+  val DsirTopK = 50
+
+  def dsirSelectOn(docs: DataFrame,
+                   targetSource: String = DsirTargetSource): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("lang"), col("source"),
+        explode(Text.tokens(col("text"))).as("tok"))
+      .withColumn("b", pmod(Dedup.baseHash(col("tok")), lit(DsirBuckets.toLong)))
+    val isTarget = col("source") === lit(targetSource)
+    // one pass, one agg: target and pool occurrence counts per bucket
+    val weights = tok.groupBy("b").agg(
+        sum(when(isTarget, 1L).otherwise(0L)).as("tc"),
+        sum(when(isTarget, 0L).otherwise(1L)).as("rc"))
+      // floor(2^20 * (tc+1) / (rc+1)) via integer `div` — exact in both engines
+      .select(col("b"),
+        expr(s"((tc + 1) * ${1L << DsirScaleBits}) div (rc + 1)").as("w"))
+    val scored = tok.filter(!isTarget)
+      .join(broadcast(weights), "b")
+      .groupBy("doc_id", "lang", "source")
+      .agg(sum("w").as("score"), count(lit(1)).as("n_tokens"))
+    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(DsirTopK)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select("rank", "doc_id", "lang", "source", "n_tokens", "score")
+      .orderBy("rank")
+  }
+
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame =
+    dsirSelectOn(Tables.documents(spark, dir))
+
+  val dsirSelectSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, source,
+       |         ${Dedup.baseHashSql("t.tok")} % $DsirBuckets AS b
+       |  FROM documents, unnest(${Text.tokensSql("text")}) AS t(tok)),
+       |w AS (
+       |  SELECT b,
+       |         ((sum(CASE WHEN source = '$DsirTargetSource' THEN 1 ELSE 0 END) + 1)
+       |          * ${1L << DsirScaleBits})
+       |         // (sum(CASE WHEN source <> '$DsirTargetSource' THEN 1 ELSE 0 END) + 1) AS w
+       |  FROM tok GROUP BY b),
+       |scored AS (
+       |  SELECT t.doc_id, t.lang, t.source,
+       |         CAST(sum(w.w) AS BIGINT) AS score, count(*) AS n_tokens
+       |  FROM tok t JOIN w ON t.b = w.b
+       |  WHERE t.source <> '$DsirTargetSource'
+       |  GROUP BY 1, 2, 3)
+       |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       |       doc_id, lang, source, n_tokens, score
+       |FROM scored
+       |ORDER BY score DESC, doc_id
+       |LIMIT $DsirTopK""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t_corpus_mix", mix _, mixSql),
     Q("t_temp_mix", tempMix _, tempMixSql),
@@ -485,5 +562,6 @@ object Corpus {
     // same semantics as t_decontaminate (bloom only PRUNES; the exact
     // verify join rejects its false positives) → the oracle is shared
     Q("t_decontaminate_bloom", decontaminateBloom _, decontaminateSql),
+    Q("t_dsir_select", dsirSelect _, dsirSelectSql),
   )
 }

@@ -822,6 +822,71 @@ object Dedup {
   val embedNearDupSql: String = embedNearDupSqlFor(EmbedPlanes, EmbedBands)
   val embedNearDupScaleSql: String = embedNearDupSqlFor(EmbedScalePlanes, EmbedScaleBands)
 
+  // ------------------------------------------------------- semantic dedup
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * a k-means coarse quantizer partitions the embedding space, pairwise
+    * cosine runs ONLY inside each cluster, and within a duplicate pair the
+    * smaller vec_id survives (deterministic keep-first, the same canonical
+    * rule as [[exactOn]]). Emits one verdict row per vector: its cluster,
+    * whether it is kept, and the smallest kept-side partner that shadows it.
+    *
+    * Scale shape: the quantizer is the SAME broadcast-centroid Lloyd loop
+    * the IVF family trains ([[Similarity.kmeansCentroidsOn]] /
+    * [[Similarity.assignCells]] — one map-side pass per iteration), and the
+    * in-cluster self-join replaces the O(n²) all-pairs compare with
+    * O(Σ|cell|²): at 100 TB, k grows with the corpus (FAISS-style √n cells)
+    * so cells stay bounded and each cell is one shuffle partition's work —
+    * this cluster-bounding is the entire point of the published method. */
+  /** Keep threshold: ~p95 of in-cluster pair cosines on the testdata (the
+    * knob sweep is in BASELINE.md round 7) — prunes 80/500 vectors (16%),
+    * the published method's typical prune-rate regime; the synthetic
+    * corpus has no true semantic duplicates, so the verdict structure, not
+    * a specific pair set, is what the oracle pins. */
+  val SemDedupMin = 0.35
+
+  def semDedupOn(embeddings: DataFrame,
+                 cosMin: Double = SemDedupMin,
+                 cfg: Similarity.KmeansCfg = Similarity.KmeansCfg()): DataFrame = {
+    // persisted: the centroid table feeds every assignment task; the cells
+    // frame is consumed three times (both self-join sides + the verdict
+    // spine). Same session-cache convention as minhashLshOn — batch callers
+    // clearCache() between invocations (Verify/Bench do).
+    val cent = Similarity.kmeansCentroidsOn(embeddings, cfg).persist()
+    val cells = Similarity.assignCells(Similarity.withNorm(embeddings), cent).persist()
+    val dupOf = cells.as("l").join(cells.as("r"),
+        col("l.cell") === col("r.cell") && col("l.vec_id") > col("r.vec_id"))
+      .withColumn("cos",
+        Similarity.fastDot(col("l.embedding"), col("r.embedding")) / (col("l.nrm") * col("r.nrm")))
+      .filter(col("cos") >= lit(cosMin))
+      .groupBy(col("l.vec_id").as("vec_id"))
+      .agg(min(col("r.vec_id")).as("dup_of"))
+    cells.select(col("vec_id"), col("cell"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"),
+        col("dup_of").isNull.as("is_kept"))
+      .orderBy("vec_id")
+  }
+
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    // static width → Lloyd plans cache-equal across repeated invocations,
+    // same reasoning as knnIvfKmeans
+    semDedupOn(Tables.embeddings(spark, dir),
+      cfg = Similarity.KmeansCfg(dims = Similarity.Dims))
+
+  /** Oracle twin: the SHARED coarse-quantizer CTEs ([[Similarity.kmeansCellsSql]]
+    * — identical text to the IVF/IVF-PQ oracles, so the clusters cannot
+    * drift), then the in-cluster pair filter and keep-first verdict. */
+  val semDedupSql: String =
+    s"""WITH ${Similarity.kmeansCellsSql},
+       |dup AS (
+       |  SELECT l.vec_id, min(r.vec_id) AS dup_of
+       |  FROM cells l JOIN cells r ON l.cell = r.cell AND l.vec_id > r.vec_id
+       |  WHERE ${Similarity.dotSql("l.embedding", "r.embedding")} / (l.nrm * r.nrm) >= $SemDedupMin
+       |  GROUP BY l.vec_id)
+       |SELECT c.vec_id, c.cell, d.dup_of, d.dup_of IS NULL AS is_kept
+       |FROM cells c LEFT JOIN dup d ON c.vec_id = d.vec_id
+       |ORDER BY c.vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("dd_exact", exact _, exactSql),
     Q("dd_minhash_lsh", minhashLsh _, minhashLshSql),
@@ -833,6 +898,7 @@ object Dedup {
     Q("dd_span_trim", spanTrim _, spanTrimSql),
     Q("dd_embed_neardup", embedNearDup _, embedNearDupSql),
     Q("dd_embed_neardup_scale", embedNearDupScale _, embedNearDupScaleSql),
+    Q("dd_semdedup", semDedup _, semDedupSql),
     Q("dd_dup_clusters", dupClusters _, dupClustersSql),
   )
 }

@@ -353,8 +353,10 @@ object Similarity {
     * its max-cosine centroid (r6 key, cent_id tiebreak). Shared by the
     * k-means IVF search and the IVF-PQ coarse stage.
     * `e` columns: vec_id, embedding, nrm (+ ignored extras);
-    * `cent` columns: cent_id, centroid, c_nrm. */
-  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
+    * `cent` columns: cent_id, centroid, c_nrm.
+    * `private[ext]`: [[Dedup.semDedupOn]] reuses the identical coarse
+    * quantizer so the SemDeDup clusters and the IVF cells cannot drift. */
+  private[ext] def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
     // same min_by-on-cosine-distance rewrite as the Lloyd loop: the corpus
     // assignment pass is a hash agg, not a window sort
     e.crossJoin(broadcast(cent))
@@ -386,9 +388,10 @@ object Similarity {
 
   /** Oracle twin of [[kmeansCentroidsOn]] (static 2-iteration unroll, final
     * codebook = relation `c2`) + [[assignCells]] (relation `cells`): the
-    * shared coarse-quantizer CTEs behind both the k-means IVF oracle and the
-    * IVF-PQ oracle. Also emits `e` (embeddings + nrm). */
-  private def kmeansCellsSql: String = {
+    * shared coarse-quantizer CTEs behind the k-means IVF oracle, the
+    * IVF-PQ oracle, and the SemDeDup oracle ([[Dedup.semDedupSql]]).
+    * Also emits `e` (embeddings + nrm). */
+  private[ext] def kmeansCellsSql: String = {
     val sums = (0 until Dims).map(i => s"sum(CAST(embedding[${i + 1}] AS DOUBLE))").mkString(", ")
     // one Lloyd iteration: assign to nearest centroid of `prev`, emit `next`
     def iter(prev: String, next: String): String =

@@ -601,6 +601,63 @@ object Text {
        |FROM counted ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------- LM-fluency proxy scoring
+  /** CCNet-style fluency gate with a count-based LM proxy: each document
+    * scores the MEAN CORPUS FREQUENCY of its word bigrams — a document made
+    * of common constructions scores high, one made of rare/garbled
+    * sequences scores low. This is the quantity CCNet thresholds with a
+    * KenLM perplexity (Wenzek et al. 2020, arXiv:1911.00359), recast so
+    * the oracle gate stays exact: integer bigram mass, one r6-rounded
+    * division at the end, and the gate compares the ROUNDED score so an
+    * engine ulp can't flip a verdict.
+    *
+    * Scale shape: the census is one map-side-combinable (gram) aggregate;
+    * only bigrams at/above [[FluencyHeavyMin]] survive it, so the scorer
+    * joins against a BOUNDED heavy-gram table (broadcast — same bound
+    * argument as [[heavyHittersOn]]; everything below the floor contributes
+    * the smoothing count 1 via the left join's null). The per-doc aggregate
+    * shuffles (doc_id, long) once. Docs with <2 tokens keep a verdict row
+    * (0 bigrams, NULL score, not fluent) through the spine left join. */
+  val FluencyHeavyMin = 30L
+  val FluencyMin = 15.0
+
+  def lmFluencyOn(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(ngrams(tokens(col("text")), 2)).as("gram"))
+    val heavy = grams.groupBy("gram").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= lit(FluencyHeavyMin))
+    val scored = grams.join(broadcast(heavy), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("n"), lit(1L))).as("mass"))
+      .withColumn("fluency", r6(col("mass").cast("double") / col("n_bigrams")))
+    docs.select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("fluency"),
+        coalesce(col("fluency") >= lit(FluencyMin), lit(false)).as("is_fluent"))
+      .orderBy("doc_id")
+  }
+
+  def lmFluency(spark: SparkSession, dir: String): DataFrame =
+    lmFluencyOn(Tables.documents(spark, dir))
+
+  val lmFluencySql: String =
+    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+       |grams AS (SELECT doc_id, unnest(${ngramsSql("t", 2)}) AS gram FROM toks),
+       |heavy AS (SELECT gram, count(*) AS n FROM grams
+       |          GROUP BY gram HAVING count(*) >= $FluencyHeavyMin),
+       |sc AS (
+       |  SELECT g.doc_id, count(*) AS n_bigrams,
+       |         ${r6Sql("CAST(sum(coalesce(h.n, 1)) AS DOUBLE) / count(*)")} AS fluency
+       |  FROM grams g LEFT JOIN heavy h ON g.gram = h.gram
+       |  GROUP BY 1)
+       |SELECT d.doc_id, d.lang, coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.fluency,
+       |       coalesce(sc.fluency >= $FluencyMin, false) AS is_fluent
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t_text_stats", textStats _, textStatsSql),
     Q("t_quality_filter", qualityFilter _, qualityFilterSql),
@@ -613,5 +670,6 @@ object Text {
     Q("t_repetition", repetitionStats _, repetitionStatsSql),
     Q("t_tfidf_keywords", tfidfKeywords _, tfidfKeywordsSql),
     Q("t_heavy_hitters", heavyHitters _, heavyHittersSql),
+    Q("t_lm_fluency", lmFluency _, lmFluencySql),
   )
 }

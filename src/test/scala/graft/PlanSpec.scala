@@ -119,6 +119,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("semdedup: centroids broadcast, the pair join keys on cell, no cartesian on vectors") {
+    val p = plan(graft.ext.Dedup.semDedupOn(
+      graft.ops.Tables.embeddings(spark, dir)))
+    spark.catalog.clearCache()
+    // Lloyd assignment + cell assignment ride broadcast nested-loop joins
+    // on the tiny centroid table, never a shuffle of the corpus
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+    // the in-cluster pair generation is a keyed join on cell, not all-pairs
+    assert(p.contains("cell"), "pair join lost its cell key")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("dsir selection broadcasts the bucket-weight table; top-k is TakeOrdered, not a global sort") {
+    val p = plan(graft.ext.Corpus.dsirSelect(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), "weight table not broadcast:\n" + p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be TakeOrdered (no corpus-wide sort materialized):\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("lm fluency broadcasts the heavy-gram table and aggregates partially") {
+    val p = plan(graft.ext.Text.lmFluency(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), "heavy-gram table not broadcast:\n" + p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // 100 TB shape: fact ⋈ selectively-filtered dim without broadcast. Spark
     // injects a bloom filter built from the dim keys into the fact scan, so

@@ -185,6 +185,51 @@ class DedupSpec extends SparkSpec {
     assert(rows.exists(_._3 > 1), "no multi-doc cluster found (degenerate corpus)")
   }
 
+  test("semdedup: verdicts are complete, keep-first, cluster-local, and monotone in the threshold") {
+    val emb = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = Dedup.semDedupOn(emb)
+      .as[(Long, Long, Option[Long], Boolean)].collect()
+    val tight = Dedup.semDedupOn(emb, cosMin = Dedup.SemDedupMin + 0.15)
+      .as[(Long, Long, Option[Long], Boolean)].collect()
+    spark.catalog.clearCache()
+    assert(rows.length === emb.count(), "verdict table must cover every vector")
+    val cell = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (id, c, dupOf, kept) =>
+      assert(kept === dupOf.isEmpty, s"vec $id: is_kept disagrees with dup_of")
+      dupOf.foreach { d =>
+        assert(d < id, s"vec $id shadowed by a LARGER id $d — keep-first violated")
+        assert(cell(d) === c, s"vec $id's shadow $d sits in another cluster")
+      }
+    }
+    // raising the threshold can only rescue vectors, never drop new ones
+    val dropped = rows.filter(!_._4).map(_._1).toSet
+    val droppedTight = tight.filter(!_._4).map(_._1).toSet
+    assert(droppedTight.subsetOf(dropped),
+      s"tighter threshold dropped new vectors: ${(droppedTight -- dropped).take(5)}")
+  }
+
+  test("semdedup: a planted exact-duplicate vector is dropped in favor of its smaller twin") {
+    // ids 0 and 61 seed the quantizer (vec_id % 61 == 0); 5 and 99 are the
+    // planted twins — identical embeddings must land in one cell, and the
+    // larger id must lose
+    val base = (0L to 99L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat), (i % 3).toInt)
+    }
+    val planted = base.map { case (id, e, l) =>
+      if (id == 99L) (id, base(5)._2.clone(), l) else (id, e, l)
+    }
+    val df = planted.toDF("vec_id", "embedding", "label")
+    val rows = Dedup.semDedupOn(df, cfg = Similarity.KmeansCfg(k = 4, dims = 8))
+      .as[(Long, Long, Option[Long], Boolean)].collect()
+    spark.catalog.clearCache()
+    val m = rows.map(r => r._1 -> r).toMap
+    assert(m(99L)._2 === m(5L)._2, "identical vectors assigned to different cells")
+    // 5 is a cos=1 partner of 99, so 99 must be dropped and its shadow —
+    // the SMALLEST qualifying partner — can be at most 5
+    assert(!m(99L)._4 && m(99L)._3.exists(_ <= 5L),
+      s"planted duplicate 99 not shadowed by an id <= 5: ${m(99L)}")
+  }
+
   test("minhash universal-hash constants stay positive under the prime") {
     assert(Dedup.hashA.forall(a => a > 0 && a < Dedup.P))
     assert(Dedup.hashB.forall(b => b >= 0 && b < Dedup.P))

@@ -202,6 +202,26 @@ class LibraryApiSpec extends SparkSpec {
     assert(saturated === exact, "saturated bloom changed a decontamination result")
   }
 
+  test("dsir selection excludes the target, ranks contiguously, favors target vocabulary") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", "en", "src0", 27L), // target sample
+      (2L, "alpha beta gamma delta", "en", "poolA", 22L), // shares target vocab
+      (3L, "zeta eta theta iota kappa", "en", "poolB", 25L), // unrelated vocab
+      (4L, "alpha alpha beta beta gamma", "en", "poolC", 27L) // most target-like
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Corpus.dsirSelectOn(docs, targetSource = "src0")
+      .select("rank", "doc_id", "score").as[(Long, Long, Long)].collect()
+    assert(got.map(_._2).toSet === Set(2L, 3L, 4L), "target doc leaked into the selection")
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L), "ranks not contiguous from 1")
+    val score = got.map(r => r._2 -> r._3).toMap
+    assert(score(4L) > score(3L) && score(2L) > score(3L),
+      s"target-vocabulary docs must outrank the unrelated one: $score")
+    // deterministic: a second invocation emits the identical ranking
+    val again = Corpus.dsirSelectOn(docs, targetSource = "src0")
+      .select("rank", "doc_id", "score").as[(Long, Long, Long)].collect()
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("sharded packing preserves totals and keeps per-shard chunk ids contiguous") {
     val bigDocs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
     val flat = Corpus.seqPackOn(bigDocs)

@@ -114,6 +114,24 @@ class TextSpec extends SparkSpec {
     assert(got === exact)
   }
 
+  test("lm fluency: common constructions score the census count, garble scores 1, short docs get a verdict") {
+    // 35 copies push "the quick"/"quick brown"/"brown fox" over the
+    // 30-count census floor; the garble doc's bigrams stay under it
+    val docs = ((1L to 35L).map(i => (i, "the quick brown fox", "en", "s", 19L)) ++
+      Seq((100L, "zx qv xq jj", "en", "s", 11L), (101L, "solo", "en", "s", 4L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Text.lmFluencyOn(docs)
+      .as[(Long, String, Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size === 37)
+    // each common doc: 3 bigrams, each with corpus count 35 → mean 35
+    assert(got(1L)._3 === 3L && got(1L)._4.contains(35.0) && got(1L)._5)
+    // garble: 3 bigrams, all below the floor → smoothing mass 1 each
+    assert(got(100L)._3 === 3L && got(100L)._4.contains(1.0) && !got(100L)._5)
+    // 1-token doc: no bigrams, NULL score, still a (non-fluent) verdict row
+    assert(got(101L)._3 === 0L && got(101L)._4.isEmpty && !got(101L)._5)
+  }
+
   test("fingerprint groups identical normalized text to one canonical id") {
     val docs = Seq((1L, "Hello  World", "en", "s", 11L), (2L, "hello world", "en", "s", 11L),
       (3L, "different", "en", "s", 9L))
