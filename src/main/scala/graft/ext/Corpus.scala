@@ -507,10 +507,13 @@ object Corpus {
         explode(Text.tokens(col("text"))).as("tok"))
       .withColumn("b", pmod(Dedup.baseHash(col("tok")), lit(DsirBuckets.toLong)))
     val isTarget = col("source") === lit(targetSource)
-    // one pass, one agg: target and pool occurrence counts per bucket
+    // one pass, one agg: target and pool occurrence counts per bucket.
+    // Both arms use three-valued comparisons (===, =!=) so a NULL source
+    // counts in NEITHER distribution — exactly the SQL twin's CASE
+    // WHEN source =/<> ... THEN 1 ELSE 0 behavior on NULLs
     val weights = tok.groupBy("b").agg(
         sum(when(isTarget, 1L).otherwise(0L)).as("tc"),
-        sum(when(isTarget, 0L).otherwise(1L)).as("rc"))
+        sum(when(col("source") =!= lit(targetSource), 1L).otherwise(0L)).as("rc"))
       // floor(2^20 * (tc+1) / (rc+1)) via integer `div` — exact in both engines
       .select(col("b"),
         expr(s"((tc + 1) * ${1L << DsirScaleBits}) div (rc + 1)").as("w"))

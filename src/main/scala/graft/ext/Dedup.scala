@@ -825,10 +825,14 @@ object Dedup {
   // ------------------------------------------------------- semantic dedup
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * a k-means coarse quantizer partitions the embedding space, pairwise
-    * cosine runs ONLY inside each cluster, and within a duplicate pair the
-    * smaller vec_id survives (deterministic keep-first, the same canonical
-    * rule as [[exactOn]]). Emits one verdict row per vector: its cluster,
-    * whether it is kept, and the smallest kept-side partner that shadows it.
+    * cosine runs ONLY inside each cluster, and a vector is dropped iff ANY
+    * smaller vec_id in its cluster sits within the threshold — the
+    * ordering-greedy rule of the published implementation (the shadow may
+    * itself be dropped when similarity chains; cosine is not transitive,
+    * and resolving chains exactly is the connected-components job
+    * [[dupClustersOn]] already does). Emits one verdict row per vector:
+    * its cluster, whether it is kept, and the smallest partner that
+    * shadows it.
     *
     * Scale shape: the quantizer is the SAME broadcast-centroid Lloyd loop
     * the IVF family trains ([[Similarity.kmeansCentroidsOn]] /

@@ -155,9 +155,23 @@ object Multimodal {
         hex(encode(substring(col("text"), 1, 8), "UTF-8")).as("header_hex"))
       .orderBy("doc_id")
 
+  // Shared hex-arithmetic SQL builders for the oracle twins — ONE
+  // definition behind mediaMetaSql / featurePipelineSql / phashDedupSql so
+  // the media-type derivation and the hex byte reads cannot desynchronize
+  // across oracles. `byteAtSql` reads 0-based payload byte `j` from the
+  // hex form `hx`; `winSumSql`/`winCntSql` sum/count the unsigned bytes of
+  // feature window `i` given window width `w` and payload length `n`.
+  private val mediaTypeSql =
+    "['image', 'audio', 'video'][(('0x' || substr(md5(source), 1, 4))::BIGINT % 3 + 1)::INT]"
+  private def byteAtSql(j: String) =
+    s"('0x' || substr(hx, CAST($j * 2 + 1 AS BIGINT), 2))::BIGINT"
+  private val winSumSql =
+    s"coalesce(list_sum(list_transform(generate_series(CAST(i * w AS BIGINT), CAST(least(n, (i + 1) * w) - 1 AS BIGINT)), j -> ${byteAtSql("j")})), 0)"
+  private val winCntSql = "greatest(least(n, (i + 1) * w) - i * w, 0)"
+
   val mediaMetaSql: String =
     s"""SELECT doc_id,
-       |       ['image', 'audio', 'video'][(('0x' || substr(md5(source), 1, 4))::BIGINT % 3 + 1)::INT] AS media_type,
+       |       $mediaTypeSql AS media_type,
        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        |       md5(text) AS content_md5,
        |       CAST(ceil(octet_length(encode(text)) / ${ChunkBytes.toDouble}) AS BIGINT) AS n_chunks,
@@ -201,15 +215,8 @@ object Multimodal {
     * window i's unsigned bytes as REAL, resize pairs (f_2i + f_2i+1)/2 as
     * REAL, feat_sum = left-fold double sum of the 4 resized components. */
   val featurePipelineSql: String = {
-    val mediaType =
-      "['image', 'audio', 'video'][(('0x' || substr(md5(source), 1, 4))::BIGINT % 3 + 1)::INT]"
-    // byte j (0-based) of the payload, read from the hex form
-    def byteAt(j: String) = s"('0x' || substr(hx, CAST($j * 2 + 1 AS BIGINT), 2))::BIGINT"
-    // sum + count of the unsigned bytes in feature window i (i = 0..7)
-    val winSum = s"coalesce(list_sum(list_transform(generate_series(CAST(i * w AS BIGINT), CAST(least(n, (i + 1) * w) - 1 AS BIGINT)), j -> ${byteAt("j")})), 0)"
-    val winCnt = "greatest(least(n, (i + 1) * w) - i * w, 0)"
     s"""WITH m AS (
-       |  SELECT doc_id, $mediaType AS media_type,
+       |  SELECT doc_id, $mediaTypeSql AS media_type,
        |         hex(encode(text)) AS hx, octet_length(encode(text)) AS n
        |  FROM documents),
        |d AS (
@@ -220,8 +227,8 @@ object Multimodal {
        |feat AS (
        |  SELECT doc_id, media_type, n_frames,
        |         list_transform(generate_series(0, 7), i ->
-       |           CASE WHEN n = 0 OR $winCnt = 0 THEN CAST(0 AS REAL)
-       |                ELSE CAST(CAST($winSum AS REAL) / CAST($winCnt AS REAL) AS REAL) END) AS f
+       |           CASE WHEN n = 0 OR $winCntSql = 0 THEN CAST(0 AS REAL)
+       |                ELSE CAST(CAST($winSumSql AS REAL) / CAST($winCntSql AS REAL) AS REAL) END) AS f
        |  FROM d),
        |rs AS (
        |  SELECT doc_id, media_type, n_frames,
@@ -310,24 +317,19 @@ object Multimodal {
   /** Oracle twin: payload bytes via the proven hex-slice route; the same
     * integer cross-multiplication decides every bit. */
   val phashDedupSql: String = {
-    val mediaType =
-      "['image', 'audio', 'video'][(('0x' || substr(md5(source), 1, 4))::BIGINT % 3 + 1)::INT]"
-    def byteAt(j: String) = s"('0x' || substr(hx, CAST($j * 2 + 1 AS BIGINT), 2))::BIGINT"
-    val winSum = s"coalesce(list_sum(list_transform(generate_series(CAST(i * w AS BIGINT), CAST(least(n, (i + 1) * w) - 1 AS BIGINT)), j -> ${byteAt("j")})), 0)"
-    val winCnt = "greatest(least(n, (i + 1) * w) - i * w, 0)"
     s"""WITH m AS (
-       |  SELECT doc_id, $mediaType AS media_type, hex(encode(text)) AS hx,
+       |  SELECT doc_id, $mediaTypeSql AS media_type, hex(encode(text)) AS hx,
        |         octet_length(encode(text)) AS n
        |  FROM documents),
        |d AS (
        |  SELECT doc_id, media_type, hx, n, greatest(1, n // 8) AS w,
-       |         coalesce(list_sum(list_transform(generate_series(0, CAST(n - 1 AS BIGINT)), j -> ${byteAt("j")})), 0) AS total
+       |         coalesce(list_sum(list_transform(generate_series(0, CAST(n - 1 AS BIGINT)), j -> ${byteAtSql("j")})), 0) AS total
        |  FROM m),
        |ph AS (
        |  SELECT doc_id, media_type,
        |         CAST(CASE WHEN n = 0 THEN 0 ELSE
        |           coalesce(list_sum(list_transform(generate_series(0, 7), i ->
-       |             CASE WHEN $winSum * n > total * $winCnt THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)), 0)
+       |             CASE WHEN $winSumSql * n > total * $winCntSql THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)), 0)
        |         END AS BIGINT) AS phash
        |  FROM d)
        |SELECT media_type, phash, count(*) AS n_docs, min(doc_id) AS canonical_doc_id

@@ -127,8 +127,10 @@ class PlanSpec extends SparkSpec {
     // on the tiny centroid table, never a shuffle of the corpus
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       p.take(3000))
-    // the in-cluster pair generation is a keyed join on cell, not all-pairs
-    assert(p.contains("cell"), "pair join lost its cell key")
+    // the in-cluster pair generation is a keyed EQUI-join on cell, not
+    // all-pairs: the join operator itself must list cell as its key
+    assert("(?:SortMergeJoin|ShuffledHashJoin) \\[cell#".r.findFirstIn(p).nonEmpty,
+      "pair join lost its cell equi-key:\n" + p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 

@@ -220,6 +220,15 @@ class LibraryApiSpec extends SparkSpec {
     val again = Corpus.dsirSelectOn(docs, targetSource = "src0")
       .select("rank", "doc_id", "score").as[(Long, Long, Long)].collect()
     assert(again.toSeq === got.toSeq)
+    // a NULL-source doc counts in NEITHER distribution (matching the SQL
+    // twin's CASE three-valued logic): adding one changes nothing
+    val withNull = docs.unionByName(
+      Seq((9L, "alpha beta noise", "en", null.asInstanceOf[String], 16L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val nulled = Corpus.dsirSelectOn(withNull, targetSource = "src0")
+      .select("rank", "doc_id", "score").as[(Long, Long, Long)].collect()
+    assert(nulled.toSeq === got.toSeq,
+      "NULL-source doc leaked into a distribution or the selection")
   }
 
   test("sharded packing preserves totals and keeps per-shard chunk ids contiguous") {
