@@ -501,26 +501,42 @@ object Corpus {
   val DsirTargetSource = "src0"
   val DsirTopK = 50
 
-  def dsirSelectOn(docs: DataFrame,
-                   targetSource: String = DsirTargetSource): DataFrame = {
-    val tok = docs.select(col("doc_id"), col("lang"), col("source"),
+  private def dsirTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
         explode(Text.tokens(col("text"))).as("tok"))
       .withColumn("b", pmod(Dedup.baseHash(col("tok")), lit(DsirBuckets.toLong)))
-    val isTarget = col("source") === lit(targetSource)
-    // one pass, one agg: target and pool occurrence counts per bucket.
-    // Both arms use three-valued comparisons (===, =!=) so a NULL source
-    // counts in NEITHER distribution — exactly the SQL twin's CASE
-    // WHEN source =/<> ... THEN 1 ELSE 0 behavior on NULLs
-    val weights = tok.groupBy("b").agg(
-        sum(when(isTarget, 1L).otherwise(0L)).as("tc"),
+
+  /** The per-bucket importance-weight table, trained once from a frame
+    * containing both the target sample and the pool: [[DsirBuckets]] rows
+    * of (b, w). One map-side-combinable hash aggregate.
+    * Both count arms use three-valued comparisons (===, =!=) so a NULL
+    * source counts in NEITHER distribution — exactly the SQL twin's CASE
+    * WHEN source =/<> ... THEN 1 ELSE 0 behavior on NULLs. */
+  def dsirWeightsOn(docs: DataFrame,
+                    targetSource: String = DsirTargetSource): DataFrame =
+    dsirTokens(docs).groupBy("b").agg(
+        sum(when(col("source") === lit(targetSource), 1L).otherwise(0L)).as("tc"),
         sum(when(col("source") =!= lit(targetSource), 1L).otherwise(0L)).as("rc"))
       // floor(2^20 * (tc+1) / (rc+1)) via integer `div` — exact in both engines
       .select(col("b"),
         expr(s"((tc + 1) * ${1L << DsirScaleBits}) div (rc + 1)").as("w"))
-    val scored = tok.filter(!isTarget)
+
+  /** Score pool documents against a FIXED weight table (the deployment
+    * entry point: weights train once on target ∪ pool-sample, then any
+    * amount of pool streams through — see Streams.dsirScoreBatches for
+    * the streaming form). Per-doc integer scores, no ranking — selection
+    * policy (top-K, threshold) is the caller's. */
+  def dsirScoreAgainstOn(docs: DataFrame, weights: DataFrame,
+                         targetSource: String = DsirTargetSource): DataFrame =
+    dsirTokens(docs)
+      .filter(!(col("source") === lit(targetSource)))
       .join(broadcast(weights), "b")
       .groupBy("doc_id", "lang", "source")
       .agg(sum("w").as("score"), count(lit(1)).as("n_tokens"))
+
+  def dsirSelectOn(docs: DataFrame,
+                   targetSource: String = DsirTargetSource): DataFrame = {
+    val scored = dsirScoreAgainstOn(docs, dsirWeightsOn(docs, targetSource), targetSource)
     val top = scored.orderBy(col("score").desc, col("doc_id")).limit(DsirTopK)
     top.withColumn("rank",
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))

@@ -621,12 +621,21 @@ object Text {
   val FluencyHeavyMin = 30L
   val FluencyMin = 15.0
 
-  def lmFluencyOn(docs: DataFrame): DataFrame = {
-    val grams = docs.select(col("doc_id"),
+  private def fluencyGrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       explode(ngrams(tokens(col("text")), 2)).as("gram"))
-    val heavy = grams.groupBy("gram").agg(count(lit(1)).as("n"))
+
+  /** The heavy-bigram census table (gram, n) a fluency scorer probes —
+    * trained once over a reference corpus, bounded by the census floor. */
+  def fluencyCensusOn(docs: DataFrame): DataFrame =
+    fluencyGrams(docs).groupBy("gram").agg(count(lit(1)).as("n"))
       .filter(col("n") >= lit(FluencyHeavyMin))
-    val scored = grams.join(broadcast(heavy), Seq("gram"), "left")
+
+  /** Score documents against a FIXED heavy-gram census (the deployment
+    * entry point: the census trains once, then any amount of new text
+    * streams through — see Streams.fluencyBatches). */
+  def lmFluencyAgainstOn(docs: DataFrame, heavy: DataFrame): DataFrame = {
+    val scored = fluencyGrams(docs).join(broadcast(heavy), Seq("gram"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(coalesce(col("n"), lit(1L))).as("mass"))
@@ -639,6 +648,9 @@ object Text {
         coalesce(col("fluency") >= lit(FluencyMin), lit(false)).as("is_fluent"))
       .orderBy("doc_id")
   }
+
+  def lmFluencyOn(docs: DataFrame): DataFrame =
+    lmFluencyAgainstOn(docs, fluencyCensusOn(docs))
 
   def lmFluency(spark: SparkSession, dir: String): DataFrame =
     lmFluencyOn(Tables.documents(spark, dir))

@@ -162,6 +162,46 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Streaming DSIR importance scoring via foreachBatch: pool documents
+    * stream through a FROZEN per-bucket weight table
+    * ([[graft.ext.Corpus.dsirWeightsOn]], trained once on target ∪
+    * pool-sample — the published method's setup, where the raw pool is
+    * unbounded but the two hashed-n-gram distributions come from fixed
+    * samples). Scoring is per-document against a broadcast table, so the
+    * operator is STATELESS across batches and the union of batch outputs
+    * is row-identical to the one-shot
+    * [[graft.ext.Corpus.dsirScoreAgainstOn]] over all documents seen
+    * (StreamsSpec parity). Selection policy (top-K, threshold) belongs to
+    * the consumer of the scores — a global top-K is not a streaming
+    * decision. */
+  def dsirScoreBatches(docs: DataFrame, weights: DataFrame,
+                       trigger: org.apache.spark.sql.streaming.Trigger =
+                         org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                      (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        onBatch(graft.ext.Corpus.dsirScoreAgainstOn(batch.toDF(), weights), id)
+      }
+      .trigger(trigger)
+      .start()
+
+  /** Streaming LM-fluency gating via foreachBatch: new documents score
+    * against a FROZEN heavy-bigram census
+    * ([[graft.ext.Text.fluencyCensusOn]], trained once on a reference
+    * corpus). Stateless across batches; the union of batch outputs equals
+    * the one-shot [[graft.ext.Text.lmFluencyAgainstOn]] over all documents
+    * seen (StreamsSpec parity). */
+  def fluencyBatches(docs: DataFrame, census: DataFrame,
+                     trigger: org.apache.spark.sql.streaming.Trigger =
+                       org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                    (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        onBatch(graft.ext.Text.lmFluencyAgainstOn(batch.toDF(), census), id)
+      }
+      .trigger(trigger)
+      .start()
+
   /** Incremental MinHash near-dup detection via foreachBatch: each
     * micro-batch's documents are signed with the SAME
     * [[graft.ext.Dedup.minhashSigsOn]] the batch job uses, banded against

@@ -263,6 +263,73 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dsir scoring against frozen weights matches the batch scorer doc for doc") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_dsir_stream").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    // weights train ONCE on the full frame (target + pool); the pool then
+    // streams through in two micro-batches
+    val weights = graft.ext.Corpus.dsirWeightsOn(docs).persist()
+    Seq(0, 1).foreach { p =>
+      val tmp = s"$base/tmp$p"
+      docs.filter(col("doc_id") % 2 === p).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$base/in/b$p.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(20)
+    }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = Streams.dsirScoreBatches(stream, weights) { (scored, _) =>
+      val rows = scored.select("doc_id", "score", "n_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      buf.synchronized { buf ++= rows }
+    }
+    q.awaitTermination()
+    val batch = graft.ext.Corpus.dsirScoreAgainstOn(docs, weights)
+      .select("doc_id", "score", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    weights.unpersist()
+    assert(buf.size === buf.toSet.size, "a doc was scored in more than one micro-batch")
+    assert(buf.toSet === batch,
+      s"missing: ${(batch -- buf.toSet).take(3)}; extra: ${(buf.toSet -- batch).take(3)}")
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming fluency gate against a frozen census matches the batch scorer doc for doc") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_flu_stream").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val census = graft.ext.Text.fluencyCensusOn(docs).persist()
+    Seq(0, 1).foreach { p =>
+      val tmp = s"$base/tmp$p"
+      docs.filter(col("doc_id") % 2 === p).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$base/in/b$p.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(20)
+    }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Option[Double], Boolean)]
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = Streams.fluencyBatches(stream, census) { (scored, _) =>
+      val rows = scored.collect().map(r =>
+        (r.getLong(0), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4)))
+      buf.synchronized { buf ++= rows }
+    }
+    q.awaitTermination()
+    val batch = graft.ext.Text.lmFluencyAgainstOn(docs, census).collect().map(r =>
+      (r.getLong(0), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4))).toSet
+    census.unpersist()
+    assert(buf.size === buf.toSet.size, "a doc was gated in more than one micro-batch")
+    assert(buf.toSet === batch,
+      s"missing: ${(batch -- buf.toSet).take(3)}; extra: ${(buf.toSet -- batch).take(3)}")
+    assert(batch.nonEmpty)
+  }
+
   test("RocksDB state store backs stateful streaming (production state backend)") {
     // at real scale the default in-memory HDFS-backed store OOMs on large
     // key spaces; RocksDB is the production backend. Same query, same
