@@ -802,6 +802,40 @@ object Similarity {
        |${pqRerankTailSql(cfg.refine)}""".stripMargin
   }
 
+  // ---------------------------------------------------- corpus clustering
+  /** Public cell-assignment entry point: assign caller-supplied vectors to
+    * a FIXED trained quantizer (cent_id/centroid/c_nrm columns, e.g. from
+    * [[kmeansCentroidsOn]]) — the IVF index-ingestion step as a first-class
+    * operator, and what Streams.assignCellsBatches streams new vectors
+    * through. Emits (vec_id, cell, ccos): the assigned cell and the
+    * r6-rounded cosine to its centroid. */
+  def assignCellsAgainstOn(embeddings: DataFrame, cent: DataFrame): DataFrame =
+    assignCells(withNorm(embeddings), cent.select("cent_id", "centroid", "c_nrm"))
+      .join(broadcast(cent.select(col("cent_id").as("cell"),
+        col("centroid"), col("c_nrm"))), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        r6(dot(col("embedding"), col("centroid")) / (col("nrm") * col("c_nrm"))).as("ccos"))
+
+  /** Registered clustering query: every corpus vector's trained-quantizer
+    * cell + centroid cosine — the full k-means clustering of the corpus as
+    * a product (SemDeDup sharding, curriculum grouping, IVF index build all
+    * consume exactly this table). One broadcast-centroid corpus pass after
+    * training; the oracle shares [[kmeansCellsSql]] with the IVF family. */
+  def kmeansAssignOn(embeddings: DataFrame, cfg: KmeansCfg = KmeansCfg()): DataFrame = {
+    val cent = kmeansCentroidsOn(embeddings, cfg).persist()
+    assignCellsAgainstOn(embeddings, cent).orderBy("vec_id")
+  }
+
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssignOn(Tables.embeddings(spark, dir), KmeansCfg(dims = Dims))
+
+  val kmeansAssignSql: String =
+    s"""WITH $kmeansCellsSql
+       |SELECT s.vec_id, s.cell,
+       |       ${r6Sql(s"${dotSql("s.embedding", "c.centroid")} / (s.nrm * c.c_nrm)")} AS ccos
+       |FROM cells s JOIN c2 c ON s.cell = c.cent_id
+       |ORDER BY s.vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s_knn_bruteforce", knnBruteForce _, knnBruteForceSql),
     Q("s_knn_lsh", knnLsh _, knnLshSql),
@@ -810,5 +844,6 @@ object Similarity {
     Q("s_knn_pq", knnPq _, knnPqSql),
     Q("s_knn_ivfpq", knnIvfPq _, knnIvfPqSql),
     Q("s_label_centroids", labelCentroids _, labelCentroidsSql),
+    Q("s_kmeans_assign", kmeansAssign _, kmeansAssignSql),
   )
 }

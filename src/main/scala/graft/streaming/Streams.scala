@@ -202,6 +202,25 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Streaming IVF index ingestion via foreachBatch: new vectors are
+    * assigned to a FROZEN trained quantizer
+    * ([[graft.ext.Similarity.kmeansCentroidsOn]]) — the standard ANN
+    * index-build shape, where the coarse quantizer trains once on a sample
+    * and the corpus (or its growth) streams through a broadcast-centroid
+    * map pass. Stateless across batches; union of batch outputs equals the
+    * one-shot [[graft.ext.Similarity.assignCellsAgainstOn]] (StreamsSpec
+    * parity). */
+  def assignCellsBatches(vectors: DataFrame, cent: DataFrame,
+                         trigger: org.apache.spark.sql.streaming.Trigger =
+                           org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                        (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        onBatch(graft.ext.Similarity.assignCellsAgainstOn(batch.toDF(), cent), id)
+      }
+      .trigger(trigger)
+      .start()
+
   /** Incremental MinHash near-dup detection via foreachBatch: each
     * micro-batch's documents are signed with the SAME
     * [[graft.ext.Dedup.minhashSigsOn]] the batch job uses, banded against

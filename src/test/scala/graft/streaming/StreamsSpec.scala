@@ -330,6 +330,44 @@ class StreamsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming cell assignment against a frozen quantizer matches the batch assignment") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_assign_stream").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    val emb = graft.ops.Tables.embeddings(spark, sfDir)
+    val cent = graft.ext.Similarity.kmeansCentroidsOn(emb,
+      graft.ext.Similarity.KmeansCfg(dims = graft.ext.Similarity.Dims)).persist()
+    cent.count() // materialize before streaming reuses it per batch
+    Seq(0, 1).foreach { p =>
+      val tmp = s"$base/tmp$p"
+      emb.filter(col("vec_id") % 2 === p).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$base/in/b$p.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(20)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.IntegerType)))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = Streams.assignCellsBatches(stream, cent) { (assigned, _) =>
+      val rows = assigned.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      buf.synchronized { buf ++= rows }
+    }
+    q.awaitTermination()
+    val batch = graft.ext.Similarity.assignCellsAgainstOn(emb, cent)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamedSet = buf.map { case (v, c, cos) => (v, c, cos) }.toSet
+    cent.unpersist()
+    assert(buf.size === buf.toSet.size, "a vector was assigned in more than one micro-batch")
+    assert(streamedSet === batch,
+      s"missing: ${(batch -- streamedSet).take(3)}; extra: ${(streamedSet -- batch).take(3)}")
+    assert(batch.nonEmpty)
+  }
+
   test("RocksDB state store backs stateful streaming (production state backend)") {
     // at real scale the default in-memory HDFS-backed store OOMs on large
     // key spaces; RocksDB is the production backend. Same query, same
