@@ -145,6 +145,40 @@ class FormatsSpec extends SparkSpec {
     assert(joined.count() === lineitem.count()) // every lineitem has its order
   }
 
+  test("persisted IVF index: cell-bucketed corpus and probes join with no shuffle on either side") {
+    // the 100 TB ANN serving shape: the trained-quantizer assignment table
+    // (s_kmeans_assign's output) persists bucketed by cell, probe batches
+    // bucket the same way, and every search join is pre-hashed — the
+    // corpus-side Exchange that would dominate at scale never exists
+    val S = graft.ext.Similarity
+    val emb = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cent = S.kmeansCentroidsOn(emb, S.KmeansCfg(dims = S.Dims)).persist()
+    val cells = S.assignCellsAgainstOn(emb, cent)
+    val probes = S.assignCellsAgainstOn(emb.filter(col("vec_id") % 25 === 0), cent)
+      .withColumnRenamed("vec_id", "q_id").drop("ccos")
+    for (t <- Seq("ivf_cells", "ivf_probes")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    Formats.writeBucketed(cells, "ivf_cells", Seq("cell"), 8)
+    Formats.writeBucketed(probes, "ivf_probes", Seq("cell"), 8)
+    cent.unpersist()
+    val joined = spark.table("ivf_cells").join(spark.table("ivf_probes"), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed IVF join still shuffles:\n${plan.take(3000)}")
+    assert(joined.count() > 0, "no probe landed in any populated cell (degenerate)")
+  }
+
   test("range-clustered layout skips most data on a selective scan; unclustered cannot") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory("graft_clustered").toString
