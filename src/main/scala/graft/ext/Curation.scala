@@ -1,0 +1,102 @@
+package graft.ext
+
+import graft.Q
+import graft.ops.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The curation funnel: every per-document gate the pipeline ships —
+  * C4-style quality, Gopher repetition, LM fluency, benchmark
+  * decontamination, exact-dup canonicalization — composed into ONE verdict
+  * table with a deterministic drop reason per document. This is the
+  * operator a pipeline owner actually runs: not five reports to reconcile,
+  * but one keep/drop manifest with provenance.
+  *
+  * Composition discipline: the funnel has NO gate logic of its own. The
+  * Spark side calls the exact per-gate entry points the registry runs; the
+  * oracle embeds the per-gate ORACLE SQL as subqueries. Neither side can
+  * drift from the individual operators, and the oracle gate re-proves all
+  * five behaviors through one more independent path.
+  *
+  * Scale shape: each gate is its own bounded plan (scan-bound projections,
+  * census/broadcast joins — see the per-operator notes); the funnel adds
+  * only doc_id-keyed left joins of (doc_id, boolean) frames — narrow
+  * shuffles of verdict bits, never of text. The universe is the TRAINING
+  * pool (the benchmark slice is the eval suite, not corpus); dedup
+  * canonicals and the fluency census run over the FULL corpus, matching
+  * their registered forms.
+  */
+object Curation {
+  /** Gate order defines the reported drop reason: a document failing
+    * several gates reports the FIRST in pipeline order — quality,
+    * repetition, fluency, contamination, duplicate. */
+  def curationFunnelOn(docs: DataFrame): DataFrame = {
+    val train = docs.filter(pmod(col("doc_id"), lit(10L)) =!= lit(Corpus.BenchSlice))
+    val q = Text.qualityFilterRowsOn(docs).select(col("doc_id"), lit(true).as("pass_quality"))
+    val r = Text.repetitionStatsOn(docs).select(col("doc_id"), col("keep").as("pass_repetition"))
+    val f = Text.lmFluencyOn(docs).select(col("doc_id"), col("is_fluent"))
+    val d = Corpus.decontaminateOn(docs).select(col("doc_id"), col("keep").as("pass_decontam"))
+    val c = Text.fingerprintOn(docs)
+      .select(col("doc_id"), (col("is_canonical") === lit(1L)).as("is_canonical"))
+    val pq = coalesce(col("pass_quality"), lit(false))
+    val pr = coalesce(col("pass_repetition"), lit(false))
+    val pf = coalesce(col("is_fluent"), lit(false))
+    val pd = coalesce(col("pass_decontam"), lit(false))
+    val pc = coalesce(col("is_canonical"), lit(false))
+    train.select("doc_id", "lang", "source")
+      .join(q, Seq("doc_id"), "left")
+      .join(r, Seq("doc_id"), "left")
+      .join(f, Seq("doc_id"), "left")
+      .join(d, Seq("doc_id"), "left")
+      .join(c, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        pq.as("pass_quality"), pr.as("pass_repetition"), pf.as("is_fluent"),
+        pd.as("pass_decontam"), pc.as("is_canonical"),
+        (pq && pr && pf && pd && pc).as("kept"),
+        when(!pq, "quality").when(!pr, "repetition").when(!pf, "fluency")
+          .when(!pd, "contamination").when(!pc, "duplicate").as("drop_reason"))
+      .orderBy("doc_id")
+  }
+
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame =
+    curationFunnelOn(Tables.documents(spark, dir))
+
+  /** Oracle twin: the five REGISTERED oracle SQLs verbatim as subqueries
+    * (subquery ORDER BYs are legal and ignored), joined on the train
+    * spine. */
+  val curationFunnelSql: String =
+    s"""WITH spine AS (
+       |  SELECT doc_id, lang, source FROM documents
+       |  WHERE doc_id % 10 <> ${Corpus.BenchSlice}),
+       |fq AS (SELECT doc_id, TRUE AS pass_quality FROM (${Text.qualityFilterSql})),
+       |fr AS (SELECT doc_id, keep AS pass_repetition FROM (${Text.repetitionStatsSql})),
+       |ff AS (SELECT doc_id, is_fluent FROM (${Text.lmFluencySql})),
+       |fd AS (SELECT doc_id, keep AS pass_decontam FROM (${Corpus.decontaminateSql})),
+       |fc AS (SELECT doc_id, is_canonical = 1 AS is_canonical FROM (${Text.fingerprintSql}))
+       |SELECT s.doc_id, s.lang, s.source,
+       |       coalesce(fq.pass_quality, FALSE) AS pass_quality,
+       |       coalesce(fr.pass_repetition, FALSE) AS pass_repetition,
+       |       coalesce(ff.is_fluent, FALSE) AS is_fluent,
+       |       coalesce(fd.pass_decontam, FALSE) AS pass_decontam,
+       |       coalesce(fc.is_canonical, FALSE) AS is_canonical,
+       |       (coalesce(fq.pass_quality, FALSE) AND coalesce(fr.pass_repetition, FALSE)
+       |        AND coalesce(ff.is_fluent, FALSE) AND coalesce(fd.pass_decontam, FALSE)
+       |        AND coalesce(fc.is_canonical, FALSE)) AS kept,
+       |       CASE WHEN NOT coalesce(fq.pass_quality, FALSE) THEN 'quality'
+       |            WHEN NOT coalesce(fr.pass_repetition, FALSE) THEN 'repetition'
+       |            WHEN NOT coalesce(ff.is_fluent, FALSE) THEN 'fluency'
+       |            WHEN NOT coalesce(fd.pass_decontam, FALSE) THEN 'contamination'
+       |            WHEN NOT coalesce(fc.is_canonical, FALSE) THEN 'duplicate'
+       |            ELSE NULL END AS drop_reason
+       |FROM spine s
+       |LEFT JOIN fq ON s.doc_id = fq.doc_id
+       |LEFT JOIN fr ON s.doc_id = fr.doc_id
+       |LEFT JOIN ff ON s.doc_id = ff.doc_id
+       |LEFT JOIN fd ON s.doc_id = fd.doc_id
+       |LEFT JOIN fc ON s.doc_id = fc.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("t_curation_funnel", curationFunnel _, curationFunnelSql),
+  )
+}
