@@ -149,6 +149,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("curation funnel joins verdict bits by doc_id with no cartesian and partial aggregation") {
+    val p = plan(graft.ext.Curation.curationFunnel(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // five gate frames meet the spine through doc_id-keyed joins
+    assert("\\[doc_id#\\d+L\\], \\[doc_id#\\d+L\\]".r.findAllIn(p).size >= 4,
+      "funnel lost its doc_id join keys:\n" + p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation in the gates")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // 100 TB shape: fact ⋈ selectively-filtered dim without broadcast. Spark
     // injects a bloom filter built from the dim keys into the fact scan, so

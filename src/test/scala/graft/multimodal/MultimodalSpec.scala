@@ -62,6 +62,24 @@ class MultimodalSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("property: phash is invariant under uniform brightness shift (no overflow)") {
+    // winSum·n > total·winCnt is unchanged by payload[j] += c for all j:
+    // both sides gain c·winCnt·n — the aHash property that makes the hash
+    // perceptual (global exposure changes don't move images across groups)
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      bytes <- Gen.nonEmptyListOf(Gen.choose(0, 127))
+      shift <- Gen.choose(0, 100)
+    } yield (bytes, shift)
+    val prop = Prop.forAll(gen) { case (bytes, shift) =>
+      val a = bytes.map(_.toByte).toArray
+      val b = bytes.map(v => (v + shift).toByte).toArray
+      Multimodal.phash(a) == Multimodal.phash(b)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("phash: identical payloads collide, a shifted-brightness payload diverges, empty is 0") {
     // all-ASCII text whose byte windows have distinct means
     val a = "aaaa bbbb cccc dddd eeee ffff gggg zzzz".getBytes("UTF-8")
