@@ -375,4 +375,64 @@ object Streams {
           }
       }
   }
+
+  // ----------------------------------- sessionization on transformWithState
+  /** The same gap-sessionization on Spark 4's `transformWithState` — the
+    * arbitrary-state successor to `flatMapGroupsWithState` (typed per-key
+    * state handles, first-class event-time timers, RocksDB-only state
+    * backend). One shared `step` serves data batches and expired timers, so
+    * the semantics — list-valued unsealed intervals, watermark-gated
+    * sealing, out-of-order bridging inside the horizon — are line-for-line
+    * those of [[sessionize]]; StreamsSpec pins tws ≡ fMGWS ≡ the batch
+    * window twin on the same input. Timers: one per key at the earliest
+    * unsealed interval's seal time; stale timers (the interval got extended
+    * meanwhile) fire into an idempotent re-merge and re-register. */
+  private class SessionizeProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessionEvent, SessionOut] {
+    @transient private var buf: org.apache.spark.sql.streaming.ValueState[SessionBuffer] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      buf = getHandle.getValueState[SessionBuffer]("intervals",
+        org.apache.spark.sql.Encoders.product[SessionBuffer],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def step(uid: Long, fresh: Seq[SessionState], wmUs: Long): Iterator[SessionOut] = {
+      val prior = if (buf.exists()) buf.get().intervals else Seq.empty
+      val merged = mergeIntervals(prior ++ fresh)
+      val (flushed, open) = merged.partition(s => s.lastTsUs + SessionGapUs <= wmUs)
+      if (open.nonEmpty) {
+        buf.update(SessionBuffer(open))
+        val fireAtMs = open.map(_.lastTsUs).min / 1000 + SessionGapUs / 1000
+        getHandle.registerTimer(math.max(fireAtMs, wmUs / 1000 + 1))
+      } else if (buf.exists()) buf.clear()
+      flushed.iterator.map(s => SessionOut(uid, s.sessionStartUs, s.lastTsUs, s.n, s.sumValue))
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[SessionEvent],
+                                 tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] =
+      step(key, rows.map(e => SessionState(e.ts_us, e.ts_us, 1L, e.value)).toSeq,
+        tv.getCurrentWatermarkInMs() * 1000)
+
+    override def handleExpiredTimer(key: Long,
+                                    tv: org.apache.spark.sql.streaming.TimerValues,
+                                    info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] =
+      step(key, Seq.empty, tv.getCurrentWatermarkInMs() * 1000)
+  }
+
+  /** Streaming-only entry point (transformWithState has no batch execution
+    * path; the batch twin remains Sessions.sessionize). Requires the
+    * RocksDB state store provider on the session. */
+  def sessionizeTws(events: Dataset[SessionEvent],
+                    watermarkDelay: String = "1 hour"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("event_ts", watermarkDelay)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizeProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[SessionOut])
+  }
 }

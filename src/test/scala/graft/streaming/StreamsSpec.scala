@@ -455,6 +455,62 @@ class StreamsSpec extends SparkSpec {
       s"timeout failed to flush ${(mustEmit -- streamed).take(5)}")
   }
 
+  test("transformWithState sessionize matches flatMapGroupsWithState on the same micro-batches") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_tws_stream").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    val ev = graft.ops.Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+    // three event-time slices = three micro-batches, watermark monotone
+    val Array(lo, hi) = ev.agg(min("ts_us"), max("ts_us")).collect()
+      .map(r => Array(r.getLong(0), r.getLong(1))).head
+    val cuts = Array(lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val slices = Seq(
+      col("ts_us") <= cuts(0),
+      col("ts_us") > cuts(0) && col("ts_us") <= cuts(1),
+      col("ts_us") > cuts(1))
+    slices.zipWithIndex.foreach { case (pred, i) =>
+      val tmp = s"$base/tmp$i"
+      ev.filter(pred).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$base/in/slice$i.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(20)
+    }
+    def input = spark.readStream
+      .schema("user_id LONG, ts_us LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+      .as[Streams.SessionEvent]
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    val (tws, fmgs) = try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val t = Streams.runToMemory(spark,
+        Streams.sessionizeTws(input, "0 seconds").toDF(), "t_sessionize_tws")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      val f = Streams.runToMemory(spark,
+        Streams.sessionize(input, "0 seconds").toDF(), "t_sessionize_fmgs")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      (t, f)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    // the two arbitrary-state APIs must implement the identical semantics
+    assert(tws.toSet === fmgs.toSet,
+      s"tws-only: ${(tws.toSet -- fmgs.toSet).take(3)}; fmgs-only: ${(fmgs.toSet -- tws.toSet).take(3)}")
+    assert(tws.length === tws.toSet.size, "tws emitted a session twice")
+    // and every emitted session is a REAL batch session (no split/corrupt)
+    val batch = Sessions.sessionize(spark, sfDir)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(tws.map(t => (t._1, t._2, t._3, t._4)).toSet.subsetOf(batch),
+      "tws emitted a session not present in the batch run")
+    assert(tws.nonEmpty, "no session sealed before end-of-stream (degenerate slicing)")
+  }
+
   test("streaming sessionize absorbs an out-of-order in-horizon event without corrupting the session end") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val min = 60L * 1000000
