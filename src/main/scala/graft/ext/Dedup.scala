@@ -172,27 +172,41 @@ object Dedup {
     * [[minhashSigsOn]] + [[minhashCandidates]], shared by every MinHash
     * oracle so the two engines' candidate sets can never drift. */
   private def minhashCandCtes(numHashes: Int, numBands: Int): String = {
-    val rowsPerBand = numHashes / numBands
-    val mhCols = (0 until numHashes)
-      .map(i => s"min((${hashAOf(i)} * hh + ${hashBOf(i)}) % $P) AS mh_$i").mkString(",\n         ")
-    val bandSelects = (0 until numBands).map { j =>
-      val cols = (0 until rowsPerBand).map(k => s"mh_${j * rowsPerBand + k}").mkString(", ")
-      s"SELECT doc_id, $j AS band_idx, md5(concat_ws(',', $cols)) AS sig FROM mh"
-    }.mkString("\n  UNION ALL\n  ")
-    s"""toks AS (SELECT doc_id, ${Text.tokensSql("text")} AS t FROM documents),
-       |sh AS (SELECT doc_id, ${shingles3Sql("t")} AS shingles FROM toks),
-       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-       |h AS (SELECT doc_id, ${baseHashSql("s")} AS hh FROM ex),
-       |mh AS (
-       |  SELECT doc_id,
-       |         $mhCols
-       |  FROM h GROUP BY doc_id),
-       |bands AS (
-       |  $bandSelects),
+    s"""${minhashSigCtes("", "documents", numHashes)},
+       |${minhashBandCtes("", numHashes, numBands)},
        |cand AS (
        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM bands l JOIN bands r ON l.band_idx = r.band_idx AND l.sig = r.sig AND l.doc_id < r.doc_id
        |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Signature CTE chain `${p}toks → ${p}sh → ${p}ex → ${p}h → ${p}mh` over
+    * an arbitrary source relation — the oracle twin of [[minhashSigsOn]],
+    * prefix-parameterized so two corpora (train + eval) can carry
+    * signatures in one oracle query without CTE-name collisions. */
+  private def minhashSigCtes(p: String, from: String, numHashes: Int): String = {
+    val mhCols = (0 until numHashes)
+      .map(i => s"min((${hashAOf(i)} * hh + ${hashBOf(i)}) % $P) AS mh_$i").mkString(",\n         ")
+    s"""${p}toks AS (SELECT doc_id, ${Text.tokensSql("text")} AS t FROM $from),
+       |${p}sh AS (SELECT doc_id, ${shingles3Sql("t")} AS shingles FROM ${p}toks),
+       |${p}ex AS (SELECT doc_id, unnest(shingles) AS s FROM ${p}sh),
+       |${p}h AS (SELECT doc_id, ${baseHashSql("s")} AS hh FROM ${p}ex),
+       |${p}mh AS (
+       |  SELECT doc_id,
+       |         $mhCols
+       |  FROM ${p}h GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Band CTE `${p}bands` over `${p}mh` — the oracle twin of
+    * [[minhashBands]]. */
+  private def minhashBandCtes(p: String, numHashes: Int, numBands: Int): String = {
+    val rowsPerBand = numHashes / numBands
+    val bandSelects = (0 until numBands).map { j =>
+      val cols = (0 until rowsPerBand).map(k => s"mh_${j * rowsPerBand + k}").mkString(", ")
+      s"SELECT doc_id, $j AS band_idx, md5(concat_ws(',', $cols)) AS sig FROM ${p}mh"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""${p}bands AS (
+       |  $bandSelects)""".stripMargin
   }
 
   /** Signature-agreement fraction between aliases x and y — shared by every
@@ -209,6 +223,95 @@ object Dedup {
        |SELECT c.doc_a, c.doc_b, ${agreeSql(NumHashes)} AS est_jaccard
        |FROM cand c JOIN mh x ON c.doc_a = x.doc_id JOIN mh y ON c.doc_b = y.doc_id
        |ORDER BY c.doc_a, c.doc_b""".stripMargin
+
+  // ------------------------------------------- fuzzy (MinHash) decontamination
+  /** A training doc is contaminated when an eval doc's estimated Jaccard
+    * reaches this. est_jaccard is an exact multiple of 1/NumHashes (n/16),
+    * so the threshold compare is float-exact on both engines. */
+  val FuzzyContamMin = 0.5
+
+  /** Cross-corpus FUZZY contamination: flag training documents that are
+    * MinHash near-duplicates of an evaluation document — the near-dup form
+    * of [[Corpus.decontaminateAgainstOn]]'s exact n-gram overlap. The two
+    * are complementary (production pipelines run both): exact shingle
+    * overlap catches verbatim quotes of benchmark items inside larger
+    * documents, MinHash catches lightly edited whole-document copies that
+    * share few exact 13-gram-style windows but most of their shingle set.
+    *
+    * Output is a full train-side manifest: (doc_id, n_eval_matches,
+    * max_est_jaccard, keep) for EVERY training doc, keep = no eval match at
+    * [[FuzzyContamMin]].
+    *
+    * 100 TB design: eval suites are tiny next to the corpus, so the eval
+    * band table BROADCASTS and the candidate join is band-bucketed on the
+    * corpus side — one signature shuffle (min() partials map-side combine
+    * on the explode) and zero corpus-sized joins; only candidate pairs
+    * rejoin signatures, and the final manifest join carries (doc_id, long,
+    * double), never text. */
+  def fuzzyDecontaminateAgainstOn(train: DataFrame, evalDocs: DataFrame,
+                                  numHashes: Int = NumHashes, numBands: Int = NumBands): DataFrame = {
+    // persisted: 2 consumers (band side + signature rejoin); job-lifetime
+    // cache, same contract as minhashLshOn
+    val tSigs = minhashSigsOn(train, numHashes).persist()
+    val eSigs = minhashSigsOn(evalDocs, numHashes).persist()
+    val bt = minhashBands(tSigs, numHashes, numBands)
+    val be = minhashBands(eSigs, numHashes, numBands)
+      .withColumnRenamed("doc_id", "eval_id")
+    val cand = bt.join(broadcast(be), Seq("band_idx", "sig"))
+      .select(col("doc_id"), col("eval_id")).distinct()
+    val agree = (0 until numHashes).map(i =>
+      when(col(s"x.mh_$i") === col(s"y.mh_$i"), lit(1)).otherwise(lit(0))).reduce(_ + _)
+    val hits = cand.as("c")
+      .join(tSigs.as("x"), col("c.doc_id") === col("x.doc_id"))
+      .join(broadcast(eSigs.as("y")), col("c.eval_id") === col("y.doc_id"))
+      .select(col("c.doc_id").as("doc_id"), (agree / lit(numHashes.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= lit(FuzzyContamMin))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_eval_matches"), max(col("est_jaccard")).as("max_est_jaccard"))
+    train.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_eval_matches"), lit(0L)).as("n_eval_matches"),
+        coalesce(col("max_est_jaccard"), lit(0.0)).as("max_est_jaccard"),
+        col("n_eval_matches").isNull.as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Registered form: the deterministic doc_id-slice stands in as the eval
+    * set — the SAME slice ([[Corpus.BenchSlice]]) as `t_decontaminate`, so
+    * the exact and fuzzy manifests are directly comparable row-for-row. */
+  def fuzzyDecontaminateOn(docs: DataFrame): DataFrame =
+    fuzzyDecontaminateAgainstOn(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(Corpus.BenchSlice)),
+      docs.filter(pmod(col("doc_id"), lit(10)) === lit(Corpus.BenchSlice)))
+
+  def fuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    fuzzyDecontaminateOn(Tables.documents(spark, dir))
+
+  val fuzzyDecontaminateSql: String =
+    s"""WITH tdocs AS (SELECT * FROM documents WHERE doc_id % 10 <> ${Corpus.BenchSlice}),
+       |edocs AS (SELECT * FROM documents WHERE doc_id % 10 = ${Corpus.BenchSlice}),
+       |${minhashSigCtes("t", "tdocs", NumHashes)},
+       |${minhashSigCtes("e", "edocs", NumHashes)},
+       |${minhashBandCtes("t", NumHashes, NumBands)},
+       |${minhashBandCtes("e", NumHashes, NumBands)},
+       |cand AS (
+       |  SELECT l.doc_id, r.doc_id AS eval_id
+       |  FROM tbands l JOIN ebands r ON l.band_idx = r.band_idx AND l.sig = r.sig
+       |  GROUP BY 1, 2),
+       |hits AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_matches, max(est_jaccard) AS max_est_jaccard
+       |  FROM (
+       |    SELECT c.doc_id, ${agreeSql(NumHashes)} AS est_jaccard
+       |    FROM cand c JOIN tmh x ON c.doc_id = x.doc_id JOIN emh y ON c.eval_id = y.doc_id)
+       |  WHERE est_jaccard >= $FuzzyContamMin
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(h.n_eval_matches, 0) AS BIGINT) AS n_eval_matches,
+       |       coalesce(h.max_est_jaccard, 0.0) AS max_est_jaccard,
+       |       h.n_eval_matches IS NULL AS keep
+       |FROM tdocs d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   // ----------------------------------------------------------------- SimHash
   /** 64-bit SimHash fingerprints (the Manku/Charikar web-dedup width):
@@ -904,5 +1007,6 @@ object Dedup {
     Q("dd_embed_neardup_scale", embedNearDupScale _, embedNearDupScaleSql),
     Q("dd_semdedup", semDedup _, semDedupSql),
     Q("dd_dup_clusters", dupClusters _, dupClustersSql),
+    Q("t_decontaminate_fuzzy", fuzzyDecontaminate _, fuzzyDecontaminateSql),
   )
 }

@@ -211,4 +211,16 @@ class PlanSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("fuzzy decontamination: eval band table broadcasts, candidate join band-bucketed, no cartesian") {
+    val p = plan(graft.ext.Dedup.fuzzyDecontaminateOn(
+      graft.ops.Tables.documents(spark, dir)))
+    spark.catalog.clearCache() // persists both signature tables
+    // the train-side band stream probes a broadcast eval band table on
+    // (band_idx, sig) — the corpus never shuffles for candidate generation
+    assert(p.contains("BroadcastHashJoin [band_idx"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // signatures aggregate partially before their one doc_id shuffle
+    assert(p.contains("partial_min"), "minhash partial aggregation missing")
+  }
 }

@@ -237,4 +237,33 @@ class DedupSpec extends SparkSpec {
     val maxH = (1L << 28) - 1
     assert(Dedup.hashA.forall(a => a <= Long.MaxValue / maxH))
   }
+
+  test("fuzzy decontamination flags verbatim and lightly edited eval copies, keeps clean docs") {
+    val longText = (1 to 30).map(i => s"w$i").mkString(" ")
+    val edited = ((1 to 29).map(i => s"w$i") :+ "CHANGED").mkString(" ")
+    val train = Seq(
+      (1L, longText, "en", "web"),  // verbatim leak
+      (2L, edited, "en", "web"),    // lightly edited leak (1 of 30 tokens changed)
+      (3L, "one two three four five six seven", "en", "book"), // clean
+    ).toDF("doc_id", "text", "lang", "source")
+    val evalSuite = Seq((100L, longText, "en", "eval")).toDF("doc_id", "text", "lang", "source")
+    val out = Dedup.fuzzyDecontaminateAgainstOn(train, evalSuite).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    spark.catalog.clearCache()
+    assert(out(1L) === ((1L, 1.0, false)), "verbatim copy must flag with est_jaccard 1.0")
+    assert(out(2L)._2 >= Dedup.FuzzyContamMin && !out(2L)._3,
+      s"edited copy (true J = 25/31) must still flag: ${out(2L)}")
+    assert(out(2L)._2 < 1.0, "edited copy is not a full signature match")
+    assert(out(3L) === ((0L, 0.0, true)), "clean doc must be kept")
+  }
+
+  test("fuzzy decontamination slice form never judges benchmark docs; manifest covers all train docs") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Dedup.fuzzyDecontaminateOn(docs)
+    spark.catalog.clearCache()
+    assert(out.filter(pmod(col("doc_id"), lit(10)) === lit(Corpus.BenchSlice)).count() === 0)
+    assert(out.count() ===
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(Corpus.BenchSlice)).count(),
+      "every non-benchmark doc gets a manifest row")
+  }
 }
