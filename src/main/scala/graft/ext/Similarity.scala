@@ -836,6 +836,41 @@ object Similarity {
        |FROM cells s JOIN c2 c ON s.cell = c.cent_id
        |ORDER BY s.vec_id""".stripMargin
 
+  // ------------------------------------------------- embedding outlier gate
+  /** Own-centroid cosine below this flags a vector as an embedding-space
+    * outlier — ~p05 of the sf0.01 own-centroid cosine distribution
+    * (quantile sweep recorded in BASELINE.md), the usual curation regime of
+    * pruning the farthest few percent. The compare runs on the r6-rounded
+    * ccos both engines emit, so the gate is float-exact across them. */
+  val OutlierCosMin = 0.13
+
+  /** Embedding-space outlier gate: flag vectors far from their own trained
+    * cluster centroid — off-distribution or mislabeled samples sit far from
+    * every centroid, so their cosine to even the NEAREST one is low. The
+    * centroid-distance prune DataComp-style curation applies to embedding
+    * pools, as a keep/drop manifest over the whole corpus.
+    *
+    * Cost shape is identical to [[kmeansAssignOn]] (it IS that table plus a
+    * projection): Lloyd training bounded by k·iters broadcast passes, then
+    * one broadcast-centroid assignment pass; nothing corpus-sized shuffles
+    * beyond the per-vector argmax agg, so the gate scales like the IVF
+    * index build it shares plans with. */
+  def embedOutliersOn(embeddings: DataFrame, cfg: KmeansCfg = KmeansCfg(),
+                      cosMin: Double = OutlierCosMin): DataFrame =
+    kmeansAssignOn(embeddings, cfg)
+      .withColumn("keep", col("ccos") >= lit(cosMin))
+
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame =
+    embedOutliersOn(Tables.embeddings(spark, dir), KmeansCfg(dims = Dims))
+
+  val embedOutliersSql: String = {
+    val ccos = r6Sql(s"${dotSql("s.embedding", "c.centroid")} / (s.nrm * c.c_nrm)")
+    s"""WITH $kmeansCellsSql
+       |SELECT s.vec_id, s.cell, $ccos AS ccos, $ccos >= $OutlierCosMin AS keep
+       |FROM cells s JOIN c2 c ON s.cell = c.cent_id
+       |ORDER BY s.vec_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("s_knn_bruteforce", knnBruteForce _, knnBruteForceSql),
     Q("s_knn_lsh", knnLsh _, knnLshSql),
@@ -845,5 +880,6 @@ object Similarity {
     Q("s_knn_ivfpq", knnIvfPq _, knnIvfPqSql),
     Q("s_label_centroids", labelCentroids _, labelCentroidsSql),
     Q("s_kmeans_assign", kmeansAssign _, kmeansAssignSql),
+    Q("s_embed_outliers", embedOutliers _, embedOutliersSql),
   )
 }

@@ -196,4 +196,24 @@ class SimilaritySpec extends SparkSpec {
         (Similarity.norm(col("a")) * Similarity.norm(col("b")))).as("c")).as[Double].head()
     assert(math.abs(cos - 1.0) < 1e-12)
   }
+
+  test("embed outlier gate: keep is exactly the ccos threshold, layered on the assignment table") {
+    val emb = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.embedOutliersOn(emb, Similarity.KmeansCfg(dims = Similarity.Dims))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    spark.catalog.clearCache()
+    assert(out.length === emb.count(), "manifest must cover every vector")
+    assert(out.forall { case (_, _, ccos, keep) => keep === (ccos >= Similarity.OutlierCosMin) })
+    // the gate is kmeansAssignOn plus a flag — the underlying table must agree
+    val assign = Similarity.kmeansAssignOn(emb, Similarity.KmeansCfg(dims = Similarity.Dims))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    spark.catalog.clearCache()
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq === assign.toSeq)
+    // monotone in the knob: relaxing the threshold never drops a kept vector
+    val relaxed = Similarity.embedOutliersOn(emb, Similarity.KmeansCfg(dims = Similarity.Dims),
+      cosMin = Similarity.OutlierCosMin - 0.05)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    spark.catalog.clearCache()
+    assert(out.filter(_._4).forall { case (id, _, _, _) => relaxed(id) })
+  }
 }
