@@ -2,7 +2,7 @@ package graft.ext
 
 import graft.Q
 import graft.ops.Tables
-import graft.ops.Num.r6Sql
+import graft.ops.Num.{r6, r6Sql}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -570,6 +570,134 @@ object Corpus {
        |ORDER BY score DESC, doc_id
        |LIMIT $DsirTopK""".stripMargin
 
+  // ------------------------------------------------- stratified sampling
+  /** Total sample budget of the registered query — ~20% of the sf0.01
+    * corpus; a free knob on [[stratifiedSampleOn]]. */
+  val StratBudget = 100L
+
+  /** Deterministic stratified sample manifest: a fixed document budget
+    * allocated across languages proportionally to their corpus share
+    * (largest-remainder / Hamilton rounding, all-integer arithmetic — the
+    * quotas sum to the budget EXACTLY and both engines agree bit-for-bit),
+    * each language's quota then filled by the smallest salted doc-id hashes
+    * ("strat:" decorrelates from the split/mix/shard decision hashes). The
+    * eval-set builder's operator: "give me 100k documents matching the
+    * corpus's language mix, reproducibly".
+    *
+    * 100 TB design: the allocation table is |langs| rows (broadcast); the
+    * corpus side is one rank window per lang partition. For an extremely
+    * skewed language, the uniform hash keys admit a pre-prune — filter
+    * skey < (quota/n_l + margin)·2^28 to keep ~quota rows — before the
+    * exact rank; same plan shape, bounded per-partition sort. */
+  def stratifiedSampleOn(docs: DataFrame, budget: Long = StratBudget): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+    val tot = counts.agg(sum(col("n_l")).as("n"))
+    val alloc0 = counts.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($budget * n_l) div n"))
+      .withColumn("rem", pmod(lit(budget) * col("n_l"), col("n")))
+    val extra = alloc0.agg((lit(budget) - sum(col("base"))).as("extra"))
+    // windows over the |langs|-row allocation table: single partition is fine
+    val alloc = alloc0.crossJoin(broadcast(extra))
+      .withColumn("rk", row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
+      .select(col("lang"),
+        (col("base") + when(col("rk") <= col("extra"), 1L).otherwise(0L)).as("quota"))
+    val ranked = docs
+      .withColumn("skey", Dedup.baseHash(concat(lit("strat:"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("skey"), col("doc_id"))).cast("long"))
+    ranked.join(broadcast(alloc), Seq("lang"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("rk"))
+      .orderBy("doc_id")
+  }
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSampleOn(Tables.documents(spark, dir))
+
+  val stratifiedSampleSql: String =
+    s"""WITH counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM documents GROUP BY lang),
+       |tot AS (SELECT CAST(sum(n_l) AS BIGINT) AS n FROM counts),
+       |alloc0 AS (
+       |  SELECT lang, n_l, ($StratBudget * n_l) // n AS base, ($StratBudget * n_l) % n AS rem
+       |  FROM counts, tot),
+       |x AS (SELECT $StratBudget - CAST(sum(base) AS BIGINT) AS extra FROM alloc0),
+       |alloc AS (
+       |  SELECT lang,
+       |         base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang) <= extra
+       |                     THEN 1 ELSE 0 END AS quota
+       |  FROM alloc0, x),
+       |keyed AS (
+       |  SELECT doc_id, lang,
+       |         ${Dedup.baseHashSql("('strat:' || CAST(doc_id AS VARCHAR))")} AS skey
+       |  FROM documents),
+       |rk AS (
+       |  SELECT doc_id, lang,
+       |         CAST(row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id) AS BIGINT) AS rk
+       |  FROM keyed)
+       |SELECT k.doc_id, k.lang, k.rk
+       |FROM rk k JOIN alloc a ON k.lang = a.lang
+       |WHERE k.rk <= a.quota
+       |ORDER BY k.doc_id""".stripMargin
+
+  // ------------------------------------------------- source-level profile
+  /** A source whose duplicate share exceeds this is dropped wholesale —
+    * the domain-blocklist regime (mirror/scraper domains are mostly
+    * copies). Compared on the r6-rounded rate, exact on both engines. */
+  val SourceDupMax = 0.5
+  /** Docs under this many tokens count toward a source's short-doc rate. */
+  val ShortDocTokens = 20L
+
+  /** Per-source curation profile: doc and language counts, mean length,
+    * corpus-wide exact-duplicate share, short-doc share, and a keep verdict
+    * — the domain-level view (C4/RefinedWeb filter lists operate on exactly
+    * this table: a source that is mostly duplicates or stubs gets dropped
+    * as a unit, cheaper and safer than judging its documents one by one).
+    * Duplicate identity is the engine-wide normalized-text fingerprint
+    * ([[Dedup.exactOn]]'s), and it is CORPUS-wide: a mirror source whose
+    * copies originate elsewhere still shows dup_rate 1.0.
+    *
+    * 100 TB design: one fingerprint aggregate + one fp-keyed join (the
+    * exact-dedup shuffle shape, carrying (fp, count) not text), then a
+    * map-side-combinable per-source rollup over |sources| groups. */
+  def sourceStatsOn(docs: DataFrame): DataFrame = {
+    val fp = docs.select(col("source"), col("lang"),
+      size(Text.tokens(col("text"))).cast("long").as("n_tok"),
+      md5(Text.normalized(col("text"))).as("fp"))
+    val counts = fp.groupBy("fp").agg(count(lit(1)).as("n_fp"))
+    fp.join(counts, Seq("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        r6(avg(col("n_tok"))).as("avg_tokens"),
+        r6(avg(when(col("n_fp") > 1, 1.0).otherwise(0.0))).as("dup_rate"),
+        r6(avg(when(col("n_tok") < lit(ShortDocTokens), 1.0).otherwise(0.0))).as("short_rate"))
+      .withColumn("keep", col("dup_rate") <= lit(SourceDupMax))
+      .orderBy("source")
+  }
+
+  def sourceStats(spark: SparkSession, dir: String): DataFrame =
+    sourceStatsOn(Tables.documents(spark, dir))
+
+  val sourceStatsSql: String =
+    s"""WITH fp AS (
+       |  SELECT source, lang,
+       |         CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tok,
+       |         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents),
+       |c AS (SELECT fp, count(*) AS n_fp FROM fp GROUP BY fp),
+       |agg AS (
+       |  SELECT f.source,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(count(DISTINCT f.lang) AS BIGINT) AS n_langs,
+       |         ${r6Sql("avg(f.n_tok)")} AS avg_tokens,
+       |         ${r6Sql("avg(CASE WHEN c.n_fp > 1 THEN 1.0 ELSE 0.0 END)")} AS dup_rate,
+       |         ${r6Sql(s"avg(CASE WHEN f.n_tok < $ShortDocTokens THEN 1.0 ELSE 0.0 END)")} AS short_rate
+       |  FROM fp f JOIN c ON f.fp = c.fp
+       |  GROUP BY f.source)
+       |SELECT source, n_docs, n_langs, avg_tokens, dup_rate, short_rate,
+       |       dup_rate <= $SourceDupMax AS keep
+       |FROM agg ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t_corpus_mix", mix _, mixSql),
     Q("t_temp_mix", tempMix _, tempMixSql),
@@ -582,5 +710,7 @@ object Corpus {
     // verify join rejects its false positives) → the oracle is shared
     Q("t_decontaminate_bloom", decontaminateBloom _, decontaminateSql),
     Q("t_dsir_select", dsirSelect _, dsirSelectSql),
+    Q("t_stratified_sample", stratifiedSample _, stratifiedSampleSql),
+    Q("t_source_stats", sourceStats _, sourceStatsSql),
   )
 }

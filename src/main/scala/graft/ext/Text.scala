@@ -670,6 +670,66 @@ object Text {
        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------------- token entropy / diversity
+  /** Per-document lexical-diversity signals: unigram token entropy (bits)
+    * and type-token ratio — the compression-ratio-style quality axis the
+    * length/punct/stopword heuristics miss. Machine-generated or template
+    * text repeats a small vocabulary (low entropy, low TTR) at normal
+    * length and punctuation, so curation pipelines gate on diversity
+    * separately from [[textStatsOn]]'s shape features.
+    *
+    * Entropy uses the algebraic form H = log2(n) − (Σ c·log2 c)/n — one
+    * log per DISTINCT token, fewer float ops than −Σ(c/n)·log2(c/n), and
+    * the identical expression runs on both engines (r6-rounded output).
+    *
+    * 100 TB design: two hash aggregates, both map-side combinable — the
+    * (doc_id, token) count absorbs repeats before its shuffle and the
+    * per-doc rollup carries one row per distinct token; corpus-LINEAR like
+    * t_ngram_freq (the explode dominates), with no corpus-sized join
+    * anywhere (the manifest left join carries (doc_id, longs)). */
+  def tokenEntropyOn(docs: DataFrame): DataFrame = {
+    val perTok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val perDoc = perTok.groupBy("doc_id").agg(
+      sum("c").as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(col("c").cast("double") * log2(col("c").cast("double"))).as("clc"))
+    val scored = perDoc.select(col("doc_id"), col("n_tokens"), col("n_types"),
+      Num.r6(col("n_types").cast("double") / col("n_tokens")).as("type_token_ratio"),
+      Num.r6(log2(col("n_tokens").cast("double")) - col("clc") / col("n_tokens")).as("entropy"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("type_token_ratio"), lit(0.0)).as("type_token_ratio"),
+        coalesce(col("entropy"), lit(0.0)).as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    tokenEntropyOn(Tables.documents(spark, dir))
+
+  val tokenEntropySql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM documents),
+       |pt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+       |pd AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_types,
+       |         sum(c * log2(c)) AS clc
+       |  FROM pt GROUP BY doc_id),
+       |scored AS (
+       |  SELECT doc_id, n_tokens, n_types,
+       |         ${r6Sql("n_types / n_tokens")} AS type_token_ratio,
+       |         ${r6Sql("log2(n_tokens) - clc / n_tokens")} AS entropy
+       |  FROM pd)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |       CAST(coalesce(s.n_types, 0) AS BIGINT) AS n_types,
+       |       coalesce(s.type_token_ratio, 0.0) AS type_token_ratio,
+       |       coalesce(s.entropy, 0.0) AS entropy
+       |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t_text_stats", textStats _, textStatsSql),
     Q("t_quality_filter", qualityFilter _, qualityFilterSql),
@@ -683,5 +743,6 @@ object Text {
     Q("t_tfidf_keywords", tfidfKeywords _, tfidfKeywordsSql),
     Q("t_heavy_hitters", heavyHitters _, heavyHittersSql),
     Q("t_lm_fluency", lmFluency _, lmFluencySql),
+    Q("t_token_entropy", tokenEntropy _, tokenEntropySql),
   )
 }

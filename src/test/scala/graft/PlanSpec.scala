@@ -212,6 +212,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("stratified sample: allocation table broadcasts, rank window is lang-partitioned") {
+    val p = plan(graft.ext.Corpus.stratifiedSampleOn(
+      graft.ops.Tables.documents(spark, dir)))
+    // the |langs|-row quota table joins the ranked corpus via broadcast
+    assert(p.contains("BroadcastHashJoin [lang"), p.take(3000))
+    // the corpus rank is partitioned by lang — never a global single-partition sort
+    assert(p.contains("Window [row_number()") && p.contains("windowspecdefinition(lang"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("token entropy and source stats aggregate partially before their shuffles") {
+    val docs = graft.ops.Tables.documents(spark, dir)
+    val pe = plan(graft.ext.Text.tokenEntropyOn(docs))
+    assert(pe.contains("partial_count") && pe.contains("partial_sum"), pe.take(2000))
+    assert(!pe.contains("CartesianProduct"))
+    val ps = plan(graft.ext.Corpus.sourceStatsOn(docs))
+    // fingerprint counts combine map-side; the per-source rollup does too
+    assert("partial_count".r.findAllIn(ps).size >= 1, ps.take(2000))
+    assert(!ps.contains("CartesianProduct"))
+  }
+
   test("fuzzy decontamination: eval band table broadcasts, candidate join band-bucketed, no cartesian") {
     val p = plan(graft.ext.Dedup.fuzzyDecontaminateOn(
       graft.ops.Tables.documents(spark, dir)))

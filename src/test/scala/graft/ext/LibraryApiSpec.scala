@@ -275,4 +275,44 @@ class LibraryApiSpec extends SparkSpec {
       .filter(col("lo") =!= 0L || col("hi") > col("tok") / Corpus.ContextTokens)
     assert(bad.count() === 0, "per-shard chunk ids out of bounds")
   }
+
+  test("stratified sample: quotas sum to the budget, stay proportional, and the pick is deterministic") {
+    val bigDocs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.01")
+    val out = Corpus.stratifiedSampleOn(bigDocs, budget = 100L)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.values.sum === 100L, "largest-remainder quotas must sum to the budget exactly")
+    // Hamilton rounding never misses the exact proportional share by >= 1
+    val shares = bigDocs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = shares.values.sum.toDouble
+    byLang.foreach { case (lang, got) =>
+      val ideal = 100.0 * shares(lang) / n
+      assert(math.abs(got - ideal) < 1.0, s"$lang: got $got for ideal $ideal")
+    }
+    // ranks are 1..quota within each lang, and the pick repeats exactly
+    assert(out.groupBy("lang").agg(max("rk").as("mx"), count(lit(1)).as("c"))
+      .filter(col("mx") =!= col("c")).count() === 0)
+    assert(out.collect().toSeq === Corpus.stratifiedSampleOn(bigDocs, budget = 100L).collect().toSeq)
+  }
+
+  test("source stats: a mirror source of corpus-wide copies is dropped, short docs counted") {
+    val longA = (1 to 24).map(i => s"alpha$i").mkString(" ") // 24 tokens: not short
+    val longB = (1 to 24).map(i => s"beta$i").mkString(" ")
+    val d = Seq(
+      (1L, longA, "en", "clean"),
+      (2L, longB, "en", "clean"),
+      (3L, longA, "en", "mirror"),
+      (4L, longA, "de", "mirror"),
+      (5L, "tiny stub", "en", "clean"),
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = Corpus.sourceStatsOn(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toMap
+    // mirror: both docs are copies (of clean's #1 and of each other) -> dup_rate 1, dropped
+    assert(got("mirror") === ((2L, 2L, 1.0, 0.0, false)))
+    // clean: #1 is duplicated corpus-wide by the mirror -> 1/3 dup rate; #5 is short
+    assert(got("clean")._1 === 3L)
+    assert(got("clean")._3 === 0.333333 && got("clean")._4 === 0.333333)
+    assert(got("clean")._5, "a 1/3 dup rate stays under the blocklist threshold")
+  }
 }

@@ -142,4 +142,19 @@ class TextSpec extends SparkSpec {
     assert(fp(1L) === fp(2L))
     assert(fp(1L) !== fp(3L))
   }
+
+  test("token entropy: uniform tokens hit log2(n), repetition collapses to 0, tokenless docs emit 0") {
+    val docs = Seq(
+      (1L, "a b c d", "en", "s"),   // 4 distinct tokens, uniform
+      (2L, "a a a a", "en", "s"),   // one token repeated
+      (3L, "", "en", "s"),          // no tokens at all
+      (4L, "a a b b", "en", "s"),   // two tokens, uniform -> 1 bit
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = Text.tokenEntropyOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1L) === ((4L, 4L, 1.0, 2.0)), "uniform 4-token doc: H = log2(4) = 2 bits, TTR 1")
+    assert(got(2L) === ((4L, 1L, 0.25, 0.0)), "single repeated token: H = 0, TTR 1/4")
+    assert(got(3L) === ((0L, 0L, 0.0, 0.0)), "tokenless doc kept in the manifest with zeros")
+    assert(got(4L) === ((4L, 2L, 0.5, 1.0)), "two uniform tokens: H = 1 bit")
+  }
 }
