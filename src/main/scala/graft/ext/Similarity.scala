@@ -836,6 +836,72 @@ object Similarity {
        |FROM cells s JOIN c2 c ON s.cell = c.cent_id
        |ORDER BY s.vec_id""".stripMargin
 
+  // ------------------------------------------------- hard-negative mining
+  /** Contrastive hard-negative mining: for each strided probe vector, the
+    * top-[[TopK]] most-similar corpus vectors with a DIFFERENT label —
+    * "near in embedding space, wrong class", the negatives contrastive /
+    * metric-learning training wants (random negatives are too easy to carry
+    * gradient; the hardest ones live next to the anchor). Candidate
+    * generation is the k-means IVF cell bound — the same nprobe/ncells
+    * machinery as the ANN queries, because hard-negative mining at corpus
+    * scale IS an ANN search with a label-mismatch predicate.
+    *
+    * 100 TB design: centroids broadcast, probes bounded to nprobe cells,
+    * the label rides a vec_id-keyed (primary key) join carrying only
+    * (vec_id, label); per-probe ranking is a window over the cell-bounded
+    * candidate set, never the corpus. */
+  def hardNegativesOn(embeddings: DataFrame, nProbe: Int = NProbe,
+                      cfg: KmeansCfg = KmeansCfg()): DataFrame = {
+    val e = withNorm(embeddings)
+    // persisted: probe ranking + corpus assignment both re-run Lloyd without it
+    val cent = kmeansCentroidsOn(embeddings, cfg).persist()
+    val corpus = assignCells(e, cent)
+      .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val queries = corpus.filter(col("vec_id") % lit(QueryStride) === lit(0))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("label").as("q_label"))
+    val probes = probeCells(queries.select("q_id", "q_emb", "q_nrm"),
+        cent.select(col("cent_id").as("cell"), col("centroid"), col("c_nrm")), nProbe)
+      .join(broadcast(queries.select(col("q_id"), col("q_label"))), Seq("q_id"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .withColumn("cos", fastDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= lit(TopK))
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("label"), r6(col("cos")).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegativesOn(Tables.embeddings(spark, dir), cfg = KmeansCfg(dims = Dims))
+
+  val hardNegativesSql: String =
+    s"""WITH $kmeansCellsSql,
+       |corpus AS (
+       |  SELECT c.vec_id, c.embedding, c.nrm, c.cell, l.label
+       |  FROM cells c JOIN embeddings l ON c.vec_id = l.vec_id),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, label AS q_label
+       |      FROM corpus WHERE vec_id % $QueryStride = 0),
+       |pc AS (
+       |  SELECT q.q_id, q.q_emb, q.q_nrm, q.q_label, c.cent_id AS cell,
+       |         row_number() OVER (PARTITION BY q.q_id ORDER BY ${r6Sql(s"${dotSql("q.q_emb", "c.centroid")} / (q.q_nrm * c.c_nrm)")} DESC, c.cent_id) AS cell_rank
+       |  FROM q CROSS JOIN c2 c),
+       |probes AS (SELECT q_id, q_emb, q_nrm, q_label, cell FROM pc WHERE cell_rank <= $NProbe),
+       |scored AS (
+       |  SELECT p.q_id, s.vec_id, s.label,
+       |         ${dotSql("p.q_emb", "s.embedding")} / (p.q_nrm * s.nrm) AS cos
+       |  FROM corpus s JOIN probes p
+       |    ON s.cell = p.cell AND s.vec_id <> p.q_id AND s.label <> p.q_label),
+       |ranked AS (
+       |  SELECT q_id, vec_id, label, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, label, ${r6Sql("cos")} AS cosine
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+
   // ------------------------------------------------- embedding outlier gate
   /** Own-centroid cosine below this flags a vector as an embedding-space
     * outlier — ~p05 of the sf0.01 own-centroid cosine distribution
@@ -881,5 +947,6 @@ object Similarity {
     Q("s_label_centroids", labelCentroids _, labelCentroidsSql),
     Q("s_kmeans_assign", kmeansAssign _, kmeansAssignSql),
     Q("s_embed_outliers", embedOutliers _, embedOutliersSql),
+    Q("s_hard_negatives", hardNegatives _, hardNegativesSql),
   )
 }

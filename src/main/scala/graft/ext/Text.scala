@@ -730,6 +730,51 @@ object Text {
        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------------- vocabulary coverage
+  /** Vocabulary budget of the registered coverage table (a free knob). */
+  val VocabTopV = 256
+
+  /** Token-vocabulary coverage table: the corpus's [[VocabTopV]] most
+    * frequent tokens ranked with their cumulative share of ALL token
+    * occurrences — the table a tokenizer-budget decision reads ("what vocab
+    * size covers 95% of the corpus?") and the OOV-rate planner for fixed
+    * vocabularies. Ties break on the token string so ranks are total and
+    * deterministic on both engines.
+    *
+    * 100 TB design: the token census is one map-side-combinable aggregate;
+    * the top-V cut is a bounded TakeOrdered (never a global sort of the
+    * vocabulary), and the running-share window runs on V rows — the only
+    * single-partition stage is 256 rows by construction. */
+  def vocabCoverageOn(docs: DataFrame): DataFrame = {
+    val counts = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum("c").as("n"))
+    val ord = Window.orderBy(col("c").desc, col("tok"))
+    counts.orderBy(col("c").desc, col("tok")).limit(VocabTopV)
+      .crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("cum_frac", Num.r6(
+        sum(col("c")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          / col("n")))
+      .select(col("rank"), col("tok"), col("c"), col("cum_frac"))
+      .orderBy("rank")
+  }
+
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverageOn(Tables.documents(spark, dir))
+
+  val vocabCoverageSql: String =
+    s"""WITH tokc AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(${tokensSql("text")}) AS tok FROM documents)
+       |  GROUP BY tok),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tokc),
+       |top AS (SELECT tok, c FROM tokc ORDER BY c DESC, tok LIMIT $VocabTopV)
+       |SELECT CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rank, tok, c,
+       |       ${r6Sql("sum(c) OVER (ORDER BY c DESC, tok ROWS UNBOUNDED PRECEDING) / n")} AS cum_frac
+       |FROM top, tot
+       |ORDER BY rank""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t_text_stats", textStats _, textStatsSql),
     Q("t_quality_filter", qualityFilter _, qualityFilterSql),
@@ -744,5 +789,6 @@ object Text {
     Q("t_heavy_hitters", heavyHitters _, heavyHittersSql),
     Q("t_lm_fluency", lmFluency _, lmFluencySql),
     Q("t_token_entropy", tokenEntropy _, tokenEntropySql),
+    Q("t_vocab_coverage", vocabCoverage _, vocabCoverageSql),
   )
 }

@@ -162,6 +162,28 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Streaming FUZZY decontamination via foreachBatch: each micro-batch of
+    * arriving training documents is judged against the STATIC eval suite by
+    * the same [[graft.ext.Dedup.fuzzyDecontaminateAgainstOn]] the batch job
+    * runs. The MinHash verdict is per-train-doc against the fixed eval
+    * signature set, so the operator is STATELESS across batches and the
+    * union of batch outputs is row-identical to the one-shot run over all
+    * documents seen (StreamsSpec parity) — unlike
+    * [[minhashDedupBatches]], which carries a growing signature index
+    * because ITS pairs are train-vs-train. The eval signatures rebuild per
+    * trigger here; a long-running ingest precomputes that tiny table once
+    * and closes over it. */
+  def fuzzyDecontaminateBatches(docs: DataFrame, evalDocs: DataFrame,
+                                trigger: org.apache.spark.sql.streaming.Trigger =
+                                  org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                               (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        onBatch(graft.ext.Dedup.fuzzyDecontaminateAgainstOn(batch.toDF(), evalDocs), id)
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming DSIR importance scoring via foreachBatch: pool documents
     * stream through a FROZEN per-bucket weight table
     * ([[graft.ext.Corpus.dsirWeightsOn]], trained once on target ∪

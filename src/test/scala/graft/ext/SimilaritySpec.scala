@@ -197,6 +197,46 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(cos - 1.0) < 1e-12)
   }
 
+  test("hard negatives: every mined neighbor has a different label; probing all cells is exact") {
+    val emb = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cfg = Similarity.KmeansCfg(dims = Similarity.Dims)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val mined = Similarity.hardNegativesOn(emb, cfg = cfg).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getAs[Number](3).longValue, r.getDouble(4)))
+    spark.catalog.clearCache()
+    assert(mined.nonEmpty)
+    assert(mined.forall { case (q, _, n, lab, _) =>
+      labels(n) == lab && lab != labels(q) && n != q },
+      "a mined negative shares the probe's label (or is the probe itself)")
+    // per-probe ranks are 1..k with non-increasing cosine
+    mined.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall { case Array(a, b) => a._5 >= b._5; case _ => true })
+    }
+    // nprobe = ncells degenerates to the exact different-label top-k:
+    // brute-force it directly and compare row for row
+    val all = Similarity.hardNegativesOn(emb, nProbe = Similarity.KmeansK, cfg = cfg).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getAs[Number](3).longValue, r.getDouble(4)))
+    spark.catalog.clearCache()
+    val e = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getAs[Number](2).longValue))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = e.filter(_._1 % 25 == 0).flatMap { case (q, qe, ql) =>
+      e.filter(o => o._1 != q && o._3 != ql)
+        .map(o => (o._1, o._3, cos(qe, o._2)))
+        .sortBy(t => (-t._3, t._1)).take(5).zipWithIndex
+        .map { case ((n, lab, c), i) => (q, (i + 1).toLong, n, lab) }
+    }.toSet
+    assert(all.map(t => (t._1, t._2, t._3, t._4)).toSet === expected,
+      "full-probe mining must equal the brute-force different-label top-k")
+  }
+
   test("embed outlier gate: keep is exactly the ccos threshold, layered on the assignment table") {
     val emb = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.embedOutliersOn(emb, Similarity.KmeansCfg(dims = Similarity.Dims))

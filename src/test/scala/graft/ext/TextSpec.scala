@@ -143,6 +143,15 @@ class TextSpec extends SparkSpec {
     assert(fp(1L) !== fp(3L))
   }
 
+  test("vocab coverage: frequency-ranked tokens with exact cumulative shares") {
+    val docs = Seq((1L, "a a a b", "en", "s"), (2L, "b c", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Text.vocabCoverageOn(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // 6 tokens total: a x3, b x2, c x1
+    assert(got.toSeq === Seq((1L, "a", 3L, 0.5), (2L, "b", 2L, 0.833333), (3L, "c", 1L, 1.0)))
+  }
+
   test("token entropy: uniform tokens hit log2(n), repetition collapses to 0, tokenless docs emit 0") {
     val docs = Seq(
       (1L, "a b c d", "en", "s"),   // 4 distinct tokens, uniform

@@ -242,6 +242,40 @@ class StreamsSpec extends SparkSpec {
       s"missing: ${(batch -- buf.toSet).take(3)}; extra: ${(buf.toSet -- batch).take(3)}")
   }
 
+  test("streaming fuzzy decontamination emits exactly the batch manifest (frozen eval set)") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val sfDir = "/root/testdata/sf0.001"
+    val base = Files.createTempDirectory("fuzzydecon").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val train = docs.filter(col("doc_id") % 10 =!= lit(graft.ext.Corpus.BenchSlice))
+    val evalDocs = docs.filter(col("doc_id") % 10 === lit(graft.ext.Corpus.BenchSlice))
+    Seq(0, 1).foreach { p =>
+      val tmp = s"$base/tmp$p"
+      train.filter(col("doc_id") % 2 === p).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$base/in/b$p.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(20)
+    }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Boolean)]
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = Streams.fuzzyDecontaminateBatches(stream, evalDocs) { (scored, _) =>
+      val rows = scored.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      buf.synchronized { buf ++= rows }
+      scored.sparkSession.catalog.clearCache() // the judge persists per-batch signatures
+    }
+    q.awaitTermination()
+    val batch = graft.ext.Dedup.fuzzyDecontaminateAgainstOn(train, evalDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    spark.catalog.clearCache()
+    assert(buf.size === buf.toSet.size, "a doc was judged in more than one micro-batch")
+    assert(buf.toSet === batch,
+      s"missing: ${(batch -- buf.toSet).take(3)}; extra: ${(buf.toSet -- batch).take(3)}")
+  }
+
   test("streaming corpus mix emits exactly the batch mix (stateless pipeline op on a stream)") {
     // the mixing decisions are deterministic per-row hashes, so a streamed
     // corpus produces the identical weighted mix the batch run does —
