@@ -639,7 +639,10 @@ object Corpus {
        |WHERE k.rk <= a.quota
        |ORDER BY k.doc_id""".stripMargin
 
-  // ------------------------------------------------- source-level profile
+  // ---------------------------------------------- shared curation constants
+  // (defined ABOVE every val that splices them into oracle SQL — object
+  // vals initialize in declaration order, and a forward reference silently
+  // interpolates the uninitialized 0)
   /** A source whose duplicate share exceeds this is dropped wholesale —
     * the domain-blocklist regime (mirror/scraper domains are mostly
     * copies). Compared on the r6-rounded rate, exact on both engines. */
@@ -647,6 +650,107 @@ object Corpus {
   /** Docs under this many tokens count toward a source's short-doc rate. */
   val ShortDocTokens = 20L
 
+  // ------------------------------------------------- corpus health rollup
+  /** Corpus-health lattice: doc/token totals, corpus-wide exact-duplicate
+    * docs, and short docs at every level of the (lang × source) CUBE — the
+    * dashboard table behind "which slice of the corpus is dirty?", sharing
+    * [[sourceStatsOn]]'s fingerprint-join shape so the two views can't
+    * disagree on what a duplicate is. One fp aggregate + one fp join, then
+    * the 2^2 grouping sets share one partial aggregation (Spark `cube`). */
+  def corpusRollupOn(docs: DataFrame): DataFrame = {
+    val fp = docs.select(col("lang"), col("source"),
+      size(Text.tokens(col("text"))).cast("long").as("n_tok"),
+      md5(Text.normalized(col("text"))).as("fp"))
+    val counts = fp.groupBy("fp").agg(count(lit(1)).as("n_fp"))
+    fp.as("f").join(counts.as("c"), col("f.fp") === col("c.fp"))
+      .cube(col("f.lang").as("lang"), col("f.source").as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("f.n_tok")).as("n_tokens"),
+        sum(when(col("c.n_fp") > 1, 1L).otherwise(0L)).as("dup_docs"),
+        sum(when(col("f.n_tok") < lit(ShortDocTokens), 1L).otherwise(0L)).as("short_docs"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+  }
+
+  def corpusRollup(spark: SparkSession, dir: String): DataFrame =
+    corpusRollupOn(Tables.documents(spark, dir))
+
+  val corpusRollupSql: String =
+    s"""WITH fp AS (
+       |  SELECT lang, source,
+       |         CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tok,
+       |         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents),
+       |c AS (SELECT fp, count(*) AS n_fp FROM fp GROUP BY fp)
+       |SELECT f.lang, f.source,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(f.n_tok) AS BIGINT) AS n_tokens,
+       |       CAST(sum(CASE WHEN c.n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+       |       CAST(sum(CASE WHEN f.n_tok < $ShortDocTokens THEN 1 ELSE 0 END) AS BIGINT) AS short_docs
+       |FROM fp f JOIN c ON f.fp = c.fp
+       |GROUP BY CUBE (f.lang, f.source)
+       |ORDER BY f.lang NULLS FIRST, f.source NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------- sliding-window chunking
+  /** Window and stride (tokens) of the registered chunking query — free
+    * knobs on [[chunkWindowsOn]]; 32/24 gives a 8-token overlap and ~2
+    * chunks per testdata doc. */
+  val ChunkTokens = 32L
+  val ChunkStride = 24L
+
+  /** Sliding-window document chunking manifest — the embedding-ingest /
+    * retrieval chunker: every document is cut into fixed-token windows with
+    * overlap (stride < window), WITHIN the document, unlike [[seqPackOn]]
+    * which concatenates ACROSS documents. Emits one row per (doc, chunk)
+    * with token extents and the chunk's content hash — the table an
+    * embedding job or retrieval index ingests. Tokenless docs produce no
+    * chunks; the final window is allowed short (standard chunker
+    * semantics).
+    *
+    * 100 TB design: pure row-local arithmetic + explode (map-side, no
+    * shuffle but the presentation sort); chunk counts are
+    * 1 + ceil((n−C)/S) in exact integer arithmetic so both engines emit
+    * identical manifests. */
+  def chunkWindowsOn(docs: DataFrame, chunk: Long = ChunkTokens,
+                     stride: Long = ChunkStride): DataFrame =
+    docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .filter(col("n_tok") > 0)
+      .withColumn("n_chunks",
+        when(col("n_tok") <= lit(chunk), lit(1L))
+          .otherwise(lit(1L) + expr(s"(n_tok - $chunk + ${stride - 1}) div $stride")))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("start_tok", col("chunk_id") * lit(stride))
+      .withColumn("end_tok", least(col("start_tok") + lit(chunk), col("n_tok")))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok")).as("chunk_tok"),
+        md5(concat_ws(" ", slice(col("toks"),
+          (col("start_tok") + 1).cast("int"),
+          (col("end_tok") - col("start_tok")).cast("int")))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+
+  def chunkWindows(spark: SparkSession, dir: String): DataFrame =
+    chunkWindowsOn(Tables.documents(spark, dir))
+
+  val chunkWindowsSql: String =
+    s"""WITH toks AS (SELECT doc_id, ${Text.tokensSql("text")} AS t FROM documents),
+       |base AS (
+       |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tok FROM toks WHERE len(t) > 0),
+       |nc AS (
+       |  SELECT doc_id, t, n_tok,
+       |         CASE WHEN n_tok <= $ChunkTokens THEN 1
+       |              ELSE 1 + (n_tok - $ChunkTokens + ${ChunkStride - 1}) // $ChunkStride END AS n_chunks
+       |  FROM base),
+       |ex AS (SELECT doc_id, t, n_tok, unnest(range(0, n_chunks)) AS cid FROM nc),
+       |win AS (
+       |  SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+       |         CAST(cid * $ChunkStride AS BIGINT) AS start_tok,
+       |         CAST(least(cid * $ChunkStride + $ChunkTokens, n_tok) AS BIGINT) AS end_tok, t
+       |  FROM ex)
+       |SELECT doc_id, chunk_id, start_tok, end_tok,
+       |       end_tok - start_tok AS chunk_tok,
+       |       md5(array_to_string(t[start_tok + 1:end_tok], ' ')) AS chunk_hash
+       |FROM win ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ------------------------------------------------- source-level profile
   /** Per-source curation profile: doc and language counts, mean length,
     * corpus-wide exact-duplicate share, short-doc share, and a keep verdict
     * — the domain-level view (C4/RefinedWeb filter lists operate on exactly
@@ -712,5 +816,7 @@ object Corpus {
     Q("t_dsir_select", dsirSelect _, dsirSelectSql),
     Q("t_stratified_sample", stratifiedSample _, stratifiedSampleSql),
     Q("t_source_stats", sourceStats _, sourceStatsSql),
+    Q("t_chunk_windows", chunkWindows _, chunkWindowsSql),
+    Q("t_corpus_rollup", corpusRollup _, corpusRollupSql),
   )
 }

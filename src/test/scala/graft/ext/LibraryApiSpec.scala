@@ -296,6 +296,38 @@ class LibraryApiSpec extends SparkSpec {
     assert(out.collect().toSeq === Corpus.stratifiedSampleOn(bigDocs, budget = 100L).collect().toSeq)
   }
 
+  test("chunk windows: overlapping extents, short tail, no chunks for tokenless docs") {
+    val d = Seq(
+      (1L, (1 to 40).map(i => s"t$i").mkString(" "), "en", "s"), // 40 tokens -> 2 chunks
+      (2L, (1 to 10).map(i => s"u$i").mkString(" "), "en", "s"), // 10 tokens -> 1 chunk
+      (3L, "", "en", "s"),                                       // no tokens -> no rows
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = Corpus.chunkWindowsOn(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, 0L, 0L, 32L, 32L),   // [0,32)
+      (1L, 1L, 24L, 40L, 16L),  // [24,40): 8-token overlap, short tail
+      (2L, 0L, 0L, 10L, 10L)))
+    // chunk hashes are content hashes: the same token window hashes equally
+    val h = Corpus.chunkWindowsOn(d).select("chunk_hash").collect().map(_.getString(0))
+    assert(h.distinct.length === h.length, "distinct windows must hash distinctly here")
+  }
+
+  test("corpus rollup: grand total row matches the corpus, lattice levels are consistent") {
+    val bigDocs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Corpus.corpusRollupOn(bigDocs).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val grand = out.filter(t => t._1.isEmpty && t._2.isEmpty)
+    assert(grand.length === 1)
+    assert(grand.head._3 === bigDocs.count(), "grand-total doc count")
+    val leaves = out.filter(t => t._1.nonEmpty && t._2.nonEmpty)
+    assert(leaves.map(_._3).sum === grand.head._3, "leaf doc counts sum to the total")
+    assert(leaves.map(_._4).sum === grand.head._4, "leaf token counts sum to the total")
+    val byLang = out.filter(t => t._1.nonEmpty && t._2.isEmpty)
+    assert(byLang.map(_._3).sum === grand.head._3, "lang-level counts sum to the total")
+  }
+
   test("source stats: a mirror source of corpus-wide copies is dropped, short docs counted") {
     val longA = (1 to 24).map(i => s"alpha$i").mkString(" ") // 24 tokens: not short
     val longB = (1 to 24).map(i => s"beta$i").mkString(" ")
