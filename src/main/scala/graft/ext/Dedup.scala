@@ -812,11 +812,12 @@ object Dedup {
   def dupClusters(spark: SparkSession, dir: String): DataFrame =
     dupClustersOn(Tables.documents(spark, dir))
 
-  /** Oracle: exact transitive closure via recursive CTE, component =
-    * min reachable doc_id — tractable at oracle scale, semantically the
-    * fixpoint the propagation loop converges to. */
-  val dupClustersSql: String = {
-    s"""WITH RECURSIVE ${minhashCandCtes(NumHashes, NumBands)},
+  /** Exact transitive closure via recursive CTE through relations `comp`
+    * (doc_id, cluster_id) and `sizes` (cluster_id, cluster_size) — the
+    * shared oracle tail of the cluster query and the cluster-stats report,
+    * semantically the fixpoint the propagation loop converges to. */
+  private def dupClustersCtes: String =
+    s"""${minhashCandCtes(NumHashes, NumBands)},
        |edges AS (
        |  SELECT c.doc_a, c.doc_b
        |  FROM cand c JOIN mh x ON c.doc_a = x.doc_id JOIN mh y ON c.doc_b = y.doc_id
@@ -828,11 +829,44 @@ object Dedup {
        |  UNION
        |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
        |comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
-       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)""".stripMargin
+
+  /** Oracle: exact transitive closure via recursive CTE, component =
+    * min reachable doc_id — tractable at oracle scale. */
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE $dupClustersCtes
        |SELECT c.doc_id, c.cluster_id, s.cluster_size, c.doc_id = c.cluster_id AS is_canonical
        |FROM comp c JOIN sizes s ON c.cluster_id = s.cluster_id
        |ORDER BY c.doc_id""".stripMargin
-  }
+
+  // ------------------------------------------------- dedup savings report
+  /** Cluster-size histogram over the near-dup components: how many
+    * clusters of each size exist, how many documents they hold, and how
+    * many a keep-one-per-cluster dedup REMOVES — the "what does dedup buy
+    * us" report a curation run reads before committing to the deletion
+    * (size-1 singletons ⇒ nothing to remove). Layered on [[dupClustersOn]]
+    * (filter to the one canonical row per cluster, then a |distinct sizes|-
+    * row aggregate), so the report can never disagree with the manifest. */
+  def clusterStatsOn(docs: DataFrame,
+                     numHashes: Int = NumHashes, numBands: Int = NumBands): DataFrame =
+    dupClustersOn(docs, numHashes, numBands)
+      .filter(col("is_canonical"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"))
+      .orderBy("cluster_size")
+
+  def clusterStats(spark: SparkSession, dir: String): DataFrame =
+    clusterStatsOn(Tables.documents(spark, dir))
+
+  val clusterStatsSql: String =
+    s"""WITH RECURSIVE $dupClustersCtes
+       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       |       CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+       |       CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_removable
+       |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
   // ------------------------------------------------- embedding near-dup
   /** Embedding-cosine near-dup with banded sign-LSH blocking: band j's
@@ -1008,5 +1042,6 @@ object Dedup {
     Q("dd_semdedup", semDedup _, semDedupSql),
     Q("dd_dup_clusters", dupClusters _, dupClustersSql),
     Q("t_decontaminate_fuzzy", fuzzyDecontaminate _, fuzzyDecontaminateSql),
+    Q("dd_cluster_stats", clusterStats _, clusterStatsSql),
   )
 }

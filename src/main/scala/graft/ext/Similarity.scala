@@ -836,6 +836,38 @@ object Similarity {
        |FROM cells s JOIN c2 c ON s.cell = c.cent_id
        |ORDER BY s.vec_id""".stripMargin
 
+  // ------------------------------------------------- per-dimension statistics
+  /** Per-dimension mean/std of the embedding corpus — the normalization /
+    * whitening table: an embedding pipeline centers and scales dimensions
+    * before indexing (or diagnoses dead and dominant dimensions) from
+    * exactly this output. Variance via E[x²]−E[x]² (clamped at 0 for fp
+    * noise) so both engines compute the identical expression.
+    *
+    * 100 TB design: one posexplode (×dims rows, map-side combinable into
+    * |dims| groups — partials collapse to 64 rows per partition before the
+    * one tiny shuffle); no join, no window. */
+  def dimStatsOn(embeddings: DataFrame): DataFrame =
+    embeddings.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("x").cast("double").as("x"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        r6(avg(col("x"))).as("mean"),
+        r6(sqrt(greatest(lit(0.0),
+          avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))))).as("std"))
+      .orderBy("dim")
+
+  def dimStats(spark: SparkSession, dir: String): DataFrame =
+    dimStatsOn(Tables.embeddings(spark, dir))
+
+  val dimStatsSql: String =
+    s"""WITH ex AS (
+       |  SELECT r.i AS dim, CAST(embedding[r.i] AS DOUBLE) AS x
+       |  FROM embeddings CROSS JOIN range(1, ${Dims + 1}) r(i))
+       |SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+       |       ${r6Sql("avg(x)")} AS mean,
+       |       ${r6Sql("sqrt(greatest(0.0, avg(x*x) - avg(x)*avg(x)))")} AS std
+       |FROM ex GROUP BY dim ORDER BY dim""".stripMargin
+
   // ------------------------------------------------- hard-negative mining
   /** Contrastive hard-negative mining: for each strided probe vector, the
     * top-[[TopK]] most-similar corpus vectors with a DIFFERENT label —
@@ -948,5 +980,6 @@ object Similarity {
     Q("s_kmeans_assign", kmeansAssign _, kmeansAssignSql),
     Q("s_embed_outliers", embedOutliers _, embedOutliersSql),
     Q("s_hard_negatives", hardNegatives _, hardNegativesSql),
+    Q("s_dim_stats", dimStats _, dimStatsSql),
   )
 }

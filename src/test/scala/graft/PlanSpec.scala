@@ -234,6 +234,20 @@ class PlanSpec extends SparkSpec {
     assert(!ps.contains("CartesianProduct"))
   }
 
+  test("chunk windows: no shuffle before the presentation sort; rollup shares one partial agg") {
+    val docs = graft.ops.Tables.documents(spark, dir)
+    val pc = plan(graft.ext.Corpus.chunkWindowsOn(docs))
+    // row-local explode: the ONLY exchanges are the reader's round-robin
+    // and the final range partition for the sort
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(pc).size
+    assert(exchanges <= 1, s"chunking should not shuffle before its sort:\n${pc.take(3000)}")
+    assert(pc.contains("Generate explode"), pc.take(2000))
+    val pr = plan(graft.ext.Corpus.corpusRollupOn(docs))
+    assert(pr.contains("Expand"), "cube lattice should share one Expand/partial aggregation")
+    assert(pr.contains("partial_count"), pr.take(2000))
+    assert(!pr.contains("CartesianProduct"))
+  }
+
   test("fuzzy decontamination: eval band table broadcasts, candidate join band-bucketed, no cartesian") {
     val p = plan(graft.ext.Dedup.fuzzyDecontaminateOn(
       graft.ops.Tables.documents(spark, dir)))

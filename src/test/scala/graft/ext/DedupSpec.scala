@@ -238,6 +238,21 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.hashA.forall(a => a <= Long.MaxValue / maxH))
   }
 
+  test("cluster stats report is exactly the manifest's size histogram") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val manifest = Dedup.dupClustersOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    spark.catalog.clearCache()
+    val stats = Dedup.clusterStatsOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    val expected = manifest.filter(_._4).groupBy(_._3).toSeq.sortBy(_._1)
+      .map { case (size, rows) =>
+        (size, rows.length.toLong, size * rows.length, (size - 1) * rows.length) }
+    assert(stats.toSeq === expected)
+    assert(stats.map(_._3).sum === docs.count(), "histogram covers every document")
+  }
+
   test("fuzzy decontamination flags verbatim and lightly edited eval copies, keeps clean docs") {
     val longText = (1 to 30).map(i => s"w$i").mkString(" ")
     val edited = ((1 to 29).map(i => s"w$i") :+ "CHANGED").mkString(" ")

@@ -197,6 +197,17 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(cos - 1.0) < 1e-12)
   }
 
+  test("dim stats: exact per-dimension mean and std on a hand corpus") {
+    val df = Seq(
+      (1L, Array(1.0f, 10.0f), 0),
+      (2L, Array(3.0f, 10.0f), 0),
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.dimStatsOn(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // dim 1: mean 2, E[x^2]-E[x]^2 = 5-4 = 1 -> std 1; dim 2: constant -> std 0
+    assert(got.toSeq === Seq((1L, 2L, 2.0, 1.0), (2L, 2L, 10.0, 0.0)))
+  }
+
   test("hard negatives: every mined neighbor has a different label; probing all cells is exact") {
     val emb = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cfg = Similarity.KmeansCfg(dims = Similarity.Dims)
