@@ -775,6 +775,81 @@ object Text {
        |FROM top, tot
        |ORDER BY rank""".stripMargin
 
+  // ------------------------------------------------- bigram PMI collocations
+  /** Pair-count floor and table size of the registered PMI query (free
+    * knobs): rare pairs make PMI explode (log of a tiny denominator), so
+    * every collocation miner floors the pair count first. */
+  val PmiMinPair = 5L
+  val PmiTopK = 64
+
+  /** Collocation mining: the corpus's top adjacent-token pairs by
+    * pointwise mutual information — PMI = log2(P(xy) / (P(x)·P(y))) over
+    * the unigram and bigram censuses. High-PMI pairs are the
+    * tokenizer-merge / multi-word-expression candidates ("new york"-style
+    * units) a vocabulary builder promotes; [[vocabCoverageOn]] sizes the
+    * vocabulary, this ranks what to merge into it. Arithmetic is all-double
+    * past the exact integer censuses (N² overflows BIGINT at corpus scale),
+    * the identical expression on both engines, ranked on the r6-rounded
+    * score with the pair string as tiebreak — a total order, so the top-K
+    * cut is deterministic.
+    *
+    * 100 TB design: two map-side-combinable censuses (unigram, bigram);
+    * the pair-count floor prunes the bigram table before its two
+    * vocabulary-keyed joins; the top-K cut is a bounded TakeOrdered and
+    * the rank window runs on K rows. */
+  def bigramPmiOn(docs: DataFrame): DataFrame = {
+    val toks = docs.select(tokens(col("text")).as("t"))
+    val uni = toks.select(explode(col("t")).as("w")).groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = toks.agg(
+      sum(size(col("t")).cast("long")).as("n"),
+      sum(greatest(lit(0L), size(col("t")).cast("long") - 1)).as("m"))
+    val bi = toks.select(explode(ngrams(col("t"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= lit(PmiMinPair))
+    val scored = bi
+      .withColumn("x", element_at(split(col("bigram"), " "), 1))
+      .withColumn("y", element_at(split(col("bigram"), " "), 2))
+      .join(uni.select(col("w").as("x"), col("c").as("cx")), Seq("x"))
+      .join(uni.select(col("w").as("y"), col("c").as("cy")), Seq("y"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi", Num.r6(log2(
+        (col("n_pair").cast("double") * col("n").cast("double") * col("n").cast("double"))
+          / (col("m").cast("double") * col("cx").cast("double") * col("cy").cast("double")))))
+    val ord = Window.orderBy(col("pmi").desc, col("bigram"))
+    scored.orderBy(col("pmi").desc, col("bigram")).limit(PmiTopK)
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .select(col("rank"), col("bigram"), col("n_pair"), col("pmi"))
+      .orderBy("rank")
+  }
+
+  def bigramPmi(spark: SparkSession, dir: String): DataFrame =
+    bigramPmiOn(Tables.documents(spark, dir))
+
+  val bigramPmiSql: String =
+    s"""WITH toks AS (SELECT ${tokensSql("text")} AS t FROM documents),
+       |uni AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+       |tot AS (
+       |  SELECT CAST(sum(len(t)) AS BIGINT) AS n,
+       |         CAST(sum(greatest(0, len(t) - 1)) AS BIGINT) AS m
+       |  FROM toks),
+       |bi AS (
+       |  SELECT bigram, CAST(count(*) AS BIGINT) AS n_pair
+       |  FROM (SELECT unnest(${ngramsSql("t", 2)}) AS bigram FROM toks)
+       |  GROUP BY bigram HAVING count(*) >= $PmiMinPair),
+       |scored AS (
+       |  SELECT b.bigram, b.n_pair,
+       |         ${r6Sql("log2((CAST(b.n_pair AS DOUBLE) * CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)) / (CAST(t.m AS DOUBLE) * CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE)))")} AS pmi
+       |  FROM bi b
+       |  JOIN uni ux ON ux.w = string_split(b.bigram, ' ')[1]
+       |  JOIN uni uy ON uy.w = string_split(b.bigram, ' ')[2]
+       |  CROSS JOIN tot t),
+       |top AS (SELECT * FROM scored ORDER BY pmi DESC, bigram LIMIT $PmiTopK)
+       |SELECT CAST(row_number() OVER (ORDER BY pmi DESC, bigram) AS BIGINT) AS rank,
+       |       bigram, n_pair, pmi
+       |FROM top ORDER BY rank""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t_text_stats", textStats _, textStatsSql),
     Q("t_quality_filter", qualityFilter _, qualityFilterSql),
@@ -790,5 +865,6 @@ object Text {
     Q("t_lm_fluency", lmFluency _, lmFluencySql),
     Q("t_token_entropy", tokenEntropy _, tokenEntropySql),
     Q("t_vocab_coverage", vocabCoverage _, vocabCoverageSql),
+    Q("t_bigram_pmi", bigramPmi _, bigramPmiSql),
   )
 }

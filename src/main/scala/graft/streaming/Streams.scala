@@ -184,6 +184,25 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Streaming chunk ingestion via foreachBatch: arriving documents are cut
+    * into their overlapping windows by the same
+    * [[graft.ext.Corpus.chunkWindowsOn]] the batch job runs — chunk
+    * extents are a pure function of each document alone, so the operator
+    * is STATELESS and the union of batch outputs is row-identical to the
+    * one-shot run (StreamsSpec parity). This is the front half of a
+    * streaming embedding-index ingest: chunks out of this hook feed
+    * [[assignCellsBatches]] once embedded. */
+  def chunkWindowsBatches(docs: DataFrame,
+                          trigger: org.apache.spark.sql.streaming.Trigger =
+                            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                         (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        onBatch(graft.ext.Corpus.chunkWindowsOn(batch.toDF()), id)
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming DSIR importance scoring via foreachBatch: pool documents
     * stream through a FROZEN per-bucket weight table
     * ([[graft.ext.Corpus.dsirWeightsOn]], trained once on target ∪

@@ -143,6 +143,22 @@ class TextSpec extends SparkSpec {
     assert(fp(1L) !== fp(3L))
   }
 
+  test("bigram PMI: exact scores on a hand corpus, pair floor prunes rare pairs") {
+    // "x y" x6 -> tokens N=12, bigrams M=11: "x y" 6, "y x" 5; both >= floor 5
+    val d = Seq((1L, "x y x y x y x y x y x y", "en", "s"),
+      (2L, "solo solo solo", "en", "s")) // "solo solo" bigram count 2 < 5 -> pruned
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Text.bigramPmiOn(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._2).toSeq === Seq("x y", "y x"), "only the floored pairs, PMI-ranked")
+    assert(got.map(_._3).toSeq === Seq(6L, 5L))
+    // N=15 tokens, M=13 bigrams corpus-wide; c_x=c_y=6
+    def pmi(pair: Long) = math.log(pair.toDouble * 15 * 15 / (13.0 * 6 * 6)) / math.log(2.0)
+    assert(math.abs(got(0)._4 - pmi(6)) < 1e-6)
+    assert(math.abs(got(1)._4 - pmi(5)) < 1e-6)
+    assert(got(0)._4 > got(1)._4)
+  }
+
   test("vocab coverage: frequency-ranked tokens with exact cumulative shares") {
     val docs = Seq((1L, "a a a b", "en", "s"), (2L, "b c", "en", "s"))
       .toDF("doc_id", "text", "lang", "source")

@@ -242,6 +242,37 @@ class StreamsSpec extends SparkSpec {
       s"missing: ${(batch -- buf.toSet).take(3)}; extra: ${(buf.toSet -- batch).take(3)}")
   }
 
+  test("streaming chunking emits exactly the batch chunk table (stateless per-doc windows)") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val sfDir = "/root/testdata/sf0.001"
+    val base = Files.createTempDirectory("chunkstream").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    Seq(0, 1).foreach { p =>
+      val tmp = s"$base/tmp$p"
+      docs.filter(col("doc_id") % 2 === p).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$base/in/b$p.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(20)
+    }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, String)]
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = Streams.chunkWindowsBatches(stream) { (chunks, _) =>
+      val rows = chunks.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+      buf.synchronized { buf ++= rows }
+    }
+    q.awaitTermination()
+    val batch = graft.ext.Corpus.chunkWindowsOn(docs).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toSet
+    assert(batch.nonEmpty)
+    assert(buf.size === buf.toSet.size, "a chunk was emitted in more than one micro-batch")
+    assert(buf.toSet === batch,
+      s"missing: ${(batch -- buf.toSet).take(3)}; extra: ${(buf.toSet -- batch).take(3)}")
+  }
+
   test("streaming fuzzy decontamination emits exactly the batch manifest (frozen eval set)") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val sfDir = "/root/testdata/sf0.001"
