@@ -45,10 +45,14 @@ object Bench {
       Thread.sleep(300) // let concurrent GC cycles finish outside the next query's timing
       name -> times.min
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver records a bounded TAIL of this line, truncating the FRONT
+    // (round-6 record lost the total + the 7 earliest entries). Emit the
+    // per-query map cheapest-first so truncation can only drop the small
+    // entries, and repeat the total at the very end so it always survives.
+    val qs = results.toSeq.sortBy(_._2).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs,"total_sec":$total}""")
     spark.stop()
   }
 }
