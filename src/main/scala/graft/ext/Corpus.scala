@@ -750,6 +750,49 @@ object Corpus {
        |       md5(array_to_string(t[start_tok + 1:end_tok], ' ')) AS chunk_hash
        |FROM win ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ------------------------------------------------- chunk-level dedup
+  /** Exact dedup at the CHUNK level: group [[chunkWindowsOn]]'s windows by
+    * content hash — the retrieval-ingest dedup (identical boilerplate
+    * chunks recur across documents even when no two whole documents match,
+    * and an embedding index wants one vector per distinct chunk). Summary
+    * form like `dd_exact`: one row per distinct chunk with its copy count,
+    * distinct-document spread, and canonical (smallest doc_id) holder.
+    *
+    * 100 TB design: the chunk table is map-side (no shuffle), so the whole
+    * operator costs ONE hash-keyed aggregate carrying (hash, longs) —
+    * never chunk text. */
+  def chunkDedupOn(docs: DataFrame, chunk: Long = ChunkTokens,
+                   stride: Long = ChunkStride): DataFrame =
+    chunkWindowsOn(docs, chunk, stride)
+      .groupBy("chunk_hash")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("canonical_doc_id"))
+      .orderBy("chunk_hash")
+
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    chunkDedupOn(Tables.documents(spark, dir))
+
+  // the chunk CTE chain mirrors chunkWindowsSql up to the window extents
+  val chunkDedupSql: String =
+    s"""WITH toks AS (SELECT doc_id, ${Text.tokensSql("text")} AS t FROM documents),
+       |base AS (
+       |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tok FROM toks WHERE len(t) > 0),
+       |nc AS (
+       |  SELECT doc_id, t, n_tok,
+       |         CASE WHEN n_tok <= $ChunkTokens THEN 1
+       |              ELSE 1 + (n_tok - $ChunkTokens + ${ChunkStride - 1}) // $ChunkStride END AS n_chunks
+       |  FROM base),
+       |ex AS (SELECT doc_id, t, n_tok, unnest(range(0, n_chunks)) AS cid FROM nc),
+       |ch AS (
+       |  SELECT doc_id,
+       |         md5(array_to_string(t[cid * $ChunkStride + 1:least(cid * $ChunkStride + $ChunkTokens, n_tok)], ' ')) AS chunk_hash
+       |  FROM ex)
+       |SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_copies,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       min(doc_id) AS canonical_doc_id
+       |FROM ch GROUP BY chunk_hash ORDER BY chunk_hash""".stripMargin
+
   // ------------------------------------------------- source-level profile
   /** Per-source curation profile: doc and language counts, mean length,
     * corpus-wide exact-duplicate share, short-doc share, and a keep verdict
@@ -817,6 +860,7 @@ object Corpus {
     Q("t_stratified_sample", stratifiedSample _, stratifiedSampleSql),
     Q("t_source_stats", sourceStats _, sourceStatsSql),
     Q("t_chunk_windows", chunkWindows _, chunkWindowsSql),
+    Q("t_chunk_dedup", chunkDedup _, chunkDedupSql),
     Q("t_corpus_rollup", corpusRollup _, corpusRollupSql),
   )
 }

@@ -313,6 +313,24 @@ class LibraryApiSpec extends SparkSpec {
     assert(h.distinct.length === h.length, "distinct windows must hash distinctly here")
   }
 
+  test("chunk dedup: repeated chunks collapse to one row with the smallest holder as canonical") {
+    val longText = (1 to 40).map(i => s"t$i").mkString(" ")
+    val d = Seq(
+      (7L, longText, "en", "s"),
+      (3L, longText, "en", "s"),                               // full copy: every chunk shared
+      (9L, (1 to 10).map(i => s"u$i").mkString(" "), "en", "s"), // unique chunk
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = Corpus.chunkDedupOn(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 40-token docs make 2 windows each, shared between docs 3 and 7
+    assert(got.length === 3, s"2 shared windows + 1 unique, got ${got.length}")
+    val shared = got.filter(_._2 === 2L)
+    assert(shared.length === 2)
+    assert(shared.forall(t => t._3 === 2L && t._4 === 3L),
+      "shared chunks span both docs with the smaller doc_id canonical")
+    assert(got.count(t => t._2 === 1L && t._4 === 9L) === 1)
+  }
+
   test("corpus rollup: grand total row matches the corpus, lattice levels are consistent") {
     val bigDocs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = Corpus.corpusRollupOn(bigDocs).collect()
