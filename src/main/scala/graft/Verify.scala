@@ -19,9 +19,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
-      .foreach { case (name, fn) =>
+    // a typo'd filter name must fail loudly, not dump nothing and exit 0
+    // (a stale previous dump would then pass for a fresh parity result)
+    val unknown = only.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty)
+      sys.error(s"unknown query name(s): ${unknown.mkString(", ")}")
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

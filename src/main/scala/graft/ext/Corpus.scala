@@ -657,37 +657,58 @@ object Corpus {
     * [[sourceStatsOn]]'s fingerprint-join shape so the two views can't
     * disagree on what a duplicate is. One fp aggregate + one fp join, then
     * the 2^2 grouping sets share one partial aggregation (Spark `cube`). */
-  def corpusRollupOn(docs: DataFrame): DataFrame = {
-    val fp = docs.select(col("lang"), col("source"),
+  /** (source, lang, n_tok, n_fp) rows — every document joined with its
+    * CORPUS-WIDE fingerprint count: the one fingerprint pipeline behind
+    * both [[sourceStatsOn]] and [[corpusRollupOn]], so the two views cannot
+    * disagree on what a duplicate or a token count is. Fingerprint identity
+    * is [[Dedup.exactOn]]'s normalized-text md5. */
+  private def fpJoinedOn(docs: DataFrame): DataFrame = {
+    val fp = docs.select(col("source"), col("lang"),
       size(Text.tokens(col("text"))).cast("long").as("n_tok"),
       md5(Text.normalized(col("text"))).as("fp"))
     val counts = fp.groupBy("fp").agg(count(lit(1)).as("n_fp"))
     fp.as("f").join(counts.as("c"), col("f.fp") === col("c.fp"))
-      .cube(col("f.lang").as("lang"), col("f.source").as("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("f.n_tok")).as("n_tokens"),
-        sum(when(col("c.n_fp") > 1, 1L).otherwise(0L)).as("dup_docs"),
-        sum(when(col("f.n_tok") < lit(ShortDocTokens), 1L).otherwise(0L)).as("short_docs"))
-      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+      .select(col("f.source").as("source"), col("f.lang").as("lang"),
+        col("f.n_tok").as("n_tok"), col("c.n_fp").as("n_fp"))
   }
+
+  /** Oracle twin of [[fpJoinedOn]]: CTE chain fp → c → fj, the shared
+    * front half of the source-stats and rollup oracles. */
+  private def fpJoinCtes: String =
+    s"""fp AS (
+       |  SELECT source, lang,
+       |         CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tok,
+       |         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents),
+       |c AS (SELECT fp, count(*) AS n_fp FROM fp GROUP BY fp),
+       |fj AS (SELECT f.source, f.lang, f.n_tok, c.n_fp FROM fp f JOIN c ON f.fp = c.fp)""".stripMargin
+
+  def corpusRollupOn(docs: DataFrame): DataFrame =
+    fpJoinedOn(docs)
+      .cube(col("lang"), col("source"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("n_fp") > 1, 1L).otherwise(0L)).as("dup_docs"),
+        sum(when(col("n_tok") < lit(ShortDocTokens), 1L).otherwise(0L)).as("short_docs"))
+      // gid disambiguates a subtotal's NULL marker from a genuine NULL
+      // lang/source value AND restores a total sort order when data NULLs
+      // exist (caller-supplied frames may have them)
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first, col("gid"))
 
   def corpusRollup(spark: SparkSession, dir: String): DataFrame =
     corpusRollupOn(Tables.documents(spark, dir))
 
   val corpusRollupSql: String =
-    s"""WITH fp AS (
-       |  SELECT lang, source,
-       |         CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tok,
-       |         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
-       |  FROM documents),
-       |c AS (SELECT fp, count(*) AS n_fp FROM fp GROUP BY fp)
-       |SELECT f.lang, f.source,
+    s"""WITH $fpJoinCtes
+       |SELECT lang, source,
+       |       CAST(grouping(lang, source) AS BIGINT) AS gid,
        |       CAST(count(*) AS BIGINT) AS n_docs,
-       |       CAST(sum(f.n_tok) AS BIGINT) AS n_tokens,
-       |       CAST(sum(CASE WHEN c.n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
-       |       CAST(sum(CASE WHEN f.n_tok < $ShortDocTokens THEN 1 ELSE 0 END) AS BIGINT) AS short_docs
-       |FROM fp f JOIN c ON f.fp = c.fp
-       |GROUP BY CUBE (f.lang, f.source)
-       |ORDER BY f.lang NULLS FIRST, f.source NULLS FIRST""".stripMargin
+       |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |       CAST(sum(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+       |       CAST(sum(CASE WHEN n_tok < $ShortDocTokens THEN 1 ELSE 0 END) AS BIGINT) AS short_docs
+       |FROM fj
+       |GROUP BY CUBE (lang, source)
+       |ORDER BY lang NULLS FIRST, source NULLS FIRST, gid""".stripMargin
 
   // ------------------------------------------------- sliding-window chunking
   /** Window and stride (tokens) of the registered chunking query — free
@@ -710,7 +731,11 @@ object Corpus {
     * 1 + ceil((n−C)/S) in exact integer arithmetic so both engines emit
     * identical manifests. */
   def chunkWindowsOn(docs: DataFrame, chunk: Long = ChunkTokens,
-                     stride: Long = ChunkStride): DataFrame =
+                     stride: Long = ChunkStride): DataFrame = {
+    // stride = 0 would NULL out n_chunks under non-ANSI div (silent data
+    // loss); stride > chunk would leave uncovered token gaps between windows
+    require(chunk > 0 && stride > 0 && stride <= chunk,
+      s"need 0 < stride <= chunk, got chunk=$chunk stride=$stride")
     docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .withColumn("n_tok", size(col("toks")).cast("long"))
       .filter(col("n_tok") > 0)
@@ -726,12 +751,18 @@ object Corpus {
           (col("start_tok") + 1).cast("int"),
           (col("end_tok") - col("start_tok")).cast("int")))).as("chunk_hash"))
       .orderBy("doc_id", "chunk_id")
+  }
 
   def chunkWindows(spark: SparkSession, dir: String): DataFrame =
     chunkWindowsOn(Tables.documents(spark, dir))
 
-  val chunkWindowsSql: String =
-    s"""WITH toks AS (SELECT doc_id, ${Text.tokensSql("text")} AS t FROM documents),
+  /** Oracle twin of the window-extent arithmetic: CTE chain
+    * toks → base → nc → ex → win (doc_id, chunk_id, start_tok, end_tok, t)
+    * — the one place the chunk arithmetic exists in SQL, shared by the
+    * chunk-manifest and chunk-dedup oracles exactly as the Scala sides
+    * share [[chunkWindowsOn]]. */
+  private def chunkCtes: String =
+    s"""toks AS (SELECT doc_id, ${Text.tokensSql("text")} AS t FROM documents),
        |base AS (
        |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tok FROM toks WHERE len(t) > 0),
        |nc AS (
@@ -744,10 +775,16 @@ object Corpus {
        |  SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
        |         CAST(cid * $ChunkStride AS BIGINT) AS start_tok,
        |         CAST(least(cid * $ChunkStride + $ChunkTokens, n_tok) AS BIGINT) AS end_tok, t
-       |  FROM ex)
+       |  FROM ex)""".stripMargin
+
+  /** The chunk's content hash over the `win` relation. */
+  private def chunkHashSql: String = "md5(array_to_string(t[start_tok + 1:end_tok], ' '))"
+
+  val chunkWindowsSql: String =
+    s"""WITH $chunkCtes
        |SELECT doc_id, chunk_id, start_tok, end_tok,
        |       end_tok - start_tok AS chunk_tok,
-       |       md5(array_to_string(t[start_tok + 1:end_tok], ' ')) AS chunk_hash
+       |       $chunkHashSql AS chunk_hash
        |FROM win ORDER BY doc_id, chunk_id""".stripMargin
 
   // ------------------------------------------------- chunk-level dedup
@@ -773,25 +810,13 @@ object Corpus {
   def chunkDedup(spark: SparkSession, dir: String): DataFrame =
     chunkDedupOn(Tables.documents(spark, dir))
 
-  // the chunk CTE chain mirrors chunkWindowsSql up to the window extents
   val chunkDedupSql: String =
-    s"""WITH toks AS (SELECT doc_id, ${Text.tokensSql("text")} AS t FROM documents),
-       |base AS (
-       |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tok FROM toks WHERE len(t) > 0),
-       |nc AS (
-       |  SELECT doc_id, t, n_tok,
-       |         CASE WHEN n_tok <= $ChunkTokens THEN 1
-       |              ELSE 1 + (n_tok - $ChunkTokens + ${ChunkStride - 1}) // $ChunkStride END AS n_chunks
-       |  FROM base),
-       |ex AS (SELECT doc_id, t, n_tok, unnest(range(0, n_chunks)) AS cid FROM nc),
-       |ch AS (
-       |  SELECT doc_id,
-       |         md5(array_to_string(t[cid * $ChunkStride + 1:least(cid * $ChunkStride + $ChunkTokens, n_tok)], ' ')) AS chunk_hash
-       |  FROM ex)
-       |SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_copies,
+    s"""WITH $chunkCtes
+       |SELECT $chunkHashSql AS chunk_hash,
+       |       CAST(count(*) AS BIGINT) AS n_copies,
        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
        |       min(doc_id) AS canonical_doc_id
-       |FROM ch GROUP BY chunk_hash ORDER BY chunk_hash""".stripMargin
+       |FROM win GROUP BY 1 ORDER BY chunk_hash""".stripMargin
 
   // ------------------------------------------------- source-level profile
   /** Per-source curation profile: doc and language counts, mean length,
@@ -806,12 +831,8 @@ object Corpus {
     * 100 TB design: one fingerprint aggregate + one fp-keyed join (the
     * exact-dedup shuffle shape, carrying (fp, count) not text), then a
     * map-side-combinable per-source rollup over |sources| groups. */
-  def sourceStatsOn(docs: DataFrame): DataFrame = {
-    val fp = docs.select(col("source"), col("lang"),
-      size(Text.tokens(col("text"))).cast("long").as("n_tok"),
-      md5(Text.normalized(col("text"))).as("fp"))
-    val counts = fp.groupBy("fp").agg(count(lit(1)).as("n_fp"))
-    fp.join(counts, Seq("fp"))
+  def sourceStatsOn(docs: DataFrame): DataFrame =
+    fpJoinedOn(docs)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("lang")).as("n_langs"),
@@ -820,27 +841,21 @@ object Corpus {
         r6(avg(when(col("n_tok") < lit(ShortDocTokens), 1.0).otherwise(0.0))).as("short_rate"))
       .withColumn("keep", col("dup_rate") <= lit(SourceDupMax))
       .orderBy("source")
-  }
 
   def sourceStats(spark: SparkSession, dir: String): DataFrame =
     sourceStatsOn(Tables.documents(spark, dir))
 
   val sourceStatsSql: String =
-    s"""WITH fp AS (
-       |  SELECT source, lang,
-       |         CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tok,
-       |         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
-       |  FROM documents),
-       |c AS (SELECT fp, count(*) AS n_fp FROM fp GROUP BY fp),
+    s"""WITH $fpJoinCtes,
        |agg AS (
-       |  SELECT f.source,
+       |  SELECT source,
        |         CAST(count(*) AS BIGINT) AS n_docs,
-       |         CAST(count(DISTINCT f.lang) AS BIGINT) AS n_langs,
-       |         ${r6Sql("avg(f.n_tok)")} AS avg_tokens,
-       |         ${r6Sql("avg(CASE WHEN c.n_fp > 1 THEN 1.0 ELSE 0.0 END)")} AS dup_rate,
-       |         ${r6Sql(s"avg(CASE WHEN f.n_tok < $ShortDocTokens THEN 1.0 ELSE 0.0 END)")} AS short_rate
-       |  FROM fp f JOIN c ON f.fp = c.fp
-       |  GROUP BY f.source)
+       |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |         ${r6Sql("avg(n_tok)")} AS avg_tokens,
+       |         ${r6Sql("avg(CASE WHEN n_fp > 1 THEN 1.0 ELSE 0.0 END)")} AS dup_rate,
+       |         ${r6Sql(s"avg(CASE WHEN n_tok < $ShortDocTokens THEN 1.0 ELSE 0.0 END)")} AS short_rate
+       |  FROM fj
+       |  GROUP BY source)
        |SELECT source, n_docs, n_langs, avg_tokens, dup_rate, short_rate,
        |       dup_rate <= $SourceDupMax AS keep
        |FROM agg ORDER BY source""".stripMargin

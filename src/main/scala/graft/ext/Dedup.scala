@@ -252,6 +252,19 @@ object Dedup {
                                   numHashes: Int = NumHashes, numBands: Int = NumBands): DataFrame = {
     // persisted: 2 consumers (band side + signature rejoin); job-lifetime
     // cache, same contract as minhashLshOn
+    val (out, _) = fuzzyDecontaminateWithCaches(train, evalDocs, numHashes, numBands)
+    out
+  }
+
+  /** [[fuzzyDecontaminateAgainstOn]] plus handles to its two persisted
+    * signature tables, for callers that must release them per invocation —
+    * [[graft.streaming.Streams.fuzzyDecontaminateBatches]] unpersists after
+    * every micro-batch (a long-running trigger would otherwise accumulate
+    * two cached tables per batch). Batch callers use the public method and
+    * the job-lifetime cache contract. */
+  private[graft] def fuzzyDecontaminateWithCaches(
+      train: DataFrame, evalDocs: DataFrame,
+      numHashes: Int = NumHashes, numBands: Int = NumBands): (DataFrame, Seq[DataFrame]) = {
     val tSigs = minhashSigsOn(train, numHashes).persist()
     val eSigs = minhashSigsOn(evalDocs, numHashes).persist()
     val bt = minhashBands(tSigs, numHashes, numBands)
@@ -268,13 +281,14 @@ object Dedup {
       .filter(col("est_jaccard") >= lit(FuzzyContamMin))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_eval_matches"), max(col("est_jaccard")).as("max_est_jaccard"))
-    train.select(col("doc_id"))
+    val out = train.select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_eval_matches"), lit(0L)).as("n_eval_matches"),
         coalesce(col("max_est_jaccard"), lit(0.0)).as("max_est_jaccard"),
         col("n_eval_matches").isNull.as("keep"))
       .orderBy("doc_id")
+    (out, Seq(tSigs, eSigs))
   }
 
   /** Registered form: the deterministic doc_id-slice stands in as the eval

@@ -179,7 +179,13 @@ object Streams {
                                (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        onBatch(graft.ext.Dedup.fuzzyDecontaminateAgainstOn(batch.toDF(), evalDocs), id)
+        // per-batch caches must be released here (a long-running trigger
+        // would otherwise persist two new signature tables every batch) —
+        // same discipline as minhashDedupBatches' newSigs.unpersist()
+        val (scored, caches) =
+          graft.ext.Dedup.fuzzyDecontaminateWithCaches(batch.toDF(), evalDocs)
+        try onBatch(scored, id)
+        finally caches.foreach(_.unpersist())
       }
       .trigger(trigger)
       .start()

@@ -333,17 +333,20 @@ class LibraryApiSpec extends SparkSpec {
 
   test("corpus rollup: grand total row matches the corpus, lattice levels are consistent") {
     val bigDocs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    // gid (grouping_id) identifies the lattice level robustly — a caller
+    // with genuine NULL lang/source values still gets unambiguous rows
     val out = Corpus.corpusRollupOn(bigDocs).collect()
       .map(r => (Option(r.getString(0)), Option(r.getString(1)),
-        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
-    val grand = out.filter(t => t._1.isEmpty && t._2.isEmpty)
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    val grand = out.filter(_._3 === 3L) // both dims rolled up
     assert(grand.length === 1)
-    assert(grand.head._3 === bigDocs.count(), "grand-total doc count")
-    val leaves = out.filter(t => t._1.nonEmpty && t._2.nonEmpty)
-    assert(leaves.map(_._3).sum === grand.head._3, "leaf doc counts sum to the total")
-    assert(leaves.map(_._4).sum === grand.head._4, "leaf token counts sum to the total")
-    val byLang = out.filter(t => t._1.nonEmpty && t._2.isEmpty)
-    assert(byLang.map(_._3).sum === grand.head._3, "lang-level counts sum to the total")
+    assert(grand.head._4 === bigDocs.count(), "grand-total doc count")
+    val leaves = out.filter(_._3 === 0L)
+    assert(leaves.forall(t => t._1.nonEmpty && t._2.nonEmpty))
+    assert(leaves.map(_._4).sum === grand.head._4, "leaf doc counts sum to the total")
+    assert(leaves.map(_._5).sum === grand.head._5, "leaf token counts sum to the total")
+    val byLang = out.filter(_._3 === 1L) // source rolled up, lang kept
+    assert(byLang.map(_._4).sum === grand.head._4, "lang-level counts sum to the total")
   }
 
   test("source stats: a mirror source of corpus-wide copies is dropped, short docs counted") {

@@ -296,7 +296,7 @@ class StreamsSpec extends SparkSpec {
       val rows = scored.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
       buf.synchronized { buf ++= rows }
-      scored.sparkSession.catalog.clearCache() // the judge persists per-batch signatures
+      // no clearCache needed: the hook itself unpersists its per-batch caches
     }
     q.awaitTermination()
     val batch = graft.ext.Dedup.fuzzyDecontaminateAgainstOn(train, evalDocs).collect()
