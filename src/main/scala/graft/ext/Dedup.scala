@@ -327,6 +327,57 @@ object Dedup {
        |FROM tdocs d LEFT JOIN hits h ON d.doc_id = h.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------------------- shingle novelty
+  /** Per-document n-gram novelty: the fraction of a doc's DISTINCT shingles
+    * that appear in no other document — the memorization-risk / novelty
+    * axis (a doc of mostly corpus-unique shingles contributes new content;
+    * one of mostly shared shingles is boilerplate or near-copy). The
+    * inverse complement of the span-coverage view: coverage asks "how much
+    * of this doc is duplicated elsewhere", novelty asks "how much exists
+    * nowhere else". Shingle-less docs score 1.0 (they share nothing).
+    *
+    * 100 TB design: the shingle census is one map-side-combinable
+    * aggregate keyed on the 28-bit shingle hash; the rejoin carries
+    * (doc_id, hash, long) — never text — and the per-doc rollup combines
+    * map-side. Same shuffle shape as the decontamination family. */
+  def ngramNoveltyOn(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(shingles3(Text.tokens(col("text")))).as("s"))
+      .withColumn("h", baseHash(col("s")))
+    // shingles3 dedups within a doc, so the census counts DOCUMENTS per shingle
+    val census = sh.groupBy("h").agg(count(lit(1)).as("n_docs_with"))
+    val perDoc = sh.join(census, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("n_docs_with") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty", Num.r6(col("n_unique") / col("n_shingles")))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        coalesce(col("novelty"), lit(1.0)).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNoveltyOn(Tables.documents(spark, dir))
+
+  val ngramNoveltySql: String =
+    s"""WITH toks AS (SELECT doc_id, ${Text.tokensSql("text")} AS t FROM documents),
+       |sh AS (SELECT doc_id, unnest(${shingles3Sql("t")}) AS s FROM toks),
+       |h AS (SELECT doc_id, ${baseHashSql("s")} AS h FROM sh),
+       |census AS (SELECT h, count(*) AS n_docs_with FROM h GROUP BY h),
+       |pd AS (
+       |  SELECT hh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |         CAST(sum(CASE WHEN c.n_docs_with = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+       |  FROM h hh JOIN census c ON hh.h = c.h
+       |  GROUP BY hh.doc_id)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+       |       CAST(coalesce(p.n_unique, 0) AS BIGINT) AS n_unique,
+       |       coalesce(${r6Sql("p.n_unique / p.n_shingles")}, 1.0) AS novelty
+       |FROM documents d LEFT JOIN pd p ON d.doc_id = p.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // ----------------------------------------------------------------- SimHash
   /** 64-bit SimHash fingerprints (the Manku/Charikar web-dedup width):
     * per-token hash bits voted with ±1 weights (multiplicity counts), bit
@@ -1057,5 +1108,6 @@ object Dedup {
     Q("dd_dup_clusters", dupClusters _, dupClustersSql),
     Q("t_decontaminate_fuzzy", fuzzyDecontaminate _, fuzzyDecontaminateSql),
     Q("dd_cluster_stats", clusterStats _, clusterStatsSql),
+    Q("t_ngram_novelty", ngramNovelty _, ngramNoveltySql),
   )
 }

@@ -238,6 +238,22 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.hashA.forall(a => a <= Long.MaxValue / maxH))
   }
 
+  test("ngram novelty: copies score 0, unique docs score 1, tokenless docs default to 1") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (1L, shared, "en", "s"),
+      (2L, shared, "en", "s"),                          // exact copy: zero unique shingles
+      (3L, (1 to 10).map(i => s"u$i").mkString(" "), "en", "s"), // all-unique shingles
+      (4L, "hi", "en", "s"),                            // no shingles at all
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = Dedup.ngramNoveltyOn(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) === ((8L, 0L, 0.0)), "copied doc shares every shingle")
+    assert(got(2L) === ((8L, 0L, 0.0)))
+    assert(got(3L) === ((8L, 8L, 1.0)), "singleton doc is fully novel")
+    assert(got(4L) === ((0L, 0L, 1.0)), "shingle-less doc defaults to novelty 1")
+  }
+
   test("cluster stats report is exactly the manifest's size histogram") {
     val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
     val manifest = Dedup.dupClustersOn(docs).collect()
