@@ -639,6 +639,69 @@ object Corpus {
        |WHERE k.rk <= a.quota
        |ORDER BY k.doc_id""".stripMargin
 
+  // ------------------------------------------------- padded-batch manifest
+  /** Token capacity of one padded batch in the registered manifest (a free
+    * knob on [[batchManifestOn]]). */
+  val BatchTokens = 128L
+
+  /** Padded-batch assignment: docs grouped by (lang, length bucket), each
+    * bucket's stream cut into batches of `capacity div pad_len` docs, where
+    * pad_len is the bucket's upper bound — the actual training-batch
+    * manifest [[lengthBucketsOn]] plans for, with the padding waste each
+    * batch pays made explicit (`padded_tokens − n_tokens`). Deterministic:
+    * docs rank by doc_id within their bucket, and every quantity is exact
+    * integer arithmetic on both engines.
+    *
+    * 100 TB design: one rank window per (lang, bucket) partition — finer
+    * partitioning than per-lang, so skew is bounded by bucket granularity;
+    * the rollup combines map-side. */
+  def batchManifestOn(docs: DataFrame, capacity: Long = BatchTokens): DataFrame = {
+    require(capacity >= LengthBucketWidth,
+      s"capacity=$capacity below one bucket width $LengthBucketWidth pads every doc alone")
+    val base = docs
+      .select(col("doc_id"), col("lang"), size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("bucket", least(lit(LengthBuckets - 1), expr(s"n_tok div $LengthBucketWidth")))
+      .withColumn("pad_len", (col("bucket") + 1) * lit(LengthBucketWidth))
+      .withColumn("batch_size", greatest(lit(1L), expr(s"$capacity div pad_len")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang", "bucket").orderBy("doc_id")).cast("long"))
+      .withColumn("batch_id", expr("(rn - 1) div batch_size"))
+    base.groupBy("lang", "bucket", "batch_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        max("pad_len").as("pad_len"))
+      .withColumn("padded_tokens", col("n_docs") * col("pad_len"))
+      .withColumn("waste", col("padded_tokens") - col("n_tokens"))
+      .orderBy("lang", "bucket", "batch_id")
+  }
+
+  def batchManifest(spark: SparkSession, dir: String): DataFrame =
+    batchManifestOn(Tables.documents(spark, dir))
+
+  val batchManifestSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, lang, n_tok,
+       |         least(${LengthBuckets - 1}, n_tok // $LengthBucketWidth) AS bucket
+       |  FROM base),
+       |sized AS (
+       |  SELECT *, (bucket + 1) * $LengthBucketWidth AS pad_len,
+       |         greatest(1, $BatchTokens // ((bucket + 1) * $LengthBucketWidth)) AS batch_size,
+       |         row_number() OVER (PARTITION BY lang, bucket ORDER BY doc_id) AS rn
+       |  FROM b),
+       |assigned AS (SELECT *, (rn - 1) // batch_size AS batch_id FROM sized)
+       |SELECT lang, CAST(bucket AS BIGINT) AS bucket, CAST(batch_id AS BIGINT) AS batch_id,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |       CAST(max(pad_len) AS BIGINT) AS pad_len,
+       |       CAST(count(*) * max(pad_len) AS BIGINT) AS padded_tokens,
+       |       CAST(count(*) * max(pad_len) - sum(n_tok) AS BIGINT) AS waste
+       |FROM assigned
+       |GROUP BY lang, bucket, batch_id
+       |ORDER BY lang, bucket, batch_id""".stripMargin
+
   // ---------------------------------------------- shared curation constants
   // (defined ABOVE every val that splices them into oracle SQL — object
   // vals initialize in declaration order, and a forward reference silently
@@ -865,6 +928,7 @@ object Corpus {
     Q("t_temp_mix", tempMix _, tempMixSql),
     Q("t_split", split _, splitSql),
     Q("t_length_buckets", lengthBuckets _, lengthBucketsSql),
+    Q("t_batch_manifest", batchManifest _, batchManifestSql),
     Q("t_seq_pack", seqPack _, seqPackSql),
     Q("t_seq_pack_sharded", seqPackSharded _, seqPackShardedSql),
     Q("t_decontaminate", decontaminate _, decontaminateSql),

@@ -836,6 +836,47 @@ object Similarity {
        |FROM cells s JOIN c2 c ON s.cell = c.cent_id
        |ORDER BY s.vec_id""".stripMargin
 
+  // ------------------------------------------------- slice drift monitor
+  /** Embedding-distribution drift monitor: each label-slice's centroid
+    * compared (cosine) against the GLOBAL corpus centroid — the dataset-
+    * shift dashboard for an embedding pipeline (a slice whose mean vector
+    * swings away from the corpus mean signals a distribution change in
+    * that source/class; re-index or re-balance before it poisons
+    * retrieval). Built on the same [[centroidsOn]] as the IVF family so
+    * slice means cannot drift from the search side's.
+    *
+    * 100 TB design: two VecSum aggregates (per-label + global, both
+    * map-side combinable, O(dims) state) and a |labels|-row broadcast
+    * join; no corpus-sized shuffle beyond the label agg. */
+  def embedDriftOn(embeddings: DataFrame): DataFrame = {
+    val vsum = graft.functions.VecSum.fn
+    val g = embeddings
+      .withColumn("emb_d", transform(col("embedding"), x => x.cast("double")))
+      .agg(count(lit(1)).as("g_n"), vsum(col("emb_d")).as("g_sums"))
+      .withColumn("g_centroid", transform(col("g_sums"), s => s / col("g_n")))
+      .select("g_n", "g_centroid")
+    centroidsOn(embeddings)
+      .crossJoin(broadcast(g))
+      .select(col("label"), col("n"),
+        r6(dot(col("centroid"), col("g_centroid"))
+          / (norm(col("centroid")) * norm(col("g_centroid")))).as("drift_cos"))
+      .orderBy("label")
+  }
+
+  def embedDrift(spark: SparkSession, dir: String): DataFrame =
+    embedDriftOn(Tables.embeddings(spark, dir))
+
+  val embedDriftSql: String = {
+    val sums = (0 until Dims).map(i => s"sum(CAST(embedding[${i + 1}] AS DOUBLE))").mkString(", ")
+    s"""WITH $centroidsSql,
+       |g0 AS (SELECT count(*) AS g_n, [$sums] AS g_sums FROM embeddings),
+       |g AS (SELECT list_transform(g_sums, s -> s / g_n) AS g_centroid FROM g0)
+       |SELECT c.label, c.n,
+       |       ${r6Sql(s"${dotSql("c.centroid", "g.g_centroid")} / (${normSql("c.centroid")} * ${normSql("g.g_centroid")})")} AS drift_cos
+       |FROM cent c CROSS JOIN g
+       |ORDER BY c.label""".stripMargin
+  }
+
   // ------------------------------------------------- per-dimension statistics
   /** Per-dimension mean/std of the embedding corpus — the normalization /
     * whitening table: an embedding pipeline centers and scales dimensions
@@ -981,5 +1022,6 @@ object Similarity {
     Q("s_embed_outliers", embedOutliers _, embedOutliersSql),
     Q("s_hard_negatives", hardNegatives _, hardNegativesSql),
     Q("s_dim_stats", dimStats _, dimStatsSql),
+    Q("s_embed_drift", embedDrift _, embedDriftSql),
   )
 }

@@ -313,6 +313,22 @@ class LibraryApiSpec extends SparkSpec {
     assert(h.distinct.length === h.length, "distinct windows must hash distinctly here")
   }
 
+  test("batch manifest: bucket-sized batches with exact padding waste, overflow starts a new batch") {
+    def doc(id: Long, n: Int) = (id, (1 to n).map(i => s"w$i").mkString(" "), "en", "s")
+    // nine 10-token docs: bucket 0, pad 16, batch_size = 128 div 16 = 8 -> 8 + 1
+    // three 20-token docs: bucket 1, pad 32, batch_size 4 -> one batch
+    val d = ((1L to 9L).map(i => doc(i, 10)) ++ (21L to 23L).map(i => doc(i, 20)))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Corpus.batchManifestOn(d).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.toSeq === Seq(
+      (0L, 0L, 8L, 80L, 16L, 128L, 48L),  // full batch: exactly at capacity
+      (0L, 1L, 1L, 10L, 16L, 16L, 6L),    // overflow doc starts batch 1
+      (1L, 0L, 3L, 60L, 32L, 96L, 36L)))
+    // no batch exceeds the token capacity
+    assert(got.forall(_._6 <= Corpus.BatchTokens))
+  }
+
   test("chunk dedup: repeated chunks collapse to one row with the smallest holder as canonical") {
     val longText = (1 to 40).map(i => s"t$i").mkString(" ")
     val d = Seq(

@@ -197,6 +197,17 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(cos - 1.0) < 1e-12)
   }
 
+  test("embed drift: label centroids score their exact cosine to the global centroid") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.0f, 1.0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.embedDriftOn(df).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getDouble(2)))
+    // global centroid (0.5, 0.5); each label centroid is an axis -> cos = 1/sqrt(2)
+    assert(got.toSeq === Seq((0L, 2L, 0.707107), (1L, 2L, 0.707107)))
+  }
+
   test("dim stats: exact per-dimension mean and std on a hand corpus") {
     val df = Seq(
       (1L, Array(1.0f, 10.0f), 0),
