@@ -14,7 +14,7 @@ object SparkEntry {
   private val registry: Seq[Q] =
     q.Micro.all ++ q.Reference.all ++ q.Sessions.all ++ q.Relational.all ++ q.Sketches.all ++
       ext.Text.all ++ ext.Corpus.all ++ ext.Dedup.all ++ ext.Similarity.all ++
-      ext.Curation.all ++ multimodal.Multimodal.all
+      ext.Curation.all ++ ext.Quality.all ++ multimodal.Multimodal.all
 
   /** Flagship query (Script C city-league analog); driver smoke-checks
     * rows>0 on /root/testdata/sf0.001.

@@ -1,0 +1,259 @@
+package graft.ext
+
+import graft.Q
+import graft.ops.Tables
+import graft.ops.Num.{r6, r6Sql}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Published web-corpus curation recipes as first-class operators — the
+  * Gopher rule battery, C4 line-level cleaning, and CCNet-style
+  * perplexity bucketing (beyond the reference surface; BASELINE.json
+  * north-star). Complements [[Text.qualityFilterOn]] (the repo's own
+  * composite heuristic) with the exact rule sets the public pipelines
+  * documented, so a pipeline owner can reproduce those decisions and
+  * diff them against the in-house gate.
+  *
+  * Scale shape: Gopher and C4 are pure row-local projections over
+  * codegen'd array/regexp builtins — scan-bound, no shuffle, and safe to
+  * run as a stateless pass inside a streaming ingest. CCNet bucketing
+  * reuses the fluency census (one corpus-wide bigram agg + broadcast
+  * rejoin) and adds a single per-language window sort whose key space is
+  * |languages| partitions.
+  */
+object Quality {
+  // ---------------------------------------------------------------------
+  // Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+  // ... Gopher", Appendix A quality-filter heuristics — public recipe).
+  // ---------------------------------------------------------------------
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherMeanLenMin = 3.0
+  val GopherMeanLenMax = 10.0
+  val GopherSymbolRatioMax = 0.1
+  val GopherBulletFracMax = 0.9
+  val GopherEllipsisFracMax = 0.3
+  val GopherAlphaFracMin = 0.8
+  val GopherStopHitsMin = 2L
+  /** Gopher's stop-word presence list (distinct-hit count, not frequency). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-document Gopher rule bitmap: every rule's measured statistic plus
+    * its boolean verdict, and the conjunction as `keep`. Ratios are
+    * r6-rounded BEFORE the threshold compare so the Spark and DuckDB
+    * verdicts flip on identical values. */
+  def gopherRulesRowsOn(docs: DataFrame): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val lines = split(col("text"), "\n")
+    val base = docs
+      .withColumn("n_words", size(toks).cast("long"))
+      .withColumn("sum_len",
+        aggregate(toks, lit(0L), (a, t) => a + length(t).cast("long")))
+      .withColumn("n_sym",
+        (regexp_count(col("text"), lit("#")) +
+          regexp_count(col("text"), lit("\\.\\.\\."))).cast("long"))
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_bullet",
+        size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long"))
+      .withColumn("n_ellip",
+        size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long"))
+      .withColumn("n_alpha",
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("n_stop",
+        size(filter(
+          lit(GopherStops.toArray),
+          s => array_contains(transform(toks, t => lower(t)), s))).cast("long"))
+    val withRatios = base
+      .withColumn("mean_word_len",
+        r6(col("sum_len") / nullif(col("n_words"), lit(0L))))
+      .withColumn("symbol_ratio",
+        r6(col("n_sym") / nullif(col("n_words"), lit(0L))))
+      // split() yields >= 1 element even on '', so n_lines never divides by 0
+      .withColumn("bullet_frac", r6(col("n_bullet") / col("n_lines")))
+      .withColumn("ellipsis_frac", r6(col("n_ellip") / col("n_lines")))
+      .withColumn("alpha_frac",
+        r6(col("n_alpha") / nullif(col("n_words"), lit(0L))))
+    val rules = withRatios
+      .withColumn("r_word_count",
+        col("n_words").between(lit(GopherMinWords), lit(GopherMaxWords)))
+      .withColumn("r_mean_len",
+        coalesce(col("mean_word_len")
+          .between(lit(GopherMeanLenMin), lit(GopherMeanLenMax)), lit(false)))
+      .withColumn("r_symbol",
+        coalesce(col("symbol_ratio") <= lit(GopherSymbolRatioMax), lit(false)))
+      .withColumn("r_bullet", col("bullet_frac") < lit(GopherBulletFracMax))
+      .withColumn("r_ellipsis", col("ellipsis_frac") < lit(GopherEllipsisFracMax))
+      .withColumn("r_alpha",
+        coalesce(col("alpha_frac") >= lit(GopherAlphaFracMin), lit(false)))
+      .withColumn("r_stop", col("n_stop") >= lit(GopherStopHitsMin))
+    rules.select(col("doc_id"), col("n_words"), col("mean_word_len"),
+      col("symbol_ratio"), col("bullet_frac"), col("ellipsis_frac"),
+      col("alpha_frac"), col("n_stop").as("n_stop_distinct"),
+      col("r_word_count"), col("r_mean_len"), col("r_symbol"), col("r_bullet"),
+      col("r_ellipsis"), col("r_alpha"), col("r_stop"),
+      (col("r_word_count") && col("r_mean_len") && col("r_symbol") &&
+        col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
+        col("r_stop")).as("keep"))
+  }
+
+  def gopherRulesOn(docs: DataFrame): DataFrame =
+    gopherRulesRowsOn(docs).orderBy("doc_id")
+
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOn(Tables.documents(spark, dir))
+
+  private val stopListSql =
+    GopherStops.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  val gopherRulesSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, text, ${Text.tokensSql("text")} AS t,
+       |         string_split(text, chr(10)) AS lines
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id,
+       |         CAST(len(t) AS BIGINT) AS n_words,
+       |         CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS sum_len,
+       |         CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_sym,
+       |         CAST(len(lines) AS BIGINT) AS n_lines,
+       |         CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) AS n_bullet,
+       |         CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS BIGINT) AS n_ellip,
+       |         CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+       |         CAST(len(list_filter($stopListSql,
+       |                  s -> list_contains(list_transform(t, x -> lower(x)), s))) AS BIGINT) AS n_stop
+       |  FROM toks),
+       |ratios AS (
+       |  SELECT *,
+       |         ${r6Sql("sum_len / nullif(n_words, 0)")} AS mean_word_len,
+       |         ${r6Sql("n_sym / nullif(n_words, 0)")} AS symbol_ratio,
+       |         ${r6Sql("n_bullet / n_lines")} AS bullet_frac,
+       |         ${r6Sql("n_ellip / n_lines")} AS ellipsis_frac,
+       |         ${r6Sql("n_alpha / nullif(n_words, 0)")} AS alpha_frac
+       |  FROM base),
+       |rules AS (
+       |  SELECT *,
+       |         n_words BETWEEN $GopherMinWords AND $GopherMaxWords AS r_word_count,
+       |         coalesce(mean_word_len BETWEEN $GopherMeanLenMin AND $GopherMeanLenMax, FALSE) AS r_mean_len,
+       |         coalesce(symbol_ratio <= $GopherSymbolRatioMax, FALSE) AS r_symbol,
+       |         bullet_frac < $GopherBulletFracMax AS r_bullet,
+       |         ellipsis_frac < $GopherEllipsisFracMax AS r_ellipsis,
+       |         coalesce(alpha_frac >= $GopherAlphaFracMin, FALSE) AS r_alpha,
+       |         n_stop >= $GopherStopHitsMin AS r_stop
+       |  FROM ratios)
+       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       |       ellipsis_frac, alpha_frac, n_stop AS n_stop_distinct,
+       |       r_word_count, r_mean_len, r_symbol, r_bullet, r_ellipsis,
+       |       r_alpha, r_stop,
+       |       (r_word_count AND r_mean_len AND r_symbol AND r_bullet
+       |        AND r_ellipsis AND r_alpha AND r_stop) AS keep
+       |FROM rules ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // C4 line-level cleaning (Raffel et al. 2020, the C4 recipe — public).
+  // ---------------------------------------------------------------------
+  val C4MinLineWords = 5
+  val C4MinSentences = 3
+
+  /** C4 cleaning: keep only lines that end in terminal punctuation, have
+    * >= C4MinLineWords words, and don't mention javascript; drop pages
+    * with fewer than C4MinSentences surviving lines, a '{', or
+    * 'lorem ipsum'. Pure array ops on the split lines — document order is
+    * preserved and the pass never shuffles, so it composes into a
+    * streaming ingest unchanged. (This corpus has single-line unpunctuated
+    * docs, so every page fails — the rule mechanics are exercised on
+    * synthetic multi-line docs in QualitySpec.) */
+  def c4CleanRowsOn(docs: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]\\s*$") &&
+        size(filter(split(l, "\\s+"), t => t =!= lit(""))) >= lit(C4MinLineWords) &&
+        !lower(l).contains("javascript"))
+    docs
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("kept_lines", kept)
+      .withColumn("n_kept", size(col("kept_lines")).cast("long"))
+      .withColumn("cleaned", array_join(col("kept_lines"), "\n"))
+      .withColumn("has_lorem", lower(col("text")).contains("lorem ipsum"))
+      .withColumn("has_brace", col("text").contains("{"))
+      .select(col("doc_id"), col("lang"), col("n_lines"), col("n_kept"),
+        length(col("cleaned")).cast("long").as("cleaned_len"),
+        col("has_lorem"), col("has_brace"),
+        (col("n_kept") >= lit(C4MinSentences.toLong) && !col("has_lorem") &&
+          !col("has_brace")).as("keep"),
+        col("cleaned"))
+  }
+
+  def c4CleanOn(docs: DataFrame): DataFrame =
+    c4CleanRowsOn(docs).orderBy("doc_id")
+
+  def c4Clean(spark: SparkSession, dir: String): DataFrame =
+    c4CleanOn(Tables.documents(spark, dir))
+
+  val c4CleanSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, text, string_split(text, chr(10)) AS lines,
+       |         list_filter(string_split(text, chr(10)), l ->
+       |             regexp_matches(l, '[.!?"]\\s*$$')
+       |             AND len(list_filter(string_split_regex(l, '\\s+'), t -> t <> '')) >= $C4MinLineWords
+       |             AND NOT contains(lower(l), 'javascript')) AS kept
+       |  FROM documents)
+       |SELECT doc_id, lang,
+       |       CAST(len(lines) AS BIGINT) AS n_lines,
+       |       CAST(len(kept) AS BIGINT) AS n_kept,
+       |       -- DuckDB array_to_string(empty) is NULL; Spark array_join is ''
+       |       CAST(length(coalesce(array_to_string(kept, chr(10)), '')) AS BIGINT) AS cleaned_len,
+       |       contains(lower(text), 'lorem ipsum') AS has_lorem,
+       |       contains(text, '{') AS has_brace,
+       |       (len(kept) >= $C4MinSentences
+       |        AND NOT contains(lower(text), 'lorem ipsum')
+       |        AND NOT contains(text, '{')) AS keep,
+       |       coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+       |FROM base ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // CCNet-style per-language perplexity buckets (Wenzek et al. 2020 —
+  // public recipe: score each doc with a LM, split each language into
+  // head/middle/tail terciles, train preferentially on head).
+  // ---------------------------------------------------------------------
+
+  /** Per-language head/middle/tail terciles over the LM-fluency score
+    * ([[Text.lmFluencyOn]] — higher = more common bigrams = CCNet's
+    * lower-perplexity "head"). Docs with no bigrams carry no signal and
+    * are excluded, exactly as CCNet scores only LM-scorable text. Ties
+    * break on doc_id so the ntile boundary is deterministic on both
+    * engines. */
+  def ccnetBucketsOn(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("fluency").desc_nulls_last, col("doc_id"))
+    Text.lmFluencyOn(docs)
+      .filter(col("n_bigrams") > 0)
+      .withColumn("tercile", ntile(3).over(w).cast("long"))
+      .select(col("doc_id"), col("lang"), col("fluency"), col("tercile"),
+        when(col("tercile") === 1, lit("head"))
+          .when(col("tercile") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    ccnetBucketsOn(Tables.documents(spark, dir))
+
+  val ccnetBucketsSql: String =
+    s"""WITH fl AS (SELECT * FROM (${Text.lmFluencySql}) WHERE n_bigrams > 0),
+       |b AS (
+       |  SELECT doc_id, lang, fluency,
+       |         ntile(3) OVER (PARTITION BY lang ORDER BY fluency DESC NULLS LAST, doc_id) AS tercile
+       |  FROM fl)
+       |SELECT doc_id, lang, fluency, tercile,
+       |       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+       |            ELSE 'tail' END AS bucket
+       |FROM b ORDER BY doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("t_gopher_rules", gopherRules _, gopherRulesSql),
+    Q("t_c4_clean", c4Clean _, c4CleanSql),
+    Q("t_ccnet_buckets", ccnetBuckets _, ccnetBucketsSql),
+  )
+}

@@ -1,0 +1,93 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("c4 keeps exactly the lines that end in terminal punctuation, have >=5 words, and don't mention javascript") {
+    val page = Seq(
+      "This line has five good words.",    // kept
+      "Too short line.",                   // dropped: < 5 words
+      "this line has no terminal punctuation at all", // dropped: no [.!?"]
+      "Enable javascript to view this page now.",     // dropped: javascript
+      "Does this question line have enough words?",   // kept
+      "He said \"five words are quoted here\"",       // kept: ends in "
+    ).mkString("\n")
+    val out = Quality.c4CleanRowsOn(docsDf(1L -> page))
+      .select("n_lines", "n_kept", "keep", "cleaned")
+      .as[(Long, Long, Boolean, String)].head()
+    assert(out._1 === 6L)
+    assert(out._2 === 3L)
+    assert(out._3 === true) // 3 kept >= C4MinSentences, no lorem/brace
+    assert(out._4 ===
+      "This line has five good words.\n" +
+        "Does this question line have enough words?\n" +
+        "He said \"five words are quoted here\"")
+  }
+
+  test("c4 page-level gates: lorem ipsum, '{', and too few surviving sentences each drop the page") {
+    val good = Seq.fill(3)("This sentence has exactly six words total.").mkString("\n")
+    val out = Quality.c4CleanRowsOn(docsDf(
+      1L -> good,
+      2L -> (good + "\nAnd some Lorem Ipsum filler appears here."),
+      3L -> (good + "\nAn object literal { appears on this page."),
+      4L -> "Only two good sentences appear here.\nSo the page still gets dropped.",
+    )).select("doc_id", "has_lorem", "has_brace", "n_kept", "keep")
+      .as[(Long, Boolean, Boolean, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, false, false, 3L, true),
+      (2L, true, false, 4L, false),
+      (3L, false, true, 4L, false),
+      (4L, false, false, 2L, false)))
+  }
+
+  test("gopher rules fire independently and keep is their conjunction") {
+    val fiftyGood = Seq.fill(25)("the with").mkString(" ") // 50 words, 2 stops, mean len 3.5
+    val out = Quality.gopherRulesRowsOn(docsDf(
+      1L -> fiftyGood,                                   // passes everything
+      2L -> "the with short doc",                        // fails word count only
+      3L -> Seq.fill(50)("a").mkString(" "),             // mean len 1 + 1 stop-ish: fails r_mean_len, r_stop
+      4L -> (Seq.fill(49)("the with") :+ "### ### ### ### ### ###").mkString(" "), // symbol ratio 18/104
+      5L -> (fiftyGood + "\n" + Seq.fill(9)("- bullet line with the with filler words").mkString("\n")), // 9/10 bullet lines
+      6L -> (fiftyGood + "\n" + Seq.fill(9)("a line that trails off the with ...").mkString("\n") + "\n" + fiftyGood), // 9/11 ellipsis
+      7L -> Seq.fill(30)("the with 123 456").mkString(" "), // alpha frac 0.5
+    )).select("doc_id", "r_word_count", "r_mean_len", "r_symbol", "r_bullet",
+      "r_ellipsis", "r_alpha", "r_stop", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(out(0) === ((1L, true, true, true, true, true, true, true, true)))
+    assert(out(1) === ((2L, false, true, true, true, true, true, true, false)))
+    assert(out(2)._1 === 3L && !out(2)._3 && !out(2)._8 && !out(2)._9) // r_mean_len, r_stop fail
+    assert(out(3)._1 === 4L && !out(3)._4 && !out(3)._9)               // r_symbol fails
+    assert(out(4)._1 === 5L && !out(4)._5 && !out(4)._9)               // r_bullet fails
+    assert(out(5)._1 === 6L && !out(5)._6 && !out(5)._9)               // r_ellipsis fails
+    assert(out(6)._1 === 7L && !out(6)._7 && !out(6)._9)               // r_alpha fails
+  }
+
+  test("ccnet terciles partition each language's scored docs and head outranks tail") {
+    val out = Quality.ccnetBucketsOn(
+      graft.ops.Tables.documents(spark, "/root/testdata/sf0.001"))
+    val byLang = out.groupBy("lang").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("bucket") === "head", 1L).otherwise(0L)).as("n_head"),
+      sum(when(col("bucket") === "tail", 1L).otherwise(0L)).as("n_tail"),
+      min(when(col("bucket") === "head", col("fluency"))).as("min_head"),
+      max(when(col("bucket") === "tail", col("fluency"))).as("max_tail"))
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, n, nHead, nTail, minHead, maxTail) =>
+      // ntile balance: bucket sizes differ by at most 1
+      assert(math.abs(nHead - nTail) <= 1, s"$lang: head $nHead vs tail $nTail of $n")
+      // ordering: every head fluency >= every tail fluency
+      assert(minHead >= maxTail, s"$lang: min head $minHead < max tail $maxTail")
+    }
+  }
+}
