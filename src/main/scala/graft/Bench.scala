@@ -27,12 +27,17 @@ object Bench {
     // data scale but would dominate single-shot numbers at sf0.1.
     // dev aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run to named queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // A thrown query must NOT be recorded as if its time-to-exception were
+    // a measurement (round 7: 12 broken queries sat in the bench as fake
+    // ~0.35 s rows). Track errors separately; they are excluded from the
+    // total and listed under "errors" in the output line.
+    val errored = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => errored += name }
         (System.nanoTime() - t0) / 1e9
       }
       // persisted subplans stay warm across a query's two runs (that IS the
@@ -44,7 +49,7 @@ object Bench {
       System.gc()
       Thread.sleep(300) // let concurrent GC cycles finish outside the next query's timing
       name -> times.min
-    }.toMap
+    }.toMap.filterNot { case (name, _) => errored.contains(name) }
     // The driver records a bounded TAIL of this line, truncating the FRONT
     // (round-6 record lost the total + the 7 earliest entries). Emit the
     // per-query map cheapest-first so truncation can only drop the small
@@ -52,7 +57,8 @@ object Bench {
     val qs = results.toSeq.sortBy(_._2).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs,"total_sec":$total}""")
+    val errs = errored.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":$errs,"queries":$qs,"total_sec":$total}""")
     spark.stop()
   }
 }

@@ -26,8 +26,17 @@ object SparkEntry {
     * pins it too because the driver smoke-checks it with an arbitrary
     * session. Readers themselves never mutate the caller's session. */
   def entry(spark: SparkSession): DataFrame = {
-    spark.conf.set("spark.sql.ansi.enabled", "false")
+    pinSession(spark)
     q.Reference.c1CityLeague(spark, "/root/testdata/sf0.001")
+  }
+
+  /** ansi=false per the session contract; timeZone=UTC so the
+    * TIMESTAMP_NTZ→timestamp normalization in [[graft.ops.Tables.events]]
+    * maps naive wall-clock to the same epoch micros DuckDB's epoch_us
+    * reads, regardless of the caller session's local zone. */
+  private def pinSession(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
   /** One entry per implemented operator from SURVEY.md §2. Each wrapper
@@ -37,7 +46,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { q =>
       q.name -> { (spark: SparkSession, dir: String) =>
-        spark.conf.set("spark.sql.ansi.enabled", "false")
+        pinSession(spark)
         q.fn(spark, dir)
       }
     }.toMap

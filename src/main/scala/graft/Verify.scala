@@ -26,11 +26,19 @@ object Verify {
     val unknown = only.filterNot(SparkEntry.queries.contains)
     if (unknown.nonEmpty)
       sys.error(s"unknown query name(s): ${unknown.mkString(", ")}")
+    // Per-query status recorded alongside the dumps: a query that throws
+    // must surface as an explicit "err" row in the driver report, not
+    // silently vanish from it (round 7: 12 broken queries shrank the
+    // report to 96/108 and it still looked all-green at a glance).
+    val status = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        status(name) = "ok"
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        status(name) = s"err: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}"
       }
       // some query builders persist() shared subplans; release between
       // queries so cache doesn't accumulate across the whole registry
@@ -51,6 +59,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val statusJson = status
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/status.json"), statusJson)
+    val nErr = status.valuesIterator.count(_ != "ok")
+    println(s"[verify] ${status.size} queries dumped, $nErr errored" +
+      (if (nErr > 0) s" — see $outDir/status.json" else ""))
     spark.stop()
   }
 }

@@ -27,19 +27,27 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read it as raw nanos (legacy nanosAsLong conf, set here so any
-    * session works) and truncate to a micros TimestampType — the identical
-    * truncation DuckDB applies when it reads the same file as TIMESTAMP. */
+  /** events.ts has shipped as three different parquet physical types across
+    * testdata generations; normalize all of them to a micros TimestampType:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it outright, so
+    *    the legacy nanosAsLong conf (set here, before the read) surfaces it
+    *    as raw long nanos → truncate to micros, the same truncation DuckDB
+    *    applies when it reads the file as TIMESTAMP.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ;
+    *    cast to TimestampType. The session is pinned to UTC (Verify/Bench/
+    *    SparkEntry wrappers), so the naive wall-clock maps to the identical
+    *    epoch micros DuckDB's epoch_us sees.
+    *  - TIMESTAMP(MICROS, adjusted): already TimestampType, pass through. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val raw = table(spark, dir, "events")
-    // nano-timestamped files surface ts as raw long nanos under the legacy
-    // conf; micros-timestamped files read as TimestampType directly
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
   }
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
@@ -52,11 +60,19 @@ object Tables {
     * dot products). The testdata parquet is a single row group — Spark
     * cannot split it, so without help the whole pipeline's first stage runs
     * on ONE core. A round-robin repartition costs one pass over a sub-MB
-    * file and parallelizes everything downstream; on a real multi-file
-    * 100 TB corpus the scan is naturally parallel and this exchange is
-    * AQE-coalesced to a no-op-sized shuffle. */
+    * file and parallelizes everything downstream. On a real multi-file
+    * 100 TB corpus the scan is already parallel, and an unconditional
+    * repartition would glue a full-corpus round-robin shuffle to every
+    * scan — so it is GATED: only applied when the scan yields fewer
+    * partitions than cores (single-file testdata), a pure pass-through on
+    * any input that already parallelizes. */
+  private def widened(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = table(spark, dir, name)
+    val cores = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
   def documents(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    widened(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "embeddings").repartition(spark.sparkContext.defaultParallelism)
+    widened(spark, dir, "embeddings")
 }

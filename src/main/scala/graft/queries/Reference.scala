@@ -291,6 +291,48 @@ object Reference {
        |SELECT push_id, city, f_age, l_age, views_gained
        |FROM gains ORDER BY push_id""".stripMargin
 
+  /** The discard-reason census the reference prints while looping
+    * (analyse.py:441-483): every push in the city-gated set classified as
+    * used / no-initial (no record within T1) / no-final (initial exists but
+    * nothing within T2 — structurally 0 since T1 < T2, kept for parity with
+    * the reference's printed counter) / time-issue (latest not strictly
+    * later than earliest), as one global row of counters. One hash aggregate
+    * per push + a broadcast city semi-join + a constant-fold global agg —
+    * the 100 TB shuffle is |pushes| rows, not |events|. */
+  def c4DiscardCensus(spark: SparkSession, dir: String): DataFrame = {
+    val per = cityJoined(spark, dir)
+      .groupBy("push_id", "city")
+      .agg(
+        expr(s"min(ts_us) FILTER (WHERE age_min <= $T1Minutes)").as("f1_us"),
+        expr(s"max(ts_us) FILTER (WHERE age_min <= $T2Minutes)").as("l_us"))
+    val gate = per.groupBy("city").agg(count(lit(1)).as("n_pushes"))
+      .filter(col("n_pushes") >= lit(MinPushesPerCity)).select("city")
+    per.join(broadcast(gate), Seq("city"), "left_semi")
+      .agg(
+        count(lit(1)).as("n_processed"),
+        sum(when(col("f1_us").isNull, 1L).otherwise(0L)).as("n_no_initial"),
+        sum(when(col("f1_us").isNotNull && col("l_us").isNull, 1L).otherwise(0L)).as("n_no_final"),
+        sum(when(col("f1_us").isNotNull && col("l_us").isNotNull &&
+          col("l_us") <= col("f1_us"), 1L).otherwise(0L)).as("n_time_issue"),
+        sum(when(col("f1_us").isNotNull && col("l_us") > col("f1_us"), 1L)
+          .otherwise(0L)).as("n_used"))
+  }
+
+  val c4Sql: String =
+    s"""WITH $cityJoinedSql,
+       |per AS (
+       |  SELECT push_id, city,
+       |         min(ts_us) FILTER (WHERE age_min <= $T1Minutes) AS f1_us,
+       |         max(ts_us) FILTER (WHERE age_min <= $T2Minutes) AS l_us
+       |  FROM j GROUP BY 1, 2),
+       |gate AS (SELECT city FROM per GROUP BY city HAVING count(*) >= $MinPushesPerCity)
+       |SELECT count(*) AS n_processed,
+       |       CAST(sum(CASE WHEN f1_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_initial,
+       |       CAST(sum(CASE WHEN f1_us IS NOT NULL AND l_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_final,
+       |       CAST(sum(CASE WHEN f1_us IS NOT NULL AND l_us IS NOT NULL AND l_us <= f1_us THEN 1 ELSE 0 END) AS BIGINT) AS n_time_issue,
+       |       CAST(sum(CASE WHEN f1_us IS NOT NULL AND l_us > f1_us THEN 1 ELSE 0 END) AS BIGINT) AS n_used
+       |FROM per WHERE city IN (SELECT city FROM gate)""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("a1_rate_curves", a1RateCurves _, a1Sql),
     Q("a2_lag_rates", a2LagRates _, a2Sql),
@@ -299,5 +341,6 @@ object Reference {
     Q("c1_city_league", c1CityLeague _, c1Sql),
     Q("c2_city_gate", c2CityGate _, c2Sql),
     Q("c3_push_extremes", c3PushExtremes _, c3Sql),
+    Q("c4_discard_census", c4DiscardCensus _, c4Sql),
   )
 }

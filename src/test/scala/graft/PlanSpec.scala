@@ -259,4 +259,30 @@ class PlanSpec extends SparkSpec {
     // signatures aggregate partially before their one doc_id shuffle
     assert(p.contains("partial_min"), "minhash partial aggregation missing")
   }
+
+  test("documents repartition is gated: narrow scans widen, parallel scans pass through") {
+    import graft.ops.Tables
+    val cores = spark.sparkContext.defaultParallelism
+    // the single-row-group testdata file cannot split → widened to cores
+    assert(Tables.documents(spark, dir).rdd.getNumPartitions == cores,
+      "single-file documents scan was not widened")
+    // a multi-file corpus whose scan is already parallel must NOT grow a
+    // round-robin exchange (at 100 TB that exchange is a full-corpus shuffle
+    // glued to every read)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_multifile").toString
+    Tables.documents(spark, dir).write.parquet(s"$tmp/documents.parquet")
+    val saved = spark.conf.getOption("spark.sql.files.openCostInBytes")
+    try {
+      // make each file its own split so the scan parallelism >= cores
+      spark.conf.set("spark.sql.files.openCostInBytes", "134217728")
+      val multi = Tables.documents(spark, tmp)
+      assert(multi.rdd.getNumPartitions >= cores)
+      val p = multi.queryExecution.executedPlan.toString
+      assert(!p.contains("RoundRobinPartitioning"),
+        s"parallel scan still repartitions:\n${p.take(1500)}")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.files.openCostInBytes", v)
+      case None => spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
+  }
 }

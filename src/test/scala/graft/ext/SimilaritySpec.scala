@@ -278,4 +278,23 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
     assert(out.filter(_._4).forall { case (id, _, _, _) => relaxed(id) })
   }
+
+  test("frozen-index IVF searches are bit-identical to the self-training forms") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    // kmeans IVF: registered (frozen quantizer) vs *On (retrains inline)
+    val kmFrozen = Similarity.knnIvfKmeans(spark, dir).collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    val kmTrained = Similarity.knnIvfKmeansOn(emb, cfg = Similarity.KmeansCfg(dims = Similarity.Dims))
+      .collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    assert(kmFrozen === kmTrained)
+    // IVF-PQ: frozen centroids + codebooks vs full inline training
+    val pqFrozen = Similarity.knnIvfPq(spark, dir).collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    val pqTrained = Similarity.knnIvfPqOn(emb, kcfg = Similarity.KmeansCfg(dims = Similarity.Dims))
+      .collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    assert(pqFrozen === pqTrained)
+  }
 }
