@@ -150,4 +150,92 @@ class MarktAnalyzerSpec extends SparkSpec {
       .select("bin_label", "n_pushes").as[(String, Long)].collect().toSeq
     assert(nonzero === Seq(("00:00", 2L))) // both land in [00:00,00:10); dupe keeps first posting_time
   }
+
+  // ------------------------------------------------------- end-to-end golden
+  /** Golden fixture comparison: tools/make_markt_golden.py runs the three
+    * analyses in LITERAL pandas (mirroring analyse.py step by step) over a
+    * checked-in monitor/profiles fixture; this test runs MarktAnalyzer on
+    * the same CSVs and demands row-for-row agreement. */
+  private def resPath(name: String): String =
+    getClass.getResource(s"/markt/$name").getPath
+
+  private def approxRows(actual: Seq[Seq[Any]], expected: Seq[Seq[Any]], tag: String): Unit = {
+    assert(actual.size == expected.size, s"$tag: ${actual.size} rows vs golden ${expected.size}")
+    actual.zip(expected).zipWithIndex.foreach { case ((a, e), i) =>
+      a.zip(e).foreach {
+        case (x: Double, y: Double) =>
+          assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)),
+            s"$tag row $i: $x vs golden $y\nactual=$a\ngolden=$e")
+        case (x, y) => assert(x == y, s"$tag row $i: $x vs golden $y\nactual=$a\ngolden=$e")
+      }
+    }
+  }
+
+  test("end-to-end golden: all three analyses match the pandas-derived fixture outputs") {
+    import org.apache.spark.sql.types._
+    val tsOpts = Map("header" -> "true", "timestampFormat" -> "yyyy-MM-dd HH:mm:ss")
+    val profiles = spark.read.options(tsOpts)
+      .schema(StructType(Seq(
+        StructField("ad_unique_id", StringType), StructField("push_counter", IntegerType),
+        StructField("age", StringType), StructField("profile_url", StringType),
+        StructField("posting_time", TimestampType), StructField("city", StringType))))
+      .csv(resPath("profiles.csv"))
+    val monitor = spark.read.options(tsOpts)
+      .schema(StructType(Seq(
+        StructField("id", LongType), StructField("ad_unique_id", StringType),
+        StructField("push_counter", IntegerType), StructField("track_time", TimestampType),
+        StructField("ad_age_in_minutes", DoubleType), StructField("views", DoubleType))))
+      .csv(resPath("monitor_records.csv"))
+    def rows(df: org.apache.spark.sql.DataFrame, cols: String*): Seq[Seq[Any]] =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+
+    // Script A: smoothed lifetime curves, full 288-bin grid per group
+    val a = MarktAnalyzer.lifetimeRateCurves(monitor, profiles)
+    val goldenA = spark.read.option("header", "true")
+      .schema(StructType(Seq(
+        StructField("category", StringType), StructField("age_group", StringType),
+        StructField("bin", DoubleType), StructField("avg_rate", DoubleType),
+        StructField("smoothed_rate", DoubleType), StructField("time_hours", DoubleType))))
+      .csv(resPath("golden_a_lifetime.csv"))
+      .orderBy("category", "age_group", "bin")
+    approxRows(
+      rows(a, "category", "age_group", "bin", "avg_rate", "smoothed_rate", "time_hours"),
+      rows(goldenA, "category", "age_group", "bin", "avg_rate", "smoothed_rate", "time_hours"),
+      "script A")
+
+    // Script B part 1: push counts per 10-minute bin, all 144 bins
+    val b1 = MarktAnalyzer.pushCountsByTimeOfDay(profiles)
+    val goldenB1 = spark.read.option("header", "true")
+      .schema(StructType(Seq(
+        StructField("time_bin", LongType), StructField("bin_label", StringType),
+        StructField("n_pushes", LongType))))
+      .csv(resPath("golden_b_counts.csv")).orderBy("time_bin")
+    approxRows(
+      rows(b1, "time_bin", "bin_label", "n_pushes"),
+      rows(goldenB1, "time_bin", "bin_label", "n_pushes"), "script B counts")
+
+    // Script B part 2: smoothed initial rate by posting hour, hours 0-23
+    val b2 = MarktAnalyzer.initialRateByPostingHour(monitor, profiles)
+    val goldenB2 = spark.read.option("header", "true")
+      .schema(StructType(Seq(
+        StructField("posting_hour", LongType), StructField("avg_initial_rate", DoubleType),
+        StructField("smoothed_rate", DoubleType), StructField("n_pushes", LongType))))
+      .csv(resPath("golden_b_hourly.csv")).orderBy("posting_hour")
+    approxRows(
+      rows(b2, "posting_hour", "avg_initial_rate", "smoothed_rate", "n_pushes"),
+      rows(goldenB2, "posting_hour", "avg_initial_rate", "smoothed_rate", "n_pushes"),
+      "script B hourly")
+
+    // Script C: city league table (Hamburg gated out at MIN_ADS_PER_CITY)
+    val c = MarktAnalyzer.cityLeagueTable(monitor, profiles)
+    val goldenC = spark.read.option("header", "true")
+      .schema(StructType(Seq(
+        StructField("city", StringType), StructField("avg_views_gained", DoubleType),
+        StructField("n_pushes_used", LongType))))
+      .csv(resPath("golden_c_league.csv"))
+      .orderBy(col("avg_views_gained").desc, col("city"))
+    approxRows(
+      rows(c, "city", "avg_views_gained", "n_pushes_used"),
+      rows(goldenC, "city", "avg_views_gained", "n_pushes_used"), "script C")
+  }
 }
