@@ -960,6 +960,49 @@ object Dedup {
        |       CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_removable
        |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
+  // ------------------------------------------------- quality-aware dedup
+  /** Keep-BEST dedup: per near-dup cluster, the survivor is the member
+    * with the highest composite quality score ([[Text.textStatsRowsOn]]),
+    * doc_id as tiebreak — the curation refinement over keep-min-id
+    * canonical dedup (a boilerplate notice and the full article can share
+    * a cluster; production pipelines keep the better copy, not the
+    * lexicographically-first one).
+    *
+    * Plan: the cluster manifest joins per-doc scores on doc_id (both
+    * |docs| rows, co-keyed), then ONE hash aggregate by cluster_id with a
+    * max_by on the (score, -doc_id) key — partial-aggregates map-side, the
+    * shuffle carries |clusters| rows. Scores are r6-rounded, so the argmax
+    * key is bit-identical on both engines. */
+  def keepBestOn(docs: DataFrame, manifest: DataFrame): DataFrame = {
+    val scored = Text.textStatsRowsOn(docs).select(col("doc_id"), col("quality_score"))
+    manifest.join(scored, "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        max_by(col("doc_id"), struct(col("quality_score"), (lit(0L) - col("doc_id")).as("nid")))
+          .as("keep_doc_id"),
+        max(col("quality_score")).as("keep_score"),
+        min(col("cluster_size")).as("cluster_size"))
+      .select(col("cluster_id"), col("keep_doc_id"), col("keep_score"),
+        col("cluster_size"), (col("cluster_size") - lit(1L)).as("n_removed"))
+      .orderBy("cluster_id")
+  }
+
+  def keepBest(spark: SparkSession, dir: String): DataFrame =
+    keepBestOn(Tables.documents(spark, dir), frozenManifest(spark, dir))
+
+  val keepBestSql: String =
+    s"""WITH RECURSIVE $dupClustersCtes,
+       |scored AS (SELECT doc_id, quality_score FROM (${Text.textStatsSql})),
+       |ranked AS (
+       |  SELECT c.cluster_id, c.doc_id, s.quality_score, z.cluster_size,
+       |         row_number() OVER (PARTITION BY c.cluster_id
+       |                            ORDER BY s.quality_score DESC, c.doc_id) AS rn
+       |  FROM comp c JOIN scored s ON c.doc_id = s.doc_id
+       |       JOIN sizes z ON c.cluster_id = z.cluster_id)
+       |SELECT cluster_id, doc_id AS keep_doc_id, quality_score AS keep_score,
+       |       cluster_size, CAST(cluster_size - 1 AS BIGINT) AS n_removed
+       |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
   // ------------------------------------------------- embedding near-dup
   /** Embedding-cosine near-dup with banded sign-LSH blocking: band j's
     * bucket = (label, sign bits of planes [j·nPlanes, (j+1)·nPlanes)) — a
@@ -1135,6 +1178,7 @@ object Dedup {
     Q("dd_dup_clusters", dupClusters _, dupClustersSql),
     Q("t_decontaminate_fuzzy", fuzzyDecontaminate _, fuzzyDecontaminateSql),
     Q("dd_cluster_stats", clusterStats _, clusterStatsSql),
+    Q("dd_keep_best", keepBest _, keepBestSql),
     Q("t_ngram_novelty", ngramNovelty _, ngramNoveltySql),
   )
 }

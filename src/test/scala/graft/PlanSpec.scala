@@ -260,6 +260,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min"), "minhash partial aggregation missing")
   }
 
+  test("keep-best dedup: doc_id equi-join, partial aggregation, no cartesian") {
+    import graft.ops.Tables
+    val p = plan(graft.ext.Dedup.keepBestOn(
+      Tables.documents(spark, dir),
+      graft.ext.Dedup.dupClustersOn(Tables.documents(spark, dir))))
+    spark.catalog.clearCache()
+    // manifest ⨝ scores must be keyed on doc_id (both sides |docs| rows)
+    assert("(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[doc_id#".r.findFirstIn(p).nonEmpty,
+      "score join lost its doc_id equi-key:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the cluster argmax partial-aggregates map-side before its shuffle
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby"),
+      "keep-best aggregate is not map-side combinable:\n" + p.take(3000))
+  }
+
   test("documents repartition is gated: narrow scans widen, parallel scans pass through") {
     import graft.ops.Tables
     val cores = spark.sparkContext.defaultParallelism

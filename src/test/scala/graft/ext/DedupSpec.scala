@@ -269,6 +269,31 @@ class DedupSpec extends SparkSpec {
     assert(stats.map(_._3).sum === docs.count(), "histogram covers every document")
   }
 
+  test("keep-best dedup keeps the max-quality member of every cluster, one row per cluster") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.ops.Tables.documents(spark, dir)
+    val manifest = Dedup.dupClustersOn(docs)
+    val scores = Text.textStatsRowsOn(docs)
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val members = manifest.select("cluster_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    spark.catalog.clearCache()
+    val kept = Dedup.keepBestOn(docs, Dedup.dupClustersOn(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    spark.catalog.clearCache()
+    assert(kept.length === members.size, "one survivor per cluster")
+    kept.foreach { case (cid, keep, score, size, removed) =>
+      val cluster = members(cid)
+      assert(cluster.contains(keep), s"survivor $keep not in cluster $cid")
+      // survivor = max score, min doc_id on ties — recomputed independently
+      val best = cluster.map(d => (scores(d), -d)).max
+      assert((scores(keep), -keep) === best, s"cluster $cid kept $keep, expected ${-best._2}")
+      assert(score === scores(keep))
+      assert(size === cluster.length.toLong && removed === size - 1)
+    }
+  }
+
   test("fuzzy decontamination flags verbatim and lightly edited eval copies, keeps clean docs") {
     val longText = (1 to 30).map(i => s"w$i").mkString(" ")
     val edited = ((1 to 29).map(i => s"w$i") :+ "CHANGED").mkString(" ")
