@@ -172,6 +172,49 @@ object Text {
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     tokenCountOn(Tables.documents(spark, dir))
 
+  /** Per-language tokenizer-fertility / budget table: doc count, total
+    * chars and BPE-ish tokens, chars-per-token (the fertility metric
+    * multilingual tokenizer analyses balance across languages), and EXACT
+    * interpolated p50/p95 tokens-per-doc (context-window planning). The
+    * percentile aggregate buffers a count-map keyed by DISTINCT per-doc
+    * token counts — bounded by max document length, not corpus size — so
+    * it partial-aggregates map-side like any sum; both engines use the
+    * same rank = p·(n−1) linear interpolation, r6-rounded. */
+  def tokenFertilityOn(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_bpe_tokens", regexp_count(col("text"), lit(bpePattern)).cast("long"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum("n_bpe_tokens").as("total_tokens"),
+        expr("percentile(n_bpe_tokens, array(0.5D, 0.95D))").as("q"))
+      .withColumn("chars_per_token",
+        r6(col("total_chars") / nullif(col("total_tokens"), lit(0L))))
+      .select(col("lang"), col("n_docs"), col("total_chars"), col("total_tokens"),
+        col("chars_per_token"),
+        r6(element_at(col("q"), 1)).as("p50_tokens"),
+        r6(element_at(col("q"), 2)).as("p95_tokens"))
+      .orderBy("lang")
+
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame =
+    tokenFertilityOn(Tables.documents(spark, dir))
+
+  val tokenFertilitySql: String =
+    s"""WITH per AS (
+       |  SELECT lang,
+       |         CAST(len(regexp_extract_all(text, '$bpePattern')) AS BIGINT) AS n_bpe_tokens,
+       |         CAST(length(text) AS BIGINT) AS n_chars
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |       CAST(sum(n_bpe_tokens) AS BIGINT) AS total_tokens,
+       |       ${r6Sql("sum(n_chars) / nullif(sum(n_bpe_tokens), 0)")} AS chars_per_token,
+       |       ${r6Sql("quantile_cont(n_bpe_tokens, 0.5)")} AS p50_tokens,
+       |       ${r6Sql("quantile_cont(n_bpe_tokens, 0.95)")} AS p95_tokens
+       |FROM per GROUP BY lang ORDER BY lang""".stripMargin
+
   val tokenCountSql: String =
     s"""SELECT doc_id,
        |       CAST(len(${tokensSql("text")}) AS BIGINT) AS n_ws_tokens,
@@ -857,6 +900,7 @@ object Text {
     Q("t_ngram_freq", ngramFreq _, ngramFreqSql),
     Q("t_lang_id", langId _, langIdSql),
     Q("t_token_count", tokenCount _, tokenCountSql),
+    Q("t_token_fertility", tokenFertility _, tokenFertilitySql),
     Q("t_fingerprint", fingerprint _, fingerprintSql),
     Q("t_winnow_fp", winnowFingerprints _, winnowFingerprintsSql),
     Q("t_repetition", repetitionStats _, repetitionStatsSql),

@@ -22,6 +22,9 @@ object Num {
     * an ORDER BY between engines); ties are then broken by an id column. */
   def r9(c: Column): Column = floor(c * lit(1000000000.0) + lit(0.5)) / lit(1000000000.0)
 
+  /** Driver-side twin of [[r6]] for specs that recompute expectations. */
+  def r6Double(x: Double): Double = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
   def r6Sql(e: String): String = s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
   def r9Sql(e: String): String = s"floor(($e) * 1000000000.0 + 0.5) / 1000000000.0"
 

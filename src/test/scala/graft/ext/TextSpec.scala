@@ -182,4 +182,32 @@ class TextSpec extends SparkSpec {
     assert(got(3L) === ((0L, 0L, 0.0, 0.0)), "tokenless doc kept in the manifest with zeros")
     assert(got(4L) === ((4L, 2L, 0.5, 1.0)), "two uniform tokens: H = 1 bit")
   }
+
+  test("token fertility: per-lang totals and exact interpolated p50/p95") {
+    val en = Seq("ab cd", "a b c d", "one two three 4 5! x y z q w")
+    val de = Seq("zz")
+    val docs = (en.map(("en", _)) ++ de.map(("de", _))).zipWithIndex
+      .map { case ((lang, text), i) => (i.toLong, text, lang, "s", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // independent recount with the same BPE-ish lexical classes
+    def bpe(s: String): Long = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]".r.findAllIn(s).size.toLong
+    val enCounts = en.map(bpe).sorted // [2, 4, 11]
+    def quantile(xs: Seq[Long], p: Double): Double = {
+      val rank = p * (xs.size - 1)
+      val (lo, hi) = (xs(rank.toInt), xs(math.ceil(rank).toInt))
+      lo + (hi - lo) * (rank - rank.toInt)
+    }
+    val out = Text.tokenFertilityOn(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    val (nDocs, chars, toks, cpt, p50, p95) = out("en")
+    assert(nDocs === 3L && toks === enCounts.sum)
+    assert(chars === en.map(_.length.toLong).sum)
+    assert(cpt === graft.ops.Num.r6Double(chars.toDouble / toks))
+    assert(p50 === quantile(enCounts, 0.5))
+    assert(p95 === graft.ops.Num.r6Double(quantile(enCounts, 0.95)))
+    // singleton language: both quantiles ARE the one value, fertility exact
+    val (_, dChars, dToks, _, dp50, dp95) = out("de")
+    assert(dp50 === dToks.toDouble && dp95 === dToks.toDouble && dChars === 2L)
+  }
 }
