@@ -57,8 +57,11 @@ object Bench {
     val qs = results.toSeq.sortBy(_._2).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // errors sit AFTER the queries map: the driver keeps a bounded TAIL of
+    // this line, so anything before the map is the first thing truncated —
+    // the failure signal must live on the surviving end, next to total_sec
     val errs = errored.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":$errs,"queries":$qs,"total_sec":$total}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs,"errors":$errs,"n_errors":${errored.size},"total_sec":$total}""")
     spark.stop()
   }
 }

@@ -495,11 +495,17 @@ object Corpus {
     * own beyond-broadcast-limits rationale. */
   private val evalBloomCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+  graft.ops.FrozenCaches.register(() => evalBloomCache.clear())
 
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(BenchSlice))
+    // persisted for the same reason as the self-building form: on the
+    // cache-miss first call, bench feeds BOTH the bloom build and the
+    // verify join — without it the eval tokenize+shingle+distinct runs
+    // twice; on warm calls it simply backs the single verify-join consumer
     val bench = benchHashes(docs.filter(pmod(col("doc_id"), lit(10)) === lit(BenchSlice)))
+      .persist()
     val bytes = evalBloomCache.computeIfAbsent(dir, _ => evalBloomOn(bench, BloomBits))
     decontaminateBloomWith(train, bench, bytes)
   }

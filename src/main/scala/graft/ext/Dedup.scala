@@ -884,6 +884,12 @@ object Dedup {
     * this is corpus-sized, so it is never collected to the driver. */
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), String]()
+  graft.ops.FrozenCaches.register { () =>
+    // the manifest owns on-disk temp state: delete it, not just the keys
+    manifestCache.values.forEach(p =>
+      graft.ops.FrozenCaches.deleteTree(java.nio.file.Paths.get(p).getParent.toString))
+    manifestCache.clear()
+  }
 
   private def frozenManifest(spark: SparkSession, dir: String): DataFrame = {
     val path = manifestCache.computeIfAbsent((dir, NumHashes, NumBands), _ => {

@@ -398,7 +398,10 @@ object Similarity {
   private val frozenCentCache =
     new java.util.concurrent.ConcurrentHashMap[(String, KmeansCfg), Seq[(Long, Seq[Double], Double)]]()
   private val frozenCbCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), Seq[(Int, Long, Seq[Double])]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, PqCfg), Seq[(Int, Long, Seq[Double])]]()
+  graft.ops.FrozenCaches.register { () =>
+    frozenCentCache.clear(); frozenCbCache.clear()
+  }
 
   private def frozenCentroids(spark: SparkSession, dir: String, cfg: KmeansCfg): DataFrame = {
     val rows = frozenCentCache.computeIfAbsent((dir, cfg), _ =>
@@ -409,7 +412,9 @@ object Similarity {
   }
 
   private def frozenCodebook(spark: SparkSession, dir: String, cfg: PqCfg): DataFrame = {
-    val rows = frozenCbCache.computeIfAbsent((dir, cfg.m, cfg.k, cfg.iters), _ => {
+    // keyed on the WHOLE cfg: dims determines subDim, so a partial key
+    // would silently serve a wrong-width codebook to a different config
+    val rows = frozenCbCache.computeIfAbsent((dir, cfg), _ => {
       val sub = pqSub(Tables.embeddings(spark, dir), cfg.m, cfg.dims / cfg.m)
       val cbd = pqCodebook(sub, cfg.k, cfg.iters, cfg.dims / cfg.m)
       val out = cbd.collect().toSeq.map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))

@@ -523,6 +523,7 @@ object Text {
     * on first invocation and every later call is the census pass only. */
   private val gramCmsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+  graft.ops.FrozenCaches.register(() => gramCmsCache.clear())
 
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val bytes = gramCmsCache.computeIfAbsent(dir,
@@ -718,6 +719,7 @@ object Text {
     * query collects it once and replays it as a local relation. */
   private val fluencyCensusCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
+  graft.ops.FrozenCaches.register(() => fluencyCensusCache.clear())
 
   def lmFluency(spark: SparkSession, dir: String): DataFrame = {
     val rows = fluencyCensusCache.computeIfAbsent(dir, _ =>

@@ -66,10 +66,20 @@ object Tables {
     * scan — so it is GATED: only applied when the scan yields fewer
     * partitions than cores (single-file testdata), a pure pass-through on
     * any input that already parallelizes. */
+  /** The widen decision (scan splits < cores?) needs one physical planning
+    * pass (file listing) to answer — memoized per (dir, table, cores) so
+    * the dozens of reader calls a bench/verify run makes don't each replan
+    * the scan just to re-derive the same boolean. */
+  private val widenCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Boolean]()
+  FrozenCaches.register(() => widenCache.clear())
+
   private def widened(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = table(spark, dir, name)
     val cores = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    val widen = widenCache.computeIfAbsent((dir, name, cores),
+      _ => df.rdd.getNumPartitions < cores)
+    if (widen) df.repartition(cores) else df
   }
   def documents(spark: SparkSession, dir: String): DataFrame =
     widened(spark, dir, "documents")

@@ -260,6 +260,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min"), "minhash partial aggregation missing")
   }
 
+  test("discard census: dims broadcast, city gate broadcast-semi, aggregates partial") {
+    val p = plan(Reference.c4DiscardCensus(spark, dir))
+    // customer/nation dims ride broadcasts into the events scan
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the city gate is a broadcast LEFT SEMI on the per-push frame
+    assert("BroadcastHashJoin \\[city#\\d+\\], \\[city#\\d+\\], LeftSemi".r.findFirstIn(p).nonEmpty,
+      "city gate is not a broadcast semi-join:\n" + p.take(3000))
+    // the per-push FILTER aggregates partial-aggregate map-side
+    assert(p.contains("partial_min") && p.contains("partial_max"),
+      "push aggregate is not map-side combinable:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("keep-best dedup: doc_id equi-join, partial aggregation, no cartesian") {
     import graft.ops.Tables
     val p = plan(graft.ext.Dedup.keepBestOn(
