@@ -1128,12 +1128,17 @@ object Dedup {
 
   def semDedupOn(embeddings: DataFrame,
                  cosMin: Double = SemDedupMin,
-                 cfg: Similarity.KmeansCfg = Similarity.KmeansCfg()): DataFrame = {
-    // persisted: the centroid table feeds every assignment task; the cells
-    // frame is consumed three times (both self-join sides + the verdict
-    // spine). Same session-cache convention as minhashLshOn — batch callers
-    // clearCache() between invocations (Verify/Bench do).
-    val cent = Similarity.kmeansCentroidsOn(embeddings, cfg).persist()
+                 cfg: Similarity.KmeansCfg = Similarity.KmeansCfg()): DataFrame =
+    // persisted: the centroid table feeds every assignment task
+    semDedupWith(embeddings, Similarity.kmeansCentroidsOn(embeddings, cfg).persist(), cosMin)
+
+  /** The cluster-bounded pair phase against a GIVEN quantizer — shared by
+    * the self-training form and the frozen-model registered query. */
+  private def semDedupWith(embeddings: DataFrame, cent: DataFrame,
+                           cosMin: Double): DataFrame = {
+    // cells persisted: consumed three times (both self-join sides + the
+    // verdict spine). Same session-cache convention as minhashLshOn —
+    // batch callers clearCache() between invocations (Verify/Bench do).
     val cells = Similarity.assignCells(Similarity.withNorm(embeddings), cent).persist()
     val dupOf = cells.as("l").join(cells.as("r"),
         col("l.cell") === col("r.cell") && col("l.vec_id") > col("r.vec_id"))
@@ -1150,10 +1155,12 @@ object Dedup {
   }
 
   def semDedup(spark: SparkSession, dir: String): DataFrame =
-    // static width → Lloyd plans cache-equal across repeated invocations,
-    // same reasoning as knnIvfKmeans
-    semDedupOn(Tables.embeddings(spark, dir),
-      cfg = Similarity.KmeansCfg(dims = Similarity.Dims))
+    // frozen quantizer (train-once contract, shared with the IVF family —
+    // the SAME frozen centroids serve search, assignment and semdedup, so
+    // the clusters literally cannot drift between queries in a session)
+    semDedupWith(Tables.embeddings(spark, dir),
+      Similarity.frozenCentroids(spark, dir, Similarity.KmeansCfg(dims = Similarity.Dims)),
+      SemDedupMin)
 
   /** Oracle twin: the SHARED coarse-quantizer CTEs ([[Similarity.kmeansCellsSql]]
     * — identical text to the IVF/IVF-PQ oracles, so the clusters cannot

@@ -403,7 +403,7 @@ object Similarity {
     frozenCentCache.clear(); frozenCbCache.clear()
   }
 
-  private def frozenCentroids(spark: SparkSession, dir: String, cfg: KmeansCfg): DataFrame = {
+  private[ext] def frozenCentroids(spark: SparkSession, dir: String, cfg: KmeansCfg): DataFrame = {
     val rows = frozenCentCache.computeIfAbsent((dir, cfg), _ =>
       kmeansCentroidsOn(Tables.embeddings(spark, dir), cfg).collect().toSeq
         .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))))
@@ -893,7 +893,9 @@ object Similarity {
   }
 
   def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
-    kmeansAssignOn(Tables.embeddings(spark, dir), KmeansCfg(dims = Dims))
+    // frozen quantizer (train-once contract): assignment-only per call
+    assignCellsAgainstOn(Tables.embeddings(spark, dir),
+      frozenCentroids(spark, dir, KmeansCfg(dims = Dims))).orderBy("vec_id")
 
   val kmeansAssignSql: String =
     s"""WITH $kmeansCellsSql
@@ -990,10 +992,15 @@ object Similarity {
     * (vec_id, label); per-probe ranking is a window over the cell-bounded
     * candidate set, never the corpus. */
   def hardNegativesOn(embeddings: DataFrame, nProbe: Int = NProbe,
-                      cfg: KmeansCfg = KmeansCfg()): DataFrame = {
-    val e = withNorm(embeddings)
+                      cfg: KmeansCfg = KmeansCfg()): DataFrame =
     // persisted: probe ranking + corpus assignment both re-run Lloyd without it
-    val cent = kmeansCentroidsOn(embeddings, cfg).persist()
+    hardNegativesSearch(embeddings, kmeansCentroidsOn(embeddings, cfg).persist(), nProbe)
+
+  /** The mining phase against a GIVEN quantizer — shared by the
+    * self-training form and the frozen-model registered query. */
+  private def hardNegativesSearch(embeddings: DataFrame, cent: DataFrame,
+                                  nProbe: Int): DataFrame = {
+    val e = withNorm(embeddings)
     val corpus = assignCells(e, cent)
       .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
     val queries = corpus.filter(col("vec_id") % lit(QueryStride) === lit(0))
@@ -1014,7 +1021,9 @@ object Similarity {
   }
 
   def hardNegatives(spark: SparkSession, dir: String): DataFrame =
-    hardNegativesOn(Tables.embeddings(spark, dir), cfg = KmeansCfg(dims = Dims))
+    // frozen quantizer: mining only per call
+    hardNegativesSearch(Tables.embeddings(spark, dir),
+      frozenCentroids(spark, dir, KmeansCfg(dims = Dims)), NProbe)
 
   val hardNegativesSql: String =
     s"""WITH $kmeansCellsSql,
@@ -1066,7 +1075,11 @@ object Similarity {
       .withColumn("keep", col("ccos") >= lit(cosMin))
 
   def embedOutliers(spark: SparkSession, dir: String): DataFrame =
-    embedOutliersOn(Tables.embeddings(spark, dir), KmeansCfg(dims = Dims))
+    // frozen quantizer: the gate is the frozen assignment plus a projection
+    assignCellsAgainstOn(Tables.embeddings(spark, dir),
+      frozenCentroids(spark, dir, KmeansCfg(dims = Dims)))
+      .withColumn("keep", col("ccos") >= lit(OutlierCosMin))
+      .orderBy("vec_id")
 
   val embedOutliersSql: String = {
     val ccos = r6Sql(s"${dotSql("s.embedding", "c.centroid")} / (s.nrm * c.c_nrm)")
