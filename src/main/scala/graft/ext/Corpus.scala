@@ -959,6 +959,65 @@ object Corpus {
        |       dup_rate <= $SourceDupMax AS keep
        |FROM agg ORDER BY source""".stripMargin
 
+  // ------------------------------------------------- snapshot reconciliation
+  /** Corpus snapshot delta: given OLD and NEW snapshots keyed by doc_id,
+    * classify every id as added / removed / changed / unchanged by content
+    * fingerprint (md5 over [[Text.normalized]] text, the dd_exact
+    * convention) — the reconciliation manifest an incremental ingestion
+    * pipeline computes before re-embedding / re-indexing / re-deduping
+    * only what moved.
+    *
+    * 100 TB shape: two scan-side fingerprint projections and ONE co-keyed
+    * full-outer shuffle join on the primary key; a deployment that buckets
+    * both snapshots by doc_id (sources/Formats bucketed tables) runs it
+    * shuffle-free. */
+  def snapshotDeltaOn(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def fp(df: DataFrame) = df.select(col("doc_id"),
+      md5(graft.ext.Text.normalized(col("text"))).as("fp"))
+    fp(oldDocs).as("o").join(fp(newDocs).as("n"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("o.fp").isNull, lit("added"))
+          .when(col("n.fp").isNull, lit("removed"))
+          .when(col("o.fp") =!= col("n.fp"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .orderBy("doc_id")
+  }
+
+  /** Registered simulation over the one documents table: slice
+    * [[DeltaAdded]] exists only in the new snapshot, [[DeltaRemoved]] only
+    * in the old, [[DeltaChanged]] gets an appended revision marker —
+    * deterministic, and every status class is exercised. */
+  val DeltaAdded = 3
+  val DeltaRemoved = 4
+  val DeltaChanged = 2
+
+  def snapshotDelta(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val old = docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(DeltaAdded))
+    val nw = docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(DeltaRemoved))
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(10)) === lit(DeltaChanged),
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+    snapshotDeltaOn(old, nw)
+  }
+
+  val snapshotDeltaSql: String =
+    s"""WITH o AS (
+       |  SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents WHERE doc_id % 10 <> $DeltaAdded),
+       |n AS (
+       |  SELECT doc_id, md5(lower(regexp_replace(
+       |           CASE WHEN doc_id % 10 = $DeltaChanged THEN text || ' [rev2]' ELSE text END,
+       |           '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents WHERE doc_id % 10 <> $DeltaRemoved)
+       |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       |       CASE WHEN o.fp IS NULL THEN 'added'
+       |            WHEN n.fp IS NULL THEN 'removed'
+       |            WHEN o.fp <> n.fp THEN 'changed'
+       |            ELSE 'unchanged' END AS status
+       |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t_corpus_mix", mix _, mixSql),
     Q("t_temp_mix", tempMix _, tempMixSql),
@@ -977,5 +1036,6 @@ object Corpus {
     Q("t_chunk_windows", chunkWindows _, chunkWindowsSql),
     Q("t_chunk_dedup", chunkDedup _, chunkDedupSql),
     Q("t_corpus_rollup", corpusRollup _, corpusRollupSql),
+    Q("t_snapshot_delta", snapshotDelta _, snapshotDeltaSql),
   )
 }

@@ -384,4 +384,17 @@ class LibraryApiSpec extends SparkSpec {
     assert(got("clean")._3 === 0.333333 && got("clean")._4 === 0.333333)
     assert(got("clean")._5, "a 1/3 dup rate stays under the blocklist threshold")
   }
+
+  test("snapshot delta classifies added/removed/changed/unchanged on hand-built snapshots") {
+    val old = Seq(
+      (1L, "same text"), (2L, "will be edited"), (3L, "will be dropped"))
+      .toDF("doc_id", "text")
+    val nw = Seq(
+      (1L, "same   TEXT"), // whitespace/case only → normalized fp unchanged
+      (2L, "will be edited v2"), (4L, "brand new doc"))
+      .toDF("doc_id", "text")
+    val out = Corpus.snapshotDeltaOn(old, nw).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
 }
