@@ -570,9 +570,7 @@ object Corpus {
       .groupBy("doc_id", "lang", "source")
       .agg(sum("w").as("score"), count(lit(1)).as("n_tokens"))
 
-  def dsirSelectOn(docs: DataFrame,
-                   targetSource: String = DsirTargetSource): DataFrame = {
-    val scored = dsirScoreAgainstOn(docs, dsirWeightsOn(docs, targetSource), targetSource)
+  private def dsirTop(scored: DataFrame): DataFrame = {
     val top = scored.orderBy(col("score").desc, col("doc_id")).limit(DsirTopK)
     top.withColumn("rank",
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
@@ -580,8 +578,26 @@ object Corpus {
       .orderBy("rank")
   }
 
-  def dsirSelect(spark: SparkSession, dir: String): DataFrame =
-    dsirSelectOn(Tables.documents(spark, dir))
+  def dsirSelectOn(docs: DataFrame,
+                   targetSource: String = DsirTargetSource): DataFrame =
+    dsirTop(dsirScoreAgainstOn(docs, dsirWeightsOn(docs, targetSource), targetSource))
+
+  /** Frozen weight table per (corpus, target) — [[DsirBuckets]] integer
+    * rows, the train-once model the `dsirWeightsOn`/`dsirScoreAgainstOn`
+    * split was designed around; the registered query now actually lives
+    * that contract instead of retraining per invocation. */
+  private val dsirWeightsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[(Long, Long)]]()
+  graft.ops.FrozenCaches.register(() => dsirWeightsCache.clear())
+
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val rows = dsirWeightsCache.computeIfAbsent((dir, DsirTargetSource), _ =>
+      dsirWeightsOn(docs, DsirTargetSource).collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1))))
+    import docs.sparkSession.implicits._
+    dsirTop(dsirScoreAgainstOn(docs, rows.toDF("b", "w"), DsirTargetSource))
+  }
 
   val dsirSelectSql: String =
     s"""WITH tok AS (

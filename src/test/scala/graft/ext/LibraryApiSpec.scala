@@ -397,4 +397,35 @@ class LibraryApiSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
+
+  test("property: snapshot delta matches driver-side recomputation and swaps symmetrically") {
+    case class D(id: Long, inOld: Boolean, inNew: Boolean, changed: Boolean)
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val ds = (1L to 40L)
+        .map(i => D(i, rnd.nextDouble() < 0.8, rnd.nextDouble() < 0.8, rnd.nextDouble() < 0.3))
+        .filter(d => d.inOld || d.inNew)
+      val oldDf = ds.filter(_.inOld).map(d => (d.id, s"text ${d.id} v1")).toDF("doc_id", "text")
+      val newDf = ds.filter(_.inNew)
+        .map(d => (d.id, s"text ${d.id} v${if (d.changed) 2 else 1}")).toDF("doc_id", "text")
+      val expected = ds.map { d =>
+        d.id -> ((d.inOld, d.inNew) match {
+          case (true, false) => "removed"
+          case (false, true) => "added"
+          case _ => if (d.changed) "changed" else "unchanged"
+        })
+      }.toMap
+      val got = Corpus.snapshotDeltaOn(oldDf, newDf).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === expected)
+      // swapping the snapshots maps added↔removed and fixes changed/unchanged
+      val swapped = Corpus.snapshotDeltaOn(newDf, oldDf).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(swapped === expected.view.mapValues {
+        case "added" => "removed"
+        case "removed" => "added"
+        case s => s
+      }.toMap)
+    }
+  }
 }
