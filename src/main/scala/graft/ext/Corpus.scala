@@ -493,9 +493,7 @@ object Corpus {
     * invocation pays only the probe + verify passes. The eval hash set
     * itself stays distributed — collecting it would defeat the operator's
     * own beyond-broadcast-limits rationale. */
-  private val evalBloomCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
-  graft.ops.FrozenCaches.register(() => evalBloomCache.clear())
+  private val evalBloomCache = new graft.ops.FrozenCaches.Memo[String, Array[Byte]]()
 
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -506,7 +504,7 @@ object Corpus {
     // twice; on warm calls it simply backs the single verify-join consumer
     val bench = benchHashes(docs.filter(pmod(col("doc_id"), lit(10)) === lit(BenchSlice)))
       .persist()
-    val bytes = evalBloomCache.computeIfAbsent(dir, _ => evalBloomOn(bench, BloomBits))
+    val bytes = evalBloomCache.get(dir)(evalBloomOn(bench, BloomBits))
     decontaminateBloomWith(train, bench, bytes)
   }
 
@@ -587,14 +585,14 @@ object Corpus {
     * split was designed around; the registered query now actually lives
     * that contract instead of retraining per invocation. */
   private val dsirWeightsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[(Long, Long)]]()
-  graft.ops.FrozenCaches.register(() => dsirWeightsCache.clear())
+    new graft.ops.FrozenCaches.Memo[(String, String), Seq[(Long, Long)]]()
 
   def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val rows = dsirWeightsCache.computeIfAbsent((dir, DsirTargetSource), _ =>
+    val rows = dsirWeightsCache.get((dir, DsirTargetSource)) {
       dsirWeightsOn(docs, DsirTargetSource).collect().toSeq
-        .map(r => (r.getLong(0), r.getLong(1))))
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
     import docs.sparkSession.implicits._
     dsirTop(dsirScoreAgainstOn(docs, rows.toDF("b", "w"), DsirTargetSource))
   }
@@ -1019,12 +1017,11 @@ object Corpus {
 
   val snapshotDeltaSql: String =
     s"""WITH o AS (
-       |  SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+       |  SELECT doc_id, md5(${Text.normalizedSql("text")}) AS fp
        |  FROM documents WHERE doc_id % 10 <> $DeltaAdded),
        |n AS (
-       |  SELECT doc_id, md5(lower(regexp_replace(
-       |           CASE WHEN doc_id % 10 = $DeltaChanged THEN text || ' [rev2]' ELSE text END,
-       |           '\\s+', ' ', 'g'))) AS fp
+       |  SELECT doc_id, md5(${Text.normalizedSql(
+             s"CASE WHEN doc_id % 10 = $DeltaChanged THEN text || ' [rev2]' ELSE text END")}) AS fp
        |  FROM documents WHERE doc_id % 10 <> $DeltaRemoved)
        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
        |       CASE WHEN o.fp IS NULL THEN 'added'

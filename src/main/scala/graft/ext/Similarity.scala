@@ -396,17 +396,15 @@ object Similarity {
     * collected doubles round-trip unchanged, so frozen-vs-retrained
     * results are identical (spec-pinned in SimilaritySpec). */
   private val frozenCentCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, KmeansCfg), Seq[(Long, Seq[Double], Double)]]()
+    new graft.ops.FrozenCaches.Memo[(String, KmeansCfg), Seq[(Long, Seq[Double], Double)]]()
   private val frozenCbCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, PqCfg), Seq[(Int, Long, Seq[Double])]]()
-  graft.ops.FrozenCaches.register { () =>
-    frozenCentCache.clear(); frozenCbCache.clear()
-  }
+    new graft.ops.FrozenCaches.Memo[(String, PqCfg), Seq[(Int, Long, Seq[Double])]]()
 
   private[ext] def frozenCentroids(spark: SparkSession, dir: String, cfg: KmeansCfg): DataFrame = {
-    val rows = frozenCentCache.computeIfAbsent((dir, cfg), _ =>
+    val rows = frozenCentCache.get((dir, cfg)) {
       kmeansCentroidsOn(Tables.embeddings(spark, dir), cfg).collect().toSeq
-        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))))
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    }
     import spark.implicits._
     rows.toDF("cent_id", "centroid", "c_nrm")
   }
@@ -414,13 +412,13 @@ object Similarity {
   private def frozenCodebook(spark: SparkSession, dir: String, cfg: PqCfg): DataFrame = {
     // keyed on the WHOLE cfg: dims determines subDim, so a partial key
     // would silently serve a wrong-width codebook to a different config
-    val rows = frozenCbCache.computeIfAbsent((dir, cfg), _ => {
+    val rows = frozenCbCache.get((dir, cfg)) {
       val sub = pqSub(Tables.embeddings(spark, dir), cfg.m, cfg.dims / cfg.m)
       val cbd = pqCodebook(sub, cfg.k, cfg.iters, cfg.dims / cfg.m)
       val out = cbd.collect().toSeq.map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
       cbd.unpersist(); sub.unpersist()
       out
-    })
+    }
     import spark.implicits._
     rows.toDF("sub", "code", "cvec")
   }

@@ -229,6 +229,10 @@ object Text {
     * Spark's replace-all default. */
   def normalized(text: Column): Column = lower(regexp_replace(text, "\\s+", " "))
 
+  /** Oracle twin of [[normalized]] (DuckDB needs the 'g' flag to match
+    * Spark's replace-all default). */
+  def normalizedSql(e: String): String = s"lower(regexp_replace($e, '\\s+', ' ', 'g'))"
+
   def fingerprintOn(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("fp")
     docs
@@ -521,13 +525,10 @@ object Text {
   /** Frozen CMS per corpus: the sketch is a fixed-size model (train-once
     * contract, as with the IVF centroids) — the registered query builds it
     * on first invocation and every later call is the census pass only. */
-  private val gramCmsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
-  graft.ops.FrozenCaches.register(() => gramCmsCache.clear())
+  private val gramCmsCache = new graft.ops.FrozenCaches.Memo[String, Array[Byte]]()
 
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val bytes = gramCmsCache.computeIfAbsent(dir,
-      _ => gramCmsOn(Tables.documents(spark, dir)))
+    val bytes = gramCmsCache.get(dir)(gramCmsOn(Tables.documents(spark, dir)))
     heavyHittersWithCms(Tables.documents(spark, dir), bytes)
   }
 
@@ -718,13 +719,13 @@ object Text {
     * — broadcast-sized by the scaladoc's own argument — so the registered
     * query collects it once and replays it as a local relation. */
   private val fluencyCensusCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
-  graft.ops.FrozenCaches.register(() => fluencyCensusCache.clear())
+    new graft.ops.FrozenCaches.Memo[String, Seq[(String, Long)]]()
 
   def lmFluency(spark: SparkSession, dir: String): DataFrame = {
-    val rows = fluencyCensusCache.computeIfAbsent(dir, _ =>
+    val rows = fluencyCensusCache.get(dir) {
       fluencyCensusOn(Tables.documents(spark, dir)).collect().toSeq
-        .map(r => (r.getString(0), r.getLong(1))))
+        .map(r => (r.getString(0), r.getLong(1)))
+    }
     import spark.implicits._
     lmFluencyAgainstOn(Tables.documents(spark, dir), rows.toDF("gram", "n"))
   }

@@ -23,6 +23,20 @@ object FrozenCaches {
 
   def clearAll(): Unit = hooks.forEach(h => h())
 
+  /** A path-keyed artifact memo that self-registers with [[clearAll]] —
+    * the one shape every frozen model/sketch/census/manifest cache shares.
+    * `beforeClear` runs over the cached values before they are dropped
+    * (for artifacts that own on-disk state, e.g. the dup-cluster
+    * manifest's temp dirs). */
+  final class Memo[K, V](beforeClear: java.util.Collection[V] => Unit = null) {
+    private val m = new java.util.concurrent.ConcurrentHashMap[K, V]()
+    register { () =>
+      if (beforeClear != null) beforeClear(m.values)
+      m.clear()
+    }
+    def get(k: K)(build: => V): V = m.computeIfAbsent(k, _ => build)
+  }
+
   /** Recursive best-effort delete for temp artifacts; never throws. */
   def deleteTree(path: String): Unit =
     try {

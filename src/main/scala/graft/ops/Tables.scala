@@ -70,15 +70,12 @@ object Tables {
     * pass (file listing) to answer — memoized per (dir, table, cores) so
     * the dozens of reader calls a bench/verify run makes don't each replan
     * the scan just to re-derive the same boolean. */
-  private val widenCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Boolean]()
-  FrozenCaches.register(() => widenCache.clear())
+  private val widenCache = new FrozenCaches.Memo[(String, String, Int), Boolean]()
 
   private def widened(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = table(spark, dir, name)
     val cores = spark.sparkContext.defaultParallelism
-    val widen = widenCache.computeIfAbsent((dir, name, cores),
-      _ => df.rdd.getNumPartitions < cores)
+    val widen = widenCache.get((dir, name, cores))(df.rdd.getNumPartitions < cores)
     if (widen) df.repartition(cores) else df
   }
   def documents(spark: SparkSession, dir: String): DataFrame =
