@@ -592,7 +592,7 @@ object Corpus {
     * invocation pays only the probe + verify passes. The eval hash set
     * itself stays distributed — collecting it would defeat the operator's
     * own beyond-broadcast-limits rationale. */
-  private val evalBloomCache = new graft.ops.FrozenCaches.Memo[String, Array[Byte]]()
+  private val evalBloomCache = new graft.ops.FrozenCaches.Memo[Unit, Array[Byte]]()
 
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -603,7 +603,7 @@ object Corpus {
     // twice; on warm calls it simply backs the single verify-join consumer
     val bench = benchHashes(docs.filter(pmod(col("doc_id"), lit(10)) === lit(BenchSlice)))
       .persist()
-    val bytes = evalBloomCache.get(dir)(evalBloomOn(bench, BloomBits))
+    val bytes = evalBloomCache.get(dir, ())(evalBloomOn(bench, BloomBits))
     decontaminateBloomWith(train, bench, bytes)
   }
 
@@ -684,11 +684,11 @@ object Corpus {
     * split was designed around; the registered query now actually lives
     * that contract instead of retraining per invocation. */
   private val dsirWeightsCache =
-    new graft.ops.FrozenCaches.Memo[(String, String), Seq[(Long, Long)]]()
+    new graft.ops.FrozenCaches.Memo[String, Seq[(Long, Long)]]()
 
   def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val rows = dsirWeightsCache.get((dir, DsirTargetSource)) {
+    val rows = dsirWeightsCache.get(dir, DsirTargetSource) {
       dsirWeightsOn(docs, DsirTargetSource).collect().toSeq
         .map(r => (r.getLong(0), r.getLong(1)))
     }

@@ -882,13 +882,13 @@ object Dedup {
     * the manifest lives in a temp dir keyed by corpus; at 100 TB it is the
     * same write, pointed at the warehouse. Unlike the frozen ANN models
     * this is corpus-sized, so it is never collected to the driver. */
-  private val manifestCache = new graft.ops.FrozenCaches.Memo[(String, Int, Int), String](
+  private val manifestCache = new graft.ops.FrozenCaches.Memo[(Int, Int), String](
     // the manifest owns on-disk temp state: delete it, not just the keys
     beforeClear = _.forEach(p =>
       graft.ops.FrozenCaches.deleteTree(java.nio.file.Paths.get(p).getParent.toString)))
 
   private def frozenManifest(spark: SparkSession, dir: String): DataFrame = {
-    val path = manifestCache.get((dir, NumHashes, NumBands)) {
+    val path = manifestCache.get(dir, (NumHashes, NumBands)) {
       val p = java.nio.file.Files.createTempDirectory("graft_dup_manifest")
         .toString + "/manifest.parquet"
       dupClustersOn(Tables.documents(spark, dir)).write.parquet(p)

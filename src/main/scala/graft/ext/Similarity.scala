@@ -396,12 +396,12 @@ object Similarity {
     * collected doubles round-trip unchanged, so frozen-vs-retrained
     * results are identical (spec-pinned in SimilaritySpec). */
   private val frozenCentCache =
-    new graft.ops.FrozenCaches.Memo[(String, KmeansCfg), Seq[(Long, Seq[Double], Double)]]()
+    new graft.ops.FrozenCaches.Memo[KmeansCfg, Seq[(Long, Seq[Double], Double)]]()
   private val frozenCbCache =
-    new graft.ops.FrozenCaches.Memo[(String, PqCfg), Seq[(Int, Long, Seq[Double])]]()
+    new graft.ops.FrozenCaches.Memo[PqCfg, Seq[(Int, Long, Seq[Double])]]()
 
   private[ext] def frozenCentroids(spark: SparkSession, dir: String, cfg: KmeansCfg): DataFrame = {
-    val rows = frozenCentCache.get((dir, cfg)) {
+    val rows = frozenCentCache.get(dir, cfg) {
       kmeansCentroidsOn(Tables.embeddings(spark, dir), cfg).collect().toSeq
         .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
     }
@@ -412,7 +412,7 @@ object Similarity {
   private def frozenCodebook(spark: SparkSession, dir: String, cfg: PqCfg): DataFrame = {
     // keyed on the WHOLE cfg: dims determines subDim, so a partial key
     // would silently serve a wrong-width codebook to a different config
-    val rows = frozenCbCache.get((dir, cfg)) {
+    val rows = frozenCbCache.get(dir, cfg) {
       val sub = pqSub(Tables.embeddings(spark, dir), cfg.m, cfg.dims / cfg.m)
       val cbd = pqCodebook(sub, cfg.k, cfg.iters, cfg.dims / cfg.m)
       val out = cbd.collect().toSeq.map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))

@@ -525,10 +525,10 @@ object Text {
   /** Frozen CMS per corpus: the sketch is a fixed-size model (train-once
     * contract, as with the IVF centroids) — the registered query builds it
     * on first invocation and every later call is the census pass only. */
-  private val gramCmsCache = new graft.ops.FrozenCaches.Memo[String, Array[Byte]]()
+  private val gramCmsCache = new graft.ops.FrozenCaches.Memo[Unit, Array[Byte]]()
 
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val bytes = gramCmsCache.get(dir)(gramCmsOn(Tables.documents(spark, dir)))
+    val bytes = gramCmsCache.get(dir, ())(gramCmsOn(Tables.documents(spark, dir)))
     heavyHittersWithCms(Tables.documents(spark, dir), bytes)
   }
 
@@ -719,10 +719,10 @@ object Text {
     * — broadcast-sized by the scaladoc's own argument — so the registered
     * query collects it once and replays it as a local relation. */
   private val fluencyCensusCache =
-    new graft.ops.FrozenCaches.Memo[String, Seq[(String, Long)]]()
+    new graft.ops.FrozenCaches.Memo[Unit, Seq[(String, Long)]]()
 
   def lmFluency(spark: SparkSession, dir: String): DataFrame = {
-    val rows = fluencyCensusCache.get(dir) {
+    val rows = fluencyCensusCache.get(dir, ()) {
       fluencyCensusOn(Tables.documents(spark, dir)).collect().toSeq
         .map(r => (r.getString(0), r.getLong(1)))
     }

@@ -5,12 +5,17 @@ package graft.ops
   * bloom, fluency census), the materialized dup-cluster manifest, and the
   * scan-widen decisions.
   *
-  * All of these key on the corpus PATH, not its content — the same
-  * contract as Spark's own catalog/file-index caches (cleared via
-  * `spark.catalog.refreshByPath`). A caller that regenerates or swaps the
-  * data under a previously-read path within one JVM MUST call [[clearAll]]
-  * or the frozen artifacts keep describing the old data. Fresh JVMs (the
-  * driver's per-round Verify/Bench runs) start empty and need nothing.
+  * Artifacts key on (corpus path, content signature, residual key): the
+  * signature — file count + total bytes + max mtime from the recursive
+  * listing, see [[dirSig]] — makes a long-lived JVM detect data swapped
+  * under a previously-read path and retrain instead of silently serving a
+  * model of the old data (the round-7 testdata-regeneration footgun).
+  * A stale generation's artifacts are evicted (and their on-disk state
+  * cleaned) the first time the new generation is requested. On a path the
+  * local walk cannot see (remote FS), the signature degrades to a
+  * constant and the contract falls back to the previous one: call
+  * [[clearAll]] after swapping data. Fresh JVMs (the driver's per-round
+  * Verify/Bench runs) start empty and need nothing.
   *
   * Each hosting object registers its clear hook at class-init; hooks also
   * best-effort delete any temp-dir artifacts they own (the dup-cluster
@@ -23,18 +28,69 @@ object FrozenCaches {
 
   def clearAll(): Unit = hooks.forEach(h => h())
 
-  /** A path-keyed artifact memo that self-registers with [[clearAll]] —
-    * the one shape every frozen model/sketch/census/manifest cache shares.
-    * `beforeClear` runs over the cached values before they are dropped
-    * (for artifacts that own on-disk state, e.g. the dup-cluster
-    * manifest's temp dirs). */
+  /** Cheap content signature of a file or directory: file count, total
+    * bytes and max mtime folded into one long. Not collision-proof
+    * against adversarial same-size-same-mtime swaps — it is the same
+    * freshness test a build tool uses, and the failure mode is the old
+    * (path-only) behavior, never a wrong answer on fresh reads. */
+  def dirSig(path: String): Long = {
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) return 0L
+      var n = 0L; var bytes = 0L; var mt = 0L
+      val walk = java.nio.file.Files.walk(p)
+      try walk.forEach { f =>
+        if (java.nio.file.Files.isRegularFile(f)) {
+          n += 1
+          bytes += java.nio.file.Files.size(f)
+          mt = math.max(mt, java.nio.file.Files.getLastModifiedTime(f).toMillis)
+        }
+      } finally walk.close()
+      var h = 1125899906842597L
+      h = h * 31 + n; h = h * 31 + bytes; h = h * 31 + mt
+      h
+    } catch { case _: Throwable => 0L }
+  }
+
+  /** A corpus-keyed artifact memo that self-registers with [[clearAll]].
+    * `get` takes the corpus path EXPLICITLY (every frozen artifact
+    * describes some corpus) and folds [[dirSig]] into the cache key, so
+    * no caller can opt out of content freshness. `beforeClear` runs over
+    * dropped values (for artifacts that own on-disk state, e.g. the
+    * dup-cluster manifest's temp dirs) — both on [[clearAll]] and when a
+    * stale generation is evicted.
+    *
+    * Plain synchronized get-or-compute, by design: a null-returning
+    * builder is cached like any value (no silent rebuild-per-call), and
+    * a heavyweight builder (full Spark jobs, temp-dir writes) never runs
+    * twice concurrently for the same memo — the lock is per-Memo, so
+    * distinct artifact families still build in parallel. */
   final class Memo[K, V](beforeClear: java.util.Collection[V] => Unit = null) {
-    private val m = new java.util.concurrent.ConcurrentHashMap[K, V]()
+    private val m = new java.util.HashMap[(String, Long, K), V]()
     register { () =>
-      if (beforeClear != null) beforeClear(m.values)
-      m.clear()
+      this.synchronized {
+        if (beforeClear != null) beforeClear(m.values)
+        m.clear()
+      }
     }
-    def get(k: K)(build: => V): V = m.computeIfAbsent(k, _ => build)
+    def get(dir: String, k: K)(build: => V): V = this.synchronized {
+      val key = (dir, dirSig(dir), k)
+      if (m.containsKey(key)) m.get(key)
+      else {
+        // a new generation of this corpus supersedes older ones: evict
+        // them (and clean their on-disk state) before building
+        val stale = new java.util.ArrayList[V]()
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getKey._1 == dir && e.getKey._3 == k) { stale.add(e.getValue); it.remove() }
+        }
+        if (beforeClear != null && !stale.isEmpty) beforeClear(stale)
+        val v = build
+        m.put(key, v)
+        v
+      }
+    }
   }
 
   /** Recursive best-effort delete for temp artifacts; never throws. */

@@ -67,15 +67,21 @@ object Tables {
     * partitions than cores (single-file testdata), a pure pass-through on
     * any input that already parallelizes. */
   /** The widen decision (scan splits < cores?) needs one physical planning
-    * pass (file listing) to answer — memoized per (dir, table, cores) so
-    * the dozens of reader calls a bench/verify run makes don't each replan
-    * the scan just to re-derive the same boolean. */
-  private val widenCache = new FrozenCaches.Memo[(String, String, Int), Boolean]()
+    * pass (file listing) to answer — memoized per (dir content, table,
+    * cores, file-split confs) so the dozens of reader calls a bench/verify
+    * run makes don't each replan the scan just to re-derive the same
+    * boolean, while a session with different split confs (which change the
+    * partition count the same files yield) derives its own. */
+  private val widenCache = new FrozenCaches.Memo[(String, Int, String, String), Boolean]()
 
   private def widened(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = table(spark, dir, name)
     val cores = spark.sparkContext.defaultParallelism
-    val widen = widenCache.get((dir, name, cores))(df.rdd.getNumPartitions < cores)
+    val splitConfs = (
+      spark.conf.getOption("spark.sql.files.maxPartitionBytes").getOrElse(""),
+      spark.conf.getOption("spark.sql.files.openCostInBytes").getOrElse(""))
+    val widen = widenCache.get(dir, (name, cores, splitConfs._1, splitConfs._2))(
+      df.rdd.getNumPartitions < cores)
     if (widen) df.repartition(cores) else df
   }
   def documents(spark: SparkSession, dir: String): DataFrame =

@@ -19,6 +19,64 @@ class FrozenCachesSpec extends SparkSpec {
     assert(before.nonEmpty && before === after)
   }
 
+  test("memo: content fingerprint invalidates when data changes under the path") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fp_test").toString
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(tmp, "a.txt"), "one")
+      var builds = 0
+      val memo = new FrozenCaches.Memo[Unit, Int]()
+      assert(memo.get(tmp, ()) { builds += 1; builds } === 1)
+      assert(memo.get(tmp, ()) { builds += 1; builds } === 1) // unchanged data: cached
+      // size change (mtime granularity can be coarse; size alone must trip it)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(tmp, "a.txt"), "twoo")
+      assert(memo.get(tmp, ()) { builds += 1; builds } === 2) // changed data: rebuilt
+      assert(builds === 2)
+    } finally FrozenCaches.deleteTree(tmp)
+  }
+
+  test("memo: a stale generation is evicted (beforeClear runs) when data changes") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fp_evict").toString
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(tmp, "a.txt"), "one")
+      val dropped = new java.util.ArrayList[Int]()
+      val memo = new FrozenCaches.Memo[Unit, Int](beforeClear = vs => dropped.addAll(vs))
+      assert(memo.get(tmp, ())(1) === 1)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(tmp, "a.txt"), "twoo")
+      assert(memo.get(tmp, ())(2) === 2)
+      assert(dropped.size === 1 && dropped.get(0) === 1)
+    } finally FrozenCaches.deleteTree(tmp)
+  }
+
+  test("memo: a null-returning builder is cached, not silently rebuilt per call") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fp_null").toString
+    try {
+      var builds = 0
+      val memo = new FrozenCaches.Memo[Unit, String]()
+      assert(memo.get(tmp, ()) { builds += 1; null } === null)
+      assert(memo.get(tmp, ()) { builds += 1; null } === null)
+      assert(builds === 1)
+    } finally FrozenCaches.deleteTree(tmp)
+  }
+
+  test("swapping the corpus under a path retrains the dup-cluster manifest") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fp_corpus").toString
+    try {
+      val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+      docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val full = graft.ext.Dedup.dupClusters(spark, tmp).collect().map(_.toSeq).toSeq
+      // swap a half-size corpus under the SAME path — no clearAll
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      spark.catalog.clearCache()
+      val half = graft.ext.Dedup.dupClusters(spark, tmp).collect().map(_.toSeq).toSeq
+      assert(full.nonEmpty && half.nonEmpty && full != half,
+        "manifest served stale frozen artifact after the corpus changed")
+    } finally {
+      FrozenCaches.deleteTree(tmp)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("clearAll invalidates the frozen census/sketch/model caches; rebuilds are identical") {
     val fluencyBefore = graft.ext.Text.lmFluency(spark, dir).collect().map(_.toSeq).toSeq
     val hhBefore = graft.ext.Text.heavyHitters(spark, dir).collect().map(_.toSeq).toSeq
