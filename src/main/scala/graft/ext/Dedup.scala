@@ -808,12 +808,31 @@ object Dedup {
     * false` keeps the pure-lineage form for callers that need it. */
   def dupClustersOn(docs: DataFrame,
                     numHashes: Int = NumHashes, numBands: Int = NumBands,
-                    checkpointRounds: Boolean = true): DataFrame = {
-    val pairs = minhashLshOn(docs, numHashes, numBands)
+                    checkpointRounds: Boolean = true): DataFrame =
+    propagateComponents(docs.select("doc_id"),
+      dupEdgesOn(docs, numHashes, numBands), checkpointRounds)
+      .orderBy("doc_id")
+
+  /** The thresholded near-dup pair table — the edge set [[dupClustersOn]]
+    * clusters over, exposed as warehouse state in its own right: the
+    * incremental update ([[dupClustersIncrementalOn]]) needs the OLD
+    * snapshot's edges persisted next to its manifest, because components
+    * alone cannot SPLIT (whether removing a doc disconnects its cluster
+    * depends on which pairs the remaining members share). */
+  def dupEdgesOn(docs: DataFrame,
+                 numHashes: Int = NumHashes, numBands: Int = NumBands): DataFrame =
+    minhashLshOn(docs, numHashes, numBands)
       .filter(col("est_jaccard") >= lit(ClusterEstMin))
       .select("doc_a", "doc_b")
+
+  /** Min-label propagation + pointer jumping over (ids, pair edges) — the
+    * loop of [[dupClustersOn]], shared with the incremental update so the
+    * two can never disagree on clustering semantics. Returns the manifest
+    * columns (doc_id, cluster_id, cluster_size, is_canonical), unsorted. */
+  private def propagateComponents(ids: DataFrame, pairs: DataFrame,
+                                  checkpointRounds: Boolean): DataFrame = {
     val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a"))).persist()
-    var comp = docs.select(col("doc_id"), col("doc_id").as("comp")).persist()
+    var comp = ids.select(col("doc_id"), col("doc_id").as("comp")).persist()
     // convergence via the label-sum invariant: every step can only DECREASE
     // a node's label, so sum(comp) is strictly decreasing until the
     // fixpoint and equality means no node moved — one cheap aggregate per
@@ -871,6 +890,87 @@ object Dedup {
       .join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+
+  /** Incremental dup-cluster manifest update — the 100 TB ingestion shape:
+    * instead of re-running connected components over the whole corpus, the
+    * snapshot delta ([[Corpus.snapshotDeltaOn]]) decides which components
+    * the change can possibly affect, and ONLY those re-cluster; every
+    * other manifest row passes through untouched. Output is bit-identical
+    * to `dupClustersOn(newDocs)` (spec-pinned, and the registered query
+    * shares the from-scratch recursive-CTE oracle).
+    *
+    * Inputs are the OLD snapshot's warehouse state — its manifest AND its
+    * edge table ([[dupEdgesOn]]); edges are required because components
+    * alone cannot split — plus both snapshots.
+    *
+    * What re-clusters: the old components of every removed/changed doc
+    * (their clusters may split) and of every endpoint of a NEW pair edge
+    * (those clusters may merge), plus added docs. New pair edges are
+    * generated only for added/changed docs, banded against the full new
+    * corpus ([[minhashCandidatesAgainst]]) — every other edge is carried
+    * over from the old edge table (minus those touching removed/changed
+    * docs), never recomputed.
+    *
+    * Scale shape: the delta classify is one co-keyed outer join; fresh-edge
+    * generation is |delta| bands probing the corpus band table (the same
+    * bounded join the streaming dedup twin makes per micro-batch); the CC
+    * loop runs over touched components only. The one corpus-proportional
+    * stage left is the new snapshot's signature pass feeding the band
+    * probe — warehouse state in production (signatures persist next to the
+    * manifest; only fresh docs need signing), recomputed here because the
+    * in-process artifact store keeps only manifest + edges. */
+  def dupClustersIncrementalOn(oldDocs: DataFrame, newDocs: DataFrame,
+                               oldManifest: DataFrame, oldEdges: DataFrame,
+                               numHashes: Int = NumHashes, numBands: Int = NumBands,
+                               checkpointRounds: Boolean = true): DataFrame = {
+    // persisted: the delta feeds four classification filters below
+    val delta = graft.ext.Corpus.snapshotDeltaOn(oldDocs, newDocs).persist()
+    val gone = delta.filter(col("status").isin("removed", "changed")).select("doc_id")
+    val fresh = delta.filter(col("status").isin("added", "changed")).select("doc_id")
+
+    // fresh pair edges: sign the new corpus once, probe fresh bands
+    // against all bands (persisted: both band sides + both sig rejoins)
+    val mh = minhashSigsOn(newDocs, numHashes).persist()
+    val freshEdges = minhashEstJaccard(
+        minhashCandidatesAgainst(mh.join(fresh, "doc_id"), mh, numHashes, numBands),
+        mh, numHashes)
+      .filter(col("est_jaccard") >= lit(ClusterEstMin))
+      .select("doc_a", "doc_b")
+
+    // old edges that survive the delta: neither endpoint removed/changed
+    val keptEdges = oldEdges
+      .join(gone.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
+      .join(gone.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
+
+    // components the delta can affect: those holding a removed/changed doc
+    // or an endpoint of a fresh edge (added docs have no old component)
+    val touchedComps = oldManifest
+      .join(gone
+          .union(freshEdges.select(col("doc_a").as("doc_id")))
+          .union(freshEdges.select(col("doc_b").as("doc_id")))
+          .distinct(),
+        "doc_id")
+      .select("cluster_id").distinct()
+
+    // the sub-problem: surviving members of touched components + added docs
+    val subIds = oldManifest.join(touchedComps, "cluster_id")
+      .select("doc_id")
+      .join(delta.filter(col("status") === "removed").select("doc_id"), Seq("doc_id"), "left_anti")
+      .union(delta.filter(col("status") === "added").select("doc_id"))
+      .distinct()
+    // a kept edge's endpoints share one old component, so filtering doc_a
+    // against touched members keeps exactly the touched components' edges
+    val subEdges = keptEdges
+      .join(oldManifest.join(touchedComps, "cluster_id").select(col("doc_id").as("doc_a")), "doc_a")
+      .select("doc_a", "doc_b")
+      .union(freshEdges)
+      .distinct()
+
+    val recomputed = propagateComponents(subIds, subEdges, checkpointRounds)
+    val untouched = oldManifest.join(touchedComps, Seq("cluster_id"), "left_anti")
+      .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+    untouched.unionByName(recomputed.select("doc_id", "cluster_id", "cluster_size", "is_canonical"))
       .orderBy("doc_id")
   }
 
@@ -901,12 +1001,53 @@ object Dedup {
     // parquet round-trip loses row order; re-sort to the manifest contract
     frozenManifest(spark, dir).orderBy("doc_id")
 
+  /** Frozen warehouse state of the simulated OLD snapshot (manifest + edge
+    * table) — what a real ingestion pipeline has on disk when a new
+    * snapshot lands; built once per corpus so the registered incremental
+    * query measures the UPDATE, not the base build. */
+  private val incrementalBaseCache =
+    new graft.ops.FrozenCaches.Memo[(Int, Int), (String, String)](
+      beforeClear = _.forEach(p =>
+        graft.ops.FrozenCaches.deleteTree(
+          java.nio.file.Paths.get(p._1).getParent.toString)))
+
+  /** The registered incremental-update simulation, sharing
+    * [[graft.ext.Corpus.snapshotDelta]]'s old/new slice convention so every
+    * delta class (added, removed, changed, unchanged) is exercised: the
+    * old snapshot's manifest + edges come from the frozen store, and the
+    * update reconciles them to the new snapshot. Its oracle is the SAME
+    * from-scratch recursive closure over the new snapshot — the
+    * incremental path earns correctness by matching the full rebuild. */
+  def dupClustersIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Corpus.{DeltaAdded, DeltaChanged, DeltaRemoved}
+    val docs = Tables.documents(spark, dir)
+    val old = docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(DeltaAdded))
+    val nw = docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(DeltaRemoved))
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(10)) === lit(DeltaChanged),
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+    val (manifestPath, edgesPath) = incrementalBaseCache.get(dir, (NumHashes, NumBands)) {
+      val base = java.nio.file.Files.createTempDirectory("graft_dup_incr_base").toString
+      dupClustersOn(old).write.parquet(s"$base/manifest.parquet")
+      dupEdgesOn(old).write.parquet(s"$base/edges.parquet")
+      (s"$base/manifest.parquet", s"$base/edges.parquet")
+    }
+    dupClustersIncrementalOn(old, nw,
+      spark.read.parquet(manifestPath), spark.read.parquet(edgesPath))
+  }
+
   /** Exact transitive closure via recursive CTE through relations `comp`
-    * (doc_id, cluster_id) and `sizes` (cluster_id, cluster_size) — the
-    * shared oracle tail of the cluster query and the cluster-stats report,
+    * (doc_id, cluster_id) and `sizes` (cluster_id, cluster_size) over an
+    * arbitrary snapshot relation — the shared oracle tail of the cluster
+    * query, the cluster-stats report, and the incremental update,
     * semantically the fixpoint the propagation loop converges to. */
-  private def dupClustersCtes: String =
-    s"""${minhashCandCtes(NumHashes, NumBands)},
+  private def dupClustersCtesFor(from: String): String =
+    s"""${minhashSigCtes("", from, NumHashes)},
+       |${minhashBandCtes("", NumHashes, NumBands)},
+       |cand AS (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r ON l.band_idx = r.band_idx AND l.sig = r.sig AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2),
        |edges AS (
        |  SELECT c.doc_a, c.doc_b
        |  FROM cand c JOIN mh x ON c.doc_a = x.doc_id JOIN mh y ON c.doc_b = y.doc_id
@@ -914,11 +1055,28 @@ object Dedup {
        |sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
        |        UNION ALL SELECT doc_b, doc_a FROM edges),
        |reach(src, dst) AS (
-       |  SELECT doc_id, doc_id FROM documents
+       |  SELECT doc_id, doc_id FROM $from
        |  UNION
        |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
        |comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
        |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)""".stripMargin
+
+  private def dupClustersCtes: String = dupClustersCtesFor("documents")
+
+  /** Oracle: the from-scratch closure over the simulated NEW snapshot —
+    * deliberately NOT an incremental formulation, so the incremental
+    * plan's output must equal a full rebuild to pass. */
+  val dupClustersIncrementalSql: String = {
+    import graft.ext.Corpus.{DeltaChanged, DeltaRemoved}
+    s"""WITH RECURSIVE newsnap AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 10 = $DeltaChanged THEN text || ' [rev2]' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 10 <> $DeltaRemoved),
+       |${dupClustersCtesFor("newsnap")}
+       |SELECT c.doc_id, c.cluster_id, s.cluster_size, c.doc_id = c.cluster_id AS is_canonical
+       |FROM comp c JOIN sizes s ON c.cluster_id = s.cluster_id
+       |ORDER BY c.doc_id""".stripMargin
+  }
 
   /** Oracle: exact transitive closure via recursive CTE, component =
     * min reachable doc_id — tractable at oracle scale. */
@@ -1185,6 +1343,7 @@ object Dedup {
     Q("dd_embed_neardup_scale", embedNearDupScale _, embedNearDupScaleSql),
     Q("dd_semdedup", semDedup _, semDedupSql),
     Q("dd_dup_clusters", dupClusters _, dupClustersSql),
+    Q("dd_clusters_incremental", dupClustersIncremental _, dupClustersIncrementalSql),
     Q("t_decontaminate_fuzzy", fuzzyDecontaminate _, fuzzyDecontaminateSql),
     Q("dd_cluster_stats", clusterStats _, clusterStatsSql),
     Q("dd_keep_best", keepBest _, keepBestSql),

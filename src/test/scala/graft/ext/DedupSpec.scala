@@ -185,6 +185,56 @@ class DedupSpec extends SparkSpec {
     assert(rows.exists(_._3 > 1), "no multi-doc cluster found (degenerate corpus)")
   }
 
+  test("incremental cluster update: split, merge, add, remove all match the from-scratch manifest") {
+    // old snapshot: clique {1,2} (text X), clique {3,4} (text Y),
+    // singletons 5/6, untouched clique {8,9} (text W)
+    val x = "alpha beta gamma delta epsilon zeta"
+    val y = "one two three four five six"
+    val w = "red orange yellow green blue indigo"
+    val old = Seq(
+      (1L, x), (2L, x), (3L, y), (4L, y),
+      (5L, "bridge unique words entirely here now"),
+      (6L, "another totally unrelated document text"),
+      (8L, w), (9L, w)).toDF("doc_id", "text")
+    // new snapshot: 3 CHANGED Y→X (splits {3,4}, merges 3 into {1,2}),
+    // 6 REMOVED, 7 ADDED with text Y (merges with orphaned 4), {8,9} untouched
+    val nw = Seq(
+      (1L, x), (2L, x), (3L, x), (4L, y),
+      (5L, "bridge unique words entirely here now"),
+      (7L, y), (8L, w), (9L, w)).toDF("doc_id", "text")
+    val incr = Dedup.dupClustersIncrementalOn(old, nw,
+        Dedup.dupClustersOn(old), Dedup.dupEdgesOn(old))
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    spark.catalog.clearCache()
+    val scratch = Dedup.dupClustersOn(nw)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    spark.catalog.clearCache()
+    assert(incr === scratch)
+    // the interesting shapes actually happened
+    val cl = scratch.map(r => r._1 -> r._2).toMap
+    assert(cl(3L) === cl(1L), "changed doc did not merge into its new clique")
+    assert(cl(4L) === cl(7L) && cl(4L) != cl(3L), "split+add shape missing")
+    assert(cl(8L) === cl(9L), "untouched clique broken")
+  }
+
+  test("incremental cluster update on the registered snapshot slices matches a full rebuild") {
+    import graft.ext.Corpus.{DeltaAdded, DeltaChanged, DeltaRemoved}
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val old = docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(DeltaAdded))
+    val nw = docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(DeltaRemoved))
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(10)) === lit(DeltaChanged),
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+    val incr = Dedup.dupClustersIncrementalOn(old, nw,
+        Dedup.dupClustersOn(old), Dedup.dupEdgesOn(old))
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    spark.catalog.clearCache()
+    val scratch = Dedup.dupClustersOn(nw)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    spark.catalog.clearCache()
+    assert(incr.nonEmpty && incr === scratch)
+  }
+
   test("semdedup: verdicts are complete, keep-first, cluster-local, and monotone in the threshold") {
     val emb = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val rows = Dedup.semDedupOn(emb)
