@@ -1087,8 +1087,57 @@ object Similarity {
        |ORDER BY s.vec_id""".stripMargin
   }
 
+  // ------------------------------------------------- monitored ANN recall
+  /** Recall@[[TopK]] of the two frozen-model indexes (k-means IVF, IVF-PQ
+    * with exact re-rank) against the exact brute-force ground truth, one
+    * row per method — the recall studies previously recorded only as
+    * BASELINE.md prose, promoted to a registered query so an index or
+    * training regression surfaces as a changed value in the per-round
+    * correctness/bench artifacts instead of needing a manual study.
+    *
+    * Plan: ground truth computes once (persisted — it feeds one
+    * pair-membership join per method), each method joins its (q_id,
+    * neighbor_id) pairs back on the co-keyed pair, and the result is a
+    * |methods|-row aggregate. Cost is dominated by the indexes themselves;
+    * the recall bookkeeping adds two bounded joins over top-k-sized sets. */
+  def knnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val bf = knnBruteForce(spark, dir).select(col("q_id"), col("neighbor_id")).persist()
+    def row(method: String, ann: DataFrame): DataFrame =
+      bf.join(ann.select(col("q_id"), col("neighbor_id"), lit(1L).as("hit")),
+          Seq("q_id", "neighbor_id"), "left")
+        .agg(countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+        .select(lit(method).as("method"), col("n_queries"), col("n_pairs"), col("n_hits"),
+          r6(col("n_hits").cast("double") / col("n_pairs")).as("recall"))
+    row("ivf_kmeans", knnIvfKmeans(spark, dir))
+      .unionByName(row("ivfpq", knnIvfPq(spark, dir)))
+      .orderBy("method")
+  }
+
+  /** Oracle: the same membership join over the full brute-force and
+    * per-method oracle queries as derived tables — recall is re-derived
+    * from scratch on the oracle side, so a drift in ANY piece (ground
+    * truth, quantizer training, search, re-rank) breaks the compare. */
+  val knnRecallSql: String = {
+    def m(name: String, annSql: String): String =
+      s"""SELECT '$name' AS method,
+         |       CAST(count(DISTINCT b.q_id) AS BIGINT) AS n_queries,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(count(a.q_id) AS BIGINT) AS n_hits,
+         |       ${r6Sql("count(a.q_id) * 1.0 / count(*)")} AS recall
+         |FROM ($knnBruteForceSql) b
+         |LEFT JOIN ($annSql) a ON b.q_id = a.q_id AND b.neighbor_id = a.neighbor_id""".stripMargin
+    s"""SELECT * FROM (
+       |${m("ivf_kmeans", knnIvfKmeansSql)}
+       |UNION ALL
+       |${m("ivfpq", knnIvfPqSql)})
+       |ORDER BY method""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("s_knn_bruteforce", knnBruteForce _, knnBruteForceSql),
+    Q("s_knn_recall", knnRecall _, knnRecallSql),
     Q("s_knn_lsh", knnLsh _, knnLshSql),
     Q("s_knn_ivf", knnIvf _, knnIvfSql),
     Q("s_knn_ivf_kmeans", knnIvfKmeans _, knnIvfKmeansSql),
