@@ -337,10 +337,168 @@ object Multimodal {
        |ORDER BY media_type, phash""".stripMargin
   }
 
+  // -------------------------------------- 64-bit DCT perceptual hash dedup
+  /** Real pHash (the DCT upgrade the [[phash]] scaladoc promised): payload →
+    * 8×8 integer pixel grid (byte-window floor-means — the stub decode's
+    * grayscale role) → exact 2-D DCT-II in Q14 FIXED POINT → bit (u,v) set
+    * iff that coefficient exceeds the AC mean, compared by
+    * cross-multiplication (coef·63 > ΣAC) so no division or float touches
+    * any bit.
+    *
+    * The basis constants are computed ONCE here (correctly-rounded
+    * cos·2^14) and spliced verbatim into the oracle SQL — the
+    * [[graft.ext.Dedup.hashAOf]] convention — so both engines fold
+    * identical integers in identical order; every intermediate fits a
+    * signed 64-bit value (pixel ≤ 255, |coef| ≤ 8²·2^28·255 < 2^43,
+    * |coef·63| < 2^49). Brightness shifts move only the DC coefficient
+    * (bit 0), contrast scaling preserves every compare (both sides scale
+    * by k > 0), and byte-duplication "resizes" leave the pixel grid
+    * intact — the invariances MultimodalSpec pins. */
+  val DctN = 8
+  val DctScaleBits = 14
+  /** Q14 DCT-II basis: basis(k)(x) = round(cos(π(2x+1)k/16)·2^14). */
+  val DctBasis: Array[Array[Long]] = Array.tabulate(DctN, DctN)((k, x) =>
+    math.round(math.cos(math.Pi * (2 * x + 1) * k / (2.0 * DctN)) * (1L << DctScaleBits)))
+
+  /** Payload → 64 integer "pixels": floor-mean of byte window i (window
+    * width n/64) — deterministic, codec-shaped (a real decoder emits the
+    * resized grayscale grid here). */
+  def pixels64(payload: Array[Byte]): Array[Long] = {
+    val n = payload.length
+    val out = new Array[Long](64)
+    if (n == 0) return out
+    val w = math.max(1, n / 64)
+    var i = 0
+    while (i < 64) {
+      var s = 0L; var c = 0L
+      var j = i * w
+      val end = math.min(n, (i + 1) * w)
+      while (j < end) { s += (payload(j) & 0xff); c += 1; j += 1 }
+      out(i) = if (c == 0) 0L else s / c
+      i += 1
+    }
+    out
+  }
+
+  /** Exact integer 2-D DCT-II over the 8×8 grid + AC-mean thresholding →
+    * 64-bit hash. Separable factoring (row pass then column pass) — the
+    * integer result is identical to the flat Σ_x Σ_y double sum the oracle
+    * computes, because integer arithmetic is associative. */
+  def dctHash64(pix: Array[Long]): Long = {
+    require(pix.length == 64, s"expected 64 pixels, got ${pix.length}")
+    val y = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0L
+        var x = 0
+        while (x < 8) {
+          var t = 0L
+          var yy = 0
+          while (yy < 8) { t += DctBasis(v)(yy) * pix(x * 8 + yy); yy += 1 }
+          acc += DctBasis(u)(x) * t
+          x += 1
+        }
+        y(u * 8 + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    var sumAc = 0L
+    var i = 1
+    while (i < 64) { sumAc += y(i); i += 1 }
+    var code = 0L
+    i = 0
+    while (i < 64) { if (y(i) * 63 > sumAc) code |= 1L << i; i += 1 }
+    code
+  }
+
+  def dctHash(payload: Array[Byte]): Long = dctHash64(pixels64(payload))
+
+  def dctHashOn(media: Dataset[MediaRecord]): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(it => it.map(m => MediaHash(m.doc_id, m.media_type, dctHash(m.payload))))
+  }
+
+  /** Bands of the 64-bit hash for the candidate join ([[graft.ext.Dedup
+    * .simhashPairsOn]]'s shape): 4 × 16 bits, hamming ≤ [[DctHamMax]]. */
+  val DctBands = 4
+  val DctHamMax = 8
+
+  /** Registered DCT near-dup pairing: band-bucketed candidate join over the
+    * 64-bit hashes, exact hamming verify — never an all-pairs compare; at
+    * 100 TB the pair volume is bounded by band-bucket collisions exactly as
+    * in the simhash pairing, and the hash itself is one codec-local pass. */
+  def dctDedup(spark: SparkSession, dir: String): DataFrame = {
+    val bandBits = 64 / DctBands
+    val mask = (1L << bandBits) - 1
+    val fp = dctHashOn(fromDocuments(Tables.documents(spark, dir))).toDF()
+    val bands = fp.select(col("doc_id"), col("phash"), explode(array((0 until DctBands).map { k =>
+      struct(lit(k).as("band_idx"),
+        shiftright(col("phash"), k * bandBits).bitwiseAND(lit(mask)).as("band"))
+    }: _*)).as("b")).select(col("doc_id"), col("phash"), col("b.band_idx"), col("b.band"))
+    bands.as("l").join(bands.as("r"),
+        col("l.band_idx") === col("r.band_idx") && col("l.band") === col("r.band")
+          && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        bit_count(col("l.phash").bitwiseXOR(col("r.phash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= lit(DctHamMax))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle twin: pixels via the proven hex-slice route, the flat Q14
+    * integer DCT with the SAME spliced basis constants, bit_or-folded bits
+    * (bit 63's value is the literal Long.MinValue — DuckDB refuses 1<<63
+    * where the JVM wraps), then the band/hamming pairing. */
+  val dctDedupSql: String = {
+    val bLit = DctBasis.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val bandBits = 64 / DctBands
+    val mask = (1L << bandBits) - 1
+    val ks = (0 until DctBands).mkString(", ")
+    s"""WITH m AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+       |  FROM documents),
+       |d AS (SELECT doc_id, hx, n, greatest(1, n // 64) AS w FROM m),
+       |px AS (
+       |  SELECT doc_id, list_transform(generate_series(0, 63), i ->
+       |    CASE WHEN n = 0 OR $winCntSql = 0 THEN 0 ELSE $winSumSql // $winCntSql END) AS p
+       |  FROM d),
+       |co AS (
+       |  SELECT doc_id, list_transform(generate_series(0, 63), k ->
+       |    CAST(list_sum(list_transform(generate_series(0, 63), q ->
+       |      ($bLit)[CAST(k // 8 + 1 AS BIGINT)][CAST(q // 8 + 1 AS BIGINT)]
+       |      * ($bLit)[CAST(k % 8 + 1 AS BIGINT)][CAST(q % 8 + 1 AS BIGINT)]
+       |      * p[CAST(q + 1 AS BIGINT)])) AS BIGINT)) AS y
+       |  FROM px),
+       |ph AS (
+       |  SELECT doc_id,
+       |         coalesce(list_aggregate(list_transform(generate_series(0, 63), i ->
+       |           CASE WHEN y[CAST(i + 1 AS BIGINT)] * 63 > (CAST(list_sum(y) AS BIGINT) - y[1])
+       |                THEN CASE WHEN i = 63 THEN (-9223372036854775808)::BIGINT
+       |                          ELSE (1::BIGINT << CAST(i AS INT)) END
+       |                ELSE 0 END), 'bit_or'), 0) AS phash
+       |  FROM co),
+       |bands AS (
+       |  SELECT doc_id, phash, k AS band_idx, (phash >> (k * $bandBits)) & $mask AS band
+       |  FROM ph, (SELECT unnest([$ks]) AS k)),
+       |pairs AS (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |         bit_count(xor(l.phash, r.phash)) AS hamming
+       |  FROM bands l JOIN bands r
+       |    ON l.band_idx = r.band_idx AND l.band = r.band AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+       |FROM pairs WHERE hamming <= $DctHamMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("mm_media_meta", mediaMeta _, mediaMetaSql),
     Q("mm_feature_pipeline", featurePipeline _, featurePipelineSql),
     Q("mm_frame_sample", frameSample _, frameSampleSql),
     Q("mm_phash_dedup", phashDedup _, phashDedupSql),
+    Q("mm_dct_dedup", dctDedup _, dctDedupSql),
   )
 }

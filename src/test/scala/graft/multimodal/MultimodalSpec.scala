@@ -80,6 +80,77 @@ class MultimodalSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("dct basis: AC rows sum to exactly zero in Q14 (the brightness-invariance precondition)") {
+    // a nonzero rounded row sum would leak brightness shifts into AC
+    // coefficients; this pins the constants both engines splice
+    (1 until 8).foreach(k => assert(Multimodal.DctBasis(k).sum === 0L, s"row $k"))
+    assert(Multimodal.DctBasis(0).forall(_ === 16384L))
+    assert(Multimodal.DctBasis(1)(0) === 16069L && Multimodal.DctBasis(4)(0) === 11585L)
+  }
+
+  test("property: dct hash moves at most the DC bit under uniform brightness shift") {
+    // pixels shift by exactly c (floor((s + c·cnt)/cnt) = floor(s/cnt) + c),
+    // AC basis rows sum to 0, so only coefficient (0,0) — bit 0 — can move.
+    // Needs n ≥ 64 so every pixel window is non-empty (a real decoder
+    // always emits a full grid; shorter payloads leave zero pixels that a
+    // brightness shift cannot reach)
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.choose(64, 512)
+      bytes <- Gen.listOfN(n, Gen.choose(0, 127))
+      shift <- Gen.choose(0, 100)
+    } yield (bytes, shift)
+    val prop = Prop.forAll(gen) { case (bytes, shift) =>
+      val a = bytes.map(_.toByte).toArray
+      val b = bytes.map(v => (v + shift).toByte).toArray
+      ((Multimodal.dctHash(a) ^ Multimodal.dctHash(b)) & ~1L) == 0L
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: dct hash is exactly invariant under contrast scaling of the pixel grid") {
+    // pix → k·pix scales every coefficient and the AC sum by k > 0, so
+    // every cross-multiplied compare is preserved bit for bit
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      pix <- Gen.listOfN(64, Gen.choose(0L, 255L))
+      k <- Gen.choose(2L, 16L)
+    } yield (pix, k)
+    val prop = Prop.forAll(gen) { case (pix, k) =>
+      Multimodal.dctHash64(pix.toArray) == Multimodal.dctHash64(pix.map(_ * k).toArray)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: dct hash is exactly invariant under byte-duplication resizes (aligned lengths)") {
+    // payload of length 64·m with each byte repeated d times: windows map
+    // d-for-1, floor-means are unchanged, the pixel grid is identical
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      m <- Gen.choose(1, 4)
+      bytes <- Gen.listOfN(64 * m, Gen.choose(0, 255))
+      d <- Gen.choose(2, 4)
+    } yield (bytes, d)
+    val prop = Prop.forAll(gen) { case (bytes, d) =>
+      val a = bytes.map(_.toByte).toArray
+      val b = bytes.flatMap(v => List.fill(d)(v.toByte)).toArray
+      Multimodal.dctHash(a) == Multimodal.dctHash(b)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("dct hash: identical payloads collide, a local edit diverges, empty is 0") {
+    val a = "the quick brown fox jumps over the lazy dog repeatedly and often".getBytes("UTF-8")
+    assert(Multimodal.dctHash(a) === Multimodal.dctHash(a.clone()))
+    val b = a.clone()
+    (0 until 8).foreach(i => b(i) = 'z'.toByte)
+    assert(Multimodal.dctHash(a) !== Multimodal.dctHash(b))
+    assert(Multimodal.dctHash(Array.emptyByteArray) === 0L)
+  }
+
   test("phash: identical payloads collide, a shifted-brightness payload diverges, empty is 0") {
     // all-ASCII text whose byte windows have distinct means
     val a = "aaaa bbbb cccc dddd eeee ffff gggg zzzz".getBytes("UTF-8")
