@@ -32,12 +32,36 @@ object Curation {
     * repetition, fluency, contamination, duplicate. */
   def curationFunnelOn(docs: DataFrame): DataFrame = {
     val train = docs.filter(pmod(col("doc_id"), lit(10L)) =!= lit(Corpus.BenchSlice))
-    val q = Text.qualityFilterRowsOn(docs).select(col("doc_id"), lit(true).as("pass_quality"))
-    val r = Text.repetitionStatsOn(docs).select(col("doc_id"), col("keep").as("pass_repetition"))
-    val f = Text.lmFluencyOn(docs).select(col("doc_id"), col("is_fluent"))
-    val d = Corpus.decontaminateOn(docs).select(col("doc_id"), col("keep").as("pass_decontam"))
-    val c = Text.fingerprintOn(docs)
-      .select(col("doc_id"), (col("is_canonical") === lit(1L)).as("is_canonical"))
+    funnelTail(train,
+      f = Text.lmFluencyOn(docs).select(col("doc_id"), col("is_fluent")),
+      d = Corpus.decontaminateOn(docs).select(col("doc_id"), col("keep").as("pass_decontam")),
+      c = Text.fingerprintOn(docs)
+        .select(col("doc_id"), (col("is_canonical") === lit(1L)).as("is_canonical")))
+  }
+
+  /** Frozen-artifact form of the funnel, gate for gate the same semantics:
+    * `train` is the (already bench-filtered) slice to judge, fluency scores
+    * against a FIXED census, decontamination against a STATIC eval suite,
+    * and the exact-dup verdict comes from a caller-supplied (doc_id,
+    * is_canonical) frame — the composition a streaming ingest runs per
+    * micro-batch ([[graft.streaming.Streams.curationFunnelBatches]]), where
+    * the canonical state lives outside the batch. */
+  def curationFunnelAgainstOn(train: DataFrame, census: DataFrame,
+                              evalDocs: DataFrame, canon: DataFrame): DataFrame =
+    funnelTail(train,
+      f = Text.lmFluencyAgainstOn(train, census).select(col("doc_id"), col("is_fluent")),
+      d = Corpus.decontaminateAgainstOn(train, evalDocs)
+        .select(col("doc_id"), col("keep").as("pass_decontam")),
+      c = canon.select(col("doc_id"), col("is_canonical")))
+
+  /** The shared verdict-composition tail: quality/repetition are always
+    * per-doc over the spine; fluency/decontamination/canonical plug in as
+    * (doc_id, verdict) frames so the one-shot and frozen forms cannot
+    * drift. */
+  private def funnelTail(train: DataFrame, f: DataFrame, d: DataFrame,
+                         c: DataFrame): DataFrame = {
+    val q = Text.qualityFilterRowsOn(train).select(col("doc_id"), lit(true).as("pass_quality"))
+    val r = Text.repetitionStatsOn(train).select(col("doc_id"), col("keep").as("pass_repetition"))
     val pq = coalesce(col("pass_quality"), lit(false))
     val pr = coalesce(col("pass_repetition"), lit(false))
     val pf = coalesce(col("is_fluent"), lit(false))

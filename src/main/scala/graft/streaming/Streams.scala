@@ -312,6 +312,56 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** The full curation funnel as one streaming ingest via foreachBatch —
+    * the five gates of [[graft.ext.Curation.curationFunnelOn]] composed per
+    * micro-batch from the same per-gate entry points the batch funnel
+    * runs, via [[graft.ext.Curation.curationFunnelAgainstOn]]:
+    *
+    *  - quality and repetition judge each document alone (stateless);
+    *  - fluency scores against the FROZEN heavy-bigram census;
+    *  - decontamination judges against the STATIC eval suite;
+    *  - the exact-dup canonical gate carries the one piece of cross-batch
+    *    state — an append-only (doc_id, fp) fingerprint log at `fpPath`
+    *    (the [[minhashDedupBatches]] signature-index pattern): a document
+    *    is canonical iff it holds the minimum doc_id seen so far for its
+    *    fingerprint.
+    *
+    * The stream input is the full document feed; the bench slice is
+    * fingerprinted (it is part of the dedup universe, as in the batch
+    * funnel) but only training docs get verdict rows. Union of batch
+    * outputs equals the one-shot batch funnel when doc_ids arrive in
+    * nondecreasing order — the ingestion contract under which keep-first
+    * streaming dedup and the batch keep-min-id manifest agree
+    * (StreamsSpec parity). */
+  def curationFunnelBatches(docs: DataFrame, census: DataFrame, evalDocs: DataFrame,
+                            fpPath: String,
+                            trigger: org.apache.spark.sql.streaming.Trigger =
+                              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                           (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        // persisted: feeds the fingerprint log, the canonical join, and
+        // every gate's scan of the batch
+        val b = batch.toDF().persist()
+        val fps = b.select(col("doc_id"), md5(graft.ext.Text.normalized(col("text"))).as("fp"))
+        val prior = scala.util.Try(spark.read.parquet(fpPath)).toOption
+        val seen = prior.map(_.unionByName(fps)).getOrElse(fps)
+        val canon = fps
+          .join(seen.groupBy("fp").agg(min(col("doc_id")).as("canonical_doc_id")), "fp")
+          .select(col("doc_id"), (col("doc_id") === col("canonical_doc_id")).as("is_canonical"))
+        val train = b.filter(pmod(col("doc_id"), lit(10L)) =!= lit(graft.ext.Corpus.BenchSlice))
+        try onBatch(
+          graft.ext.Curation.curationFunnelAgainstOn(train, census, evalDocs, canon), id)
+        finally {
+          fps.write.mode("append").parquet(fpPath)
+          b.unpersist()
+          ()
+        }
+      }
+      .trigger(trigger)
+      .start()
+
   /** Run a streaming DataFrame to completion against the bounded test input
     * (AvailableNow trigger + memory sink) and return the result as a batch
     * DataFrame — the harness for batch/stream parity tests. */

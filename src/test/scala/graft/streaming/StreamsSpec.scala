@@ -209,6 +209,60 @@ class StreamsSpec extends SparkSpec {
       s"missing: ${(batch -- buf.toSet).take(5)}; extra: ${(buf.toSet -- batch).take(5)}")
   }
 
+  test("streaming curation funnel across micro-batches matches the batch funnel doc for doc") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_funnel_stream").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    val baseDocs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    // plant one exact duplicate: a max-id training doc copying the text of
+    // the min-id doc, so the dup pair SPANS the two micro-batches and the
+    // cross-batch canonical state is genuinely exercised
+    val donor = baseDocs.orderBy("doc_id").limit(1).collect()(0)
+    val baseIds = baseDocs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    var dupId = baseIds.max + 1
+    while (dupId % 10 == graft.ext.Corpus.BenchSlice) dupId += 1
+    val docs = baseDocs.unionByName(Seq(
+      (dupId, donor.getString(1), donor.getString(2), donor.getString(3), donor.getLong(4)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // RANGE-split micro-batches: ids arrive nondecreasing, the contract
+    // under which the streamed keep-first canonical state agrees with the
+    // batch keep-min-id manifest
+    val ids = baseIds :+ dupId
+    val median = ids(ids.length / 2)
+    Seq(0, 1).foreach { p =>
+      val tmp = s"$base/tmp$p"
+      val slice = if (p == 0) docs.filter(col("doc_id") < median)
+                  else docs.filter(col("doc_id") >= median)
+      slice.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$base/in/b$p.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(20) // distinct mtimes → deterministic file-source order
+    }
+    // the frozen artifacts the batch funnel derives from the full corpus
+    val census = graft.ext.Text.fluencyCensusOn(docs).persist()
+    val evalDocs = docs.filter(col("doc_id") % 10 === lit(graft.ext.Corpus.BenchSlice))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = Streams.curationFunnelBatches(stream, census, evalDocs, s"$base/fps") { (out, _) =>
+      val rows = out.collect().map(_.toSeq)
+      buf.synchronized { buf ++= rows }
+    }
+    q.awaitTermination()
+    val batch = graft.ext.Curation.curationFunnelOn(docs).collect().map(_.toSeq).toSet
+    census.unpersist()
+    spark.catalog.clearCache()
+    assert(batch.exists(r => r(9) != null), "degenerate corpus: batch funnel dropped nothing")
+    // the cross-batch canonical state must actually be exercised: some doc
+    // is non-canonical (its fp was seen first on a smaller id) — it may
+    // also fail an earlier gate, so don't demand 'duplicate' as the reason
+    assert(batch.exists(r => r(7) == false), "no non-canonical doc in the batch funnel")
+    assert(buf.size === buf.toSet.size, "a doc was judged in more than one micro-batch")
+    assert(buf.toSet === batch,
+      s"missing: ${(batch -- buf.toSet).take(3)}; extra: ${(buf.toSet -- batch).take(3)}")
+  }
+
   test("streaming decontamination across micro-batches matches the batch run doc for doc") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = Files.createTempDirectory("graft_decon_stream").toString
