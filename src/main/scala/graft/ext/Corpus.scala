@@ -1112,8 +1112,12 @@ object Corpus {
     * both snapshots by doc_id (sources/Formats bucketed tables) runs it
     * shuffle-free. */
   def snapshotDeltaOn(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    // the fingerprint is null-safe (a NULL-text doc coalesces to a sentinel
+    // no md5 hex can collide with), so fp nullness after the full-outer join
+    // is a pure PRESENCE signal — a doc whose text is NULL on one side is
+    // still 'changed'/'unchanged', never misread as 'added'/'removed'
     def fp(df: DataFrame) = df.select(col("doc_id"),
-      md5(graft.ext.Text.normalized(col("text"))).as("fp"))
+      coalesce(md5(graft.ext.Text.normalized(col("text"))), lit("<null>")).as("fp"))
     fp(oldDocs).as("o").join(fp(newDocs).as("n"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("o.fp").isNull, lit("added"))
@@ -1143,11 +1147,11 @@ object Corpus {
 
   val snapshotDeltaSql: String =
     s"""WITH o AS (
-       |  SELECT doc_id, md5(${Text.normalizedSql("text")}) AS fp
+       |  SELECT doc_id, coalesce(md5(${Text.normalizedSql("text")}), '<null>') AS fp
        |  FROM documents WHERE doc_id % 10 <> $DeltaAdded),
        |n AS (
-       |  SELECT doc_id, md5(${Text.normalizedSql(
-             s"CASE WHEN doc_id % 10 = $DeltaChanged THEN text || ' [rev2]' ELSE text END")}) AS fp
+       |  SELECT doc_id, coalesce(md5(${Text.normalizedSql(
+             s"CASE WHEN doc_id % 10 = $DeltaChanged THEN text || ' [rev2]' ELSE text END")}), '<null>') AS fp
        |  FROM documents WHERE doc_id % 10 <> $DeltaRemoved)
        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
        |       CASE WHEN o.fp IS NULL THEN 'added'

@@ -28,6 +28,13 @@ object FrozenCaches {
 
   def clearAll(): Unit = hooks.forEach(h => h())
 
+  // artifacts that own on-disk state (the dup-cluster manifest's temp
+  // dirs) are cleaned by their beforeClear hooks — run them on JVM exit
+  // too, so short-lived sessions don't leak a parquet copy per corpus
+  try Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    try clearAll() catch { case _: Throwable => () }))
+  catch { case _: Throwable => () }
+
   /** Cheap content signature of a file or directory: file count, total
     * bytes and max mtime folded into one long. Not collision-proof
     * against adversarial same-size-same-mtime swaps — it is the same

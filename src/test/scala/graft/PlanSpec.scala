@@ -308,9 +308,12 @@ class PlanSpec extends SparkSpec {
       val p = multi.queryExecution.executedPlan.toString
       assert(!p.contains("RoundRobinPartitioning"),
         s"parallel scan still repartitions:\n${p.take(1500)}")
-    } finally saved match {
-      case Some(v) => spark.conf.set("spark.sql.files.openCostInBytes", v)
-      case None => spark.conf.unset("spark.sql.files.openCostInBytes")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.files.openCostInBytes", v)
+        case None => spark.conf.unset("spark.sql.files.openCostInBytes")
+      }
+      graft.ops.FrozenCaches.deleteTree(tmp)
     }
   }
 }

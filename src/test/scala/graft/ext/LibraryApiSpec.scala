@@ -398,6 +398,25 @@ class LibraryApiSpec extends SparkSpec {
     assert(out === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
 
+  test("snapshot delta treats NULL text as presence, not absence") {
+    // a NULL-text doc on one side must read as changed/unchanged, never
+    // as added/removed (fp nullness is a presence signal only)
+    val old = Seq(
+      (1L, null: String), // stays null → unchanged
+      (2L, null: String), // gains text → changed
+      (3L, "had text"),   // loses text → changed
+      (4L, null: String)) // really removed
+      .toDF("doc_id", "text")
+    val nw = Seq(
+      (1L, null: String), (2L, "now has text"), (3L, null: String),
+      (5L, null: String)) // really added, with null text
+      .toDF("doc_id", "text")
+    val out = Corpus.snapshotDeltaOn(old, nw).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+  }
+
   test("property: snapshot delta matches driver-side recomputation and swaps symmetrically") {
     case class D(id: Long, inOld: Boolean, inNew: Boolean, changed: Boolean)
     val rnd = new scala.util.Random(42)
