@@ -1330,6 +1330,63 @@ object Dedup {
        |FROM cells c LEFT JOIN dup d ON c.vec_id = d.vec_id
        |ORDER BY c.vec_id""".stripMargin
 
+  // ---------------------------------------------------- LSH recall monitor
+  /** Candidate-recall of the MinHash-LSH banding against the exact-Jaccard
+    * truth set — the dedup twin of `s_knn_recall`: the S-curve knobs
+    * (numHashes/numBands) trade recall for candidate volume, and this
+    * query makes that trade a MONITORED number in the correctness/bench
+    * artifacts instead of a one-off study. Truth = the blocked exact twin
+    * ([[ngramJaccardOn]]: same-lang, same-token-count pairs with 2-gram
+    * Jaccard ≥ [[JaccardMin]]); a banding change that silently drops true
+    * duplicate pairs moves `recall` and fails the hash gate.
+    *
+    * One summary row: |truth|, |LSH candidates|, |intersection|, recall.
+    * 100 TB shape: both sides are the already-bounded registered plans
+    * (blocked pairs / banded buckets); the comparison itself is one join
+    * on (doc_a, doc_b) + a single-row aggregate. */
+  def lshRecallOn(docs: DataFrame,
+                  numHashes: Int = NumHashes, numBands: Int = NumBands): DataFrame = {
+    val truth = ngramJaccardOn(docs)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("is_true"))
+    val mh = minhashSigsOn(docs, numHashes).persist()
+    val cand = minhashCandidates(mh, numHashes, numBands)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("is_cand"))
+    truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        coalesce(sum(col("is_true")), lit(0L)).as("n_true"),
+        coalesce(sum(col("is_cand")), lit(0L)).as("n_cand"),
+        coalesce(sum(col("is_true") * col("is_cand")), lit(0L)).as("n_hit"))
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        when(col("n_true") === lit(0L), lit(0.0))
+          .otherwise(r6(col("n_hit").cast("double") / col("n_true"))).as("recall"))
+  }
+
+  def lshRecall(spark: SparkSession, dir: String): DataFrame =
+    lshRecallOn(Tables.documents(spark, dir))
+
+  val lshRecallSql: String =
+    s"""WITH ${minhashCandCtes(NumHashes, NumBands)},
+       |etoks AS (SELECT doc_id, lang, ${Text.tokensSql("text")} AS t FROM documents),
+       |edocs AS (
+       |  SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tok, ${grams2Sql("t")} AS grams
+       |  FROM etoks),
+       |epairs AS (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |         CAST(len(list_intersect(l.grams, r.grams)) AS BIGINT) AS n_inter,
+       |         CAST(len(l.grams) + len(r.grams) - len(list_intersect(l.grams, r.grams)) AS BIGINT) AS n_union
+       |  FROM edocs l JOIN edocs r ON l.lang = r.lang AND l.n_tok = r.n_tok AND l.doc_id < r.doc_id),
+       |etruth AS (SELECT doc_a, doc_b FROM epairs
+       |           WHERE n_union > 0 AND n_inter / n_union >= $JaccardMin),
+       |s AS (
+       |  SELECT (SELECT count(*) FROM etruth) AS n_true,
+       |         (SELECT count(*) FROM cand) AS n_cand,
+       |         (SELECT count(*) FROM etruth t JOIN cand c
+       |            ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit)
+       |SELECT n_true, n_cand, n_hit,
+       |       CASE WHEN n_true = 0 THEN 0.0
+       |            ELSE ${r6Sql("CAST(n_hit AS DOUBLE) / n_true")} END AS recall
+       |FROM s""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("dd_exact", exact _, exactSql),
     Q("dd_minhash_lsh", minhashLsh _, minhashLshSql),
@@ -1348,5 +1405,6 @@ object Dedup {
     Q("dd_cluster_stats", clusterStats _, clusterStatsSql),
     Q("dd_keep_best", keepBest _, keepBestSql),
     Q("t_ngram_novelty", ngramNovelty _, ngramNoveltySql),
+    Q("dd_lsh_recall", lshRecall _, lshRecallSql),
   )
 }

@@ -224,10 +224,14 @@ object Quality {
     * are excluded, exactly as CCNet scores only LM-scorable text. Ties
     * break on doc_id so the ntile boundary is deterministic on both
     * engines. */
-  def ccnetBucketsOn(docs: DataFrame): DataFrame = {
+  /** Tercile assignment over an already-scored fluency frame (the
+    * [[Text.lmFluencyAgainstOn]] output schema) — split out so the
+    * registered query can ride the FROZEN heavy-gram census instead of
+    * re-running the census aggregation on every invocation. */
+  def ccnetBucketsFrom(fluency: DataFrame): DataFrame = {
     val w = Window.partitionBy("lang")
       .orderBy(col("fluency").desc_nulls_last, col("doc_id"))
-    Text.lmFluencyOn(docs)
+    fluency
       .filter(col("n_bigrams") > 0)
       .withColumn("tercile", ntile(3).over(w).cast("long"))
       .select(col("doc_id"), col("lang"), col("fluency"), col("tercile"),
@@ -237,8 +241,11 @@ object Quality {
       .orderBy("doc_id")
   }
 
+  def ccnetBucketsOn(docs: DataFrame): DataFrame =
+    ccnetBucketsFrom(Text.lmFluencyOn(docs))
+
   def ccnetBuckets(spark: SparkSession, dir: String): DataFrame =
-    ccnetBucketsOn(Tables.documents(spark, dir))
+    ccnetBucketsFrom(Text.lmFluency(spark, dir))
 
   val ccnetBucketsSql: String =
     s"""WITH fl AS (SELECT * FROM (${Text.lmFluencySql}) WHERE n_bigrams > 0),
@@ -251,9 +258,48 @@ object Quality {
        |            ELSE 'tail' END AS bucket
        |FROM b ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- head-heavy bucket sampling
+  /** CCNet's actual training policy composed end-to-end: sample the corpus
+    * head-heavy by perplexity bucket — head kept whole, middle half, tail a
+    * quarter — with the same deterministic quarter-resolution hash-Bernoulli
+    * arithmetic as `t_corpus_mix` (keep ⇔ hash%4 < rate_q; the hash salt
+    * "ccmix:" decorrelates these decisions from every other sampling hash
+    * in the repo). Emits the full decision manifest (keep flag per doc) so
+    * downstream can either filter on it or audit per-bucket drop rates.
+    * The oracle embeds the bucket oracle as a subquery — the sampled set
+    * cannot drift from the bucketing it samples. Stateless per-row
+    * arithmetic over the bucket table: no extra shuffle at any scale. */
+  def ccnetMixFrom(buckets: DataFrame): DataFrame = {
+    val h = Dedup.baseHash(concat(lit("ccmix:"), col("doc_id").cast("string")))
+    buckets
+      .withColumn("rate_q",
+        when(col("bucket") === lit("head"), lit(4L))
+          .when(col("bucket") === lit("middle"), lit(2L))
+          .otherwise(lit(1L)))
+      .withColumn("keep", pmod(h, lit(4L)) < col("rate_q"))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("rate_q"), col("keep"))
+      .orderBy("doc_id")
+  }
+
+  def ccnetMixOn(docs: DataFrame): DataFrame =
+    ccnetMixFrom(ccnetBucketsFrom(Text.lmFluencyOn(docs)))
+
+  def ccnetMix(spark: SparkSession, dir: String): DataFrame =
+    ccnetMixFrom(ccnetBucketsFrom(Text.lmFluency(spark, dir)))
+
+  val ccnetMixSql: String = {
+    val h = Dedup.baseHashSql("('ccmix:' || CAST(doc_id AS VARCHAR))")
+    s"""WITH cb AS (SELECT * FROM (${ccnetBucketsSql}))
+       |SELECT doc_id, lang, bucket,
+       |       CAST(CASE bucket WHEN 'head' THEN 4 WHEN 'middle' THEN 2 ELSE 1 END AS BIGINT) AS rate_q,
+       |       ($h % 4) < (CASE bucket WHEN 'head' THEN 4 WHEN 'middle' THEN 2 ELSE 1 END) AS keep
+       |FROM cb ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("t_gopher_rules", gopherRules _, gopherRulesSql),
     Q("t_c4_clean", c4Clean _, c4CleanSql),
     Q("t_ccnet_buckets", ccnetBuckets _, ccnetBucketsSql),
+    Q("t_ccnet_mix", ccnetMix _, ccnetMixSql),
   )
 }

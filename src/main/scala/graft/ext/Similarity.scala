@@ -1135,8 +1135,42 @@ object Similarity {
        |ORDER BY method""".stripMargin
   }
 
+  // ------------------------------------------------ IVF index health report
+  /** Cell-occupancy balance of the frozen coarse quantizer — the ANN index
+    * health monitor. IVF scan cost is bounded by the probed cells' sizes,
+    * so a skewed quantizer (one giant cell) silently degrades the nprobe
+    * bound toward a full scan; this query turns that into a MONITORED
+    * number next to `s_knn_recall`: cell count, corpus size, min/max cell
+    * and the balance factor max_cell/mean_cell (1.0 = perfectly even — the
+    * retrain trigger in an index-maintenance loop). The oracle shares
+    * [[kmeansCellsSql]] with the whole IVF family so the cells can't drift.
+    *
+    * 100 TB shape: one broadcast-centroid assignment pass, a |cells|-sized
+    * aggregate, then a single-row reduction. */
+  def ivfBalanceOn(embeddings: DataFrame, cent: DataFrame): DataFrame =
+    assignCellsAgainstOn(embeddings, cent)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_vecs"),
+        min(col("n")).as("min_cell"), max(col("n")).as("max_cell"))
+      .select(col("n_cells"), col("n_vecs"), col("min_cell"), col("max_cell"),
+        r6(col("max_cell") * col("n_cells") / col("n_vecs").cast("double")).as("balance"))
+
+  def ivfBalance(spark: SparkSession, dir: String): DataFrame =
+    ivfBalanceOn(Tables.embeddings(spark, dir),
+      frozenCentroids(spark, dir, KmeansCfg(dims = Dims)))
+
+  val ivfBalanceSql: String =
+    s"""WITH $kmeansCellsSql,
+       |percell AS (SELECT cell, count(*) AS n FROM cells GROUP BY 1),
+       |s AS (SELECT count(*) AS n_cells, CAST(sum(n) AS BIGINT) AS n_vecs,
+       |             min(n) AS min_cell, max(n) AS max_cell FROM percell)
+       |SELECT n_cells, n_vecs, min_cell, max_cell,
+       |       ${r6Sql("max_cell * n_cells / CAST(n_vecs AS DOUBLE)")} AS balance
+       |FROM s""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s_knn_bruteforce", knnBruteForce _, knnBruteForceSql),
+    Q("s_ivf_balance", ivfBalance _, ivfBalanceSql),
     Q("s_knn_recall", knnRecall _, knnRecallSql),
     Q("s_knn_lsh", knnLsh _, knnLshSql),
     Q("s_knn_ivf", knnIvf _, knnIvfSql),

@@ -925,6 +925,97 @@ object Text {
        |       bigram, n_pair, pmi
        |FROM top ORDER BY rank""".stripMargin
 
+  // ------------------------------------------------------------ BM25 search
+  /** Okapi BM25 retrieval of a fixed query set against the corpus — the
+    * curation-side retrieval operator (seed-set building for quality
+    * classifiers, domain-relevance spot checks, targeted corpus audits all
+    * start with "find the docs that match these terms"). Standard
+    * Robertson k1/b form: idf(t) = ln(1 + (N − df + ½)/(df + ½)),
+    * tf-part = tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+    *
+    * Determinism: ranking keys on the repo's r9 convention
+    * ([[graft.ops.Num.r9]]) with doc_id tiebreak; the reported score is r6.
+    * The query table is one shared constant ([[Bm25Queries]]) rendered into
+    * both the Spark literal frame and the oracle VALUES clause, so the two
+    * engines cannot drift.
+    *
+    * 100 TB shape: the postings explode is pre-filtered by a BROADCAST
+    * semi-ish join on the query vocabulary, so only postings of queried
+    * terms (≪ corpus) ever reach a shuffle; df and the (N, avgdl) stats
+    * are broadcast-sized; the only window partitions by query_id over that
+    * query's candidate set. Everything else is scan-bound. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 5
+  val Bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "hash", 0L -> "join",
+    1L -> "scan", 1L -> "filter", 1L -> "fast",
+    2L -> "merge", 2L -> "sort")
+
+  def bm25TopKOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = Bm25Queries.toDF("query_id", "term")
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val dl = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // persisted: the filtered postings feed BOTH the df census and the
+    // scoring join; tiny after the query-vocabulary filter
+    val tf = toks.select(col("doc_id"), explode(col("t")).as("term"))
+      .join(broadcast(q.select("term").distinct()), Seq("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfPart = col("tf") * lit(Bm25K1 + 1.0) /
+      (col("tf") + lit(Bm25K1) *
+        (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(Num.r9(col("score")).desc, col("doc_id").asc)
+    tf.join(broadcast(dft), Seq("term"))
+      .join(broadcast(q), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", idf * tfPart)
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms_hit"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= lit(Bm25TopK))
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms_hit"),
+        r6(col("score")).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25TopKOn(Tables.documents(spark, dir))
+
+  val bm25TopKSql: String = {
+    val values = Bm25Queries
+      .map { case (qid, t) => s"(CAST($qid AS BIGINT), '$t')" }.mkString(", ")
+    val scoreSql = s"""ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+         * tf.tf * ${Bm25K1 + 1.0} / (tf.tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl.dl / st.avgdl))"""
+    s"""WITH q(query_id, term) AS (VALUES $values),
+       |toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*) AS tf
+       |       FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+       |       WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (
+       |  SELECT q.query_id, tf.doc_id, count(*) AS n_terms_hit,
+       |         sum($scoreSql) AS score
+       |  FROM q JOIN tf USING (term) JOIN df USING (term)
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+       |  GROUP BY 1, 2),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY ${Num.r9Sql("score")} DESC, doc_id) AS rank FROM sc)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, n_terms_hit,
+       |       ${r6Sql("score")} AS score
+       |FROM rk WHERE rank <= $Bm25TopK ORDER BY query_id, rank""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("t_text_stats", textStats _, textStatsSql),
     Q("t_quality_filter", qualityFilter _, qualityFilterSql),
@@ -942,5 +1033,6 @@ object Text {
     Q("t_token_entropy", tokenEntropy _, tokenEntropySql),
     Q("t_vocab_coverage", vocabCoverage _, vocabCoverageSql),
     Q("t_bigram_pmi", bigramPmi _, bigramPmiSql),
+    Q("t_bm25_topk", bm25TopK _, bm25TopKSql),
   )
 }

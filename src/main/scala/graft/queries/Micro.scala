@@ -215,16 +215,24 @@ object Micro {
       lit("type"), col("event_type"),
       lit("k"), get_json_object(col("props"), "$.k"),
       lit("vband"), when(col("value") >= lit(50.0), lit("high")).otherwise(lit("low")))
+    // Two-level aggregate: the multi-distinct final agg would otherwise
+    // Expand the exploded rows 3x before any reduction. Pre-aggregating on
+    // the full distinct-combination key (mk, mv, type_val) is map-side
+    // combinable and collapses the corpus to |keys|x|values| rows (~500 at
+    // any scale here), so the Expand runs over the reduced set — the shape
+    // that survives a 100 TB event stream.
     Tables.events(spark, dir)
       .withColumn("m", transform_values(map_filter(m, (_, v) => v.isNotNull),
         (k, v) => concat(k, lit("="), v)))
       .withColumn("n_keys", size(col("m")).cast("long"))
       .withColumn("type_val", element_at(col("m"), "type"))
-      .select(col("event_id"), col("n_keys"), col("type_val"),
+      .select(col("n_keys"), col("type_val"),
         explode(col("m")).as(Seq("mk", "mv")))
+      .groupBy("mk", "mv", "type_val")
+      .agg(count(lit(1)).as("c"), min("n_keys").as("mn"))
       .groupBy("mk")
-      .agg(count(lit(1)).as("n_rows"), countDistinct(col("mv")).as("n_vals"),
-        min("n_keys").as("min_keys"), countDistinct(col("type_val")).as("n_types"))
+      .agg(sum("c").as("n_rows"), countDistinct(col("mv")).as("n_vals"),
+        min("mn").as("min_keys"), countDistinct(col("type_val")).as("n_types"))
       .orderBy("mk")
   }
 

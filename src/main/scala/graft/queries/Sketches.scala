@@ -81,6 +81,46 @@ object Sketches {
       |       CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS sum_value_floor
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Salted JOIN — the skew-join pattern completing [[saltedAgg]]'s story.
+    * A fact⋈dim join on a 5-value key funnels every fact row of a hot key
+    * through one reducer; salting gives the fact side a uniform
+    * `salt = event_id % 16` and REPLICATES each dim row across all 16
+    * salts, so the join key (event_type, salt) spreads each hot key over
+    * 16 reducers. The `shuffle_hash` hint keeps the demonstration honest —
+    * without it Catalyst would broadcast the tiny dim and no skew would
+    * exist to fix (at real scale the same pattern applies when the dim is
+    * too big to broadcast, or under a sort-merge join). Counts and the
+    * fixed-point integer sums ([[graft.ops.Num.cents]]) are exact under
+    * any combining order, so the oracle is the PLAIN unsalted join — proof
+    * the rewrite preserves semantics. The weight dim is one shared
+    * constant rendered into both engines. */
+  val TypeWeights: Seq[(String, Long)] = Seq(
+    "click" -> 1L, "error" -> 5L, "purchase" -> 10L, "signup" -> 3L, "view" -> 1L)
+
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = TypeWeights.toDF("event_type", "weight")
+    val dimSalted = dim.withColumn("salt",
+      explode(sequence(lit(0L), lit(SaltBuckets.toLong - 1L))))
+    Tables.events(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(SaltBuckets.toLong)))
+      .join(dimSalted.hint("shuffle_hash"), Seq("event_type", "salt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(graft.ops.Num.cents(col("value")) * col("weight")).as("weighted_cents"))
+      .orderBy("event_type")
+  }
+
+  val saltedJoinSql: String = {
+    val values = TypeWeights
+      .map { case (t, w) => s"('$t', CAST($w AS BIGINT))" }.mkString(", ")
+    s"""WITH dim(event_type, weight) AS (VALUES $values)
+       |SELECT e.event_type, count(*) AS n_events,
+       |       CAST(sum(${graft.ops.Num.centsSql("e.value")} * d.weight) AS BIGINT) AS weighted_cents
+       |FROM events e JOIN dim d ON e.event_type = d.event_type
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Builtin approximate aggregates (HLL++ distinct, quantile sketch).
     * Estimates are engine-specific, so the ORACLE checks the error BOUND,
     * not the estimate: the Spark side emits `|approx − exact| ≤ ε·exact`
@@ -148,6 +188,7 @@ object Sketches {
     Q("k_cube", cubeAgg _, cubeAggSql),
     Q("k_grouping_sets", groupingSetsAgg _, groupingSetsAggSql),
     Q("k_salted_agg", saltedAgg _, saltedAggSql),
+    Q("k_salted_join", saltedJoin _, saltedJoinSql),
     Q("k_approx_agg", approxAgg _, approxAggSql),
   )
 }

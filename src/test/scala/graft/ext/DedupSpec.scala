@@ -372,4 +372,23 @@ class DedupSpec extends SparkSpec {
       docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(Corpus.BenchSlice)).count(),
       "every non-benchmark doc gets a manifest row")
   }
+
+  test("LSH recall monitor recomputes exactly from its two source queries") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val (nTrue, nCand, nHit, recall) = Dedup.lshRecallOn(docs)
+      .as[(Long, Long, Long, Double)].head()
+    val truth = Dedup.ngramJaccardOn(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val cand = Dedup.minhashCandidates(
+        Dedup.minhashSigsOn(docs, Dedup.NumHashes), Dedup.NumHashes, Dedup.NumBands)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(nTrue === truth.size.toLong)
+    assert(nCand === cand.size.toLong)
+    assert(nHit === (truth intersect cand).size.toLong)
+    assert(nHit <= math.min(nTrue, nCand))
+    val want = if (truth.isEmpty) 0.0
+      else graft.ops.Num.r6Double(nHit.toDouble / nTrue)
+    assert(recall === want)
+    assert(recall >= 0.0 && recall <= 1.0)
+  }
 }

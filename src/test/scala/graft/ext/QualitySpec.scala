@@ -90,4 +90,32 @@ class QualitySpec extends SparkSpec {
       assert(minHead >= maxTail, s"$lang: min head $minHead < max tail $maxTail")
     }
   }
+
+  test("ccnet mix keeps every head doc, rates map to buckets, and decisions are deterministic") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Quality.ccnetMixOn(docs)
+      .select("doc_id", "bucket", "rate_q", "keep")
+      .as[(Long, String, Long, Boolean)].collect().toSeq
+    assert(out.nonEmpty)
+    // the manifest covers exactly the bucketed (scorable) docs
+    assert(out.map(_._1) === Quality.ccnetBucketsOn(docs)
+      .select("doc_id").as[Long].collect().toSeq)
+    out.foreach { case (id, bucket, rateQ, keep) =>
+      val want = bucket match {
+        case "head" => 4L; case "middle" => 2L; case _ => 1L
+      }
+      assert(rateQ === want, s"doc $id bucket $bucket rate $rateQ")
+      if (bucket == "head") assert(keep, s"head doc $id dropped")
+    }
+    // hash decisions are a pure function of doc_id: a second run is identical
+    assert(Quality.ccnetMixOn(docs)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toSeq ===
+      out.map(r => (r._1, r._4)))
+    // middle/tail keep rates land near 1/2 and 1/4 (loose: hash-Bernoulli)
+    val mid = out.filter(_._2 == "middle")
+    if (mid.size >= 50) {
+      val rate = mid.count(_._4).toDouble / mid.size
+      assert(rate > 0.25 && rate < 0.75, s"middle keep rate off: $rate")
+    }
+  }
 }

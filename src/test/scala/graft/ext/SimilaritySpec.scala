@@ -297,4 +297,22 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
     assert(pqFrozen === pqTrained)
   }
+
+  test("IVF balance report recomputes from the cell assignment and is >= 1") {
+    val dir = "/root/testdata/sf0.001"
+    val (nCells, nVecs, minCell, maxCell, balance) =
+      Similarity.ivfBalance(spark, dir)
+        .as[(Long, Long, Long, Long, Double)].head()
+    val cells = Similarity.kmeansAssign(spark, dir)
+      .groupBy("cell").count().as[(Long, Long)].collect().toSeq
+    assert(nCells === cells.size.toLong)
+    assert(nVecs === cells.map(_._2).sum)
+    assert(minCell === cells.map(_._2).min)
+    assert(maxCell === cells.map(_._2).max)
+    assert(minCell <= maxCell)
+    // max cell >= mean cell, so the balance factor is always >= 1.0
+    assert(balance >= 1.0, s"balance factor below 1: $balance")
+    assert(balance ===
+      graft.ops.Num.r6Double(maxCell.toDouble * nCells / nVecs))
+  }
 }

@@ -210,4 +210,48 @@ class TextSpec extends SparkSpec {
     val (_, dChars, dToks, _, dp50, dp95) = out("de")
     assert(dp50 === dToks.toDouble && dp95 === dToks.toDouble && dChars === 2L)
   }
+
+  test("BM25: tf raises the score, length penalizes it, and only hit docs rank") {
+    def docs(rows: (Long, String)*) =
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    // query 0 is (hash, join); doc 30 never mentions either term
+    val out = Text.bm25TopKOn(docs(
+      10L -> "hash join hash other words here",   // 2×hash + join
+      20L -> "hash join other words here pad pad", // 1×hash + join, longer
+      30L -> "filter scan scan scan scan scan"))
+      .select("query_id", "rank", "doc_id", "n_terms_hit")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val q0 = out.filter(_._1 == 0L)
+    assert(q0.map(r => (r._2, r._3)) === Seq((1L, 10L), (2L, 20L)),
+      s"tf-dominant doc must outrank: $q0")
+    assert(q0.forall(_._4 === 2L)) // both docs hit both q0 terms
+    assert(!out.exists(r => r._3 == 30L && r._1 == 0L))
+    // same tf, shorter doc wins (the b·dl/avgdl length normalization)
+    val out2 = Text.bm25TopKOn(docs(
+      1L -> "merge sort",
+      2L -> "merge sort with many extra trailing words attached"))
+      .filter(col("query_id") === 2L)
+      .select("rank", "doc_id").as[(Long, Long)].collect().toSeq
+    assert(out2 === Seq((1L, 1L), (2L, 2L)), s"shorter doc must outrank: $out2")
+  }
+
+  test("BM25 on real data: ranked scores are positive, non-increasing, and bounded to top-k") {
+    val got = Text.bm25TopK(spark, "/root/testdata/sf0.001")
+      .select("query_id", "rank", "score")
+      .as[(Long, Long, Double)].collect().toSeq.groupBy(_._1)
+    assert(got.nonEmpty)
+    got.foreach { case (qid, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._2) === (1L to byRank.size.toLong),
+        s"q$qid ranks not contiguous")
+      assert(byRank.size <= Text.Bm25TopK)
+      assert(byRank.forall(_._3 > 0.0), s"q$qid non-positive score")
+      assert(byRank.sliding(2).forall {
+        case Seq(a, b) => a._3 >= b._3
+        case _ => true
+      }, s"q$qid scores not non-increasing")
+    }
+  }
 }

@@ -35,4 +35,23 @@ class SketchesSpec extends SparkSpec {
       .orderBy("event_type").as[(String, Long, Long)].collect().toSeq
     assert(salted === plain)
   }
+
+  test("salted join equals the plain unsalted join and actually shuffles (no broadcast)") {
+    val got = Sketches.saltedJoin(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    val dim = Sketches.TypeWeights.toDF("event_type", "weight")
+    val plain = graft.ops.Tables.events(spark, dir)
+      .join(dim, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(graft.ops.Num.cents(col("value")) * col("weight")).as("weighted_cents"))
+      .orderBy("event_type").as[(String, Long, Long)].collect().toSeq
+    assert(got === plain)
+    // the demonstration is only honest if the dim is NOT broadcast: the
+    // salted key must reach a shuffled hash join
+    val phys = Sketches.saltedJoin(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("ShuffledHashJoin"), s"expected ShuffledHashJoin in:\n$phys")
+    assert(!phys.contains("BroadcastHashJoin"), "dim was broadcast — salt is moot")
+  }
 }
