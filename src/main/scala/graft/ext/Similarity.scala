@@ -1168,9 +1168,59 @@ object Similarity {
        |       ${r6Sql("max_cell * n_cells / CAST(n_vecs AS DOUBLE)")} AS balance
        |FROM s""".stripMargin
 
+  // ---------------------------------------------- covariance / whitening prep
+  /** Upper-triangle covariance matrix of the embedding corpus — the input
+    * every whitening / PCA / ZCA normalization step consumes (complements
+    * [[dimStatsOn]]'s per-dimension diagonal with the cross terms). One
+    * corpus pass: each row contributes its d² outer product through the
+    * [[graft.functions.VecSum]] aggregator, so the aggregate state is a
+    * single O(d²) mergeable buffer with map-side combine and NOTHING
+    * row-sized ever shuffles — at 100 TB the pass is scan-bound and the
+    * shuffle is |partitions| × d² doubles. The eigen-decomposition itself
+    * is driver-side math on the d×d result (model-sized, like the
+    * centroids) and out of engine scope. Sum order is partition-dependent
+    * as with every double aggregate here — r6 rounding on both engines
+    * absorbs it (same convention as `s_dim_stats`). */
+  def covMatrixOn(embeddings: DataFrame, d: Int = Dims): DataFrame = {
+    val emb = embeddings
+      .select(transform(col("embedding"), x => x.cast("double")).as("e"))
+    val sums = emb
+      .select(col("e"),
+        flatten(transform(col("e"), x => transform(col("e"), y => x * y))).as("xy"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.VecSum.fn(col("xy")).as("sxy"),
+        graft.functions.VecSum.fn(col("e")).as("sx"))
+    sums
+      .select(col("n"), col("sx"), posexplode(col("sxy")).as(Seq("pos", "sxy_v")))
+      .withColumn("i", (expr(s"pos DIV $d") + lit(1)).cast("long"))
+      .withColumn("j", (pmod(col("pos"), lit(d)) + lit(1)).cast("long"))
+      .filter(col("i") <= col("j"))
+      .withColumn("sx_i", element_at(col("sx"), col("i").cast("int")))
+      .withColumn("sx_j", element_at(col("sx"), col("j").cast("int")))
+      .select(col("i").as("dim_i"), col("j").as("dim_j"),
+        r6((col("sxy_v") - col("sx_i") * col("sx_j") / col("n")) / col("n")).as("cov"))
+      .orderBy("dim_i", "dim_j")
+  }
+
+  def covMatrix(spark: SparkSession, dir: String): DataFrame =
+    covMatrixOn(Tables.embeddings(spark, dir))
+
+  val covMatrixSql: String =
+    s"""WITH ex AS (
+       |  SELECT r.i AS i, s.j AS j,
+       |         CAST(embedding[r.i] AS DOUBLE) AS x, CAST(embedding[s.j] AS DOUBLE) AS y
+       |  FROM embeddings CROSS JOIN range(1, ${Dims + 1}) r(i) CROSS JOIN range(1, ${Dims + 1}) s(j)
+       |  WHERE r.i <= s.j),
+       |a AS (SELECT i, j, count(*) AS n, sum(x*y) AS sxy, sum(x) AS sx, sum(y) AS sy
+       |      FROM ex GROUP BY 1, 2)
+       |SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
+       |       ${r6Sql("(sxy - sx * sy / n) / n")} AS cov
+       |FROM a ORDER BY dim_i, dim_j""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s_knn_bruteforce", knnBruteForce _, knnBruteForceSql),
     Q("s_ivf_balance", ivfBalance _, ivfBalanceSql),
+    Q("s_cov_matrix", covMatrix _, covMatrixSql),
     Q("s_knn_recall", knnRecall _, knnRecallSql),
     Q("s_knn_lsh", knnLsh _, knnLshSql),
     Q("s_knn_ivf", knnIvf _, knnIvfSql),

@@ -103,6 +103,31 @@ class PlanSpec extends SparkSpec {
       "the 1-row doc count should cross-join via broadcast")
   }
 
+  test("bm25: query vocabulary and df broadcast; postings aggregate partially") {
+    val p = plan(graft.ext.Text.bm25TopKOn(
+      graft.ops.Tables.documents(spark, dir)))
+    spark.catalog.clearCache() // the query persists its filtered postings
+    // the term filter, the df table and the query table are all broadcast
+    // joins — only queried-term postings ever reach a shuffle
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "query vocabulary / df not broadcast:\n" + p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange IdentityBroadcastMode"),
+      "the 1-row (N, avgdl) stats should cross-join via broadcast")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("covariance matrix: one mergeable object aggregate, nothing row-sized shuffles") {
+    val p = plan(Similarity.covMatrix(spark, dir))
+    // the d²-state VecSum aggregate runs partial-then-final
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "outer-product aggregate lost its partial phase:\n" + p.take(3000))
+    // no exchange may carry the embedding column — only the O(d²) sums move
+    assert(!"Exchange [^\\n]*embedding".r.findFirstIn(p).nonEmpty,
+      "row-sized embedding data crosses a shuffle:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("bloom decontamination: survivors-only verify join, totals never explode") {
     val p = plan(graft.ext.Corpus.decontaminateBloomOn(
       graft.ops.Tables.documents(spark, dir)))

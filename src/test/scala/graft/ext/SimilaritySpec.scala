@@ -315,4 +315,26 @@ class SimilaritySpec extends SparkSpec {
     assert(balance ===
       graft.ops.Num.r6Double(maxCell.toDouble * nCells / nVecs))
   }
+
+  test("covariance matrix: exact on a hand corpus, diagonal matches dim stats") {
+    val hand = Seq(Array(1.0f, 2.0f), Array(3.0f, 4.0f), Array(5.0f, 6.0f))
+      .toDF("embedding")
+    val got = Similarity.covMatrixOn(hand, d = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    val c = graft.ops.Num.r6Double(8.0 / 3.0)
+    assert(got === Seq((1L, 1L, c), (1L, 2L, c), (2L, 2L, c)))
+    // real data: upper triangle is complete and the diagonal is the
+    // dim-stats variance (std²) up to the two paths' rounding
+    val dir = "/root/testdata/sf0.001"
+    val cov = Similarity.covMatrix(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(cov.size === Similarity.Dims * (Similarity.Dims + 1) / 2)
+    val diag = cov.filter(r => r._1 == r._2).map(r => r._1 -> r._3).toMap
+    val stds = Similarity.dimStats(spark, dir)
+      .select("dim", "std").as[(Long, Double)].collect().toMap
+    stds.foreach { case (dim, std) =>
+      assert(math.abs(diag(dim) - std * std) < 1e-5,
+        s"dim $dim: cov ${diag(dim)} vs std² ${std * std}")
+    }
+  }
 }
