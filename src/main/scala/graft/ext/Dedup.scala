@@ -865,8 +865,12 @@ object Dedup {
         .join(prop.select(col("doc_id").as("p_id"), col("comp").as("p_comp")).as("b"),
           col("a.comp") === col("p_id"))
         .select(col("a.doc_id").as("doc_id"), col("p_comp").as("comp"))
+      val t0 = System.nanoTime()
       val next = if (checkpointRounds) jumped.localCheckpoint() else jumped.persist()
+      val tCkpt = System.nanoTime()
       val nextSum = labelSum(next)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"CC_ROUND ckpt=${(tCkpt - t0) / 1e9}%.2f sum=${(System.nanoTime() - tCkpt) / 1e9}%.2f")
       changed = if (nextSum.compareTo(curSum) == 0) 0L else 1L
       curSum = nextSum
       comp.unpersist()
@@ -932,11 +936,17 @@ object Dedup {
     // fresh pair edges: sign the new corpus once, probe fresh bands
     // against all bands (persisted: both band sides + both sig rejoins)
     val mh = minhashSigsOn(newDocs, numHashes).persist()
+    // persisted: delta-bounded (|fresh edges|), and referenced from BOTH
+    // the touched-component discovery and the sub-problem edge union —
+    // without it the signature/band-probe subplan above it runs once per
+    // consumer (measured: the probe re-ran inside the final untouched
+    // anti-join's lineage, doubling the whole update)
     val freshEdges = minhashEstJaccard(
         minhashCandidatesAgainst(mh.join(fresh, "doc_id"), mh, numHashes, numBands),
         mh, numHashes)
       .filter(col("est_jaccard") >= lit(ClusterEstMin))
       .select("doc_a", "doc_b")
+      .persist()
 
     // old edges that survive the delta: neither endpoint removed/changed
     val keptEdges = oldEdges
@@ -945,6 +955,8 @@ object Dedup {
 
     // components the delta can affect: those holding a removed/changed doc
     // or an endpoint of a fresh edge (added docs have no old component)
+    // persisted: |touched clusters|-sized, and consumed by three branches
+    // (sub-problem ids, sub-problem edges, the untouched anti-join)
     val touchedComps = oldManifest
       .join(gone
           .union(freshEdges.select(col("doc_a").as("doc_id")))
@@ -952,6 +964,7 @@ object Dedup {
           .distinct(),
         "doc_id")
       .select("cluster_id").distinct()
+      .persist()
 
     // the sub-problem: surviving members of touched components + added docs
     val subIds = oldManifest.join(touchedComps, "cluster_id")
