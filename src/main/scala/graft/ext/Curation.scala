@@ -120,7 +120,47 @@ object Curation {
        |LEFT JOIN fc ON s.doc_id = fc.doc_id
        |ORDER BY s.doc_id""".stripMargin
 
+  // --------------------------------------------------- gate co-fire report
+  /** Joint distribution of the five gate verdicts — the funnel diagnostic
+    * a pipeline owner reads before retuning thresholds: which gate
+    * combinations co-fire (a pattern failing ONLY fluency suggests a
+    * census problem; everything failing together suggests genuine junk).
+    * One aggregate over the funnel's verdict bits: ≤2⁵ pattern rows with
+    * doc counts and corpus shares (the share window is ≤32 rows by
+    * construction, so the single-partition window is bounded). Oracle
+    * embeds the funnel oracle — the report cannot drift from the verdicts
+    * it summarizes. */
+  def gatePatternsOn(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    curationFunnelOn(docs)
+      .groupBy("pass_quality", "pass_repetition", "is_fluent",
+        "pass_decontam", "is_canonical", "kept")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share",
+        graft.ops.Num.r6(col("n_docs").cast("double") / sum(col("n_docs")).over(w)))
+      .orderBy(col("n_docs").desc, col("pass_quality"), col("pass_repetition"),
+        col("is_fluent"), col("pass_decontam"), col("is_canonical"))
+  }
+
+  def gatePatterns(spark: SparkSession, dir: String): DataFrame =
+    gatePatternsOn(Tables.documents(spark, dir))
+
+  val gatePatternsSql: String =
+    s"""WITH fun AS (SELECT * FROM ($curationFunnelSql)),
+       |g AS (
+       |  SELECT pass_quality, pass_repetition, is_fluent, pass_decontam,
+       |         is_canonical, kept, count(*) AS n_docs
+       |  FROM fun GROUP BY 1, 2, 3, 4, 5, 6)
+       |SELECT pass_quality, pass_repetition, is_fluent, pass_decontam,
+       |       is_canonical, kept, n_docs,
+       |       ${graft.ops.Num.r6Sql("CAST(n_docs AS DOUBLE) / sum(n_docs) OVER ()")} AS share
+       |FROM g
+       |ORDER BY n_docs DESC, pass_quality, pass_repetition, is_fluent,
+       |         pass_decontam, is_canonical""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t_curation_funnel", curationFunnel _, curationFunnelSql),
+    Q("t_gate_patterns", gatePatterns _, gatePatternsSql),
   )
 }

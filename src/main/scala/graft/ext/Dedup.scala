@@ -4,6 +4,7 @@ import graft.Q
 import graft.ops.{Num, Tables}
 import graft.ops.Num.{r6, r6Sql}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection over `documents` / `embeddings` — the dedup
@@ -1400,8 +1401,42 @@ object Dedup {
        |            ELSE ${r6Sql("CAST(n_hit AS DOUBLE) / n_true")} END AS recall
        |FROM s""".stripMargin
 
+  // ------------------------------------------------- threshold-tuning curve
+  /** Candidate-pair mass by estimated-Jaccard level — the knob-tuning
+    * curve behind [[ClusterEstMin]]: for each distinct signature-agreement
+    * level the banded candidates reach, how many pairs score exactly there
+    * and how many survive a ≥ cut at that level. Raising or lowering the
+    * dedup threshold is a read off this table instead of a rerun-and-count
+    * experiment. est_jaccard is an exact multiple of 1/numHashes (a dyadic
+    * double for the default 16), so grouping is exact on both engines; the
+    * cumulative window runs over ≤ numHashes+1 rows by construction. */
+  def thresholdCurveOn(docs: DataFrame,
+                       numHashes: Int = NumHashes, numBands: Int = NumBands): DataFrame = {
+    val w = Window.orderBy(col("est_jaccard").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    minhashLshOn(docs, numHashes, numBands)
+      .groupBy("est_jaccard").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_pairs_at_or_above", sum(col("n_pairs")).over(w).cast("long"))
+      .select(r6(col("est_jaccard")).as("est_jaccard"),
+        col("n_pairs"), col("n_pairs_at_or_above"))
+      .orderBy(col("est_jaccard").desc)
+  }
+
+  def thresholdCurve(spark: SparkSession, dir: String): DataFrame =
+    thresholdCurveOn(Tables.documents(spark, dir))
+
+  val thresholdCurveSql: String =
+    s"""WITH lsh AS (SELECT * FROM ($minhashLshSql)),
+       |g AS (SELECT est_jaccard, count(*) AS n_pairs FROM lsh GROUP BY 1)
+       |SELECT ${r6Sql("est_jaccard")} AS est_jaccard, n_pairs,
+       |       CAST(sum(n_pairs) OVER (ORDER BY est_jaccard DESC
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |         AS n_pairs_at_or_above
+       |FROM g ORDER BY est_jaccard DESC""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("dd_exact", exact _, exactSql),
+    Q("dd_threshold_curve", thresholdCurve _, thresholdCurveSql),
     Q("dd_minhash_lsh", minhashLsh _, minhashLshSql),
     Q("dd_simhash", simhash _, simhashSql),
     Q("dd_simhash_pairs", simhashPairs _, simhashPairsSql),

@@ -952,27 +952,31 @@ object Text {
     1L -> "scan", 1L -> "filter", 1L -> "fast",
     2L -> "merge", 2L -> "sort")
 
-  def bm25TopKOn(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  private def bm25QueryFrame(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val q = Bm25Queries.toDF("query_id", "term")
+    Bm25Queries.toDF("query_id", "term")
+  }
+
+  private def bm25Postings(docs: DataFrame): (DataFrame, DataFrame) = {
+    val q = bm25QueryFrame(docs.sparkSession)
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
     val dl = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    // persisted: the filtered postings feed BOTH the df census and the
-    // scoring join; tiny after the query-vocabulary filter
     val tf = toks.select(col("doc_id"), explode(col("t")).as("term"))
       .join(broadcast(q.select("term").distinct()), Seq("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist()
-    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    (tf, dl)
+  }
+
+  /** The shared scoring tail over (tf, dl) postings and FROZEN (df, stats)
+    * model frames — one implementation behind the one-shot top-k and the
+    * streaming score-against form, so the formula cannot drift. */
+  private def bm25ScoreTail(tf: DataFrame, dl: DataFrame,
+                            dft: DataFrame, stats: DataFrame, q: DataFrame): DataFrame = {
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfPart = col("tf") * lit(Bm25K1 + 1.0) /
       (col("tf") + lit(Bm25K1) *
         (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(Num.r9(col("score")).desc, col("doc_id").asc)
     tf.join(broadcast(dft), Seq("term"))
       .join(broadcast(q), Seq("term"))
       .join(dl, Seq("doc_id"))
@@ -980,6 +984,41 @@ object Text {
       .withColumn("contrib", idf * tfPart)
       .groupBy("query_id", "doc_id")
       .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms_hit"))
+  }
+
+  /** Corpus-statistics model for BM25: the query-vocabulary df table and
+    * the 1-row (n_docs, avgdl) frame — train once, then score any amount
+    * of new text against it ([[bm25ScoreAgainstOn]],
+    * [[graft.streaming.Streams.bm25Batches]]). */
+  def bm25StatsOn(docs: DataFrame): (DataFrame, DataFrame) = {
+    val (tf, dl) = bm25Postings(docs)
+    (tf.groupBy("term").agg(count(lit(1)).as("df")),
+      dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")))
+  }
+
+  /** Score documents against a FIXED BM25 model (the deployment entry
+    * point): one row per (query, doc) hit with the r6 score, unranked —
+    * global top-k is the consumer's final aggregate over all batches, not
+    * a per-batch operation. Stateless per row, so it runs unchanged on a
+    * streaming frame. */
+  def bm25ScoreAgainstOn(docs: DataFrame, dft: DataFrame, stats: DataFrame): DataFrame = {
+    val (tf, dl) = bm25Postings(docs)
+    bm25ScoreTail(tf, dl, dft, stats, bm25QueryFrame(docs.sparkSession))
+      .select(col("query_id"), col("doc_id"), col("n_terms_hit"),
+        r6(col("score")).as("score"))
+  }
+
+  def bm25TopKOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    // persisted: the filtered postings feed BOTH the df census and the
+    // scoring join; tiny after the query-vocabulary filter
+    val (tf0, dl) = bm25Postings(docs)
+    val tf = tf0.persist()
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(Num.r9(col("score")).desc, col("doc_id").asc)
+    bm25ScoreTail(tf, dl, dft, stats, bm25QueryFrame(spark))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= lit(Bm25TopK))
       .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms_hit"),

@@ -249,6 +249,25 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Streaming BM25 scoring via foreachBatch: new documents are scored
+    * against a FROZEN retrieval model ([[graft.ext.Text.bm25StatsOn]]'s
+    * query-vocabulary df table + (n_docs, avgdl) stats) — the ingestion
+    * shape of a retrieval/seed-set pipeline, where corpus statistics train
+    * once and arriving text streams through a broadcast-model scoring
+    * pass. Stateless across batches; union of batch outputs equals the
+    * one-shot [[graft.ext.Text.bm25ScoreAgainstOn]] (StreamsSpec parity).
+    * Global top-k is the consumer's aggregate over all batches. */
+  def bm25Batches(docs: DataFrame, dft: DataFrame, stats: DataFrame,
+                  trigger: org.apache.spark.sql.streaming.Trigger =
+                    org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                 (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        onBatch(graft.ext.Text.bm25ScoreAgainstOn(batch.toDF(), dft, stats), id)
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming IVF index ingestion via foreachBatch: new vectors are
     * assigned to a FROZEN trained quantizer
     * ([[graft.ext.Similarity.kmeansCentroidsOn]]) — the standard ANN

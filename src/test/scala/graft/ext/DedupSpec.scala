@@ -373,6 +373,38 @@ class DedupSpec extends SparkSpec {
       "every non-benchmark doc gets a manifest row")
   }
 
+  test("threshold curve partitions the candidate set and cumulates monotonically") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val curve = Dedup.thresholdCurveOn(docs)
+      .as[(Double, Long, Long)].collect().toSeq
+    val cand = Dedup.minhashLshOn(docs)
+      .as[(Long, Long, Double)].collect().toSeq
+    spark.catalog.clearCache()
+    assert(curve.nonEmpty)
+    // per-level counts recompute from the candidate set; total preserved
+    val byLevel = cand.groupBy(r => graft.ops.Num.r6Double(r._3)).view.mapValues(_.size.toLong)
+    curve.foreach { case (est, n, _) => assert(byLevel(est) === n, s"level $est") }
+    assert(curve.map(_._2).sum === cand.size.toLong)
+    // descending est order, cumulative = running sum, last = total
+    assert(curve.map(_._1) === curve.map(_._1).sorted.reverse)
+    assert(curve.map(_._2).scanLeft(0L)(_ + _).tail === curve.map(_._3))
+  }
+
+  test("gate patterns sum to the funnel universe and kept matches the conjunction") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pats = graft.ext.Curation.gatePatternsOn(docs)
+      .as[(Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Long, Double)]
+      .collect().toSeq
+    val funnelRows = graft.ext.Curation.curationFunnel(spark, "/root/testdata/sf0.001").count()
+    spark.catalog.clearCache()
+    assert(pats.nonEmpty && pats.size <= 32)
+    assert(pats.map(_._7).sum === funnelRows)
+    pats.foreach { case (q, r, f, d, c, kept, _, _) =>
+      assert(kept === (q && r && f && d && c), s"kept bit wrong for ($q,$r,$f,$d,$c)")
+    }
+    assert(math.abs(pats.map(_._8).sum - 1.0) < 1e-4, "shares must sum to ~1")
+  }
+
   test("LSH recall monitor recomputes exactly from its two source queries") {
     val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
     val (nTrue, nCand, nHit, recall) = Dedup.lshRecallOn(docs)

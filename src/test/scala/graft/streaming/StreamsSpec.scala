@@ -722,4 +722,39 @@ class StreamsSpec extends SparkSpec {
     assert(stateful.length === batch.length)
     assert(stateful.toSeq === batch.toSeq)
   }
+
+  test("streaming BM25 scoring against frozen stats matches the batch run doc for doc") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_bm25_stream").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    // the frozen model trains on the full corpus; scoring then streams
+    val (dft, stats) = graft.ext.Text.bm25StatsOn(docs)
+    val dftP = dft.persist()
+    val statsP = stats.persist()
+    Seq(0, 1).foreach { p =>
+      val tmp = s"$base/tmp$p"
+      docs.filter(col("doc_id") % 2 === p).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$base/in/b$p.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(20)
+    }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = Streams.bm25Batches(stream, dftP, statsP) { (out, _) =>
+      val rows = out.as[(Long, Long, Long, Double)].collect()
+      buf.synchronized { buf ++= rows }
+    }
+    q.awaitTermination()
+    val batch = graft.ext.Text.bm25ScoreAgainstOn(docs, dftP, statsP)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    dftP.unpersist(); statsP.unpersist()
+    spark.catalog.clearCache()
+    assert(batch.nonEmpty, "degenerate corpus: no query term hits")
+    assert(buf.size === buf.toSet.size, "a (query, doc) hit was scored twice")
+    assert(buf.toSet === batch,
+      s"missing: ${(batch -- buf.toSet).take(3)}; extra: ${(buf.toSet -- batch).take(3)}")
+  }
 }
