@@ -1055,8 +1055,128 @@ object Text {
        |FROM rk WHERE rank <= $Bm25TopK ORDER BY query_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------ wordpiece segmentation
+  /** Greedy longest-match wordpiece segmentation against a FROZEN,
+    * corpus-derived vocabulary — applying a tokenizer, not just counting
+    * tokens: the missing piece between the token censuses
+    * ([[vocabCoverageOn]], [[tokenFertilityOn]]) and an actual subword
+    * pipeline. Vocabulary = every single character seen in corpus words
+    * (guarantees total coverage, the `[UNK]`-free wordpiece closure) ∪ the
+    * top-`topTokens` most frequent whole tokens of length ≤ `maxPiece`
+    * (count desc, token asc — integer-exact rank). Each distinct word is
+    * segmented by the standard greedy rule: at every position take the
+    * LONGEST vocabulary piece matching there.
+    *
+    * Spark plan: the greedy next-position function is a finite functional
+    * graph, so the per-word piece walk is solved by POINTER DOUBLING —
+    * ceil(log₂(maxlen+1)) rounds of self-composition (the
+    * `dd_dup_clusters` iterative idiom, localCheckpoint per round) instead
+    * of a per-character sequential loop. All joins are equi-joins against
+    * a broadcast vocabulary; the explode is |word|×maxPiece per DISTINCT
+    * word (lexicon-sized, not corpus-sized). The oracle walks the same
+    * function with a recursive CTE — semantically the closure the
+    * doubling loop converges to.
+    *
+    * Registered knobs (4/16) are sized so the synthetic corpus (31
+    * distinct words, ≤8 chars) actually exercises multi-piece splits and
+    * char fallback; a production vocab would run e.g. (12, 50_000) — the
+    * plan shape is knob-independent. */
+  val WpMaxPiece = 4
+  val WpTopTokens = 16
+
+  def wordpieceOn(docs: DataFrame,
+                  maxPiece: Int = WpMaxPiece, topTokens: Int = WpTopTokens): DataFrame = {
+    // distinct-word lexicon with counts — reused by the vocab and the walk
+    val words = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .persist()
+    val top = words.filter(length(col("w")) <= lit(maxPiece))
+      .orderBy(col("n").desc, col("w").asc).limit(topTokens)
+      .select(col("w").as("piece"))
+    val chars = words
+      .select(col("w"), explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(expr("substring(w, i, 1)").as("piece")).distinct()
+    val vocab = chars.union(top).distinct()
+    // best (longest) vocabulary match per (word, position)
+    val best = words
+      .select(col("w"), explode(sequence(lit(1), length(col("w")))).as("p"))
+      .select(col("w"), col("p"),
+        explode(sequence(lit(1), lit(maxPiece))).as("l"))
+      .filter(col("p") + col("l") - lit(1) <= length(col("w")))
+      .withColumn("cand", expr("substring(w, p, l)"))
+      .join(broadcast(vocab), col("cand") === col("piece"))
+      .groupBy("w", "p").agg(max(col("l")).as("bl"))
+      .persist()
+    // pointer doubling over next(p) = p + bl(p): after k rounds `reach`
+    // holds every cut position within 2^k greedy steps of the word start
+    val maxLen = words.agg(max(length(col("w")))).head().getInt(0)
+    val rounds = math.max(1,
+      math.ceil(math.log(maxLen + 1.0) / math.log(2.0)).toInt)
+    var f = best.select(col("w"), col("p"), (col("p") + col("bl")).as("np"))
+      .localCheckpoint()
+    var reach = words.select(col("w"), lit(1).as("p")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      reach = reach.union(
+          reach.join(f, Seq("w", "p")).select(col("w"), col("np").as("p")))
+        .distinct().localCheckpoint()
+      f = f.join(f.select(col("w"), col("p").as("np"), col("np").as("np2")),
+          Seq("w", "np"))
+        .select(col("w"), col("p"), col("np2").as("np"))
+        .localCheckpoint()
+    }
+    val seg = reach.join(best, Seq("w", "p"))
+      .select(col("w"), col("p"), expr("substring(w, p, bl)").as("piece"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("n_pieces"),
+        concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(p, piece))), x -> x.piece)"))
+          .as("segmentation"))
+    words.select(col("w").as("word"), length(col("w")).cast("long").as("n_chars"))
+      .join(seg, col("word") === col("w"))
+      .select(col("word"), col("n_chars"), col("n_pieces"), col("segmentation"))
+      .orderBy("word")
+  }
+
+  def wordpiece(spark: SparkSession, dir: String): DataFrame =
+    wordpieceOn(Tables.documents(spark, dir))
+
+  val wordpieceSql: String =
+    s"""WITH RECURSIVE toks AS (SELECT unnest(${tokensSql("text")}) AS w FROM documents),
+       |words AS (SELECT w, count(*) AS n FROM toks GROUP BY 1),
+       |top AS (SELECT w AS piece FROM words WHERE length(w) <= $WpMaxPiece
+       |        ORDER BY n DESC, w LIMIT $WpTopTokens),
+       |chars AS (
+       |  SELECT DISTINCT substr(w, CAST(i AS INT), 1) AS piece
+       |  FROM (SELECT w, unnest(range(1, length(w) + 1)) AS i FROM words)),
+       |vocab AS (SELECT DISTINCT piece FROM
+       |          (SELECT piece FROM chars UNION ALL SELECT piece FROM top)),
+       |cand AS (
+       |  SELECT pw.w, pw.p, l.l
+       |  FROM (SELECT w, unnest(range(1, length(w) + 1)) AS p FROM words) pw
+       |  CROSS JOIN (SELECT unnest(range(1, ${WpMaxPiece + 1})) AS l) l
+       |  WHERE pw.p + l.l - 1 <= length(pw.w)),
+       |best AS (
+       |  SELECT c.w, c.p, max(c.l) AS bl
+       |  FROM cand c JOIN vocab v
+       |    ON substr(c.w, CAST(c.p AS INT), CAST(c.l AS INT)) = v.piece
+       |  GROUP BY 1, 2),
+       |cuts(w, p) AS (
+       |  SELECT w, CAST(1 AS BIGINT) FROM words
+       |  UNION
+       |  SELECT c.w, c.p + b.bl FROM cuts c JOIN best b ON c.w = b.w AND c.p = b.p),
+       |seg AS (
+       |  SELECT c.w, count(*) AS n_pieces,
+       |         string_agg(substr(c.w, CAST(c.p AS INT), CAST(b.bl AS INT)), ' '
+       |                    ORDER BY c.p) AS segmentation
+       |  FROM cuts c JOIN best b ON c.w = b.w AND c.p = b.p
+       |  GROUP BY 1)
+       |SELECT s.w AS word, CAST(length(s.w) AS BIGINT) AS n_chars,
+       |       s.n_pieces, s.segmentation
+       |FROM seg s ORDER BY word""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t_text_stats", textStats _, textStatsSql),
+    Q("t_wordpiece", wordpiece _, wordpieceSql),
     Q("t_quality_filter", qualityFilter _, qualityFilterSql),
     Q("t_pii_scrub", piiScrub _, piiScrubSql),
     Q("t_ngram_freq", ngramFreq _, ngramFreqSql),

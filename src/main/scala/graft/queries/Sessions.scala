@@ -85,8 +85,106 @@ object Sessions {
        |FROM sess GROUP BY user_id, session_seq
        |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** Ordered conversion funnel view → click → purchase: per user, the
+    * first view, the first click STRICTLY after that view, the first
+    * purchase strictly after that click — one summary row with stage
+    * user-counts and r6 conversion rates. Strict event-time ordering
+    * (micros) keys every stage, so a click logged before the user's first
+    * view doesn't convert — standard ordered-funnel semantics.
+    *
+    * Scale: three user_id-keyed aggregates over pre-filtered event slices,
+    * each stage joining only the previous stage's (user_id, ts) frame —
+    * narrow co-partitioned shuffles, never a self-join of the raw table. */
+  def funnelOn(events: DataFrame): DataFrame = {
+    val e = events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val v = e.filter(col("event_type") === lit("view"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("t_view"))
+    val c = e.filter(col("event_type") === lit("click"))
+      .join(v, Seq("user_id")).filter(col("ts_us") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("t_click"))
+    val p = e.filter(col("event_type") === lit("purchase"))
+      .join(c, Seq("user_id")).filter(col("ts_us") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("t_purchase"))
+    def rate(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den === lit(0L), lit(0.0)).otherwise(r6(num.cast("double") / den))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        rate(col("n_click"), col("n_view")).as("view_to_click"),
+        rate(col("n_purchase"), col("n_click")).as("click_to_purchase"))
+  }
+
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOn(Tables.events(spark, dir))
+
+  val funnelSql: String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+       |v AS (SELECT user_id, min(ts_us) AS t_view FROM e
+       |      WHERE event_type = 'view' GROUP BY 1),
+       |c AS (SELECT e.user_id, min(e.ts_us) AS t_click
+       |      FROM e JOIN v ON e.user_id = v.user_id
+       |      WHERE e.event_type = 'click' AND e.ts_us > v.t_view GROUP BY 1),
+       |p AS (SELECT e.user_id, min(e.ts_us) AS t_purchase
+       |      FROM e JOIN c ON e.user_id = c.user_id
+       |      WHERE e.event_type = 'purchase' AND e.ts_us > c.t_click GROUP BY 1),
+       |s AS (SELECT (SELECT count(*) FROM v) AS n_view,
+       |             (SELECT count(*) FROM c) AS n_click,
+       |             (SELECT count(*) FROM p) AS n_purchase)
+       |SELECT n_view, n_click, n_purchase,
+       |       CASE WHEN n_view = 0 THEN 0.0
+       |            ELSE ${r6Sql("CAST(n_click AS DOUBLE) / n_view")} END AS view_to_click,
+       |       CASE WHEN n_click = 0 THEN 0.0
+       |            ELSE ${r6Sql("CAST(n_purchase AS DOUBLE) / n_click")} END AS click_to_purchase
+       |FROM s""".stripMargin
+
+  /** Weekly cohort-retention triangle: users keyed by first-seen week
+    * (Monday-truncated on both engines); for each (cohort_week,
+    * weeks_since) the count of cohort members active that week. Both
+    * endpoints are week-truncated, so the day delta divides by 7 exactly.
+    * cohort_week ships as a 'YYYY-MM-DD' string (DATE physical types
+    * hash-mismatch across engines — repo convention).
+    *
+    * Scale: one user_id aggregate for first-seen, a user-keyed join
+    * carrying two truncated columns, a distinct on (user, cohort, week)
+    * and one (cohort, age) count — all narrow. */
+  def cohortsOn(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("ts"))
+    val first = e.groupBy("user_id").agg(min(col("ts")).as("t0"))
+    e.join(first, Seq("user_id"))
+      .select(col("user_id"),
+        date_trunc("week", col("t0")).as("cw"),
+        date_trunc("week", col("ts")).as("aw"))
+      .distinct()
+      .select(col("cw"), (datediff(col("aw"), col("cw")) / lit(7)).cast("long").as("weeks_since"))
+      .groupBy("cw", "weeks_since")
+      .agg(count(lit(1)).as("n_active"))
+      .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("weeks_since"), col("n_active"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
+  def cohorts(spark: SparkSession, dir: String): DataFrame =
+    cohortsOn(Tables.events(spark, dir))
+
+  val cohortsSql: String =
+    s"""WITH e AS (SELECT user_id, ts FROM events),
+       |f AS (SELECT user_id, min(ts) AS t0 FROM e GROUP BY 1),
+       |pairs AS (
+       |  SELECT DISTINCT e.user_id,
+       |         date_trunc('week', f.t0) AS cw,
+       |         date_trunc('week', e.ts) AS aw
+       |  FROM e JOIN f ON e.user_id = f.user_id)
+       |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+       |       CAST(date_diff('day', cw, aw) / 7 AS BIGINT) AS weeks_since,
+       |       count(*) AS n_active
+       |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("w_sessionize", sessionize _, sessionizeSql),
     Q("w_session_window", sessionWindowAgg _, sessionWindowAggSql),
+    Q("w_funnel", funnel _, funnelSql),
+    Q("w_cohorts", cohorts _, cohortsSql),
   )
 }

@@ -211,6 +211,22 @@ class TextSpec extends SparkSpec {
     assert(dp50 === dToks.toDouble && dp95 === dToks.toDouble && dChars === 2L)
   }
 
+  test("wordpiece: greedy longest-match splits, whole-token pieces, char fallback") {
+    val docs = Seq((1L, "data base datab database zzzzz data base"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = Text.wordpieceOn(docs, maxPiece = 4, topTokens = 16)
+      .as[(String, Long, Long, String)].collect().toSeq
+    spark.catalog.clearCache()
+    assert(got === Seq(
+      ("base", 4L, 1L, "base"),          // frequent short token = whole piece
+      ("data", 4L, 1L, "data"),
+      ("datab", 5L, 2L, "data b"),       // greedy longest match + char tail
+      ("database", 8L, 2L, "data base"), // two whole-token pieces
+      ("zzzzz", 5L, 5L, "z z z z z")))   // >maxPiece and unknown: char fallback
+  }
+
   test("BM25: tf raises the score, length penalizes it, and only hit docs rank") {
     def docs(rows: (Long, String)*) =
       rows.toDF("doc_id", "text")
