@@ -1161,8 +1161,62 @@ object Corpus {
        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- delta apply (MERGE)
+  /** Apply a snapshot delta as an SCD1 upsert — the MERGE step completing
+    * [[snapshotDeltaOn]]'s reconciliation: the warehouse holds the OLD
+    * state, the delta classification drives the update (removed/changed
+    * rows retire, added/changed rows ingest their new version, the
+    * unchanged majority carries over UNTOUCHED — no rewrite). Output is
+    * the manifest identity (doc_id, content fingerprint, lang, source),
+    * never raw text. Identity is text-fingerprint-keyed (SCD1 on
+    * content); non-text attributes ride with whichever side survives.
+    *
+    * Correctness discipline: the oracle is the NEW snapshot read
+    * directly — the incremental MERGE path earns its row by reproducing
+    * the full-refresh result bit for bit (same contract as
+    * `dd_clusters_incremental`).
+    *
+    * Scale: one co-keyed full-outer fingerprint join (the delta), then
+    * doc_id-keyed anti/semi joins. The carried-over fraction — at real
+    * ingestion cadence, almost everything — is never rewritten. */
+  def applyDeltaOn(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val delta = snapshotDeltaOn(oldDocs, newDocs)
+    val retire = delta.filter(col("status").isin("removed", "changed")).select("doc_id")
+    val ingest = delta.filter(col("status").isin("added", "changed")).select("doc_id")
+    val carried = oldDocs.join(retire, Seq("doc_id"), "left_anti")
+    val fresh = newDocs.join(ingest, Seq("doc_id"), "left_semi")
+    carried.unionByName(fresh)
+      .select(col("doc_id"),
+        coalesce(md5(graft.ext.Text.normalized(col("text"))), lit("<null>")).as("fp"),
+        col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  def applyDelta(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val old = docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(DeltaAdded))
+    val nw = docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(DeltaRemoved))
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(10)) === lit(DeltaChanged),
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+    applyDeltaOn(old, nw)
+  }
+
+  /** Deliberately NOT an incremental formulation: the full refreshed
+    * snapshot, which the MERGE output must equal. */
+  val applyDeltaSql: String =
+    s"""WITH nw AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 10 = $DeltaChanged THEN text || ' [rev2]' ELSE text END AS text,
+       |         lang, source
+       |  FROM documents WHERE doc_id % 10 <> $DeltaRemoved)
+       |SELECT doc_id, coalesce(md5(${Text.normalizedSql("text")}), '<null>') AS fp,
+       |       lang, source
+       |FROM nw ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t_corpus_mix", mix _, mixSql),
+    Q("t_apply_delta", applyDelta _, applyDeltaSql),
     Q("t_temp_mix", tempMix _, tempMixSql),
     Q("t_split", split _, splitSql),
     Q("t_length_buckets", lengthBuckets _, lengthBucketsSql),

@@ -82,8 +82,23 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Registered-query form: identical gate semantics to
+    * [[curationFunnelOn]], but the fluency verdict rides
+    * [[Text.lmFluency]]'s FROZEN heavy-gram census (train-once contract)
+    * instead of re-running the census aggregation on every invocation —
+    * the same routing as `t_ccnet_buckets`. */
+  private def funnelFrozen(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val train = docs.filter(pmod(col("doc_id"), lit(10L)) =!= lit(Corpus.BenchSlice))
+    funnelTail(train,
+      f = Text.lmFluency(spark, dir).select(col("doc_id"), col("is_fluent")),
+      d = Corpus.decontaminateOn(docs).select(col("doc_id"), col("keep").as("pass_decontam")),
+      c = Text.fingerprintOn(docs)
+        .select(col("doc_id"), (col("is_canonical") === lit(1L)).as("is_canonical")))
+  }
+
   def curationFunnel(spark: SparkSession, dir: String): DataFrame =
-    curationFunnelOn(Tables.documents(spark, dir))
+    funnelFrozen(spark, dir)
 
   /** Oracle twin: the five REGISTERED oracle SQLs verbatim as subqueries
     * (subquery ORDER BYs are legal and ignored), joined on the train
@@ -130,10 +145,15 @@ object Curation {
     * construction, so the single-partition window is bounded). Oracle
     * embeds the funnel oracle — the report cannot drift from the verdicts
     * it summarizes. */
-  def gatePatternsOn(docs: DataFrame): DataFrame = {
+  def gatePatternsOn(docs: DataFrame): DataFrame =
+    gatePatternsFrom(curationFunnelOn(docs))
+
+  /** Pattern aggregation over an already-computed funnel frame — split so
+    * the registered query can ride the frozen-census funnel. */
+  def gatePatternsFrom(funnel: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
-    curationFunnelOn(docs)
+    funnel
       .groupBy("pass_quality", "pass_repetition", "is_fluent",
         "pass_decontam", "is_canonical", "kept")
       .agg(count(lit(1)).as("n_docs"))
@@ -144,7 +164,7 @@ object Curation {
   }
 
   def gatePatterns(spark: SparkSession, dir: String): DataFrame =
-    gatePatternsOn(Tables.documents(spark, dir))
+    gatePatternsFrom(funnelFrozen(spark, dir))
 
   val gatePatternsSql: String =
     s"""WITH fun AS (SELECT * FROM ($curationFunnelSql)),

@@ -1112,6 +1112,9 @@ object Similarity {
           r6(col("n_hits").cast("double") / col("n_pairs")).as("recall"))
     row("ivf_kmeans", knnIvfKmeans(spark, dir))
       .unionByName(row("ivfpq", knnIvfPq(spark, dir)))
+      .unionByName(row("lsh", knnLsh(spark, dir)))
+      .unionByName(row("ivf_label", knnIvf(spark, dir)))
+      .unionByName(row("pq", knnPq(spark, dir)))
       .orderBy("method")
   }
 
@@ -1131,7 +1134,13 @@ object Similarity {
     s"""SELECT * FROM (
        |${m("ivf_kmeans", knnIvfKmeansSql)}
        |UNION ALL
-       |${m("ivfpq", knnIvfPqSql)})
+       |${m("ivfpq", knnIvfPqSql)}
+       |UNION ALL
+       |${m("lsh", knnLshSql)}
+       |UNION ALL
+       |${m("ivf_label", knnIvfSql)}
+       |UNION ALL
+       |${m("pq", knnPqSql)})
        |ORDER BY method""".stripMargin
   }
 

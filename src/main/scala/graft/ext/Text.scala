@@ -1140,8 +1140,12 @@ object Text {
   def wordpiece(spark: SparkSession, dir: String): DataFrame =
     wordpieceOn(Tables.documents(spark, dir))
 
-  val wordpieceSql: String =
-    s"""WITH RECURSIVE toks AS (SELECT unnest(${tokensSql("text")}) AS w FROM documents),
+  /** The shared wordpiece CTE chain toks→words→vocab→best→cuts→seg —
+    * `seg` is the (w, n_pieces, segmentation) lexicon, reused by the
+    * segmentation oracle and the fertility oracle so the two cannot
+    * drift. Must be opened with `WITH RECURSIVE`. */
+  private def wordpieceCtes: String =
+    s"""toks AS (SELECT unnest(${tokensSql("text")}) AS w FROM documents),
        |words AS (SELECT w, count(*) AS n FROM toks GROUP BY 1),
        |top AS (SELECT w AS piece FROM words WHERE length(w) <= $WpMaxPiece
        |        ORDER BY n DESC, w LIMIT $WpTopTokens),
@@ -1169,14 +1173,49 @@ object Text {
        |         string_agg(substr(c.w, CAST(c.p AS INT), CAST(b.bl AS INT)), ' '
        |                    ORDER BY c.p) AS segmentation
        |  FROM cuts c JOIN best b ON c.w = b.w AND c.p = b.p
-       |  GROUP BY 1)
+       |  GROUP BY 1)""".stripMargin
+
+  val wordpieceSql: String =
+    s"""WITH RECURSIVE $wordpieceCtes
        |SELECT s.w AS word, CAST(length(s.w) AS BIGINT) AS n_chars,
        |       s.n_pieces, s.segmentation
        |FROM seg s ORDER BY word""".stripMargin
 
+  /** True subword fertility per language — the lexicon ([[wordpieceOn]])
+    * applied back to the corpus token stream: subwords per word under the
+    * frozen vocab, per lang. Complements [[tokenFertility]]'s
+    * length-proxy with the actual tokenizer's number. The corpus pass
+    * joins the token stream to the BROADCAST lexicon (distinct words ≪
+    * corpus) and partial-aggregates per lang — one narrow shuffle. */
+  def wordpieceFertilityOn(docs: DataFrame,
+                           maxPiece: Int = WpMaxPiece, topTokens: Int = WpTopTokens): DataFrame = {
+    val lex = wordpieceOn(docs, maxPiece, topTokens)
+      .select(col("word").as("w"), col("n_pieces"))
+    docs.select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .join(broadcast(lex), Seq("w"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_subwords"))
+      .select(col("lang"), col("n_words"), col("n_subwords"),
+        r6(col("n_subwords").cast("double") / col("n_words")).as("fertility"))
+      .orderBy("lang")
+  }
+
+  def wordpieceFertility(spark: SparkSession, dir: String): DataFrame =
+    wordpieceFertilityOn(Tables.documents(spark, dir))
+
+  val wordpieceFertilitySql: String =
+    s"""WITH RECURSIVE $wordpieceCtes,
+       |ltoks AS (SELECT lang, unnest(${tokensSql("text")}) AS w FROM documents)
+       |SELECT t.lang, count(*) AS n_words,
+       |       CAST(sum(s.n_pieces) AS BIGINT) AS n_subwords,
+       |       ${r6Sql("CAST(sum(s.n_pieces) AS DOUBLE) / count(*)")} AS fertility
+       |FROM ltoks t JOIN seg s ON t.w = s.w
+       |GROUP BY 1 ORDER BY t.lang""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t_text_stats", textStats _, textStatsSql),
     Q("t_wordpiece", wordpiece _, wordpieceSql),
+    Q("t_wordpiece_fertility", wordpieceFertility _, wordpieceFertilitySql),
     Q("t_quality_filter", qualityFilter _, qualityFilterSql),
     Q("t_pii_scrub", piiScrub _, piiScrubSql),
     Q("t_ngram_freq", ngramFreq _, ngramFreqSql),

@@ -398,6 +398,32 @@ class LibraryApiSpec extends SparkSpec {
     assert(out === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
 
+  test("apply-delta MERGE reproduces the new snapshot; unchanged rows carry the old side") {
+    def docs(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+    val old = docs((1L, "same text", "old-src"),
+      (2L, "will be edited", "old-src"), (3L, "will be dropped", "old-src"))
+    val nw = docs((1L, "same   TEXT", "new-src"), // fp-unchanged → carried from OLD
+      (2L, "will be edited v2", "new-src"), (4L, "brand new doc", "new-src"))
+    val got = Corpus.applyDeltaOn(old, nw)
+      .select("doc_id", "fp", "source").as[(Long, String, String)].collect().toSeq
+    // identity: exactly the new snapshot's doc set with its fingerprints
+    val wantFp = Corpus.snapshotDeltaOn(old, nw) // reuse the classifier for ids
+    assert(got.map(_._1) === Seq(1L, 2L, 4L))
+    // SCD1-on-content: the unchanged doc is NOT rewritten (old attributes
+    // survive); changed/added rows take the new side
+    assert(got.find(_._1 == 1L).get._3 === "old-src")
+    assert(got.find(_._1 == 2L).get._3 === "new-src")
+    assert(got.find(_._1 == 4L).get._3 === "new-src")
+    // fingerprints equal the refreshed snapshot's fingerprints
+    val freshFp = nw.select(col("doc_id"),
+        md5(graft.ext.Text.normalized(col("text"))).as("fp"))
+      .as[(Long, String)].collect().toMap
+    got.foreach { case (id, fp, _) => assert(fp === freshFp(id), s"doc $id fp") }
+    assert(wantFp.filter(col("status") === "removed").as[(Long, String)]
+      .collect().map(_._1).toSeq === Seq(3L))
+  }
+
   test("snapshot delta treats NULL text as presence, not absence") {
     // a NULL-text doc on one side must read as changed/unchanged, never
     // as added/removed (fp nullness is a presence signal only)

@@ -227,6 +227,33 @@ class TextSpec extends SparkSpec {
       ("zzzzz", 5L, 5L, "z z z z z")))   // >maxPiece and unknown: char fallback
   }
 
+  test("wordpiece property: every segmentation reassembles its word; fertility recomputes") {
+    val dir = "/root/testdata/sf0.001"
+    val lex = Text.wordpiece(spark, dir)
+      .as[(String, Long, Long, String)].collect().toSeq
+    spark.catalog.clearCache()
+    assert(lex.nonEmpty)
+    lex.foreach { case (word, nChars, nPieces, seg) =>
+      assert(seg.replace(" ", "") === word, s"'$seg' does not reassemble '$word'")
+      assert(seg.split(" ").length.toLong === nPieces)
+      assert(word.length.toLong === nChars)
+    }
+    // fertility equals the lexicon applied to the token stream
+    val byWord = lex.map(r => r._1 -> r._3).toMap
+    val toks = graft.ops.Tables.documents(spark, dir)
+      .select(col("lang"), explode(Text.tokens(col("text"))).as("w"))
+      .as[(String, String)].collect().toSeq
+    val want = toks.groupBy(_._1).map { case (lang, rs) =>
+      val sub = rs.map(r => byWord(r._2)).sum
+      (lang, rs.size.toLong, sub,
+        graft.ops.Num.r6Double(sub.toDouble / rs.size))
+    }.toSeq.sortBy(_._1)
+    val got = Text.wordpieceFertility(spark, dir)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    spark.catalog.clearCache()
+    assert(got === want)
+  }
+
   test("BM25: tf raises the score, length penalizes it, and only hit docs rank") {
     def docs(rows: (Long, String)*) =
       rows.toDF("doc_id", "text")
