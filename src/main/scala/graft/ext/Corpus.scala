@@ -203,15 +203,24 @@ object Corpus {
     * loaded from its own files, not a slice of the corpus). The registered
     * [[decontaminateOn]] delegates here with its deterministic doc_id-slice
     * standing in as the eval set. */
-  def decontaminateAgainstOn(train: DataFrame, evalDocs: DataFrame): DataFrame = {
-    val bench = evalDocs
+  def decontaminateAgainstOn(train: DataFrame, evalDocs: DataFrame): DataFrame =
+    decontaminateAgainstHashesOn(train, evalShingleHashes(evalDocs))
+
+  /** The distinct eval-shingle hash set of an eval suite — the trainable
+    * model half of decontamination (eval ≪ corpus ⇒ broadcast-sized). */
+  def evalShingleHashes(evalDocs: DataFrame): DataFrame =
+    evalDocs
       .select(explode(Dedup.shingles3(graft.ext.Text.tokens(col("text")))).as("gram"))
       .select(Dedup.baseHash(col("gram")).as("h")).distinct()
+
+  /** Scoring against an already-built hash set — shared by the one-shot
+    * form and the frozen registered query. */
+  def decontaminateAgainstHashesOn(train: DataFrame, benchHashes: DataFrame): DataFrame = {
     // explode_outer keeps shingle-less docs in the output with n_grams = 0
     val tg = train.select(col("doc_id"),
         explode_outer(Dedup.shingles3(graft.ext.Text.tokens(col("text")))).as("gram"))
       .withColumn("h", Dedup.baseHash(col("gram")))
-    val counted = tg.join(broadcast(bench.withColumn("hit", lit(1L))), Seq("h"), "left")
+    val counted = tg.join(broadcast(benchHashes.withColumn("hit", lit(1L))), Seq("h"), "left")
       .groupBy("doc_id")
       .agg(count(col("gram")).as("n_grams"),
         sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
@@ -229,8 +238,28 @@ object Corpus {
       docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(BenchSlice)),
       docs.filter(pmod(col("doc_id"), lit(10)) === lit(BenchSlice)))
 
+  /** Frozen eval-shingle hash set per corpus (train-once contract, same
+    * as the fluency census): the registered query and the funnel family
+    * pay the eval-side distinct shuffle once per corpus, then replay the
+    * broadcast-sized set. */
+  private val evalShingleCache = new graft.ops.FrozenCaches.Memo[Unit, Seq[Long]]()
+
+  private[ext] def frozenEvalHashes(spark: SparkSession, dir: String): DataFrame = {
+    val rows = evalShingleCache.get(dir, ()) {
+      evalShingleHashes(
+        Tables.documents(spark, dir)
+          .filter(pmod(col("doc_id"), lit(10)) === lit(BenchSlice)))
+        .collect().toSeq.map(_.getLong(0))
+    }
+    import spark.implicits._
+    rows.toDF("h")
+  }
+
   def decontaminate(spark: SparkSession, dir: String): DataFrame =
-    decontaminateOn(Tables.documents(spark, dir))
+    decontaminateAgainstHashesOn(
+      Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(10)) =!= lit(BenchSlice)),
+      frozenEvalHashes(spark, dir))
 
   val decontaminateSql: String =
     s"""WITH toks AS (SELECT doc_id, ${Text.tokensSql("text")} AS t FROM documents),
@@ -1214,9 +1243,74 @@ object Corpus {
        |       lang, source
        |FROM nw ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- incremental view maintenance
+  /** Incremental maintenance of an aggregate view: the per-(lang, source)
+    * doc-count/token-sum table updated ALGEBRAICALLY from a snapshot
+    * delta. Counts and sums form an abelian group, so the view moves by
+    * adding the delta's ingested contributions (added + changed-new) and
+    * subtracting the retired ones (removed + changed-old) — the unchanged
+    * majority is never rescanned. A CHANGED doc whose lang/source moved
+    * migrates keys naturally (subtracted under the old key, added under
+    * the new); like [[applyDeltaOn]], the delta is content-keyed (SCD1 on
+    * text), so an attribute-only change with identical text classifies
+    * unchanged and keeps its old attribution. Groups whose count reaches
+    * zero drop out of the view.
+    *
+    * Correctness discipline: the oracle recomputes the view from the
+    * refreshed snapshot — maintenance must equal rebuild (the
+    * `dd_clusters_incremental` / `t_apply_delta` contract).
+    *
+    * Scale: the base view is warehouse state (one aggregate over the old
+    * snapshot here); the per-update work is two delta-semi-joined scans +
+    * one |keys|-sized signed aggregate. This is the MERGE-maintained
+    * materialized view every corpus dashboard reads. */
+  def ivmStatsOn(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val delta = snapshotDeltaOn(oldDocs, newDocs)
+    val retired = delta.filter(col("status").isin("removed", "changed")).select("doc_id")
+    val ingested = delta.filter(col("status").isin("added", "changed")).select("doc_id")
+    def rows(df: DataFrame, sign: Long) = df.select(col("lang"), col("source"),
+      lit(sign).as("d_docs"),
+      (lit(sign) * size(graft.ext.Text.tokens(col("text"))).cast("long")).as("d_tokens"))
+    val base = oldDocs
+      .select(col("lang"), col("source"),
+        size(graft.ext.Text.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("d_docs"), sum(col("n_tok")).as("d_tokens"))
+    base
+      .unionByName(rows(oldDocs.join(retired, Seq("doc_id"), "left_semi"), -1L))
+      .unionByName(rows(newDocs.join(ingested, Seq("doc_id"), "left_semi"), 1L))
+      .groupBy("lang", "source")
+      .agg(sum(col("d_docs")).as("n_docs"), sum(col("d_tokens")).as("n_tokens"))
+      .filter(col("n_docs") > 0)
+      .orderBy("lang", "source")
+  }
+
+  def ivmStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val old = docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(DeltaAdded))
+    val nw = docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(DeltaRemoved))
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(10)) === lit(DeltaChanged),
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+    ivmStatsOn(old, nw)
+  }
+
+  /** Deliberately the REBUILT view over the new snapshot, never an
+    * incremental formulation. */
+  val ivmStatsSql: String =
+    s"""WITH nw AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 10 = $DeltaChanged THEN text || ' [rev2]' ELSE text END AS text,
+       |         lang, source
+       |  FROM documents WHERE doc_id % 10 <> $DeltaRemoved)
+       |SELECT lang, source, count(*) AS n_docs,
+       |       CAST(sum(len(${Text.tokensSql("text")})) AS BIGINT) AS n_tokens
+       |FROM nw GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t_corpus_mix", mix _, mixSql),
     Q("t_apply_delta", applyDelta _, applyDeltaSql),
+    Q("t_ivm_stats", ivmStats _, ivmStatsSql),
     Q("t_temp_mix", tempMix _, tempMixSql),
     Q("t_split", split _, splitSql),
     Q("t_length_buckets", lengthBuckets _, lengthBucketsSql),

@@ -92,7 +92,8 @@ object Curation {
     val train = docs.filter(pmod(col("doc_id"), lit(10L)) =!= lit(Corpus.BenchSlice))
     funnelTail(train,
       f = Text.lmFluency(spark, dir).select(col("doc_id"), col("is_fluent")),
-      d = Corpus.decontaminateOn(docs).select(col("doc_id"), col("keep").as("pass_decontam")),
+      d = Corpus.decontaminate(spark, dir)
+        .select(col("doc_id"), col("keep").as("pass_decontam")),
       c = Text.fingerprintOn(docs)
         .select(col("doc_id"), (col("is_canonical") === lit(1L)).as("is_canonical")))
   }

@@ -424,6 +424,28 @@ class LibraryApiSpec extends SparkSpec {
       .collect().map(_._1).toSeq === Seq(3L))
   }
 
+  test("IVM stats maintenance equals a rebuild, including cross-key migration of a changed doc") {
+    def docs(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+    val old = docs(
+      (1L, "one two three", "srcA"),   // unchanged
+      (2L, "a b", "srcA"),             // changed AND migrates srcA -> srcB
+      (3L, "gone now", "srcB"))        // removed
+    val nw = docs(
+      (1L, "one two three", "srcA"),
+      (2L, "a b c d", "srcB"),
+      (4L, "fresh doc here", "srcB"))  // added
+    val got = Corpus.ivmStatsOn(old, nw)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // rebuild over the new snapshot
+    val want = Seq(("en", "srcA", 1L, 3L), ("en", "srcB", 2L, 7L))
+    assert(got === want)
+    // a fully-retired group must vanish (n_docs = 0 filtered)
+    val allGone = Corpus.ivmStatsOn(old, docs((9L, "only survivor", "srcC")))
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(allGone === Seq(("en", "srcC", 1L, 2L)))
+  }
+
   test("snapshot delta treats NULL text as presence, not absence") {
     // a NULL-text doc on one side must read as changed/unchanged, never
     // as added/removed (fp nullness is a presence signal only)
