@@ -48,9 +48,18 @@ object Curation {
     * the canonical state lives outside the batch. */
   def curationFunnelAgainstOn(train: DataFrame, census: DataFrame,
                               evalDocs: DataFrame, canon: DataFrame): DataFrame =
+    curationFunnelAgainstHashesOn(train, census,
+      Corpus.evalShingleHashes(evalDocs), canon)
+
+  /** Same frozen-artifact funnel with the decontamination model already
+    * built: takes the eval suite's distinct shingle HASH set instead of
+    * the eval docs, so a long-lived consumer (the streaming funnel) can
+    * build that broadcast-sized set once and replay it per batch. */
+  def curationFunnelAgainstHashesOn(train: DataFrame, census: DataFrame,
+                                    evalHashes: DataFrame, canon: DataFrame): DataFrame =
     funnelTail(train,
       f = Text.lmFluencyAgainstOn(train, census).select(col("doc_id"), col("is_fluent")),
-      d = Corpus.decontaminateAgainstOn(train, evalDocs)
+      d = Corpus.decontaminateAgainstHashesOn(train, evalHashes)
         .select(col("doc_id"), col("keep").as("pass_decontam")),
       c = canon.select(col("doc_id"), col("is_canonical")))
 

@@ -1042,8 +1042,14 @@ object Dedup {
           concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
     val (manifestPath, edgesPath) = incrementalBaseCache.get(dir, (NumHashes, NumBands)) {
       val base = java.nio.file.Files.createTempDirectory("graft_dup_incr_base").toString
-      dupClustersOn(old).write.parquet(s"$base/manifest.parquet")
-      dupEdgesOn(old).write.parquet(s"$base/edges.parquet")
+      // one edge computation feeds BOTH warehouse artifacts — the full
+      // MinHash-LSH pipeline over the old corpus is the expensive stage
+      // of the base build, and clustering consumes exactly these edges
+      val edges = dupEdgesOn(old).persist()
+      edges.write.parquet(s"$base/edges.parquet")
+      propagateComponents(old.select("doc_id"), edges, checkpointRounds = true)
+        .orderBy("doc_id").write.parquet(s"$base/manifest.parquet")
+      edges.unpersist()
       (s"$base/manifest.parquet", s"$base/edges.parquet")
     }
     dupClustersIncrementalOn(old, nw,

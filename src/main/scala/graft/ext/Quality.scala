@@ -218,12 +218,6 @@ object Quality {
   // head/middle/tail terciles, train preferentially on head).
   // ---------------------------------------------------------------------
 
-  /** Per-language head/middle/tail terciles over the LM-fluency score
-    * ([[Text.lmFluencyOn]] — higher = more common bigrams = CCNet's
-    * lower-perplexity "head"). Docs with no bigrams carry no signal and
-    * are excluded, exactly as CCNet scores only LM-scorable text. Ties
-    * break on doc_id so the ntile boundary is deterministic on both
-    * engines. */
   /** Tercile assignment over an already-scored fluency frame (the
     * [[Text.lmFluencyAgainstOn]] output schema) — split out so the
     * registered query can ride the FROZEN heavy-gram census instead of
@@ -241,6 +235,12 @@ object Quality {
       .orderBy("doc_id")
   }
 
+  /** Per-language head/middle/tail terciles over the LM-fluency score
+    * ([[Text.lmFluencyOn]] — higher = more common bigrams = CCNet's
+    * lower-perplexity "head"). Docs with no bigrams carry no signal and
+    * are excluded, exactly as CCNet scores only LM-scorable text. Ties
+    * break on doc_id so the ntile boundary is deterministic on both
+    * engines. */
   def ccnetBucketsOn(docs: DataFrame): DataFrame =
     ccnetBucketsFrom(Text.lmFluencyOn(docs))
 

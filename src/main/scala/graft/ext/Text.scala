@@ -1108,8 +1108,14 @@ object Text {
       .groupBy("w", "p").agg(max(col("l")).as("bl"))
       .persist()
     // pointer doubling over next(p) = p + bl(p): after k rounds `reach`
-    // holds every cut position within 2^k greedy steps of the word start
-    val maxLen = words.agg(max(length(col("w")))).head().getInt(0)
+    // holds every cut position within 2^k greedy steps of the word start.
+    // An empty lexicon (no docs, or all texts tokenless) yields a NULL max
+    // — degrade to the empty result like every other *On operator.
+    val maxLenRow = words.agg(max(length(col("w")))).head()
+    if (maxLenRow.isNullAt(0))
+      return words.select(col("w").as("word"), lit(0L).as("n_chars"),
+        lit(0L).as("n_pieces"), lit("").as("segmentation")).limit(0)
+    val maxLen = maxLenRow.getInt(0)
     val rounds = math.max(1,
       math.ceil(math.log(maxLen + 1.0) / math.log(2.0)).toInt)
     var f = best.select(col("w"), col("p"), (col("p") + col("bl")).as("np"))

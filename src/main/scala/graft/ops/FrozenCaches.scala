@@ -39,7 +39,14 @@ object FrozenCaches {
     * bytes and max mtime folded into one long. Not collision-proof
     * against adversarial same-size-same-mtime swaps — it is the same
     * freshness test a build tool uses, and the failure mode is the old
-    * (path-only) behavior, never a wrong answer on fresh reads. */
+    * (path-only) behavior, never a wrong answer on fresh reads.
+    *
+    * The walk runs on every [[Memo.get]] — that is the PRICE of immediate
+    * staleness detection (the contract FrozenCachesSpec pins: swap data
+    * under a path, the very next get retrains, no clearAll needed). It is
+    * microseconds on directory-sized corpora; a deployment on a listing-
+    * expensive store that holds its data immutable can front the readers
+    * with its own latch instead. */
   def dirSig(path: String): Long = {
     try {
       val p = java.nio.file.Paths.get(path)
@@ -80,8 +87,16 @@ object FrozenCaches {
         m.clear()
       }
     }
-    def get(dir: String, k: K)(build: => V): V = this.synchronized {
+    def get(dir: String, k: K)(build: => V): V = {
+      // the signature walk happens OUTSIDE the lock: concurrent readers of
+      // different corpora must not serialize on each other's filesystem
+      // stats (the builder itself still runs under the lock, by design)
       val key = (dir, dirSig(dir), k)
+      getWithKey(key)(build)
+    }
+
+    private def getWithKey(key: (String, Long, K))(build: => V): V = this.synchronized {
+      val (dir, _, k) = key
       if (m.containsKey(key)) m.get(key)
       else {
         // a new generation of this corpus supersedes older ones: evict

@@ -357,13 +357,23 @@ object Streams {
                             trigger: org.apache.spark.sql.streaming.Trigger =
                               org.apache.spark.sql.streaming.Trigger.AvailableNow())
                            (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+  {
+    // the eval suite is STATIC: build its broadcast-sized shingle hash set
+    // ONCE for the stream's lifetime (persisted on first batch) instead of
+    // re-tokenizing and re-distincting the eval docs every micro-batch
+    val evalHashes = graft.ext.Corpus.evalShingleHashes(evalDocs).persist()
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
         // persisted: feeds the fingerprint log, the canonical join, and
         // every gate's scan of the batch
         val b = batch.toDF().persist()
-        val fps = b.select(col("doc_id"), md5(graft.ext.Text.normalized(col("text"))).as("fp"))
+        // null-safe sentinel, as in Corpus.snapshotDeltaOn: a NULL-text doc
+        // must still group with its fellow NULL-fp docs in the canonical
+        // join (a NULL key would silently drop out of the equi-join, where
+        // the batch funnel's fingerprint window keeps NULL fps together)
+        val fps = b.select(col("doc_id"),
+          coalesce(md5(graft.ext.Text.normalized(col("text"))), lit("<null>")).as("fp"))
         val prior = scala.util.Try(spark.read.parquet(fpPath)).toOption
         val seen = prior.map(_.unionByName(fps)).getOrElse(fps)
         val canon = fps
@@ -371,7 +381,7 @@ object Streams {
           .select(col("doc_id"), (col("doc_id") === col("canonical_doc_id")).as("is_canonical"))
         val train = b.filter(pmod(col("doc_id"), lit(10L)) =!= lit(graft.ext.Corpus.BenchSlice))
         try onBatch(
-          graft.ext.Curation.curationFunnelAgainstOn(train, census, evalDocs, canon), id)
+          graft.ext.Curation.curationFunnelAgainstHashesOn(train, census, evalHashes, canon), id)
         finally {
           fps.write.mode("append").parquet(fpPath)
           b.unpersist()
@@ -380,6 +390,7 @@ object Streams {
       }
       .trigger(trigger)
       .start()
+  }
 
   /** Run a streaming DataFrame to completion against the bounded test input
     * (AvailableNow trigger + memory sink) and return the result as a batch

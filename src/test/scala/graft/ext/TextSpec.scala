@@ -254,6 +254,16 @@ class TextSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("wordpiece degrades to an empty result on an empty or tokenless corpus") {
+    def docs(rows: (Long, String)*) =
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    assert(Text.wordpieceOn(docs()).count() === 0L)
+    assert(Text.wordpieceOn(docs(1L -> "", 2L -> "   ")).count() === 0L)
+    spark.catalog.clearCache()
+  }
+
   test("BM25: tf raises the score, length penalizes it, and only hit docs rank") {
     def docs(rows: (Long, String)*) =
       rows.toDF("doc_id", "text")

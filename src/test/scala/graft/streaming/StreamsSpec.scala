@@ -723,6 +723,48 @@ class StreamsSpec extends SparkSpec {
     assert(stateful.toSeq === batch.toSeq)
   }
 
+  test("streaming funnel keeps NULL-text docs in the canonical gate (batch parity on the null-fp group)") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_nullfp_stream").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    // two NULL-text docs share the null fingerprint group; 20 (min id) is
+    // canonical, 30 streams in a LATER batch and must still join the group
+    val docs = Seq(
+      (10L, Option("a real document with words here")),
+      (20L, None: Option[String]),
+      (30L, None: Option[String]),
+      (40L, Option("another real document entirely")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", coalesce(length(col("text")).cast("long"), lit(0L)))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val census = graft.ext.Text.fluencyCensusOn(docs).persist()
+    val evalDocs = docs.filter(col("doc_id") % 10 === lit(graft.ext.Corpus.BenchSlice))
+    Seq(0, 1).foreach { p =>
+      val tmp = s"$base/tmp$p"
+      docs.filter(col("doc_id") <= (if (p == 0) 20L else 40L) && col("doc_id") > (if (p == 0) 0L else 20L))
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$base/in/b$p.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(20)
+    }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = Streams.curationFunnelBatches(stream, census, evalDocs, s"$base/fps") { (out, _) =>
+      val rows = out.collect().map(_.toSeq)
+      buf.synchronized { buf ++= rows }
+    }
+    q.awaitTermination()
+    val batch = graft.ext.Curation.curationFunnelOn(docs).collect().map(_.toSeq).toSet
+    census.unpersist(); spark.catalog.clearCache()
+    // every doc — including both NULL-text docs — has exactly one verdict
+    assert(buf.map(_.head).toSet === Set(10L, 20L, 30L, 40L))
+    assert(buf.size === 4)
+    assert(buf.toSet === batch,
+      s"missing: ${(batch -- buf.toSet).take(3)}; extra: ${(buf.toSet -- batch).take(3)}")
+  }
+
   test("streaming BM25 scoring against frozen stats matches the batch run doc for doc") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = Files.createTempDirectory("graft_bm25_stream").toString
