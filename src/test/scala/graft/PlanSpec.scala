@@ -72,6 +72,11 @@ class PlanSpec extends SparkSpec {
     val p = plan(Micro.mapOps(spark, dir))
     assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
     assert(p.contains("Generate explode"), p.take(2000))
+    // the multi-distinct Expand must run over the PRE-AGGREGATED
+    // (mk, mv, type_val) rows, not the raw exploded corpus: the plan needs
+    // a distinct-key aggregate WITHOUT the Expand's gid column
+    assert("HashAggregate\\(keys=\\[mk#\\d+, mv#\\d+, type_val#\\d+\\]".r.findFirstIn(p).nonEmpty,
+      "distinct-key pre-aggregation missing — Expand runs over the exploded corpus:\n" + p.take(3000))
   }
 
   test("LSH-fed jaccard joins candidates to grams by doc_id, no cartesian anywhere") {

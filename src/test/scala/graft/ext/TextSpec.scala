@@ -254,6 +254,31 @@ class TextSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("property: wordpiece reassembly and piece bounds hold on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // random words over a small alphabet (incl. a multi-byte char) so
+    // substring/length semantics get exercised beyond ASCII
+    val word = Gen.chooseNum(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'ß')).map(_.mkString))
+    val prop = Prop.forAll(Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, word))) { ws =>
+      val docs = Seq((1L, ws.mkString(" "))).toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val got = Text.wordpieceOn(docs, maxPiece = 3, topTokens = 4)
+        .as[(String, Long, Long, String)].collect().toSeq
+      spark.catalog.clearCache()
+      // vocabulary is self-closed over the corpus chars, so every distinct
+      // word gets a row, reassembles exactly, and uses 1..n_chars pieces
+      got.map(_._1).toSet == ws.toSet &&
+        got.forall { case (w, nc, np, seg) =>
+          seg.replace(" ", "") == w && nc == w.length.toLong &&
+            np >= 1L && np <= nc
+        }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("wordpiece degrades to an empty result on an empty or tokenless corpus") {
     def docs(rows: (Long, String)*) =
       rows.toDF("doc_id", "text")
