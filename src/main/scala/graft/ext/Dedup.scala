@@ -870,8 +870,11 @@ object Dedup {
       val next = if (checkpointRounds) jumped.localCheckpoint() else jumped.persist()
       val tCkpt = System.nanoTime()
       val nextSum = labelSum(next)
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
+      if (sys.env.contains("GRAFT_CC_DEBUG")) {
         println(f"CC_ROUND ckpt=${(tCkpt - t0) / 1e9}%.2f sum=${(System.nanoTime() - tCkpt) / 1e9}%.2f")
+        if (sys.env.contains("GRAFT_CC_PLAN"))
+          println(jumped.queryExecution.executedPlan.toString.take(6000))
+      }
       changed = if (nextSum.compareTo(curSum) == 0) 0L else 1L
       curSum = nextSum
       comp.unpersist()
@@ -920,34 +923,55 @@ object Dedup {
     * Scale shape: the delta classify is one co-keyed outer join; fresh-edge
     * generation is |delta| bands probing the corpus band table (the same
     * bounded join the streaming dedup twin makes per micro-batch); the CC
-    * loop runs over touched components only. The one corpus-proportional
-    * stage left is the new snapshot's signature pass feeding the band
-    * probe — warehouse state in production (signatures persist next to the
-    * manifest; only fresh docs need signing), recomputed here because the
-    * in-process artifact store keeps only manifest + edges. */
+    * loop runs over touched components only. With `oldSigs` supplied (the
+    * registered query reads them from the frozen base), signatures are
+    * warehouse state: unchanged docs reuse their stored signature (same
+    * text → same signature) and only fresh docs get signed, so NO stage of
+    * the steady-state update is corpus-proportional except the delta
+    * classify itself. Without `oldSigs` the new corpus is signed in full
+    * (the self-contained library form). */
   def dupClustersIncrementalOn(oldDocs: DataFrame, newDocs: DataFrame,
                                oldManifest: DataFrame, oldEdges: DataFrame,
                                numHashes: Int = NumHashes, numBands: Int = NumBands,
-                               checkpointRounds: Boolean = true): DataFrame = {
-    // persisted: the delta feeds four classification filters below
-    val delta = graft.ext.Corpus.snapshotDeltaOn(oldDocs, newDocs).persist()
+                               checkpointRounds: Boolean = true,
+                               oldSigs: Option[DataFrame] = None): DataFrame = {
+    // LINEAGE DISCIPLINE: every delta-bounded frame below is eagerly
+    // localCheckpoint'ed, not persist'ed. Each frame is referenced 2-4
+    // times downstream, and Catalyst plans are TREES, not DAGs — a
+    // persisted frame's full logical subtree is re-embedded (and
+    // re-analyzed, on the driver) at every reference, so the composed
+    // update's tree grows multiplicatively with pipeline depth: profiled
+    // at sf0.1, the CC rounds spent 12-29 s in driver-side planning over
+    // ~200-row frames before this change, ~1 s after. Checkpointing
+    // truncates each reference to an ExistingRDD leaf. The frames are
+    // |delta|-bounded by construction, so executor-local checkpoint
+    // storage is cheap at any corpus scale; only corpus-sized `mh` keeps
+    // persist + lineage (recompute-on-eviction matters there).
+    val delta = graft.ext.Corpus.snapshotDeltaOn(oldDocs, newDocs).localCheckpoint()
     val gone = delta.filter(col("status").isin("removed", "changed")).select("doc_id")
     val fresh = delta.filter(col("status").isin("added", "changed")).select("doc_id")
 
-    // fresh pair edges: sign the new corpus once, probe fresh bands
-    // against all bands (persisted: both band sides + both sig rejoins)
-    val mh = minhashSigsOn(newDocs, numHashes).persist()
-    // persisted: delta-bounded (|fresh edges|), and referenced from BOTH
-    // the touched-component discovery and the sub-problem edge union —
-    // without it the signature/band-probe subplan above it runs once per
-    // consumer (measured: the probe re-ran inside the final untouched
-    // anti-join's lineage, doubling the whole update)
+    // the new corpus's signature table: from warehouse sigs + delta-only
+    // signing when available, else signed from scratch (persisted: both
+    // band sides + both sig rejoins)
+    val mh = (oldSigs match {
+      case Some(sigs) =>
+        sigs.join(gone, Seq("doc_id"), "left_anti")
+          .unionByName(minhashSigsOn(
+            newDocs.join(fresh, Seq("doc_id"), "left_semi"), numHashes))
+      case None => minhashSigsOn(newDocs, numHashes)
+    }).persist()
+    // delta-bounded (|fresh edges|), and referenced from BOTH the
+    // touched-component discovery and the sub-problem edge union —
+    // without materialization the signature/band-probe subplan above it
+    // runs once per consumer (measured: the probe re-ran inside the final
+    // untouched anti-join's lineage, doubling the whole update)
     val freshEdges = minhashEstJaccard(
         minhashCandidatesAgainst(mh.join(fresh, "doc_id"), mh, numHashes, numBands),
         mh, numHashes)
       .filter(col("est_jaccard") >= lit(ClusterEstMin))
       .select("doc_a", "doc_b")
-      .persist()
+      .localCheckpoint()
 
     // old edges that survive the delta: neither endpoint removed/changed
     val keptEdges = oldEdges
@@ -955,9 +979,9 @@ object Dedup {
       .join(gone.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
 
     // components the delta can affect: those holding a removed/changed doc
-    // or an endpoint of a fresh edge (added docs have no old component)
-    // persisted: |touched clusters|-sized, and consumed by three branches
-    // (sub-problem ids, sub-problem edges, the untouched anti-join)
+    // or an endpoint of a fresh edge (added docs have no old component);
+    // |touched clusters|-sized, consumed by three branches (sub-problem
+    // ids, sub-problem edges, the untouched anti-join)
     val touchedComps = oldManifest
       .join(gone
           .union(freshEdges.select(col("doc_a").as("doc_id")))
@@ -965,14 +989,16 @@ object Dedup {
           .distinct(),
         "doc_id")
       .select("cluster_id").distinct()
-      .persist()
+      .localCheckpoint()
 
-    // the sub-problem: surviving members of touched components + added docs
+    // the sub-problem: surviving members of touched components + added
+    // docs; checkpointed so the CC loop's rounds start from leaf scans
     val subIds = oldManifest.join(touchedComps, "cluster_id")
       .select("doc_id")
       .join(delta.filter(col("status") === "removed").select("doc_id"), Seq("doc_id"), "left_anti")
       .union(delta.filter(col("status") === "added").select("doc_id"))
       .distinct()
+      .localCheckpoint()
     // a kept edge's endpoints share one old component, so filtering doc_a
     // against touched members keeps exactly the touched components' edges
     val subEdges = keptEdges
@@ -980,8 +1006,16 @@ object Dedup {
       .select("doc_a", "doc_b")
       .union(freshEdges)
       .distinct()
+      .localCheckpoint()
 
-    val recomputed = propagateComponents(subIds, subEdges, checkpointRounds)
+    // an edgeless sub-problem (pure additions/removals with no near-dup
+    // pairing — the quiet-ingestion case) needs no propagation loop at
+    // all: every member is its own singleton cluster
+    val recomputed =
+      if (subEdges.count() == 0)
+        subIds.select(col("doc_id"), col("doc_id").as("cluster_id"),
+          lit(1L).as("cluster_size"), lit(true).as("is_canonical"))
+      else propagateComponents(subIds, subEdges, checkpointRounds)
     val untouched = oldManifest.join(touchedComps, Seq("cluster_id"), "left_anti")
       .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
     untouched.unionByName(recomputed.select("doc_id", "cluster_id", "cluster_size", "is_canonical"))
@@ -1020,40 +1054,81 @@ object Dedup {
     * snapshot lands; built once per corpus so the registered incremental
     * query measures the UPDATE, not the base build. */
   private val incrementalBaseCache =
-    new graft.ops.FrozenCaches.Memo[(Int, Int), (String, String)](
+    new graft.ops.FrozenCaches.Memo[(Int, Int), (String, String, String)](
       beforeClear = _.forEach(p =>
         graft.ops.FrozenCaches.deleteTree(
           java.nio.file.Paths.get(p._1).getParent.toString)))
 
-  /** The registered incremental-update simulation, sharing
-    * [[graft.ext.Corpus.snapshotDelta]]'s old/new slice convention so every
-    * delta class (added, removed, changed, unchanged) is exercised: the
-    * old snapshot's manifest + edges come from the frozen store, and the
-    * update reconciles them to the new snapshot. Its oracle is the SAME
-    * from-scratch recursive closure over the new snapshot — the
-    * incremental path earns correctness by matching the full rebuild. */
-  def dupClustersIncremental(spark: SparkSession, dir: String): DataFrame = {
-    import graft.ext.Corpus.{DeltaAdded, DeltaChanged, DeltaRemoved}
-    val docs = Tables.documents(spark, dir)
-    val old = docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(DeltaAdded))
-    val nw = docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(DeltaRemoved))
-      .withColumn("text",
-        when(pmod(col("doc_id"), lit(10)) === lit(DeltaChanged),
-          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
-    val (manifestPath, edgesPath) = incrementalBaseCache.get(dir, (NumHashes, NumBands)) {
+  /** Frozen (manifest, edges, signatures) warehouse state of the simulated
+    * OLD snapshot, built once per corpus and shared by [[dupClustersBase]]
+    * (which measures the bootstrap) and [[dupClustersIncremental]] (which
+    * measures the steady-state update). Signatures persist next to the
+    * manifest — the production warehouse layout — so the update signs only
+    * fresh docs. */
+  private def frozenIncrementalBase(spark: SparkSession, dir: String,
+                                    old: DataFrame): (String, String, String) =
+    incrementalBaseCache.get(dir, (NumHashes, NumBands)) {
       val base = java.nio.file.Files.createTempDirectory("graft_dup_incr_base").toString
-      // one edge computation feeds BOTH warehouse artifacts — the full
-      // MinHash-LSH pipeline over the old corpus is the expensive stage
-      // of the base build, and clustering consumes exactly these edges
-      val edges = dupEdgesOn(old).persist()
+      // one signature table feeds the edge build AND freezes as warehouse
+      // state; one edge computation feeds BOTH remaining artifacts — the
+      // full MinHash-LSH pipeline over the old corpus is the expensive
+      // stage of the base build, and clustering consumes exactly these edges
+      val sigs = minhashSigsOn(old).persist()
+      sigs.write.parquet(s"$base/sigs.parquet")
+      val edges = minhashEstJaccard(
+          minhashCandidates(sigs, NumHashes, NumBands), sigs, NumHashes)
+        .filter(col("est_jaccard") >= lit(ClusterEstMin))
+        .select("doc_a", "doc_b")
+        .persist()
       edges.write.parquet(s"$base/edges.parquet")
       propagateComponents(old.select("doc_id"), edges, checkpointRounds = true)
         .orderBy("doc_id").write.parquet(s"$base/manifest.parquet")
       edges.unpersist()
-      (s"$base/manifest.parquet", s"$base/edges.parquet")
+      sigs.unpersist()
+      (s"$base/manifest.parquet", s"$base/edges.parquet", s"$base/sigs.parquet")
     }
+
+  /** The warehouse BOOTSTRAP, registered as its own row (VERDICT r9 #2:
+    * base build and steady-state update are different operating regimes
+    * and must not share one measurement): the full MinHash-LSH + CC build
+    * over the simulated old snapshot, frozen as the (manifest, edges)
+    * state [[dupClustersIncremental]] then updates. Runs before the
+    * incremental row in the name-ordered bench, so that row measures ONLY
+    * the per-snapshot delta update — the regime the design targets.
+    * Oracled against the from-scratch recursive closure over the old
+    * snapshot. */
+  def dupClustersBase(spark: SparkSession, dir: String): DataFrame = {
+    val old = graft.ext.Corpus.deltaOldSlice(Tables.documents(spark, dir))
+    val (manifestPath, _, _) = frozenIncrementalBase(spark, dir, old)
+    spark.read.parquet(manifestPath).orderBy("doc_id")
+  }
+
+  val dupClustersBaseSql: String =
+    s"""WITH RECURSIVE oldsnap AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE ${graft.ext.Corpus.deltaOldWhereSql}),
+       |${dupClustersCtesFor("oldsnap")}
+       |SELECT c.doc_id, c.cluster_id, s.cluster_size, c.doc_id = c.cluster_id AS is_canonical
+       |FROM comp c JOIN sizes s ON c.cluster_id = s.cluster_id
+       |ORDER BY c.doc_id""".stripMargin
+
+  /** The registered incremental-update simulation, sharing
+    * [[graft.ext.Corpus.snapshotDelta]]'s old/new slice convention
+    * (6% churn at [[graft.ext.Corpus.DeltaMod]] = 50 — production
+    * ingestion shape) so every delta class (added, removed, changed,
+    * unchanged) is exercised: the old snapshot's manifest + edges come
+    * from the frozen store, and the update reconciles them to the new
+    * snapshot. Its oracle is the SAME from-scratch recursive closure over
+    * the new snapshot — the incremental path earns correctness by
+    * matching the full rebuild. */
+  def dupClustersIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val old = graft.ext.Corpus.deltaOldSlice(docs)
+    val nw = graft.ext.Corpus.deltaNewSlice(docs)
+    val (manifestPath, edgesPath, sigsPath) = frozenIncrementalBase(spark, dir, old)
     dupClustersIncrementalOn(old, nw,
-      spark.read.parquet(manifestPath), spark.read.parquet(edgesPath))
+      spark.read.parquet(manifestPath), spark.read.parquet(edgesPath),
+      oldSigs = Some(spark.read.parquet(sigsPath)))
   }
 
   /** Exact transitive closure via recursive CTE through relations `comp`
@@ -1087,11 +1162,9 @@ object Dedup {
     * deliberately NOT an incremental formulation, so the incremental
     * plan's output must equal a full rebuild to pass. */
   val dupClustersIncrementalSql: String = {
-    import graft.ext.Corpus.{DeltaChanged, DeltaRemoved}
     s"""WITH RECURSIVE newsnap AS (
-       |  SELECT doc_id,
-       |         CASE WHEN doc_id % 10 = $DeltaChanged THEN text || ' [rev2]' ELSE text END AS text
-       |  FROM documents WHERE doc_id % 10 <> $DeltaRemoved),
+       |  SELECT doc_id, ${graft.ext.Corpus.deltaNewTextSql} AS text
+       |  FROM documents WHERE ${graft.ext.Corpus.deltaNewWhereSql}),
        |${dupClustersCtesFor("newsnap")}
        |SELECT c.doc_id, c.cluster_id, s.cluster_size, c.doc_id = c.cluster_id AS is_canonical
        |FROM comp c JOIN sizes s ON c.cluster_id = s.cluster_id
@@ -1454,6 +1527,7 @@ object Dedup {
     Q("dd_embed_neardup_scale", embedNearDupScale _, embedNearDupScaleSql),
     Q("dd_semdedup", semDedup _, semDedupSql),
     Q("dd_dup_clusters", dupClusters _, dupClustersSql),
+    Q("dd_clusters_base", dupClustersBase _, dupClustersBaseSql),
     Q("dd_clusters_incremental", dupClustersIncremental _, dupClustersIncrementalSql),
     Q("t_decontaminate_fuzzy", fuzzyDecontaminate _, fuzzyDecontaminateSql),
     Q("dd_cluster_stats", clusterStats _, clusterStatsSql),

@@ -1218,8 +1218,134 @@ object Text {
        |FROM ltoks t JOIN seg s ON t.w = s.w
        |GROUP BY 1 ORDER BY t.lang""".stripMargin
 
+  // ------------------------------------------------------ BPE merge training
+  /** Byte-pair-encoding merge training (Sennrich, Haddow & Birch 2016,
+    * arXiv:1508.07909 — the standard learned-tokenizer algorithm;
+    * reference analyse.py has no tokenizer, this is pipeline-extension
+    * surface): starting from the character segmentation of every distinct
+    * word, repeatedly find the adjacent symbol pair with the highest
+    * corpus-frequency-weighted count and merge it into one symbol,
+    * emitting the learned merge table (rank, pair, merged symbol, count).
+    * Ties break (count desc, left asc, right asc) — integer-exact, so
+    * both engines learn the identical merge sequence.
+    *
+    * Segmentations are encoded as delimiter-wrapped symbol strings
+    * (`<h><e><l><l><o>`): every symbol is bracketed, so applying a merge
+    * is one literal `replace('<a><b>' → '<ab>')` — left-to-right
+    * non-overlapping in both engines, which IS greedy BPE application
+    * (`<a><a><a>` under merge (a,a) → `<aa><a>`, never `<a><aa>`). The
+    * lexicon is restricted to `^[a-z0-9]+$` words so a symbol can never
+    * contain the delimiter characters.
+    *
+    * Scale shape: ONE corpus-linear pass builds the word-frequency census
+    * (map-side combinable, lexicon-sized output); every training round is
+    * an explode + hash-aggregate over the LEXICON (distinct words), never
+    * the corpus — the standard preprocessing trick that makes BPE training
+    * corpus-size-independent. Per round only the single best pair (one
+    * row, model-sized) reaches the driver; rounds localCheckpoint the
+    * lexicon frame (the dd_dup_clusters loop idiom) so plan depth stays
+    * constant. The merge table itself is model-sized (≤ [[BpeMerges]]
+    * rows). The oracle unrolls the same rounds as a CTE chain (the Lloyd
+    * -iteration oracle idiom). */
+  val BpeMerges = 10
+  val BpeMinPair = 2L
+
+  def bpeTrainOn(docs: DataFrame, nMerges: Int = BpeMerges): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var segs = docs.select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("seg", regexp_replace(col("w"), "(.)", "<$1>"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var done = false
+    for (r <- 1 to nMerges if !done) {
+      val syms = split(regexp_replace(col("seg"), "^<|>$", ""), "><")
+      val prs = when(size(syms) >= lit(2),
+          transform(sequence(lit(1), size(syms) - lit(1)),
+            i => struct(element_at(syms, i).as("a"), element_at(syms, i + lit(1)).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+      val best = segs.select(col("freq"), explode(prs).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .filter(col("cnt") >= lit(BpeMinPair))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, a, b, cnt))
+        // a, b match ^[a-z0-9]+$ by construction — safe to splice
+        segs = segs.withColumn("seg",
+          expr(s"replace(seg, '<$a><$b>', '<$a$b>')")).localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "cnt")
+      .withColumn("merged", concat(col("left_sym"), col("right_sym")))
+      .select("merge_rank", "left_sym", "right_sym", "merged", "cnt")
+      .orderBy("merge_rank")
+  }
+
+  /** Frozen learned merge table per (corpus, rounds) — train once, replay
+    * after (the ANN-model convention; the table is model-sized). */
+  private val bpeCache =
+    new graft.ops.FrozenCaches.Memo[Int, Seq[(Long, String, String, String, Long)]]()
+
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = bpeCache.get(dir, BpeMerges) {
+      bpeTrainOn(Tables.documents(spark, dir)).collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    }
+    rows.toDF("merge_rank", "left_sym", "right_sym", "merged", "cnt")
+      .orderBy("merge_rank")
+  }
+
+  /** Oracle: the same rounds unrolled as a CTE chain. Every per-round CTE
+    * is MATERIALIZED — DuckDB CTEs are inlined by default, and each round
+    * references its predecessor several times, so the un-materialized
+    * chain re-executes exponentially (measured: the 10-round chain
+    * exhausted the fd limit re-opening the parquet). The 0-or-1-row
+    * `best` table applies via LEFT JOIN ON true + coalesce, mirroring the
+    * engine's merge-or-no-op round. */
+  val bpeTrainSql: String = {
+    val symsOf = (seg: String) =>
+      s"string_split(regexp_replace($seg, '^<|>$$', '', 'g'), '><')"
+    val rounds = (0 until BpeMerges).map { r =>
+      s"""pc$r AS MATERIALIZED (
+         |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT s.freq, s.sy[t.i] AS a, s.sy[t.i + 1] AS b
+         |    FROM (SELECT freq, ${symsOf("seg")} AS sy FROM seg$r) s,
+         |         unnest(range(1, len(s.sy))) AS t(i))
+         |  GROUP BY a, b),
+         |best$r AS MATERIALIZED (
+         |  SELECT a, b, cnt FROM pc$r WHERE cnt >= $BpeMinPair
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |seg${r + 1} AS MATERIALIZED (
+         |  SELECT s.w, s.freq,
+         |         coalesce(replace(s.seg, '<' || b.a || '><' || b.b || '>',
+         |                          '<' || b.a || b.b || '>'), s.seg) AS seg
+         |  FROM seg$r s LEFT JOIN best$r b ON true)""".stripMargin
+    }.mkString(",\n")
+    val finals = (0 until BpeMerges).map { r =>
+      s"""SELECT CAST(${r + 1} AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym,
+         |       a || b AS merged, cnt FROM best$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT t.tok AS w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM documents, unnest(${tokensSql("text")}) AS t(tok)
+       |  WHERE regexp_matches(t.tok, '^[a-z0-9]+$$')
+       |  GROUP BY 1),
+       |seg0 AS MATERIALIZED (SELECT w, freq, regexp_replace(w, '(.)', '<\\1>', 'g') AS seg FROM words),
+       |$rounds
+       |$finals
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("t_text_stats", textStats _, textStatsSql),
+    Q("t_bpe_train", bpeTrain _, bpeTrainSql),
     Q("t_wordpiece", wordpiece _, wordpieceSql),
     Q("t_wordpiece_fertility", wordpieceFertility _, wordpieceFertilitySql),
     Q("t_quality_filter", qualityFilter _, qualityFilterSql),

@@ -164,6 +164,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("ivm stats registered plan is delta-only: no scan-aggregate of the old corpus") {
+    val p = plan(graft.ext.Corpus.ivmStats(spark, dir))
+    // the ONLY aggregate is the final signed groupBy (partial + final pair)
+    // over base-view ∪ delta rows; the old form additionally re-aggregated
+    // the ENTIRE old corpus per invocation (VERDICT r9 #1)
+    assert("HashAggregate".r.findAllIn(p).size <= 2,
+      "base view re-aggregated from the corpus — IVM plan regressed:\n" + p.take(3000))
+    // the frozen materialized view is read back from parquet
+    assert(p.contains("n_docs:bigint,n_tokens:bigint"),
+      "frozen base-view scan missing:\n" + p.take(3000))
+  }
+
   test("dsir selection broadcasts the bucket-weight table; top-k is TakeOrdered, not a global sort") {
     val p = plan(graft.ext.Corpus.dsirSelect(spark, dir))
     assert(p.contains("BroadcastHashJoin"), "weight table not broadcast:\n" + p.take(3000))

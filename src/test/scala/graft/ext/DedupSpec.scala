@@ -218,21 +218,26 @@ class DedupSpec extends SparkSpec {
   }
 
   test("incremental cluster update on the registered snapshot slices matches a full rebuild") {
-    import graft.ext.Corpus.{DeltaAdded, DeltaChanged, DeltaRemoved}
     val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
-    val old = docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(DeltaAdded))
-    val nw = docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(DeltaRemoved))
-      .withColumn("text",
-        when(pmod(col("doc_id"), lit(10)) === lit(DeltaChanged),
-          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+    val old = graft.ext.Corpus.deltaOldSlice(docs)
+    val nw = graft.ext.Corpus.deltaNewSlice(docs)
     val incr = Dedup.dupClustersIncrementalOn(old, nw,
         Dedup.dupClustersOn(old), Dedup.dupEdgesOn(old))
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    spark.catalog.clearCache()
+    // warehouse-signature path (the registered query's shape): unchanged
+    // docs reuse stored signatures, only fresh docs get signed — must be
+    // row-identical to the sign-everything path
+    val incrSigs = Dedup.dupClustersIncrementalOn(old, nw,
+        Dedup.dupClustersOn(old), Dedup.dupEdgesOn(old),
+        oldSigs = Some(Dedup.minhashSigsOn(old)))
       .as[(Long, Long, Long, Boolean)].collect().toSeq
     spark.catalog.clearCache()
     val scratch = Dedup.dupClustersOn(nw)
       .as[(Long, Long, Long, Boolean)].collect().toSeq
     spark.catalog.clearCache()
     assert(incr.nonEmpty && incr === scratch)
+    assert(incrSigs === scratch, "warehouse-sigs path diverged from sign-everything path")
   }
 
   test("semdedup: verdicts are complete, keep-first, cluster-local, and monotone in the threshold") {

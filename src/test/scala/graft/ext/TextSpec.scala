@@ -227,6 +227,27 @@ class TextSpec extends SparkSpec {
       ("zzzzz", 5L, 5L, "z z z z z")))   // >maxPiece and unknown: char fallback
   }
 
+  test("bpe training: hand-checkable merges, greedy left-to-right application, tie-break order") {
+    // lexicon: "abab" ×3, "ab" ×2, "cd" ×2, "aaa" ×2
+    // pair counts r1: (a,b)=3*2+2=8, (b,a)=3, (c,d)=2, (a,a)=2*2=4 → merge (a,b)
+    // r2 segs: <ab><ab>, <ab>, <c><d>, <a><a><a> → (ab,ab)=3, (a,a)=4, (c,d)=2 → (a,a)
+    // r3: <ab><ab> ×3 → (ab,ab)=3; <aa><a> ×2 → (aa,a)=2; (c,d)=2 → (ab,ab) wins
+    // r4: remaining pairs (aa,a)=2, (c,d)=2 — tie → (aa,a) by left-symbol order
+    // r5: (c,d)=2 → merged; r6: no pair with count ≥ 2 → stop
+    val docs = Seq((1L, "abab abab abab ab ab cd cd aaa aaa"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = Text.bpeTrainOn(docs, nMerges = 10)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "a", "b", "ab", 8L),
+      (2L, "a", "a", "aa", 4L),
+      (3L, "ab", "ab", "abab", 3L),
+      (4L, "aa", "a", "aaa", 2L),
+      (5L, "c", "d", "cd", 2L)))
+  }
+
   test("wordpiece property: every segmentation reassembles its word; fertility recomputes") {
     val dir = "/root/testdata/sf0.001"
     val lex = Text.wordpiece(spark, dir)
