@@ -1366,8 +1366,58 @@ object Corpus {
        |       CAST(coalesce(sum(len(${Text.tokensSql("text")})), 0) AS BIGINT) AS n_tokens
        |FROM nw GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------- epoch shuffle manifest
+  /** Deterministic per-epoch training-order manifest — the step after
+    * split/pack that the assembly family was missing: every epoch gets its
+    * own pseudorandom permutation of the corpus, expressed as (epoch,
+    * shard, position-within-shard, doc_id). Order is salt-keyed hashing
+    * ("ep:&lt;epoch&gt;:&lt;doc_id&gt;" through the engine-shared 28-bit
+    * [[Dedup.baseHash]]): different epochs decorrelate by salt, reruns
+    * reproduce bit-for-bit, and no RNG state exists anywhere — the
+    * Mitchell/fixed-hash shuffling every large-scale training loader uses
+    * so that data order is a pure function of (corpus, epoch).
+    *
+    * Scale shape: shard = hash mod [[ShuffleShards]] needs no shuffle at
+    * all; the intra-shard position is a rank window PARTITIONED BY (epoch,
+    * shard), so each sort is corpus/shards-sized — production raises the
+    * shard count until a shard's manifest fits a partition (the
+    * `t_seq_pack_sharded` convention), and the trainer reads shard files
+    * sequentially by position. No global sort exists (the final orderBy is
+    * presentation, stable under the manifest's own key). */
+  val ShuffleEpochs = 2
+  val ShuffleShards = 8
+
+  def epochShuffleOn(docs: DataFrame, epochs: Int = ShuffleEpochs,
+                     shards: Int = ShuffleShards): DataFrame = {
+    val w = Window.partitionBy("epoch", "shard").orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"))
+      .withColumn("epoch", explode(sequence(lit(1L), lit(epochs.toLong))))
+      .withColumn("h", Dedup.baseHash(
+        concat(lit("ep:"), col("epoch"), lit(":"), col("doc_id"))))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+      .orderBy("epoch", "shard", "pos")
+  }
+
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame =
+    epochShuffleOn(Tables.documents(spark, dir))
+
+  val epochShuffleSql: String =
+    s"""WITH ep AS (SELECT unnest(range(1, ${ShuffleEpochs + 1})) AS epoch),
+       |base AS (
+       |  SELECT ep.epoch, d.doc_id,
+       |         ${Dedup.baseHashSql("'ep:' || ep.epoch || ':' || d.doc_id")} AS h
+       |  FROM documents d CROSS JOIN ep)
+       |SELECT epoch, h % $ShuffleShards AS shard,
+       |       row_number() OVER (PARTITION BY epoch, h % $ShuffleShards
+       |                          ORDER BY h, doc_id) AS pos,
+       |       doc_id
+       |FROM base ORDER BY epoch, shard, pos""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t_corpus_mix", mix _, mixSql),
+    Q("t_epoch_shuffle", epochShuffle _, epochShuffleSql),
     Q("t_apply_delta", applyDelta _, applyDeltaSql),
     Q("t_ivm_stats", ivmStats _, ivmStatsSql),
     Q("t_temp_mix", tempMix _, tempMixSql),

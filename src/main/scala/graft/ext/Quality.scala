@@ -296,10 +296,143 @@ object Quality {
        |FROM cb ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Trained quality classifier (fastText-style hashed linear model —
+  // Joulin et al. 2016, arXiv:1607.01759; the GPT-3/LLaMA-recipe
+  // "classifier against a curated reference corpus" curation step).
+  // ---------------------------------------------------------------------
+  /** The rule gates above are hand-written; this is the LEARNED gate: a
+    * linear model over hashed unigram+bigram features, trained from a
+    * labeled slice (positive = the curated reference source `src0`, the
+    * DSIR target convention; negative = the rest of the pool), scoring
+    * every document and keeping those above the CORPUS-MEAN score — the
+    * deterministic analog of the GPT-3 recipe's Pareto-threshold
+    * subsampling (an absolute score>0 gate is miscalibrated whenever the
+    * class priors are skewed; the relative gate self-calibrates). The
+    * mean compare is cross-multiplied (score·n &gt; Σscores) in
+    * decimal(38,0)/HUGEINT, so the boundary stays integer-exact with no
+    * division anywhere.
+    *
+    * Weights are Laplace-smoothed class-frequency differences in 2^-20
+    * fixed point — `floor(S·(pc+1)/(pt+B)) − floor(S·(nc+1)/(nt+B))` per
+    * bucket, INTEGER end to end (the DSIR determinism discipline), so the
+    * decision boundary is bit-exact across engines with no log() anywhere.
+    * This is the monotone stand-in for trained logistic weights: fastText
+    * the product also starts from bag-of-hashed-ngram class statistics;
+    * swapping in SGD-trained floats changes only the weight table.
+    *
+    * Scale shape: training is ONE map-side-combinable aggregate over
+    * (bucket) with a [[QsBuckets]]-row output that freezes per corpus and
+    * BROADCASTS; scoring rescans the pool, joins each feature to the
+    * broadcast table, and sums per doc — one (doc_id) shuffle carrying
+    * (doc_id, long). The weight table enumerates ALL buckets (range ⟕
+    * counts), so scoring never drops an unseen feature at deployment. */
+  val QsBuckets = 1024
+  val QsScaleBits = 20
+  val QsPosSource = "src0"
+
+  private def qsFeatures(docs: DataFrame): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    docs.select(col("doc_id"), col("source"),
+        explode(concat(toks, Text.ngrams(toks, 2))).as("f"))
+      .withColumn("b", pmod(Dedup.baseHash(col("f")), lit(QsBuckets.toLong)))
+  }
+
+  /** The complete bucket-weight table (one row per bucket 0..B-1). */
+  def qsWeightsOn(docs: DataFrame, posSource: String = QsPosSource): DataFrame = {
+    val counts = qsFeatures(docs).groupBy("b").agg(
+      sum(when(col("source") === lit(posSource), 1L).otherwise(0L)).as("pc"),
+      sum(when(col("source") =!= lit(posSource), 1L).otherwise(0L)).as("nc"))
+    val tot = counts.agg(sum(col("pc")).as("pt"), sum(col("nc")).as("nt"))
+    docs.sparkSession.range(QsBuckets).select(col("id").as("b"))
+      .join(counts, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"), expr(
+        s"((coalesce(pc, 0) + 1) * ${1L << QsScaleBits}) div (pt + $QsBuckets)" +
+          s" - ((coalesce(nc, 0) + 1) * ${1L << QsScaleBits}) div (nt + $QsBuckets)").as("w"))
+  }
+
+  /** Score a pool against a FIXED weight table (the deployment entry
+    * point). The gate's threshold — the corpus-mean score — is one
+    * (sum, count) aggregate broadcast back over the scored frame: O(1)
+    * threshold state regardless of corpus size (a median would need a
+    * corpus-wide value collection). */
+  def qsScoreAgainstOn(docs: DataFrame, weights: DataFrame): DataFrame = {
+    val scores = qsFeatures(docs)
+      .join(broadcast(weights.select(col("b"), col("w"))), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score"))
+    val scored = docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("score"), lit(0L)).as("score"))
+    val thr = scored.agg(sum(col("score")).as("tot_score"),
+      count(lit(1)).as("n_tot"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_feats"), col("score"),
+        (col("score").cast("decimal(38,0)") * col("n_tot").cast("decimal(38,0)")
+          > col("tot_score").cast("decimal(38,0)")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  def qualityScoreOn(docs: DataFrame, posSource: String = QsPosSource): DataFrame =
+    qsScoreAgainstOn(docs, qsWeightsOn(docs, posSource))
+
+  /** Frozen weight table per (corpus, positive source) — [[QsBuckets]]
+    * integer rows, train-once (the DSIR-weights convention). */
+  private val qsWeightsCache =
+    new graft.ops.FrozenCaches.Memo[String, Seq[(Long, Long)]]()
+
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val rows = qsWeightsCache.get(dir, QsPosSource) {
+      qsWeightsOn(docs, QsPosSource).collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    import docs.sparkSession.implicits._
+    qsScoreAgainstOn(docs, rows.toDF("b", "w"))
+  }
+
+  val qualityScoreSql: String = {
+    val s = 1L << QsScaleBits
+    s"""WITH src AS (SELECT doc_id, source, ${Text.tokensSql("text")} AS t FROM documents),
+       |f AS MATERIALIZED (
+       |  SELECT s.doc_id, s.source,
+       |         ${Dedup.baseHashSql("u.f")} % $QsBuckets AS b
+       |  FROM src s, unnest(list_concat(s.t, ${Text.ngramsSql("s.t", 2)})) AS u(f)),
+       |cnt AS (
+       |  SELECT b, sum(CASE WHEN source = '$QsPosSource' THEN 1 ELSE 0 END) AS pc,
+       |         sum(CASE WHEN source <> '$QsPosSource' THEN 1 ELSE 0 END) AS nc
+       |  FROM f GROUP BY b),
+       |tot AS (SELECT sum(pc) AS pt, sum(nc) AS nt FROM cnt),
+       |w AS MATERIALIZED (
+       |  SELECT r.b,
+       |         ((coalesce(c.pc, 0) + 1) * $s) // (t.pt + $QsBuckets)
+       |         - ((coalesce(c.nc, 0) + 1) * $s) // (t.nt + $QsBuckets) AS w
+       |  FROM (SELECT unnest(range(0, $QsBuckets)) AS b) r
+       |       LEFT JOIN cnt c ON r.b = c.b CROSS JOIN tot t),
+       |sc AS (
+       |  SELECT f.doc_id, count(*) AS n_feats, CAST(sum(w.w) AS BIGINT) AS score
+       |  FROM f JOIN w ON f.b = w.b GROUP BY 1),
+       |scored AS MATERIALIZED (
+       |  SELECT d.doc_id, d.lang, d.source,
+       |         CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+       |         CAST(coalesce(sc.score, 0) AS BIGINT) AS score
+       |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+       |thr AS (SELECT CAST(sum(score) AS HUGEINT) AS tot_score,
+       |               CAST(count(*) AS HUGEINT) AS n_tot FROM scored)
+       |SELECT s.doc_id, s.lang, s.source, s.n_feats, s.score,
+       |       CAST(s.score AS HUGEINT) * t.n_tot > t.tot_score AS keep
+       |FROM scored s CROSS JOIN thr t
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("t_gopher_rules", gopherRules _, gopherRulesSql),
     Q("t_c4_clean", c4Clean _, c4CleanSql),
     Q("t_ccnet_buckets", ccnetBuckets _, ccnetBucketsSql),
     Q("t_ccnet_mix", ccnetMix _, ccnetMixSql),
+    Q("t_quality_score", qualityScore _, qualityScoreSql),
   )
 }

@@ -494,8 +494,98 @@ object Multimodal {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---------------------------------------------- image-text alignment gate
+  /** CLIP-style cross-modal alignment filter (Radford et al. 2021; the
+    * LAION curation recipe: keep an (image, caption) pair iff the cosine
+    * of their embeddings clears a threshold). The media-side embedding is
+    * the `embeddings` table row sharing the document's id (standing in
+    * for the image-tower output); the caption-side embedding is derived
+    * from the document text by FEATURE HASHING (Weinberger et al. 2009)
+    * into the same [[AlignDim]] dims — salted token hash picks the
+    * coordinate, one hash bit picks the sign, so the text tower is
+    * deterministic, integer-derived, and engine-portable (a real text
+    * tower plugs in as a column of floats without touching the plan).
+    *
+    * Scale shape: the caption embedding is a row-local codegen'd
+    * projection (O(dim · n_tokens) per doc, no shuffle); the pair join is
+    * id-keyed (co-partitioned / bucketed in a deployment); the gate is a
+    * scalar compare on the r6-rounded cosine — so the whole operator is
+    * scan-bound. Degenerate vectors (tokenless caption, zero norm) score
+    * 0.0 and fail the gate rather than dividing by zero. */
+  val AlignDim = 64
+  val AlignMin = 0.0
+
+  /** The hashing-trick caption embedding of `docs` as (doc_id, source,
+    * cap) — exposed for specs and as the text-tower seam. */
+  def captionEmbeddings(docs: DataFrame): DataFrame = {
+    import graft.ext.{Dedup, Text}
+    val toksH = transform(Text.tokens(col("text")),
+      t => Dedup.baseHash(concat(lit("at:"), t)))
+    val cap = transform(sequence(lit(1), lit(AlignDim)), j =>
+      (size(filter(col("th"), h =>
+          pmod(h, lit(AlignDim.toLong)) === (j - lit(1)).cast("long") &&
+            pmod((h / lit(AlignDim)).cast("long"), lit(2L)) === lit(0L)))
+        - size(filter(col("th"), h =>
+          pmod(h, lit(AlignDim.toLong)) === (j - lit(1)).cast("long") &&
+            pmod((h / lit(AlignDim)).cast("long"), lit(2L)) === lit(1L))))
+        .cast("double"))
+    docs.select(col("doc_id"), col("source"), toksH.as("th"))
+      .select(col("doc_id"), col("source"), cap.as("cap"))
+  }
+
+  def alignFilterOn(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    import graft.ext.Similarity
+    val emb = embeddings.select(col("vec_id").as("doc_id"), col("embedding"))
+    captionEmbeddings(docs).join(emb, Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        Similarity.dot(col("cap"), col("embedding")).as("dp"),
+        Similarity.norm(col("cap")).as("nc"),
+        Similarity.norm(col("embedding")).as("ne"))
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(conv(substring(md5(col("source")), 1, 4), 16, 10).cast("long"), lit(3)) + lit(1)).cast("int")).as("media_type"),
+        when(col("nc") > lit(0.0) && col("ne") > lit(0.0),
+          r6(col("dp") / (col("nc") * col("ne")))).otherwise(lit(0.0)).as("align_cos"))
+      .withColumn("keep", col("align_cos") > lit(AlignMin))
+      .orderBy("doc_id")
+  }
+
+  def alignFilter(spark: SparkSession, dir: String): DataFrame =
+    alignFilterOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+
+  val alignFilterSql: String = {
+    import graft.ext.{Dedup, Similarity, Text}
+    s"""WITH th AS (
+       |  SELECT doc_id, source,
+       |         list_transform(${Text.tokensSql("text")},
+       |                        t -> ${Dedup.baseHashSql("'at:' || t")}) AS th
+       |  FROM documents),
+       |cap AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |         list_transform(range(1, ${AlignDim + 1}), j -> CAST(
+       |           len(list_filter(th, h -> h % $AlignDim = j - 1 AND (h // $AlignDim) % 2 = 0))
+       |           - len(list_filter(th, h -> h % $AlignDim = j - 1 AND (h // $AlignDim) % 2 = 1))
+       |           AS DOUBLE)) AS cap
+       |  FROM th),
+       |j AS (
+       |  SELECT c.doc_id, c.source,
+       |         ${Similarity.dotSql("c.cap", "e.embedding")} AS dp,
+       |         ${Similarity.normSql("c.cap")} AS nc,
+       |         ${Similarity.normSql("e.embedding")} AS ne
+       |  FROM cap c JOIN embeddings e ON c.doc_id = e.vec_id),
+       |scored AS (
+       |  SELECT doc_id,
+       |         ['image', 'audio', 'video'][(('0x' || substr(md5(source), 1, 4))::BIGINT % 3 + 1)::INT] AS media_type,
+       |         CASE WHEN nc > 0 AND ne > 0 THEN ${r6Sql("dp / (nc * ne)")}
+       |              ELSE 0.0 END AS align_cos
+       |  FROM j)
+       |SELECT doc_id, media_type, align_cos, align_cos > $AlignMin AS keep
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("mm_media_meta", mediaMeta _, mediaMetaSql),
+    Q("mm_align_filter", alignFilter _, alignFilterSql),
     Q("mm_feature_pipeline", featurePipeline _, featurePipelineSql),
     Q("mm_frame_sample", frameSample _, frameSampleSql),
     Q("mm_phash_dedup", phashDedup _, phashDedupSql),

@@ -159,6 +159,32 @@ class LibraryApiSpec extends SparkSpec {
     assert(a === b, "split depends on input ordering")
   }
 
+  test("epoch shuffle: each epoch is a full permutation, positions contiguous, epochs decorrelated") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.01")
+    val n = docs.count()
+    val out = Corpus.epochShuffleOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every epoch holds every doc exactly once
+    val byEpoch = out.groupBy(_._1)
+    assert(byEpoch.keySet === Set(1L, 2L))
+    byEpoch.foreach { case (ep, rows) =>
+      assert(rows.map(_._4).distinct.length.toLong === n, s"epoch $ep is not a permutation")
+      // positions within each shard are contiguous 1..k
+      rows.groupBy(_._2).foreach { case (sh, srows) =>
+        val ps = srows.map(_._3).sorted
+        assert(ps === (1L to ps.length.toLong), s"epoch $ep shard $sh positions not contiguous")
+      }
+    }
+    // the two epochs order the corpus differently (salt decorrelates)
+    def orderOf(ep: Long) = byEpoch(ep).sortBy(r => (r._2, r._3)).map(_._4).toSeq
+    assert(orderOf(1L) !== orderOf(2L), "epochs produced the identical order")
+    // deterministic across runs and input orderings
+    val again = Corpus.epochShuffleOn(
+      docs.orderBy(org.apache.spark.sql.functions.rand(11))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === again.toSeq, "manifest depends on input ordering")
+  }
+
   test("temperature mix upsamples low-resource langs at constant corpus size, exactly per quota") {
     val bigDocs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
     val in = bigDocs.groupBy("lang").count().collect()

@@ -118,4 +118,37 @@ class QualitySpec extends SparkSpec {
       assert(rate > 0.25 && rate < 0.75, s"middle keep rate off: $rate")
     }
   }
+
+  test("quality classifier separates target-vocabulary docs from noise on a separable corpus") {
+    def doc(id: Long, text: String, source: String) = (id, text, source)
+    val rows = Seq(
+      // curated reference (positives): clean prose vocabulary
+      doc(1L, "clean prose words flow nicely here", "src0"),
+      doc(2L, "nicely written clean prose words again", "src0"),
+      doc(3L, "words flow in clean written prose", "src0"),
+      // pool: two target-like docs, three noise docs
+      doc(10L, "clean prose words written nicely", "web"),
+      doc(11L, "flow of clean words in prose", "web"),
+      doc(12L, "zz9 qq8 xx7 garbage garbled junk", "web"),
+      doc(13L, "junk garbled qq8 zz9 spam spam", "web"),
+      doc(14L, "xx7 spam zz9 junk garbage qq8", "web"))
+    val docs = rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = Quality.qualityScoreOn(docs)
+      .select("doc_id", "score", "keep").as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // target-like pool docs score above every noise doc and pass the gate
+    val targetLike = Seq(10L, 11L).map(out(_))
+    val noise = Seq(12L, 13L, 14L).map(out(_))
+    assert(targetLike.map(_._1).min > noise.map(_._1).max,
+      s"no separation: $out")
+    targetLike.foreach { case (_, keep) => assert(keep, "target-like doc dropped") }
+    noise.foreach { case (_, keep) => assert(!keep, "noise doc kept") }
+    // determinism: retrain + rescore is bit-identical
+    val again = Quality.qualityScoreOn(docs)
+      .select("doc_id", "score", "keep").as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again === out)
+  }
 }

@@ -163,4 +163,26 @@ class MultimodalSpec extends SparkSpec {
     // hash is within 8 bits
     assert((Multimodal.phash(a) & ~0xff) === 0)
   }
+
+  test("align filter: aligned pair scores cosine 1 and keeps, anti-aligned scores -1 and drops") {
+    val d = docs((1L, "spark window merge table column", "web"),
+      (2L, "spark window merge table column", "web"),
+      (3L, "", "web")) // tokenless caption → zero vector → cos 0.0
+    // build the media-side embeddings FROM the caption tower itself:
+    // doc 1 gets its own caption vector (perfect alignment), doc 2 gets
+    // the negated vector (perfect anti-alignment), doc 3 anything
+    val caps = Multimodal.captionEmbeddings(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2).map(_.toFloat).toArray).toMap
+    val emb = Seq(
+      (1L, caps(1L), "l0"),
+      (2L, caps(2L).map(-_), "l0"),
+      (3L, Array.fill(Multimodal.AlignDim)(1.0f), "l0"))
+      .toDF("vec_id", "embedding", "label")
+    val out = Multimodal.alignFilterOn(d, emb)
+      .select("doc_id", "align_cos", "keep")
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((1.0, true)), s"aligned pair: ${out(1L)}")
+    assert(out(2L) === ((-1.0, false)), s"anti-aligned pair: ${out(2L)}")
+    assert(out(3L) === ((0.0, false)), s"degenerate caption: ${out(3L)}")
+  }
 }
