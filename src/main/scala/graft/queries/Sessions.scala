@@ -95,7 +95,11 @@ object Sessions {
     * Scale: three user_id-keyed aggregates over pre-filtered event slices,
     * each stage joining only the previous stage's (user_id, ts) frame —
     * narrow co-partitioned shuffles, never a self-join of the raw table. */
-  def funnelOn(events: DataFrame): DataFrame = {
+  /** Per-user funnel stage times (one row per user with a view; later
+    * stages NULL until reached) — the intermediate frame shared with the
+    * streaming twin [[graft.streaming.Streams.funnelStages]], whose
+    * per-user state is exactly one of these rows (StreamsSpec parity). */
+  def funnelStagesOn(events: DataFrame): DataFrame = {
     val e = events
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
     val v = e.filter(col("event_type") === lit("view"))
@@ -106,11 +110,15 @@ object Sessions {
     val p = e.filter(col("event_type") === lit("purchase"))
       .join(c, Seq("user_id")).filter(col("ts_us") > col("t_click"))
       .groupBy("user_id").agg(min(col("ts_us")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+  }
+
+  def funnelOn(events: DataFrame): DataFrame = {
     def rate(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
       when(den === lit(0L), lit(0.0)).otherwise(r6(num.cast("double") / den))
-    v.agg(count(lit(1)).as("n_view"))
-      .crossJoin(c.agg(count(lit(1)).as("n_click")))
-      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+    funnelStagesOn(events)
+      .agg(count(lit(1)).as("n_view"), count(col("t_click")).as("n_click"),
+        count(col("t_purchase")).as("n_purchase"))
       .select(col("n_view"), col("n_click"), col("n_purchase"),
         rate(col("n_click"), col("n_view")).as("view_to_click"),
         rate(col("n_purchase"), col("n_click")).as("click_to_purchase"))
@@ -149,21 +157,34 @@ object Sessions {
     * Scale: one user_id aggregate for first-seen, a user-keyed join
     * carrying two truncated columns, a distinct on (user, cohort, week)
     * and one (cohort, age) count — all narrow. */
-  def cohortsOn(events: DataFrame): DataFrame = {
+  /** The distinct (user, cohort_week, active_week) membership pairs —
+    * shared intermediate with the streaming twin
+    * [[graft.streaming.Streams.cohortPairs]], which emits exactly these
+    * rows incrementally (StreamsSpec parity). Weeks ride as 'yyyy-MM-DD'
+    * strings (sortable, engine-portable). */
+  def cohortPairsOn(events: DataFrame): DataFrame = {
     val e = events.select(col("user_id"), col("ts"))
     val first = e.groupBy("user_id").agg(min(col("ts")).as("t0"))
     e.join(first, Seq("user_id"))
       .select(col("user_id"),
-        date_trunc("week", col("t0")).as("cw"),
-        date_trunc("week", col("ts")).as("aw"))
+        date_format(date_trunc("week", col("t0")), "yyyy-MM-dd").as("cohort_week"),
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("active_week"))
       .distinct()
-      .select(col("cw"), (datediff(col("aw"), col("cw")) / lit(7)).cast("long").as("weeks_since"))
-      .groupBy("cw", "weeks_since")
-      .agg(count(lit(1)).as("n_active"))
-      .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
-        col("weeks_since"), col("n_active"))
-      .orderBy("cohort_week", "weeks_since")
   }
+
+  /** Pairs → retention triangle; the finisher both the batch query and the
+    * streaming twin's output share. */
+  def cohortsFromPairs(pairs: DataFrame): DataFrame =
+    pairs
+      .select(col("cohort_week"),
+        (datediff(to_date(col("active_week")), to_date(col("cohort_week"))) / lit(7))
+          .cast("long").as("weeks_since"))
+      .groupBy("cohort_week", "weeks_since")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_week", "weeks_since")
+
+  def cohortsOn(events: DataFrame): DataFrame =
+    cohortsFromPairs(cohortPairsOn(events))
 
   def cohorts(spark: SparkSession, dir: String): DataFrame =
     cohortsOn(Tables.events(spark, dir))

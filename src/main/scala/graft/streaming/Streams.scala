@@ -392,6 +392,87 @@ object Streams {
       .start()
   }
 
+  // ------------------------------------------------ funnel / cohort twins
+  case class FunnelEvent(user_id: Long, ts_us: Long, event_type: String, event_id: Long)
+  case class FunnelStage(user_id: Long, t_view: Option[Long], t_click: Option[Long],
+                         t_purchase: Option[Long])
+
+  /** Streaming twin of [[graft.queries.Sessions.funnelStagesOn]]: the
+    * strict-ordered view → click → purchase state machine as
+    * `mapGroupsWithState` — per-user state is THREE optional longs, the
+    * current funnel-stage row, re-emitted on every update (Update output;
+    * the latest emission per user is the answer). In-batch rows process in
+    * (ts, event_id) order; across micro-batches the per-user stream must
+    * arrive in nondecreasing event time (the ingestion contract the
+    * curation/dedup twins also state) — under it, "first view", "first
+    * click strictly after that view" and "first purchase strictly after
+    * that click" are exactly the batch frame's three min-aggregates
+    * (StreamsSpec parity). State never grows with event count and needs
+    * no timeout — a funnel is a lifetime-of-user analysis; deployments
+    * wanting horizon-bounded state add an EventTimeTimeout that seals and
+    * emits a user's row when the watermark passes it. */
+  def funnelStages(events: Dataset[FunnelEvent]): Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelStage]) =>
+          var st = state.getOption.getOrElse(FunnelStage(uid, None, None, None))
+          rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            e.event_type match {
+              case "view" if st.t_view.isEmpty =>
+                st = st.copy(t_view = Some(e.ts_us))
+              case "click" if st.t_click.isEmpty && st.t_view.exists(e.ts_us > _) =>
+                st = st.copy(t_click = Some(e.ts_us))
+              case "purchase" if st.t_purchase.isEmpty && st.t_click.exists(e.ts_us > _) =>
+                st = st.copy(t_purchase = Some(e.ts_us))
+              case _ => ()
+            }
+          }
+          state.update(st)
+          st
+      }
+  }
+
+  case class WeekEvent(user_id: Long, week: String)
+  case class CohortPair(user_id: Long, cohort_week: String, active_week: String)
+  case class CohortState(cohortWeek: String, emitted: Seq[String])
+
+  /** Week-truncated view of a (streaming or batch) events frame — the
+    * stateless projection feeding [[cohortPairs]]. */
+  def weekEvents(events: DataFrame): Dataset[WeekEvent] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"),
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"))
+      .as[WeekEvent]
+  }
+
+  /** Streaming twin of [[graft.queries.Sessions.cohortPairsOn]]: per user,
+    * emit each (cohort_week, active_week) membership pair ONCE, the first
+    * time that active week is seen — `flatMapGroupsWithState` in Append
+    * mode. State per user = the fixed cohort week + the distinct weeks
+    * already emitted (bounded by the calendar horizon, not event count).
+    * Under nondecreasing per-user event-time arrival the first-ever week
+    * seen IS the min week, so the union of batch outputs equals the batch
+    * pair frame; the shared [[graft.queries.Sessions.cohortsFromPairs]]
+    * finisher then yields the identical retention triangle (StreamsSpec
+    * parity). */
+  def cohortPairs(events: Dataset[WeekEvent]): Dataset[CohortPair] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[WeekEvent], state: GroupState[CohortState]) =>
+          val weeks = rows.map(_.week).toSeq.distinct.sorted
+          if (weeks.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(CohortState(weeks.head, Seq.empty))
+            val fresh = weeks.filterNot(st.emitted.contains)
+            st = st.copy(emitted = st.emitted ++ fresh)
+            state.update(st)
+            fresh.iterator.map(w => CohortPair(uid, st.cohortWeek, w))
+          }
+      }
+  }
+
   /** Run a streaming DataFrame to completion against the bounded test input
     * (AvailableNow trigger + memory sink) and return the result as a batch
     * DataFrame — the harness for batch/stream parity tests. */

@@ -799,4 +799,93 @@ class StreamsSpec extends SparkSpec {
     assert(buf.toSet === batch,
       s"missing: ${(batch -- buf.toSet).take(3)}; extra: ${(buf.toSet -- batch).take(3)}")
   }
+
+  /** Time-sliced micro-batch event stream: three files cut at event-time
+    * terciles (maxFilesPerTrigger=1 → three batches, nondecreasing
+    * arrival — the ordered-ingestion contract the funnel/cohort twins
+    * state). Returns the raw (user_id, ts, event_type, event_id) stream. */
+  private def timeSlicedEventStream(tag: String): org.apache.spark.sql.DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory(s"graft_${tag}_stream").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    val ev = graft.ops.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), unix_micros(col("ts")).as("ts_us"))
+    val ts = ev.select("ts_us").as[Long].collect().sorted
+    val cuts = Array(ts(ts.length / 3), ts(2 * ts.length / 3))
+    val slices = Seq(
+      col("ts_us") <= cuts(0),
+      col("ts_us") > cuts(0) && col("ts_us") <= cuts(1),
+      col("ts_us") > cuts(1))
+    slices.zipWithIndex.foreach { case (pred, i) =>
+      val tmp = s"$base/tmp$i"
+      ev.filter(pred).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$base/in/slice$i.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(20)
+    }
+    spark.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP, ts_us LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+  }
+
+  test("streaming funnel state machine matches the batch stage frame across micro-batches") {
+    val stream = timeSlicedEventStream("funnel")
+      .select(col("user_id"), col("ts_us"), col("event_type"), col("event_id"))
+      .as[Streams.FunnelEvent]
+    // Update mode: the LAST emission per user is the final stage row
+    val emitted = Streams.runToMemory(spark,
+        Streams.funnelStages(stream).toDF(), "t_funnel_stages",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .collect()
+      .map(r => (r.getLong(0),
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))))
+    // the state machine is monotone (fields only ever get SET), so every
+    // emission is a prefix of the final state — the final state per user is
+    // the emission with the most defined fields (order-independent)
+    val finalStages = emitted.groupBy(_._1).view
+      .mapValues(_.map(_._2).maxBy(t => t._1.size + t._2.size + t._3.size)).toMap
+    val batch = graft.queries.Sessions.funnelStagesOn(
+        graft.ops.Tables.events(spark, sfDir))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(batch.nonEmpty && batch.values.exists(_._3.nonEmpty),
+      "degenerate corpus: no completed funnel in batch")
+    // streaming covers exactly the batch's funnel-entered users (users with
+    // no view still hold state rows but with t_view = None — drop them)
+    val streamedEntered = finalStages.filter(_._2._1.nonEmpty)
+    assert(streamedEntered === batch,
+      s"stage mismatch; missing=${(batch.keySet -- streamedEntered.keySet).take(5)} " +
+        s"diff=${batch.collect { case (k, v) if streamedEntered.get(k).exists(_ != v) => k }.take(5)}")
+  }
+
+  test("streaming cohort pairs equal the batch pair frame; shared finisher gives the same triangle") {
+    val stream = timeSlicedEventStream("cohorts")
+    val streamedPairs = Streams.runToMemory(spark,
+        Streams.cohortPairs(Streams.weekEvents(stream)).toDF(), "t_cohort_pairs")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // append-once: no pair may be emitted twice across micro-batches
+    assert(streamedPairs.length === streamedPairs.toSet.size, "a pair was re-emitted")
+    val batchPairs = graft.queries.Sessions.cohortPairsOn(
+        graft.ops.Tables.events(spark, sfDir))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(batchPairs.nonEmpty)
+    assert(streamedPairs.toSet === batchPairs,
+      s"missing=${(batchPairs -- streamedPairs.toSet).take(5)} extra=${(streamedPairs.toSet -- batchPairs).take(5)}")
+    // the shared finisher over the streamed pairs = the registered query
+    val tri = graft.queries.Sessions.cohortsFromPairs(
+        streamedPairs.toSeq.toDF("user_id", "cohort_week", "active_week"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = graft.queries.Sessions.cohorts(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(tri === want)
+  }
 }
