@@ -1250,14 +1250,18 @@ object Text {
   val BpeMerges = 10
   val BpeMinPair = 2L
 
-  def bpeTrainOn(docs: DataFrame, nMerges: Int = BpeMerges): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    var segs = docs.select(explode(tokens(col("text"))).as("w"))
+  /** The char-wrapped BPE lexicon (w, freq, seg) — one corpus-linear
+    * census, shared by training and application. */
+  private def bpeLexicon(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("w"))
       .filter(col("w").rlike("^[a-z0-9]+$"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .withColumn("seg", regexp_replace(col("w"), "(.)", "<$1>"))
-      .localCheckpoint()
+
+  def bpeTrainOn(docs: DataFrame, nMerges: Int = BpeMerges): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var segs = bpeLexicon(docs).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var done = false
     for (r <- 1 to nMerges if !done) {
@@ -1309,14 +1313,18 @@ object Text {
     * exhausted the fd limit re-opening the parquet). The 0-or-1-row
     * `best` table applies via LEFT JOIN ON true + coalesce, mirroring the
     * engine's merge-or-no-op round. */
-  val bpeTrainSql: String = {
-    val symsOf = (seg: String) =>
-      s"string_split(regexp_replace($seg, '^<|>$$', '', 'g'), '><')"
+  private def bpeSymsOf(seg: String): String =
+    s"string_split(regexp_replace($seg, '^<|>$$', '', 'g'), '><')"
+
+  /** Shared CTE chain words → seg0 → (pc/best/seg)×rounds — the oracle
+    * spine of both the training query (reads the `best` tables) and the
+    * application query (reads the final `seg`). */
+  private def bpeCtes: String = {
     val rounds = (0 until BpeMerges).map { r =>
       s"""pc$r AS MATERIALIZED (
          |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
          |    SELECT s.freq, s.sy[t.i] AS a, s.sy[t.i + 1] AS b
-         |    FROM (SELECT freq, ${symsOf("seg")} AS sy FROM seg$r) s,
+         |    FROM (SELECT freq, ${bpeSymsOf("seg")} AS sy FROM seg$r) s,
          |         unnest(range(1, len(s.sy))) AS t(i))
          |  GROUP BY a, b),
          |best$r AS MATERIALIZED (
@@ -1328,24 +1336,73 @@ object Text {
          |                          '<' || b.a || b.b || '>'), s.seg) AS seg
          |  FROM seg$r s LEFT JOIN best$r b ON true)""".stripMargin
     }.mkString(",\n")
-    val finals = (0 until BpeMerges).map { r =>
-      s"""SELECT CAST(${r + 1} AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym,
-         |       a || b AS merged, cnt FROM best$r""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH words AS MATERIALIZED (
+    s"""words AS MATERIALIZED (
        |  SELECT t.tok AS w, CAST(count(*) AS BIGINT) AS freq
        |  FROM documents, unnest(${tokensSql("text")}) AS t(tok)
        |  WHERE regexp_matches(t.tok, '^[a-z0-9]+$$')
        |  GROUP BY 1),
        |seg0 AS MATERIALIZED (SELECT w, freq, regexp_replace(w, '(.)', '<\\1>', 'g') AS seg FROM words),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val bpeTrainSql: String = {
+    val finals = (0 until BpeMerges).map { r =>
+      s"""SELECT CAST(${r + 1} AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym,
+         |       a || b AS merged, cnt FROM best$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $bpeCtes
        |$finals
        |ORDER BY merge_rank""".stripMargin
   }
 
+  // ---------------------------------------------------- BPE application
+  /** The learned tokenizer APPLIED: every lexicon word segmented under the
+    * [[bpeTrainOn]] merge table (merges replayed in rank order — exactly
+    * the standard BPE encode step, which applies learned merges in
+    * learning order). Pairs with [[wordpieceOn]] the way a production
+    * stack pairs trained-BPE with a fixed wordpiece vocab; the registered
+    * form replays the FROZEN merge table, so application is N literal
+    * replaces over the lexicon — no training aggregates, no loop state.
+    * Oracle: the shared CTE chain's FINAL seg table, so training and
+    * application can never drift. */
+  def bpeSegmentFrom(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val seg0 = bpeLexicon(docs)
+    val segd = merges.foldLeft(seg0) { case (df, (a, b)) =>
+      // a, b match ^[a-z0-9]+$ by construction — safe to splice
+      df.withColumn("seg", expr(s"replace(seg, '<$a><$b>', '<$a$b>')"))
+    }
+    val syms = split(regexp_replace(col("seg"), "^<|>$", ""), "><")
+    segd.select(col("w").as("word"), length(col("w")).cast("long").as("n_chars"),
+        size(syms).cast("long").as("n_pieces"),
+        array_join(syms, " ").as("segmentation"))
+      .orderBy("word")
+  }
+
+  def bpeSegmentOn(docs: DataFrame, nMerges: Int = BpeMerges): DataFrame = {
+    val merges = bpeTrainOn(docs, nMerges).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeSegmentFrom(docs, merges)
+  }
+
+  def bpeSegment(spark: SparkSession, dir: String): DataFrame = {
+    val rows = bpeCache.get(dir, BpeMerges) {
+      bpeTrainOn(Tables.documents(spark, dir)).collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    }
+    bpeSegmentFrom(Tables.documents(spark, dir), rows.map(m => (m._2, m._3)))
+  }
+
+  val bpeSegmentSql: String =
+    s"""WITH $bpeCtes
+       |SELECT w AS word, CAST(length(w) AS BIGINT) AS n_chars,
+       |       CAST(len(${bpeSymsOf("seg")}) AS BIGINT) AS n_pieces,
+       |       array_to_string(${bpeSymsOf("seg")}, ' ') AS segmentation
+       |FROM seg$BpeMerges ORDER BY word""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t_text_stats", textStats _, textStatsSql),
     Q("t_bpe_train", bpeTrain _, bpeTrainSql),
+    Q("t_bpe_segment", bpeSegment _, bpeSegmentSql),
     Q("t_wordpiece", wordpiece _, wordpieceSql),
     Q("t_wordpiece_fertility", wordpieceFertility _, wordpieceFertilitySql),
     Q("t_quality_filter", qualityFilter _, qualityFilterSql),

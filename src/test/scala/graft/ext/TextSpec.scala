@@ -246,6 +246,16 @@ class TextSpec extends SparkSpec {
       (3L, "ab", "ab", "abab", 3L),
       (4L, "aa", "a", "aaa", 2L),
       (5L, "c", "d", "cd", 2L)))
+    // application: replaying the learned merges segments the lexicon; every
+    // segmentation reassembles its word and matches the hand trace
+    val seg = Text.bpeSegmentOn(docs, nMerges = 10)
+      .as[(String, Long, Long, String)].collect().toSeq
+    seg.foreach { case (w, nc, np, s) =>
+      assert(s.split(" ").mkString === w, s"'$s' does not reassemble '$w'")
+      assert(np === s.split(" ").length.toLong && nc === w.length.toLong)
+    }
+    assert(seg.map(r => r._1 -> r._4).toMap ===
+      Map("abab" -> "abab", "ab" -> "ab", "cd" -> "cd", "aaa" -> "aaa"))
   }
 
   test("wordpiece property: every segmentation reassembles its word; fertility recomputes") {
