@@ -6,17 +6,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The curation funnel: every per-document gate the pipeline ships —
-  * C4-style quality, Gopher repetition, LM fluency, benchmark
-  * decontamination, exact-dup canonicalization — composed into ONE verdict
-  * table with a deterministic drop reason per document. This is the
-  * operator a pipeline owner actually runs: not five reports to reconcile,
-  * but one keep/drop manifest with provenance.
+  * C4-style quality, Gopher repetition, LM fluency, the trained quality
+  * classifier, benchmark decontamination, exact-dup canonicalization —
+  * composed into ONE verdict table with a deterministic drop reason per
+  * document. This is the operator a pipeline owner actually runs: not six
+  * reports to reconcile, but one keep/drop manifest with provenance.
   *
   * Composition discipline: the funnel has NO gate logic of its own. The
   * Spark side calls the exact per-gate entry points the registry runs; the
   * oracle embeds the per-gate ORACLE SQL as subqueries. Neither side can
   * drift from the individual operators, and the oracle gate re-proves all
-  * five behaviors through one more independent path.
+  * six behaviors through one more independent path.
   *
   * Scale shape: each gate is its own bounded plan (scan-bound projections,
   * census/broadcast joins — see the per-operator notes); the funnel adds
@@ -29,11 +29,22 @@ import org.apache.spark.sql.functions._
 object Curation {
   /** Gate order defines the reported drop reason: a document failing
     * several gates reports the FIRST in pipeline order — quality,
-    * repetition, fluency, contamination, duplicate. */
-  def curationFunnelOn(docs: DataFrame): DataFrame = {
+    * repetition, fluency, classifier, contamination, duplicate. The
+    * classifier gate (trained weights + corpus-mean calibration, both
+    * derived from the FULL corpus exactly as `t_quality_score` registers
+    * them) is the learned complement to the three rule gates. */
+  def curationFunnelOn(docs: DataFrame): DataFrame =
+    curationFunnelRowsOn(docs).orderBy("doc_id")
+
+  /** Unsorted funnel frame — the aggregation-friendly form
+    * ([[gatePatternsOn]] consumes it; a presentation sort of the
+    * corpus-sized verdict frame is pure waste under a ≤64-row groupBy). */
+  def curationFunnelRowsOn(docs: DataFrame): DataFrame = {
     val train = docs.filter(pmod(col("doc_id"), lit(10L)) =!= lit(Corpus.BenchSlice))
     funnelTail(train,
       f = Text.lmFluencyOn(docs).select(col("doc_id"), col("is_fluent")),
+      g = Quality.qualityScoreOn(docs)
+        .select(col("doc_id"), col("keep").as("pass_classifier")),
       d = Corpus.decontaminateOn(docs).select(col("doc_id"), col("keep").as("pass_decontam")),
       c = Text.fingerprintOn(docs)
         .select(col("doc_id"), (col("is_canonical") === lit(1L)).as("is_canonical")))
@@ -47,18 +58,28 @@ object Curation {
     * micro-batch ([[graft.streaming.Streams.curationFunnelBatches]]), where
     * the canonical state lives outside the batch. */
   def curationFunnelAgainstOn(train: DataFrame, census: DataFrame,
-                              evalDocs: DataFrame, canon: DataFrame): DataFrame =
+                              evalDocs: DataFrame, canon: DataFrame,
+                              classifier: DataFrame): DataFrame =
     curationFunnelAgainstHashesOn(train, census,
-      Corpus.evalShingleHashes(evalDocs), canon)
+      Corpus.evalShingleHashes(evalDocs), canon, classifier)
 
   /** Same frozen-artifact funnel with the decontamination model already
     * built: takes the eval suite's distinct shingle HASH set instead of
     * the eval docs, so a long-lived consumer (the streaming funnel) can
     * build that broadcast-sized set once and replay it per batch. */
   def curationFunnelAgainstHashesOn(train: DataFrame, census: DataFrame,
-                                    evalHashes: DataFrame, canon: DataFrame): DataFrame =
+                                    evalHashes: DataFrame, canon: DataFrame,
+                                    classifier: DataFrame): DataFrame =
+    curationFunnelAgainstHashesRowsOn(train, census, evalHashes, canon, classifier)
+      .orderBy("doc_id")
+
+  /** Unsorted twin of [[curationFunnelAgainstHashesOn]]. */
+  def curationFunnelAgainstHashesRowsOn(train: DataFrame, census: DataFrame,
+                                        evalHashes: DataFrame, canon: DataFrame,
+                                        classifier: DataFrame): DataFrame =
     funnelTail(train,
       f = Text.lmFluencyAgainstOn(train, census).select(col("doc_id"), col("is_fluent")),
+      g = classifier.select(col("doc_id"), col("pass_classifier")),
       d = Corpus.decontaminateAgainstHashesOn(train, evalHashes)
         .select(col("doc_id"), col("keep").as("pass_decontam")),
       c = canon.select(col("doc_id"), col("is_canonical")))
@@ -67,28 +88,30 @@ object Curation {
     * per-doc over the spine; fluency/decontamination/canonical plug in as
     * (doc_id, verdict) frames so the one-shot and frozen forms cannot
     * drift. */
-  private def funnelTail(train: DataFrame, f: DataFrame, d: DataFrame,
-                         c: DataFrame): DataFrame = {
+  private def funnelTail(train: DataFrame, f: DataFrame, g: DataFrame,
+                         d: DataFrame, c: DataFrame): DataFrame = {
     val q = Text.qualityFilterRowsOn(train).select(col("doc_id"), lit(true).as("pass_quality"))
     val r = Text.repetitionStatsOn(train).select(col("doc_id"), col("keep").as("pass_repetition"))
     val pq = coalesce(col("pass_quality"), lit(false))
     val pr = coalesce(col("pass_repetition"), lit(false))
     val pf = coalesce(col("is_fluent"), lit(false))
+    val pg = coalesce(col("pass_classifier"), lit(false))
     val pd = coalesce(col("pass_decontam"), lit(false))
     val pc = coalesce(col("is_canonical"), lit(false))
     train.select("doc_id", "lang", "source")
       .join(q, Seq("doc_id"), "left")
       .join(r, Seq("doc_id"), "left")
       .join(f, Seq("doc_id"), "left")
+      .join(g, Seq("doc_id"), "left")
       .join(d, Seq("doc_id"), "left")
       .join(c, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"), col("source"),
         pq.as("pass_quality"), pr.as("pass_repetition"), pf.as("is_fluent"),
-        pd.as("pass_decontam"), pc.as("is_canonical"),
-        (pq && pr && pf && pd && pc).as("kept"),
+        pg.as("pass_classifier"), pd.as("pass_decontam"), pc.as("is_canonical"),
+        (pq && pr && pf && pg && pd && pc).as("kept"),
         when(!pq, "quality").when(!pr, "repetition").when(!pf, "fluency")
-          .when(!pd, "contamination").when(!pc, "duplicate").as("drop_reason"))
-      .orderBy("doc_id")
+          .when(!pg, "classifier").when(!pd, "contamination")
+          .when(!pc, "duplicate").as("drop_reason"))
   }
 
   /** Registered-query form: identical gate semantics to
@@ -96,11 +119,16 @@ object Curation {
     * [[Text.lmFluency]]'s FROZEN heavy-gram census (train-once contract)
     * instead of re-running the census aggregation on every invocation —
     * the same routing as `t_ccnet_buckets`. */
-  private def funnelFrozen(spark: SparkSession, dir: String): DataFrame = {
+  private def funnelFrozen(spark: SparkSession, dir: String): DataFrame =
+    funnelFrozenRows(spark, dir).orderBy("doc_id")
+
+  private def funnelFrozenRows(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val train = docs.filter(pmod(col("doc_id"), lit(10L)) =!= lit(Corpus.BenchSlice))
     funnelTail(train,
       f = Text.lmFluency(spark, dir).select(col("doc_id"), col("is_fluent")),
+      g = Quality.qualityScore(spark, dir)
+        .select(col("doc_id"), col("keep").as("pass_classifier")),
       d = Corpus.decontaminate(spark, dir)
         .select(col("doc_id"), col("keep").as("pass_decontam")),
       c = Text.fingerprintOn(docs)
@@ -110,7 +138,7 @@ object Curation {
   def curationFunnel(spark: SparkSession, dir: String): DataFrame =
     funnelFrozen(spark, dir)
 
-  /** Oracle twin: the five REGISTERED oracle SQLs verbatim as subqueries
+  /** Oracle twin: the six REGISTERED oracle SQLs verbatim as subqueries
     * (subquery ORDER BYs are legal and ignored), joined on the train
     * spine. */
   val curationFunnelSql: String =
@@ -120,20 +148,24 @@ object Curation {
        |fq AS (SELECT doc_id, TRUE AS pass_quality FROM (${Text.qualityFilterSql})),
        |fr AS (SELECT doc_id, keep AS pass_repetition FROM (${Text.repetitionStatsSql})),
        |ff AS (SELECT doc_id, is_fluent FROM (${Text.lmFluencySql})),
+       |fg AS (SELECT doc_id, keep AS pass_classifier FROM (${Quality.qualityScoreSql})),
        |fd AS (SELECT doc_id, keep AS pass_decontam FROM (${Corpus.decontaminateSql})),
        |fc AS (SELECT doc_id, is_canonical = 1 AS is_canonical FROM (${Text.fingerprintSql}))
        |SELECT s.doc_id, s.lang, s.source,
        |       coalesce(fq.pass_quality, FALSE) AS pass_quality,
        |       coalesce(fr.pass_repetition, FALSE) AS pass_repetition,
        |       coalesce(ff.is_fluent, FALSE) AS is_fluent,
+       |       coalesce(fg.pass_classifier, FALSE) AS pass_classifier,
        |       coalesce(fd.pass_decontam, FALSE) AS pass_decontam,
        |       coalesce(fc.is_canonical, FALSE) AS is_canonical,
        |       (coalesce(fq.pass_quality, FALSE) AND coalesce(fr.pass_repetition, FALSE)
-       |        AND coalesce(ff.is_fluent, FALSE) AND coalesce(fd.pass_decontam, FALSE)
+       |        AND coalesce(ff.is_fluent, FALSE) AND coalesce(fg.pass_classifier, FALSE)
+       |        AND coalesce(fd.pass_decontam, FALSE)
        |        AND coalesce(fc.is_canonical, FALSE)) AS kept,
        |       CASE WHEN NOT coalesce(fq.pass_quality, FALSE) THEN 'quality'
        |            WHEN NOT coalesce(fr.pass_repetition, FALSE) THEN 'repetition'
        |            WHEN NOT coalesce(ff.is_fluent, FALSE) THEN 'fluency'
+       |            WHEN NOT coalesce(fg.pass_classifier, FALSE) THEN 'classifier'
        |            WHEN NOT coalesce(fd.pass_decontam, FALSE) THEN 'contamination'
        |            WHEN NOT coalesce(fc.is_canonical, FALSE) THEN 'duplicate'
        |            ELSE NULL END AS drop_reason
@@ -141,22 +173,23 @@ object Curation {
        |LEFT JOIN fq ON s.doc_id = fq.doc_id
        |LEFT JOIN fr ON s.doc_id = fr.doc_id
        |LEFT JOIN ff ON s.doc_id = ff.doc_id
+       |LEFT JOIN fg ON s.doc_id = fg.doc_id
        |LEFT JOIN fd ON s.doc_id = fd.doc_id
        |LEFT JOIN fc ON s.doc_id = fc.doc_id
        |ORDER BY s.doc_id""".stripMargin
 
   // --------------------------------------------------- gate co-fire report
-  /** Joint distribution of the five gate verdicts — the funnel diagnostic
+  /** Joint distribution of the six gate verdicts — the funnel diagnostic
     * a pipeline owner reads before retuning thresholds: which gate
     * combinations co-fire (a pattern failing ONLY fluency suggests a
     * census problem; everything failing together suggests genuine junk).
-    * One aggregate over the funnel's verdict bits: ≤2⁵ pattern rows with
-    * doc counts and corpus shares (the share window is ≤32 rows by
+    * One aggregate over the funnel's verdict bits: ≤2⁶ pattern rows with
+    * doc counts and corpus shares (the share window is ≤64 rows by
     * construction, so the single-partition window is bounded). Oracle
     * embeds the funnel oracle — the report cannot drift from the verdicts
     * it summarizes. */
   def gatePatternsOn(docs: DataFrame): DataFrame =
-    gatePatternsFrom(curationFunnelOn(docs))
+    gatePatternsFrom(curationFunnelRowsOn(docs))
 
   /** Pattern aggregation over an already-computed funnel frame — split so
     * the registered query can ride the frozen-census funnel. */
@@ -165,29 +198,30 @@ object Curation {
       .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
     funnel
       .groupBy("pass_quality", "pass_repetition", "is_fluent",
-        "pass_decontam", "is_canonical", "kept")
+        "pass_classifier", "pass_decontam", "is_canonical", "kept")
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("share",
         graft.ops.Num.r6(col("n_docs").cast("double") / sum(col("n_docs")).over(w)))
       .orderBy(col("n_docs").desc, col("pass_quality"), col("pass_repetition"),
-        col("is_fluent"), col("pass_decontam"), col("is_canonical"))
+        col("is_fluent"), col("pass_classifier"), col("pass_decontam"),
+        col("is_canonical"))
   }
 
   def gatePatterns(spark: SparkSession, dir: String): DataFrame =
-    gatePatternsFrom(funnelFrozen(spark, dir))
+    gatePatternsFrom(funnelFrozenRows(spark, dir))
 
   val gatePatternsSql: String =
     s"""WITH fun AS (SELECT * FROM ($curationFunnelSql)),
        |g AS (
-       |  SELECT pass_quality, pass_repetition, is_fluent, pass_decontam,
-       |         is_canonical, kept, count(*) AS n_docs
-       |  FROM fun GROUP BY 1, 2, 3, 4, 5, 6)
-       |SELECT pass_quality, pass_repetition, is_fluent, pass_decontam,
-       |       is_canonical, kept, n_docs,
+       |  SELECT pass_quality, pass_repetition, is_fluent, pass_classifier,
+       |         pass_decontam, is_canonical, kept, count(*) AS n_docs
+       |  FROM fun GROUP BY 1, 2, 3, 4, 5, 6, 7)
+       |SELECT pass_quality, pass_repetition, is_fluent, pass_classifier,
+       |       pass_decontam, is_canonical, kept, n_docs,
        |       ${graft.ops.Num.r6Sql("CAST(n_docs AS DOUBLE) / sum(n_docs) OVER ()")} AS share
        |FROM g
        |ORDER BY n_docs DESC, pass_quality, pass_repetition, is_fluent,
-       |         pass_decontam, is_canonical""".stripMargin
+       |         pass_classifier, pass_decontam, is_canonical""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("t_curation_funnel", curationFunnel _, curationFunnelSql),

@@ -358,15 +358,7 @@ object Quality {
     * threshold state regardless of corpus size (a median would need a
     * corpus-wide value collection). */
   def qsScoreAgainstOn(docs: DataFrame, weights: DataFrame): DataFrame = {
-    val scores = qsFeatures(docs)
-      .join(broadcast(weights.select(col("b"), col("w"))), Seq("b"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score"))
-    val scored = docs.select(col("doc_id"), col("lang"), col("source"))
-      .join(scores, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"), col("source"),
-        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        coalesce(col("score"), lit(0L)).as("score"))
+    val scored = qsRawScores(docs, weights)
     val thr = scored.agg(sum(col("score")).as("tot_score"),
       count(lit(1)).as("n_tot"))
     scored.crossJoin(broadcast(thr))
@@ -378,6 +370,39 @@ object Quality {
 
   def qualityScoreOn(docs: DataFrame, posSource: String = QsPosSource): DataFrame =
     qsScoreAgainstOn(docs, qsWeightsOn(docs, posSource))
+
+  /** Raw per-doc scores against fixed weights (no gate): (doc_id, lang,
+    * source, n_feats, score). */
+  private def qsRawScores(docs: DataFrame, weights: DataFrame): DataFrame = {
+    val scores = qsFeatures(docs)
+      .join(broadcast(weights.select(col("b"), col("w"))), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score"))
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
+  /** The frozen calibration pair (Σscores, n) of a scored population —
+    * collected once at train time (two longs), then any amount of pool
+    * gates against it via [[qsKeepWithThreshold]]: the deployment /
+    * streaming form, where the threshold must NOT drift per batch. */
+  def qsThresholdOn(docs: DataFrame, weights: DataFrame): (Long, Long) = {
+    val r = qsRawScores(docs, weights)
+      .agg(sum(col("score")), count(lit(1))).head()
+    (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+  }
+
+  /** Gate a pool against FIXED weights and a FIXED calibration pair:
+    * keep ⟺ score·n_cal &gt; Σ_cal (cross-multiplied, integer-exact). */
+  def qsKeepWithThreshold(docs: DataFrame, weights: DataFrame,
+                          totScore: Long, nTot: Long): DataFrame =
+    qsRawScores(docs, weights)
+      .select(col("doc_id"),
+        (col("score").cast("decimal(38,0)") * lit(nTot).cast("decimal(38,0)")
+          > lit(totScore).cast("decimal(38,0)")).as("pass_classifier"))
 
   /** Frozen weight table per (corpus, positive source) — [[QsBuckets]]
     * integer rows, train-once (the DSIR-weights convention). */

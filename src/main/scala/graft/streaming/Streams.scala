@@ -338,6 +338,8 @@ object Streams {
     *
     *  - quality and repetition judge each document alone (stateless);
     *  - fluency scores against the FROZEN heavy-bigram census;
+    *  - the classifier gate scores against FROZEN weights + a FROZEN
+    *    calibration pair (train-once, like the census);
     *  - decontamination judges against the STATIC eval suite;
     *  - the exact-dup canonical gate carries the one piece of cross-batch
     *    state — an append-only (doc_id, fp) fingerprint log at `fpPath`
@@ -354,6 +356,7 @@ object Streams {
     * (StreamsSpec parity). */
   def curationFunnelBatches(docs: DataFrame, census: DataFrame, evalDocs: DataFrame,
                             fpPath: String,
+                            qsWeights: DataFrame, qsThreshold: (Long, Long),
                             trigger: org.apache.spark.sql.streaming.Trigger =
                               org.apache.spark.sql.streaming.Trigger.AvailableNow())
                            (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
@@ -380,8 +383,16 @@ object Streams {
           .join(seen.groupBy("fp").agg(min(col("doc_id")).as("canonical_doc_id")), "fp")
           .select(col("doc_id"), (col("doc_id") === col("canonical_doc_id")).as("is_canonical"))
         val train = b.filter(pmod(col("doc_id"), lit(10L)) =!= lit(graft.ext.Corpus.BenchSlice))
+        // classifier gate: frozen weights + FROZEN calibration pair — the
+        // threshold must not drift per micro-batch, so it arrives as two
+        // longs trained alongside the weights (batch parity with the
+        // full-corpus funnel is exact because the batch funnel's gate uses
+        // the same full-corpus calibration)
+        val classifier = graft.ext.Quality.qsKeepWithThreshold(
+          train, qsWeights, qsThreshold._1, qsThreshold._2)
         try onBatch(
-          graft.ext.Curation.curationFunnelAgainstHashesOn(train, census, evalHashes, canon), id)
+          graft.ext.Curation.curationFunnelAgainstHashesOn(train, census, evalHashes, canon,
+            classifier), id)
         finally {
           fps.write.mode("append").parquet(fpPath)
           b.unpersist()

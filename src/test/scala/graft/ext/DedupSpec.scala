@@ -398,16 +398,16 @@ class DedupSpec extends SparkSpec {
   test("gate patterns sum to the funnel universe and kept matches the conjunction") {
     val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
     val pats = graft.ext.Curation.gatePatternsOn(docs)
-      .as[(Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Long, Double)]
+      .as[(Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Long, Double)]
       .collect().toSeq
     val funnelRows = graft.ext.Curation.curationFunnel(spark, "/root/testdata/sf0.001").count()
     spark.catalog.clearCache()
-    assert(pats.nonEmpty && pats.size <= 32)
-    assert(pats.map(_._7).sum === funnelRows)
-    pats.foreach { case (q, r, f, d, c, kept, _, _) =>
-      assert(kept === (q && r && f && d && c), s"kept bit wrong for ($q,$r,$f,$d,$c)")
+    assert(pats.nonEmpty && pats.size <= 64)
+    assert(pats.map(_._8).sum === funnelRows)
+    pats.foreach { case (q, r, f, g, d, c, kept, _, _) =>
+      assert(kept === (q && r && f && g && d && c), s"kept bit wrong for ($q,$r,$f,$g,$d,$c)")
     }
-    assert(math.abs(pats.map(_._8).sum - 1.0) < 1e-4, "shares must sum to ~1")
+    assert(math.abs(pats.map(_._9).sum - 1.0) < 1e-4, "shares must sum to ~1")
   }
 
   test("LSH recall monitor recomputes exactly from its two source queries") {

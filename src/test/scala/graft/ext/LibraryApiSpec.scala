@@ -261,24 +261,28 @@ class LibraryApiSpec extends SparkSpec {
     val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
     val rows = Curation.curationFunnelOn(docs).collect().map { r =>
       (r.getLong(0), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
-        r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
-        if (r.isNullAt(9)) None else Some(r.getString(9)))
+        r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9),
+        if (r.isNullAt(10)) None else Some(r.getString(10)))
     }
     val train = docs.filter(pmod(col("doc_id"), lit(10L)) =!= lit(Corpus.BenchSlice))
     assert(rows.length === train.count(), "funnel must cover exactly the training pool")
-    // independent recomputation of one gate: the quality survivors
+    // independent recomputation of two gates: quality survivors + the
+    // classifier's registered keep verdicts
     val qSurvivors = Text.qualityFilterRowsOn(docs).select("doc_id")
       .as[Long].collect().toSet
-    rows.foreach { case (id, pq, pr, pf, pd, pc, kept, reason) =>
+    val gKeep = Quality.qualityScoreOn(docs).select("doc_id", "keep")
+      .as[(Long, Boolean)].collect().toMap
+    rows.foreach { case (id, pq, pr, pf, pg, pd, pc, kept, reason) =>
       assert(pq === qSurvivors.contains(id), s"doc $id: pass_quality disagrees with the operator")
-      assert(kept === (pq && pr && pf && pd && pc), s"doc $id: kept is not the gate conjunction")
+      assert(pg === gKeep(id), s"doc $id: pass_classifier disagrees with t_quality_score")
+      assert(kept === (pq && pr && pf && pg && pd && pc), s"doc $id: kept is not the gate conjunction")
       assert(kept === reason.isEmpty, s"doc $id: kept but has a drop reason (or vice versa)")
       // the reported reason is the FIRST failing gate in pipeline order
       val expected = Seq("quality" -> pq, "repetition" -> pr, "fluency" -> pf,
-        "contamination" -> pd, "duplicate" -> pc).find(!_._2).map(_._1)
+        "classifier" -> pg, "contamination" -> pd, "duplicate" -> pc).find(!_._2).map(_._1)
       assert(reason === expected, s"doc $id: reason $reason, expected $expected")
     }
-    assert(rows.exists(_._7 === true) && rows.exists(_._8.nonEmpty),
+    assert(rows.exists(_._8 === true) && rows.exists(_._9.nonEmpty),
       "degenerate corpus: funnel kept everything or dropped nothing")
   }
 

@@ -242,10 +242,13 @@ class StreamsSpec extends SparkSpec {
     // the frozen artifacts the batch funnel derives from the full corpus
     val census = graft.ext.Text.fluencyCensusOn(docs).persist()
     val evalDocs = docs.filter(col("doc_id") % 10 === lit(graft.ext.Corpus.BenchSlice))
+    // classifier model frozen from the full corpus, as the batch funnel trains it
+    val qsW = graft.ext.Quality.qsWeightsOn(docs).persist()
+    val qsThr = graft.ext.Quality.qsThresholdOn(docs, qsW)
     val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
     val stream = spark.readStream.schema(documentsSchema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
-    val q = Streams.curationFunnelBatches(stream, census, evalDocs, s"$base/fps") { (out, _) =>
+    val q = Streams.curationFunnelBatches(stream, census, evalDocs, s"$base/fps", qsW, qsThr) { (out, _) =>
       val rows = out.collect().map(_.toSeq)
       buf.synchronized { buf ++= rows }
     }
@@ -253,11 +256,11 @@ class StreamsSpec extends SparkSpec {
     val batch = graft.ext.Curation.curationFunnelOn(docs).collect().map(_.toSeq).toSet
     census.unpersist()
     spark.catalog.clearCache()
-    assert(batch.exists(r => r(9) != null), "degenerate corpus: batch funnel dropped nothing")
+    assert(batch.exists(r => r(10) != null), "degenerate corpus: batch funnel dropped nothing")
     // the cross-batch canonical state must actually be exercised: some doc
     // is non-canonical (its fp was seen first on a smaller id) — it may
     // also fail an earlier gate, so don't demand 'duplicate' as the reason
-    assert(batch.exists(r => r(7) == false), "no non-canonical doc in the batch funnel")
+    assert(batch.exists(r => r(8) == false), "no non-canonical doc in the batch funnel")
     assert(buf.size === buf.toSet.size, "a doc was judged in more than one micro-batch")
     assert(buf.toSet === batch,
       s"missing: ${(batch -- buf.toSet).take(3)}; extra: ${(buf.toSet -- batch).take(3)}")
@@ -748,10 +751,12 @@ class StreamsSpec extends SparkSpec {
       Files.move(part.toPath, Paths.get(s"$base/in/b$p.parquet"), StandardCopyOption.ATOMIC_MOVE)
       Thread.sleep(20)
     }
+    val qsW = graft.ext.Quality.qsWeightsOn(docs).persist()
+    val qsThr = graft.ext.Quality.qsThresholdOn(docs, qsW)
     val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
     val stream = spark.readStream.schema(documentsSchema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
-    val q = Streams.curationFunnelBatches(stream, census, evalDocs, s"$base/fps") { (out, _) =>
+    val q = Streams.curationFunnelBatches(stream, census, evalDocs, s"$base/fps", qsW, qsThr) { (out, _) =>
       val rows = out.collect().map(_.toSeq)
       buf.synchronized { buf ++= rows }
     }
