@@ -1115,6 +1115,7 @@ object Similarity {
       .unionByName(row("lsh", knnLsh(spark, dir)))
       .unionByName(row("ivf_label", knnIvf(spark, dir)))
       .unionByName(row("pq", knnPq(spark, dir)))
+      .unionByName(row("sq8", knnSq8(spark, dir)))
       .orderBy("method")
   }
 
@@ -1140,7 +1141,9 @@ object Similarity {
        |UNION ALL
        |${m("ivf_label", knnIvfSql)}
        |UNION ALL
-       |${m("pq", knnPqSql)})
+       |${m("pq", knnPqSql)}
+       |UNION ALL
+       |${m("sq8", knnSq8Sql)})
        |ORDER BY method""".stripMargin
   }
 
@@ -1226,8 +1229,112 @@ object Similarity {
        |       ${r6Sql("(sxy - sx * sy / n) / n")} AS cov
        |FROM a ORDER BY dim_i, dim_j""".stripMargin
 
+  // ------------------------------------------- scalar quantization (SQ8)
+  /** SQ8 ANN — uniform per-dimension scalar quantization (the SQ8 codec
+    * every production vector store ships alongside PQ): each float
+    * compresses to one byte via an affine map onto the dimension's
+    * [lo, hi] range, and search scores full-precision probes against the
+    * DEQUANTIZED corpus (asymmetric distance, like the PQ ADC). 4×
+    * memory reduction with near-exact recall — the accuracy/compression
+    * point between brute force (4 bytes/dim) and PQ (sub-byte/dim).
+    *
+    * Model = 2×[[Dims]] doubles (per-dim lo/hi), frozen per corpus and
+    * spliced as literal arrays — nothing joins, nothing shuffles for the
+    * model. Determinism: the affine map, round() (half-away-from-zero on
+    * positive args in both engines), and the dequantized cosine are all
+    * double arithmetic evaluated in identical order on both sides, so
+    * ranks need no rounding tricks beyond the brute-force conventions.
+    *
+    * Scale shape: exactly [[knnBruteForceOn]]'s — probes broadcast, the
+    * (compressed) corpus streams, one tiny per-probe top-k — but the
+    * scanned payload is 1/4 the bytes; a deployment stores the uint8
+    * codes and dequantizes in the scan. */
+  // final + literal → compile-time constant: knnRecallSql forces
+  // knnSq8Sql during ITS initializer, before later-declared plain vals
+  // would have initialized (a plain val here baked 0 into the oracle)
+  final val Sq8Levels = 255
+
+  /** Per-dimension (i, lo, hi) range model — one aggregate, 2×Dims doubles. */
+  def sq8ModelOn(embeddings: DataFrame): DataFrame =
+    embeddings.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i").agg(min(col("x").cast("double")).as("lo"),
+        max(col("x").cast("double")).as("hi"))
+
+  private val sq8Cache =
+    new graft.ops.FrozenCaches.Memo[Int, (Seq[Double], Seq[Double])]()
+
+  private def frozenSq8(spark: SparkSession, dir: String): (Seq[Double], Seq[Double]) =
+    sq8Cache.get(dir, Sq8Levels) {
+      val rows = sq8ModelOn(Tables.embeddings(spark, dir))
+        .orderBy("i").collect()
+      (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
+    }
+
+  def knnSq8On(embeddings: DataFrame, lo: Seq[Double], hi: Seq[Double]): DataFrame = {
+    val litLo = typedlit(lo)
+    val litHi = typedlit(hi)
+    // quantize-then-dequantize in one fused projection: the scan-side form
+    // of storing codes (a deployment persists round(...) as uint8)
+    val xh = transform(col("embedding"), (x, i) => {
+      val l = element_at(litLo, i + lit(1))
+      val h = element_at(litHi, i + lit(1))
+      when(h === l, l).otherwise(
+        l + round((x.cast("double") - l) * lit(Sq8Levels) / (h - l)) * (h - l) / lit(Sq8Levels))
+    })
+    val enc = embeddings.select(col("vec_id"), xh.as("xh"))
+      .withColumn("xnrm", sqrt(dot(col("xh"), col("xh"))))
+    val queries = withNorm(embeddings)
+      .filter(col("vec_id") % lit(QueryStride) === lit(0))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = enc.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("q_emb"), col("xh")) / (col("q_nrm") * col("xnrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= lit(TopK))
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), r6(col("cos")).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  def knnSq8(spark: SparkSession, dir: String): DataFrame = {
+    val (lo, hi) = frozenSq8(spark, dir)
+    knnSq8On(Tables.embeddings(spark, dir), lo, hi)
+  }
+
+  // lazy: referenced by knnRecallSql, which initializes earlier in
+  // declaration order — a plain val would splice null into that oracle
+  lazy val knnSq8Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |mm AS MATERIALIZED (
+       |  SELECT t.i, min(CAST(e.embedding[t.i] AS DOUBLE)) AS lo,
+       |         max(CAST(e.embedding[t.i] AS DOUBLE)) AS hi
+       |  FROM e, unnest(range(1, ${Dims + 1})) AS t(i) GROUP BY t.i),
+       |mml AS (SELECT (SELECT list(lo ORDER BY i) FROM mm) AS lo,
+       |               (SELECT list(hi ORDER BY i) FROM mm) AS hi),
+       |dx AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |         list_transform(range(1, ${Dims + 1}), i ->
+       |           CASE WHEN m.hi[i] = m.lo[i] THEN m.lo[i]
+       |                ELSE m.lo[i] + round((CAST(e.embedding[i] AS DOUBLE) - m.lo[i]) * $Sq8Levels
+       |                     / (m.hi[i] - m.lo[i])) * (m.hi[i] - m.lo[i]) / $Sq8Levels END) AS xh
+       |  FROM e CROSS JOIN mml m),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, ${normSql("embedding")} AS q_nrm
+       |      FROM e WHERE vec_id % $QueryStride = 0),
+       |scored AS (
+       |  SELECT q.q_id, d.vec_id,
+       |         ${dotSql("q.q_emb", "d.xh")} / (q.q_nrm * ${normSql("d.xh")}) AS cos
+       |  FROM dx d JOIN q ON d.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, vec_id AS neighbor_id, ${r6Sql("cos")} AS cosine
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s_knn_bruteforce", knnBruteForce _, knnBruteForceSql),
+    Q("s_knn_sq8", knnSq8 _, knnSq8Sql),
     Q("s_ivf_balance", ivfBalance _, ivfBalanceSql),
     Q("s_cov_matrix", covMatrix _, covMatrixSql),
     Q("s_knn_recall", knnRecall _, knnRecallSql),

@@ -232,6 +232,25 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Streaming quality-classifier gating via foreachBatch: new documents
+    * score against the FROZEN weight table and the FROZEN calibration pair
+    * ([[graft.ext.Quality.qsWeightsOn]] / [[graft.ext.Quality.qsThresholdOn]],
+    * trained once on a reference corpus — the threshold must not drift per
+    * micro-batch). Stateless across batches; the union of batch outputs
+    * equals the one-shot [[graft.ext.Quality.qsKeepWithThreshold]] over all
+    * documents seen (StreamsSpec parity). */
+  def qualityScoreBatches(docs: DataFrame, weights: DataFrame,
+                          totScore: Long, nTot: Long,
+                          trigger: org.apache.spark.sql.streaming.Trigger =
+                            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                         (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        onBatch(graft.ext.Quality.qsKeepWithThreshold(batch.toDF(), weights, totScore, nTot), id)
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming LM-fluency gating via foreachBatch: new documents score
     * against a FROZEN heavy-bigram census
     * ([[graft.ext.Text.fluencyCensusOn]], trained once on a reference

@@ -176,6 +176,33 @@ class PlanSpec extends SparkSpec {
       "frozen base-view scan missing:\n" + p.take(3000))
   }
 
+  test("quality classifier: weight table broadcasts, scoring aggregates partially, no cartesian on rows") {
+    val p = plan(graft.ext.Quality.qualityScore(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), "weight table not broadcast:\n" + p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
+    // the 1-row calibration pair rides a broadcast, never a row-sized cross join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange IdentityBroadcastMode"),
+      "calibration pair should cross-join via broadcast:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("align filter: id-keyed pair join, caption embedding is row-local, no cartesian") {
+    val p = plan(graft.multimodal.Multimodal.alignFilter(spark, dir))
+    // docs ⋈ embeddings joins on the id equi-key
+    assert("\\[doc_id#\\d+L\\], \\[doc_id#\\d+L\\]".r.findFirstIn(p).nonEmpty,
+      "pair join lost its id equi-key:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "alignment degenerated to all-pairs:\n" + p.take(3000))
+  }
+
+  test("epoch shuffle: rank windows partition by (epoch, shard) — no corpus-global sort before ranks") {
+    val p = plan(graft.ext.Corpus.epochShuffle(spark, dir))
+    assert(p.contains("hashpartitioning(epoch"), "rank window not shard-partitioned:\n" + p.take(3000))
+    // exactly one rangepartitioning: the presentation sort AFTER ranking
+    assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1,
+      "extra global sort:\n" + p.take(3000))
+  }
+
   test("dsir selection broadcasts the bucket-weight table; top-k is TakeOrdered, not a global sort") {
     val p = plan(graft.ext.Corpus.dsirSelect(spark, dir))
     assert(p.contains("BroadcastHashJoin"), "weight table not broadcast:\n" + p.take(3000))

@@ -337,4 +337,31 @@ class SimilaritySpec extends SparkSpec {
         s"dim $dim: cov ${diag(dim)} vs std² ${std * std}")
     }
   }
+
+  test("sq8: dequantized cosines stay within quantization error of exact; recall near-perfect") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    val model = Similarity.sq8ModelOn(emb).orderBy("i").collect()
+    val (lo, hi) = (model.map(_.getDouble(1)).toSeq, model.map(_.getDouble(2)).toSeq)
+    assert(lo.length === Similarity.Dims)
+    assert(lo.zip(hi).forall { case (l, h) => l <= h })
+    val sq8 = Similarity.knnSq8On(emb, lo, hi)
+      .as[(Long, Long, Long, Double)].collect()
+    val bf = Similarity.knnBruteForceOn(emb)
+      .as[(Long, Long, Long, Double)].collect()
+    spark.catalog.clearCache()
+    // per-coordinate quantization error ≤ step/2 = (hi-lo)/(2·255); with
+    // unit-ish norms the cosine of probe vs dequantized neighbor moves by
+    // O(dim · step) — bound it loosely at 0.05
+    val bfCos = bf.map(r => (r._1, r._3) -> r._4).toMap
+    val shared = sq8.flatMap(r => bfCos.get((r._1, r._3)).map(c => (r._4, c)))
+    assert(shared.nonEmpty)
+    shared.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact) < 0.05, s"sq8 cosine drifted: $approx vs $exact")
+    }
+    // 8-bit quantization barely perturbs ranks: recall@5 ≥ 0.9
+    val bfSet = bf.map(r => (r._1, r._3)).toSet
+    val hit = sq8.count(r => bfSet.contains((r._1, r._3)))
+    assert(hit.toDouble / bf.length >= 0.9, s"recall ${hit.toDouble / bf.length}")
+  }
 }

@@ -420,6 +420,41 @@ class StreamsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming quality classifier against frozen weights + calibration matches the batch gate") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_qs_stream").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    // model (weights + calibration pair) trains ONCE on the full frame;
+    // the pool then streams through in two micro-batches
+    val weights = graft.ext.Quality.qsWeightsOn(docs).persist()
+    val (tot, n) = graft.ext.Quality.qsThresholdOn(docs, weights)
+    Seq(0, 1).foreach { p =>
+      val tmp = s"$base/tmp$p"
+      docs.filter(col("doc_id") % 2 === p).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$base/in/b$p.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(20)
+    }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = Streams.qualityScoreBatches(stream, weights, tot, n) { (out, _) =>
+      val rows = out.collect().map(r => (r.getLong(0), r.getBoolean(1)))
+      buf.synchronized { buf ++= rows }
+    }
+    q.awaitTermination()
+    val batch = graft.ext.Quality.qsKeepWithThreshold(docs, weights, tot, n)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    weights.unpersist()
+    assert(buf.size === buf.toSet.size, "a doc was gated in more than one micro-batch")
+    assert(buf.toSet === batch,
+      s"missing: ${(batch -- buf.toSet).take(3)}; extra: ${(buf.toSet -- batch).take(3)}")
+    assert(batch.exists(_._2) && batch.exists(!_._2),
+      "degenerate: the gate kept everything or nothing")
+  }
+
   test("streaming fluency gate against a frozen census matches the batch scorer doc for doc") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = Files.createTempDirectory("graft_flu_stream").toString
