@@ -202,8 +202,106 @@ object Sessions {
        |       count(*) AS n_active
        |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------ as-of join
+  /** AS-OF join — the temporal operator Spark lacks natively (the brief's
+    * canonical example): every purchase event joins the SAME USER's latest
+    * view event at-or-before it (the market-data trades⟕quotes shape).
+    * Spark-first implementation is the union-tag carry-forward: tag both
+    * sides, union, ONE window partitioned by user ordered by (ts, tag,
+    * id), and `last(_, ignoreNulls)` carries the most recent quote row
+    * onto each trade row. One shuffle by key, zero range explosion —
+    * the plan every distributed as-of implementation reduces to, vs the
+    * O(|trades|·|window|) blowup of an inequality join. Quotes sharing an
+    * exact (user, ts) dedupe to the max event_id first (both engines), so
+    * ties are deterministic; at-or-before is inclusive (tag orders quotes
+    * before trades at equal ts).
+    *
+    * Oracle: DuckDB's NATIVE `ASOF LEFT JOIN` — a genuinely independent
+    * second implementation of the semantics. */
+  def asofJoinOn(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+    val quotes = e.filter(col("event_type") === lit("view"))
+      .groupBy("user_id", "ts_us")
+      .agg(max(col("event_id")).as("q_event_id"),
+        max_by(col("value"), col("event_id")).as("q_value"))
+      .select(col("user_id"), col("ts_us"), lit(0).as("tag"),
+        lit(null).cast("long").as("event_id"),
+        col("q_event_id"), col("ts_us").as("q_ts_us"), col("q_value"))
+    val trades = e.filter(col("event_type") === lit("purchase"))
+      .select(col("user_id"), col("ts_us"), lit(1).as("tag"), col("event_id"),
+        lit(null).cast("long").as("q_event_id"),
+        lit(null).cast("long").as("q_ts_us"),
+        lit(null).cast("double").as("q_value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("tag"), coalesce(col("q_event_id"), col("event_id")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    quotes.unionByName(trades)
+      .withColumn("quote_event_id", last(col("q_event_id"), ignoreNulls = true).over(w))
+      .withColumn("quote_ts_us", last(col("q_ts_us"), ignoreNulls = true).over(w))
+      .withColumn("quote_value", last(col("q_value"), ignoreNulls = true).over(w))
+      .filter(col("tag") === lit(1))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("quote_event_id"), col("quote_ts_us"), col("quote_value"))
+      .orderBy("event_id")
+  }
+
+  def asofJoin(spark: SparkSession, dir: String): DataFrame =
+    asofJoinOn(Tables.events(spark, dir))
+
+  val asofJoinSql: String =
+    s"""WITH q AS (
+       |  SELECT user_id, ts, max(event_id) AS q_event_id,
+       |         arg_max(value, event_id) AS q_value
+       |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+       |t AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+       |SELECT t.event_id, t.user_id, epoch_us(t.ts) AS ts_us,
+       |       q.q_event_id AS quote_event_id, epoch_us(q.ts) AS quote_ts_us,
+       |       q.q_value AS quote_value
+       |FROM t ASOF LEFT JOIN q ON t.user_id = q.user_id AND t.ts >= q.ts
+       |ORDER BY t.event_id""".stripMargin
+
+  // ------------------------------------------------------- interval join
+  /** Click attribution via a bounded INTERVAL join: every click pairs with
+    * the same user's view events inside the trailing 30-minute window —
+    * the batch twin of the watermarked stream-stream join
+    * ([[graft.streaming.Streams.clickViewJoin]], parity-spec'd since
+    * round 4), now a registered oracled query. The join is an EQUI-join on
+    * user_id with a range residual, so Spark plans a user-keyed
+    * sort-merge — output is bounded by events-per-user-per-window, never
+    * a cartesian. */
+  def clickAttributionOn(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+    val clicks = e.filter(col("event_type") === lit("click"))
+      .select(col("user_id"), col("event_id").as("click_event_id"), col("ts_us").as("c_ts_us"))
+    val views = e.filter(col("event_type") === lit("view"))
+      .select(col("user_id"), col("event_id").as("view_event_id"),
+        col("ts_us").as("v_ts_us"), col("value").as("view_value"))
+    clicks.join(views, Seq("user_id"))
+      .filter(col("v_ts_us") <= col("c_ts_us") &&
+        col("v_ts_us") >= col("c_ts_us") - lit(GapUs))
+      .select(col("click_event_id"), col("user_id"), col("c_ts_us"),
+        col("view_event_id"), col("v_ts_us"), col("view_value"))
+      .orderBy("click_event_id", "view_event_id")
+  }
+
+  def clickAttribution(spark: SparkSession, dir: String): DataFrame =
+    clickAttributionOn(Tables.events(spark, dir))
+
+  val clickAttributionSql: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value FROM events)
+       |SELECT c.event_id AS click_event_id, c.user_id, c.ts_us AS c_ts_us,
+       |       v.event_id AS view_event_id, v.ts_us AS v_ts_us, v.value AS view_value
+       |FROM e c JOIN e v
+       |  ON c.user_id = v.user_id AND c.event_type = 'click' AND v.event_type = 'view'
+       | AND v.ts_us <= c.ts_us AND v.ts_us >= c.ts_us - $GapUs
+       |ORDER BY click_event_id, view_event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("w_sessionize", sessionize _, sessionizeSql),
+    Q("w_asof_join", asofJoin _, asofJoinSql),
+    Q("w_click_attribution", clickAttribution _, clickAttributionSql),
     Q("w_session_window", sessionWindowAgg _, sessionWindowAggSql),
     Q("w_funnel", funnel _, funnelSql),
     Q("w_cohorts", cohorts _, cohortsSql),

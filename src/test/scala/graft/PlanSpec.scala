@@ -203,6 +203,24 @@ class PlanSpec extends SparkSpec {
       "extra global sort:\n" + p.take(3000))
   }
 
+  test("as-of join: one user-keyed shuffle for the carry-forward window, no range join anywhere") {
+    val p = plan(graft.queries.Sessions.asofJoin(spark, dir))
+    // the union-tag design has NO join operator at all — the whole as-of
+    // resolves through the user-partitioned window
+    assert(!p.contains("Join"), "as-of degenerated to a join plan:\n" + p.take(3000))
+    assert(p.contains("hashpartitioning(user_id"), "carry window lost its user key:\n" + p.take(3000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"extra shuffles ($exchanges):\n${p.take(3000)}")
+  }
+
+  test("interval join keys on user_id (sort-merge/hash with range residual), never cartesian") {
+    val p = plan(graft.queries.Sessions.clickAttribution(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "interval join degenerated to all-pairs:\n" + p.take(3000))
+    assert("\\[user_id#\\d+L\\], \\[user_id#\\d+L\\]".r.findFirstIn(p).nonEmpty,
+      "interval join lost its user equi-key:\n" + p.take(3000))
+  }
+
   test("dsir selection broadcasts the bucket-weight table; top-k is TakeOrdered, not a global sort") {
     val p = plan(graft.ext.Corpus.dsirSelect(spark, dir))
     assert(p.contains("BroadcastHashJoin"), "weight table not broadcast:\n" + p.take(3000))

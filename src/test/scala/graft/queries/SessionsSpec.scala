@@ -45,4 +45,37 @@ class SessionsSpec extends SparkSpec {
       .select("user_id").distinct().count()
     assert(byCohort.values.map(_.find(_._2 == 0L).get._3).sum === nUsers)
   }
+
+  test("as-of join: inclusive at-or-before, tie dedup to max id, nulls with no prior quote") {
+    def ev(rows: (Long, Long, String, Long, Double)*) =
+      rows.toDF("event_id", "user_id", "event_type", "us", "value")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    val out = Sessions.asofJoinOn(ev(
+      // user 1: quote at 10, trade at 20 → matches; trade at 10 (equal ts)
+      // → INCLUSIVE at-or-before matches the ts-10 quote too
+      (100L, 1L, "view", 10L, 1.5),
+      (101L, 1L, "purchase", 20L, 9.0),
+      (102L, 1L, "purchase", 10L, 9.0),
+      // user 2: TWO quotes at the same ts → max event_id wins the tie
+      (200L, 2L, "view", 10L, 2.0),
+      (201L, 2L, "view", 10L, 3.0),
+      (202L, 2L, "purchase", 15L, 9.0),
+      // user 2: a LATER quote must shadow the earlier ones
+      (203L, 2L, "view", 20L, 4.0),
+      (204L, 2L, "purchase", 25L, 9.0),
+      // user 3: trade before any quote → NULL match
+      (300L, 3L, "purchase", 5L, 9.0),
+      (301L, 3L, "view", 10L, 5.0),
+      // non-view/purchase events are ignored entirely
+      (400L, 1L, "click", 15L, 7.0)))
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> ((r._4, r._5, r._6))).toMap
+    assert(out(101L) === ((Some(100L), Some(10L), Some(1.5))))
+    assert(out(102L) === ((Some(100L), Some(10L), Some(1.5))), "equal-ts quote must match (inclusive)")
+    assert(out(202L) === ((Some(201L), Some(10L), Some(3.0))), "tie must dedupe to max event_id")
+    assert(out(204L) === ((Some(203L), Some(20L), Some(4.0))), "later quote must shadow earlier")
+    assert(out(300L) === ((None, None, None)), "no prior quote → null match")
+    assert(out.keySet === Set(101L, 102L, 202L, 204L, 300L), "one row per trade, only trades")
+  }
 }
