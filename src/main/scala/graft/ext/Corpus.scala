@@ -332,6 +332,66 @@ object Corpus {
        |FROM hashed ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------- split leakage audit
+  /** Split-hygiene audit: near-duplicate pairs that SPAN train/val/test
+    * splits — the eval-contamination check a pipeline runs after
+    * splitting, because hash-random splits place near-duplicates on
+    * opposite sides of the boundary and the test metric silently becomes
+    * a memorization probe. Composes the split manifest ([[splitRowsOn]])
+    * with the MinHash edge table (`Dedup.dupEdgesOn` — banded candidates,
+    * never all-pairs): each edge's endpoints look up their split, the
+    * (split, split) pair normalizes alphabetically, and the report
+    * zero-fills all six combinations so a clean corpus still shows its
+    * zeros. `is_leak` marks the cross-split rows — the numbers that must
+    * be ~0 before an eval is trusted.
+    *
+    * Scale shape: two doc_id-keyed joins of the edge table against the
+    * |corpus|-row split manifest (bucketed/co-partitioned in a warehouse),
+    * then a ≤6-group aggregate. */
+  def splitLeakageOn(docs: DataFrame): DataFrame = {
+    val sp = splitRowsOn(docs).select(col("doc_id"), col("split"))
+    val pairs = Dedup.dupEdgesOn(docs)
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+    val names = Seq("test", "train", "val")
+    import docs.sparkSession.implicits._
+    val combos = (for { a <- names; b <- names if a <= b } yield (a, b))
+      .toDF("split_a", "split_b")
+    combos.join(pairs, Seq("split_a", "split_b"), "left")
+      .select(col("split_a"), col("split_b"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        (col("split_a") =!= col("split_b")).as("is_leak"))
+      .orderBy("split_a", "split_b")
+  }
+
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageOn(Tables.documents(spark, dir))
+
+  val splitLeakageSql: String =
+    s"""WITH ed AS (
+       |  SELECT doc_a, doc_b FROM (${Dedup.minhashLshSql})
+       |  WHERE est_jaccard >= ${Dedup.ClusterEstMin}),
+       |sp AS MATERIALIZED (SELECT doc_id, split FROM ($splitSql)),
+       |pairs AS (
+       |  SELECT least(a.split, b.split) AS split_a,
+       |         greatest(a.split, b.split) AS split_b
+       |  FROM ed JOIN sp a ON ed.doc_a = a.doc_id
+       |          JOIN sp b ON ed.doc_b = b.doc_id),
+       |combos AS (
+       |  SELECT a.s AS split_a, b.s AS split_b
+       |  FROM (SELECT unnest(['test', 'train', 'val']) AS s) a,
+       |       (SELECT unnest(['test', 'train', 'val']) AS s) b
+       |  WHERE a.s <= b.s)
+       |SELECT c.split_a, c.split_b,
+       |       CAST(count(p.split_a) AS BIGINT) AS n_pairs,
+       |       c.split_a <> c.split_b AS is_leak
+       |FROM combos c LEFT JOIN pairs p
+       |  ON c.split_a = p.split_a AND c.split_b = p.split_b
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------- length bucketing
   /** Length-bucket table for dynamic batching: documents bucketed by token
     * count ([[LengthBucketWidth]]-token steps, capped at
@@ -1422,6 +1482,7 @@ object Corpus {
     Q("t_ivm_stats", ivmStats _, ivmStatsSql),
     Q("t_temp_mix", tempMix _, tempMixSql),
     Q("t_split", split _, splitSql),
+    Q("t_split_leakage", splitLeakage _, splitLeakageSql),
     Q("t_length_buckets", lengthBuckets _, lengthBucketsSql),
     Q("t_batch_manifest", batchManifest _, batchManifestSql),
     Q("t_seq_pack", seqPack _, seqPackSql),

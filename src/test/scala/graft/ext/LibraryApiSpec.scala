@@ -159,6 +159,22 @@ class LibraryApiSpec extends SparkSpec {
     assert(a === b, "split depends on input ordering")
   }
 
+  test("split leakage report: six zero-filled combos, leak flag consistent, pair mass conserved") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rep = Corpus.splitLeakageOn(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    // always exactly the six alphabetical combos, even where n_pairs = 0
+    assert(rep.map(t => (t._1, t._2)).toSeq === Seq(
+      ("test", "test"), ("test", "train"), ("test", "val"),
+      ("train", "train"), ("train", "val"), ("val", "val")))
+    rep.foreach { case (a, b, _, leak) => assert(leak === (a != b)) }
+    // every near-dup edge lands in exactly one combo (both endpoints are
+    // corpus docs, so neither join drops rows)
+    val edges = Dedup.dupEdgesOn(docs).count()
+    assert(edges > 0, "testdata lost its planted near-duplicates")
+    assert(rep.map(_._3).sum === edges, "pair mass not conserved")
+  }
+
   test("epoch shuffle: each epoch is a full permutation, positions contiguous, epochs decorrelated") {
     val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.01")
     val n = docs.count()
