@@ -17,12 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Text {
   /** Whitespace tokens with empties dropped — identical semantics to DuckDB
-    * list_filter(string_split_regex(...)). */
+    * list_filter(string_split_regex(...)). NULL text coalesces to the empty
+    * token list ON BOTH SIDES: under the pinned ansi=false session Spark's
+    * legacy sizeOfNull would otherwise make size(tokens(NULL)) = -1 (a
+    * NULL-text doc silently SUBTRACTING a token from any sum) while
+    * DuckDB's len(NULL) = NULL is skipped by sum() — divergent and both
+    * wrong; a doc with no text has zero tokens. */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= lit(""))
+    filter(split(coalesce(text, lit("")), "\\s+"), t => t =!= lit(""))
 
   def tokensSql(text: String): String =
-    s"list_filter(string_split_regex($text, '\\s+'), t -> t <> '')"
+    s"list_filter(string_split_regex(coalesce($text, ''), '\\s+'), t -> t <> '')"
 
   /** Overlapping word n-grams (non-distinct, in document order). Guarded
     * sequence: Spark's sequence(a,b) DESCENDS when a > b, so short docs

@@ -37,6 +37,15 @@ class TextSpec extends SparkSpec {
     assert(got === Seq(3, 0, 0))
   }
 
+  test("tokens treats NULL text as zero tokens, not legacy size -1") {
+    // under the pinned ansi=false session, size(NULL array) = -1; an
+    // unguarded tokenizer would let a NULL-text doc SUBTRACT from token
+    // sums while the DuckDB oracle's len(NULL) is skipped by sum()
+    val got = Seq(Some("a b"), None).toDF("t")
+      .select(size(Text.tokens(col("t"))).as("n")).as[Int].collect().toSeq
+    assert(got === Seq(2, 0))
+  }
+
   test("normalized collapses whitespace and lowercases") {
     val got = Seq("Hello   World\n\tFoo").toDF("t")
       .select(Text.normalized(col("t")).as("n")).as[String].head()
