@@ -1180,6 +1180,96 @@ object Similarity {
        |       ${r6Sql("max_cell * n_cells / CAST(n_vecs AS DOUBLE)")} AS balance
        |FROM s""".stripMargin
 
+  // ------------------------------------------- incremental index maintenance
+  /** Delta-bounded IVF index maintenance — the ANN twin of
+    * [[Corpus.ivmStatsFrom]] / `Dedup.dd_clusters_incremental`: the index's
+    * assignment manifest (vec_id → cell) is a FROZEN warehouse artifact, and
+    * a snapshot update re-assigns ONLY the newly-ingested vectors against
+    * the fixed coarse quantizer. The unchanged majority — at real ingestion
+    * cadence, almost everything — never goes back through the distance
+    * computation; retired vectors are subtracted from their manifest cell.
+    * The output is the per-cell occupancy ledger (n_old / n_added /
+    * n_removed / n_new), zero-filled over the quantizer's cell domain — the
+    * table an index server consults for probe-cost bounds and the retrain
+    * trigger feeds on (pair with [[ivfBalanceOn]]).
+    *
+    * Correctness discipline: the oracle computes `n_new` by fully
+    * RE-ASSIGNING the new snapshot, so the incremental ledger earns its row
+    * by matching the from-scratch rebuild exactly (same contract as the
+    * incremental cluster manifest and the IVM view).
+    *
+    * Scale shape: two vec_id-keyed anti joins classify the delta (in
+    * production the changelog arrives classified — this is the simulation's
+    * price, same as the IVM delta classify), one broadcast-centroid
+    * assignment pass over the ADDED slice only, then ≤|cells|-row joins. */
+  def ivfUpdateFrom(manifest: DataFrame, newVecs: DataFrame, cent: DataFrame): DataFrame = {
+    val added = newVecs.join(manifest.select("vec_id"), Seq("vec_id"), "left_anti")
+    val removed = manifest.join(newVecs.select("vec_id"), Seq("vec_id"), "left_anti")
+    val base = manifest.groupBy("cell").agg(count(lit(1)).as("n_old"))
+    val add = assignCellsAgainstOn(added, cent)
+      .groupBy("cell").agg(count(lit(1)).as("n_added"))
+    val rem = removed.groupBy("cell").agg(count(lit(1)).as("n_removed"))
+    cent.select(col("cent_id").as("cell"))
+      .join(base, Seq("cell"), "left")
+      .join(add, Seq("cell"), "left")
+      .join(rem, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_added"), lit(0L))
+          - coalesce(col("n_removed"), lit(0L))).as("n_new"))
+      .orderBy("cell")
+  }
+
+  private val ivfManifestCache = new graft.ops.FrozenCaches.Memo[Int, String](
+    beforeClear = _.forEach(p =>
+      graft.ops.FrozenCaches.deleteTree(java.nio.file.Paths.get(p).getParent.toString)))
+
+  /** Registered simulation: old snapshot = corpus minus the to-be-added
+    * slice, new snapshot = corpus minus the removed slice (the
+    * [[Corpus.DeltaMod]] churn convention shared with the whole
+    * incremental family — ~4% of vectors ingested, ~4% retired). The old
+    * snapshot's manifest freezes per corpus like every trained model. */
+  def ivfUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = frozenCentroids(spark, dir, KmeansCfg(dims = Dims))
+    val basePath = ivfManifestCache.get(dir, Corpus.DeltaMod) {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivf_base")
+        .toString + "/manifest.parquet"
+      assignCellsAgainstOn(
+        emb.filter(pmod(col("vec_id"), lit(Corpus.DeltaMod)) =!= lit(Corpus.DeltaAdded)),
+        cent).select("vec_id", "cell").write.parquet(p)
+      p
+    }
+    ivfUpdateFrom(spark.read.parquet(basePath),
+      emb.filter(pmod(col("vec_id"), lit(Corpus.DeltaMod)) =!= lit(Corpus.DeltaRemoved)),
+      cent)
+  }
+
+  /** Deliberately the full REBUILD: every count comes from re-assigning the
+    * respective snapshot, so the Spark side's incremental arithmetic
+    * (n_old + n_added − n_removed) must land exactly on the rebuilt
+    * n_new. */
+  val ivfUpdateSql: String = {
+    val (mod, add, rem) = (Corpus.DeltaMod, Corpus.DeltaAdded, Corpus.DeltaRemoved)
+    s"""WITH $kmeansCellsSql,
+       |base AS (SELECT cell, count(*) AS n FROM cells WHERE vec_id % $mod <> $add GROUP BY 1),
+       |ad AS (SELECT cell, count(*) AS n FROM cells WHERE vec_id % $mod = $add GROUP BY 1),
+       |rm AS (SELECT cell, count(*) AS n FROM cells WHERE vec_id % $mod = $rem GROUP BY 1),
+       |nw AS (SELECT cell, count(*) AS n FROM cells WHERE vec_id % $mod <> $rem GROUP BY 1)
+       |SELECT c.cent_id AS cell,
+       |       CAST(coalesce(b.n, 0) AS BIGINT) AS n_old,
+       |       CAST(coalesce(a.n, 0) AS BIGINT) AS n_added,
+       |       CAST(coalesce(r.n, 0) AS BIGINT) AS n_removed,
+       |       CAST(coalesce(w.n, 0) AS BIGINT) AS n_new
+       |FROM c2 c LEFT JOIN base b ON c.cent_id = b.cell
+       |          LEFT JOIN ad a ON c.cent_id = a.cell
+       |          LEFT JOIN rm r ON c.cent_id = r.cell
+       |          LEFT JOIN nw w ON c.cent_id = w.cell
+       |ORDER BY cell""".stripMargin
+  }
+
   // ---------------------------------------------- covariance / whitening prep
   /** Upper-triangle covariance matrix of the embedding corpus — the input
     * every whitening / PCA / ZCA normalization step consumes (complements
@@ -1336,6 +1426,7 @@ object Similarity {
     Q("s_knn_bruteforce", knnBruteForce _, knnBruteForceSql),
     Q("s_knn_sq8", knnSq8 _, knnSq8Sql),
     Q("s_ivf_balance", ivfBalance _, ivfBalanceSql),
+    Q("s_ivf_update", ivfUpdate _, ivfUpdateSql),
     Q("s_cov_matrix", covMatrix _, covMatrixSql),
     Q("s_knn_recall", knnRecall _, knnRecallSql),
     Q("s_knn_lsh", knnLsh _, knnLshSql),

@@ -176,6 +176,16 @@ class PlanSpec extends SparkSpec {
       "frozen base-view scan missing:\n" + p.take(3000))
   }
 
+  test("ivf update registered plan is delta-bounded: frozen manifest read back, one assignment pass") {
+    val p = plan(Similarity.ivfUpdate(spark, dir))
+    // the old snapshot's assignment manifest is a warehouse read, not a recompute
+    assert(p.contains("graft_ivf_base"), "frozen manifest scan missing:\n" + p.take(3000))
+    // exactly one distance/assignment pass (the ADDED slice); a second
+    // float_dot pass would mean the carried majority was re-assigned
+    assert("float_dot".r.findAllIn(p).size <= Similarity.KmeansK,
+      "more than one assignment pass — carried vectors re-assigned:\n" + p.take(3000))
+  }
+
   test("quality classifier: weight table broadcasts, scoring aggregates partially, no cartesian on rows") {
     val p = plan(graft.ext.Quality.qualityScore(spark, dir))
     assert(p.contains("BroadcastHashJoin"), "weight table not broadcast:\n" + p.take(3000))

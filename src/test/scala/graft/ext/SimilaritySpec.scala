@@ -364,4 +364,27 @@ class SimilaritySpec extends SparkSpec {
     val hit = sq8.count(r => bfSet.contains((r._1, r._3)))
     assert(hit.toDouble / bf.length >= 0.9, s"recall ${hit.toDouble / bf.length}")
   }
+
+  test("ivf update: incremental ledger equals a full reassignment of the new snapshot") {
+    val emb = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cent = Similarity.kmeansCentroidsOn(emb).persist()
+    val old = emb.filter(pmod(col("vec_id"), lit(7)) =!= lit(1))
+    val nw = emb.filter(pmod(col("vec_id"), lit(7)) =!= lit(2))
+    val manifest = Similarity.assignCellsAgainstOn(old, cent).select("vec_id", "cell")
+    val ledger = Similarity.ivfUpdateFrom(manifest, nw, cent).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // rebuild: assign the whole new snapshot from scratch
+    val rebuilt = Similarity.assignCellsAgainstOn(nw, cent)
+      .groupBy("cell").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cent.unpersist()
+    assert(ledger.nonEmpty)
+    ledger.foreach { case (cell, (nOld, nAdd, nRem, nNew)) =>
+      assert(nNew === nOld + nAdd - nRem, s"cell $cell ledger arithmetic broken")
+      assert(nNew === rebuilt.getOrElse(cell, 0L), s"cell $cell incremental != rebuild")
+    }
+    // conservation: every old vector is either carried or removed, every
+    // new vector either carried or added
+    assert(ledger.values.map(_._1).sum === old.count())
+    assert(ledger.values.map(_._4).sum === nw.count())
+  }
 }
