@@ -174,6 +174,65 @@ object Corpus {
        |ORDER BY lang, shard, chunk_id""".stripMargin
   }
 
+  // ------------------------------------------------- packing efficiency
+  /** Packing-efficiency report per language — the quality metric next to
+    * the [[seqPackOn]] manifest: concatenate-and-chunk packing wastes no
+    * padding inside a stream, but (a) the final partial chunk pads to the
+    * context length, and (b) every document that straddles a chunk
+    * boundary trains with truncated context on both sides. `fill_ratio`
+    * (tokens / chunks·[[ContextTokens]]) and `split_ratio` (boundary-
+    * straddling docs / docs) are the two numbers a packing config is tuned
+    * on. Same cumulative window as the manifest, so the report can never
+    * disagree with the packing it describes.
+    *
+    * Scale shape: identical to [[seqPackOn]] (the sharded form bounds the
+    * window partitions); the report itself is a |langs|-row aggregate. */
+  def packEfficiencyOn(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tok", size(Text.tokens(col("text"))).cast("long"))
+      .withColumn("cum_tok", sum("n_tok").over(w))
+      .withColumn("start_chunk", ((col("cum_tok") - col("n_tok")) / lit(ContextTokens)).cast("long"))
+      .withColumn("end_chunk", ((col("cum_tok") - lit(1)) / lit(ContextTokens)).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("end_chunk") > col("start_chunk"), 1L).otherwise(0L)).as("n_split_docs"),
+        sum("n_tok").as("total_tokens"))
+      .withColumn("n_chunks",
+        ((col("total_tokens") + lit(ContextTokens - 1)) / lit(ContextTokens)).cast("long"))
+      .select(col("lang"), col("n_docs"), col("n_split_docs"), col("total_tokens"),
+        col("n_chunks"),
+        when(col("n_chunks") === 0L, lit(0.0))
+          .otherwise(r6(col("total_tokens") / (col("n_chunks") * lit(ContextTokens)).cast("double")))
+          .as("fill_ratio"),
+        r6(col("n_split_docs") / col("n_docs").cast("double")).as("split_ratio"))
+      .orderBy("lang")
+  }
+
+  def packEfficiency(spark: SparkSession, dir: String): DataFrame =
+    packEfficiencyOn(Tables.documents(spark, dir))
+
+  val packEfficiencySql: String =
+    s"""WITH toks AS (
+       |  SELECT lang, doc_id, CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |cum AS (
+       |  SELECT lang, n_tok,
+       |         CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+       |  FROM toks),
+       |agg AS (
+       |  SELECT lang, count(*) AS n_docs,
+       |         CAST(sum(CASE WHEN (cum_tok - 1) // $ContextTokens > (cum_tok - n_tok) // $ContextTokens THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+       |         CAST(sum(n_tok) AS BIGINT) AS total_tokens
+       |  FROM cum GROUP BY 1)
+       |SELECT lang, n_docs, n_split_docs, total_tokens,
+       |       (total_tokens + ${ContextTokens - 1}) // $ContextTokens AS n_chunks,
+       |       CASE WHEN total_tokens = 0 THEN 0.0
+       |            ELSE ${r6Sql(s"total_tokens / CAST(((total_tokens + ${ContextTokens - 1}) // $ContextTokens) * $ContextTokens AS DOUBLE)")} END AS fill_ratio,
+       |       ${r6Sql("n_split_docs / CAST(n_docs AS DOUBLE)")} AS split_ratio
+       |FROM agg ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------- decontamination
   /** Benchmark decontamination (GPT-3 App. C / The Pile): flag training
     * documents whose word-3-gram shingles collide with an evaluation set,
@@ -1487,6 +1546,7 @@ object Corpus {
     Q("t_batch_manifest", batchManifest _, batchManifestSql),
     Q("t_seq_pack", seqPack _, seqPackSql),
     Q("t_seq_pack_sharded", seqPackSharded _, seqPackShardedSql),
+    Q("t_pack_efficiency", packEfficiency _, packEfficiencySql),
     Q("t_decontaminate", decontaminate _, decontaminateSql),
     // same semantics as t_decontaminate (bloom only PRUNES; the exact
     // verify join rejects its false positives) → the oracle is shared

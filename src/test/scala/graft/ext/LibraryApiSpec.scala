@@ -159,6 +159,21 @@ class LibraryApiSpec extends SparkSpec {
     assert(a === b, "split depends on input ordering")
   }
 
+  test("pack efficiency: hand-computed fill and boundary-split ratios at ContextTokens=1024") {
+    val t600 = Seq.fill(600)("w").mkString(" ")
+    val docs = Seq((1L, t600, "en", "web"), (2L, t600, "en", "web"), (3L, t600, "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = Corpus.packEfficiencyOn(docs).collect()
+    assert(r.length === 1)
+    val row = r.head
+    // cum = 600/1200/1800: doc 2 straddles the 1024 boundary (start chunk 0,
+    // end chunk 1), doc 3 lives inside chunk 1; 1800 tokens → 2 chunks
+    assert(row.getLong(1) === 3L && row.getLong(2) === 1L)
+    assert(row.getLong(3) === 1800L && row.getLong(4) === 2L)
+    assert(row.getDouble(5) === graft.ops.Num.r6Double(1800.0 / 2048.0))
+    assert(row.getDouble(6) === graft.ops.Num.r6Double(1.0 / 3.0))
+  }
+
   test("split leakage report: six zero-filled combos, leak flag consistent, pair mass conserved") {
     val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
     val rep = Corpus.splitLeakageOn(docs).collect()
