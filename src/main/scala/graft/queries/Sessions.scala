@@ -298,8 +298,91 @@ object Sessions {
        | AND v.ts_us <= c.ts_us AND v.ts_us >= c.ts_us - $GapUs
        |ORDER BY click_event_id, view_event_id""".stripMargin
 
+  // --------------------------------------------------- rate-spike monitor
+  /** Event-rate anomaly detection — the ingestion-health monitor an event
+    * pipeline runs continuously: hourly counts per event_type, a trailing
+    * [[BaselineBuckets]]-hour baseline (current bucket EXCLUDED), and a
+    * z-score flagging buckets ≥ [[SpikeZ]]σ above baseline. The bucket
+    * domain is ZERO-FILLED per type (the J5 zero-fill idiom) so silent
+    * hours count as zeros — without the fill, "24 trailing rows" silently
+    * stops meaning "24 trailing hours" exactly when the anomaly is a gap.
+    *
+    * Determinism: the rolling state is (sum, sum-of-squares, count) over
+    * exact integer counts, so mean/variance are single double expressions
+    * over identical integers on both engines; z is r6-rounded BEFORE the
+    * spike comparison so the flag can't flip on a last-ulp.
+    *
+    * Scale shape: one shuffle to (type, bucket) counts — map-side
+    * combined, cardinality |types|×|hours|, corpus-row-free after the
+    * first aggregate — then a per-type window over that tiny frame. */
+  val HourUs: Long = 3600L * 1000000
+  val BaselineBuckets = 24
+  val SpikeZ = 3.0
+
+  def rateSpikeOn(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_type"),
+      (col("ts_us") - pmod(col("ts_us"), lit(HourUs))).as("bucket_us"))
+    val counts = e.groupBy("event_type", "bucket_us").agg(count(lit(1)).as("n"))
+    val bounds = e.agg(min("bucket_us").as("lo"), max("bucket_us").as("hi"))
+    val domain = e.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(HourUs))).as("bucket_us"))
+    val w = Window.partitionBy("event_type").orderBy("bucket_us")
+      .rowsBetween(-BaselineBuckets, -1)
+    val mu = col("ssum").cast("double") / col("k")
+    val varP = greatest(col("ssq").cast("double") / col("k") - mu * mu, lit(0.0))
+    // std floor of 1 event: a burst over a perfectly-quiet baseline (σ=0)
+    // must still flag, and sub-event σ would turn ±1-count noise into
+    // spikes — the standard floor for small-integer count monitors
+    val z = (col("n") - mu) / greatest(sqrt(varP), lit(1.0))
+    domain.join(counts, Seq("event_type", "bucket_us"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("ssum", sum("n").over(w))
+      .withColumn("ssq", sum(col("n") * col("n")).over(w))
+      .withColumn("k", count(lit(1)).over(w))
+      .filter(col("k") === lit(BaselineBuckets.toLong))
+      .select(col("event_type"), col("bucket_us"), col("n"),
+        r6(mu).as("base_mean"), r6(sqrt(varP)).as("base_std"),
+        r6(z).as("z"), (r6(z) >= lit(SpikeZ)).as("is_spike"))
+      .orderBy("event_type", "bucket_us")
+  }
+
+  def rateSpike(spark: SparkSession, dir: String): DataFrame =
+    rateSpikeOn(Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts"))))
+
+  val rateSpikeSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, epoch_us(ts) - epoch_us(ts) % $HourUs AS bucket_us FROM events),
+       |counts AS (SELECT event_type, bucket_us, count(*) AS n FROM e GROUP BY 1, 2),
+       |bounds AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM e),
+       |domain AS (
+       |  SELECT t.event_type, unnest(range(b.lo, b.hi + 1, ${HourUs}::BIGINT)) AS bucket_us
+       |  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN bounds b),
+       |filled AS (
+       |  SELECT d.event_type, d.bucket_us, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+       |  FROM domain d LEFT JOIN counts c
+       |    ON d.event_type = c.event_type AND d.bucket_us = c.bucket_us),
+       |roll AS (
+       |  SELECT *, sum(n) OVER w AS ssum, sum(n * n) OVER w AS ssq, count(*) OVER w AS k
+       |  FROM filled
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us
+       |               ROWS BETWEEN $BaselineBuckets PRECEDING AND 1 PRECEDING)),
+       |scored AS (
+       |  SELECT event_type, bucket_us, n,
+       |         CAST(ssum AS DOUBLE) / k AS mu,
+       |         greatest(CAST(ssq AS DOUBLE) / k - (CAST(ssum AS DOUBLE) / k) * (CAST(ssum AS DOUBLE) / k), 0.0) AS varp
+       |  FROM roll WHERE k = $BaselineBuckets)
+       |SELECT event_type, bucket_us, n,
+       |       ${r6Sql("mu")} AS base_mean, ${r6Sql("sqrt(varp)")} AS base_std,
+       |       ${r6Sql("(n - mu) / greatest(sqrt(varp), 1.0)")} AS z,
+       |       ${r6Sql("(n - mu) / greatest(sqrt(varp), 1.0)")} >= $SpikeZ AS is_spike
+       |FROM scored ORDER BY event_type, bucket_us""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("w_sessionize", sessionize _, sessionizeSql),
+    Q("w_rate_spike", rateSpike _, rateSpikeSql),
     Q("w_asof_join", asofJoin _, asofJoinSql),
     Q("w_click_attribution", clickAttribution _, clickAttributionSql),
     Q("w_session_window", sessionWindowAgg _, sessionWindowAggSql),

@@ -78,4 +78,25 @@ class SessionsSpec extends SparkSpec {
     assert(out(300L) === ((None, None, None)), "no prior quote → null match")
     assert(out.keySet === Set(101L, 102L, 202L, 204L, 300L), "one row per trade, only trades")
   }
+
+  test("rate spike: planted burst over a quiet baseline flags, silent hours zero-fill") {
+    val H = Sessions.HourUs
+    // type "a": exactly one event per hour for 30 h, plus a 50-event burst
+    // in hour 27 and NO events in hour 28 (the gap must zero-fill, not
+    // shrink the baseline window)
+    val rows = (0 until 30).filter(_ != 28).map(h => ("a", h * H + 1)) ++
+      (0 until 50).map(i => ("a", 27 * H + 100 + i))
+    val out = Sessions.rateSpikeOn(rows.toDF("event_type", "ts_us")).collect()
+      .map(r => (r.getLong(1) / H) -> ((r.getLong(2), r.getDouble(5), r.getBoolean(6)))).toMap
+    // warmup dropped: first emitted bucket is hour 24
+    assert(out.keySet === (24L to 29L).toSet)
+    // hour 27 carries 1 + 50 events over a σ=0, mean-1 baseline: the std
+    // floor of 1 gives z = 50, flagged
+    assert(out(27L)._1 === 51L && out(27L)._2 === 50.0 && out(27L)._3)
+    // the quiet hours sit on the baseline: z = 0, unflagged
+    assert(out(24L) === ((1L, 0.0, false)))
+    // hour 28 exists as a zero-filled bucket; its baseline now contains
+    // the burst (mean (23+51)/24), so z is negative, not a spike
+    assert(out(28L)._1 === 0L && out(28L)._2 < 0.0 && !out(28L)._3)
+  }
 }
