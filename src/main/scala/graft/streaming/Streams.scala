@@ -503,6 +503,70 @@ object Streams {
       }
   }
 
+  // ----------------------------------------------------- rate-spike monitor
+  case class RateEvent(event_type: String, ts_us: Long)
+  case class SpikeRow(event_type: String, bucket_us: Long, n: Long,
+                      base_mean: Double, base_std: Double, z: Double, is_spike: Boolean)
+  case class RateState(curBucket: Long, curN: Long, ring: Seq[Long])
+
+  /** Streaming twin of [[graft.queries.Sessions.rateSpikeOn]]: per
+    * event_type, a `flatMapGroupsWithState` ring of the trailing
+    * [[graft.queries.Sessions.BaselineBuckets]] hourly counts. A bucket
+    * SEALS (scores + joins the ring) when a later-bucket event arrives;
+    * silent hours between two events seal as synthesized zeros, so the
+    * zero-fill the batch domain join provides falls out of the state
+    * advance itself. State per type = ring + the open bucket — bounded by
+    * the baseline length, never by event count.
+    *
+    * `loBucketUs` is the feed epoch (the deployment's stream start, the
+    * batch domain's global lo): every type's ring clock starts there so a
+    * type whose first event arrives late accumulates the same leading
+    * zero baseline the batch zero-fill gives it. Under nondecreasing
+    * per-type event-time arrival, sealed rows equal the batch frame's
+    * rows for every bucket strictly before the type's last event bucket
+    * (StreamsSpec parity); the still-open bucket seals when later data —
+    * or a deployment's watermark timeout — closes it. */
+  def rateSpikeUpdates(events: Dataset[RateEvent], loBucketUs: Long): Dataset[SpikeRow] = {
+    import events.sparkSession.implicits._
+    val H = graft.queries.Sessions.HourUs
+    val B = graft.queries.Sessions.BaselineBuckets
+    def score(tpe: String, bucket: Long, n: Long, ring: Seq[Long]): Option[SpikeRow] =
+      if (ring.length < B) None
+      else {
+        val k = B.toDouble
+        val mu = ring.sum.toDouble / k
+        val varP = math.max(ring.map(x => x * x).sum.toDouble / k - mu * mu, 0.0)
+        val sd = math.sqrt(varP)
+        val z = graft.ops.Num.r6Double((n - mu) / math.max(sd, 1.0))
+        Some(SpikeRow(tpe, bucket, n, graft.ops.Num.r6Double(mu),
+          graft.ops.Num.r6Double(sd), z, z >= graft.queries.Sessions.SpikeZ))
+      }
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (tpe: String, rows: Iterator[RateEvent], state: GroupState[RateState]) =>
+          var st = state.getOption.getOrElse(RateState(loBucketUs, 0L, Seq.empty))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SpikeRow]
+          rows.toSeq.sortBy(_.ts_us).foreach { e =>
+            val b = e.ts_us - java.lang.Math.floorMod(e.ts_us, H)
+            if (b == st.curBucket) st = st.copy(curN = st.curN + 1)
+            else if (b > st.curBucket) {
+              var cur = st.curBucket; var n = st.curN; var ring = st.ring
+              while (cur < b) {
+                score(tpe, cur, n, ring).foreach(out += _)
+                ring = (ring :+ n).takeRight(B)
+                cur += H; n = 0L
+              }
+              st = RateState(b, 1L, ring)
+            }
+            // b < curBucket would be an arrival-contract violation; such a
+            // late event is dropped, matching the watermark discipline of
+            // the windowed twins
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Run a streaming DataFrame to completion against the bounded test input
     * (AvailableNow trigger + memory sink) and return the result as a batch
     * DataFrame — the harness for batch/stream parity tests. */

@@ -870,6 +870,36 @@ class StreamsSpec extends SparkSpec {
       .parquet(s"$base/in")
   }
 
+  test("streaming rate-spike ring matches the batch monitor on every sealed bucket") {
+    val H = graft.queries.Sessions.HourUs
+    val ev = graft.ops.Tables.events(spark, sfDir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val lo = ev.agg(min(col("ts_us") - pmod(col("ts_us"), lit(H)))).head().getLong(0)
+    val stream = timeSlicedEventStream("ratespike")
+      .select(col("event_type"), col("ts_us")).as[Streams.RateEvent]
+    val streamed = Streams.runToMemory(spark,
+        Streams.rateSpikeUpdates(stream, lo).toDF(), "t_rate_spike")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))))
+    // append-once: a bucket seals exactly once across micro-batches
+    assert(streamed.length === streamed.map(_._1).toSet.size, "a bucket was re-emitted")
+    // the stream can only seal buckets strictly before each type's last
+    // event bucket; on those, it must equal the batch frame exactly
+    val lastBucket = ev.groupBy("event_type")
+      .agg(max(col("ts_us") - pmod(col("ts_us"), lit(H))).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.queries.Sessions.rateSpike(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))))
+      .filter { case ((t, b), _) => b < lastBucket(t) }
+      .toMap
+    assert(batch.nonEmpty, "degenerate corpus: no sealed full-baseline buckets")
+    assert(streamed.toMap === batch,
+      s"missing=${(batch.keySet -- streamed.map(_._1).toSet).take(3)} " +
+        s"extra=${(streamed.map(_._1).toSet -- batch.keySet).take(3)}")
+  }
+
   test("streaming funnel state machine matches the batch stage frame across micro-batches") {
     val stream = timeSlicedEventStream("funnel")
       .select(col("user_id"), col("ts_us"), col("event_type"), col("event_id"))
