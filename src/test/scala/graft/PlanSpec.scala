@@ -176,6 +176,15 @@ class PlanSpec extends SparkSpec {
       "frozen base-view scan missing:\n" + p.take(3000))
   }
 
+  test("rate spike: counts aggregate partially, the only loose join is the 1-row bounds broadcast") {
+    val p = plan(graft.queries.Sessions.rateSpike(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation on the bucket counts")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the domain cross join rides a broadcast of the 1-row bounds frame
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "bounds frame should broadcast:\n" + p.take(3000))
+  }
+
   test("ivf update registered plan is delta-bounded: frozen manifest read back, one assignment pass") {
     val p = plan(Similarity.ivfUpdate(spark, dir))
     // the old snapshot's assignment manifest is a warehouse read, not a recompute
