@@ -1147,6 +1147,82 @@ object Similarity {
        |ORDER BY method""".stripMargin
   }
 
+  // ------------------------------------------------- nprobe tuning curve
+  /** Recall@[[TopK]] of the k-means IVF at EVERY nprobe 1..[[KmeansK]] as
+    * one table — the ANN twin of `dd_threshold_curve`: retuning the
+    * recall/cost knob becomes a table read, not a rerun experiment. One
+    * candidate pass computes the whole sweep: each (probe, candidate)
+    * pair carries the candidate cell's rank in the probe's cell ordering,
+    * explodes to every nprobe ≥ that rank, and a per-(probe, nprobe)
+    * top-k window + one membership join against the brute-force truth
+    * yields all K recall points. nprobe = [[KmeansK]] is exact brute
+    * force by construction, so the curve's last row doubles as a
+    * self-check (recall 1.0).
+    *
+    * Cost: the sweep's candidate set at nprobe = K IS the full
+    * probe×corpus product — the same work `s_knn_bruteforce` already
+    * does; a 100 TB deployment sweeps on a probe SAMPLE (QueryStride
+    * here), which is exactly what this query measures. */
+  def nprobeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val cent = frozenCentroids(spark, dir, KmeansCfg(dims = Dims))
+    val corpus = assignCells(withNorm(Tables.embeddings(spark, dir)), cent)
+    val queries = corpus.filter(col("vec_id") % lit(QueryStride) === lit(0))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val wc = Window.partitionBy("q_id").orderBy(col("ccos_r").desc, col("cell"))
+    val probes = queries
+      .crossJoin(broadcast(cent.select(col("cent_id").as("cell"), col("centroid"), col("c_nrm"))))
+      .withColumn("ccos_r", r6(dot(col("q_emb"), col("centroid")) / (col("q_nrm") * col("c_nrm"))))
+      .withColumn("cell_rank", row_number().over(wc))
+      .select("q_id", "q_emb", "q_nrm", "cell", "cell_rank")
+    val wr = Window.partitionBy("q_id", "nprobe").orderBy(col("cos").desc, col("vec_id"))
+    val ann = corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", fastDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+      .select(col("q_id"), col("vec_id"), col("cos"),
+        explode(sequence(col("cell_rank"), lit(KmeansK))).as("nprobe"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= lit(TopK))
+      .select(col("nprobe"), col("q_id"), col("vec_id").as("neighbor_id"), lit(1L).as("hit"))
+    val bfSweep = knnBruteForce(spark, dir)
+      .select(col("q_id"), col("neighbor_id"),
+        explode(sequence(lit(1), lit(KmeansK))).as("nprobe"))
+    bfSweep.join(ann, Seq("nprobe", "q_id", "neighbor_id"), "left")
+      .groupBy("nprobe")
+      .agg(countDistinct(col("q_id")).as("n_queries"), count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .select(col("nprobe").cast("long").as("nprobe"), col("n_queries"), col("n_pairs"),
+        col("n_hits"), r6(col("n_hits").cast("double") / col("n_pairs")).as("recall"))
+      .orderBy("nprobe")
+  }
+
+  val nprobeCurveSql: String =
+    s"""WITH $kmeansCellsSql,
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id % $QueryStride = 0),
+       |pc AS (
+       |  SELECT q.q_id, q.q_emb, q.q_nrm, c.cent_id AS cell,
+       |         row_number() OVER (PARTITION BY q.q_id ORDER BY ${r6Sql(s"${dotSql("q.q_emb", "c.centroid")} / (q.q_nrm * c.c_nrm)")} DESC, c.cent_id) AS cell_rank
+       |  FROM q CROSS JOIN c2 c),
+       |cand AS (
+       |  SELECT p.q_id, s.vec_id,
+       |         ${dotSql("p.q_emb", "s.embedding")} / (p.q_nrm * s.nrm) AS cos, p.cell_rank
+       |  FROM cells s JOIN pc p ON s.cell = p.cell AND s.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT pr.p AS nprobe, c.q_id, c.vec_id,
+       |         row_number() OVER (PARTITION BY c.q_id, pr.p ORDER BY c.cos DESC, c.vec_id) AS rank
+       |  FROM cand c JOIN range(1, ${KmeansK + 1}) pr(p) ON pr.p >= c.cell_rank),
+       |ann AS (SELECT nprobe, q_id, vec_id FROM ranked WHERE rank <= $TopK),
+       |bfp AS (
+       |  SELECT pr.p AS nprobe, b.q_id, b.neighbor_id
+       |  FROM ($knnBruteForceSql) b CROSS JOIN range(1, ${KmeansK + 1}) pr(p))
+       |SELECT CAST(f.nprobe AS BIGINT) AS nprobe,
+       |       CAST(count(DISTINCT f.q_id) AS BIGINT) AS n_queries,
+       |       CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(count(a.q_id) AS BIGINT) AS n_hits,
+       |       ${r6Sql("count(a.q_id) * 1.0 / count(*)")} AS recall
+       |FROM bfp f LEFT JOIN ann a
+       |  ON f.nprobe = a.nprobe AND f.q_id = a.q_id AND f.neighbor_id = a.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------ IVF index health report
   /** Cell-occupancy balance of the frozen coarse quantizer — the ANN index
     * health monitor. IVF scan cost is bounded by the probed cells' sizes,
@@ -1427,6 +1503,7 @@ object Similarity {
     Q("s_knn_sq8", knnSq8 _, knnSq8Sql),
     Q("s_ivf_balance", ivfBalance _, ivfBalanceSql),
     Q("s_ivf_update", ivfUpdate _, ivfUpdateSql),
+    Q("s_nprobe_curve", nprobeCurve _, nprobeCurveSql),
     Q("s_cov_matrix", covMatrix _, covMatrixSql),
     Q("s_knn_recall", knnRecall _, knnRecallSql),
     Q("s_knn_lsh", knnLsh _, knnLshSql),

@@ -365,6 +365,20 @@ class SimilaritySpec extends SparkSpec {
     assert(hit.toDouble / bf.length >= 0.9, s"recall ${hit.toDouble / bf.length}")
   }
 
+  test("nprobe curve: recall is monotone in nprobe and reaches exactly 1.0 at full probe") {
+    val rows = Similarity.nprobeCurve(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq === (1L to Similarity.KmeansK.toLong))
+    // denominator is the brute-force truth at every sweep point
+    assert(rows.map(_._2).distinct.length === 1, "truth-pair denominator drifted across the sweep")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._4, s"recall fell ${a._1}->${b._1}: ${a._4} > ${b._4}")
+    }
+    // probing every cell IS brute force: the last point must be exact
+    assert(rows.last._4 === 1.0, s"full-probe recall ${rows.last._4} != 1.0")
+    spark.catalog.clearCache()
+  }
+
   test("ivf update: incremental ledger equals a full reassignment of the new snapshot") {
     val emb = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cent = Similarity.kmeansCentroidsOn(emb).persist()
