@@ -1223,6 +1223,50 @@ object Similarity {
        |  ON f.nprobe = a.nprobe AND f.q_id = a.q_id AND f.neighbor_id = a.vec_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------- PQ distortion monitor
+  /** Per-subspace quantization-distortion report of the frozen PQ
+    * codebook — the compression-side index-health monitor completing the
+    * trio with [[ivfBalanceOn]] (cells) and [[knnRecall]] (search): mean
+    * squared reconstruction error per subspace plus codebook utilization
+    * (distinct codes actually assigned, ≤ [[PqK]]). Rising distortion or
+    * collapsing utilization after corpus drift is the codebook-retrain
+    * trigger a production vector store watches.
+    *
+    * Determinism: assignment uses the same (r6 distance, code) min_by key
+    * as the encoder so the chosen codeword can never differ from what
+    * [[knnPqOn]] ships; the error itself is the exact double fold, meaned
+    * then r6-rounded (the engine-wide mean convention).
+    *
+    * Scale shape: one corpus pass against the broadcast codebook, one
+    * (vec_id, sub)-keyed hash agg, then an m-row rollup. */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = PqCfg()
+    val sub = pqSub(Tables.embeddings(spark, dir), cfg.m, cfg.dims / cfg.m)
+    val cbd = frozenCodebook(spark, dir, cfg)
+    val asg = sub.join(broadcast(cbd), "sub")
+      .withColumn("d2", l2sq(col("sv"), col("cvec")))
+      .groupBy("vec_id", "sub")
+      .agg(min_by(struct(col("code"), col("d2")), struct(r6(col("d2")), col("code"))).as("a"))
+    asg.groupBy("sub")
+      .agg(count(lit(1)).as("n_vecs"), countDistinct(col("a.code")).as("n_codes_used"),
+        r6(avg(col("a.d2"))).as("mean_sq_err"))
+      .select(col("sub").cast("long").as("sub"), col("n_vecs"), col("n_codes_used"),
+        col("mean_sq_err"))
+      .orderBy("sub")
+  }
+
+  val pqDistortionSql: String =
+    s"""WITH ${pqCtesSql(PqCfg())},
+       |asg AS (
+       |  SELECT s.vec_id, s.sub, c.code, ${l2sqSql("s.sv", "c.cvec")} AS d2,
+       |         row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY ${r6Sql(l2sqSql("s.sv", "c.cvec"))} ASC, c.code) AS rn
+       |  FROM sub s JOIN cbd c ON s.sub = c.sub)
+       |SELECT CAST(sub AS BIGINT) AS sub, CAST(count(*) AS BIGINT) AS n_vecs,
+       |       CAST(count(DISTINCT code) AS BIGINT) AS n_codes_used,
+       |       ${r6Sql("avg(d2)")} AS mean_sq_err
+       |FROM asg WHERE rn = 1
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------ IVF index health report
   /** Cell-occupancy balance of the frozen coarse quantizer — the ANN index
     * health monitor. IVF scan cost is bounded by the probed cells' sizes,
@@ -1504,6 +1548,7 @@ object Similarity {
     Q("s_ivf_balance", ivfBalance _, ivfBalanceSql),
     Q("s_ivf_update", ivfUpdate _, ivfUpdateSql),
     Q("s_nprobe_curve", nprobeCurve _, nprobeCurveSql),
+    Q("s_pq_distortion", pqDistortion _, pqDistortionSql),
     Q("s_cov_matrix", covMatrix _, covMatrixSql),
     Q("s_knn_recall", knnRecall _, knnRecallSql),
     Q("s_knn_lsh", knnLsh _, knnLshSql),

@@ -379,6 +379,25 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("pq distortion: one row per subspace, bounded utilization, frozen-model determinism") {
+    val dir = "/root/testdata/sf0.001"
+    val n = graft.ops.Tables.embeddings(spark, dir).count()
+    val a = Similarity.pqDistortion(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    spark.catalog.clearCache()
+    assert(a.map(_._1).toSeq === (0L until Similarity.PqM.toLong))
+    a.foreach { case (sub, nv, used, err) =>
+      assert(nv === n, s"sub $sub covers $nv of $n vectors")
+      assert(used >= 1L && used <= Similarity.PqK.toLong, s"sub $sub used $used codes")
+      assert(err >= 0.0, s"sub $sub negative distortion")
+    }
+    // frozen codebook: a second invocation reports the identical table
+    val b = Similarity.pqDistortion(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    spark.catalog.clearCache()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("ivf update: incremental ledger equals a full reassignment of the new snapshot") {
     val emb = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cent = Similarity.kmeansCentroidsOn(emb).persist()
