@@ -161,6 +161,38 @@ object Text {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** Confusion matrix of the language-ID heuristic against the corpus
+    * labels — the classifier-eval table that turns [[langIdOn]]'s per-doc
+    * verdicts into the per-language precision picture a pipeline owner
+    * reads before trusting lang-conditioned operators (temperature mixing,
+    * CCNet buckets, fertility) downstream of the detector. Sparse matrix
+    * form: observed (label, prediction) pairs with counts and the
+    * within-label share; labels the detector cannot emit (e.g. zh has no
+    * marker set) surface as their own misprediction rows instead of
+    * hiding. Row count is ≤ |langs|², so everything after the per-doc
+    * scoring pass is model-sized. */
+  def langIdConfusionOn(docs: DataFrame): DataFrame = {
+    val wl = Window.partitionBy("lang")
+    langIdOn(docs)
+      .groupBy("lang", "predicted_lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("share", r6(col("n_docs") / sum("n_docs").over(wl)))
+      .select(col("lang"), col("predicted_lang"), col("n_docs"), col("share"),
+        (col("lang") === col("predicted_lang")).as("is_correct"))
+      .orderBy("lang", "predicted_lang")
+  }
+
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame =
+    langIdConfusionOn(Tables.documents(spark, dir))
+
+  val langIdConfusionSql: String =
+    s"""WITH li AS (SELECT lang, predicted_lang FROM ($langIdSql)),
+       |cm AS (SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+       |       FROM li GROUP BY 1, 2)
+       |SELECT lang, predicted_lang, n_docs,
+       |       ${r6Sql("n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY lang)")} AS share,
+       |       lang = predicted_lang AS is_correct
+       |FROM cm ORDER BY lang, predicted_lang""".stripMargin
+
   /** Token counting two ways: whitespace and a BPE-ish lexical regex
     * (letter runs | digit runs | single non-space symbol) — the standard
     * cheap proxy for LLM token budgets. */
@@ -1414,6 +1446,7 @@ object Text {
     Q("t_pii_scrub", piiScrub _, piiScrubSql),
     Q("t_ngram_freq", ngramFreq _, ngramFreqSql),
     Q("t_lang_id", langId _, langIdSql),
+    Q("t_langid_confusion", langIdConfusion _, langIdConfusionSql),
     Q("t_token_count", tokenCount _, tokenCountSql),
     Q("t_token_fertility", tokenFertility _, tokenFertilitySql),
     Q("t_fingerprint", fingerprint _, fingerprintSql),

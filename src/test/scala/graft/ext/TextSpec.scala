@@ -46,6 +46,20 @@ class TextSpec extends SparkSpec {
     assert(got === Seq(2, 0))
   }
 
+  test("langid confusion: doc mass conserved, shares sum to 1 per label, flags consistent") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = Text.langIdConfusionOn(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.map(_._3).sum === docs.count(), "confusion matrix lost documents")
+    rows.groupBy(_._1).foreach { case (lang, g) =>
+      assert(math.abs(g.map(_._4).sum - 1.0) < 1e-5, s"$lang shares sum to ${g.map(_._4).sum}")
+    }
+    rows.foreach { case (l, p, _, _, ok) => assert(ok === (l == p)) }
+    // the per-doc is_match flags must agree with the matrix diagonal
+    val matched = Text.langIdOn(docs).agg(sum("is_match")).head().getLong(0)
+    assert(rows.filter(_._5).map(_._3).sum === matched)
+  }
+
   test("normalized collapses whitespace and lowercases") {
     val got = Seq("Hello   World\n\tFoo").toDF("t")
       .select(Text.normalized(col("t")).as("n")).as[String].head()
