@@ -1349,7 +1349,8 @@ object Similarity {
   /** Registered simulation: old snapshot = corpus minus the to-be-added
     * slice, new snapshot = corpus minus the removed slice (the
     * [[Corpus.DeltaMod]] churn convention shared with the whole
-    * incremental family — ~4% of vectors ingested, ~4% retired). The old
+    * incremental family — one mod-50 residue class each, so 2% of
+    * vectors ingested and 2% retired). The old
     * snapshot's manifest freezes per corpus like every trained model. */
   def ivfUpdate(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)

@@ -322,9 +322,12 @@ object Sessions {
   def rateSpikeOn(events: DataFrame): DataFrame = {
     val e = events.select(col("event_type"),
       (col("ts_us") - pmod(col("ts_us"), lit(HourUs))).as("bucket_us"))
-    val counts = e.groupBy("event_type", "bucket_us").agg(count(lit(1)).as("n"))
-    val bounds = e.agg(min("bucket_us").as("lo"), max("bucket_us").as("hi"))
-    val domain = e.select("event_type").distinct()
+    // persisted: the |types|×|hours|-row count table feeds the fill join,
+    // the bounds scalar AND the type domain — without it each consumer
+    // would re-run the corpus scan underneath (three scans for one pass)
+    val counts = e.groupBy("event_type", "bucket_us").agg(count(lit(1)).as("n")).persist()
+    val bounds = counts.agg(min("bucket_us").as("lo"), max("bucket_us").as("hi"))
+    val domain = counts.select("event_type").distinct()
       .crossJoin(broadcast(bounds))
       .select(col("event_type"),
         explode(sequence(col("lo"), col("hi"), lit(HourUs))).as("bucket_us"))
@@ -354,12 +357,12 @@ object Sessions {
 
   val rateSpikeSql: String =
     s"""WITH e AS (
-       |  SELECT event_type, epoch_us(ts) - epoch_us(ts) % $HourUs AS bucket_us FROM events),
+       |  SELECT event_type, (epoch_us(ts) // $HourUs) * $HourUs AS bucket_us FROM events),
        |counts AS (SELECT event_type, bucket_us, count(*) AS n FROM e GROUP BY 1, 2),
-       |bounds AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM e),
+       |bounds AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM counts),
        |domain AS (
        |  SELECT t.event_type, unnest(range(b.lo, b.hi + 1, ${HourUs}::BIGINT)) AS bucket_us
-       |  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN bounds b),
+       |  FROM (SELECT DISTINCT event_type FROM counts) t CROSS JOIN bounds b),
        |filled AS (
        |  SELECT d.event_type, d.bucket_us, CAST(coalesce(c.n, 0) AS BIGINT) AS n
        |  FROM domain d LEFT JOIN counts c

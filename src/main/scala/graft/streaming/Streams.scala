@@ -524,9 +524,28 @@ object Streams {
     * zero baseline the batch zero-fill gives it. Under nondecreasing
     * per-type event-time arrival, sealed rows equal the batch frame's
     * rows for every bucket strictly before the type's last event bucket
-    * (StreamsSpec parity); the still-open bucket seals when later data —
-    * or a deployment's watermark timeout — closes it. */
-  def rateSpikeUpdates(events: Dataset[RateEvent], loBucketUs: Long): Dataset[SpikeRow] = {
+    * (StreamsSpec parity).
+    *
+    * Sealing has TWO triggers: a later-bucket event (the in-band path)
+    * and the event-time WATERMARK passing a bucket's close (the
+    * EventTimeTimeout path, same discipline as [[sessionize]]). Without
+    * the second, a type that goes SILENT would never emit its zero rows
+    * — and an ingestion outage is the one anomaly a rate monitor exists
+    * to surface. On streaming input the source gains a `watermarkDelay`
+    * watermark and each key re-arms a timer at its next sealable bucket
+    * close; batch execution (where timeouts never fire) keeps the pure
+    * event-driven behavior. */
+  /** Hard ceiling on the zero-bucket catch-up one event or watermark jump
+    * may trigger (~11 years of hours). A timestamp corrupted upward —
+    * nanos read as micros, Long.MaxValue — would otherwise spin the seal
+    * loop for ~1e8+ iterations inside one task with no error. A corrupt
+    * EVENT is dropped (arrival-contract violation, like late events); a
+    * corrupt WATERMARK resets the key's ring clock to the watermark
+    * bucket, keeping the task alive at the cost of a baseline rebuild. */
+  val MaxCatchupBuckets: Long = 100000L
+
+  def rateSpikeUpdates(events: Dataset[RateEvent], loBucketUs: Long,
+                       watermarkDelay: String = "2 hours"): Dataset[SpikeRow] = {
     import events.sparkSession.implicits._
     val H = graft.queries.Sessions.HourUs
     val B = graft.queries.Sessions.BaselineBuckets
@@ -541,28 +560,58 @@ object Streams {
         Some(SpikeRow(tpe, bucket, n, graft.ops.Num.r6Double(mu),
           graft.ops.Num.r6Double(sd), z, z >= graft.queries.Sessions.SpikeZ))
       }
-    events.groupByKey(_.event_type)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+    // seal every bucket strictly below `upTo`, scoring each against the ring
+    def sealTo(tpe: String, st0: RateState, upTo: Long,
+               out: scala.collection.mutable.ArrayBuffer[SpikeRow]): RateState = {
+      var cur = st0.curBucket; var n = st0.curN; var ring = st0.ring
+      while (cur < upTo) {
+        score(tpe, cur, n, ring).foreach(out += _)
+        ring = (ring :+ n).takeRight(B)
+        cur += H; n = 0L
+      }
+      RateState(cur, n, ring)
+    }
+    val streaming = events.isStreaming
+    val src =
+      if (streaming)
+        events.withColumn("event_ts", timestamp_micros(col("ts_us")))
+          .withWatermark("event_ts", watermarkDelay)
+          .as[RateEvent]
+      else events
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
+    src.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
         (tpe: String, rows: Iterator[RateEvent], state: GroupState[RateState]) =>
           var st = state.getOption.getOrElse(RateState(loBucketUs, 0L, Seq.empty))
           val out = scala.collection.mutable.ArrayBuffer.empty[SpikeRow]
           rows.toSeq.sortBy(_.ts_us).foreach { e =>
             val b = e.ts_us - java.lang.Math.floorMod(e.ts_us, H)
             if (b == st.curBucket) st = st.copy(curN = st.curN + 1)
-            else if (b > st.curBucket) {
-              var cur = st.curBucket; var n = st.curN; var ring = st.ring
-              while (cur < b) {
-                score(tpe, cur, n, ring).foreach(out += _)
-                ring = (ring :+ n).takeRight(B)
-                cur += H; n = 0L
-              }
-              st = RateState(b, 1L, ring)
-            }
-            // b < curBucket would be an arrival-contract violation; such a
-            // late event is dropped, matching the watermark discipline of
+            else if (b > st.curBucket && (b - st.curBucket) / H <= MaxCatchupBuckets)
+              st = sealTo(tpe, st, b, out).copy(curN = 1L)
+            // b < curBucket (late) and b beyond MaxCatchupBuckets ahead
+            // (corrupt timestamp) are both arrival-contract violations;
+            // the event is dropped, matching the watermark discipline of
             // the windowed twins
           }
-          state.update(st)
+          if (streaming) {
+            // watermark sealing: a bucket is immutable once the watermark
+            // passes its close — seal it (and any silent buckets behind
+            // it) even if no later event ever arrives for this type
+            val wmUs = state.getCurrentWatermarkMs() * 1000
+            val wmBucket = wmUs - java.lang.Math.floorMod(wmUs, H)
+            if (wmBucket > st.curBucket) {
+              if ((wmBucket - st.curBucket) / H <= MaxCatchupBuckets)
+                st = sealTo(tpe, st, wmBucket, out)
+              else st = RateState(wmBucket, 0L, Seq.empty) // corrupt-wm reset
+            }
+            // fire when the open bucket becomes sealable; clamp above the
+            // current watermark (ms truncation can land at/behind it)
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max((st.curBucket + H) / 1000, state.getCurrentWatermarkMs() + 1))
+          } else state.update(st)
           out.iterator
       }
   }

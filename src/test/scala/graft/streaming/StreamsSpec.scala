@@ -883,21 +883,32 @@ class StreamsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)) ->
         ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))))
     // append-once: a bucket seals exactly once across micro-batches
+    // (event-driven and watermark-timeout sealing must never double-emit)
     assert(streamed.length === streamed.map(_._1).toSet.size, "a bucket was re-emitted")
-    // the stream can only seal buckets strictly before each type's last
-    // event bucket; on those, it must equal the batch frame exactly
+    val batchAll = graft.queries.Sessions.rateSpike(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))))
+      .toMap
+    // every sealed row — whether sealed by a later event or by the
+    // watermark passing a silent type's bucket — must equal its batch twin
+    streamed.foreach { case (key, v) =>
+      assert(batchAll.get(key).contains(v), s"streamed $key=$v != batch ${batchAll.get(key)}")
+    }
+    // coverage floor: at minimum, every full-baseline bucket strictly
+    // before a type's last event bucket is sealed (the in-band guarantee;
+    // watermark sealing can only ADD buckets beyond it, checked above)
     val lastBucket = ev.groupBy("event_type")
       .agg(max(col("ts_us") - pmod(col("ts_us"), lit(H))).as("b"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val batch = graft.queries.Sessions.rateSpike(spark, sfDir).collect()
-      .map(r => (r.getString(0), r.getLong(1)) ->
-        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))))
-      .filter { case ((t, b), _) => b < lastBucket(t) }
-      .toMap
-    assert(batch.nonEmpty, "degenerate corpus: no sealed full-baseline buckets")
-    assert(streamed.toMap === batch,
-      s"missing=${(batch.keySet -- streamed.map(_._1).toSet).take(3)} " +
-        s"extra=${(streamed.map(_._1).toSet -- batch.keySet).take(3)}")
+    val floor = batchAll.keySet.filter { case (t, b) => b < lastBucket(t) }
+    assert(floor.nonEmpty, "degenerate corpus: no sealed full-baseline buckets")
+    val sealedKeys = streamed.map(_._1).toSet
+    assert(floor.subsetOf(sealedKeys),
+      s"missing in-band buckets: ${(floor -- sealedKeys).take(3)}")
+    // the watermark path actually fired: buckets past the last event
+    // bucket of some type are sealed too (outage zero rows)
+    assert(sealedKeys.exists { case (t, b) => b >= lastBucket(t) },
+      "watermark sealing emitted nothing — silent-type outage rows missing")
   }
 
   test("streaming funnel state machine matches the batch stage frame across micro-batches") {
