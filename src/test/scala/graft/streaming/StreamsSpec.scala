@@ -911,6 +911,23 @@ class StreamsSpec extends SparkSpec {
       "watermark sealing emitted nothing — silent-type outage rows missing")
   }
 
+  test("rate-spike seal loop survives a corrupt far-future timestamp (dropped, not spun)") {
+    val H = graft.queries.Sessions.HourUs
+    // 26 quiet hours, then one event whose timestamp is Long.MaxValue —
+    // an unguarded catch-up loop would synthesize ~2.6e12 zero buckets
+    val sane = (0 until 26).map(h => Streams.RateEvent("a", h * H + 1))
+    val corrupt = sane :+ Streams.RateEvent("a", Long.MaxValue - 7)
+    def run(evs: Seq[Streams.RateEvent]) = {
+      val out = Streams.rateSpikeUpdates(evs.toDS(), 0L).collect()
+      out.map(r => (r.bucket_us, r.n)).toSeq.sorted
+    }
+    val t0 = System.nanoTime()
+    val withCorrupt = run(corrupt)
+    assert((System.nanoTime() - t0) < 60e9, "corrupt timestamp stalled the seal loop")
+    // the corrupt event contributes nothing: output equals the sane run
+    assert(withCorrupt === run(sane))
+  }
+
   test("streaming funnel state machine matches the batch stage frame across micro-batches") {
     val stream = timeSlicedEventStream("funnel")
       .select(col("user_id"), col("ts_us"), col("event_type"), col("event_id"))
