@@ -1369,6 +1369,72 @@ object Corpus {
     applyDeltaOn(deltaOldSlice(docs), deltaNewSlice(docs))
   }
 
+  // ------------------------------------------------------- SCD2 history
+  /** Epoch number of the open ("current") version in the SCD2 table — the
+    * standard high-sentinel convention (a typed NULL would also work but
+    * hashes differently across engines). */
+  val Scd2Open = 9999L
+
+  /** SCD2 history table — the history-KEEPING complement to
+    * [[applyDeltaOn]]'s SCD1 upsert: instead of overwriting, every content
+    * version of a document gets its own row with a [valid_from, valid_to)
+    * epoch interval. Load 1 = the old snapshot, load 2 = this one;
+    * unchanged docs keep their open version-1 row, changed docs close
+    * version 1 at epoch 2 and open a version-2 row, removed docs close
+    * with no successor, added docs open at epoch 2. `is_current` marks the
+    * open rows — selecting them reproduces the SCD1 result, which is how
+    * the spec cross-checks the two MERGE flavors against each other.
+    *
+    * Scale: the delta classification is the one co-keyed full-outer
+    * fingerprint join [[snapshotDeltaOn]] already does; each arm is then a
+    * doc_id-keyed semi join, and — as with SCD1 — the carried-over
+    * majority is never rewritten, only its (already-open) row re-emitted
+    * by the view. */
+  def scd2HistoryOn(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def fpOf(docs: DataFrame) = docs.select(col("doc_id"),
+      coalesce(md5(graft.ext.Text.normalized(col("text"))), lit("<null>")).as("fp"))
+    val delta = snapshotDeltaOn(oldDocs, newDocs)
+    val o = fpOf(oldDocs)
+    val n = fpOf(newDocs)
+    def arm(statuses: Seq[String], side: DataFrame, from: Long, to: Long) =
+      delta.filter(col("status").isin(statuses: _*)).select("doc_id")
+        .join(side, Seq("doc_id"))
+        .select(col("doc_id"), col("fp"), lit(from).as("valid_from"),
+          lit(to).as("valid_to"), lit(to == Scd2Open).as("is_current"))
+    arm(Seq("removed", "changed"), o, 1L, 2L)
+      .unionByName(arm(Seq("unchanged"), o, 1L, Scd2Open))
+      .unionByName(arm(Seq("added", "changed"), n, 2L, Scd2Open))
+      .orderBy("doc_id", "valid_from")
+  }
+
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    scd2HistoryOn(deltaOldSlice(docs), deltaNewSlice(docs))
+  }
+
+  /** Deliberately a direct two-snapshot formulation (no incremental
+    * plumbing): each arm re-derives its rows from the raw snapshots, so
+    * the Spark side's delta-driven assembly must land on the same
+    * history. */
+  val scd2HistorySql: String =
+    s"""WITH o AS (
+       |  SELECT doc_id, coalesce(md5(${Text.normalizedSql("text")}), '<null>') AS fp
+       |  FROM documents WHERE $deltaOldWhereSql),
+       |n AS (
+       |  SELECT doc_id, coalesce(md5(${Text.normalizedSql(deltaNewTextSql)}), '<null>') AS fp
+       |  FROM documents WHERE $deltaNewWhereSql),
+       |j AS (
+       |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.fp AS ofp, n.fp AS nfp
+       |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+       |SELECT doc_id, fp, valid_from, valid_to, valid_to = $Scd2Open AS is_current FROM (
+       |  SELECT doc_id, ofp AS fp, CAST(1 AS BIGINT) AS valid_from, CAST(2 AS BIGINT) AS valid_to
+       |  FROM j WHERE ofp IS NOT NULL AND (nfp IS NULL OR nfp <> ofp)
+       |  UNION ALL
+       |  SELECT doc_id, ofp, 1, $Scd2Open FROM j WHERE ofp IS NOT NULL AND nfp = ofp
+       |  UNION ALL
+       |  SELECT doc_id, nfp, 2, $Scd2Open FROM j WHERE nfp IS NOT NULL AND (ofp IS NULL OR ofp <> nfp))
+       |ORDER BY doc_id, valid_from""".stripMargin
+
   /** Deliberately NOT an incremental formulation: the full refreshed
     * snapshot, which the MERGE output must equal. */
   val applyDeltaSql: String =
@@ -1538,6 +1604,7 @@ object Corpus {
     Q("t_corpus_mix", mix _, mixSql),
     Q("t_epoch_shuffle", epochShuffle _, epochShuffleSql),
     Q("t_apply_delta", applyDelta _, applyDeltaSql),
+    Q("t_scd2_history", scd2History _, scd2HistorySql),
     Q("t_ivm_stats", ivmStats _, ivmStatsSql),
     Q("t_temp_mix", tempMix _, tempMixSql),
     Q("t_split", split _, splitSql),

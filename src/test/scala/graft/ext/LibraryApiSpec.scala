@@ -159,6 +159,30 @@ class LibraryApiSpec extends SparkSpec {
     assert(a === b, "split depends on input ordering")
   }
 
+  test("scd2 history: current rows reproduce the SCD1 merge, versions tile per doc") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val old = Corpus.deltaOldSlice(docs)
+    val nw = Corpus.deltaNewSlice(docs)
+    val hist = Corpus.scd2HistoryOn(old, nw).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    // the open rows ARE the SCD1 result — the two MERGE flavors cross-check
+    val cur = hist.filter(_._5).map(t => (t._1, t._2)).sorted.toSeq
+    val scd1 = Corpus.applyDeltaOn(old, nw).select("doc_id", "fp").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(cur === scd1, "current SCD2 rows diverge from the SCD1 merge")
+    hist.groupBy(_._1).foreach { case (id, vs) =>
+      assert(vs.count(_._5) <= 1, s"doc $id has two open versions")
+      // a closed version is always [1, 2); an open one starts at 1 or 2
+      vs.foreach { case (_, _, from, to, open) =>
+        assert(if (open) to === Corpus.Scd2Open else (from === 1L && to === 2L))
+      }
+      // two versions only for changed docs, and their intervals tile
+      if (vs.length == 2)
+        assert(vs.sortBy(_._3).map(v => (v._3, v._4)).toSeq === Seq((1L, 2L), (2L, Corpus.Scd2Open)),
+          s"doc $id versions do not tile")
+    }
+  }
+
   test("pack efficiency: hand-computed fill and boundary-split ratios at ContextTokens=1024") {
     val t600 = Seq.fill(600)("w").mkString(" ")
     val docs = Seq((1L, t600, "en", "web"), (2L, t600, "en", "web"), (3L, t600, "en", "web"))
