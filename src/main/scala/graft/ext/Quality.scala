@@ -409,19 +409,59 @@ object Quality {
   private val qsWeightsCache =
     new graft.ops.FrozenCaches.Memo[String, Seq[(Long, Long)]]()
 
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  private def frozenQsWeights(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val rows = qsWeightsCache.get(dir, QsPosSource) {
       qsWeightsOn(docs, QsPosSource).collect().toSeq
         .map(r => (r.getLong(0), r.getLong(1)))
     }
     import docs.sparkSession.implicits._
-    qsScoreAgainstOn(docs, rows.toDF("b", "w"))
+    rows.toDF("b", "w")
   }
 
-  val qualityScoreSql: String = {
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qsScoreAgainstOn(Tables.documents(spark, dir), frozenQsWeights(spark, dir))
+
+  /** Calibration / reliability table of the trained classifier — the
+    * model-eval step completing the train → score → eval triangle (the
+    * classifier's [[langIdConfusionOn]] analog): scored docs bucket into
+    * ten equi-width SCORE ranges and each bucket reports how often the
+    * positive label ([[QsPosSource]] membership — the label the model was
+    * trained on) actually occurs. A monotone pos_rate over buckets is
+    * what "higher score = more reference-like" means operationally; a
+    * flat or folded curve is the retrain signal.
+    *
+    * Equi-width integer buckets, NOT rank deciles: deciles need a global
+    * sort (one corpus-sized window partition — the anti-pattern); the
+    * range bucket is one broadcast (lo, hi) pair and pure integer
+    * arithmetic, identical on both engines. */
+  def qualityCalibrationFrom(scored: DataFrame): DataFrame = {
+    val bounds = scored.agg(min("score").as("lo"), max("score").as("hi"))
+    scored.crossJoin(broadcast(bounds))
+      .withColumn("bucket", least(lit(9L), expr("((score - lo) * 10) div (hi - lo + 1)")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("source") === lit(QsPosSource), 1L).otherwise(0L)).as("n_pos"),
+        min("score").as("min_score"), max("score").as("max_score"))
+      .select(col("bucket"), col("n_docs"), col("n_pos"),
+        r6(col("n_pos") / col("n_docs").cast("double")).as("pos_rate"),
+        col("min_score"), col("max_score"))
+      .orderBy("bucket")
+  }
+
+  def qualityCalibrationOn(docs: DataFrame, posSource: String = QsPosSource): DataFrame =
+    qualityCalibrationFrom(qsRawScores(docs, qsWeightsOn(docs, posSource)))
+
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame =
+    qualityCalibrationFrom(
+      qsRawScores(Tables.documents(spark, dir), frozenQsWeights(spark, dir)))
+
+  /** Shared CTE chain ending in relation `scored` (doc_id, lang, source,
+    * n_feats, score) — the trained model + scoring pass, used verbatim by
+    * the gate oracle and the calibration oracle so the two cannot drift. */
+  private val qsScoredCtesSql: String = {
     val s = 1L << QsScaleBits
-    s"""WITH src AS (SELECT doc_id, source, ${Text.tokensSql("text")} AS t FROM documents),
+    s"""src AS (SELECT doc_id, source, ${Text.tokensSql("text")} AS t FROM documents),
        |f AS MATERIALIZED (
        |  SELECT s.doc_id, s.source,
        |         ${Dedup.baseHashSql("u.f")} % $QsBuckets AS b
@@ -444,14 +484,31 @@ object Quality {
        |  SELECT d.doc_id, d.lang, d.source,
        |         CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
        |         CAST(coalesce(sc.score, 0) AS BIGINT) AS score
-       |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+       |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)""".stripMargin
+  }
+
+  val qualityScoreSql: String =
+    s"""WITH $qsScoredCtesSql,
        |thr AS (SELECT CAST(sum(score) AS HUGEINT) AS tot_score,
        |               CAST(count(*) AS HUGEINT) AS n_tot FROM scored)
        |SELECT s.doc_id, s.lang, s.source, s.n_feats, s.score,
        |       CAST(s.score AS HUGEINT) * t.n_tot > t.tot_score AS keep
        |FROM scored s CROSS JOIN thr t
        |ORDER BY s.doc_id""".stripMargin
-  }
+
+  val qualityCalibrationSql: String =
+    s"""WITH $qsScoredCtesSql,
+       |bounds AS (SELECT min(score) AS lo, max(score) AS hi FROM scored),
+       |bucketed AS (
+       |  SELECT least(9, ((s.score - b.lo) * 10) // (b.hi - b.lo + 1)) AS bucket,
+       |         s.score, s.source
+       |  FROM scored s CROSS JOIN bounds b)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN source = '$QsPosSource' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |       ${r6Sql(s"sum(CASE WHEN source = '$QsPosSource' THEN 1 ELSE 0 END) * 1.0 / count(*)")} AS pos_rate,
+       |       min(score) AS min_score, max(score) AS max_score
+       |FROM bucketed GROUP BY 1 ORDER BY 1""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("t_gopher_rules", gopherRules _, gopherRulesSql),
@@ -459,5 +516,6 @@ object Quality {
     Q("t_ccnet_buckets", ccnetBuckets _, ccnetBucketsSql),
     Q("t_ccnet_mix", ccnetMix _, ccnetMixSql),
     Q("t_quality_score", qualityScore _, qualityScoreSql),
+    Q("t_quality_calibration", qualityCalibration _, qualityCalibrationSql),
   )
 }

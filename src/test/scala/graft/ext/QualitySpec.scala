@@ -151,4 +151,23 @@ class QualitySpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(again === out)
   }
+
+  test("calibration table: mass conserved, buckets ordered and disjoint, label totals exact") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = Quality.qualityCalibrationOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty && rows.forall(r => r._1 >= 0L && r._1 <= 9L))
+    assert(rows.map(_._2).sum === docs.count(), "doc mass lost in bucketing")
+    val nPos = docs.filter(org.apache.spark.sql.functions.col("source") === Quality.QsPosSource).count()
+    assert(rows.map(_._3).sum === nPos, "positive-label mass lost")
+    rows.foreach { case (_, n, p, rate, lo, hi) =>
+      assert(p <= n && lo <= hi)
+      assert(rate === graft.ops.Num.r6Double(p.toDouble / n))
+    }
+    // score ranges are disjoint and ordered across buckets
+    rows.sortBy(_._1).sliding(2).foreach { case Array(a, b) =>
+      assert(a._6 < b._5, s"bucket ${a._1} overlaps ${b._1}")
+    }
+  }
 }
