@@ -4,6 +4,7 @@ import graft.Q
 import graft.ops.Tables
 import graft.ops.Num.{r6, r6Sql}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video as opaque `binary` payloads with
@@ -430,7 +431,9 @@ object Multimodal {
     * 64-bit hashes, exact hamming verify — never an all-pairs compare; at
     * 100 TB the pair volume is bounded by band-bucket collisions exactly as
     * in the simhash pairing, and the hash itself is one codec-local pass. */
-  def dctDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** Banded candidate pairs with their full hamming distance — the shared
+    * stage behind the dedup cut and the threshold curve. */
+  private def dctBandPairs(spark: SparkSession, dir: String): DataFrame = {
     val bandBits = 64 / DctBands
     val mask = (1L << bandBits) - 1
     val fp = dctHashOn(fromDocuments(Tables.documents(spark, dir))).toDF()
@@ -444,8 +447,36 @@ object Multimodal {
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
         bit_count(col("l.phash").bitwiseXOR(col("r.phash"))).cast("long").as("hamming"))
       .distinct()
+  }
+
+  def dctDedup(spark: SparkSession, dir: String): DataFrame =
+    dctBandPairs(spark, dir)
       .filter(col("hamming") <= lit(DctHamMax))
       .orderBy("doc_a", "doc_b")
+
+  /** Hamming-threshold tuning curve for the DCT perceptual hash — the
+    * multimodal twin of `dd_threshold_curve` / `s_nprobe_curve`: banded
+    * candidate mass per hamming distance 0..[[HcLevels]] with the
+    * cumulative survivor count at every possible [[DctHamMax]] cut, so
+    * retuning the near-dup radius is a table read. `is_complete` marks
+    * the distances where [[DctBands]]-band blocking is EXHAUSTIVE by
+    * pigeonhole (hamming < bands forces a shared band); beyond it the
+    * counts are the candidate subset an LSH deliberately trades for —
+    * the same honesty flag `dd_lsh_recall` carries for MinHash. */
+  val HcLevels = 16
+
+  def hammingCurve(spark: SparkSession, dir: String): DataFrame = {
+    val hist = dctBandPairs(spark, dir)
+      .groupBy("hamming").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("hamming")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spark.range(0, HcLevels + 1).select(col("id").as("hamming"))
+      .join(hist, Seq("hamming"), "left")
+      .withColumn("n_pairs", coalesce(col("n"), lit(0L)))
+      .withColumn("n_cum", sum("n_pairs").over(w))
+      .select(col("hamming"), col("n_pairs"), col("n_cum"),
+        (col("hamming") < lit(DctBands.toLong)).as("is_complete"))
+      .orderBy("hamming")
   }
 
   /** Oracle twin: pixels via the proven hex-slice route, the flat Q14
@@ -492,6 +523,22 @@ object Multimodal {
        |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
        |FROM pairs WHERE hamming <= $DctHamMax
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Oracle twin of [[hammingCurve]]: the identical CTE chain through
+    * `pairs` (spliced from [[dctDedupSql]] so the two cannot drift), then
+    * the zero-filled level histogram with a running cumulative sum. */
+  val hammingCurveSql: String = {
+    val prefix = dctDedupSql.substring(0, dctDedupSql.indexOf("SELECT doc_a")).trim
+    s"""$prefix,
+       |hist AS (SELECT hamming, count(*) AS n FROM pairs GROUP BY 1),
+       |lv AS (SELECT unnest(range(0, ${HcLevels + 1})) AS hamming)
+       |SELECT CAST(l.hamming AS BIGINT) AS hamming,
+       |       CAST(coalesce(h.n, 0) AS BIGINT) AS n_pairs,
+       |       CAST(sum(coalesce(h.n, 0)) OVER (ORDER BY l.hamming ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum,
+       |       l.hamming < $DctBands AS is_complete
+       |FROM lv l LEFT JOIN hist h ON l.hamming = h.hamming
+       |ORDER BY hamming""".stripMargin
   }
 
   // ---------------------------------------------- image-text alignment gate
@@ -590,5 +637,6 @@ object Multimodal {
     Q("mm_frame_sample", frameSample _, frameSampleSql),
     Q("mm_phash_dedup", phashDedup _, phashDedupSql),
     Q("mm_dct_dedup", dctDedup _, dctDedupSql),
+    Q("mm_hamming_curve", hammingCurve _, hammingCurveSql),
   )
 }

@@ -185,4 +185,20 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) === ((-1.0, false)), s"anti-aligned pair: ${out(2L)}")
     assert(out(3L) === ((0.0, false)), s"degenerate caption: ${out(3L)}")
   }
+
+  test("hamming curve: cumulative mass is monotone and the DctHamMax cut equals the dedup row count") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Multimodal.hammingCurve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.map(_._1).toSeq === (0L to Multimodal.HcLevels.toLong))
+    rows.foreach { case (h, _, _, comp) => assert(comp === (h < Multimodal.DctBands)) }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 === a._3 + b._2, "cumulative column broke")
+    }
+    // reading the curve at the registered cut reproduces the dedup count
+    val atCut = rows.find(_._1 == Multimodal.DctHamMax.toLong).get._3
+    assert(atCut === Multimodal.dctDedup(spark, dir).count(),
+      "curve at DctHamMax diverges from mm_dct_dedup")
+  }
 }
+
