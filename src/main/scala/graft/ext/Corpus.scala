@@ -1446,6 +1446,65 @@ object Corpus {
        |       lang, source
        |FROM nw ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- mix-drift monitor
+  /** Per-(lang, source) composition drift between two snapshots — the
+    * distributional complement to the content-level [[snapshotDeltaOn]]
+    * (and the text-side twin of `s_embed_drift`): even when every
+    * individual document change is expected, a shifting source MIX
+    * silently re-weights the training distribution, which is exactly what
+    * the temperature/corpus mixing downstream assumes stable. Shares with
+    * side-by-side counts per cell, zero-filled across the union of cells;
+    * `share_delta` is the number an ingestion gate alarms on.
+    *
+    * Scale shape: two map-side-combined (lang, source) counts, a
+    * |cells|-row full outer join, and a broadcast totals pair — nothing
+    * after the first aggregates is corpus-sized. */
+  def sourceDriftOn(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def cells(d: DataFrame, n: String) =
+      d.groupBy("lang", "source").agg(count(lit(1)).as(n))
+    // persisted: the tiny joined cell frame feeds both the totals pair and
+    // the final projection — without it both count aggregates re-run
+    val j = cells(oldDocs, "n_old").join(cells(newDocs, "n_new"),
+        Seq("lang", "source"), "full_outer")
+      .select(col("lang"), col("source"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .persist()
+    val tot = j.agg(sum("n_old").as("t_old"), sum("n_new").as("t_new"))
+    j.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_old"), col("n_new"),
+        r6(col("n_old") / col("t_old")).as("share_old"),
+        r6(col("n_new") / col("t_new")).as("share_new"),
+        r6(col("n_new") / col("t_new") - col("n_old") / col("t_old")).as("share_delta"))
+      .orderBy("lang", "source")
+  }
+
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    sourceDriftOn(deltaOldSlice(docs), deltaNewSlice(docs))
+  }
+
+  val sourceDriftSql: String =
+    s"""WITH o AS (
+       |  SELECT lang, source, count(*) AS n FROM documents
+       |  WHERE $deltaOldWhereSql GROUP BY 1, 2),
+       |nw AS (
+       |  SELECT lang, source, count(*) AS n FROM documents
+       |  WHERE $deltaNewWhereSql GROUP BY 1, 2),
+       |j AS MATERIALIZED (
+       |  SELECT coalesce(o.lang, nw.lang) AS lang,
+       |         coalesce(o.source, nw.source) AS source,
+       |         CAST(coalesce(o.n, 0) AS BIGINT) AS n_old,
+       |         CAST(coalesce(nw.n, 0) AS BIGINT) AS n_new
+       |  FROM o FULL OUTER JOIN nw ON o.lang = nw.lang AND o.source = nw.source),
+       |t AS (SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+       |             CAST(sum(n_new) AS BIGINT) AS t_new FROM j)
+       |SELECT j.lang, j.source, j.n_old, j.n_new,
+       |       ${r6Sql("j.n_old * 1.0 / t.t_old")} AS share_old,
+       |       ${r6Sql("j.n_new * 1.0 / t.t_new")} AS share_new,
+       |       ${r6Sql("j.n_new * 1.0 / t.t_new - j.n_old * 1.0 / t.t_old")} AS share_delta
+       |FROM j CROSS JOIN t ORDER BY lang, source""".stripMargin
+
   // ---------------------------------------------- incremental view maintenance
   /** Null-safe per-doc token count: a NULL-text doc contributes ZERO
     * tokens, never the -1 Spark's legacy sizeOfNull would emit under the
@@ -1605,6 +1664,7 @@ object Corpus {
     Q("t_epoch_shuffle", epochShuffle _, epochShuffleSql),
     Q("t_apply_delta", applyDelta _, applyDeltaSql),
     Q("t_scd2_history", scd2History _, scd2HistorySql),
+    Q("t_source_drift", sourceDrift _, sourceDriftSql),
     Q("t_ivm_stats", ivmStats _, ivmStatsSql),
     Q("t_temp_mix", tempMix _, tempMixSql),
     Q("t_split", split _, splitSql),

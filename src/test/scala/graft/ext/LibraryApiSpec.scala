@@ -159,6 +159,21 @@ class LibraryApiSpec extends SparkSpec {
     assert(a === b, "split depends on input ordering")
   }
 
+  test("source drift: shares sum to 1 per side, vanished and new cells zero-fill with signed drift") {
+    val old = Seq((1L, "t", "en", "a"), (2L, "t", "en", "a"), (3L, "t", "en", "b"), (4L, "t", "en", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+    val nw = Seq((1L, "t", "en", "a"), (2L, "t", "en", "a"), (5L, "t", "en", "c"), (6L, "t", "en", "c"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Corpus.sourceDriftOn(old, nw).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out.keySet === Set("a", "b", "c"))
+    assert(out("a") === ((2L, 2L, 0.5, 0.5, 0.0)))
+    assert(out("b") === ((2L, 0L, 0.5, 0.0, -0.5)), "vanished source must show negative drift")
+    assert(out("c") === ((0L, 2L, 0.0, 0.5, 0.5)), "new source must zero-fill the old side")
+    assert(math.abs(out.values.map(_._3).sum - 1.0) < 1e-9)
+    assert(math.abs(out.values.map(_._4).sum - 1.0) < 1e-9)
+  }
+
   test("scd2 history: current rows reproduce the SCD1 merge, versions tile per doc") {
     val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
     val old = Corpus.deltaOldSlice(docs)
