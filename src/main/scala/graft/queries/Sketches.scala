@@ -183,8 +183,75 @@ object Sketches {
        |GROUP BY GROUPING SETS ((o_orderstatus, order_year), (o_orderstatus), ())
        |ORDER BY o_orderstatus NULLS FIRST, order_year NULLS FIRST""".stripMargin
 
+  // ------------------------------------------------ sketch set algebra
+  /** Snapshot-overlap estimation by KMV set algebra — the mergeable-sketch
+    * payoff in action: |A|, |B| and |A∪B| come from three bounded O(k)
+    * sketches (the union sketch is just the aggregator run over both
+    * inputs — merge IS union for KMV), and |A∩B| / Jaccard follow by
+    * inclusion-exclusion WITHOUT ever joining the two corpora. At 100 TB
+    * this answers "how much does the new snapshot overlap the old one"
+    * with three scan-bound aggregates of constant state, where the exact
+    * answer needs a corpus-sized distinct shuffle; the exact counts ride
+    * along here (small SF) so the estimate is oracle-checkable next to
+    * its truth. Estimates are r6-rounded BEFORE the derived
+    * intersection/Jaccard so both engines derive from identical inputs. */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{Corpus, Text}
+    val docs = Tables.documents(spark, dir)
+    def fps(d: DataFrame) = d.select(
+      coalesce(md5(Text.normalized(col("text"))), lit("<null>")).as("fp"))
+    val a = fps(Corpus.deltaOldSlice(docs))
+    val b = fps(Corpus.deltaNewSlice(docs))
+    val kmv = udaf(KmvSketch.agg)
+    def side(d: DataFrame, n: String) = d.agg(
+      r6(kmv(col("fp"))).as(s"est_$n"),
+      countDistinct(col("fp")).as(s"exact_$n"))
+    val estInt = r6(greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0)))
+    side(a, "a").crossJoin(side(b, "b")).crossJoin(side(a.unionAll(b), "union"))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        estInt.as("est_intersection"),
+        when(col("est_union") > 0.0, r6(estInt / col("est_union")))
+          .otherwise(lit(0.0)).as("est_jaccard"),
+        col("exact_a"), col("exact_b"), col("exact_union"),
+        (col("exact_a") + col("exact_b") - col("exact_union")).as("exact_intersection"))
+  }
+
+  val kmvOverlapSql: String = {
+    import graft.ext.{Corpus, Text}
+    val fpOld = s"coalesce(md5(${Text.normalizedSql("text")}), '<null>')"
+    val fpNew = s"coalesce(md5(${Text.normalizedSql(Corpus.deltaNewTextSql)}), '<null>')"
+    val aFrom = s"SELECT $fpOld AS fp FROM documents WHERE ${Corpus.deltaOldWhereSql}"
+    val bFrom = s"SELECT $fpNew AS fp FROM documents WHERE ${Corpus.deltaNewWhereSql}"
+    val sides = s"""(SELECT 'a' AS side, fp FROM ($aFrom)
+                   | UNION ALL SELECT 'b', fp FROM ($bFrom)
+                   | UNION ALL SELECT 'u', fp FROM ($aFrom)
+                   | UNION ALL SELECT 'u', fp FROM ($bFrom)) sides""".stripMargin
+    val est = KmvSketch.estimateSql("fp", sides, "side")
+    val estInt = r6Sql("greatest(est_a + est_b - est_union, 0.0)")
+    s"""WITH est AS ($est),
+       |p AS (SELECT
+       |  ${r6Sql("max(CASE WHEN side = 'a' THEN est_distinct END)")} AS est_a,
+       |  ${r6Sql("max(CASE WHEN side = 'b' THEN est_distinct END)")} AS est_b,
+       |  ${r6Sql("max(CASE WHEN side = 'u' THEN est_distinct END)")} AS est_union
+       |  FROM est),
+       |ex AS (SELECT
+       |  (SELECT count(DISTINCT fp) FROM ($aFrom)) AS exact_a,
+       |  (SELECT count(DISTINCT fp) FROM ($bFrom)) AS exact_b,
+       |  (SELECT count(DISTINCT fp) FROM ($aFrom UNION ALL $bFrom)) AS exact_union)
+       |SELECT p.est_a, p.est_b, p.est_union,
+       |       $estInt AS est_intersection,
+       |       CASE WHEN p.est_union > 0.0 THEN ${r6Sql(s"($estInt) / p.est_union")}
+       |            ELSE 0.0 END AS est_jaccard,
+       |       CAST(ex.exact_a AS BIGINT) AS exact_a,
+       |       CAST(ex.exact_b AS BIGINT) AS exact_b,
+       |       CAST(ex.exact_union AS BIGINT) AS exact_union,
+       |       CAST(ex.exact_a + ex.exact_b - ex.exact_union AS BIGINT) AS exact_intersection
+       |FROM p CROSS JOIN ex""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("k_kmv_distinct", kmvDistinct _, kmvDistinctSql),
+    Q("k_kmv_overlap", kmvOverlap _, kmvOverlapSql),
     Q("k_cube", cubeAgg _, cubeAggSql),
     Q("k_grouping_sets", groupingSetsAgg _, groupingSetsAggSql),
     Q("k_salted_agg", saltedAgg _, saltedAggSql),

@@ -54,4 +54,20 @@ class SketchesSpec extends SparkSpec {
     assert(phys.contains("ShuffledHashJoin"), s"expected ShuffledHashJoin in:\n$phys")
     assert(!phys.contains("BroadcastHashJoin"), "dim was broadcast — salt is moot")
   }
+
+  test("kmv overlap: estimates bracket the exact set algebra within sketch error") {
+    val r = Sketches.kmvOverlap(spark, "/root/testdata/sf0.001").head()
+    val (estA, estB, estU) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    val (estI, estJ) = (r.getDouble(3), r.getDouble(4))
+    val (exA, exB, exU, exI) = (r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))
+    // union dominates both sides, intersection never exceeds either
+    assert(estU >= math.max(estA, estB) - 1e-9 && exU >= math.max(exA, exB))
+    assert(estI <= math.min(estA, estB) + 1e-9 && exI <= math.min(exA, exB))
+    // k=64 sketch: ~1/sqrt(k) relative error — bound loosely at 30%
+    Seq((estA, exA), (estB, exB), (estU, exU)).foreach { case (e, x) =>
+      assert(math.abs(e - x) <= 0.30 * x, s"estimate $e vs exact $x out of bound")
+    }
+    assert(estJ >= 0.0 && estJ <= 1.0)
+  }
 }
+
