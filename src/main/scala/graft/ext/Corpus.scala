@@ -1393,8 +1393,12 @@ object Corpus {
   def scd2HistoryOn(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
     def fpOf(docs: DataFrame) = docs.select(col("doc_id"),
       coalesce(md5(graft.ext.Text.normalized(col("text"))), lit("<null>")).as("fp"))
-    val delta = snapshotDeltaOn(oldDocs, newDocs)
-    val o = fpOf(oldDocs)
+    // persisted: the delta feeds THREE filter arms and the old-side
+    // fingerprints TWO — Catalyst plans are trees, so without this the
+    // full-outer fingerprint join (and the old snapshot's normalization
+    // scan) re-executes per consuming arm
+    val delta = snapshotDeltaOn(oldDocs, newDocs).persist()
+    val o = fpOf(oldDocs).persist()
     val n = fpOf(newDocs)
     def arm(statuses: Seq[String], side: DataFrame, from: Long, to: Long) =
       delta.filter(col("status").isin(statuses: _*)).select("doc_id")

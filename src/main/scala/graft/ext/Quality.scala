@@ -435,13 +435,14 @@ object Quality {
     * sort (one corpus-sized window partition — the anti-pattern); the
     * range bucket is one broadcast (lo, hi) pair and pure integer
     * arithmetic, identical on both engines. */
-  def qualityCalibrationFrom(scored: DataFrame): DataFrame = {
+  def qualityCalibrationFrom(scored: DataFrame,
+                             posSource: String = QsPosSource): DataFrame = {
     val bounds = scored.agg(min("score").as("lo"), max("score").as("hi"))
     scored.crossJoin(broadcast(bounds))
       .withColumn("bucket", least(lit(9L), expr("((score - lo) * 10) div (hi - lo + 1)")))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("source") === lit(QsPosSource), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("source") === lit(posSource), 1L).otherwise(0L)).as("n_pos"),
         min("score").as("min_score"), max("score").as("max_score"))
       .select(col("bucket"), col("n_docs"), col("n_pos"),
         r6(col("n_pos") / col("n_docs").cast("double")).as("pos_rate"),
@@ -450,7 +451,7 @@ object Quality {
   }
 
   def qualityCalibrationOn(docs: DataFrame, posSource: String = QsPosSource): DataFrame =
-    qualityCalibrationFrom(qsRawScores(docs, qsWeightsOn(docs, posSource)))
+    qualityCalibrationFrom(qsRawScores(docs, qsWeightsOn(docs, posSource)), posSource)
 
   def qualityCalibration(spark: SparkSession, dir: String): DataFrame =
     qualityCalibrationFrom(

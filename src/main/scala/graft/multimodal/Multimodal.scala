@@ -427,10 +427,6 @@ object Multimodal {
   val DctBands = 4
   val DctHamMax = 8
 
-  /** Registered DCT near-dup pairing: band-bucketed candidate join over the
-    * 64-bit hashes, exact hamming verify — never an all-pairs compare; at
-    * 100 TB the pair volume is bounded by band-bucket collisions exactly as
-    * in the simhash pairing, and the hash itself is one codec-local pass. */
   /** Banded candidate pairs with their full hamming distance — the shared
     * stage behind the dedup cut and the threshold curve. */
   private def dctBandPairs(spark: SparkSession, dir: String): DataFrame = {
@@ -449,10 +445,17 @@ object Multimodal {
       .distinct()
   }
 
+  /** Registered DCT near-dup pairing: band-bucketed candidate join over the
+    * 64-bit hashes, exact hamming verify — never an all-pairs compare; at
+    * 100 TB the pair volume is bounded by band-bucket collisions exactly as
+    * in the simhash pairing, and the hash itself is one codec-local pass. */
   def dctDedup(spark: SparkSession, dir: String): DataFrame =
     dctBandPairs(spark, dir)
       .filter(col("hamming") <= lit(DctHamMax))
       .orderBy("doc_a", "doc_b")
+
+  /** Curve depth: hamming levels 0..16 reported (one band's worth of bits). */
+  val HcLevels = 16
 
   /** Hamming-threshold tuning curve for the DCT perceptual hash — the
     * multimodal twin of `dd_threshold_curve` / `s_nprobe_curve`: banded
@@ -463,8 +466,6 @@ object Multimodal {
     * pigeonhole (hamming < bands forces a shared band); beyond it the
     * counts are the candidate subset an LSH deliberately trades for —
     * the same honesty flag `dd_lsh_recall` carries for MinHash. */
-  val HcLevels = 16
-
   def hammingCurve(spark: SparkSession, dir: String): DataFrame = {
     val hist = dctBandPairs(spark, dir)
       .groupBy("hamming").agg(count(lit(1)).as("n"))
