@@ -97,7 +97,9 @@ object Corpus {
     docs
       .withColumn("n_tok", size(Text.tokens(col("text"))).cast("long"))
       .withColumn("cum_tok", sum("n_tok").over(w))
-      .withColumn("chunk_id", ((col("cum_tok") - col("n_tok")) / lit(ContextTokens)).cast("long"))
+      // integral div (not double division + cast) — the packEfficiencyOn
+      // integer-exact rationale applies identically here
+      .withColumn("chunk_id", expr(s"(cum_tok - n_tok) div $ContextTokens"))
       .groupBy("lang", "chunk_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens_started"),
         min("doc_id").as("first_doc_id"), max("doc_id").as("last_doc_id"))
@@ -143,7 +145,9 @@ object Corpus {
         pmod(Dedup.baseHash(concat(lit("shard:"), col("doc_id").cast("string"))), lit(nShards.toLong)))
       .withColumn("n_tok", size(Text.tokens(col("text"))).cast("long"))
       .withColumn("cum_tok", sum("n_tok").over(w))
-      .withColumn("chunk_id", ((col("cum_tok") - col("n_tok")) / lit(ContextTokens)).cast("long"))
+      // integral div (not double division + cast) — the packEfficiencyOn
+      // integer-exact rationale applies identically here
+      .withColumn("chunk_id", expr(s"(cum_tok - n_tok) div $ContextTokens"))
       .groupBy("lang", "shard", "chunk_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens_started"),
         min("doc_id").as("first_doc_id"), max("doc_id").as("last_doc_id"))
@@ -193,14 +197,18 @@ object Corpus {
     docs
       .withColumn("n_tok", size(Text.tokens(col("text"))).cast("long"))
       .withColumn("cum_tok", sum("n_tok").over(w))
-      .withColumn("start_chunk", ((col("cum_tok") - col("n_tok")) / lit(ContextTokens)).cast("long"))
-      .withColumn("end_chunk", ((col("cum_tok") - lit(1)) / lit(ContextTokens)).cast("long"))
+      // integral `div`, never double division + cast: operands are
+      // non-negative today, but past 2^53 cumulative tokens the double
+      // mantissa would round and the split count could diverge from the
+      // oracle's `//` (the repo's integer-exact discipline)
+      .withColumn("start_chunk", expr(s"(cum_tok - n_tok) div $ContextTokens"))
+      .withColumn("end_chunk", expr(s"(cum_tok - 1) div $ContextTokens"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("end_chunk") > col("start_chunk"), 1L).otherwise(0L)).as("n_split_docs"),
         sum("n_tok").as("total_tokens"))
       .withColumn("n_chunks",
-        ((col("total_tokens") + lit(ContextTokens - 1)) / lit(ContextTokens)).cast("long"))
+        expr(s"(total_tokens + ${ContextTokens - 1}) div $ContextTokens"))
       .select(col("lang"), col("n_docs"), col("n_split_docs"), col("total_tokens"),
         col("n_chunks"),
         when(col("n_chunks") === 0L, lit(0.0))
@@ -1393,12 +1401,15 @@ object Corpus {
   def scd2HistoryOn(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
     def fpOf(docs: DataFrame) = docs.select(col("doc_id"),
       coalesce(md5(graft.ext.Text.normalized(col("text"))), lit("<null>")).as("fp"))
-    // persisted: the delta feeds THREE filter arms and the old-side
+    // checkpointed: the delta feeds THREE filter arms and the old-side
     // fingerprints TWO — Catalyst plans are trees, so without this the
     // full-outer fingerprint join (and the old snapshot's normalization
-    // scan) re-executes per consuming arm
-    val delta = snapshotDeltaOn(oldDocs, newDocs).persist()
-    val o = fpOf(oldDocs).persist()
+    // scan) re-executes per consuming arm. localCheckpoint, not persist:
+    // blocks free via the ContextCleaner once the returned frame is
+    // unreferenced, so library callers of this *On entry point don't
+    // accumulate CacheManager entries only clearCache() could drop.
+    val delta = snapshotDeltaOn(oldDocs, newDocs).localCheckpoint()
+    val o = fpOf(oldDocs).localCheckpoint()
     val n = fpOf(newDocs)
     def arm(statuses: Seq[String], side: DataFrame, from: Long, to: Long) =
       delta.filter(col("status").isin(statuses: _*)).select("doc_id")
@@ -1466,14 +1477,16 @@ object Corpus {
   def sourceDriftOn(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
     def cells(d: DataFrame, n: String) =
       d.groupBy("lang", "source").agg(count(lit(1)).as(n))
-    // persisted: the tiny joined cell frame feeds both the totals pair and
-    // the final projection — without it both count aggregates re-run
+    // checkpointed: the tiny joined cell frame feeds both the totals pair
+    // and the final projection — without it both count aggregates re-run
+    // (localCheckpoint over persist for the same no-leak reason as
+    // [[scd2HistoryOn]])
     val j = cells(oldDocs, "n_old").join(cells(newDocs, "n_new"),
         Seq("lang", "source"), "full_outer")
       .select(col("lang"), col("source"),
         coalesce(col("n_old"), lit(0L)).as("n_old"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))
-      .persist()
+      .localCheckpoint()
     val tot = j.agg(sum("n_old").as("t_old"), sum("n_new").as("t_new"))
     j.crossJoin(broadcast(tot))
       .select(col("lang"), col("source"), col("n_old"), col("n_new"),

@@ -119,9 +119,6 @@ object Curation {
     * [[Text.lmFluency]]'s FROZEN heavy-gram census (train-once contract)
     * instead of re-running the census aggregation on every invocation —
     * the same routing as `t_ccnet_buckets`. */
-  private def funnelFrozen(spark: SparkSession, dir: String): DataFrame =
-    funnelFrozenRows(spark, dir).orderBy("doc_id")
-
   private def funnelFrozenRows(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val train = docs.filter(pmod(col("doc_id"), lit(10L)) =!= lit(Corpus.BenchSlice))
@@ -135,8 +132,31 @@ object Curation {
         .select(col("doc_id"), (col("is_canonical") === lit(1L)).as("is_canonical")))
   }
 
+  /** Materialized funnel verdict manifest, built once per corpus and read
+    * back from parquet on every later invocation — the production shape: a
+    * pipeline writes ONE keep/drop manifest table and every consumer (the
+    * funnel listing, the co-fire diagnostic, the assembly manifest) reads
+    * that table instead of re-running the six gate subplans. In-process it
+    * lives in a temp dir keyed by corpus (the dup-cluster-manifest
+    * pattern); at 100 TB it is the same write, pointed at the warehouse.
+    * Corpus-sized, so never collected to the driver. */
+  private val funnelManifestCache = new graft.ops.FrozenCaches.Memo[Unit, String](
+    beforeClear = _.forEach(p =>
+      graft.ops.FrozenCaches.deleteTree(java.nio.file.Paths.get(p).getParent.toString)))
+
+  private def frozenFunnelRows(spark: SparkSession, dir: String): DataFrame = {
+    val path = funnelManifestCache.get(dir, ()) {
+      val p = java.nio.file.Files.createTempDirectory("graft_funnel_manifest")
+        .toString + "/funnel.parquet"
+      funnelFrozenRows(spark, dir).write.parquet(p)
+      p
+    }
+    spark.read.parquet(path)
+  }
+
   def curationFunnel(spark: SparkSession, dir: String): DataFrame =
-    funnelFrozen(spark, dir)
+    // parquet round-trip loses row order; re-sort to the listing contract
+    frozenFunnelRows(spark, dir).orderBy("doc_id")
 
   /** Oracle twin: the six REGISTERED oracle SQLs verbatim as subqueries
     * (subquery ORDER BYs are legal and ignored), joined on the train
@@ -208,7 +228,11 @@ object Curation {
   }
 
   def gatePatterns(spark: SparkSession, dir: String): DataFrame =
-    gatePatternsFrom(funnelFrozenRows(spark, dir))
+    // rides the SAME materialized manifest as `t_curation_funnel`: the
+    // suite pays the six gate subplans once per corpus, not once per
+    // consumer (the round-10 driver bench measured the re-run at 7.23 s
+    // vs 3.6-3.8 s isolated — this freeze removes the shape entirely)
+    gatePatternsFrom(frozenFunnelRows(spark, dir))
 
   val gatePatternsSql: String =
     s"""WITH fun AS (SELECT * FROM ($curationFunnelSql)),

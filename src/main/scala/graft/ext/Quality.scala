@@ -358,7 +358,13 @@ object Quality {
     * threshold state regardless of corpus size (a median would need a
     * corpus-wide value collection). */
   def qsScoreAgainstOn(docs: DataFrame, weights: DataFrame): DataFrame = {
-    val scored = qsRawScores(docs, weights)
+    // two consumers (threshold aggregate + final projection): checkpoint so
+    // the feature explode + broadcast join + per-doc aggregate runs ONCE.
+    // localCheckpoint, not persist — blocks free via the ContextCleaner when
+    // the frame is unreferenced, so library callers don't accumulate cache
+    // entries they can only drop with clearCache() (the sourceDriftOn fix,
+    // upgraded per the round-10 advice).
+    val scored = qsRawScores(docs, weights).localCheckpoint()
     val thr = scored.agg(sum(col("score")).as("tot_score"),
       count(lit(1)).as("n_tot"))
     scored.crossJoin(broadcast(thr))
@@ -372,8 +378,10 @@ object Quality {
     qsScoreAgainstOn(docs, qsWeightsOn(docs, posSource))
 
   /** Raw per-doc scores against fixed weights (no gate): (doc_id, lang,
-    * source, n_feats, score). */
-  private def qsRawScores(docs: DataFrame, weights: DataFrame): DataFrame = {
+    * source, n_feats, score). Package-visible so PlanSpec can pin the
+    * scoring plan itself — the public gate checkpoints it, so the final
+    * frame's plan no longer shows the scoring subtree. */
+  private[graft] def qsRawScores(docs: DataFrame, weights: DataFrame): DataFrame = {
     val scores = qsFeatures(docs)
       .join(broadcast(weights.select(col("b"), col("w"))), Seq("b"))
       .groupBy("doc_id")
@@ -437,8 +445,11 @@ object Quality {
     * arithmetic, identical on both engines. */
   def qualityCalibrationFrom(scored: DataFrame,
                              posSource: String = QsPosSource): DataFrame = {
-    val bounds = scored.agg(min("score").as("lo"), max("score").as("hi"))
-    scored.crossJoin(broadcast(bounds))
+    // same two-consumer shape as the gate: the bounds pass and the bucket
+    // aggregate must not re-run the upstream scoring job
+    val sc = scored.localCheckpoint()
+    val bounds = sc.agg(min("score").as("lo"), max("score").as("hi"))
+    sc.crossJoin(broadcast(bounds))
       .withColumn("bucket", least(lit(9L), expr("((score - lo) * 10) div (hi - lo + 1)")))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"),

@@ -480,11 +480,14 @@ object Multimodal {
       .orderBy("hamming")
   }
 
-  /** Oracle twin: pixels via the proven hex-slice route, the flat Q14
-    * integer DCT with the SAME spliced basis constants, bit_or-folded bits
-    * (bit 63's value is the literal Long.MinValue — DuckDB refuses 1<<63
-    * where the JVM wraps), then the band/hamming pairing. */
-  val dctDedupSql: String = {
+  /** The shared WITH…pairs CTE chain of the perceptual-hash family —
+    * pixels via the proven hex-slice route, the flat Q14 integer DCT with
+    * the SAME spliced basis constants, bit_or-folded bits (bit 63's value
+    * is the literal Long.MinValue — DuckDB refuses 1<<63 where the JVM
+    * wraps), then the band/hamming pairing. [[dctDedupSql]] and
+    * [[hammingCurveSql]] both COMPOSE this val (no string surgery on a
+    * finished query), so their pair semantics cannot drift. */
+  private val dctPairsCtes: String = {
     val bLit = DctBasis.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
     val bandBits = 64 / DctBands
     val mask = (1L << bandBits) - 1
@@ -520,18 +523,22 @@ object Multimodal {
        |         bit_count(xor(l.phash, r.phash)) AS hamming
        |  FROM bands l JOIN bands r
        |    ON l.band_idx = r.band_idx AND l.band = r.band AND l.doc_id < r.doc_id
-       |  GROUP BY 1, 2, 3)
+       |  GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  /** Oracle twin of the banded perceptual-hash dedup: the shared
+    * [[dctPairsCtes]] chain, then the hamming-thresholded pair listing. */
+  val dctDedupSql: String =
+    s"""$dctPairsCtes
        |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
        |FROM pairs WHERE hamming <= $DctHamMax
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   /** Oracle twin of [[hammingCurve]]: the identical CTE chain through
-    * `pairs` (spliced from [[dctDedupSql]] so the two cannot drift), then
-    * the zero-filled level histogram with a running cumulative sum. */
-  val hammingCurveSql: String = {
-    val prefix = dctDedupSql.substring(0, dctDedupSql.indexOf("SELECT doc_a")).trim
-    s"""$prefix,
+    * `pairs` (composed from [[dctPairsCtes]] so the two cannot drift),
+    * then the zero-filled level histogram with a running cumulative sum. */
+  val hammingCurveSql: String =
+    s"""$dctPairsCtes,
        |hist AS (SELECT hamming, count(*) AS n FROM pairs GROUP BY 1),
        |lv AS (SELECT unnest(range(0, ${HcLevels + 1})) AS hamming)
        |SELECT CAST(l.hamming AS BIGINT) AS hamming,
@@ -540,7 +547,6 @@ object Multimodal {
        |       l.hamming < $DctBands AS is_complete
        |FROM lv l LEFT JOIN hist h ON l.hamming = h.hamming
        |ORDER BY hamming""".stripMargin
-  }
 
   // ---------------------------------------------- image-text alignment gate
   /** CLIP-style cross-modal alignment filter (Radford et al. 2021; the

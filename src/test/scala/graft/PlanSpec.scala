@@ -201,10 +201,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("quality classifier: weight table broadcasts, scoring aggregates partially, no cartesian on rows") {
+    // the gate checkpoints the scored frame (two consumers), so the scoring
+    // subtree executes at checkpoint time — pin ITS plan directly
+    val docs = graft.ops.Tables.documents(spark, dir)
+    val ps = plan(graft.ext.Quality.qsRawScores(docs, graft.ext.Quality.qsWeightsOn(docs)))
+    assert(ps.contains("BroadcastHashJoin"), "weight table not broadcast:\n" + ps.take(3000))
+    assert("HashAggregate".r.findAllIn(ps).size >= 2, "no partial aggregation")
+    // ... and the post-checkpoint gate: the 1-row calibration pair rides a
+    // broadcast, never a row-sized cross join
     val p = plan(graft.ext.Quality.qualityScore(spark, dir))
-    assert(p.contains("BroadcastHashJoin"), "weight table not broadcast:\n" + p.take(3000))
-    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
-    // the 1-row calibration pair rides a broadcast, never a row-sized cross join
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange IdentityBroadcastMode"),
       "calibration pair should cross-join via broadcast:\n" + p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
@@ -261,12 +266,17 @@ class PlanSpec extends SparkSpec {
   }
 
   test("curation funnel joins verdict bits by doc_id with no cartesian and partial aggregation") {
-    val p = plan(graft.ext.Curation.curationFunnel(spark, dir))
+    // the registered form reads the frozen per-corpus manifest; the funnel
+    // COMPOSITION plan is pinned on the one-shot builder form
+    val p = plan(graft.ext.Curation.curationFunnelOn(graft.ops.Tables.documents(spark, dir)))
     assert(!p.contains("CartesianProduct"), p.take(3000))
     // five gate frames meet the spine through doc_id-keyed joins
     assert("\\[doc_id#\\d+L\\], \\[doc_id#\\d+L\\]".r.findAllIn(p).size >= 4,
       "funnel lost its doc_id join keys:\n" + p.take(3000))
     assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation in the gates")
+    // the registered pair rides the manifest: a warehouse read, not a recompute
+    val pr = plan(graft.ext.Curation.curationFunnel(spark, dir))
+    assert(pr.contains("graft_funnel_manifest"), "frozen manifest scan missing:\n" + pr.take(3000))
   }
 
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
