@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Mergeable quantile sketch over integer cents as a typed `Aggregator` —
+  * the log-linear-histogram design (public lineage: HdrHistogram's
+  * exponent+mantissa bucketing; DDSketch's relative-error log buckets,
+  * Masson et al., VLDB 2019): a value's bucket is its bit length plus the
+  * next [[SubBits]] mantissa bits, so bucket width grows with magnitude
+  * and the midpoint estimate is within 2^-([[SubBits]]+1) = 1/16 relative
+  * error of the true rank statistic.
+  *
+  * Completes the sketch family (KMV distinct, CMS counts, bloom
+  * membership): the quantile member replaces the exact `percentile` —
+  * a corpus-wide sort per group at 100 TB — with bounded O(cells) state
+  * that Spark plans partial-then-final like any builtin aggregate.
+  *
+  * Two properties the stock sketches (t-digest, KLL) do NOT give, and the
+  * reason this design is the house choice:
+  *   - merge is CELL-WISE COUNT ADDITION — associative, commutative, and
+  *     merge-ORDER-INDEPENDENT, so the estimate is bit-identical no matter
+  *     how Spark partitions the data (t-digest/KLL results drift with
+  *     merge order, which would make a hash-compared oracle impossible);
+  *   - every step is integer arithmetic (bit length, shift, mask, floor
+  *     division), so DuckDB reproduces the ESTIMATE itself, not just an
+  *     error bound.
+  */
+object QuantileSketch {
+  /** Mantissa bits kept per bucket: 3 → 8 sub-buckets per octave,
+    * relative error ≤ 1/16 for values ≥ 2^([[SubBits]]+1). */
+  val SubBits = 3
+  private val SubCount = 1 << SubBits        // 8
+  private val ExactMax = 1 << (SubBits + 1)  // 16: cents below this are exact cells
+  /** Cells: 0 = nonpositive, 1..15 = exact cents, then 8 per octave for
+    * bit lengths 5..63. */
+  val MaxCells: Int = ExactMax + (63 - SubBits - 1) * SubCount // 488
+
+  /** Cell index of a cents value; monotone in the value. */
+  def cellOf(cents: Long): Int =
+    if (cents <= 0L) 0
+    else if (cents < ExactMax) cents.toInt
+    else {
+      val bl = 64 - java.lang.Long.numberOfLeadingZeros(cents)
+      val sub = ((cents >> (bl - 1 - SubBits)) & (SubCount - 1)).toInt
+      ExactMax + (bl - SubBits - 2) * SubCount + sub
+    }
+
+  /** Midpoint estimate (in cents) of a cell's value range — integer floor
+    * midpoint, identical to the oracle's formula. */
+  def estOf(cell: Int): Long =
+    if (cell < ExactMax) cell.toLong
+    else {
+      val octave = (cell - ExactMax) / SubCount          // bl - SubBits - 2
+      val sub = (cell - ExactMax) % SubCount
+      val shift = octave + 1                             // bl - 1 - SubBits
+      val lo = (SubCount.toLong + sub) << shift
+      lo + ((1L << shift) - 1L) / 2L
+    }
+
+  /** The quantiles the registered query reports, as exact integer
+    * fractions (num, den) so the 0-based rank floor((n-1)·num/den) is
+    * computed identically on both engines. */
+  val Quantiles: Seq[(Long, Long)] = Seq(1L -> 2L, 9L -> 10L, 99L -> 100L)
+
+  /** Finished sketch output: estimated cents at p50/p90/p99 plus the
+    * total count the ranks were taken against. */
+  final case class Est(p50_cents: Long, p90_cents: Long, p99_cents: Long, n: Long)
+
+  private def quantileCell(buf: Array[Long], n: Long, num: Long, den: Long): Int = {
+    val rank = (num * (n - 1)) / den // 0-based target rank
+    var cum = 0L
+    var cell = 0
+    while (cell < buf.length) {
+      cum += buf(cell)
+      if (cum > rank) return cell
+      cell += 1
+    }
+    buf.length - 1 // unreachable when n > 0
+  }
+
+  val agg: Aggregator[Long, Array[Long], Est] = new Aggregator[Long, Array[Long], Est] {
+    def zero: Array[Long] = new Array[Long](MaxCells)
+    def reduce(b: Array[Long], cents: Long): Array[Long] = { b(cellOf(cents)) += 1L; b }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < MaxCells) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Est = {
+      var n = 0L
+      var i = 0
+      while (i < MaxCells) { n += b(i); i += 1 }
+      if (n == 0L) Est(0L, 0L, 0L, 0L)
+      else {
+        val Seq(p50, p90, p99) =
+          Quantiles.map { case (num, den) => estOf(quantileCell(b, n, num, den)) }
+        Est(p50, p90, p99, n)
+      }
+    }
+    def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+    def outputEncoder: Encoder[Est] = Encoders.product[Est]
+  }
+
+  /** Matching oracle SQL: relation with ($groupCol, p50_cents, p90_cents,
+    * p99_cents, n) — the same integer cell/rank/midpoint pipeline.
+    * `centsExpr` must already be the BIGINT cents form of the value. */
+  def estimateSql(centsExpr: String, from: String, groupCol: String): String = {
+    val blSql = s"length(bin($centsExpr))" // no leading zeros: = bit length
+    val cellSql =
+      s"""CASE WHEN $centsExpr <= 0 THEN 0
+         |     WHEN $centsExpr < $ExactMax THEN $centsExpr
+         |     ELSE $ExactMax + ($blSql - ${SubBits + 2}) * $SubCount
+         |          + (($centsExpr >> ($blSql - ${SubBits + 1})) & ${SubCount - 1})
+         |END""".stripMargin
+    val estSql =
+      s"""CASE WHEN cell < $ExactMax THEN cell
+         |     ELSE (($SubCount + (cell - $ExactMax) % $SubCount) << ((cell - $ExactMax) // $SubCount + 1))
+         |          + ((1::BIGINT << ((cell - $ExactMax) // $SubCount + 1)) - 1) // 2
+         |END""".stripMargin
+    def pick(num: Long, den: Long, as: String) =
+      s"min(CASE WHEN cum > ($num * (tot - 1)) // $den THEN est END) AS $as"
+    s"""WITH qs_cells AS (
+       |  SELECT $groupCol, CAST($cellSql AS BIGINT) AS cell, count(*) AS cn
+       |  FROM $from GROUP BY 1, 2),
+       |qs_cum AS (
+       |  SELECT $groupCol, CAST($estSql AS BIGINT) AS est,
+       |         sum(cn) OVER (PARTITION BY $groupCol ORDER BY cell
+       |                       ROWS UNBOUNDED PRECEDING) AS cum,
+       |         sum(cn) OVER (PARTITION BY $groupCol) AS tot
+       |  FROM qs_cells)
+       |SELECT $groupCol,
+       |       ${pick(1L, 2L, "p50_cents")},
+       |       ${pick(9L, 10L, "p90_cents")},
+       |       ${pick(99L, 100L, "p99_cents")},
+       |       CAST(max(tot) AS BIGINT) AS n
+       |FROM qs_cum GROUP BY $groupCol""".stripMargin
+  }
+}

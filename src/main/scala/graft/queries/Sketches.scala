@@ -163,6 +163,67 @@ object Sketches {
        |       count(*) AS n_events
        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Mergeable quantile sketch per event_type — the quantile member of the
+    * sketch family (KMV distinct / CMS counts / bloom membership), closing
+    * the round-10 gap: exact `percentile` needs a per-group value sort
+    * (corpus-wide at 100 TB), while the log-linear histogram sketch
+    * ([[graft.functions.QuantileSketch]]) is bounded O(cells) state,
+    * merge-order independent, and planned partial-then-final like any
+    * builtin aggregate. Because every step is integer arithmetic, the
+    * oracle reproduces the ESTIMATES themselves; the exact interpolated
+    * percentiles ride along (the k_approx_agg convention) and the
+    * `within_*` booleans assert the sketch's published bound — midpoint
+    * within 1/16 relative error of the rank statistic, plus a cent of
+    * slack for the exact side's interpolation. */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val qs = udaf(graft.functions.QuantileSketch.agg)
+    def ok(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+      abs(est / lit(100.0) - exact) <= exact / lit(16.0) + lit(0.01)
+    Tables.events(spark, dir)
+      .withColumn("cents", graft.ops.Num.cents(col("value")))
+      .groupBy("event_type")
+      .agg(qs(col("cents")).as("sk"),
+        expr("percentile(value, 0.5)").as("x50"),
+        expr("percentile(value, 0.9)").as("x90"),
+        expr("percentile(value, 0.99)").as("x99"))
+      .select(col("event_type"),
+        col("sk.p50_cents").as("p50_cents"),
+        col("sk.p90_cents").as("p90_cents"),
+        col("sk.p99_cents").as("p99_cents"),
+        col("sk.n").as("n_events"),
+        ok(col("sk.p50_cents"), r6(col("x50"))).as("within_p50"),
+        ok(col("sk.p90_cents"), r6(col("x90"))).as("within_p90"),
+        ok(col("sk.p99_cents"), r6(col("x99"))).as("within_p99"),
+        r6(col("x50")).as("exact_p50"),
+        r6(col("x90")).as("exact_p90"),
+        r6(col("x99")).as("exact_p99"))
+      .orderBy("event_type")
+  }
+
+  val quantileSketchSql: String = {
+    val est = graft.functions.QuantileSketch.estimateSql(
+      "cents",
+      s"(SELECT event_type, ${graft.ops.Num.centsSql("value")} AS cents FROM events)",
+      "event_type")
+    def ok(est: String, exact: String) =
+      s"abs($est / 100.0 - $exact) <= $exact / 16.0 + 0.01"
+    s"""WITH est AS ($est),
+       |ex AS (
+       |  SELECT event_type,
+       |         ${r6Sql("quantile_cont(value, 0.5)")} AS x50,
+       |         ${r6Sql("quantile_cont(value, 0.9)")} AS x90,
+       |         ${r6Sql("quantile_cont(value, 0.99)")} AS x99
+       |  FROM events GROUP BY 1)
+       |SELECT e.event_type, est.p50_cents, est.p90_cents, est.p99_cents,
+       |       est.n AS n_events,
+       |       ${ok("est.p50_cents", "e.x50")} AS within_p50,
+       |       ${ok("est.p90_cents", "e.x90")} AS within_p90,
+       |       ${ok("est.p99_cents", "e.x99")} AS within_p99,
+       |       e.x50 AS exact_p50, e.x90 AS exact_p90, e.x99 AS exact_p99
+       |FROM ex e JOIN est ON e.event_type = est.event_type
+       |ORDER BY e.event_type""".stripMargin
+  }
+
   /** Explicit GROUPING SETS lattice (the general form cube/rollup are sugar
     * for): per-(status, year), per-status, and grand-total levels in one
     * pass. Spark expands the sets into a single Expand + hash aggregate —
@@ -257,5 +318,6 @@ object Sketches {
     Q("k_salted_agg", saltedAgg _, saltedAggSql),
     Q("k_salted_join", saltedJoin _, saltedJoinSql),
     Q("k_approx_agg", approxAgg _, approxAggSql),
+    Q("k_quantile_sketch", quantileSketch _, quantileSketchSql),
   )
 }

@@ -1,0 +1,76 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QuantileSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sketchOf(xs: Seq[Long]): Array[Long] =
+    xs.foldLeft(QuantileSketch.agg.zero)(QuantileSketch.agg.reduce)
+
+  test("cell index is monotone in the value and the midpoint honors the 1/16 bound") {
+    val samples = (1L to 4096L) ++
+      Seq(1L << 20, (1L << 20) + 12345L, 1L << 40, Long.MaxValue / 3, Long.MaxValue)
+    samples.sliding(2).foreach { case Seq(a, b) =>
+      assert(QuantileSketch.cellOf(a) <= QuantileSketch.cellOf(b), s"cell not monotone at $a,$b")
+    }
+    samples.foreach { c =>
+      val est = QuantileSketch.estOf(QuantileSketch.cellOf(c))
+      if (c < 16) assert(est === c, s"small cents must be exact, got $est for $c")
+      else assert(math.abs(est - c).toDouble / c <= 1.0 / 16 + 1e-12,
+        s"midpoint $est breaks the 1/16 bound for $c")
+    }
+    assert(QuantileSketch.cellOf(Long.MaxValue) < QuantileSketch.MaxCells)
+    assert(QuantileSketch.cellOf(0) === 0 && QuantileSketch.cellOf(-5) === 0)
+  }
+
+  test("merge is order-independent: any partitioning yields the identical estimate") {
+    val rnd = new scala.util.Random(11)
+    val xs = Seq.fill(3000)(1L + rnd.nextInt(1000000))
+    val single = QuantileSketch.agg.finish(sketchOf(xs))
+    // three different partitionings, merged in different orders (rebuild the
+    // parts each time: reduce/merge mutate their buffers, as Spark allows)
+    for (split <- Seq(Seq(100, 900), Seq(1500), Seq(7, 1000, 2000))) {
+      val bounds = (0 +: split :+ xs.length).sliding(2).toSeq
+      val parts = bounds.map { case Seq(a, b) => xs.slice(a, b) }
+      val fwd = parts.map(sketchOf).reduce(QuantileSketch.agg.merge)
+      assert(QuantileSketch.agg.finish(fwd) === single)
+      val rev = parts.reverse.map(sketchOf).reduce(QuantileSketch.agg.merge)
+      assert(QuantileSketch.agg.finish(rev) === single)
+    }
+  }
+
+  test("estimates stay within 1/16 of the true rank statistics") {
+    val rnd = new scala.util.Random(7)
+    val xs = Seq.fill(5000)(1L + rnd.nextInt(5000000))
+    val est = QuantileSketch.agg.finish(sketchOf(xs))
+    val sorted = xs.sorted
+    def rankStat(num: Long, den: Long): Long = sorted(((num * (xs.length - 1)) / den).toInt)
+    for (((num, den), got) <- QuantileSketch.Quantiles.zip(
+        Seq(est.p50_cents, est.p90_cents, est.p99_cents))) {
+      val truth = rankStat(num, den)
+      assert(math.abs(got - truth).toDouble / truth <= 1.0 / 16 + 1e-12,
+        s"q=$num/$den est $got vs rank statistic $truth")
+    }
+    assert(est.n === xs.length.toLong)
+  }
+
+  test("the Spark aggregate is partitioning-invariant (bit-identical across repartitions)") {
+    val qs = udaf(QuantileSketch.agg)
+    val df = graft.ops.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("cents", graft.ops.Num.cents(col("value")))
+    def run(parts: Int) =
+      df.repartition(parts).groupBy("event_type").agg(qs(col("cents")).as("sk"))
+        .select(col("event_type"), col("sk.p50_cents"), col("sk.p90_cents"),
+          col("sk.p99_cents"), col("sk.n"))
+        .orderBy("event_type")
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(run(1) === run(7))
+  }
+
+  test("empty groups finish to the zero estimate") {
+    val est = QuantileSketch.agg.finish(QuantileSketch.agg.zero)
+    assert(est === QuantileSketch.Est(0L, 0L, 0L, 0L))
+  }
+}
