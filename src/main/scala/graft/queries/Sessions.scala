@@ -265,8 +265,10 @@ object Sessions {
   /** Click attribution via a bounded INTERVAL join: every click pairs with
     * the same user's view events inside the trailing 30-minute window —
     * the batch twin of the watermarked stream-stream join
-    * ([[graft.streaming.Streams.clickViewJoin]], parity-spec'd since
-    * round 4), now a registered oracled query. The join is an EQUI-join on
+    * ([[graft.streaming.Streams.clickViewJoin]], which emits the same six
+    * columns and is parity-spec'd doc-for-doc against this row — including
+    * a micro-batch cut engineered INSIDE a pair, so the cross-batch state
+    * retention is proven, not assumed). The join is an EQUI-join on
     * user_id with a range residual, so Spark plans a user-keyed
     * sort-merge — output is bounded by events-per-user-per-window, never
     * a cartesian. */

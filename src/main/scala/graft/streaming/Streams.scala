@@ -98,24 +98,31 @@ object Streams {
         col("value"), col("c_mktsegment"))
 
   /** Watermarked stream-stream self-join: each "click" event joins "view"
-    * events of the same user within [-30 min, 0]. Both sides carry
-    * watermarks and the join condition bounds event-time distance, so the
-    * state store retains only the watermark horizon per side — the
-    * unbounded-state hazard of naive stream joins is designed out. */
+    * events of the same user within [-30 min, 0] — the streaming twin of
+    * the registered `w_click_attribution` interval join
+    * ([[graft.queries.Sessions.clickAttributionOn]]), emitting the SAME
+    * six columns so the parity spec can assert doc-for-doc equality.
+    * Both sides carry watermarks and the join condition bounds event-time
+    * distance, so the state store retains only the watermark horizon per
+    * side — the unbounded-state hazard of naive stream joins is designed
+    * out. At 100 TB both sides shuffle on user_id into the same state
+    * partitions (RocksDB-backed), exactly the batch join's co-key. */
   def clickViewJoin(events: DataFrame): DataFrame = {
     val views = events.filter(col("event_type") === "view")
-      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("value").as("v_value"))
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_event_id"), col("value").as("view_value"))
       .withWatermark("v_ts", "1 hour")
     val clicks = events.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_event_id"))
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_event_id"))
       .withWatermark("c_ts", "1 hour")
     clicks.join(views,
       col("c_user") === col("v_user") &&
         col("v_ts") <= col("c_ts") &&
         col("v_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES"))
-      .select(col("c_event_id"), col("c_user").as("user_id"),
-        unix_micros(col("c_ts")).as("c_ts_us"), unix_micros(col("v_ts")).as("v_ts_us"),
-        col("v_value"))
+      .select(col("click_event_id"), col("c_user").as("user_id"),
+        unix_micros(col("c_ts")).as("c_ts_us"), col("view_event_id"),
+        unix_micros(col("v_ts")).as("v_ts_us"), col("view_value"))
   }
 
   /** Streaming sequence packing via foreachBatch: every micro-batch is

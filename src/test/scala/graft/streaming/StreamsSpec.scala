@@ -56,7 +56,7 @@ class StreamsSpec extends SparkSpec {
   test("watermarked stream-stream interval join matches the batch range join") {
     val streamed = Streams.runToMemory(spark,
       Streams.clickViewJoin(Streams.readEventsStream(spark, sfDir)), "t_ssjoin")
-      .select("c_event_id", "v_ts_us")
+      .select("click_event_id", "v_ts_us")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ev = graft.ops.Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
@@ -69,6 +69,41 @@ class StreamsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamed === batch)
     assert(streamed.nonEmpty)
+  }
+
+  test("stream-stream join equals w_click_attribution doc-for-doc across micro-batches") {
+    // time-sliced micro-batches with a cut placed INSIDE a known
+    // click-view pair: the click arrives in a later batch than its view,
+    // so the pair can only emit if the view survives in the state store
+    // across batches (the case the single-file stream never exercises)
+    val batch = graft.queries.Sessions.clickAttribution(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toSeq.sorted
+    assert(batch.nonEmpty, "degenerate corpus: no click-view pairs in window")
+    val spanning = batch.filter { case (_, _, cTs, _, vTs, _) => vTs < cTs }
+    assert(spanning.nonEmpty, "degenerate corpus: every pair is simultaneous")
+    // cut at the view's timestamp: view lands in the earlier slice
+    // (ts <= cut), its click in a later one — plus a tercile cut for bulk
+    val ts = graft.ops.Tables.events(spark, sfDir)
+      .select(unix_micros(col("ts"))).as[Long].collect().sorted
+    val cutInsidePair = spanning.head._5
+    val cuts = Seq(cutInsidePair, ts(2 * ts.length / 3)).distinct
+    val streamed = Streams.runToMemory(spark,
+      Streams.clickViewJoin(timeSlicedEventStream("ssjoin", cuts)
+        .select("event_id", "user_id", "event_type", "ts", "value")), "t_ssjoin_sliced")
+      .select("click_event_id", "user_id", "c_ts_us", "view_event_id", "v_ts_us", "view_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toSeq.sorted
+    // sorted-Seq equality = doc-for-doc INCLUDING multiplicity: a dropped
+    // pair (e.g. the cross-batch one), an extra pair, or a double-emit all fail
+    assert(streamed === batch,
+      s"missing: ${(batch.toSet -- streamed.toSet).take(3)}; extra: ${(streamed.toSet -- batch.toSet).take(3)}")
+    // the cross-batch case actually occurred by construction
+    assert(batch.exists { case (_, _, cTs, _, vTs, _) =>
+      vTs <= cutInsidePair && cTs > cutInsidePair },
+      "no pair spans the engineered cut — slicing logic broken")
   }
 
   test("streaming exact dedup emits exactly the batch-distinct key set") {
@@ -844,19 +879,21 @@ class StreamsSpec extends SparkSpec {
     * terciles (maxFilesPerTrigger=1 → three batches, nondecreasing
     * arrival — the ordered-ingestion contract the funnel/cohort twins
     * state). Returns the raw (user_id, ts, event_type, event_id) stream. */
-  private def timeSlicedEventStream(tag: String): org.apache.spark.sql.DataFrame = {
+  private def timeSlicedEventStream(tag: String,
+                                    cutsAt: Seq[Long] = Nil): org.apache.spark.sql.DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = Files.createTempDirectory(s"graft_${tag}_stream").toString
     Files.createDirectories(Paths.get(s"$base/in"))
     val ev = graft.ops.Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        col("ts"), unix_micros(col("ts")).as("ts_us"))
+        col("ts"), unix_micros(col("ts")).as("ts_us"), col("value"))
     val ts = ev.select("ts_us").as[Long].collect().sorted
-    val cuts = Array(ts(ts.length / 3), ts(2 * ts.length / 3))
-    val slices = Seq(
-      col("ts_us") <= cuts(0),
-      col("ts_us") > cuts(0) && col("ts_us") <= cuts(1),
-      col("ts_us") > cuts(1))
+    // default: event-time terciles; callers needing a cut at a SPECIFIC
+    // instant (the ssjoin cross-batch case) pass their own boundaries
+    val cuts = if (cutsAt.nonEmpty) cutsAt.sorted.toArray
+      else Array(ts(ts.length / 3), ts(2 * ts.length / 3))
+    val slices = (Long.MinValue +: cuts.toSeq).zip(cuts.toSeq :+ Long.MaxValue)
+      .map { case (lo, hi) => col("ts_us") > lo && col("ts_us") <= hi }
     slices.zipWithIndex.foreach { case (pred, i) =>
       val tmp = s"$base/tmp$i"
       ev.filter(pred).coalesce(1).write.parquet(tmp)
@@ -865,7 +902,7 @@ class StreamsSpec extends SparkSpec {
       Thread.sleep(20)
     }
     spark.readStream
-      .schema("event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP, ts_us LONG")
+      .schema("event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP, ts_us LONG, value DOUBLE")
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$base/in")
   }
