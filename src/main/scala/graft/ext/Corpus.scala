@@ -137,7 +137,12 @@ object Corpus {
     * task). */
   val PackShards = 8
 
-  def seqPackShardedOn(docs: DataFrame, nShards: Int = PackShards): DataFrame = {
+  /** Per-document sharded packing rows — the shared core of
+    * [[seqPackShardedOn]] (which aggregates it to the per-chunk manifest)
+    * and [[pipelineManifest]] (which records each doc's pack position):
+    * one code path, so the two views of the packing cannot drift. Output:
+    * (lang, shard, doc_id, n_tok, cum_tok, chunk_id). */
+  def seqPackDocRowsOn(docs: DataFrame, nShards: Int = PackShards): DataFrame = {
     val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
@@ -148,32 +153,45 @@ object Corpus {
       // integral div (not double division + cast) — the packEfficiencyOn
       // integer-exact rationale applies identically here
       .withColumn("chunk_id", expr(s"(cum_tok - n_tok) div $ContextTokens"))
+      .select("lang", "shard", "doc_id", "n_tok", "cum_tok", "chunk_id")
+  }
+
+  def seqPackShardedOn(docs: DataFrame, nShards: Int = PackShards): DataFrame =
+    seqPackDocRowsOn(docs, nShards)
       .groupBy("lang", "shard", "chunk_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens_started"),
         min("doc_id").as("first_doc_id"), max("doc_id").as("last_doc_id"))
       .orderBy("lang", "shard", "chunk_id")
-  }
 
   def seqPackSharded(spark: SparkSession, dir: String): DataFrame =
     seqPackShardedOn(Tables.documents(spark, dir))
+
+  /** The per-doc packing CTE chain over relation `rel` (must expose lang,
+    * doc_id, text), ending in `pdoc`(lang, shard, doc_id, n_tok, chunk_id)
+    * — composed by [[seqPackShardedSql]] and the pipeline-manifest oracle
+    * so the SQL side shares one chain exactly as the Spark side shares
+    * [[seqPackDocRowsOn]]. */
+  def seqPackDocCtesSql(rel: String): String = {
+    val shard = s"${Dedup.baseHashSql("('shard:' || CAST(doc_id AS VARCHAR))")} % $PackShards"
+    s"""ptoks AS (
+       |  SELECT lang, $shard AS shard, doc_id,
+       |         CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tok
+       |  FROM $rel),
+       |pdoc AS (
+       |  SELECT lang, shard, doc_id, n_tok,
+       |         (CAST(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok) // $ContextTokens AS chunk_id
+       |  FROM ptoks)""".stripMargin
+  }
 
   /** Oracle twin of [[seqPackShardedOn]]: the shard is the same portable
     * doc-hash mod [[PackShards]], so DuckDB reproduces the exact shard
     * assignment and per-(lang, shard) running sums. */
   val seqPackShardedSql: String = {
-    val shard = s"${Dedup.baseHashSql("('shard:' || CAST(doc_id AS VARCHAR))")} % $PackShards"
-    s"""WITH toks AS (
-       |  SELECT lang, $shard AS shard, doc_id,
-       |         CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tok
-       |  FROM documents),
-       |cum AS (
-       |  SELECT lang, shard, doc_id, n_tok,
-       |         CAST(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
-       |  FROM toks)
-       |SELECT lang, shard, (cum_tok - n_tok) // $ContextTokens AS chunk_id,
+    s"""WITH ${seqPackDocCtesSql("documents")}
+       |SELECT lang, shard, chunk_id,
        |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens_started,
        |       min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
-       |FROM cum
+       |FROM pdoc
        |GROUP BY 1, 2, 3
        |ORDER BY lang, shard, chunk_id""".stripMargin
   }
@@ -1676,7 +1694,112 @@ object Corpus {
        |       doc_id
        |FROM base ORDER BY epoch, shard, pos""".stripMargin
 
-  val all: Seq[Q] = Seq(
+  // --------------------------------------------- end-to-end pipeline manifest
+  /** The assembly pipeline composed end to end into ONE per-document
+    * manifest — the artifact a training run actually consumes: for every
+    * corpus document, what the mix decided (`n_copies`), what the curation
+    * funnel decided (`kept` / `drop_reason`, with 'bench_slice' marking
+    * docs outside the funnel's training pool), whether quality-aware dedup
+    * chose it as its cluster's survivor, which split it landed in, and —
+    * for documents that survive EVERY stage and land in train — the
+    * (shard, chunk_id) pack position of the composed survivor stream
+    * (sentinel −1 on non-packed rows: the no-nullable-BIGINT convention).
+    *
+    * Composition discipline (the funnel's, one level up): this query has
+    * NO stage logic of its own — the Spark side calls the exact per-stage
+    * entry points the registry runs ([[mixRowsOn]], the materialized
+    * funnel manifest, the materialized dup-cluster manifest + keep-best
+    * choice, [[splitRowsOn]], [[seqPackDocRowsOn]]), and the oracle embeds
+    * the per-stage ORACLE SQLs as subqueries (the pack stage composes
+    * [[seqPackDocCtesSql]] over the filtered spine — the same
+    * parameterized chain `t_seq_pack_sharded` runs over the full corpus).
+    * Neither side can drift from the stage operators, and every stage
+    * behavior is re-proven through one more independent path.
+    *
+    * Scale shape: the verdict assembly is doc_id-keyed left joins of
+    * (doc_id, verdict) frames — narrow shuffles of verdict bits, never of
+    * text (the funnel argument); the pack windows are bounded by (lang,
+    * shard) over the SURVIVOR subset only. The two frozen warehouse
+    * manifests (funnel verdicts, dup clusters) are parquet reads. */
+  def pipelineManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val mx = mixRowsOn(docs).groupBy("doc_id").agg(count(lit(1)).as("n_copies"))
+    val fn = graft.ext.Curation.funnelManifest(spark, dir)
+      .select(col("doc_id"), col("kept").as("f_kept"), col("drop_reason").as("f_reason"))
+    val dc = graft.ext.Dedup.dupClusters(spark, dir).select("doc_id", "cluster_id")
+    val kb = graft.ext.Dedup.keepBest(spark, dir).select("cluster_id", "keep_doc_id")
+    val sp = splitRowsOn(docs).select("doc_id", "split")
+    // checkpointed: the verdict frame feeds the pack-input filter AND the
+    // final projection (the scd2HistoryOn two-consumer discipline)
+    val verdict = docs.select("doc_id", "lang", "source")
+      .join(mx, Seq("doc_id"), "left")
+      .join(fn, Seq("doc_id"), "left")
+      .join(dc, Seq("doc_id"), "left")
+      .join(kb, Seq("cluster_id"), "left")
+      .join(sp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("n_copies"), lit(0L)).as("n_copies"),
+        coalesce(col("f_kept"), lit(false)).as("kept"),
+        when(col("f_kept").isNull, lit("bench_slice")).otherwise(col("f_reason")).as("drop_reason"),
+        (col("doc_id") === col("keep_doc_id")).as("is_survivor"),
+        col("split"))
+      .withColumn("packed",
+        col("n_copies") > 0 && col("kept") && col("is_survivor") && col("split") === "train")
+      .localCheckpoint()
+    val packIn = docs.select("doc_id", "lang", "text")
+      .join(verdict.filter(col("packed")).select("doc_id"), Seq("doc_id"))
+    val pk = seqPackDocRowsOn(packIn).select("doc_id", "shard", "chunk_id")
+    verdict.join(pk, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_copies"),
+        col("kept"), col("drop_reason"), col("is_survivor"), col("split"),
+        col("packed"),
+        coalesce(col("shard"), lit(-1L)).as("shard"),
+        coalesce(col("chunk_id"), lit(-1L)).as("chunk_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the five registered stage oracles verbatim as subqueries,
+    * composed on the document spine; the pack chain runs over exactly the
+    * rows the verdict columns say survive.
+    *
+    * LAZY by necessity, not style: this val splices oracle vals from
+    * Curation/Dedup, whose object initializers reference back into Corpus
+    * (Text→Dedup→Corpus is already a chain). A strict val here would read
+    * a mid-initialization object's vals as null and bake "FROM (null)"
+    * into the SQL; deferring to first use guarantees every spliced object
+    * finished initializing (the registry below is lazy for the same
+    * reason). */
+  lazy val pipelineManifestSql: String =
+    s"""WITH mx AS (SELECT doc_id, count(*) AS n_copies FROM ($mixSql) GROUP BY 1),
+       |fn AS (SELECT doc_id, kept, drop_reason FROM (${graft.ext.Curation.curationFunnelSql})),
+       |dc AS (SELECT doc_id, cluster_id FROM (${graft.ext.Dedup.dupClustersSql})),
+       |kb AS (SELECT cluster_id, keep_doc_id FROM (${graft.ext.Dedup.keepBestSql})),
+       |sp AS (SELECT doc_id, split FROM ($splitSql)),
+       |verdict AS (
+       |  SELECT d.doc_id, d.lang, d.source,
+       |         coalesce(mx.n_copies, 0) AS n_copies,
+       |         coalesce(fn.kept, FALSE) AS kept,
+       |         CASE WHEN fn.doc_id IS NULL THEN 'bench_slice' ELSE fn.drop_reason END AS drop_reason,
+       |         d.doc_id = kb.keep_doc_id AS is_survivor,
+       |         sp.split,
+       |         (coalesce(mx.n_copies, 0) > 0 AND coalesce(fn.kept, FALSE)
+       |          AND d.doc_id = kb.keep_doc_id AND sp.split = 'train') AS packed
+       |  FROM documents d
+       |  LEFT JOIN mx ON d.doc_id = mx.doc_id
+       |  LEFT JOIN fn ON d.doc_id = fn.doc_id
+       |  LEFT JOIN dc ON d.doc_id = dc.doc_id
+       |  LEFT JOIN kb ON dc.cluster_id = kb.cluster_id
+       |  LEFT JOIN sp ON d.doc_id = sp.doc_id),
+       |${seqPackDocCtesSql(
+           "(SELECT d.lang, d.doc_id, d.text FROM documents d JOIN verdict v ON d.doc_id = v.doc_id WHERE v.packed)")}
+       |SELECT v.doc_id, v.lang, v.source, v.n_copies, v.kept, v.drop_reason,
+       |       v.is_survivor, v.split, v.packed,
+       |       coalesce(p.shard, -1) AS shard,
+       |       coalesce(p.chunk_id, -1) AS chunk_id
+       |FROM verdict v LEFT JOIN pdoc p ON v.doc_id = p.doc_id
+       |ORDER BY v.doc_id""".stripMargin
+
+  lazy val all: Seq[Q] = Seq(
     Q("t_corpus_mix", mix _, mixSql),
     Q("t_epoch_shuffle", epochShuffle _, epochShuffleSql),
     Q("t_apply_delta", applyDelta _, applyDeltaSql),
@@ -1690,6 +1813,7 @@ object Corpus {
     Q("t_batch_manifest", batchManifest _, batchManifestSql),
     Q("t_seq_pack", seqPack _, seqPackSql),
     Q("t_seq_pack_sharded", seqPackSharded _, seqPackShardedSql),
+    Q("t_pipeline_manifest", pipelineManifest _, pipelineManifestSql),
     Q("t_pack_efficiency", packEfficiency _, packEfficiencySql),
     Q("t_decontaminate", decontaminate _, decontaminateSql),
     // same semantics as t_decontaminate (bloom only PRUNES; the exact

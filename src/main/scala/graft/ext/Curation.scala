@@ -158,6 +158,13 @@ object Curation {
     // parquet round-trip loses row order; re-sort to the listing contract
     frozenFunnelRows(spark, dir).orderBy("doc_id")
 
+  /** The frozen funnel verdict manifest, unsorted — the composition seam
+    * other pipeline stages read ([[graft.ext.Corpus.pipelineManifest]]):
+    * same materialized table as `t_curation_funnel`, so a composed
+    * pipeline can never disagree with the registered funnel. */
+  def funnelManifest(spark: SparkSession, dir: String): DataFrame =
+    frozenFunnelRows(spark, dir)
+
   /** Oracle twin: the six REGISTERED oracle SQLs verbatim as subqueries
     * (subquery ORDER BYs are legal and ignored), joined on the train
     * spine. */

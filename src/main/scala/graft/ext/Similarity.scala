@@ -1391,6 +1391,87 @@ object Similarity {
        |ORDER BY cell""".stripMargin
   }
 
+  // ------------------------------------------------- IVF retrain decision
+  /** Retrain/keep thresholds for the coarse quantizer, in the decision
+    * table's own units: retrain when the post-update balance factor
+    * (max cell / mean cell over n_new) exceeds [[RetrainBalanceMax]], when
+    * delta churn ((added+removed)/old) exceeds [[RetrainChurnMax]], or
+    * when any cell has emptied (its probe share is dead weight). */
+  val RetrainBalanceMax = 2.0
+  val RetrainChurnMax = 0.1
+
+  /** The IVF retrain trigger as a DECISION TABLE — closing the maintenance
+    * loop the round-10 trio left open: [[ivfBalanceOn]] measures index
+    * health, [[ivfUpdateFrom]] maintains assignments, and this row JOINS
+    * the two concerns into the retrain/keep verdict an index server acts
+    * on. One row: cell count, old/new corpus sizes, churn fraction,
+    * pre/post-update balance factors, emptied-cell count, one boolean per
+    * trigger, and the composed verdict ('retrain' iff any trigger fires).
+    *
+    * Zero own measurement (the funnel discipline): every number derives
+    * from the [[ivfUpdateFrom]] occupancy LEDGER the registry already
+    * proves — the Spark side aggregates the registered `s_ivf_update`
+    * frame, the oracle embeds its oracle SQL — so the decision can never
+    * disagree with the ledger it summarizes.
+    *
+    * Determinism: all inputs are exact BIGINT cell counts; each ratio is
+    * one double expression r6-rounded BEFORE its threshold compare, so a
+    * verdict can't flip on a last-ulp (the w_rate_spike convention).
+    *
+    * Scale shape: a ≤|cells|-row aggregate over the ledger — free at any
+    * corpus size; the ledger itself is the delta-bounded plan `s_ivf_update`
+    * pins. */
+  def ivfRetrainFrom(ledger: DataFrame): DataFrame = {
+    val churn = r6((col("na") + col("nr")) / col("n_vecs_old").cast("double"))
+    val balOld = r6(col("mo") * col("n_cells") / col("n_vecs_old").cast("double"))
+    val balNew = r6(col("mn") * col("n_cells") / col("n_vecs_new").cast("double"))
+    ledger.agg(
+        count(lit(1)).as("n_cells"),
+        sum("n_old").as("n_vecs_old"), sum("n_new").as("n_vecs_new"),
+        sum("n_added").as("na"), sum("n_removed").as("nr"),
+        max("n_old").as("mo"), max("n_new").as("mn"),
+        sum(when(col("n_new") === 0L, 1L).otherwise(0L)).as("n_empty_cells"))
+      .select(col("n_cells"), col("n_vecs_old"), col("n_vecs_new"),
+        churn.as("churn"), balOld.as("balance_old"), balNew.as("balance_new"),
+        col("n_empty_cells"),
+        (balNew > lit(RetrainBalanceMax)).as("trigger_balance"),
+        (churn > lit(RetrainChurnMax)).as("trigger_churn"),
+        (col("n_empty_cells") > 0L).as("trigger_empty"))
+      .withColumn("verdict",
+        when(col("trigger_balance") || col("trigger_churn") || col("trigger_empty"),
+          "retrain").otherwise("keep"))
+  }
+
+  def ivfRetrain(spark: SparkSession, dir: String): DataFrame =
+    ivfRetrainFrom(ivfUpdate(spark, dir))
+
+  /** Oracle: the registered update-ledger oracle verbatim, then the same
+    * integer-exact aggregate + r6-then-compare arithmetic. */
+  val ivfRetrainSql: String =
+    s"""WITH led AS (SELECT * FROM ($ivfUpdateSql)),
+       |s AS (
+       |  SELECT count(*) AS n_cells,
+       |         CAST(sum(n_old) AS BIGINT) AS n_vecs_old,
+       |         CAST(sum(n_new) AS BIGINT) AS n_vecs_new,
+       |         CAST(sum(n_added) AS BIGINT) AS na,
+       |         CAST(sum(n_removed) AS BIGINT) AS nr,
+       |         max(n_old) AS mo, max(n_new) AS mn,
+       |         CAST(sum(CASE WHEN n_new = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_cells
+       |  FROM led)
+       |SELECT n_cells, n_vecs_old, n_vecs_new,
+       |       ${r6Sql("(na + nr) / CAST(n_vecs_old AS DOUBLE)")} AS churn,
+       |       ${r6Sql("mo * n_cells / CAST(n_vecs_old AS DOUBLE)")} AS balance_old,
+       |       ${r6Sql("mn * n_cells / CAST(n_vecs_new AS DOUBLE)")} AS balance_new,
+       |       n_empty_cells,
+       |       ${r6Sql("mn * n_cells / CAST(n_vecs_new AS DOUBLE)")} > $RetrainBalanceMax AS trigger_balance,
+       |       ${r6Sql("(na + nr) / CAST(n_vecs_old AS DOUBLE)")} > $RetrainChurnMax AS trigger_churn,
+       |       n_empty_cells > 0 AS trigger_empty,
+       |       CASE WHEN ${r6Sql("mn * n_cells / CAST(n_vecs_new AS DOUBLE)")} > $RetrainBalanceMax
+       |              OR ${r6Sql("(na + nr) / CAST(n_vecs_old AS DOUBLE)")} > $RetrainChurnMax
+       |              OR n_empty_cells > 0
+       |            THEN 'retrain' ELSE 'keep' END AS verdict
+       |FROM s""".stripMargin
+
   // ---------------------------------------------- covariance / whitening prep
   /** Upper-triangle covariance matrix of the embedding corpus — the input
     * every whitening / PCA / ZCA normalization step consumes (complements
@@ -1548,6 +1629,7 @@ object Similarity {
     Q("s_knn_sq8", knnSq8 _, knnSq8Sql),
     Q("s_ivf_balance", ivfBalance _, ivfBalanceSql),
     Q("s_ivf_update", ivfUpdate _, ivfUpdateSql),
+    Q("s_ivf_retrain", ivfRetrain _, ivfRetrainSql),
     Q("s_nprobe_curve", nprobeCurve _, nprobeCurveSql),
     Q("s_pq_distortion", pqDistortion _, pqDistortionSql),
     Q("s_cov_matrix", covMatrix _, covMatrixSql),

@@ -255,6 +255,67 @@ class LibraryApiSpec extends SparkSpec {
     assert(out.toSeq === again.toSeq, "manifest depends on input ordering")
   }
 
+  test("pipeline manifest: stage verdicts compose consistently and pack covers exactly the survivors") {
+    val dir = "/root/testdata/sf0.001"
+    val m = Corpus.pipelineManifest(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(3), r.getBoolean(4),
+        r.getBoolean(6), r.getString(7), r.getBoolean(8), r.getLong(9), r.getLong(10)))
+    // (doc_id, lang, n_copies, kept, is_survivor, split, packed, shard, chunk_id)
+    val docs = graft.ops.Tables.documents(spark, dir)
+    assert(m.length.toLong === docs.count(), "manifest must cover the whole corpus spine")
+    // the packed bit IS the conjunction of the stage verdicts — recomputed here
+    m.foreach { case (id, _, nc, kept, surv, split, packed, sh, ch) =>
+      assert(packed === (nc > 0 && kept && surv && split == "train"), s"doc $id packed bit drifted")
+      // sentinel discipline: pack position iff packed
+      assert((sh >= 0 && ch >= 0) === packed, s"doc $id pack position vs packed bit")
+    }
+    // the packed rows' positions are exactly seqPackDocRowsOn over the
+    // survivor stream (the composition seam, re-derived independently)
+    val packedIds = m.filter(_._7).map(_._1).toSet
+    assert(packedIds.nonEmpty, "degenerate corpus: nothing survived the pipeline")
+    val expected = Corpus.seqPackDocRowsOn(
+        docs.filter(col("doc_id").isin(packedIds.toSeq: _*)))
+      .select("doc_id", "shard", "chunk_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    m.filter(_._7).foreach { case (id, _, _, _, _, _, _, sh, ch) =>
+      assert(expected(id) === ((sh, ch)), s"doc $id pack position != survivor-stream packing")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("property: consecutive epochs are disjoint-salt permutations; shard skew bounded at 10x") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // 50k synthetic ids ≈ the 10× corpus (sf0.1 holds 5k docs); one Spark
+    // pass over 4 epochs, then the properties run driver-side on the
+    // manifest — ScalaCheck draws the (e, e+1) pairs
+    val n = 50000L
+    val epochs = 4
+    val docs = spark.range(n).select(col("id").as("doc_id"))
+    val out = Corpus.epochShuffleOn(docs, epochs = epochs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byEpoch = out.groupBy(_._1)
+    def orderOf(ep: Long): Seq[Long] =
+      byEpoch(ep).sortBy(r => (r._2, r._3)).map(_._4).toSeq
+    val prop = Prop.forAll(Gen.choose(1, epochs - 1)) { e =>
+      val (a, b) = (byEpoch(e.toLong), byEpoch(e.toLong + 1))
+      // identical membership: every epoch is a permutation of the same set
+      a.map(_._4).toSet == b.map(_._4).toSet &&
+        a.length == b.length && a.length.toLong == n &&
+        // disjoint salts actually decorrelate: the orders differ
+        orderOf(e.toLong) != orderOf(e.toLong + 1)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+    // shard-size skew bound at this scale: hash sharding keeps every
+    // (epoch, shard) within 10% of the mean (expected n/shards = 6250,
+    // binomial 3σ ≈ 3.8% — 10% is the alarm line a loader provisions for)
+    val mean = n.toDouble / Corpus.ShuffleShards
+    out.groupBy(r => (r._1, r._2)).foreach { case ((ep, sh), rows) =>
+      assert(math.abs(rows.length - mean) / mean <= 0.10,
+        s"epoch $ep shard $sh size ${rows.length} breaks the 10% skew bound (mean $mean)")
+    }
+  }
+
   test("temperature mix upsamples low-resource langs at constant corpus size, exactly per quota") {
     val bigDocs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
     val in = bigDocs.groupBy("lang").count().collect()

@@ -420,4 +420,33 @@ class SimilaritySpec extends SparkSpec {
     assert(ledger.values.map(_._1).sum === old.count())
     assert(ledger.values.map(_._4).sum === nw.count())
   }
+
+  test("ivf retrain decision: balanced ledger keeps, each forced degradation flips its own trigger") {
+    import spark.implicits._
+    def decide(rows: Seq[(Long, Long, Long, Long, Long)]) = {
+      val led = rows.toDF("cell", "n_old", "n_added", "n_removed", "n_new")
+      val r = Similarity.ivfRetrainFrom(led).collect().head
+      (r.getAs[Boolean]("trigger_balance"), r.getAs[Boolean]("trigger_churn"),
+        r.getAs[Boolean]("trigger_empty"), r.getAs[String]("verdict"))
+    }
+    // healthy: 4 even cells, tiny churn
+    val even = Seq.tabulate(4)(i => (i.toLong, 100L, 1L, 1L, 100L))
+    assert(decide(even) === ((false, false, false, "keep")))
+    // skew: one cell holds most of the post-update corpus → balance fires
+    val skewed = Seq((0L, 100L, 0L, 0L, 370L), (1L, 100L, 0L, 0L, 10L),
+      (2L, 100L, 0L, 0L, 10L), (3L, 100L, 0L, 0L, 10L))
+    assert(decide(skewed) === ((true, false, false, "retrain")))
+    // churn: 30% of the old corpus added+removed → churn fires alone
+    val churned = Seq.tabulate(4)(i => (i.toLong, 100L, 8L, 7L, 101L))
+    assert(decide(churned) === ((false, true, false, "retrain")))
+    // outage: a cell emptied → empty fires alone
+    val emptied = Seq((0L, 100L, 1L, 1L, 134L), (1L, 100L, 1L, 1L, 133L),
+      (2L, 100L, 1L, 1L, 133L), (3L, 100L, 1L, 1L, 0L))
+    assert(decide(emptied) === ((false, false, true, "retrain")))
+    // the registered corpus form returns one row with a definite verdict
+    val real = Similarity.ivfRetrain(spark, "/root/testdata/sf0.001").collect()
+    spark.catalog.clearCache()
+    assert(real.length === 1)
+    assert(Set("keep", "retrain").contains(real.head.getAs[String]("verdict")))
+  }
 }
