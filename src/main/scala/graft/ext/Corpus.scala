@@ -507,6 +507,71 @@ object Corpus {
        |       min(n_tok) AS min_tok, max(n_tok) AS max_tok
        |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
 
+  // ----------------------------------------- token-length quantile table
+  /** Per-language token-length percentiles via the mergeable
+    * [[graft.functions.QuantileSketch]] — the planning table behind a
+    * padding/truncation budget (what context length covers p99 of French
+    * docs?), and the sketch family's documents-table member: the same
+    * aggregator `k_quantile_sketch` registers over event values runs here
+    * over integer token counts (the sketch is generic over positive
+    * longs), with exact interpolated percentiles and the 1/16-bound
+    * booleans riding along (one-token slack for the exact side's
+    * interpolation).
+    *
+    * Scale shape: one corpus scan → per-lang O(cells) sketch state with
+    * map-side combine; the exact ride-alongs are the per-group sort this
+    * sketch exists to replace — at 100 TB a deployment drops them and
+    * keeps the sketch columns (they are separate aggregate expressions,
+    * not inputs to the estimates). */
+  def lengthQuantilesOn(docs: DataFrame): DataFrame = {
+    val qs = udaf(graft.functions.QuantileSketch.agg)
+    def ok(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+      abs(est - exact) <= exact / lit(16.0) + lit(1.0)
+    docs
+      .select(col("lang"), size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("lang")
+      .agg(qs(col("n_tok")).as("sk"),
+        expr("percentile(n_tok, 0.5)").as("x50"),
+        expr("percentile(n_tok, 0.9)").as("x90"),
+        expr("percentile(n_tok, 0.99)").as("x99"))
+      .select(col("lang"),
+        col("sk.p50_cents").as("p50_tok"), col("sk.p90_cents").as("p90_tok"),
+        col("sk.p99_cents").as("p99_tok"), col("sk.n").as("n_docs"),
+        ok(col("sk.p50_cents"), r6(col("x50"))).as("within_p50"),
+        ok(col("sk.p90_cents"), r6(col("x90"))).as("within_p90"),
+        ok(col("sk.p99_cents"), r6(col("x99"))).as("within_p99"),
+        r6(col("x50")).as("exact_p50"), r6(col("x90")).as("exact_p90"),
+        r6(col("x99")).as("exact_p99"))
+      .orderBy("lang")
+  }
+
+  def lengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    lengthQuantilesOn(Tables.documents(spark, dir))
+
+  val lengthQuantilesSql: String = {
+    val est = graft.functions.QuantileSketch.estimateSql(
+      "n_tok",
+      s"(SELECT lang, CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tok FROM documents)",
+      "lang")
+    def ok(est: String, exact: String) = s"abs($est - $exact) <= $exact / 16.0 + 1.0"
+    s"""WITH est AS ($est),
+       |ex AS (
+       |  SELECT lang,
+       |         ${r6Sql("quantile_cont(CAST(len(" + Text.tokensSql("text") + ") AS BIGINT), 0.5)")} AS x50,
+       |         ${r6Sql("quantile_cont(CAST(len(" + Text.tokensSql("text") + ") AS BIGINT), 0.9)")} AS x90,
+       |         ${r6Sql("quantile_cont(CAST(len(" + Text.tokensSql("text") + ") AS BIGINT), 0.99)")} AS x99
+       |  FROM documents GROUP BY 1)
+       |SELECT e.lang,
+       |       est.p50_cents AS p50_tok, est.p90_cents AS p90_tok,
+       |       est.p99_cents AS p99_tok, est.n AS n_docs,
+       |       ${ok("est.p50_cents", "e.x50")} AS within_p50,
+       |       ${ok("est.p90_cents", "e.x90")} AS within_p90,
+       |       ${ok("est.p99_cents", "e.x99")} AS within_p99,
+       |       e.x50 AS exact_p50, e.x90 AS exact_p90, e.x99 AS exact_p99
+       |FROM ex e JOIN est ON e.lang = est.lang
+       |ORDER BY e.lang""".stripMargin
+  }
+
   // --------------------------------------- temperature-rebalanced mixing
   /** Temperature-based multinomial rebalancing (the XLM-R/mT5 low-resource
     * upsampling scheme, α = 0.5): each language's share of the output corpus
@@ -1810,6 +1875,7 @@ object Corpus {
     Q("t_split", split _, splitSql),
     Q("t_split_leakage", splitLeakage _, splitLeakageSql),
     Q("t_length_buckets", lengthBuckets _, lengthBucketsSql),
+    Q("t_length_quantiles", lengthQuantiles _, lengthQuantilesSql),
     Q("t_batch_manifest", batchManifest _, batchManifestSql),
     Q("t_seq_pack", seqPack _, seqPackSql),
     Q("t_seq_pack_sharded", seqPackSharded _, seqPackShardedSql),

@@ -125,6 +125,26 @@ object Streams {
         unix_micros(col("v_ts")).as("v_ts_us"), col("view_value"))
   }
 
+  /** Streaming quantile sketch: the [[graft.functions.QuantileSketch]]
+    * aggregator running unchanged inside a streaming aggregation — the
+    * payoff of choosing a merge-order-independent sketch: the state store
+    * holds one O(cells) buffer per group, every micro-batch's partial
+    * merges by cell-wise addition, and the emitted estimates are
+    * BIT-IDENTICAL to the batch `k_quantile_sketch` run on the same data
+    * regardless of how the stream was sliced (a t-digest twin could only
+    * promise "close"). Complete mode: the sketch is a running corpus
+    * summary, not a windowed one. */
+  def quantileSketchCounts(events: DataFrame): DataFrame = {
+    val qs = org.apache.spark.sql.functions.udaf(graft.functions.QuantileSketch.agg)
+    events
+      .withColumn("cents", graft.ops.Num.cents(col("value")))
+      .groupBy("event_type")
+      .agg(qs(col("cents")).as("sk"))
+      .select(col("event_type"), col("sk.p50_cents").as("p50_cents"),
+        col("sk.p90_cents").as("p90_cents"), col("sk.p99_cents").as("p99_cents"),
+        col("sk.n").as("n_events"))
+  }
+
   /** Streaming sequence packing via foreachBatch: every micro-batch is
     * packed independently by the SAME sharded packer the batch job runs
     * ([[graft.ext.Corpus.seqPackShardedOn]]). Chunks never span

@@ -106,6 +106,26 @@ class StreamsSpec extends SparkSpec {
       "no pair spans the engineered cut — slicing logic broken")
   }
 
+  test("streaming quantile sketch is bit-identical to the batch sketch (merge-order independence)") {
+    // the time-sliced stream merges three micro-batch partials into the
+    // state store in arrival order — a merge-order-DEPENDENT sketch
+    // (t-digest/KLL) would drift from the batch run here; ours must not
+    val streamed = Streams.runToMemory(spark,
+      Streams.quantileSketchCounts(timeSlicedEventStream("qsketch")
+        .select("event_type", "value")), "t_qsketch",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sorted
+    val batch = graft.queries.Sketches.quantileSketch(spark, sfDir)
+      .select("event_type", "p50_cents", "p90_cents", "p99_cents", "n_events")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sorted
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("streaming exact dedup emits exactly the batch-distinct key set") {
     val streamed = Streams.runToMemory(spark,
       Streams.dedupKeysExact(Streams.readEventsStream(spark, sfDir)), "t_dedup_exact")
