@@ -514,9 +514,12 @@ object Corpus {
     * docs?), and the sketch family's documents-table member: the same
     * aggregator `k_quantile_sketch` registers over event values runs here
     * over integer token counts (the sketch is generic over positive
-    * longs), with exact interpolated percentiles and the 1/16-bound
-    * booleans riding along (one-token slack for the exact side's
-    * interpolation).
+    * longs), with the 1/16-bound booleans checked against the sketch's
+    * actual target — the floor-rank statistic, all-integer
+    * 16·|est−stat| ≤ stat (`k_quantile_sketch`'s convention: the
+    * interpolated percentile's gap term is unbounded and would alarm
+    * spuriously) — and the interpolated exacts riding along as
+    * informational columns.
     *
     * Scale shape: one corpus scan → per-lang O(cells) sketch state with
     * map-side combine; the exact ride-alongs are the per-group sort this
@@ -525,21 +528,25 @@ object Corpus {
     * not inputs to the estimates). */
   def lengthQuantilesOn(docs: DataFrame): DataFrame = {
     val qs = udaf(graft.functions.QuantileSketch.agg)
-    def ok(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
-      abs(est - exact) <= exact / lit(16.0) + lit(1.0)
+    def stat(num: Long, den: Long) =
+      expr(s"element_at(vals, CAST(($num * (n_docs - 1)) DIV $den + 1 AS INT))")
+    def ok(est: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column) =
+      abs(est - s) * lit(16L) <= s
     docs
       .select(col("lang"), size(Text.tokens(col("text"))).cast("long").as("n_tok"))
       .groupBy("lang")
       .agg(qs(col("n_tok")).as("sk"),
+        array_sort(collect_list(col("n_tok"))).as("vals"),
         expr("percentile(n_tok, 0.5)").as("x50"),
         expr("percentile(n_tok, 0.9)").as("x90"),
         expr("percentile(n_tok, 0.99)").as("x99"))
+      .withColumn("n_docs", col("sk.n"))
       .select(col("lang"),
         col("sk.p50_cents").as("p50_tok"), col("sk.p90_cents").as("p90_tok"),
-        col("sk.p99_cents").as("p99_tok"), col("sk.n").as("n_docs"),
-        ok(col("sk.p50_cents"), r6(col("x50"))).as("within_p50"),
-        ok(col("sk.p90_cents"), r6(col("x90"))).as("within_p90"),
-        ok(col("sk.p99_cents"), r6(col("x99"))).as("within_p99"),
+        col("sk.p99_cents").as("p99_tok"), col("n_docs"),
+        ok(col("sk.p50_cents"), stat(1L, 2L)).as("within_p50"),
+        ok(col("sk.p90_cents"), stat(9L, 10L)).as("within_p90"),
+        ok(col("sk.p99_cents"), stat(99L, 100L)).as("within_p99"),
         r6(col("x50")).as("exact_p50"), r6(col("x90")).as("exact_p90"),
         r6(col("x99")).as("exact_p99"))
       .orderBy("lang")
@@ -549,24 +556,25 @@ object Corpus {
     lengthQuantilesOn(Tables.documents(spark, dir))
 
   val lengthQuantilesSql: String = {
+    val ntok = s"CAST(len(${Text.tokensSql("text")}) AS BIGINT)"
     val est = graft.functions.QuantileSketch.estimateSql(
-      "n_tok",
-      s"(SELECT lang, CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tok FROM documents)",
-      "lang")
-    def ok(est: String, exact: String) = s"abs($est - $exact) <= $exact / 16.0 + 1.0"
+      "n_tok", s"(SELECT lang, $ntok AS n_tok FROM documents)", "lang")
+    def stat(num: Long, den: Long) = s"vals[($num * (n_docs - 1)) // $den + 1]"
+    def ok(est: String, s: String) = s"abs($est - $s) * 16 <= $s"
     s"""WITH est AS ($est),
        |ex AS (
        |  SELECT lang,
-       |         ${r6Sql("quantile_cont(CAST(len(" + Text.tokensSql("text") + ") AS BIGINT), 0.5)")} AS x50,
-       |         ${r6Sql("quantile_cont(CAST(len(" + Text.tokensSql("text") + ") AS BIGINT), 0.9)")} AS x90,
-       |         ${r6Sql("quantile_cont(CAST(len(" + Text.tokensSql("text") + ") AS BIGINT), 0.99)")} AS x99
+       |         list_sort(list($ntok)) AS vals, count(*) AS n_docs,
+       |         ${r6Sql(s"quantile_cont($ntok, 0.5)")} AS x50,
+       |         ${r6Sql(s"quantile_cont($ntok, 0.9)")} AS x90,
+       |         ${r6Sql(s"quantile_cont($ntok, 0.99)")} AS x99
        |  FROM documents GROUP BY 1)
        |SELECT e.lang,
        |       est.p50_cents AS p50_tok, est.p90_cents AS p90_tok,
-       |       est.p99_cents AS p99_tok, est.n AS n_docs,
-       |       ${ok("est.p50_cents", "e.x50")} AS within_p50,
-       |       ${ok("est.p90_cents", "e.x90")} AS within_p90,
-       |       ${ok("est.p99_cents", "e.x99")} AS within_p99,
+       |       est.p99_cents AS p99_tok, CAST(e.n_docs AS BIGINT) AS n_docs,
+       |       ${ok("est.p50_cents", stat(1L, 2L))} AS within_p50,
+       |       ${ok("est.p90_cents", stat(9L, 10L))} AS within_p90,
+       |       ${ok("est.p99_cents", stat(99L, 100L))} AS within_p99,
        |       e.x50 AS exact_p50, e.x90 AS exact_p90, e.x99 AS exact_p99
        |FROM ex e JOIN est ON e.lang = est.lang
        |ORDER BY e.lang""".stripMargin
@@ -1491,8 +1499,8 @@ object Corpus {
     // blocks free via the ContextCleaner once the returned frame is
     // unreferenced, so library callers of this *On entry point don't
     // accumulate CacheManager entries only clearCache() could drop.
-    val delta = snapshotDeltaOn(oldDocs, newDocs).localCheckpoint()
-    val o = fpOf(oldDocs).localCheckpoint()
+    val delta = snapshotDeltaOn(oldDocs, newDocs).localCheckpoint(eager = false)
+    val o = fpOf(oldDocs).localCheckpoint(eager = false)
     val n = fpOf(newDocs)
     def arm(statuses: Seq[String], side: DataFrame, from: Long, to: Long) =
       delta.filter(col("status").isin(statuses: _*)).select("doc_id")
@@ -1569,7 +1577,7 @@ object Corpus {
       .select(col("lang"), col("source"),
         coalesce(col("n_old"), lit(0L)).as("n_old"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val tot = j.agg(sum("n_old").as("t_old"), sum("n_new").as("t_new"))
     j.crossJoin(broadcast(tot))
       .select(col("lang"), col("source"), col("n_old"), col("n_new"),
@@ -1810,7 +1818,7 @@ object Corpus {
         col("split"))
       .withColumn("packed",
         col("n_copies") > 0 && col("kept") && col("is_survivor") && col("split") === "train")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val packIn = docs.select("doc_id", "lang", "text")
       .join(verdict.filter(col("packed")).select("doc_id"), Seq("doc_id"))
     val pk = seqPackDocRowsOn(packIn).select("doc_id", "shard", "chunk_id")

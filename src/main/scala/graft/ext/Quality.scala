@@ -364,7 +364,7 @@ object Quality {
     // the frame is unreferenced, so library callers don't accumulate cache
     // entries they can only drop with clearCache() (the sourceDriftOn fix,
     // upgraded per the round-10 advice).
-    val scored = qsRawScores(docs, weights).localCheckpoint()
+    val scored = qsRawScores(docs, weights).localCheckpoint(eager = false)
     val thr = scored.agg(sum(col("score")).as("tot_score"),
       count(lit(1)).as("n_tot"))
     scored.crossJoin(broadcast(thr))
@@ -447,7 +447,7 @@ object Quality {
                              posSource: String = QsPosSource): DataFrame = {
     // same two-consumer shape as the gate: the bounds pass and the bucket
     // aggregate must not re-run the upstream scoring job
-    val sc = scored.localCheckpoint()
+    val sc = scored.localCheckpoint(eager = false)
     val bounds = sc.agg(min("score").as("lo"), max("score").as("hi"))
     sc.crossJoin(broadcast(bounds))
       .withColumn("bucket", least(lit(9L), expr("((score - lo) * 10) div (hi - lo + 1)")))

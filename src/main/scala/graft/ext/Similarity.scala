@@ -1396,7 +1396,11 @@ object Similarity {
     * table's own units: retrain when the post-update balance factor
     * (max cell / mean cell over n_new) exceeds [[RetrainBalanceMax]], when
     * delta churn ((added+removed)/old) exceeds [[RetrainChurnMax]], or
-    * when any cell has emptied (its probe share is dead weight). */
+    * when any previously-occupied cell has EMPTIED (its probe share became
+    * dead weight). A cell the quantizer never filled (n_old = n_new = 0 —
+    * Lloyd can converge with unused clusters) is the quantizer's standing
+    * shape, not an update-regime signal, and must not wedge the alarm
+    * permanently on. */
   val RetrainBalanceMax = 2.0
   val RetrainChurnMax = 0.1
 
@@ -1430,7 +1434,8 @@ object Similarity {
         sum("n_old").as("n_vecs_old"), sum("n_new").as("n_vecs_new"),
         sum("n_added").as("na"), sum("n_removed").as("nr"),
         max("n_old").as("mo"), max("n_new").as("mn"),
-        sum(when(col("n_new") === 0L, 1L).otherwise(0L)).as("n_empty_cells"))
+        sum(when(col("n_old") > 0L && col("n_new") === 0L, 1L).otherwise(0L))
+          .as("n_empty_cells"))
       .select(col("n_cells"), col("n_vecs_old"), col("n_vecs_new"),
         churn.as("churn"), balOld.as("balance_old"), balNew.as("balance_new"),
         col("n_empty_cells"),
@@ -1456,7 +1461,7 @@ object Similarity {
        |         CAST(sum(n_added) AS BIGINT) AS na,
        |         CAST(sum(n_removed) AS BIGINT) AS nr,
        |         max(n_old) AS mo, max(n_new) AS mn,
-       |         CAST(sum(CASE WHEN n_new = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_cells
+       |         CAST(sum(CASE WHEN n_old > 0 AND n_new = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_cells
        |  FROM led)
        |SELECT n_cells, n_vecs_old, n_vecs_new,
        |       ${r6Sql("(na + nr) / CAST(n_vecs_old AS DOUBLE)")} AS churn,

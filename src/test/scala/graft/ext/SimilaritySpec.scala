@@ -439,10 +439,16 @@ class SimilaritySpec extends SparkSpec {
     // churn: 30% of the old corpus added+removed → churn fires alone
     val churned = Seq.tabulate(4)(i => (i.toLong, 100L, 8L, 7L, 101L))
     assert(decide(churned) === ((false, true, false, "retrain")))
-    // outage: a cell emptied → empty fires alone
+    // outage: a previously-occupied cell emptied → empty fires alone
     val emptied = Seq((0L, 100L, 1L, 1L, 134L), (1L, 100L, 1L, 1L, 133L),
       (2L, 100L, 1L, 1L, 133L), (3L, 100L, 1L, 1L, 0L))
     assert(decide(emptied) === ((false, false, true, "retrain")))
+    // a NEVER-occupied cell (Lloyd converged with an unused cluster) is the
+    // quantizer's standing shape, not an update signal: must NOT wedge the
+    // alarm on (balance is over occupied mass: 100*4/300 = 1.33, no fire)
+    val neverUsed = Seq((0L, 100L, 1L, 1L, 100L), (1L, 100L, 1L, 1L, 100L),
+      (2L, 100L, 1L, 1L, 100L), (3L, 0L, 0L, 0L, 0L))
+    assert(decide(neverUsed) === ((false, false, false, "keep")))
     // the registered corpus form returns one row with a definite verdict
     val real = Similarity.ivfRetrain(spark, "/root/testdata/sf0.001").collect()
     spark.catalog.clearCache()
