@@ -279,6 +279,37 @@ class PlanSpec extends SparkSpec {
     assert(pr.contains("graft_funnel_manifest"), "frozen manifest scan missing:\n" + pr.take(3000))
   }
 
+  test("quantile sketch aggregates partially (map-side combine) with no cartesian") {
+    val p = plan(graft.queries.Sketches.quantileSketch(spark, dir))
+    // the udaf's kryo buffer routes through ObjectHashAggregate — the
+    // partial/final pair proves the sketch merges map-side before the
+    // shuffle (the whole point of the mergeable design)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "sketch not planned partial-then-final:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("pipeline manifest: frozen warehouse inputs, doc_id pack rejoin, no cartesian") {
+    // the verdict assembly is checkpointed (two consumers), so the final
+    // plan shows the pack rejoin over the checkpoint; the two warehouse
+    // inputs are pinned on their own entry points (what the manifest
+    // composes — a recompute there would be a recompute here)
+    val pf = plan(graft.ext.Curation.funnelManifest(spark, dir))
+    assert(pf.contains("graft_funnel_manifest"),
+      "funnel manifest is not a warehouse read:\n" + pf.take(3000))
+    val pd = plan(graft.ext.Dedup.dupClusters(spark, dir))
+    assert(pd.contains("graft_dup_manifest"),
+      "dup-cluster manifest is not a warehouse read:\n" + pd.take(3000))
+    val p = plan(graft.ext.Corpus.pipelineManifest(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the pack positions rejoin the verdict spine by doc_id
+    assert("\\[doc_id#\\d+L\\], \\[doc_id#\\d+L\\]".r.findAllIn(p).nonEmpty,
+      "pack rejoin lost its doc_id key:\n" + p.take(3000))
+    // pack windows are (lang, shard)-bounded, never a global sort window
+    assert(p.contains("hashpartitioning(lang"),
+      "pack window lost its (lang, shard) partitioning:\n" + p.take(3000))
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // 100 TB shape: fact ⋈ selectively-filtered dim without broadcast. Spark
     // injects a bloom filter built from the dim keys into the fact scan, so
