@@ -1592,6 +1592,98 @@ object Corpus {
     sourceDriftOn(deltaOldSlice(docs), deltaNewSlice(docs))
   }
 
+  // ------------------------------------------- distribution-drift monitor (PSI)
+  /** PSI thresholds (the standard population-stability-index convention:
+    * &lt;0.1 stable, 0.1–0.25 moderate shift, ≥0.25 shifted-retrain). */
+  val PsiStable = 0.1
+  val PsiModerate = 0.25
+
+  /** Population Stability Index of the token-LENGTH distribution between
+    * two snapshots — the distribution-drift member of the snapshot family
+    * ([[snapshotDeltaOn]] = content, [[sourceDriftOn]] = composition,
+    * this = shape): documents bucket by the [[lengthBucketsOn]] width,
+    * each bucket contributes (p_new − p_old)·ln(p_new/p_old) with +1
+    * Laplace smoothing (so an emptied or newly-appearing bucket
+    * contributes a finite, large term instead of ±∞), and the r6'd total
+    * grades into the standard stable/moderate/shifted verdict. A stable
+    * source mix can still hide a length shift (truncation bug, boilerplate
+    * injection) — this is the monitor that catches it.
+    *
+    * Determinism: counts are exact integers; each bucket's contribution is
+    * ONE double expression over identical integers, r6-rounded per bucket;
+    * the total sums those r6'd multiples of 1e-6 over ≤|buckets| rows (the
+    * t_token_entropy precedent for log-bearing aggregates). The verdict
+    * compares the r6'd total.
+    *
+    * Scale shape: two map-side-combined bucket counts, a ≤|buckets|-row
+    * full outer join + broadcast totals, and a single-partition window
+    * over the bucket rows — bounded by [[LengthBuckets]] by construction
+    * (the gatePatterns argument). */
+  def psiDriftOn(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def buckets(d: DataFrame, n: String) =
+      d.select(size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("bucket", least(lit(LengthBuckets - 1L), expr(s"n_tok div $LengthBucketWidth")))
+        .groupBy("bucket").agg(count(lit(1)).as(n))
+    // checkpointed (lazily): the ≤|buckets|-row cell frame feeds the totals
+    // pair and the final projection (the sourceDriftOn two-consumer shape)
+    val j = buckets(oldDocs, "n_old").join(buckets(newDocs, "n_new"),
+        Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .localCheckpoint(eager = false)
+    val tot = j.agg(sum("n_old").as("t_old"), sum("n_new").as("t_new"),
+      count(lit(1)).as("b"))
+    val pOld = (col("n_old") + lit(1L)) / (col("t_old") + col("b")).cast("double")
+    val pNew = (col("n_new") + lit(1L)) / (col("t_new") + col("b")).cast("double")
+    val w = Window.partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    j.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_old"), col("n_new"),
+        r6(pOld).as("share_old"), r6(pNew).as("share_new"),
+        r6((pNew - pOld) * log(pNew / pOld)).as("psi_contrib"))
+      .withColumn("psi_total", r6(sum(col("psi_contrib")).over(w)))
+      .withColumn("verdict",
+        when(col("psi_total") < lit(PsiStable), "stable")
+          .when(col("psi_total") < lit(PsiModerate), "moderate")
+          .otherwise("shifted"))
+      .orderBy("bucket")
+  }
+
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    psiDriftOn(deltaOldSlice(docs), deltaNewSlice(docs))
+  }
+
+  val psiDriftSql: String = {
+    val ntok = s"CAST(len(${Text.tokensSql("text")}) AS BIGINT)"
+    def bucketCte(name: String, where: String, text: String) =
+      s"""$name AS (
+         |  SELECT least(${LengthBuckets - 1}, ($ntok) // $LengthBucketWidth) AS bucket, count(*) AS n
+         |  FROM (SELECT $text AS text FROM documents WHERE $where) GROUP BY 1)""".stripMargin
+    val pOld = "(n_old + 1) / CAST(t_old + b AS DOUBLE)"
+    val pNew = "(n_new + 1) / CAST(t_new + b AS DOUBLE)"
+    s"""WITH ${bucketCte("ob", deltaOldWhereSql, "text")},
+       |${bucketCte("nb", deltaNewWhereSql, deltaNewTextSql)},
+       |j AS (
+       |  SELECT coalesce(ob.bucket, nb.bucket) AS bucket,
+       |         coalesce(ob.n, 0) AS n_old, coalesce(nb.n, 0) AS n_new
+       |  FROM ob FULL OUTER JOIN nb ON ob.bucket = nb.bucket),
+       |tot AS (SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+       |               CAST(sum(n_new) AS BIGINT) AS t_new, count(*) AS b FROM j),
+       |rows_ AS (
+       |  SELECT j.bucket, CAST(j.n_old AS BIGINT) AS n_old, CAST(j.n_new AS BIGINT) AS n_new,
+       |         ${r6Sql(pOld)} AS share_old, ${r6Sql(pNew)} AS share_new,
+       |         ${r6Sql(s"(($pNew) - ($pOld)) * ln(($pNew) / ($pOld))")} AS psi_contrib
+       |  FROM j CROSS JOIN tot)
+       |SELECT bucket, n_old, n_new, share_old, share_new, psi_contrib,
+       |       ${r6Sql("sum(psi_contrib) OVER ()")} AS psi_total,
+       |       CASE WHEN ${r6Sql("sum(psi_contrib) OVER ()")} < $PsiStable THEN 'stable'
+       |            WHEN ${r6Sql("sum(psi_contrib) OVER ()")} < $PsiModerate THEN 'moderate'
+       |            ELSE 'shifted' END AS verdict
+       |FROM rows_
+       |ORDER BY bucket""".stripMargin
+  }
+
   val sourceDriftSql: String =
     s"""WITH o AS (
        |  SELECT lang, source, count(*) AS n FROM documents
@@ -1878,6 +1970,7 @@ object Corpus {
     Q("t_apply_delta", applyDelta _, applyDeltaSql),
     Q("t_scd2_history", scd2History _, scd2HistorySql),
     Q("t_source_drift", sourceDrift _, sourceDriftSql),
+    Q("t_psi_drift", psiDrift _, psiDriftSql),
     Q("t_ivm_stats", ivmStats _, ivmStatsSql),
     Q("t_temp_mix", tempMix _, tempMixSql),
     Q("t_split", split _, splitSql),

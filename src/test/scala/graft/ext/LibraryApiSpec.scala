@@ -255,6 +255,26 @@ class LibraryApiSpec extends SparkSpec {
     assert(out.toSeq === again.toSeq, "manifest depends on input ordering")
   }
 
+  test("psi drift: identical snapshots read stable, a forced length shift reads shifted") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val same = Corpus.psiDriftOn(docs, docs).collect()
+    assert(same.nonEmpty)
+    // identical distributions: every contribution is exactly 0 (p_new = p_old)
+    same.foreach { r =>
+      assert(r.getAs[Double]("psi_contrib") === 0.0)
+      assert(r.getAs[String]("verdict") === "stable")
+    }
+    // truncate every doc to its first token: the length mass collapses
+    // into bucket 0 — the textbook "shifted" regime (PSI >= 0.25)
+    val truncated = docs.withColumn("text",
+      element_at(graft.ext.Text.tokens(col("text")), 1))
+    val shifted = Corpus.psiDriftOn(docs, truncated).collect()
+    assert(shifted.head.getAs[String]("verdict") === "shifted",
+      s"psi_total=${shifted.head.getAs[Double]("psi_total")}")
+    // and the total actually cleared the published threshold
+    assert(shifted.head.getAs[Double]("psi_total") >= Corpus.PsiModerate)
+  }
+
   test("pipeline manifest: stage verdicts compose consistently and pack covers exactly the survivors") {
     val dir = "/root/testdata/sf0.001"
     val m = Corpus.pipelineManifest(spark, dir).collect().map(r =>
