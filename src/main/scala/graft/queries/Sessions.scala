@@ -300,6 +300,45 @@ object Sessions {
        | AND v.ts_us <= c.ts_us AND v.ts_us >= c.ts_us - $GapUs
        |ORDER BY click_event_id, view_event_id""".stripMargin
 
+  /** Unattributed clicks — the complement listing of [[clickAttributionOn]]:
+    * clicks with NO same-user view in the trailing 30-minute window (the
+    * rows a marketing-attribution pipeline escalates). A left ANTI join
+    * with the same equi-key + range residual, so the plan is the same
+    * user-keyed join shape with the probe side short-circuiting on first
+    * match — never a cartesian. Batch twin of the streaming LEFT OUTER
+    * stream-stream join ([[graft.streaming.Streams.clickViewLeftJoin]]),
+    * whose null-padded rows are exactly this listing once the watermark
+    * closes a click's window. */
+  def unattributedOn(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    val clicks = e.filter(col("event_type") === lit("click"))
+      .select(col("user_id"), col("event_id").as("click_event_id"), col("ts_us").as("c_ts_us"))
+    val views = e.filter(col("event_type") === lit("view"))
+      .select(col("user_id").as("v_user"), col("ts_us").as("v_ts_us"))
+    clicks.join(views,
+        col("user_id") === col("v_user") &&
+          col("v_ts_us") <= col("c_ts_us") &&
+          col("v_ts_us") >= col("c_ts_us") - lit(GapUs),
+        "left_anti")
+      .select(col("click_event_id"), col("user_id"), col("c_ts_us"))
+      .orderBy("click_event_id")
+  }
+
+  def unattributed(spark: SparkSession, dir: String): DataFrame =
+    unattributedOn(Tables.events(spark, dir))
+
+  val unattributedSql: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events)
+       |SELECT c.event_id AS click_event_id, c.user_id, c.ts_us AS c_ts_us
+       |FROM e c
+       |WHERE c.event_type = 'click'
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM e v
+       |    WHERE v.event_type = 'view' AND v.user_id = c.user_id
+       |      AND v.ts_us <= c.ts_us AND v.ts_us >= c.ts_us - $GapUs)
+       |ORDER BY click_event_id""".stripMargin
+
   // --------------------------------------------------- rate-spike monitor
   /** Event-rate anomaly detection — the ingestion-health monitor an event
     * pipeline runs continuously: hourly counts per event_type, a trailing
@@ -390,6 +429,7 @@ object Sessions {
     Q("w_rate_spike", rateSpike _, rateSpikeSql),
     Q("w_asof_join", asofJoin _, asofJoinSql),
     Q("w_click_attribution", clickAttribution _, clickAttributionSql),
+    Q("w_unattributed", unattributed _, unattributedSql),
     Q("w_session_window", sessionWindowAgg _, sessionWindowAggSql),
     Q("w_funnel", funnel _, funnelSql),
     Q("w_cohorts", cohorts _, cohortsSql),

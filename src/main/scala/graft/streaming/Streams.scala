@@ -125,6 +125,37 @@ object Streams {
         unix_micros(col("v_ts")).as("v_ts_us"), col("view_value"))
   }
 
+  /** LEFT OUTER watermarked stream-stream join — the other half of the
+    * stream-join family: clicks with no same-user view in the window must
+    * STILL emit, null-padded, and a streaming engine can only do that
+    * once the watermark proves no matching view can arrive anymore. So
+    * unlike the inner join, the outer join's unmatched results are
+    * watermark-DELAYED: a click's null row emits when the view-side
+    * watermark passes its window, and clicks inside the final watermark
+    * horizon of a bounded run never emit a null row at all (no further
+    * data advances the watermark) — the semantics the parity spec pins
+    * against the batch [[graft.queries.Sessions.unattributedOn]] anti
+    * join. State bounds are the inner join's: both sides keyed on user,
+    * horizon-bounded by watermark + interval. */
+  def clickViewLeftJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_event_id"), col("value").as("view_value"))
+      .withWatermark("v_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_event_id"))
+      .withWatermark("c_ts", "1 hour")
+    clicks.join(views,
+        col("c_user") === col("v_user") &&
+          col("v_ts") <= col("c_ts") &&
+          col("v_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("click_event_id"), col("c_user").as("user_id"),
+        unix_micros(col("c_ts")).as("c_ts_us"), col("view_event_id"),
+        unix_micros(col("v_ts")).as("v_ts_us"), col("view_value"))
+  }
+
   /** Streaming quantile sketch: the [[graft.functions.QuantileSketch]]
     * aggregator running unchanged inside a streaming aggregation — the
     * payoff of choosing a merge-order-independent sketch: the state store

@@ -106,6 +106,48 @@ class StreamsSpec extends SparkSpec {
       "no pair spans the engineered cut — slicing logic broken")
   }
 
+  test("left-outer stream-stream join: matches equal the inner twin, nulls equal the batch anti join up to the watermark") {
+    val streamed = Streams.runToMemory(spark,
+      Streams.clickViewLeftJoin(timeSlicedEventStream("ssleft")
+        .select("event_id", "user_id", "event_type", "ts", "value")), "t_ssjoin_left")
+      .collect()
+    val matched = streamed.filter(!_.isNullAt(3))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toSeq.sorted
+    val batchInner = graft.queries.Sessions.clickAttribution(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toSeq.sorted
+    // matched rows are exactly the inner join's rows
+    assert(matched === batchInner)
+    // every null-padded row is a genuinely unattributed click (no false nulls)
+    val nullClicks = streamed.filter(_.isNullAt(3)).map(r => r.getLong(0)).toSeq
+    assert(nullClicks.length === nullClicks.distinct.length, "a null row double-emitted")
+    val batchUnattributed = graft.queries.Sessions.unattributed(spark, sfDir)
+      .select("click_event_id", "c_ts_us").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    nullClicks.foreach { id =>
+      assert(batchUnattributed.contains(id), s"click $id null-emitted but batch attributes it")
+    }
+    // completeness up to the final watermark: a click's null row may only
+    // emit once the watermark proves no matching view can arrive, so
+    // clicks inside the final horizon legitimately never emit — but every
+    // unattributed click strictly OLDER than the final global watermark
+    // minus the join window must have its null row. The global watermark
+    // is the MIN across the two watermarked inputs, each of which sees
+    // only ITS filtered event type (a later purchase advances neither)
+    val typeMax = graft.ops.Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("m"))
+      .collect().map(_.getLong(1)).min
+    val horizon = typeMax - 3600L * 1000000 - 30L * 60 * 1000000
+    val due = batchUnattributed.filter { case (_, cTs) => cTs < horizon }.keySet
+    assert(due.nonEmpty, "degenerate corpus: every unattributed click sits in the final horizon")
+    val emitted = nullClicks.toSet
+    assert(due.subsetOf(emitted),
+      s"watermark-closed unattributed clicks missing null rows: ${(due -- emitted).take(5)}")
+  }
+
   test("streaming quantile sketch is bit-identical to the batch sketch (merge-order independence)") {
     // the time-sliced stream merges three micro-batch partials into the
     // state store in arrival order — a merge-order-DEPENDENT sketch
