@@ -1619,14 +1619,26 @@ object Corpus {
     * full outer join + broadcast totals, and a single-partition window
     * over the bucket rows — bounded by [[LengthBuckets]] by construction
     * (the gatePatterns argument). */
-  def psiDriftOn(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
-    def buckets(d: DataFrame, n: String) =
-      d.select(size(Text.tokens(col("text"))).cast("long").as("n_tok"))
-        .withColumn("bucket", least(lit(LengthBuckets - 1L), expr(s"n_tok div $LengthBucketWidth")))
-        .groupBy("bucket").agg(count(lit(1)).as(n))
+  /** The length-bucket count table of a doc frame — the PSI monitor's
+    * frozen-baseline seam: a long-lived monitor builds this ONCE on the
+    * reference corpus and compares every new snapshot (or micro-batch —
+    * [[graft.streaming.Streams.psiDriftBatches]]) against it. */
+  def psiBucketsOn(docs: DataFrame): DataFrame =
+    docs.select(size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("bucket", least(lit(LengthBuckets - 1L), expr(s"n_tok div $LengthBucketWidth")))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+
+  def psiDriftOn(oldDocs: DataFrame, newDocs: DataFrame): DataFrame =
+    psiFromCounts(psiBucketsOn(oldDocs), psiBucketsOn(newDocs))
+
+  /** PSI report from two prebuilt bucket-count tables — the form a
+    * deployment actually runs (baseline counts are a frozen ≤|buckets|-row
+    * artifact, only the new side rescans data). */
+  def psiFromCounts(oldCounts: DataFrame, newCounts: DataFrame): DataFrame = {
     // checkpointed (lazily): the ≤|buckets|-row cell frame feeds the totals
     // pair and the final projection (the sourceDriftOn two-consumer shape)
-    val j = buckets(oldDocs, "n_old").join(buckets(newDocs, "n_new"),
+    val j = oldCounts.withColumnRenamed("n", "n_old")
+      .join(newCounts.withColumnRenamed("n", "n_new"),
         Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("n_old"), lit(0L)).as("n_old"),

@@ -249,6 +249,60 @@ object Sessions {
   def asofJoin(spark: SparkSession, dir: String): DataFrame =
     asofJoinOn(Tables.events(spark, dir))
 
+  /** FORWARD as-of join — the mirror direction: every purchase joins the
+    * same user's EARLIEST view at-or-after it (time-to-next-impression /
+    * the settlement-lookup shape; backward answers "what did they last
+    * see", forward answers "what happened next"). Same union-tag plan with
+    * the window reversed to currentRow→unboundedFollowing and
+    * `first(_, ignoreNulls)`: one user-keyed shuffle, no join operator,
+    * zero range explosion. Equal-ts quotes dedupe to the MIN event_id
+    * (the first next quote) and trades sort BEFORE quotes at equal ts so
+    * at-or-after stays inclusive. Oracle: DuckDB's native ASOF LEFT JOIN
+    * with the inequality reversed (`t.ts <= q.ts`) — an independent
+    * second implementation of the direction. */
+  def asofForwardOn(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+    val quotes = e.filter(col("event_type") === lit("view"))
+      .groupBy("user_id", "ts_us")
+      .agg(min(col("event_id")).as("q_event_id"),
+        min_by(col("value"), col("event_id")).as("q_value"))
+      .select(col("user_id"), col("ts_us"), lit(1).as("tag"),
+        lit(null).cast("long").as("event_id"),
+        col("q_event_id"), col("ts_us").as("q_ts_us"), col("q_value"))
+    val trades = e.filter(col("event_type") === lit("purchase"))
+      .select(col("user_id"), col("ts_us"), lit(0).as("tag"), col("event_id"),
+        lit(null).cast("long").as("q_event_id"),
+        lit(null).cast("long").as("q_ts_us"),
+        lit(null).cast("double").as("q_value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("tag"), coalesce(col("q_event_id"), col("event_id")))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    quotes.unionByName(trades)
+      .withColumn("quote_event_id", first(col("q_event_id"), ignoreNulls = true).over(w))
+      .withColumn("quote_ts_us", first(col("q_ts_us"), ignoreNulls = true).over(w))
+      .withColumn("quote_value", first(col("q_value"), ignoreNulls = true).over(w))
+      .filter(col("tag") === lit(0))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("quote_event_id"), col("quote_ts_us"), col("quote_value"))
+      .orderBy("event_id")
+  }
+
+  def asofForward(spark: SparkSession, dir: String): DataFrame =
+    asofForwardOn(Tables.events(spark, dir))
+
+  val asofForwardSql: String =
+    s"""WITH q AS (
+       |  SELECT user_id, ts, min(event_id) AS q_event_id,
+       |         arg_min(value, event_id) AS q_value
+       |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+       |t AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+       |SELECT t.event_id, t.user_id, epoch_us(t.ts) AS ts_us,
+       |       q.q_event_id AS quote_event_id, epoch_us(q.ts) AS quote_ts_us,
+       |       q.q_value AS quote_value
+       |FROM t ASOF LEFT JOIN q ON t.user_id = q.user_id AND t.ts <= q.ts
+       |ORDER BY t.event_id""".stripMargin
+
   val asofJoinSql: String =
     s"""WITH q AS (
        |  SELECT user_id, ts, max(event_id) AS q_event_id,
@@ -428,6 +482,7 @@ object Sessions {
     Q("w_sessionize", sessionize _, sessionizeSql),
     Q("w_rate_spike", rateSpike _, rateSpikeSql),
     Q("w_asof_join", asofJoin _, asofJoinSql),
+    Q("w_asof_forward", asofForward _, asofForwardSql),
     Q("w_click_attribution", clickAttribution _, clickAttributionSql),
     Q("w_unattributed", unattributed _, unattributedSql),
     Q("w_session_window", sessionWindowAgg _, sessionWindowAggSql),

@@ -125,6 +125,29 @@ object Streams {
         unix_micros(col("v_ts")).as("v_ts_us"), col("view_value"))
   }
 
+  /** Streaming distribution-drift gate via foreachBatch: each micro-batch
+    * of documents builds its length-bucket histogram and PSIs against a
+    * FROZEN baseline count table ([[graft.ext.Corpus.psiBucketsOn]] over
+    * the reference corpus — the baseline must not drift per batch, the
+    * qualityScoreBatches contract). `onBatch` receives the per-bucket PSI
+    * report with the stable/moderate/shifted verdict — the ingest-time
+    * data-quality alarm that catches a length shift (truncation bug,
+    * boilerplate injection) the moment a bad batch lands, instead of at
+    * the next corpus-wide audit. Stateless across batches: a single-batch
+    * run equals the batch [[graft.ext.Corpus.psiFromCounts]] exactly
+    * (StreamsSpec parity). */
+  def psiDriftBatches(docs: DataFrame, baselineCounts: DataFrame,
+                      trigger: org.apache.spark.sql.streaming.Trigger =
+                        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                     (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        onBatch(graft.ext.Corpus.psiFromCounts(baselineCounts,
+          graft.ext.Corpus.psiBucketsOn(batch.toDF())), id)
+      }
+      .trigger(trigger)
+      .start()
+
   /** LEFT OUTER watermarked stream-stream join — the other half of the
     * stream-join family: clicks with no same-user view in the window must
     * STILL emit, null-padded, and a streaming engine can only do that

@@ -233,13 +233,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("as-of join: one user-keyed shuffle for the carry-forward window, no range join anywhere") {
-    val p = plan(graft.queries.Sessions.asofJoin(spark, dir))
-    // the union-tag design has NO join operator at all — the whole as-of
-    // resolves through the user-partitioned window
-    assert(!p.contains("Join"), "as-of degenerated to a join plan:\n" + p.take(3000))
-    assert(p.contains("hashpartitioning(user_id"), "carry window lost its user key:\n" + p.take(3000))
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(exchanges <= 2, s"extra shuffles ($exchanges):\n${p.take(3000)}")
+    for (df <- Seq(graft.queries.Sessions.asofJoin(spark, dir),
+                   graft.queries.Sessions.asofForward(spark, dir))) {
+      val p = plan(df)
+      // the union-tag design has NO join operator at all — the whole as-of
+      // (either direction) resolves through the user-partitioned window
+      assert(!p.contains("Join"), "as-of degenerated to a join plan:\n" + p.take(3000))
+      assert(p.contains("hashpartitioning(user_id"), "carry window lost its user key:\n" + p.take(3000))
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges <= 2, s"extra shuffles ($exchanges):\n${p.take(3000)}")
+    }
   }
 
   test("interval join keys on user_id (sort-merge/hash with range residual), never cartesian") {

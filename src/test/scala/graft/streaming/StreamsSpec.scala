@@ -552,6 +552,46 @@ class StreamsSpec extends SparkSpec {
       "degenerate: the gate kept everything or nothing")
   }
 
+  test("streaming psi drift gate: healthy batches read stable, the truncated batch alone alarms") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_psi_stream").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val baseline = graft.ext.Corpus.psiBucketsOn(docs).persist()
+    // three micro-batches: two random halves (healthy), then every doc
+    // truncated to one token (the bad ingest batch)
+    val slices = Seq(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.withColumn("text", element_at(graft.ext.Text.tokens(col("text")), 1)))
+    slices.zipWithIndex.foreach { case (d, i) =>
+      val tmp = s"$base/tmp$i"
+      d.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$base/in/b$i.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(20)
+    }
+    val verdicts = scala.collection.mutable.Map.empty[Long, (String, Double)]
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = Streams.psiDriftBatches(stream, baseline) { (report, id) =>
+      val h = report.collect().head
+      verdicts.synchronized {
+        verdicts(id) = (h.getAs[String]("verdict"), h.getAs[Double]("psi_total"))
+      }
+    }
+    q.awaitTermination()
+    baseline.unpersist()
+    assert(verdicts.size === 3, s"expected 3 micro-batch reports, got $verdicts")
+    // the two random halves match the corpus length distribution
+    assert(verdicts(0L)._1 === "stable", s"batch 0: $verdicts")
+    assert(verdicts(1L)._1 === "stable", s"batch 1: $verdicts")
+    // the truncated batch alarms, and cleared the published threshold
+    assert(verdicts(2L)._1 === "shifted", s"batch 2: $verdicts")
+    assert(verdicts(2L)._2 >= graft.ext.Corpus.PsiModerate)
+  }
+
   test("streaming fluency gate against a frozen census matches the batch scorer doc for doc") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = Files.createTempDirectory("graft_flu_stream").toString
