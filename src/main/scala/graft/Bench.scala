@@ -32,6 +32,14 @@ object Bench {
     // ~0.35 s rows). Track errors separately; they are excluded from the
     // total and listed under "errors" in the output line.
     val errored = scala.collection.mutable.LinkedHashSet.empty[String]
+    // Frozen-artifact build ledger: train-once memo builds (IVF centroids,
+    // census/bloom bytes, materialized manifests) are paid by whichever
+    // query FIRST touches the memo, so its per-query number includes the
+    // one-time build while later consumers read for free. The ledger makes
+    // that attribution explicit in the output line instead of leaving each
+    // round's bench diff to re-derive it (VERDICT r11 task 3).
+    ops.FrozenCaches.drainBuildLog() // warmup-phase builds attribute to "warmup"
+    val builds = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -40,6 +48,7 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => errored += name }
         (System.nanoTime() - t0) / 1e9
       }
+      ops.FrozenCaches.drainBuildLog().foreach(e => builds += ((e.artifact, name, e.sec)))
       // persisted subplans stay warm across a query's two runs (that IS the
       // steady state) but are released before the next query; the explicit
       // GC lets the ContextCleaner actually reclaim accumulated broadcast /
@@ -61,7 +70,11 @@ object Bench {
     // this line, so anything before the map is the first thing truncated —
     // the failure signal must live on the surviving end, next to total_sec
     val errs = errored.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs,"errors":$errs,"n_errors":${errored.size},"total_sec":$total}""")
+    // build order preserved: artifact -> (builder query, build seconds)
+    val ledger = builds.map { case (a, q, s) =>
+      "{\"artifact\":\"" + a + "\",\"built_by\":\"" + q + "\",\"sec\":" + s + "}"
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs,"frozen_builds":$ledger,"errors":$errs,"n_errors":${errored.size},"total_sec":$total}""")
     spark.stop()
   }
 }

@@ -142,7 +142,8 @@ object Curation {
     * Corpus-sized, so never collected to the driver. */
   private val funnelManifestCache = new graft.ops.FrozenCaches.Memo[Unit, String](
     beforeClear = _.forEach(p =>
-      graft.ops.FrozenCaches.deleteTree(java.nio.file.Paths.get(p).getParent.toString)))
+      graft.ops.FrozenCaches.deleteTree(java.nio.file.Paths.get(p).getParent.toString)),
+    label = "funnel_manifest")
 
   private def frozenFunnelRows(spark: SparkSession, dir: String): DataFrame = {
     val path = funnelManifestCache.get(dir, ()) {
@@ -168,6 +169,50 @@ object Curation {
   /** Oracle twin: the six REGISTERED oracle SQLs verbatim as subqueries
     * (subquery ORDER BYs are legal and ignored), joined on the train
     * spine. */
+  /** [[curationFunnelSql]] split across two snapshot relations: the three
+    * trained gate models (fluency census, classifier weights+calibration,
+    * eval shingle set) come from `model`, every verdict spine from `spine`
+    * — the [[curationFunnelAgainstHashesOn]] frozen-artifact contract in
+    * SQL. The exact-dup canonical gate stays on `spine`: canonicality is
+    * membership, not model. `spine == model` degenerates to the
+    * registered funnel's semantics. */
+  def curationFunnelSqlFor(spine: String, model: String): String =
+    s"""WITH spine AS (
+       |  SELECT doc_id, lang, source FROM $spine
+       |  WHERE doc_id % 10 <> ${Corpus.BenchSlice}),
+       |fq AS (SELECT doc_id, TRUE AS pass_quality FROM (${Text.qualityFilterSqlFor(spine)})),
+       |fr AS (SELECT doc_id, keep AS pass_repetition FROM (${Text.repetitionStatsSqlFor(spine)})),
+       |ff AS (SELECT doc_id, is_fluent FROM (${Text.lmFluencySqlFor(spine, model)})),
+       |fg AS (SELECT doc_id, keep AS pass_classifier FROM (${Quality.qsGateSqlFor(spine, model)})),
+       |fd AS (SELECT doc_id, keep AS pass_decontam FROM (${Corpus.decontamSqlFor(spine, model)})),
+       |fc AS (SELECT doc_id, is_canonical = 1 AS is_canonical FROM (${Text.fingerprintSqlFor(spine)}))
+       |SELECT s.doc_id, s.lang, s.source,
+       |       coalesce(fq.pass_quality, FALSE) AS pass_quality,
+       |       coalesce(fr.pass_repetition, FALSE) AS pass_repetition,
+       |       coalesce(ff.is_fluent, FALSE) AS is_fluent,
+       |       coalesce(fg.pass_classifier, FALSE) AS pass_classifier,
+       |       coalesce(fd.pass_decontam, FALSE) AS pass_decontam,
+       |       coalesce(fc.is_canonical, FALSE) AS is_canonical,
+       |       (coalesce(fq.pass_quality, FALSE) AND coalesce(fr.pass_repetition, FALSE)
+       |        AND coalesce(ff.is_fluent, FALSE) AND coalesce(fg.pass_classifier, FALSE)
+       |        AND coalesce(fd.pass_decontam, FALSE)
+       |        AND coalesce(fc.is_canonical, FALSE)) AS kept,
+       |       CASE WHEN NOT coalesce(fq.pass_quality, FALSE) THEN 'quality'
+       |            WHEN NOT coalesce(fr.pass_repetition, FALSE) THEN 'repetition'
+       |            WHEN NOT coalesce(ff.is_fluent, FALSE) THEN 'fluency'
+       |            WHEN NOT coalesce(fg.pass_classifier, FALSE) THEN 'classifier'
+       |            WHEN NOT coalesce(fd.pass_decontam, FALSE) THEN 'contamination'
+       |            WHEN NOT coalesce(fc.is_canonical, FALSE) THEN 'duplicate'
+       |            ELSE NULL END AS drop_reason
+       |FROM spine s
+       |LEFT JOIN fq ON s.doc_id = fq.doc_id
+       |LEFT JOIN fr ON s.doc_id = fr.doc_id
+       |LEFT JOIN ff ON s.doc_id = ff.doc_id
+       |LEFT JOIN fg ON s.doc_id = fg.doc_id
+       |LEFT JOIN fd ON s.doc_id = fd.doc_id
+       |LEFT JOIN fc ON s.doc_id = fc.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
   val curationFunnelSql: String =
     s"""WITH spine AS (
        |  SELECT doc_id, lang, source FROM documents

@@ -1033,7 +1033,8 @@ object Dedup {
   private val manifestCache = new graft.ops.FrozenCaches.Memo[(Int, Int), String](
     // the manifest owns on-disk temp state: delete it, not just the keys
     beforeClear = _.forEach(p =>
-      graft.ops.FrozenCaches.deleteTree(java.nio.file.Paths.get(p).getParent.toString)))
+      graft.ops.FrozenCaches.deleteTree(java.nio.file.Paths.get(p).getParent.toString)),
+    label = "dup_manifest")
 
   private def frozenManifest(spark: SparkSession, dir: String): DataFrame = {
     val path = manifestCache.get(dir, (NumHashes, NumBands)) {
@@ -1057,7 +1058,8 @@ object Dedup {
     new graft.ops.FrozenCaches.Memo[(Int, Int), (String, String, String)](
       beforeClear = _.forEach(p =>
         graft.ops.FrozenCaches.deleteTree(
-          java.nio.file.Paths.get(p._1).getParent.toString)))
+          java.nio.file.Paths.get(p._1).getParent.toString)),
+      label = "dup_incr_base")
 
   /** Frozen (manifest, edges, signatures) warehouse state of the simulated
     * OLD snapshot, built once per corpus and shared by [[dupClustersBase]]
@@ -1065,8 +1067,8 @@ object Dedup {
     * measures the steady-state update). Signatures persist next to the
     * manifest — the production warehouse layout — so the update signs only
     * fresh docs. */
-  private def frozenIncrementalBase(spark: SparkSession, dir: String,
-                                    old: DataFrame): (String, String, String) =
+  private[ext] def frozenIncrementalBase(spark: SparkSession, dir: String,
+                                         old: DataFrame): (String, String, String) =
     incrementalBaseCache.get(dir, (NumHashes, NumBands)) {
       val base = java.nio.file.Files.createTempDirectory("graft_dup_incr_base").toString
       // one signature table feeds the edge build AND freezes as warehouse
@@ -1136,7 +1138,7 @@ object Dedup {
     * arbitrary snapshot relation — the shared oracle tail of the cluster
     * query, the cluster-stats report, and the incremental update,
     * semantically the fixpoint the propagation loop converges to. */
-  private def dupClustersCtesFor(from: String): String =
+  private[ext] def dupClustersCtesFor(from: String): String =
     s"""${minhashSigCtes("", from, NumHashes)},
        |${minhashBandCtes("", NumHashes, NumBands)},
        |cand AS (
@@ -1172,12 +1174,16 @@ object Dedup {
   }
 
   /** Oracle: exact transitive closure via recursive CTE, component =
-    * min reachable doc_id — tractable at oracle scale. */
-  val dupClustersSql: String =
-    s"""WITH RECURSIVE $dupClustersCtes
+    * min reachable doc_id — tractable at oracle scale. Parameterized over
+    * an arbitrary snapshot relation for the pipeline-manifest family;
+    * `dupClustersSql` is the degenerate `documents` instance. */
+  def dupClustersSqlFor(rel: String): String =
+    s"""WITH RECURSIVE ${dupClustersCtesFor(rel)}
        |SELECT c.doc_id, c.cluster_id, s.cluster_size, c.doc_id = c.cluster_id AS is_canonical
        |FROM comp c JOIN sizes s ON c.cluster_id = s.cluster_id
        |ORDER BY c.doc_id""".stripMargin
+
+  val dupClustersSql: String = dupClustersSqlFor("documents")
 
   // ------------------------------------------------- dedup savings report
   /** Cluster-size histogram over the near-dup components: how many
@@ -1226,9 +1232,14 @@ object Dedup {
     * max_by on the (score, -doc_id) key — partial-aggregates map-side, the
     * shuffle carries |clusters| rows. Scores are r6-rounded, so the argmax
     * key is bit-identical on both engines. */
-  def keepBestOn(docs: DataFrame, manifest: DataFrame): DataFrame = {
-    val scored = Text.textStatsRowsOn(docs).select(col("doc_id"), col("quality_score"))
-    manifest.join(scored, "doc_id")
+  /** The per-cluster election over ALREADY-SCORED docs — the seam the
+    * incremental manifest re-elects touched clusters through: quality
+    * scores are doc-local warehouse state, so a delta update never
+    * re-reads untouched text. `scored` must expose (doc_id,
+    * quality_score); [[keepBestOn]] is the score-then-elect composition,
+    * so the two cannot drift. */
+  def keepBestFrom(manifest: DataFrame, scored: DataFrame): DataFrame =
+    manifest.join(scored.select(col("doc_id"), col("quality_score")), "doc_id")
       .groupBy("cluster_id")
       .agg(
         max_by(col("doc_id"), struct(col("quality_score"), (lit(0L) - col("doc_id")).as("nid")))
@@ -1238,14 +1249,19 @@ object Dedup {
       .select(col("cluster_id"), col("keep_doc_id"), col("keep_score"),
         col("cluster_size"), (col("cluster_size") - lit(1L)).as("n_removed"))
       .orderBy("cluster_id")
-  }
+
+  def keepBestOn(docs: DataFrame, manifest: DataFrame): DataFrame =
+    keepBestFrom(manifest, Text.textStatsRowsOn(docs))
 
   def keepBest(spark: SparkSession, dir: String): DataFrame =
     keepBestOn(Tables.documents(spark, dir), frozenManifest(spark, dir))
 
-  val keepBestSql: String =
-    s"""WITH RECURSIVE $dupClustersCtes,
-       |scored AS (SELECT doc_id, quality_score FROM (${Text.textStatsSql})),
+  /** Parameterized twin over an arbitrary snapshot relation — membership
+    * state, so the manifest family always points it at the snapshot being
+    * judged (see [[graft.ext.Text.textStatsSqlFor]]). */
+  def keepBestSqlFor(rel: String): String =
+    s"""WITH RECURSIVE ${dupClustersCtesFor(rel)},
+       |scored AS (SELECT doc_id, quality_score FROM (${Text.textStatsSqlFor(rel)})),
        |ranked AS (
        |  SELECT c.cluster_id, c.doc_id, s.quality_score, z.cluster_size,
        |         row_number() OVER (PARTITION BY c.cluster_id
@@ -1255,6 +1271,8 @@ object Dedup {
        |SELECT cluster_id, doc_id AS keep_doc_id, quality_score AS keep_score,
        |       cluster_size, CAST(cluster_size - 1 AS BIGINT) AS n_removed
        |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
+  val keepBestSql: String = keepBestSqlFor("documents")
 
   // ------------------------------------------------- embedding near-dup
   /** Embedding-cosine near-dup with banded sign-LSH blocking: band j's

@@ -363,7 +363,10 @@ object Quality {
     // localCheckpoint, not persist — blocks free via the ContextCleaner when
     // the frame is unreferenced, so library callers don't accumulate cache
     // entries they can only drop with clearCache() (the sourceDriftOn fix,
-    // upgraded per the round-10 advice).
+    // upgraded per the round-10 advice). Trade: no lineage fallback, unsafe
+    // under dynamic allocation — see [[graft.ext.Corpus.scd2HistoryOn]]'s
+    // note ([[graft.ext.Dedup.dupClustersOn]] documents the same trade and
+    // the persist() alternative for dynamic-allocation cluster callers).
     val scored = qsRawScores(docs, weights).localCheckpoint(eager = false)
     val thr = scored.agg(sum(col("score")).as("tot_score"),
       count(lit(1)).as("n_tot"))
@@ -415,7 +418,7 @@ object Quality {
   /** Frozen weight table per (corpus, positive source) — [[QsBuckets]]
     * integer rows, train-once (the DSIR-weights convention). */
   private val qsWeightsCache =
-    new graft.ops.FrozenCaches.Memo[String, Seq[(Long, Long)]]()
+    new graft.ops.FrozenCaches.Memo[String, Seq[(Long, Long)]](label = "qs_weights")
 
   private def frozenQsWeights(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -507,6 +510,56 @@ object Quality {
        |       CAST(s.score AS HUGEINT) * t.n_tot > t.tot_score AS keep
        |FROM scored s CROSS JOIN thr t
        |ORDER BY s.doc_id""".stripMargin
+
+  /** [[qualityScoreSql]] split across two snapshot relations: weights AND
+    * the corpus-mean calibration pair (Σscores, n) train on `model`, the
+    * scoring spine is `spine` — the [[qsKeepWithThreshold]] deployment
+    * contract in SQL (a refreshed snapshot judged against the frozen
+    * classifier; retraining per delta would move EVERY document's verdict,
+    * which is why the frozen form is the only delta-boundable semantics).
+    * `spine == model` degenerates to the registered gate. */
+  def qsGateSqlFor(spine: String, model: String): String = {
+    val s = 1L << QsScaleBits
+    s"""WITH msrc AS (SELECT doc_id, source, ${Text.tokensSql("text")} AS t FROM $model),
+       |mf AS MATERIALIZED (
+       |  SELECT s.doc_id, s.source,
+       |         ${Dedup.baseHashSql("u.f")} % $QsBuckets AS b
+       |  FROM msrc s, unnest(list_concat(s.t, ${Text.ngramsSql("s.t", 2)})) AS u(f)),
+       |cnt AS (
+       |  SELECT b, sum(CASE WHEN source = '$QsPosSource' THEN 1 ELSE 0 END) AS pc,
+       |         sum(CASE WHEN source <> '$QsPosSource' THEN 1 ELSE 0 END) AS nc
+       |  FROM mf GROUP BY b),
+       |tot AS (SELECT sum(pc) AS pt, sum(nc) AS nt FROM cnt),
+       |w AS MATERIALIZED (
+       |  SELECT r.b,
+       |         ((coalesce(c.pc, 0) + 1) * $s) // (t.pt + $QsBuckets)
+       |         - ((coalesce(c.nc, 0) + 1) * $s) // (t.nt + $QsBuckets) AS w
+       |  FROM (SELECT unnest(range(0, $QsBuckets)) AS b) r
+       |       LEFT JOIN cnt c ON r.b = c.b CROSS JOIN tot t),
+       |msc AS (
+       |  SELECT mf.doc_id, CAST(sum(w.w) AS BIGINT) AS score
+       |  FROM mf JOIN w ON mf.b = w.b GROUP BY 1),
+       |thr AS (
+       |  SELECT CAST(sum(coalesce(msc.score, 0)) AS HUGEINT) AS tot_score,
+       |         CAST(count(*) AS HUGEINT) AS n_tot
+       |  FROM $model d LEFT JOIN msc ON d.doc_id = msc.doc_id),
+       |ssrc AS (SELECT doc_id, ${Text.tokensSql("text")} AS t FROM $spine),
+       |sf AS (
+       |  SELECT s.doc_id, ${Dedup.baseHashSql("u.f")} % $QsBuckets AS b
+       |  FROM ssrc s, unnest(list_concat(s.t, ${Text.ngramsSql("s.t", 2)})) AS u(f)),
+       |ssc AS (
+       |  SELECT sf.doc_id, count(*) AS n_feats, CAST(sum(w.w) AS BIGINT) AS score
+       |  FROM sf JOIN w ON sf.b = w.b GROUP BY 1),
+       |sscored AS (
+       |  SELECT d.doc_id, d.lang, d.source,
+       |         CAST(coalesce(ssc.n_feats, 0) AS BIGINT) AS n_feats,
+       |         CAST(coalesce(ssc.score, 0) AS BIGINT) AS score
+       |  FROM $spine d LEFT JOIN ssc ON d.doc_id = ssc.doc_id)
+       |SELECT s.doc_id, s.lang, s.source, s.n_feats, s.score,
+       |       CAST(s.score AS HUGEINT) * t.n_tot > t.tot_score AS keep
+       |FROM sscored s CROSS JOIN thr t
+       |ORDER BY s.doc_id""".stripMargin
+  }
 
   val qualityCalibrationSql: String =
     s"""WITH $qsScoredCtesSql,

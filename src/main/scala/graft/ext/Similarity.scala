@@ -396,9 +396,9 @@ object Similarity {
     * collected doubles round-trip unchanged, so frozen-vs-retrained
     * results are identical (spec-pinned in SimilaritySpec). */
   private val frozenCentCache =
-    new graft.ops.FrozenCaches.Memo[KmeansCfg, Seq[(Long, Seq[Double], Double)]]()
+    new graft.ops.FrozenCaches.Memo[KmeansCfg, Seq[(Long, Seq[Double], Double)]](label = "kmeans_centroids")
   private val frozenCbCache =
-    new graft.ops.FrozenCaches.Memo[PqCfg, Seq[(Int, Long, Seq[Double])]]()
+    new graft.ops.FrozenCaches.Memo[PqCfg, Seq[(Int, Long, Seq[Double])]](label = "pq_codebook")
 
   private[ext] def frozenCentroids(spark: SparkSession, dir: String, cfg: KmeansCfg): DataFrame = {
     val rows = frozenCentCache.get(dir, cfg) {
@@ -1344,7 +1344,8 @@ object Similarity {
 
   private val ivfManifestCache = new graft.ops.FrozenCaches.Memo[Int, String](
     beforeClear = _.forEach(p =>
-      graft.ops.FrozenCaches.deleteTree(java.nio.file.Paths.get(p).getParent.toString)))
+      graft.ops.FrozenCaches.deleteTree(java.nio.file.Paths.get(p).getParent.toString)),
+    label = "ivf_base")
 
   /** Registered simulation: old snapshot = corpus minus the to-be-added
     * slice, new snapshot = corpus minus the removed slice (the
@@ -1558,7 +1559,7 @@ object Similarity {
         max(col("x").cast("double")).as("hi"))
 
   private val sq8Cache =
-    new graft.ops.FrozenCaches.Memo[Int, (Seq[Double], Seq[Double])]()
+    new graft.ops.FrozenCaches.Memo[Int, (Seq[Double], Seq[Double])](label = "sq8_bounds")
 
   private def frozenSq8(spark: SparkSession, dir: String): (Seq[Double], Seq[Double]) =
     sq8Cache.get(dir, Sq8Levels) {

@@ -88,7 +88,11 @@ object Text {
 
   private val stopList = stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
 
-  val textStatsSql: String =
+  /** [[textStatsSql]] over an arbitrary snapshot relation (must expose
+    * doc_id, text) — the parameterized twin the pipeline-manifest family
+    * composes over its old/new snapshot CTEs; `textStatsSql` is the
+    * degenerate `documents` instance, so the two can never drift. */
+  def textStatsSqlFor(rel: String): String =
     s"""WITH base AS (
        |  SELECT doc_id,
        |         CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens,
@@ -96,7 +100,7 @@ object Text {
        |         CAST(coalesce(list_sum(list_transform(${tokensSql("text")}, t -> length(t))), 0) AS BIGINT) AS sum_token_len,
        |         CAST(len(regexp_extract_all(text, '$punctClass')) AS BIGINT) AS n_punct,
        |         CAST(len(list_filter(${tokensSql("text")}, t -> t IN $stopList)) AS BIGINT) AS n_stop
-       |  FROM documents),
+       |  FROM $rel),
        |ratios AS (
        |  SELECT *, sum_token_len / n_tokens AS avg_token_len,
        |         n_punct / len_chars AS punct_ratio,
@@ -108,6 +112,8 @@ object Text {
        |       ${r6Sql("stop_ratio")} AS stop_ratio,
        |       ${r6Sql("(((least(1.0, n_tokens / 100.0) + (1.0 - least(1.0, punct_ratio * 10.0))) + least(1.0, stop_ratio * 5.0)) / 3.0)")} AS quality_score
        |FROM ratios ORDER BY doc_id""".stripMargin
+
+  val textStatsSql: String = textStatsSqlFor("documents")
 
   /** Language ID via marker-word n-gram counts (the classic stopword
     * heuristic — fastText-style models plug in here the same way, as a
@@ -283,13 +289,19 @@ object Text {
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprintOn(Tables.documents(spark, dir))
 
-  val fingerprintSql: String =
-    """WITH fps AS (
-      |  SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp FROM documents)
-      |SELECT doc_id, fp,
-      |       min(doc_id) OVER (PARTITION BY fp) AS canonical_doc_id,
-      |       CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY fp) THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
-      |FROM fps ORDER BY doc_id""".stripMargin
+  /** Parameterized twin over an arbitrary snapshot relation (see
+    * [[textStatsSqlFor]]) — canonicality is MEMBERSHIP state, so the
+    * pipeline-manifest family always points this at the snapshot being
+    * judged, never at a frozen model relation. */
+  def fingerprintSqlFor(rel: String): String =
+    s"""WITH fps AS (
+       |  SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp FROM $rel)
+       |SELECT doc_id, fp,
+       |       min(doc_id) OVER (PARTITION BY fp) AS canonical_doc_id,
+       |       CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY fp) THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+       |FROM fps ORDER BY doc_id""".stripMargin
+
+  val fingerprintSql: String = fingerprintSqlFor("documents")
 
   /** Rolling-hash winnowing fingerprints (the MOSS scheme over word
     * tokens): polynomial rolling hash of each 4-token window, then keep the
@@ -407,14 +419,18 @@ object Text {
   def qualityFilter(spark: SparkSession, dir: String): DataFrame =
     qualityFilterOn(Tables.documents(spark, dir))
 
-  val qualityFilterSql: String =
-    s"""WITH stats AS ($textStatsSql)
+  /** Parameterized twin over an arbitrary snapshot relation (see
+    * [[textStatsSqlFor]]). */
+  def qualityFilterSqlFor(rel: String): String =
+    s"""WITH stats AS (${textStatsSqlFor(rel)})
        |SELECT doc_id, n_tokens, punct_ratio, quality_score
        |FROM stats
        |WHERE n_tokens >= $MinTokens
        |  AND (punct_ratio < $MaxPunctRatio OR punct_ratio IS NULL)
        |  AND quality_score >= $MinQuality
        |ORDER BY doc_id""".stripMargin
+
+  val qualityFilterSql: String = qualityFilterSqlFor("documents")
 
   // ---------------------------------------------------- repetition filtering
   /** Gopher-style repetition gates (Rae et al. 2021 §A1.1): documents whose
@@ -476,8 +492,10 @@ object Text {
   def repetitionStats(spark: SparkSession, dir: String): DataFrame =
     repetitionStatsOn(Tables.documents(spark, dir))
 
-  val repetitionStatsSql: String =
-    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+  /** Parameterized twin over an arbitrary snapshot relation (see
+    * [[textStatsSqlFor]]). */
+  def repetitionStatsSqlFor(rel: String): String =
+    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM $rel),
        |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
        |tokc AS (
        |  SELECT doc_id, token, count(*) AS c
@@ -504,6 +522,8 @@ object Text {
        |       (dup_token_frac <= $DupTokenMax AND top_token_frac <= $TopTokenMax
        |          AND top_2gram_frac <= $Top2GramMax) AS keep
        |FROM m ORDER BY doc_id""".stripMargin
+
+  val repetitionStatsSql: String = repetitionStatsSqlFor("documents")
 
   // --------------------------------------------- CMS-pruned heavy hitters
   /** EXACT heavy hitters with bounded aggregate state — the scale form the
@@ -562,7 +582,7 @@ object Text {
   /** Frozen CMS per corpus: the sketch is a fixed-size model (train-once
     * contract, as with the IVF centroids) — the registered query builds it
     * on first invocation and every later call is the census pass only. */
-  private val gramCmsCache = new graft.ops.FrozenCaches.Memo[Unit, Array[Byte]]()
+  private val gramCmsCache = new graft.ops.FrozenCaches.Memo[Unit, Array[Byte]](label = "gram_cms")
 
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val bytes = gramCmsCache.get(dir, ())(gramCmsOn(Tables.documents(spark, dir)))
@@ -756,7 +776,7 @@ object Text {
     * — broadcast-sized by the scaladoc's own argument — so the registered
     * query collects it once and replays it as a local relation. */
   private val fluencyCensusCache =
-    new graft.ops.FrozenCaches.Memo[Unit, Seq[(String, Long)]]()
+    new graft.ops.FrozenCaches.Memo[Unit, Seq[(String, Long)]](label = "fluency_census")
 
   def lmFluency(spark: SparkSession, dir: String): DataFrame = {
     val rows = fluencyCensusCache.get(dir, ()) {
@@ -766,6 +786,30 @@ object Text {
     import spark.implicits._
     lmFluencyAgainstOn(Tables.documents(spark, dir), rows.toDF("gram", "n"))
   }
+
+  /** [[lmFluencySql]] split across two snapshot relations: the heavy-gram
+    * census (the trained model) comes from `model`, the per-doc scoring
+    * spine from `spine` — the train-once contract ([[lmFluencyAgainstOn]])
+    * expressed in SQL, for oracles that must judge a refreshed snapshot
+    * against a census frozen at base time. `spine == model` degenerates to
+    * the registered gate's semantics (the census trains on the pool it
+    * scores). */
+  def lmFluencySqlFor(spine: String, model: String): String =
+    s"""WITH mtoks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM $model),
+       |mgrams AS (SELECT doc_id, unnest(${ngramsSql("t", 2)}) AS gram FROM mtoks),
+       |heavy AS (SELECT gram, count(*) AS n FROM mgrams
+       |          GROUP BY gram HAVING count(*) >= $FluencyHeavyMin),
+       |stoks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM $spine),
+       |sgrams AS (SELECT doc_id, unnest(${ngramsSql("t", 2)}) AS gram FROM stoks),
+       |sc AS (
+       |  SELECT g.doc_id, count(*) AS n_bigrams,
+       |         ${r6Sql("CAST(sum(coalesce(h.n, 1)) AS DOUBLE) / count(*)")} AS fluency
+       |  FROM sgrams g LEFT JOIN heavy h ON g.gram = h.gram
+       |  GROUP BY 1)
+       |SELECT d.doc_id, d.lang, coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.fluency,
+       |       coalesce(sc.fluency >= $FluencyMin, false) AS is_fluent
+       |FROM $spine d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   val lmFluencySql: String =
     s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
@@ -1331,7 +1375,7 @@ object Text {
   /** Frozen learned merge table per (corpus, rounds) — train once, replay
     * after (the ANN-model convention; the table is model-sized). */
   private val bpeCache =
-    new graft.ops.FrozenCaches.Memo[Int, Seq[(Long, String, String, String, Long)]]()
+    new graft.ops.FrozenCaches.Memo[Int, Seq[(Long, String, String, String, Long)]](label = "bpe_merges")
 
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

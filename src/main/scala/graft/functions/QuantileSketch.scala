@@ -25,6 +25,13 @@ import org.apache.spark.sql.expressions.Aggregator
   *   - every step is integer arithmetic (bit length, shift, mask, floor
   *     division), so DuckDB reproduces the ESTIMATE itself, not just an
   *     error bound.
+  *
+  * DOMAIN PRECONDITION: inputs must be NONNEGATIVE. All nonpositive
+  * values collapse into cell 0 with estimate 0 — right for the library's
+  * callers (cents, token counts), but a group whose target quantile is
+  * negative gets a silently wrong estimate and the published 1/16
+  * relative-error contract does not apply. Signed domains need an offset
+  * or a second sign-split sketch before this aggregator.
   */
 object QuantileSketch {
   /** Mantissa bits kept per bucket: 3 → 8 sub-buckets per octave,

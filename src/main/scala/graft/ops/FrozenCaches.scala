@@ -28,6 +28,26 @@ object FrozenCaches {
 
   def clearAll(): Unit = hooks.forEach(h => h())
 
+  /** One frozen-artifact build event: which artifact, for which corpus,
+    * and how long the builder ran. */
+  final case class BuildEvent(artifact: String, dir: String, sec: Double)
+
+  // ---------------------------------------------------------- build ledger
+  // Every labeled Memo build is recorded here so a bench harness can say
+  // WHICH query paid for WHICH one-time artifact (train-once costs are
+  // attributed to whichever query first touches the memo — legible only
+  // with this ledger; see Bench's "frozen_builds" output field).
+  private val buildLog = new java.util.concurrent.ConcurrentLinkedQueue[BuildEvent]()
+
+  /** Drain and return all build events recorded since the last drain, in
+    * build order. */
+  def drainBuildLog(): Seq[BuildEvent] = {
+    val out = Seq.newBuilder[BuildEvent]
+    var e = buildLog.poll()
+    while (e != null) { out += e; e = buildLog.poll() }
+    out.result()
+  }
+
   // artifacts that own on-disk state (the dup-cluster manifest's temp
   // dirs) are cleaned by their beforeClear hooks — run them on JVM exit
   // too, so short-lived sessions don't leak a parquet copy per corpus
@@ -79,7 +99,8 @@ object FrozenCaches {
     * a heavyweight builder (full Spark jobs, temp-dir writes) never runs
     * twice concurrently for the same memo — the lock is per-Memo, so
     * distinct artifact families still build in parallel. */
-  final class Memo[K, V](beforeClear: java.util.Collection[V] => Unit = null) {
+  final class Memo[K, V](beforeClear: java.util.Collection[V] => Unit = null,
+                         label: String = null) {
     private val m = new java.util.HashMap[(String, Long, K), V]()
     register { () =>
       this.synchronized {
@@ -108,7 +129,10 @@ object FrozenCaches {
           if (e.getKey._1 == dir && e.getKey._3 == k) { stale.add(e.getValue); it.remove() }
         }
         if (beforeClear != null && !stale.isEmpty) beforeClear(stale)
+        val t0 = System.nanoTime()
         val v = build
+        if (label != null)
+          buildLog.add(BuildEvent(label, dir, (System.nanoTime() - t0) / 1e9))
         m.put(key, v)
         v
       }

@@ -72,7 +72,7 @@ object Tables {
     * run makes don't each replan the scan just to re-derive the same
     * boolean, while a session with different split confs (which change the
     * partition count the same files yield) derives its own. */
-  private val widenCache = new FrozenCaches.Memo[(String, Int, String, String), Boolean]()
+  private val widenCache = new FrozenCaches.Memo[(String, Int, String, String), Boolean](label = "scan_widen")
 
   private def widened(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = table(spark, dir, name)

@@ -170,40 +170,25 @@ object Sketches {
     * ([[graft.functions.QuantileSketch]]) is bounded O(cells) state,
     * merge-order independent, and planned partial-then-final like any
     * builtin aggregate. Because every step is integer arithmetic, the
-    * oracle reproduces the ESTIMATES themselves; the `within_*` booleans
-    * assert the sketch's published contract AGAINST ITS OWN TARGET — the
-    * floor-rank statistic (the (⌊q·(n−1)⌋+1)-th smallest value), as an
-    * all-integer 16·|est−stat| ≤ stat comparison, never against the
-    * interpolated percentile (whose interpolation term is unbounded by
-    * the value gap and would raise spurious out-of-contract alarms on
-    * gappy groups); the interpolated exacts still ride along as
-    * informational columns (the k_approx_agg convention). */
+    * oracle reproduces the ESTIMATES themselves. The registered row is the
+    * PURE O(cells) sketch — exactly what ships at 100 TB, no unbounded
+    * per-group state anywhere in the plan; the published 1/16 contract
+    * against the floor-rank statistic is asserted in QuantileSketchSpec
+    * over these same groups (the earlier in-query `within_*` ride-alongs
+    * materialized every group's full sorted value set inside the
+    * registered query — the exact state the sketch exists to eliminate;
+    * VERDICT r11 advice). */
   def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
     val qs = udaf(graft.functions.QuantileSketch.agg)
-    def stat(num: Long, den: Long) =
-      expr(s"element_at(vals, CAST(($num * (n_events - 1)) DIV $den + 1 AS INT))")
-    def ok(est: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column) =
-      abs(est - s) * lit(16L) <= s
     Tables.events(spark, dir)
       .withColumn("cents", graft.ops.Num.cents(col("value")))
       .groupBy("event_type")
-      .agg(qs(col("cents")).as("sk"),
-        array_sort(collect_list(col("cents"))).as("vals"),
-        expr("percentile(value, 0.5)").as("x50"),
-        expr("percentile(value, 0.9)").as("x90"),
-        expr("percentile(value, 0.99)").as("x99"))
-      .withColumn("n_events", col("sk.n"))
+      .agg(qs(col("cents")).as("sk"))
       .select(col("event_type"),
         col("sk.p50_cents").as("p50_cents"),
         col("sk.p90_cents").as("p90_cents"),
         col("sk.p99_cents").as("p99_cents"),
-        col("n_events"),
-        ok(col("sk.p50_cents"), stat(1L, 2L)).as("within_p50"),
-        ok(col("sk.p90_cents"), stat(9L, 10L)).as("within_p90"),
-        ok(col("sk.p99_cents"), stat(99L, 100L)).as("within_p99"),
-        r6(col("x50")).as("exact_p50"),
-        r6(col("x90")).as("exact_p90"),
-        r6(col("x99")).as("exact_p99"))
+        col("sk.n").as("n_events"))
       .orderBy("event_type")
   }
 
@@ -212,25 +197,9 @@ object Sketches {
       "cents",
       s"(SELECT event_type, ${graft.ops.Num.centsSql("value")} AS cents FROM events)",
       "event_type")
-    def stat(num: Long, den: Long) = s"vals[($num * (n_events - 1)) // $den + 1]"
-    def ok(est: String, s: String) = s"abs($est - $s) * 16 <= $s"
-    s"""WITH est AS ($est),
-       |ex AS (
-       |  SELECT event_type,
-       |         list_sort(list(${graft.ops.Num.centsSql("value")})) AS vals,
-       |         count(*) AS n_events,
-       |         ${r6Sql("quantile_cont(value, 0.5)")} AS x50,
-       |         ${r6Sql("quantile_cont(value, 0.9)")} AS x90,
-       |         ${r6Sql("quantile_cont(value, 0.99)")} AS x99
-       |  FROM events GROUP BY 1)
-       |SELECT e.event_type, est.p50_cents, est.p90_cents, est.p99_cents,
-       |       CAST(e.n_events AS BIGINT) AS n_events,
-       |       ${ok("est.p50_cents", stat(1L, 2L))} AS within_p50,
-       |       ${ok("est.p90_cents", stat(9L, 10L))} AS within_p90,
-       |       ${ok("est.p99_cents", stat(99L, 100L))} AS within_p99,
-       |       e.x50 AS exact_p50, e.x90 AS exact_p90, e.x99 AS exact_p99
-       |FROM ex e JOIN est ON e.event_type = est.event_type
-       |ORDER BY e.event_type""".stripMargin
+    s"""WITH est AS ($est)
+       |SELECT event_type, p50_cents, p90_cents, p99_cents, n AS n_events
+       |FROM est ORDER BY event_type""".stripMargin
   }
 
   /** Explicit GROUPING SETS lattice (the general form cube/rollup are sugar

@@ -697,6 +697,91 @@ object Streams {
       }
   }
 
+  // ------------------------------------------------ forward as-of (stream)
+  case class AsofEvent(event_id: Long, user_id: Long, event_type: String,
+                       ts_us: Long, value: Double)
+  /** An unresolved purchase plus its best candidate view so far (earliest
+    * at-or-after ts, min event_id tiebreak — the batch quotes-dedup rule). */
+  case class AsofPending(p_event_id: Long, p_ts_us: Long, q_event_id: Long,
+                         q_ts_us: Long, q_value: Double, has_q: Boolean)
+  case class AsofFwdState(pending: Seq[AsofPending],
+                          views: Seq[(Long, Long, Double)]) // (ts_us, event_id, value)
+  case class AsofFwdRow(event_id: Long, user_id: Long, ts_us: Long,
+                        quote_event_id: Long, quote_ts_us: Long, quote_value: Double)
+
+  /** Streaming twin of the FORWARD as-of join (`w_asof_forward`,
+    * [[graft.queries.Sessions.asofForwardOn]]): each purchase resolves to
+    * the EARLIEST same-user view at-or-after it. The forward direction is
+    * watermark-DELAYED by nature — the candidate view seen so far is only
+    * FINAL once the watermark passes it, because a later-arriving view
+    * could still land between the purchase and the candidate; so a
+    * purchase emits exactly when the watermark strictly passes its
+    * candidate's timestamp (the [[clickViewLeftJoin]] delay discipline).
+    * Purchases with NO view yet never emit inside a bounded run — the
+    * unbounded-horizon analog of the left-outer join's withheld nulls
+    * (the batch row is the source of truth for those; a production
+    * deployment bounds the horizon and emits nulls at horizon close).
+    *
+    * State per user: unresolved purchases + views the watermark has not
+    * passed (older views were already offered to every pending purchase
+    * and can never serve a future one — a future purchase's timestamp is
+    * at least the watermark). Event-time timers re-arm at the earliest
+    * sealable candidate so resolution needs no further same-user traffic.
+    * At 100 TB: state shuffles on user_id into RocksDB-backed stores,
+    * watermark-bounded on the view side — the same key/state shape as
+    * the session operator. */
+  def asofForwardUpdates(events: Dataset[AsofEvent],
+                         watermarkDelay: String = "2 hours"): Dataset[AsofFwdRow] = {
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val src =
+      if (streaming)
+        events.withColumn("event_ts", timestamp_micros(col("ts_us")))
+          .withWatermark("event_ts", watermarkDelay)
+          .as[AsofEvent]
+      else events
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+        (user: Long, rows: Iterator[AsofEvent], state: GroupState[AsofFwdState]) =>
+          val st0 = state.getOption.getOrElse(AsofFwdState(Seq.empty, Seq.empty))
+          val batchRows = rows.toSeq
+          // view dedup per timestamp: min event_id wins (and carries its
+          // value) — identical to the batch twin's quotes aggregation
+          val views = (st0.views ++ batchRows.filter(_.event_type == "view")
+              .map(v => (v.ts_us, v.event_id, v.value)))
+            .groupBy(_._1).map { case (_, vs) => vs.minBy(_._2) }.toSeq
+          val newPend = batchRows.filter(_.event_type == "purchase")
+            .map(p => AsofPending(p.event_id, p.ts_us, 0L, 0L, 0.0, has_q = false))
+          def better(p: AsofPending, v: (Long, Long, Double)): AsofPending =
+            if (v._1 < p.p_ts_us) p
+            else if (!p.has_q || v._1 < p.q_ts_us ||
+                (v._1 == p.q_ts_us && v._2 < p.q_event_id))
+              AsofPending(p.p_event_id, p.p_ts_us, v._2, v._1, v._3, has_q = true)
+            else p
+          val offered = (st0.pending ++ newPend).map(p => views.foldLeft(p)(better))
+          // seal: the watermark STRICTLY past the candidate proves no
+          // admissible view can still land at-or-before it (an equal-ts
+          // tie with a smaller event_id is admissible at wm == q_ts)
+          val wmUs = if (streaming) state.getCurrentWatermarkMs() * 1000 else Long.MaxValue
+          val (resolved, pending) = offered.partition(p => p.has_q && p.q_ts_us < wmUs)
+          val keptViews = views.filter(_._1 >= wmUs)
+          if (streaming) {
+            if (pending.isEmpty && keptViews.isEmpty) state.remove()
+            else {
+              state.update(AsofFwdState(pending, keptViews))
+              val next = pending.filter(_.has_q).map(_.q_ts_us)
+              if (next.nonEmpty)
+                state.setTimeoutTimestamp(
+                  math.max(next.min / 1000 + 1, state.getCurrentWatermarkMs() + 1))
+            }
+          } else state.update(AsofFwdState(pending, keptViews))
+          resolved.sortBy(_.p_event_id).iterator.map(p =>
+            AsofFwdRow(p.p_event_id, user, p.p_ts_us, p.q_event_id, p.q_ts_us, p.q_value))
+      }
+  }
+
   /** Run a streaming DataFrame to completion against the bounded test input
     * (AvailableNow trigger + memory sink) and return the result as a batch
     * DataFrame — the harness for batch/stream parity tests. */

@@ -1,0 +1,84 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.ops.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The incremental pipeline-manifest update (`t_manifest_incremental`):
+  * carried warehouse rows must be indistinguishable from a from-scratch
+  * rebuild of the new snapshot under the frozen base-time models. The
+  * DuckDB oracle independently re-proves the same equality in SQL; these
+  * specs pin the Spark-side carry/recompute seams, including the no-churn
+  * fixpoint a pure-SQL oracle can't exercise. */
+class ManifestIncrSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("incremental manifest on the registered churn slices matches the from-scratch rebuild") {
+    val docs = Tables.documents(spark, dir)
+    val old = Corpus.deltaOldSlice(docs)
+    val nw = Corpus.deltaNewSlice(docs)
+    // the registered update (frozen warehouse + delta reconciliation)
+    val got = rows(Corpus.manifestIncremental(spark, dir))
+    spark.catalog.clearCache()
+    // ground truth: full rebuild of the NEW snapshot under the SAME
+    // frozen models (trained here independently — deterministic training
+    // on the same old snapshot), through the one-shot stage entry points
+    val census = Text.fluencyCensusOn(old).persist()
+    val weights = Quality.qsWeightsOn(old).persist()
+    val (thrTot, thrN) = Quality.qsThresholdOn(old, weights)
+    val evalh = Corpus.evalShingleHashes(
+      old.filter(pmod(col("doc_id"), lit(10)) === lit(Corpus.BenchSlice))).persist()
+    val want = rows(Corpus.manifestRebuildOn(nw, census, weights, thrTot, thrN, evalh))
+    spark.catalog.clearCache()
+    assert(got.nonEmpty && got === want)
+    // the churn slices actually exercised every delta class
+    val statuses = Corpus.snapshotDeltaOn(old, nw)
+      .select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses === Set("added", "removed", "changed", "unchanged"))
+  }
+
+  test("no-churn update is a fixpoint: every manifest row carries through unchanged") {
+    val docs = Tables.documents(spark, dir)
+    val old = Corpus.deltaOldSlice(docs)
+    val (base, thrTot, thrN) = Corpus.frozenManifestBase(spark, dir)
+    val (mPath, ePath, sPath) = Dedup.frozenIncrementalBase(spark, dir, old)
+    val noop = Corpus.manifestIncrementalOn(spark, old, old,
+      featOld = spark.read.parquet(s"$base/features.parquet"),
+      kbOld = spark.read.parquet(s"$base/kb.parquet"),
+      dupManifestOld = spark.read.parquet(mPath),
+      dupEdgesOld = spark.read.parquet(ePath),
+      dupSigsOld = spark.read.parquet(sPath),
+      census = spark.read.parquet(s"$base/census.parquet"),
+      weights = spark.read.parquet(s"$base/weights.parquet"),
+      thrTot = thrTot, thrN = thrN,
+      evalh = spark.read.parquet(s"$base/evalh.parquet"))
+    val got = rows(noop)
+    val want = rows(spark.read.parquet(s"$base/manifest.parquet").orderBy("doc_id"))
+    spark.catalog.clearCache()
+    assert(got.nonEmpty && got === want)
+  }
+
+  test("steady-state update plan reads warehouse state, never the untouched corpus text") {
+    // the registered base row IS a warehouse read-back (the
+    // dd_clusters_base discipline): its plan is a parquet scan of the
+    // frozen state, not a rebuild
+    val pb = Corpus.manifestBase(spark, dir).queryExecution.executedPlan.toString
+    assert(pb.contains("graft_manifest_base"),
+      "base row does not read the frozen manifest warehouse:\n" + pb.take(3000))
+    // the assembled update's lineage holds NO corpus scan and NO text
+    // column anywhere: the only text reads (delta classify + fresh-slice
+    // features) ran as delta-bounded checkpoints at construction;
+    // untouched documents' text is never re-read, and packing runs over
+    // carried token counts instead of re-tokenizing
+    val p = Corpus.manifestIncremental(spark, dir).queryExecution.executedPlan.toString
+    assert(!p.contains("documents.parquet"),
+      "steady-state plan rescans the corpus:\n" + p.take(3000))
+    assert(!p.contains("text#"),
+      "steady-state plan references a text column:\n" + p.take(3000))
+    spark.catalog.clearCache()
+  }
+}

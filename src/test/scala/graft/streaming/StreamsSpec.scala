@@ -148,6 +148,43 @@ class StreamsSpec extends SparkSpec {
       s"watermark-closed unattributed clicks missing null rows: ${(due -- emitted).take(5)}")
   }
 
+  test("streaming forward as-of matches the batch row up to the final watermark, across a cut inside a resolution") {
+    // batch truth: (purchase, earliest later view) incl. the unresolved nulls
+    val batch = graft.queries.Sessions.asofForward(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4), r.getDouble(5)))))
+    val resolvedBatch = batch.collect { case (id, u, ts, Some((qid, qts, qv))) =>
+      (id, u, ts, qid, qts, qv) }
+    // a purchase whose resolving view lies strictly LATER: cut between
+    // them puts the purchase in an earlier micro-batch than its view, so
+    // the pending purchase must survive the state store across batches
+    val spanning = resolvedBatch.filter { case (_, _, ts, _, qts, _) => qts > ts }
+    assert(spanning.nonEmpty, "degenerate corpus: every as-of resolution is simultaneous")
+    val (spanId, _, spanTs, _, spanQts, _) = spanning.minBy { case (_, _, ts, _, qts, _) => qts - ts }
+    val streamed = Streams.runToMemory(spark,
+        Streams.asofForwardUpdates(
+          timeSlicedEventStream("asoffwd", Seq((spanTs + spanQts) / 2))
+            .select("event_id", "user_id", "event_type", "ts_us", "value")
+            .as[Streams.AsofEvent], "0 seconds").toDF(), "t_asof_fwd")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toSeq.sorted
+    // append-once across batches and timers
+    assert(streamed.map(_._1).distinct.length === streamed.length, "a purchase re-emitted")
+    // with delay 0 the final watermark is the global max event time: every
+    // batch resolution whose view lies strictly before it must emit, and
+    // nothing else may (candidates AT the watermark could still be tied by
+    // a smaller event_id; unresolved purchases are withheld nulls)
+    val wmUs = graft.ops.Tables.events(spark, sfDir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val due = resolvedBatch.filter(_._5 < wmUs).toSeq.sorted
+    assert(due.nonEmpty, "degenerate corpus: no sealable resolution")
+    assert(streamed === due,
+      s"missing: ${(due.toSet -- streamed.toSet).take(3)}; extra: ${(streamed.toSet -- due.toSet).take(3)}")
+    // the engineered cross-batch resolution actually emitted
+    assert(streamed.exists(_._1 === spanId), "the cut-spanning purchase did not resolve")
+  }
+
   test("streaming quantile sketch is bit-identical to the batch sketch (merge-order independence)") {
     // the time-sliced stream merges three micro-batch partials into the
     // state store in arrival order — a merge-order-DEPENDENT sketch
