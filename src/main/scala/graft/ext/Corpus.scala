@@ -2078,9 +2078,9 @@ object Corpus {
     * exactly the delta's rows — the property the whole update rests on.
     * Gate bits are NULL on the bench slice (the funnel never judges it),
     * mirroring the funnel spine contract. */
-  private def manifestDocFeatures(snap: DataFrame, census: DataFrame,
-                                  weights: DataFrame, thrTot: Long, thrN: Long,
-                                  evalh: DataFrame): DataFrame = {
+  private[graft] def manifestDocFeatures(snap: DataFrame, census: DataFrame,
+                                         weights: DataFrame, thrTot: Long, thrN: Long,
+                                         evalh: DataFrame): DataFrame = {
     val train = snap.filter(pmod(col("doc_id"), lit(10L)) =!= lit(BenchSlice))
     val q = graft.ext.Text.qualityFilterRowsOn(train)
       .select(col("doc_id"), lit(true).as("pass_quality"))
@@ -2146,7 +2146,13 @@ object Corpus {
   private[ext] def frozenManifestBase(spark: SparkSession, dir: String): (String, Long, Long) =
     manifestBaseCache.get(dir, ()) {
       val docs = Tables.documents(spark, dir)
-      val old = deltaOldSlice(docs)
+      // BOOTSTRAP-ONLY persist: the base build reads the old snapshot from
+      // ~11 subplans (three model trainings, eight feature/gate passes,
+      // the dup signature build) — pinning it turns nine corpus
+      // scan+tokenize passes into one. Plain persist (lineage kept, spills
+      // to disk), released before returning; the steady-state update never
+      // takes this path.
+      val old = deltaOldSlice(docs).persist()
       val base = java.nio.file.Files.createTempDirectory("graft_manifest_base").toString
       // models first (train-once); each is written then read back so every
       // downstream plan starts from a parquet leaf, not the training subtree
@@ -2183,6 +2189,7 @@ object Corpus {
         sp = feats.select("doc_id", "split"),
         packTok = ids => feats.select("doc_id", "lang", "n_tok").join(ids, Seq("doc_id")))
         .write.parquet(s"$base/manifest.parquet")
+      old.unpersist()
       (base, thrTot, thrN)
     }
 
@@ -2278,8 +2285,11 @@ object Corpus {
     val delta = snapshotDeltaOn(old, nw).localCheckpoint()
     val gone = delta.filter(col("status").isin("removed", "changed")).select("doc_id")
     val fresh = delta.filter(col("status").isin("added", "changed")).select("doc_id")
-    // the ONLY text the update reads beyond the delta classify
-    val freshDocs = nw.join(fresh, Seq("doc_id"), "left_semi")
+    // the ONLY text the update reads beyond the delta classify —
+    // checkpointed EAGERLY so the eight per-doc feature subplans read the
+    // materialized |delta|-sized slice instead of each re-scanning the
+    // corpus parquet through its own semi-join
+    val freshDocs = nw.join(fresh, Seq("doc_id"), "left_semi").localCheckpoint()
     val featFresh = manifestDocFeatures(freshDocs, census, weights, thrTot, thrN, evalh)
       .withColumn("is_canonical", lit(null).cast("boolean")) // re-elected below
       .localCheckpoint()

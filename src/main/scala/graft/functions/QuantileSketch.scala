@@ -109,6 +109,56 @@ object QuantileSketch {
     def outputEncoder: Encoder[Est] = Encoders.product[Est]
   }
 
+  // ------------------------------------------------- sketch as a COLUMN
+  /** Warehouse forms of the sketch — the cross-JOB merge path: a sharded
+    * ingest job persists each shard's raw cell vector as a plain
+    * array<bigint> parquet column ([[cellsAgg]]), and any later job
+    * re-aggregates the persisted vectors back into the finished estimate
+    * ([[mergeAgg]]) — bit-identical to running [[agg]] over the raw
+    * values, for ANY sharding, because merge is cell-wise addition
+    * (QuantileSketchSpec pins the round-trip). This is what "mergeable"
+    * buys beyond partition-parallelism: per-shard/per-day sketch columns
+    * become warehouse state, and corpus-wide quantiles are a ≤cells-width
+    * re-aggregation instead of a re-scan of the raw values. */
+  val cellsAgg: Aggregator[Long, Array[Long], Seq[Long]] =
+    new Aggregator[Long, Array[Long], Seq[Long]] {
+      def zero: Array[Long] = new Array[Long](MaxCells)
+      def reduce(b: Array[Long], cents: Long): Array[Long] = { b(cellOf(cents)) += 1L; b }
+      def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+        var i = 0
+        while (i < MaxCells) { a(i) += b(i); i += 1 }
+        a
+      }
+      def finish(b: Array[Long]): Seq[Long] = b.toSeq
+      def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+      def outputEncoder: Encoder[Seq[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    }
+
+  /** Re-aggregate persisted cell vectors (array<bigint> columns) into the
+    * finished estimate — the read side of the warehouse round-trip. A
+    * short or overlong stored vector is a corrupt warehouse row and fails
+    * fast rather than silently misaligning cells. */
+  val mergeAgg: Aggregator[Seq[Long], Array[Long], Est] =
+    new Aggregator[Seq[Long], Array[Long], Est] {
+      def zero: Array[Long] = new Array[Long](MaxCells)
+      def reduce(b: Array[Long], cells: Seq[Long]): Array[Long] = {
+        require(cells.length == MaxCells,
+          s"stored sketch has ${cells.length} cells, expected $MaxCells")
+        var i = 0
+        while (i < MaxCells) { b(i) += cells(i); i += 1 }
+        b
+      }
+      def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+        var i = 0
+        while (i < MaxCells) { a(i) += b(i); i += 1 }
+        a
+      }
+      def finish(b: Array[Long]): Est = agg.finish(b)
+      def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+      def outputEncoder: Encoder[Est] = Encoders.product[Est]
+    }
+
   /** Matching oracle SQL: relation with ($groupCol, p50_cents, p90_cents,
     * p99_cents, n) — the same integer cell/rank/midpoint pipeline.
     * `centsExpr` must already be the BIGINT cents form of the value. */

@@ -288,6 +288,75 @@ object Sketches {
        |FROM p CROSS JOIN ex""".stripMargin
   }
 
+  // --------------------------------- sketch-as-column warehouse round-trip
+  /** Shards for the persisted-sketch simulation: enough that every
+    * event_type spans several shards at sf0.001, few enough that each
+    * shard sketch is non-trivial. Production jobs shard by ingest
+    * partition/day; the merge result is sharding-invariant either way. */
+  val QsShards = 8L
+
+  /** Frozen per-shard sketch table (event_type, shard, cells array<bigint>)
+    * per corpus — the simulated warehouse state the round-trip reads. */
+  private val shardSketchCache = new graft.ops.FrozenCaches.Memo[Long, String](
+    beforeClear = _.forEach(p =>
+      graft.ops.FrozenCaches.deleteTree(java.nio.file.Paths.get(p).getParent.toString)),
+    label = "qsketch_shards")
+
+  /** The quantile sketch ACROSS JOBS, not just partitions — the warehouse
+    * round-trip of the mergeable design: an ingest-side job writes each
+    * (event_type, shard)'s raw cell vector as a plain array<bigint>
+    * parquet column ([[graft.functions.QuantileSketch.cellsAgg]] — a
+    * readable warehouse table, not engine-private bytes), and this query
+    * reads the persisted vectors back and re-aggregates them into the
+    * corpus estimate ([[graft.functions.QuantileSketch.mergeAgg]]).
+    * Because merge is cell-wise addition, the result is BIT-IDENTICAL to
+    * `k_quantile_sketch` run over the raw values (QuantileSketchSpec pins
+    * it), and the oracle is the SAME estimate pipeline over the raw
+    * events — deliberately NOT a sketch-table formulation, so the
+    * round-trip earns correctness by matching the direct computation.
+    *
+    * 100 TB shape: per-day/per-shard sketch columns are ≤488-long arrays
+    * — warehouse rows, not state; the corpus-wide quantile becomes a
+    * ≤(groups·shards)-row re-aggregation with no raw-value rescan. */
+  def quantileShards(spark: SparkSession, dir: String): DataFrame = {
+    val path = shardSketchCache.get(dir, QsShards) {
+      val p = java.nio.file.Files.createTempDirectory("graft_qsketch_shards")
+        .toString + "/shards.parquet"
+      val cells = udaf(graft.functions.QuantileSketch.cellsAgg)
+      Tables.events(spark, dir)
+        .withColumn("cents", graft.ops.Num.cents(col("value")))
+        .withColumn("shard", pmod(col("event_id"), lit(QsShards)))
+        .groupBy("event_type", "shard")
+        .agg(cells(col("cents")).as("cells"))
+        .write.parquet(p)
+      p
+    }
+    val merge = udaf(graft.functions.QuantileSketch.mergeAgg)
+    spark.read.parquet(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_shards"), merge(col("cells")).as("sk"))
+      .select(col("event_type"), col("n_shards"),
+        col("sk.p50_cents").as("p50_cents"),
+        col("sk.p90_cents").as("p90_cents"),
+        col("sk.p99_cents").as("p99_cents"),
+        col("sk.n").as("n_events"))
+      .orderBy("event_type")
+  }
+
+  val quantileShardsSql: String = {
+    val est = graft.functions.QuantileSketch.estimateSql(
+      "cents",
+      s"(SELECT event_type, ${graft.ops.Num.centsSql("value")} AS cents FROM events)",
+      "event_type")
+    s"""WITH est AS ($est),
+       |sh AS (SELECT event_type, count(DISTINCT event_id % $QsShards) AS n_shards
+       |       FROM events GROUP BY 1)
+       |SELECT e.event_type, sh.n_shards, e.p50_cents, e.p90_cents, e.p99_cents,
+       |       e.n AS n_events
+       |FROM est e JOIN sh ON e.event_type = sh.event_type
+       |ORDER BY e.event_type""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("k_kmv_distinct", kmvDistinct _, kmvDistinctSql),
     Q("k_kmv_overlap", kmvOverlap _, kmvOverlapSql),
@@ -297,5 +366,6 @@ object Sketches {
     Q("k_salted_join", saltedJoin _, saltedJoinSql),
     Q("k_approx_agg", approxAgg _, approxAggSql),
     Q("k_quantile_sketch", quantileSketch _, quantileSketchSql),
+    Q("k_quantile_shards", quantileShards _, quantileShardsSql),
   )
 }

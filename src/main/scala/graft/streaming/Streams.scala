@@ -697,6 +697,31 @@ object Streams {
       }
   }
 
+  /** Streaming ingest of the manifest-update family's per-doc feature
+    * warehouse rows ([[graft.ext.Corpus.manifestDocFeatures]] — the five
+    * frozen gate bits, mix copy count, fingerprint, quality score, split
+    * and token count) against FROZEN models: every column is doc-local
+    * given the models, so each micro-batch computes its rows independently
+    * and the union across batches equals the batch run exactly
+    * (StreamsSpec parity). This is the INGEST half of the incremental
+    * manifest: arriving documents get their warehouse feature rows at
+    * stream time, and the periodic `t_manifest_incremental` reconciliation
+    * handles the cross-doc membership state (canonicals, clusters,
+    * elections, pack positions) that no per-batch computation can. */
+  def manifestFeatureBatches(docs: DataFrame, census: DataFrame,
+                             weights: DataFrame, threshold: (Long, Long),
+                             evalHashes: DataFrame,
+                             trigger: org.apache.spark.sql.streaming.Trigger =
+                               org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                            (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        onBatch(graft.ext.Corpus.manifestDocFeatures(batch.toDF(), census, weights,
+          threshold._1, threshold._2, evalHashes), id)
+      }
+      .trigger(trigger)
+      .start()
+
   // ------------------------------------------------ forward as-of (stream)
   case class AsofEvent(event_id: Long, user_id: Long, event_type: String,
                        ts_us: Long, value: Double)

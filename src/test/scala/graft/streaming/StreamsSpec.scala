@@ -309,6 +309,45 @@ class StreamsSpec extends SparkSpec {
     assert(streamedTotals === batchTotals)
   }
 
+  test("streaming manifest-feature ingest matches the batch feature warehouse doc for doc") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_feat_stream").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    Seq(0, 1).foreach { p =>
+      val tmp = s"$base/tmp$p"
+      docs.filter(col("doc_id") % 2 === p).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$base/in/b$p.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(20)
+    }
+    // frozen models, trained once on the full corpus (the ingest contract)
+    val census = graft.ext.Text.fluencyCensusOn(docs).persist()
+    val weights = graft.ext.Quality.qsWeightsOn(docs).persist()
+    val thr = graft.ext.Quality.qsThresholdOn(docs, weights)
+    val evalh = graft.ext.Corpus.evalShingleHashes(
+      docs.filter(pmod(col("doc_id"), lit(10)) === lit(graft.ext.Corpus.BenchSlice))).persist()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = Streams.manifestFeatureBatches(stream, census, weights, thr, evalh) { (feats, _) =>
+      val rows = feats.collect().map(_.toSeq)
+      buf.synchronized { buf ++= rows }
+    }
+    q.awaitTermination()
+    val batch = graft.ext.Corpus
+      .manifestDocFeatures(docs, census, weights, thr._1, thr._2, evalh)
+      .collect().map(_.toSeq)
+    spark.catalog.clearCache()
+    assert(batch.nonEmpty && buf.nonEmpty)
+    // every column is doc-local given the frozen models, so the union of
+    // per-batch rows must equal the batch warehouse exactly — same rows,
+    // same multiplicity, no column drifting on the batch boundary
+    assert(buf.size === batch.length, s"row count ${buf.size} != batch ${batch.length}")
+    assert(buf.map(_.toString).sorted === batch.map(_.toString).toSeq.sorted)
+  }
+
   test("incremental minhash dedup across micro-batches emits exactly the batch LSH pairs, each once") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = Files.createTempDirectory("graft_minhash_stream").toString
