@@ -40,10 +40,6 @@ object Corpus {
     * At 100 TB: one narrow projection + per-row arithmetic + an explode
     * bounded by ceil(rate) ≤ 2 — no shuffle at all until a downstream
     * consumer repartitions; the mix decision never looks at another row. */
-  /** Unsorted mix — purely stateless per-row arithmetic, so it runs
-    * unchanged on a STREAMING documents frame (no watermark, no state:
-    * each micro-batch mixes independently and the hash decisions are the
-    * same ones the batch run makes — StreamsSpec asserts the parity). */
   /** The per-doc copy-count decision alone — (doc_id, source, lang, rate_q,
     * n_copies), no explode: the pipeline-manifest family's carry/recompute
     * unit ([[mixRowsOn]] builds on it, so the two cannot drift). Pure
@@ -58,6 +54,10 @@ object Corpus {
           when(pmod(docHash, lit(4L)) < pmod(col("rate_q"), lit(4L)), 1L).otherwise(0L))
   }
 
+  /** Unsorted mix — purely stateless per-row arithmetic, so it runs
+    * unchanged on a STREAMING documents frame (no watermark, no state:
+    * each micro-batch mixes independently and the hash decisions are the
+    * same ones the batch run makes — StreamsSpec asserts the parity). */
   def mixRowsOn(docs: DataFrame): DataFrame =
     mixCopiesOn(docs)
       .filter(col("n_copies") > 0)
@@ -148,11 +148,6 @@ object Corpus {
     * task). */
   val PackShards = 8
 
-  /** Per-document sharded packing rows — the shared core of
-    * [[seqPackShardedOn]] (which aggregates it to the per-chunk manifest)
-    * and [[pipelineManifest]] (which records each doc's pack position):
-    * one code path, so the two views of the packing cannot drift. Output:
-    * (lang, shard, doc_id, n_tok, cum_tok, chunk_id). */
   /** The packing window over PRE-TOKENIZED rows (lang, doc_id, n_tok) —
     * the seam the incremental manifest packs through: untouched documents'
     * token counts are warehouse state, so a delta update never re-reads
@@ -172,6 +167,11 @@ object Corpus {
       .select("lang", "shard", "doc_id", "n_tok", "cum_tok", "chunk_id")
   }
 
+  /** Per-document sharded packing rows — the shared core of
+    * [[seqPackShardedOn]] (which aggregates it to the per-chunk manifest)
+    * and [[pipelineManifest]] (which records each doc's pack position):
+    * one code path, so the two views of the packing cannot drift. Output:
+    * (lang, shard, doc_id, n_tok, cum_tok, chunk_id). */
   def seqPackDocRowsOn(docs: DataFrame, nShards: Int = PackShards): DataFrame =
     seqPackDocRowsFromTokens(
       docs.withColumn("n_tok", size(Text.tokens(col("text"))).cast("long"))
@@ -2107,24 +2107,21 @@ object Corpus {
   }
 
   /** The frozen funnel-verdict recomposition from warehouse gate bits and
-    * a CURRENT canonical verdict — [[graft.ext.Curation]] funnelTail's
-    * kept/drop_reason expressions over carried state (gate order and
-    * coalesce-to-false identical, so the recomposed verdict cannot drift
-    * from the one-shot funnel). Canonicality rides separately because it
-    * is membership state the delta update re-elects. */
+    * a CURRENT canonical verdict — [[graft.ext.Curation.verdictExprs]],
+    * the SAME expression definition the one-shot funnel composes, so a
+    * carried row recomposes identically by construction. Canonicality
+    * rides separately because it is membership state the delta update
+    * re-elects. */
   private def manifestFunnelFrom(feats: DataFrame): DataFrame = {
-    val pq = coalesce(col("pass_quality"), lit(false))
-    val pr = coalesce(col("pass_repetition"), lit(false))
-    val pf = coalesce(col("is_fluent"), lit(false))
-    val pg = coalesce(col("pass_classifier"), lit(false))
-    val pd = coalesce(col("pass_decontam"), lit(false))
-    val pc = coalesce(col("is_canonical"), lit(false))
+    val (kept, reason) = graft.ext.Curation.verdictExprs(
+      coalesce(col("pass_quality"), lit(false)),
+      coalesce(col("pass_repetition"), lit(false)),
+      coalesce(col("is_fluent"), lit(false)),
+      coalesce(col("pass_classifier"), lit(false)),
+      coalesce(col("pass_decontam"), lit(false)),
+      coalesce(col("is_canonical"), lit(false)))
     feats.filter(pmod(col("doc_id"), lit(10L)) =!= lit(BenchSlice))
-      .select(col("doc_id"),
-        (pq && pr && pf && pg && pd && pc).as("f_kept"),
-        when(!pq, "quality").when(!pr, "repetition").when(!pf, "fluency")
-          .when(!pg, "classifier").when(!pd, "contamination")
-          .when(!pc, "duplicate").as("f_reason"))
+      .select(col("doc_id"), kept.as("f_kept"), reason.as("f_reason"))
   }
 
   /** Frozen warehouse state of the manifest-update family over the
@@ -2312,9 +2309,13 @@ object Corpus {
           .otherwise(col("stored_canon")))
       .drop("canon_id", "stored_canon")
       .localCheckpoint(eager = false)
-    // near-dup clusters: the shared delta-bounded CC update
+    // near-dup clusters: the shared delta-bounded CC update, fed the
+    // ALREADY-computed delta and fresh slice so the corpus-proportional
+    // classify and the fresh text pass run once per snapshot, not once
+    // per update family
     val dcNew = graft.ext.Dedup.dupClustersIncrementalOn(old, nw,
-        dupManifestOld, dupEdgesOld, oldSigs = Some(dupSigsOld))
+        dupManifestOld, dupEdgesOld, oldSigs = Some(dupSigsOld),
+        precomputedDelta = Some(delta), precomputedFresh = Some(freshDocs))
       .localCheckpoint(eager = false)
     // keep-best re-election, touched clusters only: a cluster's winner can
     // move iff its membership changed (fresh member, gone/changed member —

@@ -84,6 +84,24 @@ object Curation {
         .select(col("doc_id"), col("keep").as("pass_decontam")),
       c = canon.select(col("doc_id"), col("is_canonical")))
 
+  /** THE verdict expressions — (kept, drop_reason) from the six coalesced
+    * gate bits, gate order = drop-reason priority. One definition shared
+    * by the funnel tail and the manifest family's warehouse recomposition
+    * ([[graft.ext.Corpus]] `manifestFunnelFrom`), so a carried gate-bit
+    * row recomposes to EXACTLY the one-shot funnel's verdict by
+    * construction, not by parallel-maintained expression text. */
+  private[ext] def verdictExprs(pq: org.apache.spark.sql.Column,
+                                pr: org.apache.spark.sql.Column,
+                                pf: org.apache.spark.sql.Column,
+                                pg: org.apache.spark.sql.Column,
+                                pd: org.apache.spark.sql.Column,
+                                pc: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =
+    (pq && pr && pf && pg && pd && pc,
+      when(!pq, "quality").when(!pr, "repetition").when(!pf, "fluency")
+        .when(!pg, "classifier").when(!pd, "contamination")
+        .when(!pc, "duplicate"))
+
   /** The shared verdict-composition tail: quality/repetition are always
     * per-doc over the spine; fluency/decontamination/canonical plug in as
     * (doc_id, verdict) frames so the one-shot and frozen forms cannot
@@ -98,6 +116,7 @@ object Curation {
     val pg = coalesce(col("pass_classifier"), lit(false))
     val pd = coalesce(col("pass_decontam"), lit(false))
     val pc = coalesce(col("is_canonical"), lit(false))
+    val (kept, reason) = verdictExprs(pq, pr, pf, pg, pd, pc)
     train.select("doc_id", "lang", "source")
       .join(q, Seq("doc_id"), "left")
       .join(r, Seq("doc_id"), "left")
@@ -108,10 +127,7 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("source"),
         pq.as("pass_quality"), pr.as("pass_repetition"), pf.as("is_fluent"),
         pg.as("pass_classifier"), pd.as("pass_decontam"), pc.as("is_canonical"),
-        (pq && pr && pf && pg && pd && pc).as("kept"),
-        when(!pq, "quality").when(!pr, "repetition").when(!pf, "fluency")
-          .when(!pg, "classifier").when(!pd, "contamination")
-          .when(!pc, "duplicate").as("drop_reason"))
+        kept.as("kept"), reason.as("drop_reason"))
   }
 
   /** Registered-query form: identical gate semantics to
@@ -166,9 +182,6 @@ object Curation {
   def funnelManifest(spark: SparkSession, dir: String): DataFrame =
     frozenFunnelRows(spark, dir)
 
-  /** Oracle twin: the six REGISTERED oracle SQLs verbatim as subqueries
-    * (subquery ORDER BYs are legal and ignored), joined on the train
-    * spine. */
   /** [[curationFunnelSql]] split across two snapshot relations: the three
     * trained gate models (fluency census, classifier weights+calibration,
     * eval shingle set) come from `model`, every verdict spine from `spine`
@@ -213,6 +226,9 @@ object Curation {
        |LEFT JOIN fc ON s.doc_id = fc.doc_id
        |ORDER BY s.doc_id""".stripMargin
 
+  /** Oracle twin: the six REGISTERED oracle SQLs verbatim as subqueries
+    * (subquery ORDER BYs are legal and ignored), joined on the train
+    * spine. */
   val curationFunnelSql: String =
     s"""WITH spine AS (
        |  SELECT doc_id, lang, source FROM documents

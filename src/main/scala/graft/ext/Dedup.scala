@@ -930,11 +930,21 @@ object Dedup {
     * the steady-state update is corpus-proportional except the delta
     * classify itself. Without `oldSigs` the new corpus is signed in full
     * (the self-contained library form). */
+  /** `precomputedDelta`/`precomputedFresh`: a composed update that already
+    * ran the snapshot-delta classify (and materialized the fresh text
+    * slice) threads them in here — like `oldSigs`, a seam so the
+    * corpus-proportional passes run ONCE per snapshot, not once per
+    * consuming update family ([[graft.ext.Corpus.manifestIncrementalOn]]
+    * is the caller). Both must derive from the same (oldDocs, newDocs)
+    * pair; `precomputedFresh` must be exactly the added ∪ changed slice of
+    * the NEW snapshot. */
   def dupClustersIncrementalOn(oldDocs: DataFrame, newDocs: DataFrame,
                                oldManifest: DataFrame, oldEdges: DataFrame,
                                numHashes: Int = NumHashes, numBands: Int = NumBands,
                                checkpointRounds: Boolean = true,
-                               oldSigs: Option[DataFrame] = None): DataFrame = {
+                               oldSigs: Option[DataFrame] = None,
+                               precomputedDelta: Option[DataFrame] = None,
+                               precomputedFresh: Option[DataFrame] = None): DataFrame = {
     // LINEAGE DISCIPLINE: every delta-bounded frame below is eagerly
     // localCheckpoint'ed, not persist'ed. Each frame is referenced 2-4
     // times downstream, and Catalyst plans are TREES, not DAGs — a
@@ -947,7 +957,8 @@ object Dedup {
     // |delta|-bounded by construction, so executor-local checkpoint
     // storage is cheap at any corpus scale; only corpus-sized `mh` keeps
     // persist + lineage (recompute-on-eviction matters there).
-    val delta = graft.ext.Corpus.snapshotDeltaOn(oldDocs, newDocs).localCheckpoint()
+    val delta = precomputedDelta.getOrElse(
+      graft.ext.Corpus.snapshotDeltaOn(oldDocs, newDocs).localCheckpoint())
     val gone = delta.filter(col("status").isin("removed", "changed")).select("doc_id")
     val fresh = delta.filter(col("status").isin("added", "changed")).select("doc_id")
 
@@ -958,7 +969,8 @@ object Dedup {
       case Some(sigs) =>
         sigs.join(gone, Seq("doc_id"), "left_anti")
           .unionByName(minhashSigsOn(
-            newDocs.join(fresh, Seq("doc_id"), "left_semi"), numHashes))
+            precomputedFresh.getOrElse(
+              newDocs.join(fresh, Seq("doc_id"), "left_semi")), numHashes))
       case None => minhashSigsOn(newDocs, numHashes)
     }).persist()
     // delta-bounded (|fresh edges|), and referenced from BOTH the

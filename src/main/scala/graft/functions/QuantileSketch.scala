@@ -74,6 +74,15 @@ object QuantileSketch {
     * total count the ranks were taken against. */
   final case class Est(p50_cents: Long, p90_cents: Long, p99_cents: Long, n: Long)
 
+  /** The ONE cell-wise addition all three aggregators merge through — the
+    * bit-identical write/read round-trip rests on there being a single
+    * definition of "merge". */
+  private def addCells(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < MaxCells) { a(i) += b(i); i += 1 }
+    a
+  }
+
   private def quantileCell(buf: Array[Long], n: Long, num: Long, den: Long): Int = {
     val rank = (num * (n - 1)) / den // 0-based target rank
     var cum = 0L
@@ -89,11 +98,7 @@ object QuantileSketch {
   val agg: Aggregator[Long, Array[Long], Est] = new Aggregator[Long, Array[Long], Est] {
     def zero: Array[Long] = new Array[Long](MaxCells)
     def reduce(b: Array[Long], cents: Long): Array[Long] = { b(cellOf(cents)) += 1L; b }
-    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-      var i = 0
-      while (i < MaxCells) { a(i) += b(i); i += 1 }
-      a
-    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = addCells(a, b)
     def finish(b: Array[Long]): Est = {
       var n = 0L
       var i = 0
@@ -122,13 +127,9 @@ object QuantileSketch {
     * re-aggregation instead of a re-scan of the raw values. */
   val cellsAgg: Aggregator[Long, Array[Long], Seq[Long]] =
     new Aggregator[Long, Array[Long], Seq[Long]] {
-      def zero: Array[Long] = new Array[Long](MaxCells)
-      def reduce(b: Array[Long], cents: Long): Array[Long] = { b(cellOf(cents)) += 1L; b }
-      def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-        var i = 0
-        while (i < MaxCells) { a(i) += b(i); i += 1 }
-        a
-      }
+      def zero: Array[Long] = agg.zero
+      def reduce(b: Array[Long], cents: Long): Array[Long] = agg.reduce(b, cents)
+      def merge(a: Array[Long], b: Array[Long]): Array[Long] = addCells(a, b)
       def finish(b: Array[Long]): Seq[Long] = b.toSeq
       def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
       def outputEncoder: Encoder[Seq[Long]] =
@@ -141,19 +142,13 @@ object QuantileSketch {
     * fast rather than silently misaligning cells. */
   val mergeAgg: Aggregator[Seq[Long], Array[Long], Est] =
     new Aggregator[Seq[Long], Array[Long], Est] {
-      def zero: Array[Long] = new Array[Long](MaxCells)
+      def zero: Array[Long] = agg.zero
       def reduce(b: Array[Long], cells: Seq[Long]): Array[Long] = {
         require(cells.length == MaxCells,
           s"stored sketch has ${cells.length} cells, expected $MaxCells")
-        var i = 0
-        while (i < MaxCells) { b(i) += cells(i); i += 1 }
-        b
+        addCells(b, cells.toArray)
       }
-      def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-        var i = 0
-        while (i < MaxCells) { a(i) += b(i); i += 1 }
-        a
-      }
+      def merge(a: Array[Long], b: Array[Long]): Array[Long] = addCells(a, b)
       def finish(b: Array[Long]): Est = agg.finish(b)
       def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
       def outputEncoder: Encoder[Est] = Encoders.product[Est]

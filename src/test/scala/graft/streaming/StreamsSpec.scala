@@ -171,12 +171,13 @@ class StreamsSpec extends SparkSpec {
       .toSeq.sorted
     // append-once across batches and timers
     assert(streamed.map(_._1).distinct.length === streamed.length, "a purchase re-emitted")
-    // with delay 0 the final watermark is the global max event time: every
-    // batch resolution whose view lies strictly before it must emit, and
-    // nothing else may (candidates AT the watermark could still be tied by
-    // a smaller event_id; unresolved purchases are withheld nulls)
+    // with delay 0 the final watermark is the global max event time —
+    // MILLISECOND-truncated, because Spark's watermark (and the operator's
+    // getCurrentWatermarkMs seal) carries ms granularity: a candidate
+    // inside the final watermark's truncated millisecond is legitimately
+    // withheld, so the due set must use the same floor
     val wmUs = graft.ops.Tables.events(spark, sfDir)
-      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0) / 1000L * 1000L
     val due = resolvedBatch.filter(_._5 < wmUs).toSeq.sorted
     assert(due.nonEmpty, "degenerate corpus: no sealable resolution")
     assert(streamed === due,
