@@ -2362,6 +2362,97 @@ object Corpus {
        |  FROM documents WHERE $deltaNewWhereSql),
        |${pipelineManifestCtesFor("newsnap", "oldsnap")}""".stripMargin
 
+  /** Frozen NEW-snapshot manifest table — the incremental update's output
+    * written once per corpus, the production shape (the update JOB writes
+    * the refreshed manifest table; downstream readers consume the table,
+    * never re-run the update). [[manifestDelta]] reads it. */
+  private val manifestNewCache = new graft.ops.FrozenCaches.Memo[Unit, String](
+    beforeClear = _.forEach(p =>
+      graft.ops.FrozenCaches.deleteTree(java.nio.file.Paths.get(p).getParent.toString)),
+    label = "manifest_new")
+
+  private def frozenNewManifest(spark: SparkSession, dir: String): DataFrame = {
+    val path = manifestNewCache.get(dir, ()) {
+      val p = java.nio.file.Files.createTempDirectory("graft_manifest_new")
+        .toString + "/manifest.parquet"
+      manifestIncremental(spark, dir).write.parquet(p)
+      p
+    }
+    spark.read.parquet(path)
+  }
+
+  /** Churn-impact report over the pipeline manifest — what the snapshot
+    * delta DID to the training set, the per-snapshot audit a pipeline
+    * owner reads before shipping the refreshed corpus: each document
+    * classified by the FIRST applicable change (added / removed /
+    * verdict_flipped / reason_moved / split_moved / pack_flipped /
+    * pack_moved / unchanged), aggregated to one row per class with the
+    * count of documents kept after the refresh. The 6% churn must leave
+    * `unchanged` dominant — a bug that over-invalidates (or a model that
+    * silently drifted) shows up here as mass in the changed classes
+    * before it shows up in a training run.
+    *
+    * Composition discipline: zero own pipeline logic — both inputs are
+    * the family's FROZEN warehouse tables (the base manifest and the
+    * update's written output), and the oracle rebuilds BOTH manifests
+    * from scratch through the parameterized stage composition, so the
+    * report re-proves the whole update chain one more time. Scale shape:
+    * a doc_id co-keyed full-outer join of two narrow manifest tables,
+    * then an ≤8-row aggregate. */
+  def manifestDelta(spark: SparkSession, dir: String): DataFrame = {
+    val (base, _, _) = frozenManifestBase(spark, dir)
+    val o = spark.read.parquet(s"$base/manifest.parquet").as("o")
+    val n = frozenNewManifest(spark, dir).as("n")
+    val joined = o.join(n, col("o.doc_id") === col("n.doc_id"), "full_outer")
+    val cls =
+      when(col("o.doc_id").isNull, "added")
+        .when(col("n.doc_id").isNull, "removed")
+        .when(col("o.kept") =!= col("n.kept"), "verdict_flipped")
+        .when(coalesce(col("o.drop_reason"), lit("")) =!= coalesce(col("n.drop_reason"), lit("")),
+          "reason_moved")
+        .when(col("o.split") =!= col("n.split"), "split_moved")
+        .when(col("o.packed") =!= col("n.packed"), "pack_flipped")
+        .when(col("o.packed") && col("n.packed") &&
+            (col("o.shard") =!= col("n.shard") || col("o.chunk_id") =!= col("n.chunk_id")),
+          "pack_moved")
+        .otherwise("unchanged")
+    joined
+      .select(cls.as("change_class"),
+        coalesce(col("n.kept"), lit(false)).as("kept_after"))
+      .groupBy("change_class")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept_after"), 1L).otherwise(0L)).as("n_kept_after"))
+      .orderBy("change_class")
+  }
+
+  /** Oracle: BOTH manifests rebuilt from scratch via the parameterized
+    * composition (each in its own subquery scope, so the stage CTE names
+    * cannot collide), then the identical first-match classification. */
+  lazy val manifestDeltaSql: String =
+    s"""WITH oldsnap AS (
+       |  SELECT doc_id, text, lang, source FROM documents WHERE $deltaOldWhereSql),
+       |newsnap AS (
+       |  SELECT doc_id, $deltaNewTextSql AS text, lang, source
+       |  FROM documents WHERE $deltaNewWhereSql),
+       |oldm AS (SELECT * FROM (WITH ${pipelineManifestCtesFor("oldsnap", "oldsnap")})),
+       |newm AS (SELECT * FROM (WITH ${pipelineManifestCtesFor("newsnap", "oldsnap")})),
+       |classified AS (
+       |  SELECT CASE
+       |           WHEN o.doc_id IS NULL THEN 'added'
+       |           WHEN n.doc_id IS NULL THEN 'removed'
+       |           WHEN o.kept <> n.kept THEN 'verdict_flipped'
+       |           WHEN coalesce(o.drop_reason, '') <> coalesce(n.drop_reason, '') THEN 'reason_moved'
+       |           WHEN o.split <> n.split THEN 'split_moved'
+       |           WHEN o.packed <> n.packed THEN 'pack_flipped'
+       |           WHEN o.packed AND n.packed
+       |                AND (o.shard <> n.shard OR o.chunk_id <> n.chunk_id) THEN 'pack_moved'
+       |           ELSE 'unchanged' END AS change_class,
+       |         coalesce(n.kept, FALSE) AS kept_after
+       |  FROM oldm o FULL OUTER JOIN newm n ON o.doc_id = n.doc_id)
+       |SELECT change_class, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN kept_after THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_after
+       |FROM classified GROUP BY 1 ORDER BY change_class""".stripMargin
+
   /** Full from-scratch manifest rebuild of an arbitrary snapshot under
     * GIVEN frozen models — the Spark-side ground truth the incremental
     * update is spec-tested against (ManifestIncrSpec): every document's
@@ -2412,6 +2503,7 @@ object Corpus {
     Q("t_seq_pack_sharded", seqPackSharded _, seqPackShardedSql),
     Q("t_pipeline_manifest", pipelineManifest _, pipelineManifestSql),
     Q("t_manifest_base", manifestBase _, manifestBaseSql),
+    Q("t_manifest_delta", manifestDelta _, manifestDeltaSql),
     Q("t_manifest_incremental", manifestIncremental _, manifestIncrementalSql),
     Q("t_pack_efficiency", packEfficiency _, packEfficiencySql),
     Q("t_decontaminate", decontaminate _, decontaminateSql),

@@ -62,6 +62,23 @@ class ManifestIncrSpec extends SparkSpec {
     assert(got.nonEmpty && got === want)
   }
 
+  test("manifest delta report partitions the doc universe; registered churn leaves unchanged dominant") {
+    val report = Corpus.manifestDelta(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = Tables.documents(spark, dir)
+    val universe = Corpus.deltaOldSlice(docs).select("doc_id")
+      .unionByName(Corpus.deltaNewSlice(docs).select("doc_id")).distinct().count()
+    spark.catalog.clearCache()
+    // every doc of old ∪ new lands in exactly one class
+    assert(report.values.map(_._1).sum === universe)
+    // the 6% churn: added/removed present, unchanged dominant (an
+    // over-invalidating update or a drifted model shows up as mass here)
+    assert(report.contains("added") && report.contains("removed"))
+    assert(report("unchanged")._1 * 10 > universe * 8, s"unchanged not dominant: $report")
+    // removed docs cannot be kept after the refresh
+    assert(report.get("removed").forall(_._2 === 0L))
+  }
+
   test("steady-state update plan reads warehouse state, never the untouched corpus text") {
     // the registered base row IS a warehouse read-back (the
     // dd_clusters_base discipline): its plan is a parquet scan of the
