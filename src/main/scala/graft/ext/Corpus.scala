@@ -2278,7 +2278,30 @@ object Corpus {
                             dupManifestOld: DataFrame, dupEdgesOld: DataFrame,
                             dupSigsOld: DataFrame,
                             census: DataFrame, weights: DataFrame,
-                            thrTot: Long, thrN: Long, evalh: DataFrame): DataFrame = {
+                            thrTot: Long, thrN: Long, evalh: DataFrame): DataFrame =
+    manifestWarehouseUpdateOn(spark, old, nw, featOld, kbOld, dupManifestOld,
+      dupEdgesOld, dupSigsOld, census, weights, thrTot, thrN, evalh).manifest
+
+  /** The manifest-update family's warehouse of one snapshot: the per-doc
+    * feature table (gate bits, fingerprint, score, split, token count,
+    * CURRENT canonical verdict), the keep-best election, the dedup
+    * warehouse, and the assembled manifest — what the bootstrap freezes
+    * and what [[manifestWarehouseUpdateOn]] both consumes and PRODUCES,
+    * so daily snapshots chain state → state → state under the frozen
+    * base-time models (ManifestIncrSpec pins two chained updates ≡ the
+    * from-scratch rebuild of the final snapshot). */
+  case class ManifestWarehouse(features: DataFrame, kb: DataFrame,
+                               dup: graft.ext.Dedup.DupWarehouse, manifest: DataFrame)
+
+  /** The STATE-ROLLING form of [[manifestIncrementalOn]] — returns the new
+    * snapshot's full warehouse, not just its manifest, the production
+    * ingestion loop's unit of work. */
+  def manifestWarehouseUpdateOn(spark: SparkSession, old: DataFrame, nw: DataFrame,
+                                featOld: DataFrame, kbOld: DataFrame,
+                                dupManifestOld: DataFrame, dupEdgesOld: DataFrame,
+                                dupSigsOld: DataFrame,
+                                census: DataFrame, weights: DataFrame,
+                                thrTot: Long, thrN: Long, evalh: DataFrame): ManifestWarehouse = {
     val delta = snapshotDeltaOn(old, nw).localCheckpoint()
     val gone = delta.filter(col("status").isin("removed", "changed")).select("doc_id")
     val fresh = delta.filter(col("status").isin("added", "changed")).select("doc_id")
@@ -2312,11 +2335,12 @@ object Corpus {
     // near-dup clusters: the shared delta-bounded CC update, fed the
     // ALREADY-computed delta and fresh slice so the corpus-proportional
     // classify and the fresh text pass run once per snapshot, not once
-    // per update family
-    val dcNew = graft.ext.Dedup.dupClustersIncrementalOn(old, nw,
+    // per update family; the state-rolling form, so the dup warehouse
+    // (manifest + edges + signatures) rolls forward with the features
+    val dupNew = graft.ext.Dedup.dupWarehouseUpdateOn(old, nw,
         dupManifestOld, dupEdgesOld, oldSigs = Some(dupSigsOld),
         precomputedDelta = Some(delta), precomputedFresh = Some(freshDocs))
-      .localCheckpoint(eager = false)
+    val dcNew = dupNew.manifest.localCheckpoint(eager = false)
     // keep-best re-election, touched clusters only: a cluster's winner can
     // move iff its membership changed (fresh member, gone/changed member —
     // including clusters that merely lost a doc while keeping their id) or
@@ -2343,7 +2367,7 @@ object Corpus {
       .join(dcNew.filter(col("is_canonical")).select("cluster_id"), Seq("cluster_id"), "left_semi")
       .join(touchedClusters, Seq("cluster_id"), "left_anti")
       .unionByName(kbTouched)
-    assembleManifest(
+    val manifest = assembleManifest(
       spine = featCanon.select("doc_id", "lang", "source"),
       mx = featCanon.filter(col("n_copies") > 0).select("doc_id", "n_copies"),
       fn = manifestFunnelFrom(featCanon)
@@ -2352,6 +2376,8 @@ object Corpus {
       kb = kbNew.select("cluster_id", "keep_doc_id"),
       sp = featCanon.select("doc_id", "split"),
       packTok = ids => featCanon.select("doc_id", "lang", "n_tok").join(ids, Seq("doc_id")))
+    ManifestWarehouse(featCanon, kbNew,
+      dupNew.copy(manifest = dcNew), manifest)
   }
 
   lazy val manifestIncrementalSql: String =

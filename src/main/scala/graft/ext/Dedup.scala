@@ -944,7 +944,35 @@ object Dedup {
                                checkpointRounds: Boolean = true,
                                oldSigs: Option[DataFrame] = None,
                                precomputedDelta: Option[DataFrame] = None,
-                               precomputedFresh: Option[DataFrame] = None): DataFrame = {
+                               precomputedFresh: Option[DataFrame] = None): DataFrame =
+    dupWarehouseUpdateOn(oldDocs, newDocs, oldManifest, oldEdges, numHashes,
+      numBands, checkpointRounds, oldSigs, precomputedDelta, precomputedFresh).manifest
+
+  /** The dedup warehouse of one snapshot: the cluster manifest, the
+    * near-dup edge table, and the per-doc signature table — exactly what
+    * [[frozenIncrementalBase]] freezes at bootstrap, and what
+    * [[dupWarehouseUpdateOn]] both consumes and PRODUCES, so daily
+    * snapshots chain state → state → state without ever re-signing or
+    * re-clustering the untouched majority (DedupSpec pins two chained
+    * updates ≡ the from-scratch build of the final snapshot). */
+  case class DupWarehouse(manifest: DataFrame, edges: DataFrame, sigs: DataFrame)
+
+  /** The STATE-ROLLING form of the incremental update: returns the new
+    * snapshot's full warehouse, not just its manifest — the production
+    * ingestion loop (each snapshot's update feeds the next). The new edge
+    * table is exact by construction: surviving old edges (neither endpoint
+    * gone) ∪ fresh-doc edges — an edge between two unchanged docs cannot
+    * appear or vanish (their signatures are unchanged), so the union IS
+    * the new snapshot's edge set. The new signature table reuses stored
+    * signatures for unchanged docs and signs only the fresh slice (or
+    * signs everything when no warehouse sigs are supplied). */
+  def dupWarehouseUpdateOn(oldDocs: DataFrame, newDocs: DataFrame,
+                           oldManifest: DataFrame, oldEdges: DataFrame,
+                           numHashes: Int = NumHashes, numBands: Int = NumBands,
+                           checkpointRounds: Boolean = true,
+                           oldSigs: Option[DataFrame] = None,
+                           precomputedDelta: Option[DataFrame] = None,
+                           precomputedFresh: Option[DataFrame] = None): DupWarehouse = {
     // LINEAGE DISCIPLINE: every delta-bounded frame below is eagerly
     // localCheckpoint'ed, not persist'ed. Each frame is referenced 2-4
     // times downstream, and Catalyst plans are TREES, not DAGs — a
@@ -1030,8 +1058,16 @@ object Dedup {
       else propagateComponents(subIds, subEdges, checkpointRounds)
     val untouched = oldManifest.join(touchedComps, Seq("cluster_id"), "left_anti")
       .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
-    untouched.unionByName(recomputed.select("doc_id", "cluster_id", "cluster_size", "is_canonical"))
+    val manifestNew = untouched
+      .unionByName(recomputed.select("doc_id", "cluster_id", "cluster_size", "is_canonical"))
       .orderBy("doc_id")
+    // kept ∪ fresh edges are disjoint by construction (a fresh edge always
+    // touches a fresh doc; kept edges never do) and together exact; the
+    // explicit select restores (doc_a, doc_b) column ORDER — the doc_b
+    // anti-join above moved its key to the front, which the by-name CC
+    // consumers never see but a positional warehouse reader would
+    DupWarehouse(manifestNew,
+      keptEdges.select("doc_a", "doc_b").unionByName(freshEdges), mh)
   }
 
   /** Materialized dup-cluster manifest, built once per (corpus, knobs) and

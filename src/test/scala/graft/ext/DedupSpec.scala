@@ -217,6 +217,63 @@ class DedupSpec extends SparkSpec {
     assert(cl(8L) === cl(9L), "untouched clique broken")
   }
 
+  test("warehouse updates CHAIN across snapshots: two deltas, rolled state, equals the from-scratch build") {
+    // three daily snapshots with merges, splits, adds and removes in BOTH
+    // steps — the production loop where each update's output warehouse
+    // (manifest + edges + signatures) is the next update's input; nothing
+    // is ever re-signed or re-clustered from scratch after the bootstrap
+    val x = "alpha beta gamma delta epsilon zeta"
+    val y = "one two three four five six"
+    val w = "red orange yellow green blue indigo"
+    val s0 = Seq(
+      (1L, x), (2L, x), (3L, y), (4L, y),
+      (5L, "bridge unique words entirely here now"),
+      (8L, w), (9L, w)).toDF("doc_id", "text")
+    // step 1: 3 changes y→x (splits {3,4}, merges 3 into {1,2}),
+    // 9 removed ({8,9} loses a member), 6 added (unrelated singleton)
+    val s1 = Seq(
+      (1L, x), (2L, x), (3L, x), (4L, y),
+      (5L, "bridge unique words entirely here now"),
+      (6L, "another totally unrelated document text"),
+      (8L, w)).toDF("doc_id", "text")
+    // step 2: 1 removed ({1,2,3} shrinks), 4 changes y→w (merges with 8),
+    // 7 added with text y (new singleton of the vacated y-content)
+    val s2 = Seq(
+      (2L, x), (3L, x), (4L, w),
+      (5L, "bridge unique words entirely here now"),
+      (6L, "another totally unrelated document text"),
+      (7L, y), (8L, w)).toDF("doc_id", "text")
+    def ckpt(s: Dedup.DupWarehouse) = Dedup.DupWarehouse(
+      s.manifest.localCheckpoint(), s.edges.localCheckpoint(), s.sigs.localCheckpoint())
+    // bootstrap warehouse of s0, then roll state through both deltas
+    val st0 = ckpt(Dedup.DupWarehouse(
+      Dedup.dupClustersOn(s0), Dedup.dupEdgesOn(s0), Dedup.minhashSigsOn(s0)))
+    val st1 = ckpt(Dedup.dupWarehouseUpdateOn(s0, s1, st0.manifest, st0.edges,
+      oldSigs = Some(st0.sigs)))
+    val st2 = ckpt(Dedup.dupWarehouseUpdateOn(s1, s2, st1.manifest, st1.edges,
+      oldSigs = Some(st1.sigs)))
+    spark.catalog.clearCache()
+    // the chained manifest equals the from-scratch build of the FINAL snapshot
+    val chained = st2.manifest.as[(Long, Long, Long, Boolean)].collect().toSeq.sorted
+    val scratch = Dedup.dupClustersOn(s2).as[(Long, Long, Long, Boolean)].collect().toSeq.sorted
+    assert(chained === scratch)
+    // ... and the ROLLED warehouse tables equal their from-scratch twins,
+    // so a third delta would start from exact state
+    val edgesChained = st2.edges.as[(Long, Long)].collect().toSet
+    val edgesScratch = Dedup.dupEdgesOn(s2).as[(Long, Long)].collect().toSet
+    assert(edgesChained === edgesScratch)
+    val sigsChained = st2.sigs.collect().map(_.toSeq).toSet
+    val sigsScratch = Dedup.minhashSigsOn(s2).collect().map(_.toSeq).toSet
+    assert(sigsChained === sigsScratch)
+    spark.catalog.clearCache()
+    // the interesting shapes happened: 4 merged into the w clique, the x
+    // clique survived 1's removal, 7 is a singleton
+    val cl = scratch.map(r => r._1 -> r._2).toMap
+    assert(cl(4L) === cl(8L), "step-2 change did not merge into the w clique")
+    assert(cl(2L) === cl(3L), "x clique broken by the step-2 removal")
+    assert(scratch.find(_._1 == 7L).get._3 === 1L, "added doc not a singleton")
+  }
+
   test("incremental cluster update on the registered snapshot slices matches a full rebuild") {
     val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
     val old = graft.ext.Corpus.deltaOldSlice(docs)

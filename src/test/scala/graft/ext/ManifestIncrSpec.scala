@@ -62,6 +62,58 @@ class ManifestIncrSpec extends SparkSpec {
     assert(got.nonEmpty && got === want)
   }
 
+  test("manifest warehouse updates CHAIN across snapshots under frozen models") {
+    // production ingestion loop: snapshot s0 bootstraps the warehouse,
+    // then TWO successive deltas roll state → state → state; the chained
+    // final manifest must equal a from-scratch rebuild of s2 under the
+    // same frozen base-time models. Step 1 is the registered churn
+    // (adds %50==3, removes %50==4, changes %50==2); step 2 re-adds the
+    // %50==4 slice, removes %50==7, and revs %50==8 — every delta class
+    // in both steps.
+    val docs = Tables.documents(spark, dir)
+    val s0 = Corpus.deltaOldSlice(docs)
+    val s1 = Corpus.deltaNewSlice(docs)
+    val s2 = docs
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(Corpus.DeltaMod)) === lit(Corpus.DeltaChanged),
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(Corpus.DeltaMod)) === lit(8),
+          concat(col("text"), lit(" [rev3]"))).otherwise(col("text")))
+      .filter(pmod(col("doc_id"), lit(Corpus.DeltaMod)) =!= lit(7))
+    val (base, thrTot, thrN) = Corpus.frozenManifestBase(spark, dir)
+    val (mPath, ePath, sPath) = Dedup.frozenIncrementalBase(spark, dir, s0)
+    val census = spark.read.parquet(s"$base/census.parquet")
+    val weights = spark.read.parquet(s"$base/weights.parquet")
+    val evalh = spark.read.parquet(s"$base/evalh.parquet")
+    def ckpt(w: Corpus.ManifestWarehouse) = Corpus.ManifestWarehouse(
+      w.features.localCheckpoint(), w.kb.localCheckpoint(),
+      Dedup.DupWarehouse(w.dup.manifest.localCheckpoint(),
+        w.dup.edges.localCheckpoint(), w.dup.sigs.localCheckpoint()),
+      w.manifest)
+    val st1 = ckpt(Corpus.manifestWarehouseUpdateOn(spark, s0, s1,
+      featOld = spark.read.parquet(s"$base/features.parquet"),
+      kbOld = spark.read.parquet(s"$base/kb.parquet"),
+      dupManifestOld = spark.read.parquet(mPath),
+      dupEdgesOld = spark.read.parquet(ePath),
+      dupSigsOld = spark.read.parquet(sPath),
+      census = census, weights = weights, thrTot = thrTot, thrN = thrN, evalh = evalh))
+    val st2 = Corpus.manifestWarehouseUpdateOn(spark, s1, s2,
+      featOld = st1.features, kbOld = st1.kb,
+      dupManifestOld = st1.dup.manifest, dupEdgesOld = st1.dup.edges,
+      dupSigsOld = st1.dup.sigs,
+      census = census, weights = weights, thrTot = thrTot, thrN = thrN, evalh = evalh)
+    val chained = rows(st2.manifest)
+    spark.catalog.clearCache()
+    val scratch = rows(Corpus.manifestRebuildOn(s2, census, weights, thrTot, thrN, evalh))
+    spark.catalog.clearCache()
+    assert(chained.nonEmpty && chained === scratch)
+    // both steps genuinely churned
+    val d2 = Corpus.snapshotDeltaOn(s1, s2).select("status").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(d2 === Set("added", "removed", "changed", "unchanged"))
+  }
+
   test("manifest delta report partitions the doc universe; registered churn leaves unchanged dominant") {
     val report = Corpus.manifestDelta(spark, dir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
