@@ -282,6 +282,27 @@ class PlanSpec extends SparkSpec {
     assert(pr.contains("graft_funnel_manifest"), "frozen manifest scan missing:\n" + pr.take(3000))
   }
 
+  test("quantile shard round-trip: warehouse scan of a real array column, partial merge, no cartesian") {
+    val p = plan(graft.queries.Sketches.quantileShards(spark, dir))
+    // the persisted per-shard sketches are a parquet warehouse read, and
+    // the re-merge plans partial-then-final like the direct sketch
+    assert(p.contains("graft_qsketch_shards"), "frozen shard-sketch scan missing:\n" + p.take(3000))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "shard merge not planned partial-then-final:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("manifest delta report: two warehouse reads, co-keyed outer join, no cartesian") {
+    val p = plan(graft.ext.Corpus.manifestDelta(spark, dir))
+    // both inputs are FROZEN warehouse tables — never recomputations
+    assert(p.contains("graft_manifest_base"), "base manifest scan missing:\n" + p.take(3000))
+    assert(p.contains("graft_manifest_new"), "new manifest scan missing:\n" + p.take(3000))
+    // doc_id co-keyed full outer + an ≤8-row aggregate, nothing else
+    assert(p.contains("FullOuter"), "full-outer classify join missing:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation on the class counts")
+  }
+
   test("quantile sketch aggregates partially (map-side combine) with no cartesian") {
     val p = plan(graft.queries.Sketches.quantileSketch(spark, dir))
     // the udaf's kryo buffer routes through ObjectHashAggregate — the

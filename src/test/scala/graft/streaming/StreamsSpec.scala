@@ -186,6 +186,37 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.exists(_._1 === spanId), "the cut-spanning purchase did not resolve")
   }
 
+  test("property: forward as-of state machine equals the batch window on random event sets") {
+    // batch-execution mode of the fMGWS operator (no watermark → every
+    // candidate resolves) vs the registered window-based twin, on random
+    // frames dense in ties: same-timestamp views (the min-event_id dedup
+    // rule), views before/at/after purchases, multiple purchases per user
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val ev = for {
+      u <- Gen.choose(0L, 3L)
+      tpe <- Gen.oneOf("view", "purchase", "click")
+      ts <- Gen.choose(0L, 12L) // tiny domain → heavy tie pressure
+      v <- Gen.choose(0, 99)
+    } yield (u, tpe, ts, v.toDouble)
+    val prop = Prop.forAll(Gen.listOfN(40, ev)) { evs =>
+      val df = evs.zipWithIndex
+        .map { case ((u, t, ts, v), i) => (i.toLong, u, t, ts, v) }
+        .toDF("event_id", "user_id", "event_type", "ts_us", "value")
+      val got = Streams.asofForwardUpdates(df.as[Streams.AsofEvent])
+        .collect().map(r => (r.event_id, r.user_id, r.ts_us,
+          r.quote_event_id, r.quote_ts_us, r.quote_value)).toSet
+      val want = graft.queries.Sessions.asofForwardOn(
+          df.select(col("event_id"), col("user_id"), col("event_type"),
+            timestamp_micros(col("ts_us")).as("ts"), col("value")))
+        .collect().filterNot(_.isNullAt(3))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+      got == want // resolved set identical; unresolved (null) rows withheld
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("streaming quantile sketch is bit-identical to the batch sketch (merge-order independence)") {
     // the time-sliced stream merges three micro-batch partials into the
     // state store in arrival order — a merge-order-DEPENDENT sketch
