@@ -2425,11 +2425,13 @@ object Corpus {
     * report re-proves the whole update chain one more time. Scale shape:
     * a doc_id co-keyed full-outer join of two narrow manifest tables,
     * then an ≤8-row aggregate. */
-  def manifestDelta(spark: SparkSession, dir: String): DataFrame = {
-    val (base, _, _) = frozenManifestBase(spark, dir)
-    val o = spark.read.parquet(s"$base/manifest.parquet").as("o")
-    val n = frozenNewManifest(spark, dir).as("n")
-    val joined = o.join(n, col("o.doc_id") === col("n.doc_id"), "full_outer")
+  /** The classification over two CALLER-SUPPLIED manifest frames (both
+    * with the [[pipelineManifest]] schema) — the library entry point; the
+    * registered query points it at the family's frozen warehouse tables.
+    * ManifestIncrSpec unit-drives every class through hand-built rows. */
+  def manifestDeltaFrom(oldManifest: DataFrame, newManifest: DataFrame): DataFrame = {
+    val joined = oldManifest.as("o")
+      .join(newManifest.as("n"), col("o.doc_id") === col("n.doc_id"), "full_outer")
     val cls =
       when(col("o.doc_id").isNull, "added")
         .when(col("n.doc_id").isNull, "removed")
@@ -2449,6 +2451,13 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("kept_after"), 1L).otherwise(0L)).as("n_kept_after"))
       .orderBy("change_class")
+  }
+
+  def manifestDelta(spark: SparkSession, dir: String): DataFrame = {
+    val (base, _, _) = frozenManifestBase(spark, dir)
+    manifestDeltaFrom(
+      spark.read.parquet(s"$base/manifest.parquet"),
+      frozenNewManifest(spark, dir))
   }
 
   /** Oracle: BOTH manifests rebuilt from scratch via the parameterized

@@ -114,6 +114,48 @@ class ManifestIncrSpec extends SparkSpec {
     assert(d2 === Set("added", "removed", "changed", "unchanged"))
   }
 
+  test("manifest delta classifier: every change class fires, first-match priority respected") {
+    import spark.implicits._
+    // manifest schema: doc_id, lang, source, n_copies, kept, drop_reason,
+    // is_survivor, split, packed, shard, chunk_id
+    def row(id: Long, kept: Boolean = true, reason: String = null, split: String = "train",
+            packed: Boolean = true, shard: Long = 0L, chunk: Long = 0L)
+        : (Long, String, String, Long, Boolean, String, Boolean, String, Boolean, Long, Long) =
+      (id, "en", "src0", 1L, kept, reason, true, split, packed, shard, chunk)
+    val cols = Seq("doc_id", "lang", "source", "n_copies", "kept", "drop_reason",
+      "is_survivor", "split", "packed", "shard", "chunk_id")
+    val o = Seq(
+      row(1L),                               // removed (absent from new)
+      row(2L),                               // verdict_flipped (kept flips)
+      row(3L, kept = false, reason = "quality"), // reason_moved (reason changes, kept stays false)
+      row(4L),                               // split_moved (same verdict, split changes)
+      row(5L),                               // pack_flipped (same verdict+split, packed flips)
+      row(6L),                               // pack_moved (packed both, shard moves)
+      row(7L),                               // unchanged
+      // priority: kept flip AND split change AND pack move → verdict_flipped only
+      row(8L, packed = true, shard = 1L)
+    ).toDF(cols: _*)
+    val n = Seq(
+      row(9L),                               // added
+      row(2L, kept = false, reason = "fluency", packed = false),
+      row(3L, kept = false, reason = "repetition"),
+      row(4L, split = "val", packed = false), // split change forces packed change too? keep packed same:
+      row(5L, packed = false),
+      row(6L, shard = 3L, chunk = 2L),
+      row(7L),
+      row(8L, kept = false, reason = "quality", split = "test", packed = false)
+    ).toDF(cols: _*)
+    // fix row 4: identical verdict, split moved, packed unchanged
+    val n2 = n.withColumn("packed",
+      when(col("doc_id") === 4L, lit(true)).otherwise(col("packed")))
+    val got = Corpus.manifestDeltaFrom(o, n2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "added" -> 1L, "removed" -> 1L, "verdict_flipped" -> 2L, // docs 2 and 8
+      "reason_moved" -> 1L, "split_moved" -> 1L, "pack_flipped" -> 1L,
+      "pack_moved" -> 1L, "unchanged" -> 1L), s"got $got")
+  }
+
   test("manifest delta report partitions the doc universe; registered churn leaves unchanged dominant") {
     val report = Corpus.manifestDelta(spark, dir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
