@@ -102,6 +102,56 @@ class RecoverySpec extends SparkSpec {
     }
   }
 
+  test("transformWithState sessions survive a kill + RocksDB checkpoint restart") {
+    withRocksDb {
+      val base = Files.createTempDirectory("graft_ckpt_tws").toString
+      Files.createDirectories(Paths.get(s"$base/in"))
+      // cut INSIDE a known multi-event session: its opening events enter
+      // typed ValueState before the kill, its tail (and the event-time
+      // timer that flushes it) arrives after the restart — the session can
+      // only emit intact if tws state AND timers recover
+      val batch = graft.queries.Sessions.sessionize(spark, sfDir)
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val maxTs = batch.map(_._3).max
+      val target = batch
+        .filter(s => s._4 >= 2 && s._3 > s._2 &&
+          s._3 + Streams.SessionGapUs + 1000000 < maxTs)
+        .maxBy(_._4)
+      val cut = (target._2 + target._3) / 2
+      def runOnce(): Unit = {
+        val q = Streams.sessionizeTws(
+            spark.readStream.schema(sliceSchema)
+              .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+              .select(col("user_id"), col("ts_us"), col("value"))
+              .as[Streams.SessionEvent], "0 seconds")
+          .toDF()
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      writeSlice(col("ts_us") <= cut, s"$base/in", "slice0")
+      runOnce() // lifetime 1 ends mid-session
+      writeSlice(col("ts_us") > cut, s"$base/in", "slice1")
+      runOnce() // lifetime 2 recovers state + timers from the checkpoint
+      val recovered = spark.read.parquet(s"$base/out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      // append-once across both lifetimes, every row a real batch session
+      assert(recovered.length === recovered.toSet.size, "a session double-emitted")
+      assert(recovered.toSet.subsetOf(batch.toSet),
+        s"phantom sessions: ${(recovered.toSet -- batch.toSet).take(3)}")
+      // the cut-spanning session was stitched ACROSS THE RESTART and
+      // flushed by a recovered event-time timer
+      assert(recovered.toSet.contains(target),
+        s"session $target spans the kill at $cut and should have been " +
+          "stitched from recovered state, but was not emitted intact")
+    }
+  }
+
   test("flatMapGroupsWithState ring state survives a kill + RocksDB checkpoint restart") {
     withRocksDb {
       val base = Files.createTempDirectory("graft_ckpt_spike").toString
