@@ -114,6 +114,38 @@ class ManifestIncrSpec extends SparkSpec {
     assert(d2 === Set("added", "removed", "changed", "unchanged"))
   }
 
+  test("degenerate deltas: drain-to-empty and bootstrap-from-empty both match the rebuild") {
+    val docs = Tables.documents(spark, dir)
+    val s0 = Corpus.deltaOldSlice(docs)
+    val empty = s0.limit(0)
+    val (base, thrTot, thrN) = Corpus.frozenManifestBase(spark, dir)
+    val (mPath, ePath, sPath) = Dedup.frozenIncrementalBase(spark, dir, s0)
+    val census = spark.read.parquet(s"$base/census.parquet")
+    val weights = spark.read.parquet(s"$base/weights.parquet")
+    val evalh = spark.read.parquet(s"$base/evalh.parquet")
+    val featOld = spark.read.parquet(s"$base/features.parquet")
+    val kbOld = spark.read.parquet(s"$base/kb.parquet")
+    val dupM = spark.read.parquet(mPath)
+    val dupE = spark.read.parquet(ePath)
+    val dupS = spark.read.parquet(sPath)
+    // drain: every document removed — the update must produce an empty
+    // manifest, not choke on all-gone components/elections
+    val drained = Corpus.manifestWarehouseUpdateOn(spark, s0, empty,
+      featOld, kbOld, dupM, dupE, dupS, census, weights, thrTot, thrN, evalh)
+    assert(rows(drained.manifest).isEmpty)
+    assert(rows(drained.kb).isEmpty && rows(drained.dup.manifest).isEmpty)
+    spark.catalog.clearCache()
+    // bootstrap-by-update: an EMPTY warehouse plus an all-'added' delta
+    // must equal the frozen bootstrap's manifest (under the same models)
+    val boot = Corpus.manifestWarehouseUpdateOn(spark, empty, s0,
+      featOld.limit(0), kbOld.limit(0), dupM.limit(0), dupE.limit(0), dupS.limit(0),
+      census, weights, thrTot, thrN, evalh)
+    val got = rows(boot.manifest)
+    val want = rows(spark.read.parquet(s"$base/manifest.parquet").orderBy("doc_id"))
+    spark.catalog.clearCache()
+    assert(got.nonEmpty && got === want)
+  }
+
   test("manifest delta classifier: every change class fires, first-match priority respected") {
     import spark.implicits._
     // manifest schema: doc_id, lang, source, n_copies, kept, drop_reason,
