@@ -807,6 +807,77 @@ object Streams {
       }
   }
 
+  case class AsofBwdState(pending: Seq[(Long, Long)], // (p_event_id, p_ts_us)
+                          views: Seq[(Long, Long, Double)]) // (ts_us, event_id, value)
+  case class AsofBwdRow(event_id: Long, user_id: Long, ts_us: Long,
+                        quote_event_id: Option[Long], quote_ts_us: Option[Long],
+                        quote_value: Option[Double])
+
+  /** Streaming twin of the BACKWARD as-of join (`w_asof_join`,
+    * [[graft.queries.Sessions.asofJoinOn]]): each purchase resolves to the
+    * LATEST same-user view at-or-before it (equal-ts views dedupe to the
+    * MAX event_id — the batch quotes rule). Unlike the forward direction,
+    * backward rows are FULLY final at the watermark — once it strictly
+    * passes a purchase's timestamp no admissible view at-or-before it can
+    * arrive — so null rows emit too, and a bounded run reproduces the
+    * batch join completely up to the final watermark (nulls included).
+    *
+    * State per user is BOUNDED by construction: views the watermark has
+    * not passed, plus exactly ONE carry-forward (the best view older than
+    * the watermark — every pending or future purchase's timestamp is at
+    * least the watermark, so all older views qualify for it and the max
+    * dominates; this is the classic last-value cache of a streaming
+    * as-of). Event-time timers re-arm at the earliest pending purchase. */
+  def asofBackwardUpdates(events: Dataset[AsofEvent],
+                          watermarkDelay: String = "2 hours"): Dataset[AsofBwdRow] = {
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val src =
+      if (streaming)
+        events.withColumn("event_ts", timestamp_micros(col("ts_us")))
+          .withWatermark("event_ts", watermarkDelay)
+          .as[AsofEvent]
+      else events
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+        (user: Long, rows: Iterator[AsofEvent], state: GroupState[AsofBwdState]) =>
+          val st0 = state.getOption.getOrElse(AsofBwdState(Seq.empty, Seq.empty))
+          val batchRows = rows.toSeq
+          // per-ts view dedup: MAX event_id wins (and carries its value)
+          val views = (st0.views ++ batchRows.filter(_.event_type == "view")
+              .map(v => (v.ts_us, v.event_id, v.value)))
+            .groupBy(_._1).map { case (_, vs) => vs.maxBy(_._2) }.toSeq
+          val pending = st0.pending ++ batchRows.filter(_.event_type == "purchase")
+            .map(p => (p.event_id, p.ts_us))
+          val wmUs = if (streaming) state.getCurrentWatermarkMs() * 1000 else Long.MaxValue
+          // a purchase is final once the watermark STRICTLY passes it: any
+          // later-arriving view has ts >= wm > p_ts, so it cannot qualify
+          val (resolved, kept) = pending.partition(_._2 < wmUs)
+          val out = resolved.sortBy(_._1).map { case (pid, pts) =>
+            val cand = views.filter(_._1 <= pts)
+            if (cand.isEmpty) AsofBwdRow(pid, user, pts, None, None, None)
+            else {
+              val best = cand.maxBy(v => (v._1, v._2))
+              AsofBwdRow(pid, user, pts, Some(best._2), Some(best._1), Some(best._3))
+            }
+          }
+          // prune: fresh views stay; all watermark-passed views collapse to
+          // the ONE carry-forward (dominant for every remaining purchase)
+          val (freshViews, oldViews) = views.partition(_._1 >= wmUs)
+          val keptViews = freshViews ++
+            (if (oldViews.nonEmpty) Seq(oldViews.maxBy(v => (v._1, v._2))) else Seq.empty)
+          if (streaming) {
+            state.update(AsofBwdState(kept, keptViews))
+            if (kept.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(kept.map(_._2).min / 1000 + 1, state.getCurrentWatermarkMs() + 1))
+          } else state.update(AsofBwdState(kept, keptViews))
+          out.iterator
+      }
+  }
+
   /** Run a streaming DataFrame to completion against the bounded test input
     * (AvailableNow trigger + memory sink) and return the result as a batch
     * DataFrame — the harness for batch/stream parity tests. */

@@ -186,6 +186,70 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.exists(_._1 === spanId), "the cut-spanning purchase did not resolve")
   }
 
+  test("streaming backward as-of matches the batch join INCLUDING nulls up to the final watermark") {
+    // backward rows are fully final at the watermark, so unlike the
+    // forward twin the parity covers unresolved purchases too
+    val batch = graft.queries.Sessions.asofJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4), r.getDouble(5)))))
+    // a purchase whose quote lies strictly EARLIER: cut between them so
+    // the view enters state in an earlier micro-batch (carry-forward path)
+    val spanning = batch.collect {
+      case (id, u, ts, Some((qid, qts, qv))) if qts < ts => (id, u, ts, qid, qts, qv) }
+    assert(spanning.nonEmpty, "degenerate corpus: every backward match is simultaneous")
+    val (spanId, _, spanTs, _, spanQts, _) = spanning.minBy { case (_, _, ts, _, qts, _) => ts - qts }
+    val streamed = Streams.runToMemory(spark,
+        Streams.asofBackwardUpdates(
+          timeSlicedEventStream("asofbwd", Seq((spanQts + spanTs) / 2))
+            .select("event_id", "user_id", "event_type", "ts_us", "value")
+            .as[Streams.AsofEvent], "0 seconds").toDF(), "t_asof_bwd")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4), r.getDouble(5)))))
+      .toSeq.sortBy(_._1)
+    assert(streamed.map(_._1).distinct.length === streamed.length, "a purchase re-emitted")
+    // due = every batch row (null or not) whose purchase ts lies strictly
+    // before the ms-truncated final watermark
+    val wmUs = graft.ops.Tables.events(spark, sfDir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0) / 1000L * 1000L
+    val due = batch.filter(_._3 < wmUs).toSeq.sortBy(_._1)
+    assert(due.nonEmpty && streamed === due,
+      s"missing: ${(due.toSet -- streamed.toSet).take(3)}; extra: ${(streamed.toSet -- due.toSet).take(3)}")
+    // null rows actually emitted (backward's distinguishing property) and
+    // the engineered cross-batch carry-forward resolved
+    assert(streamed.exists(_._4.isEmpty), "no null rows — backward finality not exercised")
+    assert(streamed.exists(_._1 === spanId), "the cut-spanning purchase did not resolve")
+  }
+
+  test("property: backward as-of state machine equals the batch window on random event sets") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val ev = for {
+      u <- Gen.choose(0L, 3L)
+      tpe <- Gen.oneOf("view", "purchase", "click")
+      ts <- Gen.choose(0L, 12L)
+      v <- Gen.choose(0, 99)
+    } yield (u, tpe, ts, v.toDouble)
+    val prop = Prop.forAll(Gen.listOfN(40, ev)) { evs =>
+      val df = evs.zipWithIndex
+        .map { case ((u, t, ts, v), i) => (i.toLong, u, t, ts, v) }
+        .toDF("event_id", "user_id", "event_type", "ts_us", "value")
+      val got = Streams.asofBackwardUpdates(df.as[Streams.AsofEvent])
+        .collect().map(r => (r.event_id, r.user_id, r.ts_us,
+          r.quote_event_id, r.quote_ts_us, r.quote_value)).toSet
+      val want = graft.queries.Sessions.asofJoinOn(
+          df.select(col("event_id"), col("user_id"), col("event_type"),
+            timestamp_micros(col("ts_us")).as("ts"), col("value")))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSet
+      got == want // EVERY purchase row, nulls included
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: forward as-of state machine equals the batch window on random event sets") {
     // batch-execution mode of the fMGWS operator (no watermark → every
     // candidate resolves) vs the registered window-based twin, on random
