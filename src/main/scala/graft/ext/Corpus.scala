@@ -2291,7 +2291,13 @@ object Corpus {
     * base-time models (ManifestIncrSpec pins two chained updates ≡ the
     * from-scratch rebuild of the final snapshot). */
   case class ManifestWarehouse(features: DataFrame, kb: DataFrame,
-                               dup: graft.ext.Dedup.DupWarehouse, manifest: DataFrame)
+                               dup: graft.ext.Dedup.DupWarehouse, manifest: DataFrame) {
+    /** Release cached blocks (the dup update's persisted signature table;
+      * see [[graft.ext.Dedup.DupWarehouse.release]]) — a chained ingestion
+      * loop calls this on the consumed old state once the next update's
+      * outputs are materialized. */
+    def release(): Unit = dup.release()
+  }
 
   /** The STATE-ROLLING form of [[manifestIncrementalOn]] — returns the new
     * snapshot's full warehouse, not just its manifest, the production

@@ -955,7 +955,16 @@ object Dedup {
     * snapshots chain state → state → state without ever re-signing or
     * re-clustering the untouched majority (DedupSpec pins two chained
     * updates ≡ the from-scratch build of the final snapshot). */
-  case class DupWarehouse(manifest: DataFrame, edges: DataFrame, sigs: DataFrame)
+  case class DupWarehouse(manifest: DataFrame, edges: DataFrame, sigs: DataFrame) {
+    /** Release cached blocks this state holds (the update persists the new
+      * signature table for its multi-consumer build). A CHAINED ingestion
+      * loop must call this on the CONSUMED old state once the next
+      * update's outputs are materialized (written or checkpointed) —
+      * otherwise each snapshot leaves one corpus-sized signature cache
+      * behind. No-op on frames that were never persisted. */
+    def release(): Unit =
+      Seq(manifest, edges, sigs).foreach(df => df.unpersist())
+  }
 
   /** The STATE-ROLLING form of the incremental update: returns the new
     * snapshot's full warehouse, not just its manifest — the production

@@ -796,10 +796,14 @@ object Streams {
             if (pending.isEmpty && keptViews.isEmpty) state.remove()
             else {
               state.update(AsofFwdState(pending, keptViews))
+              // tight timer: a candidate at q_ts is final once wm_ms >
+              // floor(q_ts/1000), and timers fire when wm_ms passes the
+              // set value STRICTLY — so arm at the floor itself, clamped
+              // above the current watermark per the API contract
               val next = pending.filter(_.has_q).map(_.q_ts_us)
               if (next.nonEmpty)
                 state.setTimeoutTimestamp(
-                  math.max(next.min / 1000 + 1, state.getCurrentWatermarkMs() + 1))
+                  math.max(next.min / 1000, state.getCurrentWatermarkMs() + 1))
             }
           } else state.update(AsofFwdState(pending, keptViews))
           resolved.sortBy(_.p_event_id).iterator.map(p =>
@@ -869,10 +873,16 @@ object Streams {
           val keptViews = freshViews ++
             (if (oldViews.nonEmpty) Seq(oldViews.maxBy(v => (v._1, v._2))) else Seq.empty)
           if (streaming) {
-            state.update(AsofBwdState(kept, keptViews))
-            if (kept.nonEmpty)
-              state.setTimeoutTimestamp(
-                math.max(kept.map(_._2).min / 1000 + 1, state.getCurrentWatermarkMs() + 1))
+            if (kept.isEmpty && keptViews.isEmpty) state.remove()
+            else {
+              state.update(AsofBwdState(kept, keptViews))
+              // tight timer (see the forward twin): a purchase at p_ts is
+              // final once wm_ms > floor(p_ts/1000) — arm at the floor,
+              // clamped above the current watermark per the API contract
+              if (kept.nonEmpty)
+                state.setTimeoutTimestamp(
+                  math.max(kept.map(_._2).min / 1000, state.getCurrentWatermarkMs() + 1))
+            }
           } else state.update(AsofBwdState(kept, keptViews))
           out.iterator
       }

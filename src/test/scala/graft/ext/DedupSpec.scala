@@ -248,10 +248,16 @@ class DedupSpec extends SparkSpec {
     // bootstrap warehouse of s0, then roll state through both deltas
     val st0 = ckpt(Dedup.DupWarehouse(
       Dedup.dupClustersOn(s0), Dedup.dupEdgesOn(s0), Dedup.minhashSigsOn(s0)))
-    val st1 = ckpt(Dedup.dupWarehouseUpdateOn(s0, s1, st0.manifest, st0.edges,
-      oldSigs = Some(st0.sigs)))
-    val st2 = ckpt(Dedup.dupWarehouseUpdateOn(s1, s2, st1.manifest, st1.edges,
-      oldSigs = Some(st1.sigs)))
+    val st1raw = Dedup.dupWarehouseUpdateOn(s0, s1, st0.manifest, st0.edges,
+      oldSigs = Some(st0.sigs))
+    val st1 = ckpt(st1raw)
+    // the consumed old state releases its cached blocks once the next
+    // update's outputs are materialized — the chained-loop contract
+    st0.release(); st1raw.release()
+    val st2raw = Dedup.dupWarehouseUpdateOn(s1, s2, st1.manifest, st1.edges,
+      oldSigs = Some(st1.sigs))
+    val st2 = ckpt(st2raw)
+    st1.release(); st2raw.release()
     spark.catalog.clearCache()
     // the chained manifest equals the from-scratch build of the FINAL snapshot
     val chained = st2.manifest.as[(Long, Long, Long, Boolean)].collect().toSeq.sorted

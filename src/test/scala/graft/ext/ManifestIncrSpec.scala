@@ -171,16 +171,13 @@ class ManifestIncrSpec extends SparkSpec {
       row(9L),                               // added
       row(2L, kept = false, reason = "fluency", packed = false),
       row(3L, kept = false, reason = "repetition"),
-      row(4L, split = "val", packed = false), // split change forces packed change too? keep packed same:
+      row(4L, split = "val"),                // split moved, everything else equal
       row(5L, packed = false),
       row(6L, shard = 3L, chunk = 2L),
       row(7L),
       row(8L, kept = false, reason = "quality", split = "test", packed = false)
     ).toDF(cols: _*)
-    // fix row 4: identical verdict, split moved, packed unchanged
-    val n2 = n.withColumn("packed",
-      when(col("doc_id") === 4L, lit(true)).otherwise(col("packed")))
-    val got = Corpus.manifestDeltaFrom(o, n2)
+    val got = Corpus.manifestDeltaFrom(o, n)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === Map(
       "added" -> 1L, "removed" -> 1L, "verdict_flipped" -> 2L, // docs 2 and 8
