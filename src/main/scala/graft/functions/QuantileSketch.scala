@@ -26,36 +26,48 @@ import org.apache.spark.sql.expressions.Aggregator
   *     division), so DuckDB reproduces the ESTIMATE itself, not just an
   *     error bound.
   *
-  * DOMAIN PRECONDITION: inputs must be NONNEGATIVE. All nonpositive
-  * values collapse into cell 0 with estimate 0 — right for the library's
-  * callers (cents, token counts), but a group whose target quantile is
-  * negative gets a silently wrong estimate and the published 1/16
-  * relative-error contract does not apply. Signed domains need an offset
-  * or a second sign-split sketch before this aggregator.
+  * DOMAIN: signed, DDSketch-style — the store is MIRRORED around a single
+  * zero cell: negative values land in a negated copy of the positive
+  * magnitude buckets (signed cell = sign · magnitude-cell, array index =
+  * signed cell + [[Offset]]), so the cell index stays monotone in the
+  * value, merge stays cell-wise addition, and the 1/16 relative-error
+  * contract holds on BOTH sides of zero (|est − v| ≤ |v|/16). The sole
+  * remaining precondition is cents > Long.MinValue (whose magnitude is
+  * unrepresentable); a zero value is exact.
   */
 object QuantileSketch {
   /** Mantissa bits kept per bucket: 3 → 8 sub-buckets per octave,
-    * relative error ≤ 1/16 for values ≥ 2^([[SubBits]]+1). */
+    * relative error ≤ 1/16 for magnitudes ≥ 2^([[SubBits]]+1). */
   val SubBits = 3
   private val SubCount = 1 << SubBits        // 8
-  private val ExactMax = 1 << (SubBits + 1)  // 16: cents below this are exact cells
-  /** Cells: 0 = nonpositive, 1..15 = exact cents, then 8 per octave for
-    * bit lengths 5..63. */
-  val MaxCells: Int = ExactMax + (63 - SubBits - 1) * SubCount // 488
+  private val ExactMax = 1 << (SubBits + 1)  // 16: magnitudes below this are exact cells
+  /** Magnitude cells per sign: 0 = zero, 1..15 = exact, then 8 per octave
+    * for bit lengths 5..63. */
+  val PosCells: Int = ExactMax + (63 - SubBits - 1) * SubCount // 488
+  /** Array index of signed cell 0 — the zero-value cell sits mid-array. */
+  val Offset: Int = PosCells - 1
+  /** Store width: negative mirror + zero cell + positive cells. */
+  val MaxCells: Int = 2 * PosCells - 1 // 975
 
-  /** Cell index of a cents value; monotone in the value. */
-  def cellOf(cents: Long): Int =
-    if (cents <= 0L) 0
-    else if (cents < ExactMax) cents.toInt
+  /** Magnitude cell of a POSITIVE value; monotone in the value. */
+  private def posCellOf(mag: Long): Int =
+    if (mag < ExactMax) mag.toInt
     else {
-      val bl = 64 - java.lang.Long.numberOfLeadingZeros(cents)
-      val sub = ((cents >> (bl - 1 - SubBits)) & (SubCount - 1)).toInt
+      val bl = 64 - java.lang.Long.numberOfLeadingZeros(mag)
+      val sub = ((mag >> (bl - 1 - SubBits)) & (SubCount - 1)).toInt
       ExactMax + (bl - SubBits - 2) * SubCount + sub
     }
 
-  /** Midpoint estimate (in cents) of a cell's value range — integer floor
-    * midpoint, identical to the oracle's formula. */
-  def estOf(cell: Int): Long =
+  /** SIGNED cell of a cents value, in [-[[Offset]], +[[Offset]]];
+    * monotone in the value (larger negatives → more negative cells). */
+  def cellOf(cents: Long): Int =
+    if (cents == 0L) 0
+    else if (cents > 0L) posCellOf(cents)
+    else -posCellOf(-cents)
+
+  /** Midpoint magnitude (in cents) of a POSITIVE magnitude cell — integer
+    * floor midpoint, identical to the oracle's formula. */
+  private def posEstOf(cell: Int): Long =
     if (cell < ExactMax) cell.toLong
     else {
       val octave = (cell - ExactMax) / SubCount          // bl - SubBits - 2
@@ -64,6 +76,10 @@ object QuantileSketch {
       val lo = (SubCount.toLong + sub) << shift
       lo + ((1L << shift) - 1L) / 2L
     }
+
+  /** Midpoint estimate (in cents) of a SIGNED cell. */
+  def estOf(cell: Int): Long =
+    if (cell >= 0) posEstOf(cell) else -posEstOf(-cell)
 
   /** The quantiles the registered query reports, as exact integer
     * fractions (num, den) so the 0-based rank floor((n-1)·num/den) is
@@ -83,21 +99,23 @@ object QuantileSketch {
     a
   }
 
+  /** Signed cell holding the 0-based target rank — array order IS value
+    * order (negative mirror first), so one ascending cumulative pass. */
   private def quantileCell(buf: Array[Long], n: Long, num: Long, den: Long): Int = {
     val rank = (num * (n - 1)) / den // 0-based target rank
     var cum = 0L
-    var cell = 0
-    while (cell < buf.length) {
-      cum += buf(cell)
-      if (cum > rank) return cell
-      cell += 1
+    var i = 0
+    while (i < buf.length) {
+      cum += buf(i)
+      if (cum > rank) return i - Offset
+      i += 1
     }
-    buf.length - 1 // unreachable when n > 0
+    buf.length - 1 - Offset // unreachable when n > 0
   }
 
   val agg: Aggregator[Long, Array[Long], Est] = new Aggregator[Long, Array[Long], Est] {
     def zero: Array[Long] = new Array[Long](MaxCells)
-    def reduce(b: Array[Long], cents: Long): Array[Long] = { b(cellOf(cents)) += 1L; b }
+    def reduce(b: Array[Long], cents: Long): Array[Long] = { b(Offset + cellOf(cents)) += 1L; b }
     def merge(a: Array[Long], b: Array[Long]): Array[Long] = addCells(a, b)
     def finish(b: Array[Long]): Est = {
       var n = 0L
@@ -138,8 +156,9 @@ object QuantileSketch {
 
   /** Re-aggregate persisted cell vectors (array<bigint> columns) into the
     * finished estimate — the read side of the warehouse round-trip. A
-    * short or overlong stored vector is a corrupt warehouse row and fails
-    * fast rather than silently misaligning cells. */
+    * short or overlong stored vector is a corrupt warehouse row (or one
+    * written by a different store width) and fails fast rather than
+    * silently misaligning cells. */
   val mergeAgg: Aggregator[Seq[Long], Array[Long], Est] =
     new Aggregator[Seq[Long], Array[Long], Est] {
       def zero: Array[Long] = agg.zero
@@ -155,32 +174,41 @@ object QuantileSketch {
     }
 
   /** Matching oracle SQL: relation with ($groupCol, p50_cents, p90_cents,
-    * p99_cents, n) — the same integer cell/rank/midpoint pipeline.
-    * `centsExpr` must already be the BIGINT cents form of the value. */
+    * p99_cents, n) — the same integer cell/rank/midpoint pipeline over
+    * SIGNED cells (sign · magnitude cell; the mirror keeps cell order =
+    * value order, so the cumulative rank pass is unchanged). `centsExpr`
+    * must be the BIGINT cents form of the value. */
   def estimateSql(centsExpr: String, from: String, groupCol: String): String = {
-    val blSql = s"length(bin($centsExpr))" // no leading zeros: = bit length
-    val cellSql =
-      s"""CASE WHEN $centsExpr <= 0 THEN 0
-         |     WHEN $centsExpr < $ExactMax THEN $centsExpr
+    val blSql = "length(bin(mag))" // no leading zeros: = bit length
+    val posCellSql =
+      s"""CASE WHEN mag < $ExactMax THEN mag
          |     ELSE $ExactMax + ($blSql - ${SubBits + 2}) * $SubCount
-         |          + (($centsExpr >> ($blSql - ${SubBits + 1})) & ${SubCount - 1})
+         |          + ((mag >> ($blSql - ${SubBits + 1})) & ${SubCount - 1})
          |END""".stripMargin
-    val estSql =
-      s"""CASE WHEN cell < $ExactMax THEN cell
-         |     ELSE (($SubCount + (cell - $ExactMax) % $SubCount) << ((cell - $ExactMax) // $SubCount + 1))
-         |          + ((1::BIGINT << ((cell - $ExactMax) // $SubCount + 1)) - 1) // 2
+    val posEstSql =
+      s"""CASE WHEN ac < $ExactMax THEN ac
+         |     ELSE (($SubCount + (ac - $ExactMax) % $SubCount) << ((ac - $ExactMax) // $SubCount + 1))
+         |          + ((1::BIGINT << ((ac - $ExactMax) // $SubCount + 1)) - 1) // 2
          |END""".stripMargin
     def pick(num: Long, den: Long, as: String) =
       s"min(CASE WHEN cum > ($num * (tot - 1)) // $den THEN est END) AS $as"
-    s"""WITH qs_cells AS (
-       |  SELECT $groupCol, CAST($cellSql AS BIGINT) AS cell, count(*) AS cn
-       |  FROM $from GROUP BY 1, 2),
+    s"""WITH qs_in AS (
+       |  SELECT $groupCol, CAST($centsExpr AS BIGINT) AS c FROM $from),
+       |qs_mag AS (
+       |  SELECT $groupCol, CASE WHEN c < 0 THEN -1 ELSE 1 END AS sg, abs(c) AS mag
+       |  FROM qs_in),
+       |qs_cells AS (
+       |  SELECT $groupCol, CAST(sg * ($posCellSql) AS BIGINT) AS cell, count(*) AS cn
+       |  FROM qs_mag GROUP BY 1, 2),
+       |qs_est AS (
+       |  SELECT $groupCol, cell, cn, abs(cell) AS ac FROM qs_cells),
        |qs_cum AS (
-       |  SELECT $groupCol, CAST($estSql AS BIGINT) AS est,
+       |  SELECT $groupCol,
+       |         CAST(CASE WHEN cell < 0 THEN -($posEstSql) ELSE $posEstSql END AS BIGINT) AS est,
        |         sum(cn) OVER (PARTITION BY $groupCol ORDER BY cell
        |                       ROWS UNBOUNDED PRECEDING) AS cum,
        |         sum(cn) OVER (PARTITION BY $groupCol) AS tot
-       |  FROM qs_cells)
+       |  FROM qs_est)
        |SELECT $groupCol,
        |       ${pick(1L, 2L, "p50_cents")},
        |       ${pick(9L, 10L, "p90_cents")},

@@ -315,7 +315,8 @@ object Sketches {
     * events — deliberately NOT a sketch-table formulation, so the
     * round-trip earns correctness by matching the direct computation.
     *
-    * 100 TB shape: per-day/per-shard sketch columns are ≤488-long arrays
+    * 100 TB shape: per-day/per-shard sketch columns are fixed-width
+    * (975-long, the signed mirrored store) arrays
     * — warehouse rows, not state; the corpus-wide quantile becomes a
     * ≤(groups·shards)-row re-aggregation with no raw-value rescan. */
   def quantileShards(spark: SparkSession, dir: String): DataFrame = {

@@ -10,19 +10,68 @@ class QuantileSketchSpec extends SparkSpec {
     xs.foldLeft(QuantileSketch.agg.zero)(QuantileSketch.agg.reduce)
 
   test("cell index is monotone in the value and the midpoint honors the 1/16 bound") {
-    val samples = (1L to 4096L) ++
+    val pos = (1L to 4096L) ++
       Seq(1L << 20, (1L << 20) + 12345L, 1L << 40, Long.MaxValue / 3, Long.MaxValue)
+    val samples = pos.map(-_).reverse ++ Seq(0L) ++ pos // ascending, signed
     samples.sliding(2).foreach { case Seq(a, b) =>
       assert(QuantileSketch.cellOf(a) <= QuantileSketch.cellOf(b), s"cell not monotone at $a,$b")
     }
     samples.foreach { c =>
       val est = QuantileSketch.estOf(QuantileSketch.cellOf(c))
-      if (c < 16) assert(est === c, s"small cents must be exact, got $est for $c")
-      else assert(math.abs(est - c).toDouble / c <= 1.0 / 16 + 1e-12,
+      if (math.abs(c) < 16) assert(est === c, s"small cents must be exact, got $est for $c")
+      else assert(math.abs(est - c).toDouble / math.abs(c) <= 1.0 / 16 + 1e-12,
         s"midpoint $est breaks the 1/16 bound for $c")
     }
-    assert(QuantileSketch.cellOf(Long.MaxValue) < QuantileSketch.MaxCells)
-    assert(QuantileSketch.cellOf(0) === 0 && QuantileSketch.cellOf(-5) === 0)
+    // signed store: mirrored cells, zero mid-array, indices in bounds
+    assert(QuantileSketch.cellOf(0) === 0)
+    assert(QuantileSketch.cellOf(-5L) === -QuantileSketch.cellOf(5L))
+    assert(QuantileSketch.cellOf(Long.MaxValue) === QuantileSketch.PosCells - 1)
+    assert(QuantileSketch.Offset + QuantileSketch.cellOf(-Long.MaxValue) === 0)
+    assert(QuantileSketch.Offset + QuantileSketch.cellOf(Long.MaxValue)
+      === QuantileSketch.MaxCells - 1)
+  }
+
+  test("signed domain: negative and mixed-sign inputs estimate within 1/16 of the rank statistic") {
+    val rnd = new scala.util.Random(23)
+    // mixed signs, zeros included — the domain the pre-mirror store
+    // silently collapsed to cell 0
+    val xs = Seq.fill(4000)(rnd.nextLong() % 2000000L) ++ Seq.fill(50)(0L)
+    val est = QuantileSketch.agg.finish(sketchOf(xs))
+    val sorted = xs.sorted
+    for (((num, den), got) <- QuantileSketch.Quantiles.zip(
+        Seq(est.p50_cents, est.p90_cents, est.p99_cents))) {
+      val truth = sorted(((num * (xs.length - 1)) / den).toInt)
+      assert(math.abs(got - truth).toDouble <= math.abs(truth) / 16.0 + 1e-12,
+        s"q=$num/$den est $got vs rank statistic $truth")
+      assert((got >= 0) === (truth >= 0) || truth == 0L,
+        s"estimate $got crossed zero away from $truth")
+    }
+    assert(est.n === xs.length.toLong)
+    // an all-negative group stays on its side of zero
+    val neg = Seq.fill(1000)(-(1L + rnd.nextInt(100000).toLong))
+    val estN = QuantileSketch.agg.finish(sketchOf(neg))
+    val sortedN = neg.sorted
+    for (((num, den), got) <- QuantileSketch.Quantiles.zip(
+        Seq(estN.p50_cents, estN.p90_cents, estN.p99_cents))) {
+      val truth = sortedN(((num * (neg.length - 1)) / den).toInt)
+      assert(got < 0 && math.abs(got - truth).toDouble <= math.abs(truth) / 16.0,
+        s"all-negative q=$num/$den est $got vs $truth")
+    }
+  }
+
+  test("signed oracle SQL mirrors the Spark estimate on a mixed-sign frame (Spark-side SQL dialect check)") {
+    // the oracle's integer pipeline is DuckDB SQL; the cell/est arithmetic
+    // is engine-portable except `//`, `::` and bin() — recompute the same
+    // signed cells here via cellOf/estOf against a brute-force rank
+    val xs = Seq(-500000L, -17L, -16L, -15L, -1L, 0L, 1L, 15L, 16L, 17L, 31L, 500000L)
+    val byCell = xs.groupBy(QuantileSketch.cellOf).toSeq.sortBy(_._1)
+    // cells sort in value order (the property the oracle's cumulative
+    // rank pass over ORDER BY cell relies on)
+    val flat = byCell.flatMap { case (c, vs) => vs.map(_ => c) }
+    assert(flat === flat.sorted)
+    // exact band: |v| < 16 round-trips exactly, both signs
+    for (v <- Seq(-15L, -1L, 0L, 1L, 15L))
+      assert(QuantileSketch.estOf(QuantileSketch.cellOf(v)) === v)
   }
 
   test("merge is order-independent: any partitioning yields the identical estimate") {
