@@ -348,6 +348,75 @@ class DedupSpec extends SparkSpec {
       s"planted duplicate 99 not shadowed by an id <= 5: ${m(99L)}")
   }
 
+  test("property: N random snapshot deltas chained through the warehouse update equal the from-scratch build") {
+    // The induction step behind the production ingestion loop: the
+    // hand-built two-delta chain above pins one trajectory; this property
+    // chains THREE random deltas (random add/remove/change mixes over a
+    // clique-forming text pool, empty deltas and drained snapshots
+    // included) and requires the rolled warehouse — manifest AND edge AND
+    // signature tables — to equal the from-scratch build of the final
+    // snapshot, so any trajectory of the unbounded loop starts each day
+    // from exact state.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val pool = Vector(
+      "alpha beta gamma delta epsilon zeta",
+      "one two three four five six",
+      "red orange yellow green blue indigo",
+      "north south east west up down")
+    def seqGen[A](gs: List[Gen[A]]): Gen[List[A]] =
+      gs.foldRight(Gen.const(List.empty[A]))((g, acc) => for { h <- g; t <- acc } yield h :: t)
+    // next snapshot from the current one: per-id remove/change/keep/add
+    def stepGen(cur: Map[Long, String]): Gen[Map[Long, String]] =
+      seqGen((1L to 9L).toList.map { id =>
+        cur.get(id) match {
+          case Some(t) => Gen.frequency(
+            2 -> Gen.const(id -> Option.empty[String]),
+            3 -> Gen.oneOf(pool.filterNot(_ == t)).map(nt => id -> Option(nt)),
+            5 -> Gen.const(id -> Option(t)))
+          case None => Gen.frequency(
+            3 -> Gen.oneOf(pool).map(nt => id -> Option(nt)),
+            7 -> Gen.const(id -> Option.empty[String]))
+        }
+      }).map(_.collect { case (id, Some(t)) => id -> t }.toMap)
+    val chainGen = for {
+      s0 <- stepGen((1L to 9L).map(_ -> pool.head).toMap)
+      s1 <- stepGen(s0)
+      s2 <- stepGen(s1)
+      s3 <- stepGen(s2)
+    } yield List(s0, s1, s2, s3)
+    def df(m: Map[Long, String]) =
+      m.toSeq.sortBy(_._1).toDF("doc_id", "text")
+    def ckpt(s: Dedup.DupWarehouse) = Dedup.DupWarehouse(
+      s.manifest.localCheckpoint(), s.edges.localCheckpoint(), s.sigs.localCheckpoint())
+    val prop = Prop.forAll(chainGen) { chain =>
+      val snaps = chain.map(df)
+      var st = ckpt(Dedup.DupWarehouse(
+        Dedup.dupClustersOn(snaps.head), Dedup.dupEdgesOn(snaps.head),
+        Dedup.minhashSigsOn(snaps.head)))
+      for ((prev, next) <- snaps.zip(snaps.tail)) {
+        val raw = Dedup.dupWarehouseUpdateOn(prev, next, st.manifest, st.edges,
+          oldSigs = Some(st.sigs))
+        val rolled = ckpt(raw)
+        st.release(); raw.release()
+        st = rolled
+      }
+      val chainedM = st.manifest.as[(Long, Long, Long, Boolean)].collect().toSeq.sorted
+      val chainedE = st.edges.as[(Long, Long)].collect().toSet
+      val chainedS = st.sigs.collect().map(_.toSeq).toSet
+      st.release()
+      val last = snaps.last
+      val scratchM = Dedup.dupClustersOn(last).as[(Long, Long, Long, Boolean)].collect().toSeq.sorted
+      val scratchE = Dedup.dupEdgesOn(last).as[(Long, Long)].collect().toSet
+      val scratchS = Dedup.minhashSigsOn(last).collect().map(_.toSeq).toSet
+      spark.catalog.clearCache()
+      Prop(chainedM == scratchM) :| s"manifest drifted: $chainedM vs $scratchM" &&
+        Prop(chainedE == scratchE) :| "edge table drifted" &&
+        Prop(chainedS == scratchS) :| "signature table drifted"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(4), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("minhash universal-hash constants stay positive under the prime") {
     assert(Dedup.hashA.forall(a => a > 0 && a < Dedup.P))
     assert(Dedup.hashB.forall(b => b >= 0 && b < Dedup.P))

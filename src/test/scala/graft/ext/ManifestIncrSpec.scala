@@ -114,6 +114,160 @@ class ManifestIncrSpec extends SparkSpec {
     assert(d2 === Set("added", "removed", "changed", "unchanged"))
   }
 
+  test("property: N random deltas chained through the manifest warehouse update equal the rebuild") {
+    // The induction step for the manifest family (the dedup twin lives in
+    // DedupSpec): starting from the frozen s0 warehouse, chain THREE
+    // random deltas — per-doc random remove / revise (cumulative " [pK]"
+    // markers) / re-add-with-original-text mixes, empty deltas included —
+    // and require the rolled warehouse's final manifest to equal a
+    // from-scratch rebuild of the final snapshot under the same frozen
+    // base-time models. The hand-built two-delta chain above pins one
+    // trajectory; this pins the loop.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val s0df = Corpus.deltaOldSlice(docs)
+    val baseRows = s0df.select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getString(2), r.getString(3), r.getLong(4)))).toMap
+    val ids = baseRows.keySet.toList.sorted
+    def seqGen[A](gs: List[Gen[A]]): Gen[List[A]] =
+      gs.foldRight(Gen.const(List.empty[A]))((g, acc) => for { h <- g; t <- acc } yield h :: t)
+    // a step maps each base id to its next state: absent, or a revision
+    // count (0 = original text, k = k cumulative " [pk]" markers)
+    def stepGen(cur: Map[Long, Int], step: Int): Gen[Map[Long, Int]] =
+      seqGen(ids.map { id =>
+        cur.get(id) match {
+          case Some(rev) => Gen.frequency(
+            1 -> Gen.const(id -> Option.empty[Int]),  // removed
+            2 -> Gen.const(id -> Option(step)),       // revised this step
+            7 -> Gen.const(id -> Option(rev)))        // carried
+          case None => Gen.frequency(
+            3 -> Gen.const(id -> Option(0)),          // re-added, original text
+            7 -> Gen.const(id -> Option.empty[Int]))
+        }
+      }).map(_.collect { case (id, Some(rev)) => id -> rev }.toMap)
+    val s0state = ids.map(_ -> 0).toMap
+    val chainGen = for {
+      s1 <- stepGen(s0state, 1)
+      s2 <- stepGen(s1, 2)
+      s3 <- stepGen(s2, 3)
+    } yield List(s1, s2, s3)
+    def snap(state: Map[Long, Int]): org.apache.spark.sql.DataFrame =
+      state.toSeq.sortBy(_._1).map { case (id, rev) =>
+        val (t, lang, source, nch) = baseRows(id)
+        val txt = t.map(_ + (1 to rev).map(k => s" [p$k]").mkString).orNull
+        (id, txt, lang, source, nch)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (base, thrTot, thrN) = Corpus.frozenManifestBase(spark, dir)
+    val (mPath, ePath, sPath) = Dedup.frozenIncrementalBase(spark, dir, s0df)
+    val census = spark.read.parquet(s"$base/census.parquet")
+    val weights = spark.read.parquet(s"$base/weights.parquet")
+    val evalh = spark.read.parquet(s"$base/evalh.parquet")
+    def ckpt(w: Corpus.ManifestWarehouse) = Corpus.ManifestWarehouse(
+      w.features.localCheckpoint(), w.kb.localCheckpoint(),
+      Dedup.DupWarehouse(w.dup.manifest.localCheckpoint(),
+        w.dup.edges.localCheckpoint(), w.dup.sigs.localCheckpoint()),
+      w.manifest.localCheckpoint())
+    val prop = Prop.forAll(chainGen) { chain =>
+      var prev = s0df
+      var st = Corpus.ManifestWarehouse(
+        spark.read.parquet(s"$base/features.parquet"),
+        spark.read.parquet(s"$base/kb.parquet"),
+        Dedup.DupWarehouse(spark.read.parquet(mPath),
+          spark.read.parquet(ePath), spark.read.parquet(sPath)),
+        spark.read.parquet(s"$base/manifest.parquet"))
+      for (state <- chain) {
+        val next = snap(state)
+        val raw = Corpus.manifestWarehouseUpdateOn(spark, prev, next,
+          featOld = st.features, kbOld = st.kb,
+          dupManifestOld = st.dup.manifest, dupEdgesOld = st.dup.edges,
+          dupSigsOld = st.dup.sigs,
+          census = census, weights = weights, thrTot = thrTot, thrN = thrN,
+          evalh = evalh)
+        val rolled = ckpt(raw)
+        st.release(); raw.release()
+        st = rolled
+        prev = next
+      }
+      val chained = rows(st.manifest)
+      st.release()
+      val want = rows(Corpus.manifestRebuildOn(snap(chain.last), census, weights,
+        thrTot, thrN, evalh))
+      spark.catalog.clearCache()
+      Prop(chained == want) :| s"chained manifest drifted after ${chain.length} deltas"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(2), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("churn-impact series composes with the state-rolling update across consecutive snapshots") {
+    // t_manifest_delta audits ONE hop (base → first update). This pins the
+    // between-consecutive-snapshots form over a rolled 3-snapshot series:
+    // each hop's report computed from the ROLLED manifests equals the
+    // report over independent from-scratch rebuilds of the same snapshots,
+    // and each hop's classes partition that hop's doc universe — so the
+    // audit composes with the production loop instead of living only on
+    // the bootstrap pair.
+    val docs = Tables.documents(spark, dir)
+    val s0 = Corpus.deltaOldSlice(docs)
+    val s1 = Corpus.deltaNewSlice(docs)
+    val s2 = docs
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(Corpus.DeltaMod)) === lit(Corpus.DeltaChanged),
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(Corpus.DeltaMod)) === lit(8),
+          concat(col("text"), lit(" [rev3]"))).otherwise(col("text")))
+      .filter(pmod(col("doc_id"), lit(Corpus.DeltaMod)) =!= lit(7))
+    val (base, thrTot, thrN) = Corpus.frozenManifestBase(spark, dir)
+    val (mPath, ePath, sPath) = Dedup.frozenIncrementalBase(spark, dir, s0)
+    val census = spark.read.parquet(s"$base/census.parquet")
+    val weights = spark.read.parquet(s"$base/weights.parquet")
+    val evalh = spark.read.parquet(s"$base/evalh.parquet")
+    val st1 = Corpus.manifestWarehouseUpdateOn(spark, s0, s1,
+      featOld = spark.read.parquet(s"$base/features.parquet"),
+      kbOld = spark.read.parquet(s"$base/kb.parquet"),
+      dupManifestOld = spark.read.parquet(mPath),
+      dupEdgesOld = spark.read.parquet(ePath),
+      dupSigsOld = spark.read.parquet(sPath),
+      census = census, weights = weights, thrTot = thrTot, thrN = thrN, evalh = evalh)
+    val m1 = st1.manifest.localCheckpoint()
+    val f1 = st1.features.localCheckpoint(); val k1 = st1.kb.localCheckpoint()
+    val d1 = Dedup.DupWarehouse(st1.dup.manifest.localCheckpoint(),
+      st1.dup.edges.localCheckpoint(), st1.dup.sigs.localCheckpoint())
+    st1.release()
+    val st2 = Corpus.manifestWarehouseUpdateOn(spark, s1, s2,
+      featOld = f1, kbOld = k1,
+      dupManifestOld = d1.manifest, dupEdgesOld = d1.edges, dupSigsOld = d1.sigs,
+      census = census, weights = weights, thrTot = thrTot, thrN = thrN, evalh = evalh)
+    val m2 = st2.manifest.localCheckpoint()
+    st2.release()
+    val m0 = spark.read.parquet(s"$base/manifest.parquet")
+    // hop reports from the ROLLED series
+    def report(o: org.apache.spark.sql.DataFrame, n: org.apache.spark.sql.DataFrame) =
+      Corpus.manifestDeltaFrom(o, n).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val hop1 = report(m0, m1)
+    val hop2 = report(m1, m2)
+    // independent rebuilds of s1 and s2 under the same frozen models
+    val r1 = Corpus.manifestRebuildOn(s1, census, weights, thrTot, thrN, evalh)
+      .localCheckpoint()
+    val r2 = Corpus.manifestRebuildOn(s2, census, weights, thrTot, thrN, evalh)
+      .localCheckpoint()
+    assert(hop1 === report(m0, r1), "hop 1 report drifted from the rebuild-based report")
+    assert(hop2 === report(r1, r2), "hop 2 report drifted from the rebuild-based report")
+    // each hop's classes partition that hop's doc universe
+    val u1 = s0.select("doc_id").unionByName(s1.select("doc_id")).distinct().count()
+    val u2 = s1.select("doc_id").unionByName(s2.select("doc_id")).distinct().count()
+    spark.catalog.clearCache()
+    assert(hop1.values.map(_._1).sum === u1)
+    assert(hop2.values.map(_._1).sum === u2)
+    // both hops genuinely churned in every class direction
+    assert(hop1.contains("added") && hop1.contains("removed"))
+    assert(hop2.contains("added") && hop2.contains("removed"))
+  }
+
   test("degenerate deltas: drain-to-empty and bootstrap-from-empty both match the rebuild") {
     val docs = Tables.documents(spark, dir)
     val s0 = Corpus.deltaOldSlice(docs)
