@@ -1239,20 +1239,36 @@ object Similarity {
     *
     * Scale shape: one corpus pass against the broadcast codebook, one
     * (vec_id, sub)-keyed hash agg, then an m-row rollup. */
-  def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
-    val cfg = PqCfg()
-    val sub = pqSub(Tables.embeddings(spark, dir), cfg.m, cfg.dims / cfg.m)
-    val cbd = frozenCodebook(spark, dir, cfg)
-    val asg = sub.join(broadcast(cbd), "sub")
+  /** Per-(vec, sub) nearest-codeword assignment against a fixed codebook:
+    * (vec_id, sub, code, d2) — the shared distance pass behind the
+    * distortion ledger and the retrain decision (one broadcast-codebook
+    * corpus pass, one (vec_id, sub)-keyed hash agg). */
+  private def pqAsgOn(embeddings: DataFrame, cbd: DataFrame, cfg: PqCfg): DataFrame =
+    pqSub(embeddings, cfg.m, cfg.dims / cfg.m).join(broadcast(cbd), "sub")
       .withColumn("d2", l2sq(col("sv"), col("cvec")))
       .groupBy("vec_id", "sub")
       .agg(min_by(struct(col("code"), col("d2")), struct(r6(col("d2")), col("code"))).as("a"))
+      .select(col("vec_id"), col("sub"), col("a.code").as("code"), col("a.d2").as("d2"))
+
+  /** The m-row distortion ledger from an assignment frame (an m-row
+    * rollup — free at any corpus size). */
+  private def pqLedgerFrom(asg: DataFrame): DataFrame =
     asg.groupBy("sub")
-      .agg(count(lit(1)).as("n_vecs"), countDistinct(col("a.code")).as("n_codes_used"),
-        r6(avg(col("a.d2"))).as("mean_sq_err"))
+      .agg(count(lit(1)).as("n_vecs"), countDistinct(col("code")).as("n_codes_used"),
+        r6(avg(col("d2"))).as("mean_sq_err"))
       .select(col("sub").cast("long").as("sub"), col("n_vecs"), col("n_codes_used"),
         col("mean_sq_err"))
       .orderBy("sub")
+
+  /** Caller-supplied-corpus form: distortion of `embeddings` against a
+    * fixed trained codebook — what the retrain decision measures on each
+    * snapshot slice under the train-once contract. */
+  def pqDistortionOn(embeddings: DataFrame, cbd: DataFrame, cfg: PqCfg = PqCfg()): DataFrame =
+    pqLedgerFrom(pqAsgOn(embeddings, cbd, cfg))
+
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = PqCfg()
+    pqDistortionOn(Tables.embeddings(spark, dir), frozenCodebook(spark, dir, cfg), cfg)
   }
 
   val pqDistortionSql: String =
@@ -1353,18 +1369,28 @@ object Similarity {
     * incremental family — one mod-50 residue class each, so 2% of
     * vectors ingested and 2% retired). The old
     * snapshot's manifest freezes per corpus like every trained model. */
-  def ivfUpdate(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val cent = frozenCentroids(spark, dir, KmeansCfg(dims = Dims))
+  /** The frozen base-snapshot assignment manifest (vec_id → cell of the
+    * corpus minus the to-be-added [[Corpus.DeltaMod]] class), persisted per
+    * corpus like every trained model — the warehouse state both the
+    * occupancy ledger and the state-rolling update start from. */
+  private def frozenIvfManifest(spark: SparkSession, dir: String): DataFrame = {
     val basePath = ivfManifestCache.get(dir, Corpus.DeltaMod) {
       val p = java.nio.file.Files.createTempDirectory("graft_ivf_base")
         .toString + "/manifest.parquet"
       assignCellsAgainstOn(
-        emb.filter(pmod(col("vec_id"), lit(Corpus.DeltaMod)) =!= lit(Corpus.DeltaAdded)),
-        cent).select("vec_id", "cell").write.parquet(p)
+        Tables.embeddings(spark, dir)
+          .filter(pmod(col("vec_id"), lit(Corpus.DeltaMod)) =!= lit(Corpus.DeltaAdded)),
+        frozenCentroids(spark, dir, KmeansCfg(dims = Dims)))
+        .select("vec_id", "cell").write.parquet(p)
       p
     }
-    ivfUpdateFrom(spark.read.parquet(basePath),
+    spark.read.parquet(basePath)
+  }
+
+  def ivfUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = frozenCentroids(spark, dir, KmeansCfg(dims = Dims))
+    ivfUpdateFrom(frozenIvfManifest(spark, dir),
       emb.filter(pmod(col("vec_id"), lit(Corpus.DeltaMod)) =!= lit(Corpus.DeltaRemoved)),
       cent)
   }
@@ -1390,6 +1416,96 @@ object Similarity {
        |          LEFT JOIN rm r ON c.cent_id = r.cell
        |          LEFT JOIN nw w ON c.cent_id = w.cell
        |ORDER BY cell""".stripMargin
+  }
+
+  // --------------------------------------- state-rolling index maintenance
+  /** State-rolling IVF assignment update — the ANN twin of
+    * [[Dedup.dupWarehouseUpdateOn]] / [[Corpus.manifestWarehouseUpdateOn]]:
+    * takes the PREVIOUS snapshot's frozen assignment manifest and returns
+    * the NEXT snapshot's full manifest, so the update chains indefinitely
+    * across snapshots instead of only reporting one hop's ledger
+    * ([[ivfUpdateFrom]] stays the occupancy-report form; this is the state
+    * the next update starts from).
+    *
+    * Delta classification by vec_id: added = in next only, retired = in
+    * prev only, changed = both sides but a different embedding (detected by
+    * exact array comparison — the simulation's price, same note as
+    * [[ivfUpdateFrom]]: a production changelog arrives classified and the
+    * two anti joins plus the equality probe disappear). Only the
+    * added ∪ changed slice crosses the broadcast quantizer; the carried
+    * majority — at real ingestion cadence, almost everything — keeps its
+    * manifest cell without re-scoring, and the retired ∪ changed rows are
+    * anti-joined out. Invariant (spec-pinned and oracled): chained updates
+    * land bit-identically on a from-scratch re-assignment of the final
+    * snapshot under the frozen quantizer, because per-vector assignment
+    * depends only on (embedding, quantizer).
+    *
+    * 100 TB shape: two vec_id-keyed anti joins + one equi-join (no distance
+    * math), one broadcast-centroid pass over the fresh slice only, and a
+    * union — no corpus-sized shuffle beyond the id-keyed joins. */
+  def ivfWarehouseUpdateOn(prev: DataFrame, next: DataFrame,
+                           manifestOld: DataFrame, cent: DataFrame): DataFrame = {
+    val p = prev.select(col("vec_id"), col("embedding"))
+    val n = next.select(col("vec_id"), col("embedding"))
+    val added = n.join(p.select("vec_id"), Seq("vec_id"), "left_anti")
+    val changed = n.as("nn").join(p.as("pp"), "vec_id")
+      .filter(!(col("nn.embedding") <=> col("pp.embedding")))
+      .select(col("vec_id"), col("nn.embedding").as("embedding"))
+    val fresh = added.unionByName(changed)
+    val retired = p.select("vec_id").join(n.select("vec_id"), Seq("vec_id"), "left_anti")
+      .unionByName(changed.select("vec_id"))
+    manifestOld.join(retired, Seq("vec_id"), "left_anti")
+      .select("vec_id", "cell")
+      .unionByName(assignCellsAgainstOn(fresh, cent).select("vec_id", "cell"))
+  }
+
+  /** Second-hop retirement class of the registered rolled series — disjoint
+    * from the shared add/remove/change trio so both hops churn. */
+  val RolledRemoved2 = 7
+
+  /** Registered 2-hop chain of [[ivfWarehouseUpdateOn]] under the frozen
+    * quantizer: s0 = corpus minus the to-be-added class (the same frozen
+    * base manifest `s_ivf_update` consumes), s0→s1 adds [[Corpus.DeltaAdded]]
+    * and retires [[Corpus.DeltaRemoved]], s1→s2 retires [[RolledRemoved2]]
+    * and CHANGES [[Corpus.DeltaChanged]] (embedding negated — a
+    * deterministic, sign-flipping revision both engines express exactly).
+    * The oracle is a genuinely from-scratch re-assignment of the final
+    * snapshot, so the chained manifest earns its row by landing on the
+    * rebuild exactly — the same contract as `dd_clusters_incremental` and
+    * `t_manifest_incremental`. */
+  def ivfRolled(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = frozenCentroids(spark, dir, KmeansCfg(dims = Dims))
+    val r = pmod(col("vec_id"), lit(Corpus.DeltaMod))
+    val s0 = emb.filter(r =!= lit(Corpus.DeltaAdded))
+    val s1 = emb.filter(r =!= lit(Corpus.DeltaRemoved))
+    val s2 = emb.filter(r =!= lit(Corpus.DeltaRemoved) && r =!= lit(RolledRemoved2))
+      .withColumn("embedding",
+        when(r === lit(Corpus.DeltaChanged),
+          transform(col("embedding"), x => negate(x))).otherwise(col("embedding")))
+    val m1 = ivfWarehouseUpdateOn(s0, s1, frozenIvfManifest(spark, dir), cent)
+    ivfWarehouseUpdateOn(s1, s2, m1, cent).orderBy("vec_id")
+  }
+
+  /** Deliberately the full REBUILD: train the quantizer, build the final
+    * snapshot (removals filtered, changed class negated), assign every
+    * vector from scratch. */
+  val ivfRolledSql: String = {
+    val (mod, rem, chg, rem2) =
+      (Corpus.DeltaMod, Corpus.DeltaRemoved, Corpus.DeltaChanged, RolledRemoved2)
+    s"""WITH $kmeansCellsSql,
+       |s2 AS (
+       |  SELECT vec_id,
+       |         CASE WHEN vec_id % $mod = $chg THEN list_transform(embedding, x -> -x)
+       |              ELSE embedding END AS embedding
+       |  FROM embeddings WHERE vec_id % $mod <> $rem AND vec_id % $mod <> $rem2),
+       |e2 AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM s2),
+       |a2 AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY ${r6Sql(s"${dotSql("e.embedding", "c.centroid")} / (e.nrm * c.c_nrm)")} DESC, c.cent_id) AS rn
+       |  FROM e2 e CROSS JOIN c2 c)
+       |SELECT vec_id, cent_id AS cell FROM a2 WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
   }
 
   // ------------------------------------------------- IVF retrain decision
@@ -1477,6 +1593,117 @@ object Similarity {
        |              OR n_empty_cells > 0
        |            THEN 'retrain' ELSE 'keep' END AS verdict
        |FROM s""".stripMargin
+
+  // -------------------------------------------------- PQ retrain decision
+  /** Retrain/keep thresholds for the PQ codebook, in the decision table's
+    * units: retrain when the corpus-wide quantization distortion has
+    * DRIFTED past [[PqDriftMax]] × its base-snapshot level (the codebook no
+    * longer fits the data it compresses), when any subspace's codeword
+    * utilization has collapsed below [[PqUtilMin]] of [[PqK]] (dead
+    * codewords = wasted bits and a degenerate ADC table), or when corpus
+    * churn since training exceeds the shared [[RetrainChurnMax]]. */
+  val PqDriftMax = 1.2
+  val PqUtilMin = 0.5
+
+  /** The PQ retrain trigger as a DECISION TABLE — the codebook twin of
+    * [[ivfRetrainFrom]], closing the compression side of the maintenance
+    * loop: [[pqDistortionOn]] measures codebook health per snapshot,
+    * [[ivfUpdateFrom]] measures churn, and this row joins the three
+    * ledgers into the retrain/keep verdict.
+    *
+    * Zero own measurement (the funnel discipline): every number is an
+    * aggregate of ledgers the registry already proves — two distortion
+    * ledgers (base snapshot at training time vs the current snapshot, both
+    * under the FROZEN codebook) and the `s_ivf_update` occupancy ledger for
+    * churn — so the decision can never disagree with the monitors it
+    * summarizes. Drift is the ratio of the two corpus-mean distortions
+    * (per-sub n_vecs are equal, so the unweighted mean over subspaces IS
+    * the corpus mean); utilization is the worst subspace's live-codeword
+    * fraction on the CURRENT snapshot.
+    *
+    * Determinism: per-sub inputs are r6-rounded ledger cells; each derived
+    * ratio is r6-rounded BEFORE its threshold compare (the w_rate_spike
+    * convention). Scale shape: three ≤max(m, cells)-row aggregates joined
+    * as 1-row broadcast frames — free at any corpus size. */
+  def pqRetrainFrom(distBase: DataFrame, distNew: DataFrame,
+                    ivfLedger: DataFrame): DataFrame = {
+    val b = distBase.agg(count(lit(1)).as("n_subs"), avg("mean_sq_err").as("mb"))
+    val n = distNew.agg(avg("mean_sq_err").as("mn"),
+      min("n_codes_used").as("codes_used_min"))
+    val c = ivfLedger.agg(sum("n_old").as("no"), sum("n_added").as("na"),
+      sum("n_removed").as("nr"))
+    val drift = r6(col("mn") / col("mb"))
+    val util = r6(col("codes_used_min") / lit(PqK.toDouble))
+    val churn = r6((col("na") + col("nr")) / col("no").cast("double"))
+    // 1-row × 1-row × 1-row: three scalar ledger rollups, not data joins
+    b.crossJoin(broadcast(n)).crossJoin(broadcast(c))
+      .select(col("n_subs"), r6(col("mb")).as("mse_base"), r6(col("mn")).as("mse_new"),
+        drift.as("drift"), col("codes_used_min"), util.as("util_min"),
+        churn.as("churn"),
+        (drift > lit(PqDriftMax)).as("trigger_drift"),
+        (util < lit(PqUtilMin)).as("trigger_util"),
+        (churn > lit(RetrainChurnMax)).as("trigger_churn"))
+      .withColumn("verdict",
+        when(col("trigger_drift") || col("trigger_util") || col("trigger_churn"),
+          "retrain").otherwise("keep"))
+  }
+
+  /** Registered form over the shared churn convention: ONE assignment pass
+    * of the full corpus against the frozen codebook, sliced by residue into
+    * the base ledger (corpus minus the added class — the snapshot the
+    * codebook was trained against in the warehouse timeline) and the
+    * current ledger (corpus minus the removed class); churn comes from the
+    * registered `s_ivf_update` ledger. Slicing one assignment frame is
+    * sound because per-(vec, sub) codeword choice depends only on
+    * (subvector, codebook) — membership in a slice can't move it. */
+  def pqRetrain(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = PqCfg()
+    val asg = pqAsgOn(Tables.embeddings(spark, dir),
+      frozenCodebook(spark, dir, cfg), cfg).persist() // 2 consumers: both slices
+    val r = pmod(col("vec_id"), lit(Corpus.DeltaMod))
+    pqRetrainFrom(
+      pqLedgerFrom(asg.filter(r =!= lit(Corpus.DeltaAdded))),
+      pqLedgerFrom(asg.filter(r =!= lit(Corpus.DeltaRemoved))),
+      ivfUpdate(spark, dir))
+  }
+
+  /** Oracle: one scratch-trained codebook + assignment (the pq CTEs), the
+    * two residue-sliced ledgers, the verbatim update-ledger oracle for
+    * churn, then the same r6-then-compare arithmetic. */
+  val pqRetrainSql: String = {
+    val (mod, add, rem) = (Corpus.DeltaMod, Corpus.DeltaAdded, Corpus.DeltaRemoved)
+    val driftSql = r6Sql("mn / mb")
+    val utilSql = r6Sql(s"cu / ${PqK}.0")
+    val churnSql = r6Sql("(na + nr) / CAST(no AS DOUBLE)")
+    s"""WITH ${pqCtesSql(PqCfg())},
+       |asg AS (
+       |  SELECT s.vec_id, s.sub, c.code, ${l2sqSql("s.sv", "c.cvec")} AS d2,
+       |         row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY ${r6Sql(l2sqSql("s.sv", "c.cvec"))} ASC, c.code) AS rn
+       |  FROM sub s JOIN cbd c ON s.sub = c.sub),
+       |a1 AS (SELECT * FROM asg WHERE rn = 1),
+       |lb AS (SELECT sub, ${r6Sql("avg(d2)")} AS mse FROM a1 WHERE vec_id % $mod <> $add GROUP BY 1),
+       |ln2 AS (SELECT sub, count(DISTINCT code) AS ncu, ${r6Sql("avg(d2)")} AS mse
+       |        FROM a1 WHERE vec_id % $mod <> $rem GROUP BY 1),
+       |ivf AS (SELECT * FROM ($ivfUpdateSql)),
+       |s AS (SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM lb) AS n_subs,
+       |  (SELECT avg(mse) FROM lb) AS mb,
+       |  (SELECT avg(mse) FROM ln2) AS mn,
+       |  (SELECT CAST(min(ncu) AS BIGINT) FROM ln2) AS cu,
+       |  (SELECT CAST(sum(n_old) AS BIGINT) FROM ivf) AS no,
+       |  (SELECT CAST(sum(n_added) AS BIGINT) FROM ivf) AS na,
+       |  (SELECT CAST(sum(n_removed) AS BIGINT) FROM ivf) AS nr)
+       |SELECT n_subs, ${r6Sql("mb")} AS mse_base, ${r6Sql("mn")} AS mse_new,
+       |       $driftSql AS drift, cu AS codes_used_min, $utilSql AS util_min,
+       |       $churnSql AS churn,
+       |       $driftSql > $PqDriftMax AS trigger_drift,
+       |       $utilSql < $PqUtilMin AS trigger_util,
+       |       $churnSql > $RetrainChurnMax AS trigger_churn,
+       |       CASE WHEN $driftSql > $PqDriftMax OR $utilSql < $PqUtilMin
+       |              OR $churnSql > $RetrainChurnMax
+       |            THEN 'retrain' ELSE 'keep' END AS verdict
+       |FROM s""".stripMargin
+  }
 
   // ---------------------------------------------- covariance / whitening prep
   /** Upper-triangle covariance matrix of the embedding corpus — the input
@@ -1635,7 +1862,9 @@ object Similarity {
     Q("s_knn_sq8", knnSq8 _, knnSq8Sql),
     Q("s_ivf_balance", ivfBalance _, ivfBalanceSql),
     Q("s_ivf_update", ivfUpdate _, ivfUpdateSql),
+    Q("s_ivf_rolled", ivfRolled _, ivfRolledSql),
     Q("s_ivf_retrain", ivfRetrain _, ivfRetrainSql),
+    Q("s_pq_retrain", pqRetrain _, pqRetrainSql),
     Q("s_nprobe_curve", nprobeCurve _, nprobeCurveSql),
     Q("s_pq_distortion", pqDistortion _, pqDistortionSql),
     Q("s_cov_matrix", covMatrix _, covMatrixSql),

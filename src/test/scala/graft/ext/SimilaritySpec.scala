@@ -455,4 +455,121 @@ class SimilaritySpec extends SparkSpec {
     assert(real.length === 1)
     assert(Set("keep", "retrain").contains(real.head.getAs[String]("verdict")))
   }
+
+  test("ivf warehouse update: chained deltas (add, remove, re-add, change) equal the from-scratch assignment") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    val cent = Similarity.kmeansCentroidsOn(emb).persist()
+    val r = pmod(col("vec_id"), lit(7))
+    val s0 = emb.filter(r =!= lit(1) && r =!= lit(2))
+    val s1 = emb.filter(r =!= lit(2) && r =!= lit(3)) // re-adds class 1, retires 3
+    val s2 = emb.filter(r =!= lit(3))                 // re-adds class 2...
+      .withColumn("embedding",                        // ...and CHANGES class 4
+        when(r === lit(4), transform(col("embedding"), x => negate(x)))
+          .otherwise(col("embedding")))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val m0 = Similarity.assignCellsAgainstOn(s0, cent).select("vec_id", "cell")
+    val m1 = Similarity.ivfWarehouseUpdateOn(s0, s1, m0, cent)
+    val m2 = Similarity.ivfWarehouseUpdateOn(s1, s2, m1, cent)
+    val got = m(m2)
+    val want = m(Similarity.assignCellsAgainstOn(s2, cent))
+    cent.unpersist()
+    assert(got === want)
+    // the change genuinely moved at least one vector's cell (a no-op
+    // revision would make the carried-vs-fresh split untestable)
+    val before = m(m1)
+    assert(got.exists { case (id, cell) => id % 7 == 4 && before.get(id).exists(_ != cell) },
+      "negating class 4 moved no vector — the changed path went unexercised")
+  }
+
+  test("property: N random vector deltas chained through the warehouse update equal the from-scratch assignment") {
+    // The ANN induction step, matching the dedup/manifest standard: chain
+    // THREE random snapshot deltas (per-id random retire / re-embed /
+    // carry / add over a small vector pool, empty and drained snapshots
+    // included) against a FIXED hand quantizer, and require the rolled
+    // manifest to equal a from-scratch assignment of the final snapshot.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val pool = Vector(
+      Array(1.0f, 0.1f, 0.0f, 0.0f), Array(0.9f, 0.2f, 0.1f, 0.0f),
+      Array(0.0f, 0.1f, 1.0f, 0.3f), Array(0.1f, 0.0f, 0.8f, 0.5f),
+      Array(-1.0f, 0.0f, 0.2f, 0.1f), Array(0.0f, 1.0f, 0.0f, -0.4f))
+    val cent = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)), (2L, Seq(0.0, 0.0, 1.0, 0.0)),
+      (3L, Seq(-0.7, 0.7, 0.0, 0.0)))
+      .toDF("cent_id", "centroid")
+      .withColumn("c_nrm", sqrt(Similarity.dot(col("centroid"), col("centroid"))))
+    def seqGen[A](gs: List[Gen[A]]): Gen[List[A]] =
+      gs.foldRight(Gen.const(List.empty[A]))((g, acc) => for { h <- g; t <- acc } yield h :: t)
+    def stepGen(cur: Map[Long, Int]): Gen[Map[Long, Int]] =
+      seqGen((1L to 8L).toList.map { id =>
+        cur.get(id) match {
+          case Some(v) => Gen.frequency(
+            2 -> Gen.const(id -> Option.empty[Int]),
+            3 -> Gen.choose(0, pool.size - 1).suchThat(_ != v).map(nv => id -> Option(nv)),
+            5 -> Gen.const(id -> Option(v)))
+          case None => Gen.frequency(
+            3 -> Gen.choose(0, pool.size - 1).map(nv => id -> Option(nv)),
+            7 -> Gen.const(id -> Option.empty[Int]))
+        }
+      }).map(_.collect { case (id, Some(v)) => id -> v }.toMap)
+    val chainGen = for {
+      s0 <- stepGen((1L to 8L).map(_ -> 0).toMap)
+      s1 <- stepGen(s0)
+      s2 <- stepGen(s1)
+      s3 <- stepGen(s2)
+    } yield List(s0, s1, s2, s3)
+    def df(state: Map[Long, Int]) =
+      state.toSeq.sortBy(_._1).map { case (id, v) => (id, pool(v)) }
+        .toDF("vec_id", "embedding")
+    def m(x: org.apache.spark.sql.DataFrame) =
+      x.select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Prop.forAll(chainGen) { chain =>
+      val snaps = chain.map(df)
+      var manifest = Similarity.assignCellsAgainstOn(snaps.head, cent)
+        .select("vec_id", "cell").localCheckpoint()
+      for ((prev, next) <- snaps.zip(snaps.tail))
+        manifest = Similarity.ivfWarehouseUpdateOn(prev, next, manifest, cent)
+          .localCheckpoint()
+      val got = m(manifest)
+      val want = m(Similarity.assignCellsAgainstOn(snaps.last, cent))
+      Prop(got == want) :| s"rolled manifest drifted: $got vs $want"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("pq retrain decision: healthy keeps, each forced degradation flips its own trigger") {
+    val evenIvf = Seq.tabulate(4)(i => (i.toLong, 100L, 1L, 1L, 100L))
+    val churnedIvf = Seq.tabulate(4)(i => (i.toLong, 100L, 8L, 7L, 101L))
+    def decide(base: Seq[(Long, Long, Long, Double)], nw: Seq[(Long, Long, Long, Double)],
+               ivf: Seq[(Long, Long, Long, Long, Long)]) = {
+      val r = Similarity.pqRetrainFrom(
+        base.toDF("sub", "n_vecs", "n_codes_used", "mean_sq_err"),
+        nw.toDF("sub", "n_vecs", "n_codes_used", "mean_sq_err"),
+        ivf.toDF("cell", "n_old", "n_added", "n_removed", "n_new")).collect().head
+      (r.getAs[Boolean]("trigger_drift"), r.getAs[Boolean]("trigger_util"),
+        r.getAs[Boolean]("trigger_churn"), r.getAs[String]("verdict"))
+    }
+    val healthyLed = Seq.tabulate(4)(i => (i.toLong, 400L, 30L, 0.05))
+    // healthy: flat distortion, live codewords, tiny churn
+    assert(decide(healthyLed, healthyLed, evenIvf) === ((false, false, false, "keep")))
+    // drift: corpus-mean distortion rises 1.5× past the 1.2 gate
+    val drifted = healthyLed.map { case (s, n, c, m) => (s, n, c, m * 1.5) }
+    assert(decide(healthyLed, drifted, evenIvf) === ((true, false, false, "retrain")))
+    // utilization: ONE subspace's live codewords collapse below PqK/2
+    val collapsed = healthyLed.updated(2, (2L, 400L, Similarity.PqK / 2L - 1L, 0.05))
+    assert(decide(healthyLed, collapsed, evenIvf) === ((false, true, false, "retrain")))
+    // churn: 30% of the old corpus added+removed → churn fires alone
+    assert(decide(healthyLed, healthyLed, churnedIvf) === ((false, false, true, "retrain")))
+    // boundary: drift exactly AT the gate (strict >) keeps
+    val atGate = healthyLed.map { case (s, n, c, m) => (s, n, c, m * Similarity.PqDriftMax) }
+    assert(decide(healthyLed, atGate, evenIvf) === ((false, false, false, "keep")))
+    // the registered corpus form returns one row with a definite verdict
+    val real = Similarity.pqRetrain(spark, "/root/testdata/sf0.001").collect()
+    spark.catalog.clearCache()
+    assert(real.length === 1)
+    assert(real.head.getAs[Long]("n_subs") === Similarity.PqM.toLong)
+    assert(Set("keep", "retrain").contains(real.head.getAs[String]("verdict")))
+  }
 }
