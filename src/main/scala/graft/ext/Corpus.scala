@@ -2301,13 +2301,25 @@ object Corpus {
 
   /** The STATE-ROLLING form of [[manifestIncrementalOn]] — returns the new
     * snapshot's full warehouse, not just its manifest, the production
-    * ingestion loop's unit of work. */
+    * ingestion loop's unit of work.
+    *
+    * `precomputedFeatFresh` is the STREAMED-INGEST seam: a deployment that
+    * runs documents through [[graft.streaming.Streams.manifestFeatureBatches]]
+    * as they arrive already holds every fresh document's feature row (the
+    * columns are doc-local under the frozen models, so stream-time rows
+    * are final), and the periodic reconciliation must not re-read the
+    * fresh text to recompute them. Contract: the supplied frame covers the
+    * delta's added ∪ changed doc_ids with [[manifestDocFeatures]] rows
+    * (extra rows — e.g. ingested docs later retired — are semi-joined
+    * away). StreamsSpec pins stream-fed reconcile ≡ batch update ≡
+    * from-scratch rebuild. */
   def manifestWarehouseUpdateOn(spark: SparkSession, old: DataFrame, nw: DataFrame,
                                 featOld: DataFrame, kbOld: DataFrame,
                                 dupManifestOld: DataFrame, dupEdgesOld: DataFrame,
                                 dupSigsOld: DataFrame,
                                 census: DataFrame, weights: DataFrame,
-                                thrTot: Long, thrN: Long, evalh: DataFrame): ManifestWarehouse = {
+                                thrTot: Long, thrN: Long, evalh: DataFrame,
+                                precomputedFeatFresh: Option[DataFrame] = None): ManifestWarehouse = {
     val delta = snapshotDeltaOn(old, nw).localCheckpoint()
     val gone = delta.filter(col("status").isin("removed", "changed")).select("doc_id")
     val fresh = delta.filter(col("status").isin("added", "changed")).select("doc_id")
@@ -2316,7 +2328,9 @@ object Corpus {
     // materialized |delta|-sized slice instead of each re-scanning the
     // corpus parquet through its own semi-join
     val freshDocs = nw.join(fresh, Seq("doc_id"), "left_semi").localCheckpoint()
-    val featFresh = manifestDocFeatures(freshDocs, census, weights, thrTot, thrN, evalh)
+    val featFresh = precomputedFeatFresh
+      .map(_.join(fresh, Seq("doc_id"), "left_semi"))
+      .getOrElse(manifestDocFeatures(freshDocs, census, weights, thrTot, thrN, evalh))
       .withColumn("is_canonical", lit(null).cast("boolean")) // re-elected below
       .localCheckpoint()
     // the carried majority: one anti join of narrow warehouse rows
@@ -2438,16 +2452,21 @@ object Corpus {
   def manifestDeltaFrom(oldManifest: DataFrame, newManifest: DataFrame): DataFrame = {
     val joined = oldManifest.as("o")
       .join(newManifest.as("n"), col("o.doc_id") === col("n.doc_id"), "full_outer")
+    // null-SAFE comparisons throughout: the registered frozen manifests
+    // carry no nulls, but this is a library entry point over
+    // caller-supplied frames — a null kept/split/packed must surface as
+    // the discrepancy it is, not null-propagate the predicate and fall
+    // through to a later class or 'unchanged'
     val cls =
       when(col("o.doc_id").isNull, "added")
         .when(col("n.doc_id").isNull, "removed")
-        .when(col("o.kept") =!= col("n.kept"), "verdict_flipped")
+        .when(!(col("o.kept") <=> col("n.kept")), "verdict_flipped")
         .when(coalesce(col("o.drop_reason"), lit("")) =!= coalesce(col("n.drop_reason"), lit("")),
           "reason_moved")
-        .when(col("o.split") =!= col("n.split"), "split_moved")
-        .when(col("o.packed") =!= col("n.packed"), "pack_flipped")
+        .when(!(col("o.split") <=> col("n.split")), "split_moved")
+        .when(!(col("o.packed") <=> col("n.packed")), "pack_flipped")
         .when(col("o.packed") && col("n.packed") &&
-            (col("o.shard") =!= col("n.shard") || col("o.chunk_id") =!= col("n.chunk_id")),
+            (!(col("o.shard") <=> col("n.shard")) || !(col("o.chunk_id") <=> col("n.chunk_id"))),
           "pack_moved")
         .otherwise("unchanged")
     joined

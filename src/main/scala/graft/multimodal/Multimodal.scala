@@ -3,7 +3,7 @@ package graft.multimodal
 import graft.Q
 import graft.ops.Tables
 import graft.ops.Num.{r6, r6Sql}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -32,14 +32,20 @@ object Multimodal {
   val ChunkBytes = 4096
   val FrameStride = 4
 
+  /** Deterministic media-type derivation from the source column — ONE
+    * definition behind [[fromDocuments]], [[mediaMeta]] and
+    * [[mediaDocFeaturesOn]] (the SQL twin is `mediaTypeSql`). */
+  private def mediaTypeCol: Column =
+    element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(conv(substring(md5(col("source")), 1, 4), 16, 10).cast("long"), lit(3)) + lit(1)).cast("int"))
+
   /** documents → media records: payload = UTF-8 bytes, media type derived
     * deterministically from the source column. */
   def fromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
     docs.select(
         col("doc_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (pmod(conv(substring(md5(col("source")), 1, 4), 16, 10).cast("long"), lit(3)) + lit(1)).cast("int")).as("media_type"),
+        mediaTypeCol.as("media_type"),
         encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRecord]
   }
@@ -144,17 +150,37 @@ object Multimodal {
     * so hashes go through the text form; bytes and chars differ and both
     * sides use octet/char-aware functions accordingly.) */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    mediaMetaOn(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** Caller-supplied-frame form of [[mediaMeta]] (unordered). */
+  def mediaMetaOn(docs: DataFrame): DataFrame =
+    docs
       .withColumn("payload", encode(col("text"), "UTF-8"))
       .select(
         col("doc_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (pmod(conv(substring(md5(col("source")), 1, 4), 16, 10).cast("long"), lit(3)) + lit(1)).cast("int")).as("media_type"),
+        mediaTypeCol.as("media_type"),
         length(col("payload")).cast("long").as("n_bytes"),
         md5(col("payload")).as("content_md5"),
         ceil(length(col("payload")) / lit(ChunkBytes.toDouble)).cast("long").as("n_chunks"),
         hex(encode(substring(col("text"), 1, 8), "UTF-8")).as("header_hex"))
-      .orderBy("doc_id")
+
+  /** Per-document media FEATURE WAREHOUSE row: the metadata columns of
+    * [[mediaMeta]] joined with the decoded (stub codec) + resized
+    * per-document descriptor summary that `mm_feature_pipeline`
+    * aggregates. Every column is a pure function of the document, so
+    * stream-time rows are final — this is the table a media ingest
+    * pipeline appends to as objects arrive
+    * ([[graft.streaming.Streams.mediaFeatureBatches]] streams batches
+    * through exactly this function), and the registered per-type report
+    * is a re-aggregation of it (StreamsSpec pins both: union of per-batch
+    * rows ≡ this table over the full corpus, and its rollup ≡
+    * `mm_feature_pipeline`). */
+  def mediaDocFeaturesOn(docs: DataFrame): DataFrame = {
+    val feats = resize(decodeFeatures(fromDocuments(docs)), 4).toDF()
+      .select(col("doc_id"), col("width"), col("n_frames"),
+        aggregate(col("feature"), lit(0.0), (a, x) => a + x.cast("double")).as("feat_sum"))
+    mediaMetaOn(docs).join(feats, Seq("doc_id"))
+  }
 
   // Shared hex-arithmetic SQL builders for the oracle twins — ONE
   // definition behind mediaMetaSql / featurePipelineSql / phashDedupSql so

@@ -722,6 +722,31 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Streaming media ingest — the multimodal twin of
+    * [[manifestFeatureBatches]], and the canonical append-only 100 TB
+    * source: media objects arrive continuously, and each micro-batch runs
+    * the decode → feature-extract → resize plumbing ONCE at ingest time
+    * ([[graft.multimodal.Multimodal.mediaDocFeaturesOn]] — metadata,
+    * content hash, chunk counts, stub-codec descriptor summary), appending
+    * to the media feature warehouse so no downstream consumer ever decodes
+    * a payload twice. Every column is doc-local, so per-batch rows are
+    * final and their union equals the batch-built table exactly
+    * (StreamsSpec parity); the registered `mm_feature_pipeline` /
+    * `mm_media_meta` reports are re-aggregations of this warehouse. At
+    * scale the per-partition codec-init amortization inside
+    * `decodeFeatures` carries over unchanged — a micro-batch is just a
+    * bounded DataFrame. */
+  def mediaFeatureBatches(docs: DataFrame,
+                          trigger: org.apache.spark.sql.streaming.Trigger =
+                            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                         (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        onBatch(graft.multimodal.Multimodal.mediaDocFeaturesOn(batch.toDF()), id)
+      }
+      .trigger(trigger)
+      .start()
+
   // ------------------------------------------------ forward as-of (stream)
   case class AsofEvent(event_id: Long, user_id: Long, event_type: String,
                        ts_us: Long, value: Double)
@@ -732,7 +757,8 @@ object Streams {
   case class AsofFwdState(pending: Seq[AsofPending],
                           views: Seq[(Long, Long, Double)]) // (ts_us, event_id, value)
   case class AsofFwdRow(event_id: Long, user_id: Long, ts_us: Long,
-                        quote_event_id: Long, quote_ts_us: Long, quote_value: Double)
+                        quote_event_id: Option[Long], quote_ts_us: Option[Long],
+                        quote_value: Option[Double])
 
   /** Streaming twin of the FORWARD as-of join (`w_asof_forward`,
     * [[graft.queries.Sessions.asofForwardOn]]): each purchase resolves to
@@ -742,21 +768,30 @@ object Streams {
     * could still land between the purchase and the candidate; so a
     * purchase emits exactly when the watermark strictly passes its
     * candidate's timestamp (the [[clickViewLeftJoin]] delay discipline).
-    * Purchases with NO view yet never emit inside a bounded run — the
-    * unbounded-horizon analog of the left-outer join's withheld nulls
-    * (the batch row is the source of truth for those; a production
-    * deployment bounds the horizon and emits nulls at horizon close).
+    *
+    * `horizonUs` bounds the production deployment: a view later than
+    * purchase + horizon no longer qualifies, and a purchase STILL
+    * candidate-less once the watermark passes its horizon close emits a
+    * NULL row and leaves the store — so state for candidate-less
+    * purchases is TTL-bounded and the bounded-horizon forward as-of
+    * (earliest view in [ts, ts+H], else null) streams completely. With
+    * `horizonUs = None` (the unbounded default), purchases with no view
+    * yet never emit inside a bounded run — the unbounded-horizon analog
+    * of the left-outer join's withheld nulls (the batch row is the source
+    * of truth for those) — and their state lingers until same-user
+    * traffic resolves them.
     *
     * State per user: unresolved purchases + views the watermark has not
     * passed (older views were already offered to every pending purchase
     * and can never serve a future one — a future purchase's timestamp is
     * at least the watermark). Event-time timers re-arm at the earliest
-    * sealable candidate so resolution needs no further same-user traffic.
-    * At 100 TB: state shuffles on user_id into RocksDB-backed stores,
-    * watermark-bounded on the view side — the same key/state shape as
-    * the session operator. */
+    * sealable candidate (or horizon close) so resolution needs no further
+    * same-user traffic. At 100 TB: state shuffles on user_id into
+    * RocksDB-backed stores, watermark-bounded on the view side — the same
+    * key/state shape as the session operator. */
   def asofForwardUpdates(events: Dataset[AsofEvent],
-                         watermarkDelay: String = "2 hours"): Dataset[AsofFwdRow] = {
+                         watermarkDelay: String = "2 hours",
+                         horizonUs: Option[Long] = None): Dataset[AsofFwdRow] = {
     import events.sparkSession.implicits._
     val streaming = events.isStreaming
     val src =
@@ -781,6 +816,7 @@ object Streams {
             .map(p => AsofPending(p.event_id, p.ts_us, 0L, 0L, 0.0, has_q = false))
           def better(p: AsofPending, v: (Long, Long, Double)): AsofPending =
             if (v._1 < p.p_ts_us) p
+            else if (horizonUs.exists(h => v._1 > p.p_ts_us + h)) p // beyond the horizon
             else if (!p.has_q || v._1 < p.q_ts_us ||
                 (v._1 == p.q_ts_us && v._2 < p.q_event_id))
               AsofPending(p.p_event_id, p.p_ts_us, v._2, v._1, v._3, has_q = true)
@@ -790,24 +826,39 @@ object Streams {
           // admissible view can still land at-or-before it (an equal-ts
           // tie with a smaller event_id is admissible at wm == q_ts)
           val wmUs = if (streaming) state.getCurrentWatermarkMs() * 1000 else Long.MaxValue
-          val (resolved, pending) = offered.partition(p => p.has_q && p.q_ts_us < wmUs)
+          val (resolved, open) = offered.partition(p => p.has_q && p.q_ts_us < wmUs)
+          // horizon close: a still-candidate-less purchase whose whole
+          // window [ts, ts+H] the watermark has passed can never resolve —
+          // its null row emits and its state leaves the store (the TTL)
+          val (expired, pending) = open.partition(p =>
+            !p.has_q && horizonUs.exists(h => p.p_ts_us + h < wmUs))
           val keptViews = views.filter(_._1 >= wmUs)
           if (streaming) {
             if (pending.isEmpty && keptViews.isEmpty) state.remove()
             else {
               state.update(AsofFwdState(pending, keptViews))
-              // tight timer: a candidate at q_ts is final once wm_ms >
-              // floor(q_ts/1000), and timers fire when wm_ms passes the
-              // set value STRICTLY — so arm at the floor itself, clamped
-              // above the current watermark per the API contract
-              val next = pending.filter(_.has_q).map(_.q_ts_us)
+              // tight timer: a candidate at q_ts (or a horizon close at
+              // p_ts+H) is final once wm_ms > floor(ts/1000), and timers
+              // fire when wm_ms passes the set value STRICTLY — so arm at
+              // the floor itself, clamped above the current watermark per
+              // the API contract. NB the clamp's 1-ms edge: a seal
+              // timestamp inside the current watermark's millisecond arms
+              // at wm+1, and if the stream's FINAL watermark lands exactly
+              // there with no further same-user traffic, that row is
+              // withheld in a bounded run (production emits it on the next
+              // watermark advance) — the same bounded-run withholding
+              // already documented for candidate-less purchases.
+              val next = pending.flatMap(p =>
+                if (p.has_q) Some(p.q_ts_us) else horizonUs.map(p.p_ts_us + _))
               if (next.nonEmpty)
                 state.setTimeoutTimestamp(
                   math.max(next.min / 1000, state.getCurrentWatermarkMs() + 1))
             }
           } else state.update(AsofFwdState(pending, keptViews))
-          resolved.sortBy(_.p_event_id).iterator.map(p =>
-            AsofFwdRow(p.p_event_id, user, p.p_ts_us, p.q_event_id, p.q_ts_us, p.q_value))
+          (resolved.map(p => AsofFwdRow(p.p_event_id, user, p.p_ts_us,
+              Some(p.q_event_id), Some(p.q_ts_us), Some(p.q_value))) ++
+            expired.map(p => AsofFwdRow(p.p_event_id, user, p.p_ts_us, None, None, None)))
+            .sortBy(_.event_id).iterator
       }
   }
 
@@ -879,6 +930,9 @@ object Streams {
               // tight timer (see the forward twin): a purchase at p_ts is
               // final once wm_ms > floor(p_ts/1000) — arm at the floor,
               // clamped above the current watermark per the API contract
+              // (same 1-ms bounded-run withholding edge as the forward
+              // twin's clamp when p_ts falls inside the current
+              // watermark's millisecond)
               if (kept.nonEmpty)
                 state.setTimeoutTimestamp(
                   math.max(kept.map(_._2).min / 1000, state.getCurrentWatermarkMs() + 1))

@@ -268,6 +268,81 @@ class ManifestIncrSpec extends SparkSpec {
     assert(hop2.contains("added") && hop2.contains("removed"))
   }
 
+  test("production loop end-to-end: streamed feature ingest feeds the reconcile, equals the batch update and the rebuild") {
+    // The two proven halves joined at their seam: fresh documents arrive
+    // as a STREAM through Streams.manifestFeatureBatches (frozen base
+    // models — stream-time feature rows are final because every column is
+    // doc-local), land in a feature warehouse table, and the periodic
+    // manifestWarehouseUpdateOn reconciliation consumes THAT table via
+    // precomputedFeatFresh instead of re-reading the fresh text. The
+    // resulting manifest must equal both the all-batch incremental update
+    // and the from-scratch rebuild.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val docs = Tables.documents(spark, dir)
+    val old = Corpus.deltaOldSlice(docs)
+    val nw = Corpus.deltaNewSlice(docs)
+    val (base, thrTot, thrN) = Corpus.frozenManifestBase(spark, dir)
+    val (mPath, ePath, sPath) = Dedup.frozenIncrementalBase(spark, dir, old)
+    val census = spark.read.parquet(s"$base/census.parquet")
+    val weights = spark.read.parquet(s"$base/weights.parquet")
+    val evalh = spark.read.parquet(s"$base/evalh.parquet")
+    // the fresh slice (added ∪ changed) is what a production changelog
+    // delivers to the ingest stream — two micro-batches by parity
+    val fresh = nw.join(
+        Corpus.snapshotDeltaOn(old, nw)
+          .filter(col("status").isin("added", "changed")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val root = Files.createTempDirectory("graft_loop_stream").toString
+    Files.createDirectories(Paths.get(s"$root/in"))
+    Seq(0, 1).foreach { p =>
+      val tmp = s"$root/tmp$p"
+      fresh.filter(pmod(col("doc_id"), lit(2)) === lit(p)).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$root/in/b$p.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(20) // distinct mtimes → deterministic file-source order
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    val featDir = s"$root/features"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+    val q = graft.streaming.Streams.manifestFeatureBatches(
+      stream, census, weights, (thrTot, thrN), evalh) { (feats, _) =>
+      feats.write.mode("append").parquet(featDir) // the stream-built warehouse
+    }
+    q.awaitTermination()
+    // the stream genuinely built the whole fresh slice, exactly once each
+    val freshIds = fresh.select("doc_id").collect().map(_.getLong(0)).toSet
+    val fedIds = spark.read.parquet(featDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(freshIds.nonEmpty && fedIds.toSet === freshIds && fedIds.size === freshIds.size)
+    def update(pre: Option[DataFrame]) = Corpus.manifestWarehouseUpdateOn(spark, old, nw,
+      featOld = spark.read.parquet(s"$base/features.parquet"),
+      kbOld = spark.read.parquet(s"$base/kb.parquet"),
+      dupManifestOld = spark.read.parquet(mPath),
+      dupEdgesOld = spark.read.parquet(ePath),
+      dupSigsOld = spark.read.parquet(sPath),
+      census = census, weights = weights, thrTot = thrTot, thrN = thrN,
+      evalh = evalh, precomputedFeatFresh = pre)
+    val streamFed = update(Some(spark.read.parquet(featDir)))
+    val got = rows(streamFed.manifest)
+    streamFed.release()
+    val batchUpd = update(None)
+    val batchRows = rows(batchUpd.manifest)
+    batchUpd.release()
+    val rebuilt = rows(Corpus.manifestRebuildOn(nw, census, weights, thrTot, thrN, evalh))
+    spark.catalog.clearCache()
+    assert(got.nonEmpty && got === batchRows, "stream-fed reconcile drifted from the batch update")
+    assert(got === rebuilt, "stream-fed reconcile drifted from the from-scratch rebuild")
+  }
+
   test("degenerate deltas: drain-to-empty and bootstrap-from-empty both match the rebuild") {
     val docs = Tables.documents(spark, dir)
     val s0 = Corpus.deltaOldSlice(docs)

@@ -186,6 +186,44 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.exists(_._1 === spanId), "the cut-spanning purchase did not resolve")
   }
 
+  test("forward as-of with a horizon: beyond-horizon candidates drop, candidate-less purchases emit nulls at horizon close") {
+    // batch truth (unbounded): per purchase the earliest later view, or none
+    val batch = graft.queries.Sessions.asofForward(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4), r.getDouble(5)))))
+    // horizon = median resolution gap, so both regimes are populated:
+    // pairs inside it resolve, pairs beyond it become horizon nulls
+    val gaps = batch.collect { case (_, _, ts, Some((_, qts, _))) => qts - ts }.sorted
+    assert(gaps.nonEmpty && gaps.last > gaps(gaps.length / 2),
+      "degenerate corpus: every resolution gap identical — horizon untestable")
+    val h = gaps(gaps.length / 2)
+    val streamed = Streams.runToMemory(spark,
+        Streams.asofForwardUpdates(
+          timeSlicedEventStream("asoffwdh")
+            .select("event_id", "user_id", "event_type", "ts_us", "value")
+            .as[Streams.AsofEvent], "0 seconds", horizonUs = Some(h)).toDF(), "t_asof_fwd_h")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4), r.getDouble(5)))))
+      .toSeq.sortBy(_._1)
+    assert(streamed.map(_._1).distinct.length === streamed.length, "a purchase re-emitted")
+    // ms-truncated final watermark (delay 0), as in the unbounded twin test
+    val wmUs = graft.ops.Tables.events(spark, sfDir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0) / 1000L * 1000L
+    // due resolved: candidate inside the horizon, sealed by the watermark;
+    // due nulls: no candidate inside the horizon, horizon close passed
+    val dueResolved = batch.collect {
+      case (id, u, ts, Some(c)) if c._2 - ts <= h && c._2 < wmUs => (id, u, ts, Some(c)) }
+    val dueNull = batch.collect {
+      case (id, u, ts, cand) if cand.forall(_._2 - ts > h) && ts + h < wmUs =>
+        (id, u, ts, None) }
+    assert(dueResolved.nonEmpty && dueNull.nonEmpty,
+      "degenerate horizon: one regime empty — pick a different quantile")
+    val due = (dueResolved ++ dueNull).toSeq.sortBy(_._1)
+    assert(streamed === due,
+      s"missing: ${(due.toSet -- streamed.toSet).take(3)}; extra: ${(streamed.toSet -- due.toSet).take(3)}")
+  }
+
   test("streaming backward as-of matches the batch join INCLUDING nulls up to the final watermark") {
     // backward rows are fully final at the watermark, so unlike the
     // forward twin the parity covers unresolved purchases too
@@ -268,7 +306,7 @@ class StreamsSpec extends SparkSpec {
         .toDF("event_id", "user_id", "event_type", "ts_us", "value")
       val got = Streams.asofForwardUpdates(df.as[Streams.AsofEvent])
         .collect().map(r => (r.event_id, r.user_id, r.ts_us,
-          r.quote_event_id, r.quote_ts_us, r.quote_value)).toSet
+          r.quote_event_id.get, r.quote_ts_us.get, r.quote_value.get)).toSet
       val want = graft.queries.Sessions.asofForwardOn(
           df.select(col("event_id"), col("user_id"), col("event_type"),
             timestamp_micros(col("ts_us")).as("ts"), col("value")))
@@ -442,6 +480,48 @@ class StreamsSpec extends SparkSpec {
     // same multiplicity, no column drifting on the batch boundary
     assert(buf.size === batch.length, s"row count ${buf.size} != batch ${batch.length}")
     assert(buf.map(_.toString).sorted === batch.map(_.toString).toSeq.sorted)
+  }
+
+  test("streaming media ingest matches the batch media feature warehouse; registered reports re-aggregate from it") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_media_stream").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    Seq(0, 1).foreach { p =>
+      val tmp = s"$base/tmp$p"
+      docs.filter(col("doc_id") % 2 === p).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$base/in/b$p.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(20)
+    }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = Streams.mediaFeatureBatches(stream) { (feats, _) =>
+      val rows = feats.collect().map(_.toSeq)
+      buf.synchronized { buf ++= rows }
+    }
+    q.awaitTermination()
+    // per-doc parity: every column is doc-local, so the union of per-batch
+    // rows must equal the batch-built warehouse exactly
+    val batch = graft.multimodal.Multimodal.mediaDocFeaturesOn(docs)
+      .collect().map(_.toSeq)
+    assert(batch.nonEmpty && buf.size === batch.length)
+    assert(buf.map(_.toString).sorted === batch.map(_.toString).toSeq.sorted)
+    // the registered per-type report is a pure re-aggregation of the
+    // stream-built warehouse — no payload is ever decoded twice
+    val cols = graft.multimodal.Multimodal.mediaDocFeaturesOn(docs).columns
+    val warehouse = buf.toSeq.map(s => (s(cols.indexOf("media_type")).asInstanceOf[String],
+      s(cols.indexOf("n_frames")).asInstanceOf[Int], s(cols.indexOf("feat_sum")).asInstanceOf[Double]))
+    val rolled = warehouse.groupBy(_._1).view.mapValues { v =>
+      (v.size.toLong, v.map(_._2.toLong).sum,
+        // the Num.r6 rounding rule, applied driver-side
+        math.floor(v.map(_._3).sum / v.size * 1e6 + 0.5) / 1e6)
+    }.toMap
+    val report = graft.multimodal.Multimodal.featurePipeline(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rolled === report)
   }
 
   test("incremental minhash dedup across micro-batches emits exactly the batch LSH pairs, each once") {
