@@ -1442,9 +1442,22 @@ object Similarity {
     *
     * 100 TB shape: two vec_id-keyed anti joins + one equi-join (no distance
     * math), one broadcast-centroid pass over the fresh slice only, and a
-    * union — no corpus-sized shuffle beyond the id-keyed joins. */
+    * union — no corpus-sized shuffle beyond the id-keyed joins.
+    *
+    * `precomputedAssign` is the STREAMED-INGEST seam (the ANN twin of
+    * [[Corpus.manifestWarehouseUpdateOn]]'s `precomputedFeatFresh`): a
+    * deployment that runs arriving vectors through
+    * [[graft.streaming.Streams.assignCellsBatches]] already holds every
+    * fresh vector's (vec_id, cell) row — assignment is vector-local under
+    * the frozen quantizer, so ingest-time rows are final — and the
+    * periodic reconciliation must not re-run the distance pass. Contract:
+    * the supplied frame covers the delta's added ∪ changed vec_ids,
+    * assigned against the SAME quantizer (extra rows — e.g. ingested
+    * vectors later retired — are semi-joined away). StreamsSpec pins
+    * stream-fed reconcile ≡ the self-assigning update ≡ from-scratch. */
   def ivfWarehouseUpdateOn(prev: DataFrame, next: DataFrame,
-                           manifestOld: DataFrame, cent: DataFrame): DataFrame = {
+                           manifestOld: DataFrame, cent: DataFrame,
+                           precomputedAssign: Option[DataFrame] = None): DataFrame = {
     val p = prev.select(col("vec_id"), col("embedding"))
     val n = next.select(col("vec_id"), col("embedding"))
     val added = n.join(p.select("vec_id"), Seq("vec_id"), "left_anti")
@@ -1454,9 +1467,12 @@ object Similarity {
     val fresh = added.unionByName(changed)
     val retired = p.select("vec_id").join(n.select("vec_id"), Seq("vec_id"), "left_anti")
       .unionByName(changed.select("vec_id"))
+    val freshAssigned = precomputedAssign
+      .map(_.join(fresh.select("vec_id"), Seq("vec_id"), "left_semi"))
+      .getOrElse(assignCellsAgainstOn(fresh, cent))
     manifestOld.join(retired, Seq("vec_id"), "left_anti")
       .select("vec_id", "cell")
-      .unionByName(assignCellsAgainstOn(fresh, cent).select("vec_id", "cell"))
+      .unionByName(freshAssigned.select("vec_id", "cell"))
   }
 
   /** Second-hop retirement class of the registered rolled series — disjoint

@@ -524,6 +524,62 @@ class StreamsSpec extends SparkSpec {
     assert(rolled === report)
   }
 
+  test("ANN production loop end-to-end: streamed cell assignment feeds the state-rolling manifest update") {
+    // The vector-side twin of the manifest loop spec: arriving vectors
+    // (added + re-embedded) stream through assignCellsBatches against the
+    // frozen quantizer into an assignment warehouse, and the periodic
+    // ivfWarehouseUpdateOn reconciliation consumes THAT table via
+    // precomputedAssign instead of re-running the distance pass; the
+    // rolled manifest must equal a from-scratch assignment of the new
+    // snapshot.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val emb = graft.ops.Tables.embeddings(spark, sfDir)
+    val cent = graft.ext.Similarity.kmeansCentroidsOn(emb).persist()
+    val r = pmod(col("vec_id"), lit(7))
+    val prev = emb.filter(r =!= lit(1))
+    val next = emb.filter(r =!= lit(2)) // adds class 1, retires class 2...
+      .withColumn("embedding",          // ...and re-embeds class 3
+        when(r === lit(3), transform(col("embedding"), x => negate(x)))
+          .otherwise(col("embedding")))
+    val m0 = graft.ext.Similarity.assignCellsAgainstOn(prev, cent)
+      .select("vec_id", "cell").localCheckpoint()
+    // arrivals = the fresh slice, streamed in two micro-batches
+    val fresh = next.filter(r === lit(1) || r === lit(3))
+      .select("vec_id", "embedding", "label")
+    val base = Files.createTempDirectory("graft_ann_loop").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    Seq(0, 1).foreach { p =>
+      val tmp = s"$base/tmp$p"
+      fresh.filter(col("vec_id") % 2 === p).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$base/in/b$p.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(20)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.IntegerType)))
+    val asgDir = s"$base/assign"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = Streams.assignCellsBatches(stream, cent) { (asg, _) =>
+      asg.write.mode("append").parquet(asgDir) // the assignment warehouse
+    }
+    q.awaitTermination()
+    // the stream supplied every fresh vector's assignment, exactly once
+    val fedIds = spark.read.parquet(asgDir).select("vec_id").collect().map(_.getLong(0)).toSeq
+    val freshIds = fresh.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(freshIds.nonEmpty && fedIds.toSet === freshIds && fedIds.size === freshIds.size)
+    val got = graft.ext.Similarity.ivfWarehouseUpdateOn(prev, next, m0, cent,
+        precomputedAssign = Some(spark.read.parquet(asgDir)))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val want = graft.ext.Similarity.assignCellsAgainstOn(next, cent)
+      .select("vec_id", "cell").collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    cent.unpersist()
+    assert(got === want, "stream-fed rolled manifest drifted from the from-scratch assignment")
+  }
+
   test("incremental minhash dedup across micro-batches emits exactly the batch LSH pairs, each once") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = Files.createTempDirectory("graft_minhash_stream").toString
