@@ -1190,6 +1190,77 @@ object Dedup {
       oldSigs = Some(spark.read.parquet(sigsPath)))
   }
 
+  /** Second-hop churn classes of the rolled series — the convention the
+    * manifest family's churn-impact series shares (ManifestIncrSpec): hop 2
+    * re-adds the first hop's removed class, retires [[RolledRemoved2]] and
+    * revises [[RolledChanged2]]. */
+  val RolledRemoved2 = 7
+  val RolledChanged2 = 8
+
+  /** Registered 2-hop chain of [[dupWarehouseUpdateOn]] — the dedup twin of
+    * `s_ivf_rolled`, and the production ingestion loop AS a registry row:
+    * hop 1 is the registered churn (adds [[graft.ext.Corpus.DeltaAdded]],
+    * retires [[graft.ext.Corpus.DeltaRemoved]], revises
+    * [[graft.ext.Corpus.DeltaChanged]]), hop 2 re-adds the retired class,
+    * retires [[RolledRemoved2]] and revises [[RolledChanged2]] — so the
+    * second update starts from ROLLED warehouse state (manifest + edges +
+    * signatures produced by the first), never from the bootstrap. The
+    * oracle is the from-scratch recursive closure over the FINAL snapshot:
+    * the chained state earns its row by landing on the rebuild exactly.
+    * Each hop signs only its fresh slice and re-clusters only touched
+    * components; the hop-1 warehouse is eagerly localCheckpoint'ed and the
+    * consumed frames released before hop 2 plans on the leaves. */
+  /** The rolled series' FINAL snapshot: hop-1 revisions carried, hop-2
+    * revisions applied, hop-1's removed class back, [[RolledRemoved2]]
+    * out. Shared with DedupSpec so the spec's churn-class assertions can't
+    * drift from the registered construction. */
+  private[ext] def rolledFinalSlice(docs: DataFrame): DataFrame = {
+    val r = pmod(col("doc_id"), lit(graft.ext.Corpus.DeltaMod))
+    docs
+      .withColumn("text",
+        when(r === lit(graft.ext.Corpus.DeltaChanged), concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")))
+      .withColumn("text",
+        when(r === lit(RolledChanged2), concat(col("text"), lit(" [rev3]")))
+          .otherwise(col("text")))
+      .filter(r =!= lit(RolledRemoved2))
+  }
+
+  def dupClustersRolled(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val s0 = graft.ext.Corpus.deltaOldSlice(docs)
+    val s1 = graft.ext.Corpus.deltaNewSlice(docs)
+    val s2 = rolledFinalSlice(docs)
+    val (mPath, ePath, sPath) = frozenIncrementalBase(spark, dir, s0)
+    val w1raw = dupWarehouseUpdateOn(s0, s1,
+      spark.read.parquet(mPath), spark.read.parquet(ePath),
+      oldSigs = Some(spark.read.parquet(sPath)))
+    val w1 = DupWarehouse(w1raw.manifest.localCheckpoint(),
+      w1raw.edges.localCheckpoint(), w1raw.sigs.localCheckpoint())
+    w1raw.release()
+    // hop 2's warehouse frames stay referenced by the returned plan; their
+    // blocks are context-cleaned after materialization (Verify/Bench
+    // clearCache releases the persisted signature table)
+    dupWarehouseUpdateOn(s1, s2, w1.manifest, w1.edges, oldSigs = Some(w1.sigs))
+      .manifest.orderBy("doc_id")
+  }
+
+  /** Oracle: deliberately the from-scratch closure over the final rolled
+    * snapshot — no incremental formulation anywhere. */
+  val dupClustersRolledSql: String = {
+    val mod = graft.ext.Corpus.DeltaMod
+    s"""WITH RECURSIVE s2 AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % $mod = ${graft.ext.Corpus.DeltaChanged} THEN text || ' [rev2]'
+       |              WHEN doc_id % $mod = $RolledChanged2 THEN text || ' [rev3]'
+       |              ELSE text END AS text
+       |  FROM documents WHERE doc_id % $mod <> $RolledRemoved2),
+       |${dupClustersCtesFor("s2")}
+       |SELECT c.doc_id, c.cluster_id, s.cluster_size, c.doc_id = c.cluster_id AS is_canonical
+       |FROM comp c JOIN sizes s ON c.cluster_id = s.cluster_id
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   /** Exact transitive closure via recursive CTE through relations `comp`
     * (doc_id, cluster_id) and `sizes` (cluster_id, cluster_size) over an
     * arbitrary snapshot relation — the shared oracle tail of the cluster
@@ -1604,6 +1675,7 @@ object Dedup {
     Q("dd_dup_clusters", dupClusters _, dupClustersSql),
     Q("dd_clusters_base", dupClustersBase _, dupClustersBaseSql),
     Q("dd_clusters_incremental", dupClustersIncremental _, dupClustersIncrementalSql),
+    Q("dd_clusters_rolled", dupClustersRolled _, dupClustersRolledSql),
     Q("t_decontaminate_fuzzy", fuzzyDecontaminate _, fuzzyDecontaminateSql),
     Q("dd_cluster_stats", clusterStats _, clusterStatsSql),
     Q("dd_keep_best", keepBest _, keepBestSql),

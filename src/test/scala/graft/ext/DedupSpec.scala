@@ -417,6 +417,27 @@ class DedupSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("rolled series: hop 2 churns every delta class and the chained manifest equals the from-scratch closure") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.ops.Tables.documents(spark, dir)
+    val s1 = Corpus.deltaNewSlice(docs)
+    val s2 = Dedup.rolledFinalSlice(docs)
+    // hop 2 genuinely exercises every class from ROLLED state: re-added
+    // (hop 1's removed class), removed (RolledRemoved2), changed
+    // (RolledChanged2's [rev3]) and carried-unchanged (incl. the class
+    // whose [rev2] both snapshots share)
+    val statuses = Corpus.snapshotDeltaOn(s1, s2)
+      .select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses === Set("added", "removed", "changed", "unchanged"))
+    // the registered chained output equals a from-scratch cluster build of
+    // the final snapshot (the same equality the DuckDB oracle re-proves)
+    val got = Dedup.dupClustersRolled(spark, dir).collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    val want = Dedup.dupClustersOn(s2).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    assert(got.nonEmpty && got === want)
+  }
+
   test("minhash universal-hash constants stay positive under the prime") {
     assert(Dedup.hashA.forall(a => a > 0 && a < Dedup.P))
     assert(Dedup.hashB.forall(b => b >= 0 && b < Dedup.P))
