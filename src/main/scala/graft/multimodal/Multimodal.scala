@@ -453,16 +453,22 @@ object Multimodal {
   val DctBands = 4
   val DctHamMax = 8
 
-  /** Banded candidate pairs with their full hamming distance — the shared
-    * stage behind the dedup cut and the threshold curve. */
-  private def dctBandPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** 4 × 16-bit band keys of a (doc_id, phash) frame — the one banding
+    * definition behind the batch pairing and the incremental
+    * candidates-against form, so the two can't drift. */
+  private def dctBands(fp: DataFrame): DataFrame = {
     val bandBits = 64 / DctBands
     val mask = (1L << bandBits) - 1
-    val fp = dctHashOn(fromDocuments(Tables.documents(spark, dir))).toDF()
-    val bands = fp.select(col("doc_id"), col("phash"), explode(array((0 until DctBands).map { k =>
+    fp.select(col("doc_id"), col("phash"), explode(array((0 until DctBands).map { k =>
       struct(lit(k).as("band_idx"),
         shiftright(col("phash"), k * bandBits).bitwiseAND(lit(mask)).as("band"))
     }: _*)).as("b")).select(col("doc_id"), col("phash"), col("b.band_idx"), col("b.band"))
+  }
+
+  /** Banded candidate pairs with their full hamming distance — the shared
+    * stage behind the dedup cut and the threshold curve. */
+  private def dctBandPairs(spark: SparkSession, dir: String): DataFrame = {
+    val bands = dctBands(dctHashOn(fromDocuments(Tables.documents(spark, dir))).toDF())
     bands.as("l").join(bands.as("r"),
         col("l.band_idx") === col("r.band_idx") && col("l.band") === col("r.band")
           && col("l.doc_id") < col("r.doc_id"))
@@ -470,6 +476,21 @@ object Multimodal {
         bit_count(col("l.phash").bitwiseXOR(col("r.phash"))).cast("long").as("hamming"))
       .distinct()
   }
+
+  /** Incremental candidates: banded pairs between NEW hashes and the full
+    * hash set (old ∪ new), normalized to doc_a < doc_b, with the exact
+    * hamming distance. Every pair here involves at least one new media
+    * object, so a stream calling this per micro-batch emits each unordered
+    * pair exactly once — the [[graft.ext.Dedup.minhashCandidatesAgainst]]
+    * contract ([[graft.streaming.Streams.mediaDedupBatches]]). */
+  def dctCandidatesAgainst(newFp: DataFrame, allFp: DataFrame): DataFrame =
+    dctBands(newFp).as("l").join(dctBands(allFp).as("r"),
+        col("l.band_idx") === col("r.band_idx") && col("l.band") === col("r.band")
+          && col("l.doc_id") =!= col("r.doc_id"))
+      .select(least(col("l.doc_id"), col("r.doc_id")).as("doc_a"),
+        greatest(col("l.doc_id"), col("r.doc_id")).as("doc_b"),
+        bit_count(col("l.phash").bitwiseXOR(col("r.phash"))).cast("long").as("hamming"))
+      .distinct()
 
   /** Registered DCT near-dup pairing: band-bucketed candidate join over the
     * 64-bit hashes, exact hamming verify — never an all-pairs compare; at

@@ -747,6 +747,47 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Incremental perceptual-hash media dedup via foreachBatch — the
+    * multimodal twin of [[minhashDedupBatches]]: each micro-batch's media
+    * objects are DCT-hashed with the SAME
+    * [[graft.multimodal.Multimodal.dctHashOn]] the batch job uses, banded
+    * against the union of the persisted hash index at `hashPath` and the
+    * batch itself, and every near-dup pair (hamming ≤ `hamMax`) involving
+    * a new object is emitted; the new hashes are then appended to the
+    * index. Hashes are deterministic functions of the payload, so each
+    * unordered pair is emitted EXACTLY once — in the micro-batch its later
+    * member arrives — and the union of batch outputs equals the one-shot
+    * `mm_dct_dedup` over all objects seen (StreamsSpec parity). Assumes
+    * doc_ids are unique across batches (the dedup input contract).
+    *
+    * At 100 TB the hash index is 16 bytes/object — the persistent artifact
+    * an image-dedup service keeps anyway; each batch costs one codec pass
+    * over the batch plus a band-bucket join of |batch| rows against the
+    * index, never corpus × corpus. */
+  def mediaDedupBatches(docs: DataFrame, hashPath: String,
+                        hamMax: Int = graft.multimodal.Multimodal.DctHamMax,
+                        trigger: org.apache.spark.sql.streaming.Trigger =
+                          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                       (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val M = graft.multimodal.Multimodal
+        val spark = batch.sparkSession
+        // persisted: consumed by its own bands, the union's bands, and the
+        // state append — released per batch (the minhashDedupBatches
+        // discipline)
+        val newFp = M.dctHashOn(M.fromDocuments(batch.toDF())).toDF().persist()
+        val old = scala.util.Try(spark.read.parquet(hashPath)).toOption
+        val all = old.map(_.unionByName(newFp)).getOrElse(newFp.toDF())
+        onBatch(M.dctCandidatesAgainst(newFp, all)
+          .filter(col("hamming") <= lit(hamMax)), id)
+        newFp.write.mode("append").parquet(hashPath)
+        newFp.unpersist()
+        ()
+      }
+      .trigger(trigger)
+      .start()
+
   // ------------------------------------------------ forward as-of (stream)
   case class AsofEvent(event_id: Long, user_id: Long, event_type: String,
                        ts_us: Long, value: Double)

@@ -580,6 +580,42 @@ class StreamsSpec extends SparkSpec {
     assert(got === want, "stream-fed rolled manifest drifted from the from-scratch assignment")
   }
 
+  test("incremental media dedup across micro-batches emits exactly the batch DCT pairs, each once") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_media_dedup").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    // two micro-batches by parity: near-dup payloads overwhelmingly pair
+    // adjacent doc_ids, so most pairs SPAN the batches and must come from
+    // the new-vs-persisted-index join, not the within-batch join
+    Seq(0, 1).foreach { p =>
+      val tmp = s"$base/tmp$p"
+      docs.filter(col("doc_id") % 2 === p).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$base/in/b$p.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(20)
+    }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = Streams.mediaDedupBatches(stream, s"$base/hashes") { (pairs, _) =>
+      val rows = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      buf.synchronized { buf ++= rows }
+    }
+    q.awaitTermination()
+    val batch = graft.multimodal.Multimodal.dctDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    spark.catalog.clearCache()
+    assert(batch.nonEmpty, "degenerate corpus: batch DCT dedup found no pairs")
+    assert(buf.size === buf.toSet.size, "a pair double-emitted across batches")
+    assert(buf.toSet === batch,
+      s"missing: ${(batch -- buf.toSet).take(3)}; extra: ${(buf.toSet -- batch).take(3)}")
+    // the cross-batch path was genuinely exercised: some pair spans parity
+    assert(buf.exists { case (a, b, _) => a % 2 != b % 2 },
+      "no cross-batch pair — the persisted-index join went unexercised")
+  }
+
   test("incremental minhash dedup across micro-batches emits exactly the batch LSH pairs, each once") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = Files.createTempDirectory("graft_minhash_stream").toString
