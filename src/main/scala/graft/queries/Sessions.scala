@@ -291,6 +291,47 @@ object Sessions {
   def asofForward(spark: SparkSession, dir: String): DataFrame =
     asofForwardOn(Tables.events(spark, dir))
 
+  /** Attribution horizon of the bounded forward as-of: 48 h — between the
+    * corpus's median (~34 h) and p75 next-view gaps, so both regimes
+    * (matched, horizon-nulled) stay populated at every SF. */
+  val AsofHorizonUs: Long = 48L * 3600 * 1000000
+
+  /** BOUNDED-HORIZON forward as-of: every purchase joins the earliest
+    * same-user view within [ts, ts + horizon], else null — the
+    * attribution-window form of [[asofForwardOn]], and the batch twin of
+    * the streaming horizon in
+    * [[graft.streaming.Streams.asofForwardUpdates]]. Rides ROW-IDENTICALLY
+    * on the unbounded forward op: the unbounded match is the EARLIEST
+    * at-or-after view, so it either lands inside the horizon (same row) or
+    * beyond it (then no view in the window can exist) — the bound is one
+    * null-out projection, zero extra shuffle or join. Inclusive at exactly
+    * ts + horizon, matching the streaming `better` filter. */
+  def asofHorizonOn(events: DataFrame, horizonUs: Long = AsofHorizonUs): DataFrame = {
+    val in = col("quote_ts_us") <= col("ts_us") + lit(horizonUs)
+    asofForwardOn(events)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        when(in, col("quote_event_id")).as("quote_event_id"),
+        when(in, col("quote_ts_us")).as("quote_ts_us"),
+        when(in, col("quote_value")).as("quote_value"))
+      .orderBy("event_id")
+  }
+
+  def asofHorizon(spark: SparkSession, dir: String): DataFrame =
+    asofHorizonOn(Tables.events(spark, dir))
+
+  val asofHorizonSql: String =
+    s"""WITH q AS (
+       |  SELECT user_id, ts, min(event_id) AS q_event_id,
+       |         arg_min(value, event_id) AS q_value
+       |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+       |t AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+       |SELECT t.event_id, t.user_id, epoch_us(t.ts) AS ts_us,
+       |       CASE WHEN epoch_us(q.ts) <= epoch_us(t.ts) + $AsofHorizonUs THEN q.q_event_id END AS quote_event_id,
+       |       CASE WHEN epoch_us(q.ts) <= epoch_us(t.ts) + $AsofHorizonUs THEN epoch_us(q.ts) END AS quote_ts_us,
+       |       CASE WHEN epoch_us(q.ts) <= epoch_us(t.ts) + $AsofHorizonUs THEN q.q_value END AS quote_value
+       |FROM t ASOF LEFT JOIN q ON t.user_id = q.user_id AND t.ts <= q.ts
+       |ORDER BY t.event_id""".stripMargin
+
   val asofForwardSql: String =
     s"""WITH q AS (
        |  SELECT user_id, ts, min(event_id) AS q_event_id,
@@ -483,6 +524,7 @@ object Sessions {
     Q("w_rate_spike", rateSpike _, rateSpikeSql),
     Q("w_asof_join", asofJoin _, asofJoinSql),
     Q("w_asof_forward", asofForward _, asofForwardSql),
+    Q("w_asof_horizon", asofHorizon _, asofHorizonSql),
     Q("w_click_attribution", clickAttribution _, clickAttributionSql),
     Q("w_unattributed", unattributed _, unattributedSql),
     Q("w_session_window", sessionWindowAgg _, sessionWindowAggSql),

@@ -79,6 +79,29 @@ class SessionsSpec extends SparkSpec {
     assert(out.keySet === Set(101L, 102L, 202L, 204L, 300L), "one row per trade, only trades")
   }
 
+  test("bounded-horizon as-of: inside keeps, beyond nulls, exactly-at-horizon inclusive") {
+    def ev(rows: (Long, Long, String, Long, Double)*) =
+      rows.toDF("event_id", "user_id", "event_type", "us", "value")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    val out = Sessions.asofHorizonOn(ev(
+      (100L, 1L, "purchase", 10L, 9.0),
+      (101L, 1L, "view", 15L, 1.5),  // gap 5 ≤ 10 → matched
+      (200L, 2L, "purchase", 10L, 9.0),
+      (201L, 2L, "view", 30L, 2.0),  // gap 20 > 10 → horizon-nulled
+      (300L, 3L, "purchase", 10L, 9.0),
+      (301L, 3L, "view", 20L, 3.0),  // gap exactly 10 → INCLUSIVE keep
+      (400L, 4L, "purchase", 10L, 9.0)), // no view at all → null
+      horizonUs = 10L)
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> ((r._4, r._5, r._6))).toMap
+    assert(out(100L) === ((Some(101L), Some(15L), Some(1.5))))
+    assert(out(200L) === ((None, None, None)), "beyond-horizon view must null, not match")
+    assert(out(300L) === ((Some(301L), Some(20L), Some(3.0))), "exactly at ts+H is inclusive")
+    assert(out(400L) === ((None, None, None)))
+    assert(out.keySet === Set(100L, 200L, 300L, 400L), "one row per purchase, nulls included")
+  }
+
   test("rate spike: planted burst over a quiet baseline flags, silent hours zero-fill") {
     val H = Sessions.HourUs
     // type "a": exactly one event per hour for 30 h, plus a 50-event burst

@@ -187,16 +187,19 @@ class StreamsSpec extends SparkSpec {
   }
 
   test("forward as-of with a horizon: beyond-horizon candidates drop, candidate-less purchases emit nulls at horizon close") {
-    // batch truth (unbounded): per purchase the earliest later view, or none
-    val batch = graft.queries.Sessions.asofForward(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4), r.getDouble(5)))))
-    // horizon = median resolution gap, so both regimes are populated:
-    // pairs inside it resolve, pairs beyond it become horizon nulls
-    val gaps = batch.collect { case (_, _, ts, Some((_, qts, _))) => qts - ts }.sorted
+    // horizon = median resolution gap of the unbounded forward rows, so
+    // both regimes are populated: pairs inside it resolve, pairs beyond
+    // it become horizon nulls
+    val gaps = graft.queries.Sessions.asofForward(spark, sfDir).collect()
+      .collect { case r if !r.isNullAt(3) => r.getLong(4) - r.getLong(2) }.sorted
     assert(gaps.nonEmpty && gaps.last > gaps(gaps.length / 2),
       "degenerate corpus: every resolution gap identical — horizon untestable")
     val h = gaps(gaps.length / 2)
+    // batch truth: the REGISTERED bounded-horizon op at the same horizon
+    val batch = graft.queries.Sessions
+      .asofHorizonOn(graft.ops.Tables.events(spark, sfDir), horizonUs = h).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4), r.getDouble(5)))))
     val streamed = Streams.runToMemory(spark,
         Streams.asofForwardUpdates(
           timeSlicedEventStream("asoffwdh")
@@ -210,13 +213,12 @@ class StreamsSpec extends SparkSpec {
     // ms-truncated final watermark (delay 0), as in the unbounded twin test
     val wmUs = graft.ops.Tables.events(spark, sfDir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0) / 1000L * 1000L
-    // due resolved: candidate inside the horizon, sealed by the watermark;
-    // due nulls: no candidate inside the horizon, horizon close passed
+    // due = the batch op's rows the watermark seals: matched rows once it
+    // strictly passes the candidate, null rows once it passes ts + h
     val dueResolved = batch.collect {
-      case (id, u, ts, Some(c)) if c._2 - ts <= h && c._2 < wmUs => (id, u, ts, Some(c)) }
+      case (id, u, ts, Some(c)) if c._2 < wmUs => (id, u, ts, Some(c)) }
     val dueNull = batch.collect {
-      case (id, u, ts, cand) if cand.forall(_._2 - ts > h) && ts + h < wmUs =>
-        (id, u, ts, None) }
+      case (id, u, ts, None) if ts + h < wmUs => (id, u, ts, None) }
     assert(dueResolved.nonEmpty && dueNull.nonEmpty,
       "degenerate horizon: one regime empty — pick a different quantile")
     val due = (dueResolved ++ dueNull).toSeq.sortBy(_._1)
