@@ -483,6 +483,22 @@ class SimilaritySpec extends SparkSpec {
       "negating class 4 moved no vector — the changed path went unexercised")
   }
 
+  test("ivf warehouse update: the no-churn update is a fixpoint (every manifest row carries through)") {
+    // the dedup/manifest families' fixpoint contract, ANN edition: an
+    // identical snapshot must carry EVERY assignment row — nothing gets
+    // re-scored, retired, or duplicated
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    val cent = Similarity.kmeansCentroidsOn(emb).persist()
+    val m0 = Similarity.assignCellsAgainstOn(emb, cent).select("vec_id", "cell")
+      .localCheckpoint()
+    val rolled = Similarity.ivfWarehouseUpdateOn(emb, emb, m0, cent)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sorted
+    val want = m0.collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sorted
+    cent.unpersist()
+    assert(rolled.nonEmpty && rolled === want)
+  }
+
   test("property: N random vector deltas chained through the warehouse update equal the from-scratch assignment") {
     // The ANN induction step, matching the dedup/manifest standard: chain
     // THREE random snapshot deltas (per-id random retire / re-embed /
