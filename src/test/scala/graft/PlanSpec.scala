@@ -200,6 +200,30 @@ class PlanSpec extends SparkSpec {
       "more than one assignment pass — carried vectors re-assigned:\n" + p.take(3000))
   }
 
+  test("rolled ivf plan chains two delta-bounded passes: frozen manifest read, at most two assignment passes") {
+    val p = plan(Similarity.ivfRolled(spark, dir))
+    // hop 1 starts from the frozen warehouse manifest, not a recompute
+    assert(p.contains("graft_ivf_base"), "frozen manifest scan missing:\n" + p.take(3000))
+    // each hop assigns only its fresh slice. The visible float_dot sites
+    // are the norm projections of the assignment passes; each hop's fresh
+    // frame is a two-branch union (added ∪ changed) whose projection
+    // Catalyst pushes into both branches — so the chained plan carries at
+    // most 2 hops × 2 branches = 4 sites, every one over a delta-sized
+    // branch. A carried-majority re-assign adds a fifth site and trips.
+    val sites = "float_dot".r.findAllIn(p).size
+    assert(sites >= 2 && sites <= 4,
+      s"assignment-subtree count drifted ($sites sites):\n" + p.take(3000))
+  }
+
+  test("bounded-horizon as-of adds zero shuffles over the forward op") {
+    val pf = plan(graft.queries.Sessions.asofForward(spark, dir))
+    val ph = plan(graft.queries.Sessions.asofHorizon(spark, dir))
+    def ex(s: String) = "Exchange".r.findAllIn(s).size
+    assert(ex(pf) >= 1, "calibration plan lost its exchanges")
+    assert(ex(ph) === ex(pf),
+      s"horizon form changed the shuffle count (${ex(ph)} vs ${ex(pf)}):\n" + ph.take(3000))
+  }
+
   test("quality classifier: weight table broadcasts, scoring aggregates partially, no cartesian on rows") {
     // the gate checkpoints the scored frame (two consumers), so the scoring
     // subtree executes at checkpoint time — pin ITS plan directly
