@@ -152,6 +152,92 @@ class RecoverySpec extends SparkSpec {
     }
   }
 
+  test("forward as-of horizon state AND timer survive a kill + RocksDB checkpoint restart") {
+    withRocksDb {
+      val base = Files.createTempDirectory("graft_ckpt_asofh").toString
+      Files.createDirectories(Paths.get(s"$base/in"))
+      val ev = graft.ops.Tables.events(spark, sfDir)
+      // horizon = median resolution gap (the StreamsSpec horizon convention)
+      val gaps = graft.queries.Sessions.asofForward(spark, sfDir).collect()
+        .collect { case r if !r.isNullAt(3) => r.getLong(4) - r.getLong(2) }.sorted
+      val h = gaps(gaps.length / 2)
+      val truth = graft.queries.Sessions.asofHorizonOn(ev, horizonUs = h).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4), r.getDouble(5))))))
+        .toMap
+      val wmFinal = ev.agg(max(unix_micros(col("ts")))).head().getLong(0) / 1000L * 1000L
+      // the engineered cut: a horizon-NULL purchase whose user goes SILENT
+      // before its horizon closes. Cutting at the user's last event puts
+      // the candidate-less purchase (and its armed horizon timer) into
+      // state before the kill; in lifetime 2 the user has NO further
+      // traffic, so its null row can only come from the RECOVERED state
+      // store and the RECOVERED event-time timer firing as other users'
+      // events advance the watermark past ts + h.
+      val lastByUser = ev.groupBy("user_id").agg(max(unix_micros(col("ts"))).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val candidates = truth.toSeq.collect {
+        case (id, (u, ts, None)) if ts + h < wmFinal && lastByUser(u) < ts + h &&
+          lastByUser(u) < wmFinal => (id, u, ts)
+      }
+      assert(candidates.nonEmpty,
+        "degenerate corpus: no horizon-null purchase from a user who goes silent before horizon close")
+      val (spanId, spanUser, _) = candidates.minBy(_._3)
+      val cut = lastByUser(spanUser)
+      def runOnce(): Unit = {
+        val q = Streams.asofForwardUpdates(
+            spark.readStream.schema(sliceSchema)
+              .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+              .select("event_id", "user_id", "event_type", "ts_us", "value")
+              .as[Streams.AsofEvent], "0 seconds", horizonUs = Some(h))
+          .toDF()
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      writeSlice(col("ts_us") <= cut, s"$base/in", "slice0")
+      runOnce() // lifetime 1: the user's whole history, then the kill
+      val afterFirst = spark.read.parquet(s"$base/out")
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(!afterFirst.contains(spanId),
+        "the engineered null row emitted before the restart — cut misplaced")
+      writeSlice(col("ts_us") > cut, s"$base/in", "slice1")
+      runOnce() // lifetime 2: no same-user traffic; only the recovered timer can seal it
+      val recovered = spark.read.parquet(s"$base/out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4), r.getDouble(5)))))
+        .toSeq
+      // append-once across both lifetimes
+      assert(recovered.map(_._1).distinct.length === recovered.length,
+        "a purchase re-emitted across the restart")
+      // the engineered null row emitted in lifetime 2 from recovered state
+      val span = recovered.find(_._1 == spanId)
+      assert(span.exists(_._4.isEmpty),
+        s"recovered horizon-null row missing or non-null: $span")
+      // every emitted row equals its batch-truth twin
+      recovered.foreach { case (id, u, ts, q) =>
+        assert(truth.get(id).contains((u, ts, q)), s"row $id drifted from the batch truth")
+      }
+      // union ≡ the uninterrupted single-lifetime run over the same slices
+      val uninterrupted = Streams.runToMemory(spark,
+          Streams.asofForwardUpdates(
+            spark.readStream.schema(sliceSchema)
+              .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+              .select("event_id", "user_id", "event_type", "ts_us", "value")
+              .as[Streams.AsofEvent], "0 seconds", horizonUs = Some(h))
+            .toDF(), "t_asofh_unint")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4), r.getDouble(5)))))
+        .toSeq
+      assert(recovered.sortBy(_._1) === uninterrupted.sortBy(_._1),
+        "recovered union differs from the uninterrupted run")
+    }
+  }
+
   test("flatMapGroupsWithState ring state survives a kill + RocksDB checkpoint restart") {
     withRocksDb {
       val base = Files.createTempDirectory("graft_ckpt_spike").toString
