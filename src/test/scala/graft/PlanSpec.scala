@@ -200,18 +200,19 @@ class PlanSpec extends SparkSpec {
       "more than one assignment pass — carried vectors re-assigned:\n" + p.take(3000))
   }
 
-  test("rolled ivf plan chains two delta-bounded passes: frozen manifest read, at most two assignment passes") {
+  test("rolled ivf plan is steady-state: frozen rolled-manifest read, one delta-bounded assignment pass") {
     val p = plan(Similarity.ivfRolled(spark, dir))
-    // hop 1 starts from the frozen warehouse manifest, not a recompute
-    assert(p.contains("graft_ivf_base"), "frozen manifest scan missing:\n" + p.take(3000))
-    // each hop assigns only its fresh slice. The visible float_dot sites
-    // are the norm projections of the assignment passes; each hop's fresh
-    // frame is a two-branch union (added ∪ changed) whose projection
-    // Catalyst pushes into both branches — so the chained plan carries at
-    // most 2 hops × 2 branches = 4 sites, every one over a delta-sized
-    // branch. A carried-majority re-assign adds a fifth site and trips.
+    // the update starts from the FROZEN rolled warehouse manifest (hop 1's
+    // output, a ledgered one-time build), not a recompute
+    assert(p.contains("graft_ivf_rolled"), "frozen rolled-manifest scan missing:\n" + p.take(3000))
+    // one hop assigns only its fresh slice. The visible float_dot sites
+    // are the norm projections of the assignment pass; the fresh frame is
+    // a two-branch union (added ∪ changed) whose projection Catalyst
+    // pushes into both branches — so the plan carries at most 2 sites,
+    // both over delta-sized branches. A carried-majority re-assign adds a
+    // third site and trips.
     val sites = "float_dot".r.findAllIn(p).size
-    assert(sites >= 2 && sites <= 4,
+    assert(sites >= 1 && sites <= 2,
       s"assignment-subtree count drifted ($sites sites):\n" + p.take(3000))
   }
 
