@@ -202,6 +202,49 @@ object Sketches {
        |FROM est ORDER BY event_type""".stripMargin
   }
 
+  /** The SIGNED-domain member of the quantile family — the registered row
+    * driving the mirrored store (round-12 signed extension) through the
+    * full driver gate on genuinely mixed-sign data: per-user value DELTAS
+    * (cents − previous cents over (ts, event_id)), roughly half negative,
+    * sketched per event_type with the same bounded O(cells) aggregate.
+    * Before the extension these inputs silently collapsed into cell 0; now
+    * cell order = value order on both sides of zero, the 1/16 bound holds
+    * for negative statistics too (QuantileSketchSpec), and the oracle
+    * reproduces the signed cell/midpoint arithmetic exactly. Plan shape:
+    * one user-keyed window pass for the lag, then the partial-then-final
+    * sketch aggregate — no per-group value sort anywhere. */
+  def quantileSigned(spark: SparkSession, dir: String): DataFrame = {
+    val qs = udaf(graft.functions.QuantileSketch.agg)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("cents", graft.ops.Num.cents(col("value")))
+      .withColumn("dcents", col("cents") - lag(col("cents"), 1).over(w))
+      .filter(col("dcents").isNotNull)
+      .groupBy("event_type")
+      .agg(qs(col("dcents")).as("sk"))
+      .select(col("event_type"),
+        col("sk.p50_cents").as("p50_cents"),
+        col("sk.p90_cents").as("p90_cents"),
+        col("sk.p99_cents").as("p99_cents"),
+        col("sk.n").as("n_events"))
+      .orderBy("event_type")
+  }
+
+  val quantileSignedSql: String = {
+    val cents = graft.ops.Num.centsSql("value")
+    val rel =
+      s"""(SELECT event_type, dcents FROM (
+         |   SELECT event_type,
+         |          $cents - lag($cents) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dcents
+         |   FROM events)
+         | WHERE dcents IS NOT NULL)""".stripMargin
+    val est = graft.functions.QuantileSketch.estimateSql("dcents", rel, "event_type")
+    s"""WITH est AS ($est)
+       |SELECT event_type, p50_cents, p90_cents, p99_cents, n AS n_events
+       |FROM est ORDER BY event_type""".stripMargin
+  }
+
   /** Explicit GROUPING SETS lattice (the general form cube/rollup are sugar
     * for): per-(status, year), per-status, and grand-total levels in one
     * pass. Spark expands the sets into a single Expand + hash aggregate —
@@ -367,6 +410,7 @@ object Sketches {
     Q("k_salted_join", saltedJoin _, saltedJoinSql),
     Q("k_approx_agg", approxAgg _, approxAggSql),
     Q("k_quantile_sketch", quantileSketch _, quantileSketchSql),
+    Q("k_quantile_signed", quantileSigned _, quantileSignedSql),
     Q("k_quantile_shards", quantileShards _, quantileShardsSql),
   )
 }

@@ -174,6 +174,36 @@ class QuantileSketchSpec extends SparkSpec {
     assertFloorRankContract(groups, ests)
   }
 
+  test("k_quantile_signed runs on genuinely mixed-sign deltas and honors the signed floor-rank contract") {
+    val dir = "/root/testdata/sf0.001"
+    val ests = graft.queries.Sketches.quantileSigned(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // recompute the registered input (per-user cents deltas) independently
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val deltas = graft.ops.Tables.events(spark, dir)
+      .withColumn("cents", graft.ops.Num.cents(col("value")))
+      .withColumn("dcents", col("cents") - lag(col("cents"), 1).over(w))
+      .filter(col("dcents").isNotNull)
+      .select(col("event_type"), col("dcents"))
+      .as[(String, Long)].collect().toSeq
+    val groups = deltas.groupMap(_._1)(_._2)
+    // the row genuinely exercises the signed store: both signs present
+    assert(deltas.exists(_._2 < 0L) && deltas.exists(_._2 > 0L),
+      "degenerate deltas: one-signed input would not exercise the mirror")
+    assert(ests.keySet === groups.keySet)
+    for ((g, (p50, p90, p99, n)) <- ests) {
+      val sorted = groups(g).sorted
+      assert(n === sorted.length.toLong, s"group $g count drifted")
+      for (((num, den), est) <- QuantileSketch.Quantiles.zip(Seq(p50, p90, p99))) {
+        val stat = sorted(((num * (n - 1)) / den).toInt)
+        assert(math.abs(est - stat) * 16L <= math.abs(stat),
+          s"group $g q=$num/$den: sketch $est breaks the 1/16 bound vs rank statistic $stat")
+      }
+    }
+  }
+
   test("t_length_quantiles estimates honor the floor-rank contract on its registered groups") {
     val dir = "/root/testdata/sf0.001"
     val ests = graft.ext.Corpus.lengthQuantiles(spark, dir)
