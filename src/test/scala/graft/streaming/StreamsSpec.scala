@@ -290,6 +290,45 @@ class StreamsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: horizon as-of state machine equals the batch bounded-horizon op on random event sets") {
+    // batch-execution mode (no watermark): every purchase either resolves
+    // inside its horizon or horizon-expires to a null row, so — unlike the
+    // unbounded forward property, which must exclude the withheld nulls —
+    // this parity covers the registered batch op COMPLETELY, nulls
+    // included, across random horizons on tie-dense random frames.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val ev = for {
+      u <- Gen.choose(0L, 3L)
+      tpe <- Gen.oneOf("view", "purchase", "click")
+      ts <- Gen.choose(0L, 12L)
+      v <- Gen.choose(0, 99)
+    } yield (u, tpe, ts, v.toDouble)
+    val input = for {
+      evs <- Gen.listOfN(40, ev)
+      h <- Gen.choose(0L, 14L)
+    } yield (evs, h)
+    val prop = Prop.forAll(input) { case (evs, h) =>
+      val df = evs.zipWithIndex
+        .map { case ((u, t, ts, v), i) => (i.toLong, u, t, ts, v) }
+        .toDF("event_id", "user_id", "event_type", "ts_us", "value")
+      val got = Streams.asofForwardUpdates(df.as[Streams.AsofEvent],
+          horizonUs = Some(h))
+        .collect().map(r => (r.event_id, r.user_id, r.ts_us,
+          r.quote_event_id, r.quote_ts_us, r.quote_value)).toSet
+      val want = graft.queries.Sessions.asofHorizonOn(
+          df.select(col("event_id"), col("user_id"), col("event_type"),
+            timestamp_micros(col("ts_us")).as("ts"), col("value")), horizonUs = h)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSet
+      got == want // EVERY purchase row, horizon nulls included
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: forward as-of state machine equals the batch window on random event sets") {
     // batch-execution mode of the fMGWS operator (no watermark → every
     // candidate resolves) vs the registered window-based twin, on random
