@@ -2408,6 +2408,92 @@ object Corpus {
        |  FROM documents WHERE $deltaNewWhereSql),
        |${pipelineManifestCtesFor("newsnap", "oldsnap")}""".stripMargin
 
+  /** Frozen ROLLED manifest warehouse: the s1 snapshot's per-doc feature
+    * table, keep-best election and assembled manifest as PRODUCED BY the
+    * first [[manifestWarehouseUpdateOn]] hop — a LEDGERED build
+    * (`t_manifest_incremental` already measures hop 1's regime), so the
+    * registered rolled row measures the steady state: one update FROM
+    * rolled state. The rolled DUP state is NOT duplicated here —
+    * [[graft.ext.Dedup.frozenRolledWarehouse]] freezes the identical s1
+    * dedup warehouse (same inputs, deterministic update), so the two
+    * families keep sharing one warehouse across the WHOLE snapshot
+    * timeline, not just at the base. */
+  private val manifestRolledCache = new graft.ops.FrozenCaches.Memo[Unit, String](
+    beforeClear = _.forEach(graft.ops.FrozenCaches.deleteTree(_)),
+    label = "manifest_rolled")
+
+  private def frozenRolledManifestBase(spark: SparkSession, dir: String): String =
+    manifestRolledCache.get(dir, ()) {
+      val docs = Tables.documents(spark, dir)
+      val s0 = deltaOldSlice(docs)
+      val s1 = deltaNewSlice(docs)
+      val (base, thrTot, thrN) = frozenManifestBase(spark, dir)
+      val (mPath, ePath, sPath) = graft.ext.Dedup.frozenIncrementalBase(spark, dir, s0)
+      val w1 = manifestWarehouseUpdateOn(spark, s0, s1,
+        featOld = spark.read.parquet(s"$base/features.parquet"),
+        kbOld = spark.read.parquet(s"$base/kb.parquet"),
+        dupManifestOld = spark.read.parquet(mPath),
+        dupEdgesOld = spark.read.parquet(ePath),
+        dupSigsOld = spark.read.parquet(sPath),
+        census = spark.read.parquet(s"$base/census.parquet"),
+        weights = spark.read.parquet(s"$base/weights.parquet"),
+        thrTot = thrTot, thrN = thrN,
+        evalh = spark.read.parquet(s"$base/evalh.parquet"))
+      val out = java.nio.file.Files.createTempDirectory("graft_manifest_rolled").toString
+      w1.features.write.parquet(s"$out/features.parquet")
+      w1.kb.write.parquet(s"$out/kb.parquet")
+      w1.manifest.write.parquet(s"$out/manifest.parquet")
+      w1.release()
+      out
+    }
+
+  /** The registered STEADY-STATE rolled update — the manifest family's
+    * `dd_clusters_rolled` twin, completing the trio: hop 1 (the registered
+    * churn) freezes once per corpus as the rolled warehouse, and this row
+    * measures hop 2 FROM rolled state under the frozen base-time models:
+    * s1→s2 re-adds hop 1's removed class, retires
+    * [[graft.ext.Dedup.RolledRemoved2]] and revises
+    * [[graft.ext.Dedup.RolledChanged2]] (the churn-series convention
+    * ManifestIncrSpec already proves composes, through an independent code
+    * path). Dup state comes from the dedup family's OWN frozen rolled
+    * warehouse — one shared timeline. Oracle: a genuinely from-scratch
+    * rebuild of the final snapshot with the model relations pointed at the
+    * old snapshot; no incremental formulation anywhere. */
+  def manifestRolled(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val s1 = deltaNewSlice(docs)
+    val s2 = graft.ext.Dedup.rolledFinalSlice(docs)
+    val (base, thrTot, thrN) = frozenManifestBase(spark, dir)
+    val rb = frozenRolledManifestBase(spark, dir)
+    val (m1, e1, g1) = graft.ext.Dedup.frozenRolledWarehouse(spark, dir)
+    manifestWarehouseUpdateOn(spark, s1, s2,
+      featOld = spark.read.parquet(s"$rb/features.parquet"),
+      kbOld = spark.read.parquet(s"$rb/kb.parquet"),
+      dupManifestOld = spark.read.parquet(m1),
+      dupEdgesOld = spark.read.parquet(e1),
+      dupSigsOld = spark.read.parquet(g1),
+      census = spark.read.parquet(s"$base/census.parquet"),
+      weights = spark.read.parquet(s"$base/weights.parquet"),
+      thrTot = thrTot, thrN = thrN,
+      evalh = spark.read.parquet(s"$base/evalh.parquet"))
+      .manifest.orderBy("doc_id")
+  }
+
+  lazy val manifestRolledSql: String = {
+    val (mod, chg, chg2, rem2) = (DeltaMod, DeltaChanged,
+      graft.ext.Dedup.RolledChanged2, graft.ext.Dedup.RolledRemoved2)
+    s"""WITH oldsnap AS (
+       |  SELECT doc_id, text, lang, source FROM documents WHERE $deltaOldWhereSql),
+       |rolledsnap AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % $mod = $chg THEN text || ' [rev2]'
+       |              WHEN doc_id % $mod = $chg2 THEN text || ' [rev3]'
+       |              ELSE text END AS text,
+       |         lang, source
+       |  FROM documents WHERE doc_id % $mod <> $rem2),
+       |${pipelineManifestCtesFor("rolledsnap", "oldsnap")}""".stripMargin
+  }
+
   /** Frozen NEW-snapshot manifest table — the incremental update's output
     * written once per corpus, the production shape (the update JOB writes
     * the refreshed manifest table; downstream readers consume the table,
@@ -2565,6 +2651,7 @@ object Corpus {
     Q("t_manifest_base", manifestBase _, manifestBaseSql),
     Q("t_manifest_delta", manifestDelta _, manifestDeltaSql),
     Q("t_manifest_incremental", manifestIncremental _, manifestIncrementalSql),
+    Q("t_manifest_rolled", manifestRolled _, manifestRolledSql),
     Q("t_pack_efficiency", packEfficiency _, packEfficiencySql),
     Q("t_decontaminate", decontaminate _, decontaminateSql),
     // same semantics as t_decontaminate (bloom only PRUNES; the exact

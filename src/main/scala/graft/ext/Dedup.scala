@@ -1243,7 +1243,7 @@ object Dedup {
           java.nio.file.Paths.get(p._1).getParent.toString)),
       label = "dup_rolled_base")
 
-  private def frozenRolledWarehouse(spark: SparkSession, dir: String): (String, String, String) =
+  private[ext] def frozenRolledWarehouse(spark: SparkSession, dir: String): (String, String, String) =
     rolledBaseCache.get(dir, (NumHashes, NumBands)) {
       val docs = Tables.documents(spark, dir)
       val s0 = graft.ext.Corpus.deltaOldSlice(docs)
