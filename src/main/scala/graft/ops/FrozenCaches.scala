@@ -29,8 +29,29 @@ object FrozenCaches {
   def clearAll(): Unit = hooks.forEach(h => h())
 
   /** One frozen-artifact build event: which artifact, for which corpus,
-    * and how long the builder ran. */
+    * and how long the builder ran EXCLUSIVE of nested labeled builds —
+    * a builder that triggers another labeled memo's build (e.g. the
+    * manifest-base bootstrap touching the dup warehouse's `dup_incr_base`)
+    * logs only its own time, and the nested build logs its own entry. This
+    * makes the ledger ADDITIVE (artifact secs sum to total labeled build
+    * wall time, each second counted once) and ORDER-INDEPENDENT: an
+    * artifact's number no longer depends on whether its sub-artifacts were
+    * prebuilt by an earlier query, so cost cannot silently migrate between
+    * artifacts that share sub-builds across rounds (round-13 watch item:
+    * `funnel_manifest` 38.8→6.9 s while `manifest_base` 21.7→66.4 s read
+    * as a regression when it was attribution). */
   final case class BuildEvent(artifact: String, dir: String, sec: Double)
+
+  // Per-thread stack of in-flight LABELED builds: each frame accumulates
+  // the wall time of nested labeled builds so the parent can subtract it.
+  // Nesting is same-thread by construction (a builder body calls the
+  // nested memo synchronously); unlabeled builds don't push a frame, so
+  // their time stays inside the nearest labeled ancestor (it is invisible
+  // to the ledger either way).
+  private val inFlight = new ThreadLocal[java.util.ArrayDeque[Array[Double]]] {
+    override def initialValue(): java.util.ArrayDeque[Array[Double]] =
+      new java.util.ArrayDeque[Array[Double]]()
+  }
 
   // ---------------------------------------------------------- build ledger
   // Every labeled Memo build is recorded here so a bench harness can say
@@ -129,10 +150,28 @@ object FrozenCaches {
           if (e.getKey._1 == dir && e.getKey._3 == k) { stale.add(e.getValue); it.remove() }
         }
         if (beforeClear != null && !stale.isEmpty) beforeClear(stale)
-        val t0 = System.nanoTime()
-        val v = build
-        if (label != null)
-          buildLog.add(BuildEvent(label, dir, (System.nanoTime() - t0) / 1e9))
+        val v =
+          if (label == null) build
+          else {
+            val stack = inFlight.get()
+            stack.push(Array(0.0)) // nested labeled-build seconds
+            val t0 = System.nanoTime()
+            var exclusive = 0.0
+            val built =
+              try build
+              finally {
+                // the stack unwinds even on a failed build (the parent's
+                // accounting must survive), but only a SUCCESSFUL build
+                // logs an event — a thrown builder caches nothing and
+                // records nothing, as before
+                val total = (System.nanoTime() - t0) / 1e9
+                val nested = stack.pop()(0)
+                if (!stack.isEmpty) stack.peek()(0) += total
+                exclusive = total - nested
+              }
+            buildLog.add(BuildEvent(label, dir, exclusive))
+            built
+          }
         m.put(key, v)
         v
       }

@@ -77,6 +77,46 @@ class FrozenCachesSpec extends SparkSpec {
     }
   }
 
+  test("build ledger: nested labeled builds log EXCLUSIVE time (order-independent attribution)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fp_ledger").toString
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(tmp, "a.txt"), "x")
+      val child = new FrozenCaches.Memo[Unit, Int](label = "spec_child")
+      val parent = new FrozenCaches.Memo[Unit, Int](label = "spec_parent")
+      FrozenCaches.drainBuildLog()
+      parent.get(tmp, ()) {
+        Thread.sleep(60)
+        child.get(tmp, ()) { Thread.sleep(120); 1 } + 1
+      }
+      val events = FrozenCaches.drainBuildLog()
+        .filter(e => e.artifact.startsWith("spec_"))
+        .map(e => e.artifact -> e.sec).toMap
+      // child logs its full 120ms; parent logs ONLY its own ~60ms — the
+      // nested child time is subtracted, so the two entries are additive
+      // and the parent's number is the same whether or not the child was
+      // prebuilt (the round-13 ledger-migration watch item)
+      assert(events("spec_child") >= 0.10, s"child ${events("spec_child")}")
+      assert(events("spec_parent") >= 0.05 && events("spec_parent") < 0.11,
+        s"parent logged ${events("spec_parent")} — nested time not excluded")
+      // prebuilt-child control: a second parent build over fresh data with
+      // the child already cached logs the same-sized parent entry
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(tmp, "a.txt"), "yy")
+      child.get(tmp, ()) { Thread.sleep(120); 1 }
+      FrozenCaches.drainBuildLog()
+      parent.get(tmp, ()) { Thread.sleep(60); child.get(tmp, ())(99) + 1 }
+      val events2 = FrozenCaches.drainBuildLog()
+        .filter(_.artifact == "spec_parent").map(_.sec)
+      assert(events2.nonEmpty && events2.head >= 0.05 && events2.head < 0.11,
+        s"prebuilt-child parent logged ${events2.headOption}")
+      // a thrown builder logs nothing and caches nothing, but the parent
+      // accounting stack must still unwind cleanly
+      val boom = new FrozenCaches.Memo[Unit, Int](label = "spec_boom")
+      intercept[RuntimeException](boom.get(tmp, ())(throw new RuntimeException("nope")))
+      assert(!FrozenCaches.drainBuildLog().exists(_.artifact == "spec_boom"))
+      assert(boom.get(tmp, ())(7) === 7) // rebuild after failure works
+    } finally FrozenCaches.deleteTree(tmp)
+  }
+
   test("clearAll invalidates the frozen census/sketch/model caches; rebuilds are identical") {
     val fluencyBefore = graft.ext.Text.lmFluency(spark, dir).collect().map(_.toSeq).toSeq
     val hhBefore = graft.ext.Text.heavyHitters(spark, dir).collect().map(_.toSeq).toSeq
