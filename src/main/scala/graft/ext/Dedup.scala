@@ -1216,7 +1216,7 @@ object Dedup {
     * revisions applied, hop-1's removed class back, [[RolledRemoved2]]
     * out. Shared with DedupSpec so the spec's churn-class assertions can't
     * drift from the registered construction. */
-  private[ext] def rolledFinalSlice(docs: DataFrame): DataFrame = {
+  private[graft] def rolledFinalSlice(docs: DataFrame): DataFrame = {
     val r = pmod(col("doc_id"), lit(graft.ext.Corpus.DeltaMod))
     docs
       .withColumn("text",

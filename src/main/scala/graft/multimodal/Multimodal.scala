@@ -466,9 +466,10 @@ object Multimodal {
   }
 
   /** Banded candidate pairs with their full hamming distance — the shared
-    * stage behind the dedup cut and the threshold curve. */
-  private def dctBandPairs(spark: SparkSession, dir: String): DataFrame = {
-    val bands = dctBands(dctHashOn(fromDocuments(Tables.documents(spark, dir))).toDF())
+    * stage behind the dedup cut, the threshold curve, and (re-pointed at a
+    * snapshot slice) the warehouse family's from-scratch oracle twin. */
+  private[graft] def dctBandPairsOn(docs: DataFrame): DataFrame = {
+    val bands = dctBands(dctHashOn(fromDocuments(docs)).toDF())
     bands.as("l").join(bands.as("r"),
         col("l.band_idx") === col("r.band_idx") && col("l.band") === col("r.band")
           && col("l.doc_id") < col("r.doc_id"))
@@ -476,6 +477,9 @@ object Multimodal {
         bit_count(col("l.phash").bitwiseXOR(col("r.phash"))).cast("long").as("hamming"))
       .distinct()
   }
+
+  private def dctBandPairs(spark: SparkSession, dir: String): DataFrame =
+    dctBandPairsOn(Tables.documents(spark, dir))
 
   /** Incremental candidates: banded pairs between NEW hashes and the full
     * hash set (old ∪ new), normalized to doc_a < doc_b, with the exact
@@ -534,14 +538,14 @@ object Multimodal {
     * wraps), then the band/hamming pairing. [[dctDedupSql]] and
     * [[hammingCurveSql]] both COMPOSE this val (no string surgery on a
     * finished query), so their pair semantics cannot drift. */
-  private val dctPairsCtes: String = {
+  private[graft] def dctPairsCtesBodyFor(rel: String): String = {
     val bLit = DctBasis.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
     val bandBits = 64 / DctBands
     val mask = (1L << bandBits) - 1
     val ks = (0 until DctBands).mkString(", ")
-    s"""WITH m AS (
+    s"""m AS (
        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
-       |  FROM documents),
+       |  FROM $rel),
        |d AS (SELECT doc_id, hx, n, greatest(1, n // 64) AS w FROM m),
        |px AS (
        |  SELECT doc_id, list_transform(generate_series(0, 63), i ->
@@ -573,6 +577,8 @@ object Multimodal {
        |  GROUP BY 1, 2, 3)""".stripMargin
   }
 
+  private val dctPairsCtes: String = "WITH " + dctPairsCtesBodyFor("documents")
+
   /** Oracle twin of the banded perceptual-hash dedup: the shared
     * [[dctPairsCtes]] chain, then the hamming-thresholded pair listing. */
   val dctDedupSql: String =
@@ -594,6 +600,228 @@ object Multimodal {
        |       l.hamming < $DctBands AS is_complete
        |FROM lv l LEFT JOIN hist h ON l.hamming = h.hamming
        |ORDER BY hamming""".stripMargin
+
+  // ------------------------------------- media dedup warehouse maintenance
+  /** The media near-dup warehouse of one snapshot: the per-object DCT hash
+    * index (doc_id, media_type, phash — 16 bytes/object, the persistent
+    * artifact an image-dedup service keeps) and the qualifying near-dup
+    * pair table (doc_a < doc_b, hamming). What [[frozenMediaBase]] freezes
+    * at bootstrap and [[mediaWarehouseUpdateOn]] both consumes and
+    * produces, so daily media snapshots chain state → state → state
+    * without ever re-hashing (= re-decoding) the untouched majority — the
+    * text dedup family's [[graft.ext.Dedup.DupWarehouse]] ladder, extended
+    * to the canonical append-mostly 100 TB source. */
+  case class MediaWarehouse(hashes: DataFrame, pairs: DataFrame) {
+    /** Release any cached blocks this state holds (no-op on frames that
+      * were never persisted) — the [[graft.ext.Dedup.DupWarehouse]]
+      * release discipline for chained ingestion loops. */
+    def release(): Unit = Seq(hashes, pairs).foreach(_.unpersist())
+  }
+
+  /** Snapshot reconciliation for MEDIA: same four status classes as
+    * [[graft.ext.Corpus.snapshotDeltaOn]], but fingerprinting the RAW
+    * payload bytes, not normalized text — the warehouse key is the
+    * payload, and a byte-level change (case, whitespace) that text
+    * normalization would erase still changes the decoded pixels and
+    * therefore the DCT hash. NULL-payload docs coalesce to a sentinel, so
+    * fp nullness stays a pure presence signal. */
+  def mediaDeltaOn(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def fp(df: DataFrame) = df.select(col("doc_id"),
+      coalesce(md5(encode(col("text"), "UTF-8")), lit("<null>")).as("fp"))
+    fp(oldDocs).as("o").join(fp(newDocs).as("n"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("o.fp").isNull, lit("added"))
+          .when(col("n.fp").isNull, lit("removed"))
+          .when(col("o.fp") =!= col("n.fp"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
+  /** One incremental hop of the media dedup warehouse: reconcile the old
+    * snapshot's (hash index, pair table) to the new snapshot, hashing —
+    * i.e. DECODING — only the added ∪ changed slice.
+    *
+    * Exactness: the warehouse pair relation is band-collision ∧ hamming ≤
+    * `hamMax`, a pure function of the two objects' hashes. An unchanged
+    * doc's payload (hence hash, hence every band) is unchanged, so a pair
+    * between two unchanged docs can neither appear nor vanish — surviving
+    * old pairs (neither endpoint removed/changed) are carried verbatim,
+    * and every other qualifying pair involves a fresh doc, which
+    * [[dctCandidatesAgainst]] (fresh × all, both sides banded identically
+    * to the batch build) emits exactly once. The union is therefore
+    * EXACTLY the from-scratch [[dctDedup]] of the new snapshot — the
+    * oracle contract of `mm_dedup_incremental`, and MultimodalSpec's
+    * N-random-delta chain property.
+    *
+    * Scale shape: one codec pass over |delta| objects, one band-bucket
+    * join of |delta| rows against the index, anti-joins on the delta's
+    * ids — never corpus × corpus, and never a second decode of a stored
+    * object. `precomputedDelta` / `precomputedFreshHashes` are the
+    * streamed-ingest seams ([[graft.streaming.Streams.mediaDedupBatches]]
+    * hashes at stream time; the reconcile then reuses those rows instead
+    * of re-deriving them) — both must derive from the same (oldDocs,
+    * newDocs) pair, and `precomputedFreshHashes` must cover exactly the
+    * added ∪ changed slice of the new snapshot. */
+  def mediaWarehouseUpdateOn(oldDocs: DataFrame, newDocs: DataFrame,
+                             oldHashes: DataFrame, oldPairs: DataFrame,
+                             hamMax: Int = DctHamMax,
+                             precomputedDelta: Option[DataFrame] = None,
+                             precomputedFreshHashes: Option[DataFrame] = None): MediaWarehouse = {
+    // |delta|-bounded frames are eagerly localCheckpoint'ed (the
+    // dupWarehouseUpdateOn lineage discipline): each is consumed by 2-3
+    // downstream branches, and checkpointing truncates every reference to
+    // an ExistingRDD leaf instead of re-embedding the full logical subtree
+    val delta = precomputedDelta.getOrElse(
+      mediaDeltaOn(oldDocs, newDocs).localCheckpoint())
+    val gone = delta.filter(col("status").isin("removed", "changed")).select("doc_id")
+    val fresh = delta.filter(col("status").isin("added", "changed")).select("doc_id")
+    val freshFp = (precomputedFreshHashes match {
+      case Some(pre) =>
+        // coverage fail-fast (both directions, |delta|-bounded jobs): a
+        // precomputed frame missing a fresh id would silently drop that
+        // object from the index and every pair it forms; an EXTRA id
+        // would duplicate index rows. Fail loudly instead.
+        val missing = fresh.join(pre, Seq("doc_id"), "left_anti").limit(1).count()
+        require(missing == 0,
+          "precomputedFreshHashes does not cover every added/changed doc_id")
+        val extra = pre.select("doc_id").join(fresh, Seq("doc_id"), "left_anti").limit(1).count()
+        require(extra == 0,
+          "precomputedFreshHashes contains doc_ids outside the added/changed slice")
+        pre
+      case None =>
+        dctHashOn(fromDocuments(newDocs.join(fresh, Seq("doc_id"), "left_semi"))).toDF()
+    }).localCheckpoint()
+    // the new snapshot's hash index: carried hashes + the fresh slice's —
+    // no stored object is ever re-decoded
+    val hashesNew = oldHashes.join(gone, Seq("doc_id"), "left_anti")
+      .unionByName(freshFp)
+    // qualifying pairs that touch a fresh doc, each emitted exactly once
+    val freshPairs = dctCandidatesAgainst(freshFp, hashesNew)
+      .filter(col("hamming") <= lit(hamMax))
+      .localCheckpoint()
+    // old pairs that survive: neither endpoint removed/changed
+    val keptPairs = oldPairs
+      .join(gone.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
+      .join(gone.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
+      .select("doc_a", "doc_b", "hamming")
+    MediaWarehouse(hashesNew, keptPairs.unionByName(freshPairs))
+  }
+
+  /** Frozen media warehouse of the simulated OLD snapshot (hash index +
+    * pair table), built once per corpus — what a media ingest pipeline has
+    * on disk when a new snapshot lands, so the registered incremental row
+    * measures the UPDATE, not the bootstrap (the
+    * [[graft.ext.Dedup.frozenIncrementalBase]] discipline). */
+  private val mediaBaseCache =
+    new graft.ops.FrozenCaches.Memo[Int, (String, String)](
+      beforeClear = _.forEach(p =>
+        graft.ops.FrozenCaches.deleteTree(
+          java.nio.file.Paths.get(p._1).getParent.toString)),
+      label = "mm_incr_base")
+
+  private[graft] def frozenMediaBase(spark: SparkSession, dir: String): (String, String) =
+    mediaBaseCache.get(dir, DctHamMax) {
+      val old = graft.ext.Corpus.deltaOldSlice(Tables.documents(spark, dir))
+      val base = java.nio.file.Files.createTempDirectory("graft_mm_incr_base").toString
+      // one hash pass feeds the index freeze AND the pair build
+      val fp = dctHashOn(fromDocuments(old)).toDF().persist()
+      fp.write.parquet(s"$base/hashes.parquet")
+      val bands = dctBands(fp)
+      bands.as("l").join(bands.as("r"),
+          col("l.band_idx") === col("r.band_idx") && col("l.band") === col("r.band")
+            && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+          bit_count(col("l.phash").bitwiseXOR(col("r.phash"))).cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= lit(DctHamMax))
+        .write.parquet(s"$base/pairs.parquet")
+      fp.unpersist()
+      (s"$base/hashes.parquet", s"$base/pairs.parquet")
+    }
+
+  /** Registered incremental media-dedup update — the multimodal rung of
+    * the warehouse ladder (VERDICT r13 #2): the old snapshot's frozen
+    * (hash index, pair table) reconciled to the new snapshot at the
+    * registered 6% churn, decoding only the fresh slice. Oracle: the
+    * from-scratch banded DCT pairing over the NEW snapshot — no
+    * incremental formulation anywhere; the update earns its row by
+    * landing on the rebuild exactly. */
+  def mediaDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val old = graft.ext.Corpus.deltaOldSlice(docs)
+    val nw = graft.ext.Corpus.deltaNewSlice(docs)
+    val (hPath, pPath) = frozenMediaBase(spark, dir)
+    mediaWarehouseUpdateOn(old, nw,
+        spark.read.parquet(hPath), spark.read.parquet(pPath))
+      .pairs.orderBy("doc_a", "doc_b")
+  }
+
+  val mediaDedupIncrementalSql: String =
+    s"""WITH newsnap AS (
+       |  SELECT doc_id, ${graft.ext.Corpus.deltaNewTextSql} AS text
+       |  FROM documents WHERE ${graft.ext.Corpus.deltaNewWhereSql}),
+       |${dctPairsCtesBodyFor("newsnap")}
+       |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+       |FROM pairs WHERE hamming <= $DctHamMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Frozen ROLLED media warehouse: the s1 snapshot's (hash index, pairs)
+    * as PRODUCED BY the first [[mediaWarehouseUpdateOn]] hop — not a
+    * bootstrap — persisted once per corpus, so the registered rolled row
+    * measures hop 2 FROM rolled state (the daily regime) and hop 1's cost
+    * stays ledgered where `mm_dedup_incremental` already measures it. The
+    * churn classes are shared VERBATIM with the text families
+    * ([[graft.ext.Dedup.rolledFinalSlice]]) — one timeline across text
+    * and media, as the manifest family already shares with dedup. */
+  private val mediaRolledCache =
+    new graft.ops.FrozenCaches.Memo[Int, (String, String)](
+      beforeClear = _.forEach(p =>
+        graft.ops.FrozenCaches.deleteTree(
+          java.nio.file.Paths.get(p._1).getParent.toString)),
+      label = "mm_rolled_base")
+
+  private[graft] def frozenMediaRolled(spark: SparkSession, dir: String): (String, String) =
+    mediaRolledCache.get(dir, DctHamMax) {
+      val docs = Tables.documents(spark, dir)
+      val s0 = graft.ext.Corpus.deltaOldSlice(docs)
+      val s1 = graft.ext.Corpus.deltaNewSlice(docs)
+      val (hPath, pPath) = frozenMediaBase(spark, dir)
+      val w1 = mediaWarehouseUpdateOn(s0, s1,
+        spark.read.parquet(hPath), spark.read.parquet(pPath))
+      val base = java.nio.file.Files.createTempDirectory("graft_mm_rolled").toString
+      w1.hashes.write.parquet(s"$base/hashes.parquet")
+      w1.pairs.write.parquet(s"$base/pairs.parquet")
+      w1.release()
+      (s"$base/hashes.parquet", s"$base/pairs.parquet")
+    }
+
+  /** Registered steady-state rolled update: hop 2 of the media ingestion
+    * loop FROM the frozen rolled warehouse (hop 1 is a ledgered build —
+    * `mm_dedup_incremental` already measures that regime), against the
+    * same rolled final snapshot the text families chain to. Oracle: the
+    * from-scratch banded DCT pairing over that final snapshot. */
+  def mediaDedupRolled(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val s1 = graft.ext.Corpus.deltaNewSlice(docs)
+    val s2 = graft.ext.Dedup.rolledFinalSlice(docs)
+    val (hPath, pPath) = frozenMediaRolled(spark, dir)
+    mediaWarehouseUpdateOn(s1, s2,
+        spark.read.parquet(hPath), spark.read.parquet(pPath))
+      .pairs.orderBy("doc_a", "doc_b")
+  }
+
+  val mediaDedupRolledSql: String = {
+    val mod = graft.ext.Corpus.DeltaMod
+    s"""WITH s2 AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % $mod = ${graft.ext.Corpus.DeltaChanged} THEN text || ' [rev2]'
+       |              WHEN doc_id % $mod = ${graft.ext.Dedup.RolledChanged2} THEN text || ' [rev3]'
+       |              ELSE text END AS text
+       |  FROM documents WHERE doc_id % $mod <> ${graft.ext.Dedup.RolledRemoved2}),
+       |${dctPairsCtesBodyFor("s2")}
+       |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+       |FROM pairs WHERE hamming <= $DctHamMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   // ---------------------------------------------- image-text alignment gate
   /** CLIP-style cross-modal alignment filter (Radford et al. 2021; the
@@ -684,6 +912,68 @@ object Multimodal {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------- multimodal pipeline manifest
+  /** The composed per-document manifest a MULTIMODAL training run consumes
+    * (VERDICT r13 #3) — the media twin of `t_pipeline_manifest`, zero own
+    * logic: the alignment verdict comes from the registered gate entry
+    * point [[alignFilterOn]] (CLIP-style cosine gate), and near-dup
+    * survivorship from the registered [[dctDedup]] pair relation (banded
+    * 64-bit DCT hash, hamming ≤ [[DctHamMax]]), with the same
+    * keep-smallest-id rule the family's `mm_phash_dedup`
+    * `canonical_doc_id` and the reference's keep-first dedup (§2 A2)
+    * already use: a document is media-canonical iff it is not the greater
+    * endpoint of any qualifying pair. The manifest spine is the alignment
+    * gate's domain — documents with media AND an embedding row (the
+    * image-tower output the gate scores against).
+    *
+    * Scale shape: one id-keyed gate join + one banded pair join + two
+    * |pair|-bounded anti-join-shaped left joins — no corpus × corpus
+    * stage, and each gate keeps its own registered plan. */
+  def mmPipelineManifestOn(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val af = alignFilterOn(docs, embeddings)
+    val qual = dctBandPairsOn(docs)
+      .filter(col("hamming") <= lit(DctHamMax)).select("doc_a", "doc_b")
+      // |pairs| is tiny next to the corpus; checkpoint so the banded-join
+      // subtree isn't re-planned once per consuming branch below
+      .localCheckpoint()
+    val members = qual.select(col("doc_a").as("doc_id"))
+      .union(qual.select(col("doc_b").as("doc_id"))).distinct()
+      .withColumn("nd_member", lit(true))
+    val droppedNd = qual.select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("nd_dropped", lit(true))
+    af.join(members, Seq("doc_id"), "left")
+      .join(droppedNd, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("media_type"), col("align_cos"),
+        col("keep").as("pass_align"),
+        coalesce(col("nd_member"), lit(false)).as("has_neardup"),
+        (!coalesce(col("nd_dropped"), lit(false))).as("is_media_canonical"),
+        (col("keep") && !coalesce(col("nd_dropped"), lit(false))).as("mm_kept"))
+      .orderBy("doc_id")
+  }
+
+  def mmPipelineManifest(spark: SparkSession, dir: String): DataFrame =
+    mmPipelineManifestOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+
+  /** Oracle: the two gates' OWN oracle SQLs composed — [[alignFilterSql]]
+    * embedded whole as the `af` CTE, the pair relation via the shared
+    * [[dctPairsCtesBodyFor]] chain — then the same keep-smallest-id
+    * survivorship join (the `pipelineManifestCtesFor` discipline). */
+  val mmPipelineManifestSql: String =
+    s"""WITH ${dctPairsCtesBodyFor("documents")},
+       |qual AS (SELECT doc_a, doc_b FROM pairs WHERE hamming <= $DctHamMax),
+       |af AS ($alignFilterSql),
+       |mem AS (SELECT DISTINCT doc_id FROM
+       |          (SELECT doc_a AS doc_id FROM qual UNION ALL SELECT doc_b FROM qual)),
+       |nd AS (SELECT DISTINCT doc_b AS doc_id FROM qual)
+       |SELECT a.doc_id, a.media_type, a.align_cos, a.keep AS pass_align,
+       |       (mem.doc_id IS NOT NULL) AS has_neardup,
+       |       (nd.doc_id IS NULL) AS is_media_canonical,
+       |       (a.keep AND nd.doc_id IS NULL) AS mm_kept
+       |FROM af a
+       |LEFT JOIN mem ON a.doc_id = mem.doc_id
+       |LEFT JOIN nd ON a.doc_id = nd.doc_id
+       |ORDER BY a.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("mm_media_meta", mediaMeta _, mediaMetaSql),
     Q("mm_align_filter", alignFilter _, alignFilterSql),
@@ -691,6 +981,9 @@ object Multimodal {
     Q("mm_frame_sample", frameSample _, frameSampleSql),
     Q("mm_phash_dedup", phashDedup _, phashDedupSql),
     Q("mm_dct_dedup", dctDedup _, dctDedupSql),
+    Q("mm_dedup_incremental", mediaDedupIncremental _, mediaDedupIncrementalSql),
+    Q("mm_dedup_rolled", mediaDedupRolled _, mediaDedupRolledSql),
     Q("mm_hamming_curve", hammingCurve _, hammingCurveSql),
+    Q("mm_pipeline_manifest", mmPipelineManifest _, mmPipelineManifestSql),
   )
 }

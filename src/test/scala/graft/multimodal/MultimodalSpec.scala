@@ -200,5 +200,196 @@ class MultimodalSpec extends SparkSpec {
     assert(atCut === Multimodal.dctDedup(spark, dir).count(),
       "curve at DctHamMax diverges from mm_dct_dedup")
   }
+
+  // ------------------------------------- media dedup warehouse maintenance
+  // Texts chosen so the toy corpus genuinely forms near-dup pairs:
+  // identical payloads hash identically (hamming 0), and a few distinct
+  // payloads sit at various distances.
+  private val mediaPool = Vector(
+    "alpha beta gamma delta epsilon zeta eta theta",
+    "one two three four five six seven eight nine ten",
+    "red orange yellow green blue indigo violet",
+    "north south east west up down left right")
+
+  private def snapDf(m: Map[Long, String]) =
+    m.toSeq.sortBy(_._1).map { case (id, t) => (id, t, s"s$id") }
+      .toDF("doc_id", "text", "source")
+
+  private def scratchHashes(d: org.apache.spark.sql.DataFrame) =
+    Multimodal.dctHashOn(Multimodal.fromDocuments(d)).toDF()
+
+  private def scratchPairs(d: org.apache.spark.sql.DataFrame) =
+    Multimodal.dctBandPairsOn(d)
+      .filter(col("hamming") <= lit(Multimodal.DctHamMax.toLong))
+
+  private def collectWh(w: Multimodal.MediaWarehouse) = (
+    w.hashes.as[(Long, String, Long)].collect().toSet,
+    w.pairs.as[(Long, Long, Long)].collect().toSet)
+
+  test("media warehouse: one update hop over every delta class equals the from-scratch build") {
+    val old = snapDf(Map(
+      1L -> mediaPool(0), 2L -> mediaPool(0), 3L -> mediaPool(1),
+      4L -> mediaPool(2), 5L -> mediaPool(3)))
+    // 2 changed (joins 3's group), 4 removed, 6+7 added as a fresh pair
+    val nw = snapDf(Map(
+      1L -> mediaPool(0), 2L -> mediaPool(1), 3L -> mediaPool(1),
+      5L -> mediaPool(3), 6L -> mediaPool(2), 7L -> mediaPool(2)))
+    val st = Multimodal.mediaWarehouseUpdateOn(old, nw,
+      scratchHashes(old), scratchPairs(old))
+    val (h, p) = collectWh(st)
+    assert(h === scratchHashes(nw).as[(Long, String, Long)].collect().toSet,
+      "hash index drifted from the from-scratch build")
+    assert(p === scratchPairs(nw).as[(Long, Long, Long)].collect().toSet,
+      "pair table drifted from the from-scratch build")
+    assert(p.exists { case (a, b, _) => a == 6L && b == 7L }, "added pair missing")
+    assert(!p.exists { case (a, b, _) => a == 4L || b == 4L }, "removed doc still paired")
+  }
+
+  test("media warehouse: no-churn update is a fixpoint and decodes nothing") {
+    val s = snapDf(Map(1L -> mediaPool(0), 2L -> mediaPool(0), 3L -> mediaPool(1)))
+    val hashes = scratchHashes(s).localCheckpoint()
+    val pairs = scratchPairs(s).localCheckpoint()
+    val st = Multimodal.mediaWarehouseUpdateOn(s, s, hashes, pairs)
+    assert(collectWh(st) === ((
+      hashes.as[(Long, String, Long)].collect().toSet,
+      pairs.as[(Long, Long, Long)].collect().toSet)))
+    // the fresh slice of a no-churn delta is empty — nothing re-decoded
+    assert(Multimodal.mediaDeltaOn(s, s)
+      .filter(col("status") =!= lit("unchanged")).count() === 0)
+  }
+
+  test("property: N random media deltas chained through the warehouse update equal the from-scratch build") {
+    // the multimodal rung of the ladder's induction step (VERDICT r14 #2):
+    // random add/remove/change mixes, empty deltas and drained snapshots
+    // included — the rolled warehouse (hash index AND pair table) must
+    // land on the from-scratch build of the final snapshot
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def seqGen[A](gs: List[Gen[A]]): Gen[List[A]] =
+      gs.foldRight(Gen.const(List.empty[A]))((g, acc) => for { h <- g; t <- acc } yield h :: t)
+    def stepGen(cur: Map[Long, String]): Gen[Map[Long, String]] =
+      seqGen((1L to 9L).toList.map { id =>
+        cur.get(id) match {
+          case Some(t) => Gen.frequency(
+            2 -> Gen.const(id -> Option.empty[String]),
+            3 -> Gen.oneOf(mediaPool.filterNot(_ == t)).map(nt => id -> Option(nt)),
+            5 -> Gen.const(id -> Option(t)))
+          case None => Gen.frequency(
+            3 -> Gen.oneOf(mediaPool).map(nt => id -> Option(nt)),
+            7 -> Gen.const(id -> Option.empty[String]))
+        }
+      }).map(_.collect { case (id, Some(t)) => id -> t }.toMap)
+    val chainGen = for {
+      s0 <- stepGen((1L to 9L).map(_ -> mediaPool.head).toMap)
+      s1 <- stepGen(s0)
+      s2 <- stepGen(s1)
+      s3 <- stepGen(s2)
+    } yield List(s0, s1, s2, s3)
+    def ckpt(w: Multimodal.MediaWarehouse) = Multimodal.MediaWarehouse(
+      w.hashes.localCheckpoint(), w.pairs.localCheckpoint())
+    val prop = Prop.forAll(chainGen) { chain =>
+      val snaps = chain.map(snapDf)
+      var st = ckpt(Multimodal.MediaWarehouse(
+        scratchHashes(snaps.head), scratchPairs(snaps.head)))
+      for ((prev, next) <- snaps.zip(snaps.tail)) {
+        val raw = Multimodal.mediaWarehouseUpdateOn(prev, next, st.hashes, st.pairs)
+        val rolled = ckpt(raw)
+        st.release(); raw.release()
+        st = rolled
+      }
+      val (h, p) = collectWh(st)
+      st.release()
+      val last = snaps.last
+      val okH = h == scratchHashes(last).as[(Long, String, Long)].collect().toSet
+      val okP = p == scratchPairs(last).as[(Long, Long, Long)].collect().toSet
+      spark.catalog.clearCache()
+      Prop(okH) :| "hash index drifted" && Prop(okP) :| "pair table drifted"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(4), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("day-zero bootstrap: K chunked ingest hops from EMPTY equal the one-shot build") {
+    // how 100 TB actually arrives (VERDICT r13 #5): the day-zero backfill
+    // is not a special bootstrap code path — it is K updates from an empty
+    // warehouse, one per corpus slice, landing exactly on the one-shot
+    // build of the full corpus
+    val full = (1L to 12L).map(id => id -> mediaPool((id % 4).toInt)).toMap
+    val chunks = full.keys.toSeq.sorted.grouped(4).toSeq // 3 chunk-deltas
+    val emptyDocs = snapDf(Map.empty)
+    var st = Multimodal.MediaWarehouse(
+      scratchHashes(emptyDocs).localCheckpoint(),
+      scratchPairs(emptyDocs).localCheckpoint())
+    var seen = Map.empty[Long, String]
+    for (chunk <- chunks) {
+      val nextSeen = seen ++ chunk.map(id => id -> full(id))
+      val raw = Multimodal.mediaWarehouseUpdateOn(
+        snapDf(seen), snapDf(nextSeen), st.hashes, st.pairs)
+      val rolled = Multimodal.MediaWarehouse(
+        raw.hashes.localCheckpoint(), raw.pairs.localCheckpoint())
+      st.release(); raw.release()
+      st = rolled
+      seen = nextSeen
+    }
+    val (h, p) = collectWh(st)
+    st.release()
+    assert(h === scratchHashes(snapDf(full)).as[(Long, String, Long)].collect().toSet,
+      "chunked bootstrap hash index diverged from the one-shot build")
+    assert(p === scratchPairs(snapDf(full)).as[(Long, Long, Long)].collect().toSet,
+      "chunked bootstrap pair table diverged from the one-shot build")
+    assert(p.nonEmpty, "toy corpus formed no pairs — the equality was vacuous")
+  }
+
+  test("streamed-ingest seam: precomputedFreshHashes is honored and coverage-checked") {
+    val old = snapDf(Map(1L -> mediaPool(0), 2L -> mediaPool(1)))
+    val nw = snapDf(Map(1L -> mediaPool(0), 2L -> mediaPool(2), 3L -> mediaPool(1)))
+    val freshDocs = snapDf(Map(2L -> mediaPool(2), 3L -> mediaPool(1)))
+    // stream-time hashes spliced in: result identical to self-derivation
+    val viaSeam = collectWh(Multimodal.mediaWarehouseUpdateOn(old, nw,
+      scratchHashes(old), scratchPairs(old),
+      precomputedFreshHashes = Some(scratchHashes(freshDocs))))
+    val selfDerived = collectWh(Multimodal.mediaWarehouseUpdateOn(old, nw,
+      scratchHashes(old), scratchPairs(old)))
+    assert(viaSeam === selfDerived)
+    // under-coverage (missing doc 3) and over-coverage (stray doc 9)
+    // both fail fast instead of silently corrupting the index
+    intercept[IllegalArgumentException] {
+      Multimodal.mediaWarehouseUpdateOn(old, nw,
+        scratchHashes(old), scratchPairs(old),
+        precomputedFreshHashes =
+          Some(scratchHashes(snapDf(Map(2L -> mediaPool(2)))))).pairs.count()
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.mediaWarehouseUpdateOn(old, nw,
+        scratchHashes(old), scratchPairs(old),
+        precomputedFreshHashes = Some(scratchHashes(
+          snapDf(Map(2L -> mediaPool(2), 3L -> mediaPool(1), 9L -> mediaPool(3)))))).pairs.count()
+    }
+  }
+
+  test("mm_pipeline_manifest: composed verdicts agree with the registered gates") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.ops.Tables.documents(spark, dir)
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    val m = Multimodal.mmPipelineManifestOn(docs, emb)
+      .select("doc_id", "pass_align", "has_neardup", "is_media_canonical", "mm_kept")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // pass_align must equal the registered gate verbatim
+    val af = Multimodal.alignFilterOn(docs, emb)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(m.keySet === af.keySet)
+    assert(m.forall { case (id, r) => r._2 === af(id) }, "pass_align drifted from mm_align_filter")
+    // survivorship must equal the registered pair relation's greater endpoints
+    val pairs = Multimodal.dctDedup(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    val dropped = pairs.map(_._2).toSet
+    val members = (pairs.map(_._1) ++ pairs.map(_._2)).toSet
+    m.foreach { case (id, r) =>
+      assert(r._3 === members.contains(id), s"has_neardup drifted for $id")
+      assert(r._4 === !dropped.contains(id), s"is_media_canonical drifted for $id")
+      assert(r._5 === (r._2 && r._4), s"mm_kept is not the gate conjunction for $id")
+    }
+    assert(members.nonEmpty, "no near-dup pairs at sf0.001 — survivorship check was vacuous")
+  }
 }
 
