@@ -2328,9 +2328,19 @@ object Corpus {
     // materialized |delta|-sized slice instead of each re-scanning the
     // corpus parquet through its own semi-join
     val freshDocs = nw.join(fresh, Seq("doc_id"), "left_semi").localCheckpoint()
-    val featFresh = precomputedFeatFresh
-      .map(_.join(fresh, Seq("doc_id"), "left_semi"))
-      .getOrElse(manifestDocFeatures(freshDocs, census, weights, thrTot, thrN, evalh))
+    val featFresh = (precomputedFeatFresh match {
+      case Some(pre) =>
+        // coverage fail-fast (|delta|-bounded job): a supplied frame
+        // missing an added/changed doc_id would silently drop that doc
+        // from the manifest — the documented contract, now enforced.
+        // Extra rows stay allowed: the semi-join discards them.
+        val missing = fresh
+          .join(pre.select("doc_id"), Seq("doc_id"), "left_anti").limit(1).count()
+        require(missing == 0,
+          "precomputedFeatFresh does not cover every added/changed doc_id")
+        pre.join(fresh, Seq("doc_id"), "left_semi")
+      case None => manifestDocFeatures(freshDocs, census, weights, thrTot, thrN, evalh)
+    })
       .withColumn("is_canonical", lit(null).cast("boolean")) // re-elected below
       .localCheckpoint()
     // the carried majority: one anti join of narrow warehouse rows

@@ -1467,9 +1467,20 @@ object Similarity {
     val fresh = added.unionByName(changed)
     val retired = p.select("vec_id").join(n.select("vec_id"), Seq("vec_id"), "left_anti")
       .unionByName(changed.select("vec_id"))
-    val freshAssigned = precomputedAssign
-      .map(_.join(fresh.select("vec_id"), Seq("vec_id"), "left_semi"))
-      .getOrElse(assignCellsAgainstOn(fresh, cent))
+    val freshAssigned = precomputedAssign match {
+      case Some(pre) =>
+        // coverage fail-fast (|delta|-bounded job): a supplied frame
+        // missing an added/changed vec_id would silently drop that vector
+        // from the manifest — the documented contract, now enforced.
+        // Extra rows (e.g. ingested vectors later retired) stay allowed:
+        // the semi-join below discards them.
+        val missing = fresh.select("vec_id")
+          .join(pre.select("vec_id"), Seq("vec_id"), "left_anti").limit(1).count()
+        require(missing == 0,
+          "precomputedAssign does not cover every added/changed vec_id")
+        pre.join(fresh.select("vec_id"), Seq("vec_id"), "left_semi")
+      case None => assignCellsAgainstOn(fresh, cent)
+    }
     manifestOld.join(retired, Seq("vec_id"), "left_anti")
       .select("vec_id", "cell")
       .unionByName(freshAssigned.select("vec_id", "cell"))
@@ -1706,10 +1717,15 @@ object Similarity {
     val asg = pqAsgOn(Tables.embeddings(spark, dir),
       frozenCodebook(spark, dir, cfg), cfg).persist() // 2 consumers: both slices
     val r = pmod(col("vec_id"), lit(Corpus.DeltaMod))
-    pqRetrainFrom(
+    // the decision table is 1 row: materialize it eagerly so the
+    // assignment cache can be released before returning (ADVICE r13 —
+    // no session-lifetime corpus-sized cache left behind)
+    val out = pqRetrainFrom(
       pqLedgerFrom(asg.filter(r =!= lit(Corpus.DeltaAdded))),
       pqLedgerFrom(asg.filter(r =!= lit(Corpus.DeltaRemoved))),
-      ivfUpdate(spark, dir))
+      ivfUpdate(spark, dir)).localCheckpoint()
+    asg.unpersist()
+    out
   }
 
   /** Oracle: one scratch-trained codebook + assignment (the pq CTEs), the

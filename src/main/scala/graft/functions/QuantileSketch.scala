@@ -155,17 +155,28 @@ object QuantileSketch {
     }
 
   /** Re-aggregate persisted cell vectors (array<bigint> columns) into the
-    * finished estimate — the read side of the warehouse round-trip. A
-    * short or overlong stored vector is a corrupt warehouse row (or one
-    * written by a different store width) and fails fast rather than
-    * silently misaligning cells. */
+    * finished estimate — the read side of the warehouse round-trip. The
+    * vector's LENGTH is its version tag (each store generation has a
+    * distinct width, so no separate marker column is needed): a
+    * [[MaxCells]]-wide vector is the current signed store; a
+    * [[PosCells]]-wide vector is the round-12 non-negative store, whose
+    * magnitude cell c maps to signed index [[Offset]]+c — the documented
+    * upgrade path, so mixed-generation warehouses merge exactly instead
+    * of hard-failing (ADVICE r13). Any other length is a corrupt row and
+    * fails fast rather than silently misaligning cells. */
   val mergeAgg: Aggregator[Seq[Long], Array[Long], Est] =
     new Aggregator[Seq[Long], Array[Long], Est] {
       def zero: Array[Long] = agg.zero
       def reduce(b: Array[Long], cells: Seq[Long]): Array[Long] = {
-        require(cells.length == MaxCells,
-          s"stored sketch has ${cells.length} cells, expected $MaxCells")
-        addCells(b, cells.toArray)
+        if (cells.length == PosCells) { // legacy unsigned store: shift into the mirror
+          var i = 0
+          while (i < PosCells) { b(Offset + i) += cells(i); i += 1 }
+          b
+        } else {
+          require(cells.length == MaxCells,
+            s"stored sketch has ${cells.length} cells, expected $MaxCells (or legacy $PosCells)")
+          addCells(b, cells.toArray)
+        }
       }
       def merge(a: Array[Long], b: Array[Long]): Array[Long] = addCells(a, b)
       def finish(b: Array[Long]): Est = agg.finish(b)

@@ -163,6 +163,35 @@ class QuantileSketchSpec extends SparkSpec {
     assert(shards.values.exists(_ > 1), "degenerate sharding: nothing merged across shards")
   }
 
+  test("legacy 488-cell vectors upgrade in-merge (length is the version tag); corrupt widths fail fast") {
+    import QuantileSketch.{MaxCells, Offset, PosCells}
+    val values = Seq(0L, 1L, 7L, 16L, 300L, 300L, 5000L, 123456L)
+    // a round-12 unsigned store row: magnitude cell c at index c, 488 wide
+    val legacy = new Array[Long](PosCells)
+    values.foreach(v => legacy(QuantileSketch.cellOf(v)) += 1L)
+    // a current-generation row over different (mixed-sign) values
+    val current = new Array[Long](MaxCells)
+    val mixed = Seq(-9000L, -17L, 2L, 64L)
+    mixed.foreach(v => current(Offset + QuantileSketch.cellOf(v)) += 1L)
+    // mixed-generation warehouse merges exactly as if re-sketched raw
+    val merged = Seq(legacy.toSeq, current.toSeq)
+      .toDF("cells").groupBy()
+      .agg(org.apache.spark.sql.functions.udaf(QuantileSketch.mergeAgg).apply(col("cells")).as("e"))
+      .select("e.*").as[(Long, Long, Long, Long)].head()
+    val direct = (values ++ mixed)
+      .toDF("c").groupBy()
+      .agg(org.apache.spark.sql.functions.udaf(QuantileSketch.agg).apply(col("c")).as("e"))
+      .select("e.*").as[(Long, Long, Long, Long)].head()
+    assert(merged === direct, "legacy-width upgrade drifted from the raw re-sketch")
+    // any OTHER width is corrupt and still fails fast
+    val err = intercept[org.apache.spark.SparkException] {
+      Seq(Seq.fill(100)(0L)).toDF("cells").groupBy()
+        .agg(org.apache.spark.sql.functions.udaf(QuantileSketch.mergeAgg).apply(col("cells")).as("e"))
+        .select("e.*").collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("k_quantile_sketch estimates honor the floor-rank contract on its registered groups") {
     val dir = "/root/testdata/sf0.001"
     val ests = graft.queries.Sketches.quantileSketch(spark, dir)
