@@ -341,6 +341,12 @@ class ManifestIncrSpec extends SparkSpec {
     spark.catalog.clearCache()
     assert(got.nonEmpty && got === batchRows, "stream-fed reconcile drifted from the batch update")
     assert(got === rebuilt, "stream-fed reconcile drifted from the from-scratch rebuild")
+    // coverage fail-fast (ADVICE r13): a feature warehouse missing a fresh
+    // doc_id must raise, not silently drop the doc from the manifest
+    intercept[IllegalArgumentException] {
+      update(Some(spark.read.parquet(featDir)
+        .filter(col("doc_id") =!= lit(freshIds.head)))).manifest.count()
+    }
   }
 
   test("degenerate deltas: drain-to-empty and bootstrap-from-empty both match the rebuild") {
@@ -373,6 +379,50 @@ class ManifestIncrSpec extends SparkSpec {
     val want = rows(spark.read.parquet(s"$base/manifest.parquet").orderBy("doc_id"))
     spark.catalog.clearCache()
     assert(got.nonEmpty && got === want)
+  }
+
+  test("day-zero bootstrap: K chunked ingest hops from EMPTY equal the one-shot bootstrap") {
+    // the production backfill plan made explicit (VERDICT r13 #5): the old
+    // snapshot arrives as THREE all-'added' chunk-deltas chained from an
+    // empty warehouse under the frozen base-time models, and the final
+    // manifest must equal the frozen one-shot bootstrap's
+    val docs = Tables.documents(spark, dir)
+    val s0 = Corpus.deltaOldSlice(docs)
+    val (base, thrTot, thrN) = Corpus.frozenManifestBase(spark, dir)
+    val census = spark.read.parquet(s"$base/census.parquet")
+    val weights = spark.read.parquet(s"$base/weights.parquet")
+    val evalh = spark.read.parquet(s"$base/evalh.parquet")
+    val featOld = spark.read.parquet(s"$base/features.parquet")
+    val kbOld = spark.read.parquet(s"$base/kb.parquet")
+    val (mPath, ePath, sPath) = Dedup.frozenIncrementalBase(spark, dir, s0)
+    def cum(k: Int) = s0.filter(pmod(col("doc_id"), lit(3)) <= lit(k))
+    def ckpt(w: Corpus.ManifestWarehouse) = Corpus.ManifestWarehouse(
+      w.features.localCheckpoint(), w.kb.localCheckpoint(),
+      Dedup.DupWarehouse(w.dup.manifest.localCheckpoint(),
+        w.dup.edges.localCheckpoint(), w.dup.sigs.localCheckpoint()),
+      w.manifest.localCheckpoint())
+    var st = Corpus.ManifestWarehouse(
+      featOld.limit(0), kbOld.limit(0),
+      Dedup.DupWarehouse(spark.read.parquet(mPath).limit(0),
+        spark.read.parquet(ePath).limit(0), spark.read.parquet(sPath).limit(0)),
+      featOld.limit(0))
+    var prev = s0.limit(0)
+    for (k <- 0 to 2) {
+      val next = cum(k)
+      val raw = Corpus.manifestWarehouseUpdateOn(spark, prev, next,
+        st.features, st.kb, st.dup.manifest, st.dup.edges, st.dup.sigs,
+        census, weights, thrTot, thrN, evalh)
+      val rolled = ckpt(raw)
+      st.release(); raw.release()
+      st = rolled
+      prev = next
+    }
+    val got = rows(st.manifest.orderBy("doc_id"))
+    st.release()
+    val want = rows(spark.read.parquet(s"$base/manifest.parquet").orderBy("doc_id"))
+    spark.catalog.clearCache()
+    assert(got.nonEmpty && got === want,
+      "chunked day-zero bootstrap diverged from the one-shot bootstrap")
   }
 
   test("manifest delta classifier: every change class fires, first-match priority respected") {

@@ -360,6 +360,127 @@ class StreamsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: out-of-order delivery under a NONZERO watermark delay — as-of outputs equal the batch twins over non-late rows") {
+    // Every other as-of parity runs at watermark delay 0 on in-order
+    // slices; this is the other half of the watermark contract (VERDICT
+    // r13 #4): random event sets delivered OUT OF ORDER across three
+    // micro-batches (arrival batch independent of event time) under a
+    // nonzero withWatermark delay. Expected semantics, from Spark's
+    // documented watermark mechanics — the watermark updates at batch
+    // start to (max event time seen in prior batches, ms-truncated) minus
+    // the delay, and rows older than it are dropped before the stateful
+    // operator:
+    //   survivors = rows not late at their arrival batch,
+    //   output    = the batch twin over the SURVIVORS, restricted to the
+    //               rows the FINAL watermark seals (forward: candidate
+    //               passed; horizon: candidate passed or horizon closed;
+    //               backward: purchase passed).
+    // One Spark subtlety the failure of the naive model exposed (and this
+    // property now pins): late-event FILTERING uses the watermark with a
+    // ONE-BATCH LAG (the value in effect during the previous micro-batch,
+    // SPARK-24634's late-events/eviction split), while sealing/timers use
+    // the current batch's watermark — so a row can be older than the
+    // current watermark yet still be admitted in the batch right after
+    // the watermark jumped.
+    // Event times sit on whole seconds and delays on half-seconds, so no
+    // comparison ever lands on a boundary (strict-vs-inclusive
+    // immaterial), isolating the drop semantics from tie semantics.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val S = 1000000L
+    val ev = for {
+      u <- Gen.choose(0L, 2L)
+      tpe <- Gen.oneOf("view", "purchase", "click")
+      tsSec <- Gen.choose(1L, 12L)
+      v <- Gen.choose(0, 99)
+      b <- Gen.choose(0, 2) // arrival micro-batch, independent of ts
+    } yield (u, tpe, tsSec * S, v.toDouble, b)
+    val input = for {
+      evs <- Gen.listOfN(30, ev)
+      delayMs <- Gen.oneOf(500L, 1500L, 2500L)
+      hSec <- Gen.oneOf(2L, 5L, 9L)
+    } yield (evs, delayMs, hSec * S)
+    var run = 0
+    var sawLateDrop = false
+    var sawEmit = false
+    // forAllNoShrink: each candidate costs three real streaming runs, and
+    // shrinking also escapes the generator's boundary-safe domains
+    val prop = Prop.forAllNoShrink(input) { case (evs, delayMs, h) =>
+      run += 1
+      val rows = evs.zipWithIndex.map { case ((u, t, ts, v, b), i) =>
+        (i.toLong, u, t, ts, v, b) }
+      val base = Files.createTempDirectory("graft_ooo_asof").toString
+      Files.createDirectories(Paths.get(s"$base/in"))
+      (0 to 2).foreach { b =>
+        val tmp = s"$base/tmp$b"
+        rows.filter(_._6 == b).map { case (id, u, t, ts, v, _) => (id, u, t, ts, v) }
+          .toDF("event_id", "user_id", "event_type", "ts_us", "value")
+          .coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+        Files.move(part.toPath, Paths.get(s"$base/in/b$b.parquet"), StandardCopyOption.ATOMIC_MOVE)
+        Thread.sleep(20)
+      }
+      def stream = spark.readStream
+        .schema("event_id LONG, user_id LONG, event_type STRING, ts_us LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+        .as[Streams.AsofEvent]
+      val delay = s"$delayMs milliseconds"
+      // the simulated watermark trajectory and the surviving (non-late)
+      // rows: wmEvict (current batch) advances from prior batches' max
+      // event time; wmLate (the admission filter) lags it by one batch
+      var wmEvict = 0L
+      var wmLate = 0L
+      var maxSeen = Long.MinValue
+      val surv = Seq.newBuilder[(Long, Long, String, Long, Double)]
+      (0 to 2).foreach { b =>
+        val batch = rows.filter(_._6 == b)
+        surv ++= batch.filter(_._4 >= wmLate).map { case (id, u, t, ts, v, _) => (id, u, t, ts, v) }
+        if (batch.nonEmpty) maxSeen = math.max(maxSeen, batch.map(_._4).max)
+        wmLate = wmEvict
+        if (maxSeen != Long.MinValue)
+          wmEvict = math.max(wmEvict, math.max(0L, (maxSeen / 1000L - delayMs) * 1000L))
+      }
+      val survRows = surv.result()
+      if (survRows.size < rows.size) sawLateDrop = true
+      val wmF = wmEvict
+      val survDf = survRows.toDF("event_id", "user_id", "event_type", "ts_us", "value")
+        .localCheckpoint()
+      val tw = survDf.select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("ts_us")).as("ts"), col("value"))
+      def opt(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4), r.getDouble(5))))
+      // FORWARD: resolved rows whose candidate the final watermark passed
+      val gotFwd = Streams.runToMemory(spark,
+          Streams.asofForwardUpdates(stream, delay).toDF(), s"ooo_fwd_$run")
+        .collect().map(opt).toSet
+      val wantFwd = graft.queries.Sessions.asofForwardOn(tw).collect()
+        .map(opt).filter(_._4.exists(_._2 < wmF)).toSet
+      // HORIZON: resolved once the candidate passed; null once ts+h passed
+      val gotHor = Streams.runToMemory(spark,
+          Streams.asofForwardUpdates(stream, delay, horizonUs = Some(h)).toDF(), s"ooo_hor_$run")
+        .collect().map(opt).toSet
+      val wantHor = graft.queries.Sessions.asofHorizonOn(tw, horizonUs = h).collect()
+        .map(opt).filter(r => r._4.map(_._2 < wmF).getOrElse(r._3 + h < wmF)).toSet
+      // BACKWARD: every row (nulls included) whose purchase ts passed
+      val gotBwd = Streams.runToMemory(spark,
+          Streams.asofBackwardUpdates(stream, delay).toDF(), s"ooo_bwd_$run")
+        .collect().map(opt).toSet
+      val wantBwd = graft.queries.Sessions.asofJoinOn(tw).collect()
+        .map(opt).filter(_._3 < wmF).toSet
+      if (gotFwd.nonEmpty || gotHor.nonEmpty || gotBwd.nonEmpty) sawEmit = true
+      Seq(s"ooo_fwd_$run", s"ooo_hor_$run", s"ooo_bwd_$run")
+        .foreach(spark.catalog.dropTempView(_))
+      (Prop(gotFwd == wantFwd) :| s"forward drifted: missing ${(wantFwd -- gotFwd).take(2)} extra ${(gotFwd -- wantFwd).take(2)} wm=$wmF surv=${survRows.size}/${rows.size}") &&
+        (Prop(gotHor == wantHor) :| s"horizon drifted: missing ${(wantHor -- gotHor).take(2)} extra ${(gotHor -- wantHor).take(2)} h=$h wm=$wmF") &&
+        (Prop(gotBwd == wantBwd) :| s"backward drifted: missing ${(wantBwd -- gotBwd).take(2)} extra ${(gotBwd -- wantBwd).take(2)} wm=$wmF")
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+    assert(sawLateDrop, "no sample dropped a late row — the property never left the delay-0 regime")
+    assert(sawEmit, "no sample emitted anything — the parity was vacuous")
+  }
+
   test("streaming quantile sketch is bit-identical to the batch sketch (merge-order independence)") {
     // the time-sliced stream merges three micro-batch partials into the
     // state store in arrival order — a merge-order-DEPENDENT sketch
@@ -619,6 +740,14 @@ class StreamsSpec extends SparkSpec {
       .select("vec_id", "cell").collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     cent.unpersist()
     assert(got === want, "stream-fed rolled manifest drifted from the from-scratch assignment")
+    // coverage fail-fast (ADVICE r13): an assignment warehouse missing a
+    // fresh vec_id must raise, not silently drop the row from the manifest
+    val partial = spark.read.parquet(asgDir)
+      .filter(col("vec_id") =!= lit(freshIds.head))
+    intercept[IllegalArgumentException] {
+      graft.ext.Similarity.ivfWarehouseUpdateOn(prev, next, m0, cent,
+        precomputedAssign = Some(partial)).count()
+    }
   }
 
   test("incremental media dedup across micro-batches emits exactly the batch DCT pairs, each once") {
@@ -655,6 +784,55 @@ class StreamsSpec extends SparkSpec {
     // the cross-batch path was genuinely exercised: some pair spans parity
     assert(buf.exists { case (a, b, _) => a % 2 != b % 2 },
       "no cross-batch pair — the persisted-index join went unexercised")
+  }
+
+  test("property: media dedup under RANDOM micro-batch cuts equals the one-shot pairing, each pair once") {
+    // the engineered parity above pins one cross-batch cut; this property
+    // applies the random-slicing pattern the as-of and quantile twins use
+    // (VERDICT r13 #6): documents assigned to K micro-batches by a salted
+    // hash — arrival order decoupled from doc_id adjacency — and the union
+    // of per-batch emissions must equal the one-shot `mm_dct_dedup` with
+    // every unordered pair emitted exactly once
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars").localCheckpoint()
+    val oneShot = graft.multimodal.Multimodal.dctDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(oneShot.nonEmpty, "degenerate corpus: batch DCT dedup found no pairs")
+    val input = for {
+      salt <- Gen.choose(Long.MinValue / 4, Long.MaxValue / 4)
+      k <- Gen.oneOf(2, 3)
+    } yield (salt, k)
+    var sawCross = false
+    val prop = Prop.forAll(input) { case (salt, k) =>
+      val base = Files.createTempDirectory("graft_media_rand").toString
+      Files.createDirectories(Paths.get(s"$base/in"))
+      val assigned = docs.withColumn("b", pmod(xxhash64(col("doc_id"), lit(salt)), lit(k)))
+      val batchOf = assigned.select("doc_id", "b").as[(Long, Long)].collect().toMap
+      (0 until k).foreach { b =>
+        val tmp = s"$base/tmp$b"
+        assigned.filter(col("b") === b).drop("b").coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+        Files.move(part.toPath, Paths.get(s"$base/in/b$b.parquet"), StandardCopyOption.ATOMIC_MOVE)
+        Thread.sleep(20)
+      }
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val stream = spark.readStream.schema(documentsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      val q = Streams.mediaDedupBatches(stream, s"$base/hashes") { (pairs, _) =>
+        val rows = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        buf.synchronized { buf ++= rows }
+      }
+      q.awaitTermination()
+      if (buf.exists { case (a, b, _) => batchOf(a) != batchOf(b) }) sawCross = true
+      (Prop(buf.size == buf.toSet.size) :| "a pair double-emitted across batches") &&
+        (Prop(buf.toSet == oneShot) :|
+          s"missing: ${(oneShot -- buf.toSet).take(3)}; extra: ${(buf.toSet -- oneShot).take(3)}")
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(4), prop)
+    assert(res.passed, res.status.toString)
+    assert(sawCross, "no sampled cut produced a cross-batch pair — the index join went unexercised")
   }
 
   test("incremental minhash dedup across micro-batches emits exactly the batch LSH pairs, each once") {
