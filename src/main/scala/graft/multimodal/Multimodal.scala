@@ -738,6 +738,27 @@ object Multimodal {
       (s"$base/hashes.parquet", s"$base/pairs.parquet")
     }
 
+  /** The media warehouse BOOTSTRAP, registered as its own row (the
+    * `dd_clusters_base` discipline: base build and steady-state update are
+    * different operating regimes and must not share one measurement): the
+    * full hash + banded-pair build over the simulated old snapshot, frozen
+    * as the state [[mediaDedupIncremental]] then updates. Runs before the
+    * incremental row in the name-ordered bench, so that row measures ONLY
+    * the per-snapshot delta update. Oracled against the from-scratch
+    * banded DCT pairing over the old snapshot. */
+  def mediaDedupBase(spark: SparkSession, dir: String): DataFrame = {
+    val (_, pPath) = frozenMediaBase(spark, dir)
+    spark.read.parquet(pPath).orderBy("doc_a", "doc_b")
+  }
+
+  val mediaDedupBaseSql: String =
+    s"""WITH oldsnap AS (
+       |  SELECT doc_id, text FROM documents WHERE ${graft.ext.Corpus.deltaOldWhereSql}),
+       |${dctPairsCtesBodyFor("oldsnap")}
+       |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+       |FROM pairs WHERE hamming <= $DctHamMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Registered incremental media-dedup update — the multimodal rung of
     * the warehouse ladder (VERDICT r13 #2): the old snapshot's frozen
     * (hash index, pair table) reconciled to the new snapshot at the
@@ -981,6 +1002,7 @@ object Multimodal {
     Q("mm_frame_sample", frameSample _, frameSampleSql),
     Q("mm_phash_dedup", phashDedup _, phashDedupSql),
     Q("mm_dct_dedup", dctDedup _, dctDedupSql),
+    Q("mm_dedup_base", mediaDedupBase _, mediaDedupBaseSql),
     Q("mm_dedup_incremental", mediaDedupIncremental _, mediaDedupIncrementalSql),
     Q("mm_dedup_rolled", mediaDedupRolled _, mediaDedupRolledSql),
     Q("mm_hamming_curve", hammingCurve _, hammingCurveSql),

@@ -366,6 +366,18 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("steady-state media update plan reads FROZEN rolled warehouse state, not a rebuild") {
+    val dir = "/root/testdata/sf0.001"
+    val p = Multimodal.mediaDedupRolled(spark, dir).queryExecution.executedPlan.toString
+    // the registered rolled row starts from the persisted rolled warehouse
+    // (hash index + pairs produced by hop 1), never the bootstrap
+    assert(p.contains("graft_mm_rolled"),
+      "rolled row does not read the frozen rolled warehouse:\n" + p.take(3000))
+    assert(!p.contains("graft_mm_incr_base"),
+      "rolled row fell back to the BASE warehouse (bootstrap leak):\n" + p.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("mm_pipeline_manifest: composed verdicts agree with the registered gates") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.ops.Tables.documents(spark, dir)

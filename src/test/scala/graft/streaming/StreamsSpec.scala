@@ -786,6 +786,61 @@ class StreamsSpec extends SparkSpec {
       "no cross-batch pair — the persisted-index join went unexercised")
   }
 
+  test("media production loop end-to-end: streamed hash ingest feeds the warehouse reconcile, equals batch update and rebuild") {
+    // The media twin of the manifest/ANN production-loop specs: the day's
+    // fresh media objects (added + changed payloads) arrive as a STREAM
+    // through mediaDedupBatches, which DCT-hashes each object ONCE at
+    // ingest into a day index; the periodic mediaWarehouseUpdateOn
+    // reconciliation consumes THAT index via precomputedFreshHashes
+    // instead of re-decoding the fresh payloads. The rolled warehouse
+    // must equal both the self-hashing batch update and the from-scratch
+    // build of the new snapshot.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val M = graft.multimodal.Multimodal
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val old = graft.ext.Corpus.deltaOldSlice(docs)
+    val nw = graft.ext.Corpus.deltaNewSlice(docs)
+    val oldHashes = M.dctHashOn(M.fromDocuments(old)).toDF().localCheckpoint()
+    val oldPairs = M.dctBandPairsOn(old)
+      .filter(col("hamming") <= lit(M.DctHamMax.toLong)).localCheckpoint()
+    val fresh = nw.join(
+        M.mediaDeltaOn(old, nw).filter(col("status").isin("added", "changed"))
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi").localCheckpoint()
+    val base = Files.createTempDirectory("graft_media_loop").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    Seq(0, 1).foreach { p =>
+      val tmp = s"$base/tmp$p"
+      fresh.filter(pmod(col("doc_id"), lit(2)) === lit(p)).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$base/in/b$p.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(20)
+    }
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = Streams.mediaDedupBatches(stream, s"$base/dayindex") { (_, _) => () }
+    q.awaitTermination()
+    // the stream hashed every fresh object, exactly once each
+    val streamed = spark.read.parquet(s"$base/dayindex")
+    val fedIds = streamed.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val freshIds = fresh.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(freshIds.nonEmpty && fedIds.toSet === freshIds && fedIds.size === freshIds.size)
+    def wh(w: M.MediaWarehouse) = (
+      w.hashes.collect().map(_.toSeq).toSet, w.pairs.collect().map(_.toSeq).toSet)
+    val viaStream = wh(M.mediaWarehouseUpdateOn(old, nw, oldHashes, oldPairs,
+      precomputedFreshHashes = Some(streamed)))
+    val viaBatch = wh(M.mediaWarehouseUpdateOn(old, nw, oldHashes, oldPairs))
+    val scratch = (
+      M.dctHashOn(M.fromDocuments(nw)).toDF().collect().map(_.toSeq).toSet,
+      M.dctBandPairsOn(nw).filter(col("hamming") <= lit(M.DctHamMax.toLong))
+        .collect().map(_.toSeq).toSet)
+    spark.catalog.clearCache()
+    assert(viaStream._2.nonEmpty, "degenerate: the reconciled warehouse holds no pairs")
+    assert(viaStream === viaBatch, "stream-fed reconcile drifted from the batch update")
+    assert(viaStream === scratch, "stream-fed reconcile drifted from the from-scratch build")
+  }
+
   test("property: media dedup under RANDOM micro-batch cuts equals the one-shot pairing, each pair once") {
     // the engineered parity above pins one cross-batch cut; this property
     // applies the random-slicing pattern the as-of and quantile twins use
