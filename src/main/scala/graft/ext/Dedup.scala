@@ -830,7 +830,7 @@ object Dedup {
     * loop of [[dupClustersOn]], shared with the incremental update so the
     * two can never disagree on clustering semantics. Returns the manifest
     * columns (doc_id, cluster_id, cluster_size, is_canonical), unsorted. */
-  private def propagateComponents(ids: DataFrame, pairs: DataFrame,
+  private[graft] def propagateComponents(ids: DataFrame, pairs: DataFrame,
                                   checkpointRounds: Boolean): DataFrame = {
     val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a"))).persist()
     var comp = ids.select(col("doc_id"), col("doc_id").as("comp")).persist()

@@ -844,6 +844,93 @@ object Multimodal {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ------------------------------------ media near-dup clusters + election
+  /** Connected components over the banded DCT pair relation — the media
+    * near-dup CLUSTER manifest. The pair table answers "which hashes
+    * collide"; curation needs "which group does this object belong to"
+    * (transitive near-dups: a chain of hamming-8 neighbors is one visual
+    * family). Reuses the house propagation loop
+    * ([[graft.ext.Dedup.propagateComponents]]: min-label + path-halving,
+    * O(log n) rounds, label-sum convergence) over the
+    * band-collision-bounded edge table — the same 100 TB shape as the
+    * text family's `dd_dup_clusters`. Oracle: exact recursive closure
+    * over the identical pair relation. */
+  def mediaDupClustersOn(docs: DataFrame): DataFrame =
+    graft.ext.Dedup.propagateComponents(
+      docs.select("doc_id"),
+      dctBandPairsOn(docs).filter(col("hamming") <= lit(DctHamMax.toLong))
+        .select("doc_a", "doc_b"),
+      checkpointRounds = true)
+
+  def mediaDupClusters(spark: SparkSession, dir: String): DataFrame =
+    mediaDupClustersOn(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** The shared closure tail over the DCT pair relation: `comp`
+    * (doc_id, cluster_id) + `sizes` — composed by both cluster oracles so
+    * the two cannot drift (the [[graft.ext.Dedup.dupClustersCtesFor]]
+    * convention). */
+  private def mediaClusterCtesFor(rel: String): String =
+    s"""${dctPairsCtesBodyFor(rel)},
+       |qual AS (SELECT doc_a, doc_b FROM pairs WHERE hamming <= $DctHamMax),
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM qual
+       |        UNION ALL SELECT doc_b, doc_a FROM qual),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM $rel
+       |  UNION
+       |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+       |comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)""".stripMargin
+
+  val mediaDupClustersSql: String =
+    s"""WITH RECURSIVE ${mediaClusterCtesFor("documents")}
+       |SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       |       c.doc_id = c.cluster_id AS is_canonical
+       |FROM comp c JOIN sizes s ON c.cluster_id = s.cluster_id
+       |ORDER BY c.doc_id""".stripMargin
+
+  /** Keep-best election over the media clusters: each multi-object
+    * cluster keeps its LARGEST payload (the keep-the-highest-resolution
+    * rule of image dedup; the stub's n_bytes stands in for the decoded
+    * pixel count), smallest doc_id on ties — the media twin of
+    * `dd_keep_best`'s score-based election, and the survivorship input a
+    * multimodal curation run feeds its manifest. One |clusters|-keyed hash
+    * aggregate over the manifest-joined byte counts; no pairwise work. */
+  def mediaKeepBestOn(docs: DataFrame): DataFrame =
+    mediaDupClustersOn(docs)
+      .join(mediaMetaOn(docs).select(col("doc_id"), col("n_bytes")), Seq("doc_id"))
+      .filter(col("cluster_size") > 1)
+      .groupBy("cluster_id")
+      .agg(
+        max_by(col("doc_id"),
+          struct(col("n_bytes"), (lit(0L) - col("doc_id")).as("nid"))).as("keep_doc_id"),
+        max(col("n_bytes")).as("keep_bytes"),
+        min(col("cluster_size")).as("cluster_size"))
+      .select(col("cluster_id"), col("keep_doc_id"), col("keep_bytes"),
+        col("cluster_size"), (col("cluster_size") - lit(1L)).as("n_removed"))
+      .orderBy("cluster_id")
+
+  def mediaKeepBest(spark: SparkSession, dir: String): DataFrame =
+    mediaKeepBestOn(Tables.documents(spark, dir))
+
+  val mediaKeepBestSql: String =
+    s"""WITH RECURSIVE ${mediaClusterCtesFor("documents")},
+       |meta AS (
+       |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       |  FROM documents),
+       |j AS (
+       |  SELECT c.cluster_id, c.doc_id, m.n_bytes, s.cluster_size
+       |  FROM comp c
+       |  JOIN sizes s ON c.cluster_id = s.cluster_id
+       |  JOIN meta m ON c.doc_id = m.doc_id
+       |  WHERE s.cluster_size > 1),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |                               ORDER BY n_bytes DESC, doc_id ASC) AS rn
+       |  FROM j)
+       |SELECT cluster_id, doc_id AS keep_doc_id, n_bytes AS keep_bytes,
+       |       cluster_size, cluster_size - 1 AS n_removed
+       |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
   // ---------------------------------------------- image-text alignment gate
   /** CLIP-style cross-modal alignment filter (Radford et al. 2021; the
     * LAION curation recipe: keep an (image, caption) pair iff the cosine
@@ -1005,7 +1092,9 @@ object Multimodal {
     Q("mm_dedup_base", mediaDedupBase _, mediaDedupBaseSql),
     Q("mm_dedup_incremental", mediaDedupIncremental _, mediaDedupIncrementalSql),
     Q("mm_dedup_rolled", mediaDedupRolled _, mediaDedupRolledSql),
+    Q("mm_dup_clusters", mediaDupClusters _, mediaDupClustersSql),
     Q("mm_hamming_curve", hammingCurve _, hammingCurveSql),
+    Q("mm_keep_best", mediaKeepBest _, mediaKeepBestSql),
     Q("mm_pipeline_manifest", mmPipelineManifest _, mmPipelineManifestSql),
   )
 }

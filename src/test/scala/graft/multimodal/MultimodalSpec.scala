@@ -366,6 +366,41 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("media clusters: CC over the pair relation partitions docs; keep-best elects the largest payload") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.ops.Tables.documents(spark, dir)
+    val clusters = Multimodal.mediaDupClusters(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val byDoc = clusters.map(c => c._1 -> c._2).toMap
+    // every doc appears exactly once
+    assert(clusters.length === docs.count())
+    assert(clusters.map(_._1).distinct.length === clusters.length)
+    // every qualifying pair's endpoints share a cluster (CC soundness)
+    val pairs = Multimodal.dctDedup(spark, dir).as[(Long, Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, _) =>
+      assert(byDoc(a) === byDoc(b), s"paired docs $a,$b in different clusters") }
+    // cluster_id is the member minimum; sizes count members
+    clusters.groupBy(_._2).foreach { case (cid, ms) =>
+      assert(cid === ms.map(_._1).min, s"cluster $cid is not its min member")
+      assert(ms.forall(_._3 === ms.length.toLong), s"cluster $cid size drifted")
+    }
+    // keep-best: one row per multi-cluster, electing max payload bytes
+    // (min doc_id on ties), n_removed = size - 1
+    val bytes = Multimodal.mediaMetaOn(docs).select("doc_id", "n_bytes")
+      .as[(Long, Long)].collect().toMap
+    val kb = Multimodal.mediaKeepBest(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val multi = clusters.groupBy(_._2).filter(_._2.length > 1)
+    assert(kb.length === multi.size && kb.nonEmpty)
+    kb.foreach { case (cid, keep, kBytes, size, removed) =>
+      val members = multi(cid).map(_._1)
+      val best = members.maxBy(d => (bytes(d), -d))
+      assert(keep === best, s"cluster $cid elected $keep, expected $best")
+      assert(kBytes === bytes(best) && size === members.length.toLong && removed === size - 1)
+    }
+  }
+
   test("steady-state media update plan reads FROZEN rolled warehouse state, not a rebuild") {
     val dir = "/root/testdata/sf0.001"
     val p = Multimodal.mediaDedupRolled(spark, dir).queryExecution.executedPlan.toString
