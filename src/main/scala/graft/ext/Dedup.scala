@@ -1027,6 +1027,33 @@ object Dedup {
       .join(gone.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
       .join(gone.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
 
+    val manifestNew = componentUpdateFrom(oldManifest, delta, keptEdges,
+        freshEdges, checkpointRounds)
+      .orderBy("doc_id")
+    // kept ∪ fresh edges are disjoint by construction (a fresh edge always
+    // touches a fresh doc; kept edges never do) and together exact; the
+    // explicit select restores (doc_a, doc_b) column ORDER — the doc_b
+    // anti-join above moved its key to the front, which the by-name CC
+    // consumers never see but a positional warehouse reader would
+    DupWarehouse(manifestNew,
+      keptEdges.select("doc_a", "doc_b").unionByName(freshEdges), mh)
+  }
+
+  /** Delta-bounded component reconciliation — the edge-source-agnostic
+    * core of the incremental cluster update, shared by the text warehouse
+    * ([[dupWarehouseUpdateOn]], MinHash-LSH edges) and the media warehouse
+    * ([[graft.multimodal.Multimodal.mediaClustersUpdateOn]], banded DCT
+    * edges): given the old cluster manifest, the snapshot delta, the
+    * surviving old edges and the fresh-doc edges, recompute ONLY the
+    * touched components and carry every untouched cluster verbatim.
+    * `delta` must carry (doc_id, status); `keptEdges`/`freshEdges` carry
+    * (doc_a, doc_b). Exact: an edge between two unchanged docs cannot
+    * appear or vanish, so components not holding churned docs or fresh
+    * edges are unchanged by construction. */
+  private[graft] def componentUpdateFrom(oldManifest: DataFrame, delta: DataFrame,
+                                         keptEdges: DataFrame, freshEdges: DataFrame,
+                                         checkpointRounds: Boolean = true): DataFrame = {
+    val gone = delta.filter(col("status").isin("removed", "changed")).select("doc_id")
     // components the delta can affect: those holding a removed/changed doc
     // or an endpoint of a fresh edge (added docs have no old component);
     // |touched clusters|-sized, consumed by three branches (sub-problem
@@ -1053,7 +1080,7 @@ object Dedup {
     val subEdges = keptEdges
       .join(oldManifest.join(touchedComps, "cluster_id").select(col("doc_id").as("doc_a")), "doc_a")
       .select("doc_a", "doc_b")
-      .union(freshEdges)
+      .union(freshEdges.select("doc_a", "doc_b"))
       .distinct()
       .localCheckpoint()
 
@@ -1065,18 +1092,9 @@ object Dedup {
         subIds.select(col("doc_id"), col("doc_id").as("cluster_id"),
           lit(1L).as("cluster_size"), lit(true).as("is_canonical"))
       else propagateComponents(subIds, subEdges, checkpointRounds)
-    val untouched = oldManifest.join(touchedComps, Seq("cluster_id"), "left_anti")
+    oldManifest.join(touchedComps, Seq("cluster_id"), "left_anti")
       .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
-    val manifestNew = untouched
       .unionByName(recomputed.select("doc_id", "cluster_id", "cluster_size", "is_canonical"))
-      .orderBy("doc_id")
-    // kept ∪ fresh edges are disjoint by construction (a fresh edge always
-    // touches a fresh doc; kept edges never do) and together exact; the
-    // explicit select restores (doc_a, doc_b) column ORDER — the doc_b
-    // anti-join above moved its key to the front, which the by-name CC
-    // consumers never see but a positional warehouse reader would
-    DupWarehouse(manifestNew,
-      keptEdges.select("doc_a", "doc_b").unionByName(freshEdges), mh)
   }
 
   /** Materialized dup-cluster manifest, built once per (corpus, knobs) and

@@ -665,7 +665,21 @@ object Multimodal {
                              oldHashes: DataFrame, oldPairs: DataFrame,
                              hamMax: Int = DctHamMax,
                              precomputedDelta: Option[DataFrame] = None,
-                             precomputedFreshHashes: Option[DataFrame] = None): MediaWarehouse = {
+                             precomputedFreshHashes: Option[DataFrame] = None): MediaWarehouse =
+    mediaWarehouseUpdateParts(oldDocs, newDocs, oldHashes, oldPairs, hamMax,
+      precomputedDelta, precomputedFreshHashes)._1
+
+  /** [[mediaWarehouseUpdateOn]] exposing its intermediates — (warehouse,
+    * delta, keptPairs, freshPairs) — so the cluster-manifest update can
+    * reuse the one delta classification and pair reconciliation instead
+    * of re-deriving them ([[mediaClustersUpdateOn]]). */
+  private[graft] def mediaWarehouseUpdateParts(
+      oldDocs: DataFrame, newDocs: DataFrame,
+      oldHashes: DataFrame, oldPairs: DataFrame,
+      hamMax: Int = DctHamMax,
+      precomputedDelta: Option[DataFrame] = None,
+      precomputedFreshHashes: Option[DataFrame] = None)
+      : (MediaWarehouse, DataFrame, DataFrame, DataFrame) = {
     // |delta|-bounded frames are eagerly localCheckpoint'ed (the
     // dupWarehouseUpdateOn lineage discipline): each is consumed by 2-3
     // downstream branches, and checkpointing truncates every reference to
@@ -703,7 +717,35 @@ object Multimodal {
       .join(gone.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
       .join(gone.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
       .select("doc_a", "doc_b", "hamming")
-    MediaWarehouse(hashesNew, keptPairs.unionByName(freshPairs))
+    (MediaWarehouse(hashesNew, keptPairs.unionByName(freshPairs)),
+      delta, keptPairs, freshPairs)
+  }
+
+  /** Incremental maintenance of the media CLUSTER manifest alongside the
+    * pair warehouse: one delta classification and one pair reconciliation
+    * drive both, and the component update is the SAME delta-bounded
+    * algorithm the text family runs
+    * ([[graft.ext.Dedup.componentUpdateFrom]]: recompute only components
+    * holding churned docs or fresh-pair endpoints; carry every untouched
+    * cluster verbatim). Returns the new (hash index, pair table) warehouse
+    * plus the new cluster manifest — the rolling state of a media
+    * ingestion loop that serves both near-dup pairs and visual-family
+    * groups. Exactness is inherited from both halves: the pair relation is
+    * hash-local, so untouched components cannot change (MultimodalSpec
+    * chains it by property against the from-scratch CC). */
+  def mediaClustersUpdateOn(oldDocs: DataFrame, newDocs: DataFrame,
+                            oldHashes: DataFrame, oldPairs: DataFrame,
+                            oldManifest: DataFrame,
+                            hamMax: Int = DctHamMax,
+                            precomputedDelta: Option[DataFrame] = None,
+                            precomputedFreshHashes: Option[DataFrame] = None)
+      : (MediaWarehouse, DataFrame) = {
+    val (wh, delta, keptPairs, freshPairs) = mediaWarehouseUpdateParts(
+      oldDocs, newDocs, oldHashes, oldPairs, hamMax,
+      precomputedDelta, precomputedFreshHashes)
+    val manifest = graft.ext.Dedup.componentUpdateFrom(oldManifest, delta,
+      keptPairs.select("doc_a", "doc_b"), freshPairs.select("doc_a", "doc_b"))
+    (wh, manifest)
   }
 
   /** Frozen media warehouse of the simulated OLD snapshot (hash index +
@@ -712,30 +754,36 @@ object Multimodal {
     * measures the UPDATE, not the bootstrap (the
     * [[graft.ext.Dedup.frozenIncrementalBase]] discipline). */
   private val mediaBaseCache =
-    new graft.ops.FrozenCaches.Memo[Int, (String, String)](
+    new graft.ops.FrozenCaches.Memo[Int, (String, String, String)](
       beforeClear = _.forEach(p =>
         graft.ops.FrozenCaches.deleteTree(
           java.nio.file.Paths.get(p._1).getParent.toString)),
       label = "mm_incr_base")
 
-  private[graft] def frozenMediaBase(spark: SparkSession, dir: String): (String, String) =
+  private[graft] def frozenMediaBase(spark: SparkSession, dir: String): (String, String, String) =
     mediaBaseCache.get(dir, DctHamMax) {
       val old = graft.ext.Corpus.deltaOldSlice(Tables.documents(spark, dir))
       val base = java.nio.file.Files.createTempDirectory("graft_mm_incr_base").toString
-      // one hash pass feeds the index freeze AND the pair build
+      // one hash pass feeds the index freeze AND the pair build; one pair
+      // computation feeds the pair freeze AND the cluster manifest
       val fp = dctHashOn(fromDocuments(old)).toDF().persist()
       fp.write.parquet(s"$base/hashes.parquet")
       val bands = dctBands(fp)
-      bands.as("l").join(bands.as("r"),
+      val pairs = bands.as("l").join(bands.as("r"),
           col("l.band_idx") === col("r.band_idx") && col("l.band") === col("r.band")
             && col("l.doc_id") < col("r.doc_id"))
         .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
           bit_count(col("l.phash").bitwiseXOR(col("r.phash"))).cast("long").as("hamming"))
         .distinct()
         .filter(col("hamming") <= lit(DctHamMax))
-        .write.parquet(s"$base/pairs.parquet")
+        .persist()
+      pairs.write.parquet(s"$base/pairs.parquet")
+      graft.ext.Dedup.propagateComponents(old.select("doc_id"),
+          pairs.select("doc_a", "doc_b"), checkpointRounds = true)
+        .orderBy("doc_id").write.parquet(s"$base/manifest.parquet")
+      pairs.unpersist()
       fp.unpersist()
-      (s"$base/hashes.parquet", s"$base/pairs.parquet")
+      (s"$base/hashes.parquet", s"$base/pairs.parquet", s"$base/manifest.parquet")
     }
 
   /** The media warehouse BOOTSTRAP, registered as its own row (the
@@ -747,7 +795,7 @@ object Multimodal {
     * the per-snapshot delta update. Oracled against the from-scratch
     * banded DCT pairing over the old snapshot. */
   def mediaDedupBase(spark: SparkSession, dir: String): DataFrame = {
-    val (_, pPath) = frozenMediaBase(spark, dir)
+    val (_, pPath, _) = frozenMediaBase(spark, dir)
     spark.read.parquet(pPath).orderBy("doc_a", "doc_b")
   }
 
@@ -770,7 +818,7 @@ object Multimodal {
     val docs = Tables.documents(spark, dir)
     val old = graft.ext.Corpus.deltaOldSlice(docs)
     val nw = graft.ext.Corpus.deltaNewSlice(docs)
-    val (hPath, pPath) = frozenMediaBase(spark, dir)
+    val (hPath, pPath, _) = frozenMediaBase(spark, dir)
     mediaWarehouseUpdateOn(old, nw,
         spark.read.parquet(hPath), spark.read.parquet(pPath))
       .pairs.orderBy("doc_a", "doc_b")
@@ -794,25 +842,27 @@ object Multimodal {
     * ([[graft.ext.Dedup.rolledFinalSlice]]) — one timeline across text
     * and media, as the manifest family already shares with dedup. */
   private val mediaRolledCache =
-    new graft.ops.FrozenCaches.Memo[Int, (String, String)](
+    new graft.ops.FrozenCaches.Memo[Int, (String, String, String)](
       beforeClear = _.forEach(p =>
         graft.ops.FrozenCaches.deleteTree(
           java.nio.file.Paths.get(p._1).getParent.toString)),
       label = "mm_rolled_base")
 
-  private[graft] def frozenMediaRolled(spark: SparkSession, dir: String): (String, String) =
+  private[graft] def frozenMediaRolled(spark: SparkSession, dir: String): (String, String, String) =
     mediaRolledCache.get(dir, DctHamMax) {
       val docs = Tables.documents(spark, dir)
       val s0 = graft.ext.Corpus.deltaOldSlice(docs)
       val s1 = graft.ext.Corpus.deltaNewSlice(docs)
-      val (hPath, pPath) = frozenMediaBase(spark, dir)
-      val w1 = mediaWarehouseUpdateOn(s0, s1,
-        spark.read.parquet(hPath), spark.read.parquet(pPath))
+      val (hPath, pPath, mPath) = frozenMediaBase(spark, dir)
+      val (w1, m1) = mediaClustersUpdateOn(s0, s1,
+        spark.read.parquet(hPath), spark.read.parquet(pPath),
+        spark.read.parquet(mPath))
       val base = java.nio.file.Files.createTempDirectory("graft_mm_rolled").toString
       w1.hashes.write.parquet(s"$base/hashes.parquet")
       w1.pairs.write.parquet(s"$base/pairs.parquet")
+      m1.orderBy("doc_id").write.parquet(s"$base/manifest.parquet")
       w1.release()
-      (s"$base/hashes.parquet", s"$base/pairs.parquet")
+      (s"$base/hashes.parquet", s"$base/pairs.parquet", s"$base/manifest.parquet")
     }
 
   /** Registered steady-state rolled update: hop 2 of the media ingestion
@@ -824,10 +874,65 @@ object Multimodal {
     val docs = Tables.documents(spark, dir)
     val s1 = graft.ext.Corpus.deltaNewSlice(docs)
     val s2 = graft.ext.Dedup.rolledFinalSlice(docs)
-    val (hPath, pPath) = frozenMediaRolled(spark, dir)
+    val (hPath, pPath, _) = frozenMediaRolled(spark, dir)
     mediaWarehouseUpdateOn(s1, s2,
         spark.read.parquet(hPath), spark.read.parquet(pPath))
       .pairs.orderBy("doc_a", "doc_b")
+  }
+
+  /** Registered incremental media CLUSTER manifest — one delta + pair
+    * reconciliation drives the pair warehouse AND the component update
+    * (the text family's shared [[graft.ext.Dedup.componentUpdateFrom]]
+    * algorithm). Oracle: from-scratch recursive closure over the new
+    * snapshot — no incremental formulation anywhere. */
+  def mediaClustersIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val old = graft.ext.Corpus.deltaOldSlice(docs)
+    val nw = graft.ext.Corpus.deltaNewSlice(docs)
+    val (hPath, pPath, mPath) = frozenMediaBase(spark, dir)
+    mediaClustersUpdateOn(old, nw,
+        spark.read.parquet(hPath), spark.read.parquet(pPath),
+        spark.read.parquet(mPath))
+      ._2.orderBy("doc_id")
+  }
+
+  val mediaClustersIncrementalSql: String =
+    s"""WITH RECURSIVE newsnap AS (
+       |  SELECT doc_id, ${graft.ext.Corpus.deltaNewTextSql} AS text
+       |  FROM documents WHERE ${graft.ext.Corpus.deltaNewWhereSql}),
+       |${mediaClusterCtesFor("newsnap")}
+       |SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       |       c.doc_id = c.cluster_id AS is_canonical
+       |FROM comp c JOIN sizes s ON c.cluster_id = s.cluster_id
+       |ORDER BY c.doc_id""".stripMargin
+
+  /** Registered steady-state rolled cluster update: hop 2 FROM the frozen
+    * rolled (warehouse + manifest) state, against the shared rolled final
+    * snapshot. Oracle: from-scratch closure over that snapshot. */
+  def mediaClustersRolled(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val s1 = graft.ext.Corpus.deltaNewSlice(docs)
+    val s2 = graft.ext.Dedup.rolledFinalSlice(docs)
+    val (hPath, pPath, mPath) = frozenMediaRolled(spark, dir)
+    mediaClustersUpdateOn(s1, s2,
+        spark.read.parquet(hPath), spark.read.parquet(pPath),
+        spark.read.parquet(mPath))
+      ._2.orderBy("doc_id")
+  }
+
+  val mediaClustersRolledSql: String = {
+    val mod = graft.ext.Corpus.DeltaMod
+    s"""WITH RECURSIVE s2 AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % $mod = ${graft.ext.Corpus.DeltaChanged} THEN text || ' [rev2]'
+       |              WHEN doc_id % $mod = ${graft.ext.Dedup.RolledChanged2} THEN text || ' [rev3]'
+       |              ELSE text END AS text
+       |  FROM documents WHERE doc_id % $mod <> ${graft.ext.Dedup.RolledRemoved2}),
+       |${mediaClusterCtesFor("s2")}
+       |SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       |       c.doc_id = c.cluster_id AS is_canonical
+       |FROM comp c JOIN sizes s ON c.cluster_id = s.cluster_id
+       |ORDER BY c.doc_id""".stripMargin
   }
 
   val mediaDedupRolledSql: String = {
@@ -1092,6 +1197,8 @@ object Multimodal {
     Q("mm_dedup_base", mediaDedupBase _, mediaDedupBaseSql),
     Q("mm_dedup_incremental", mediaDedupIncremental _, mediaDedupIncrementalSql),
     Q("mm_dedup_rolled", mediaDedupRolled _, mediaDedupRolledSql),
+    Q("mm_clusters_incremental", mediaClustersIncremental _, mediaClustersIncrementalSql),
+    Q("mm_clusters_rolled", mediaClustersRolled _, mediaClustersRolledSql),
     Q("mm_dup_clusters", mediaDupClusters _, mediaDupClustersSql),
     Q("mm_hamming_curve", hammingCurve _, hammingCurveSql),
     Q("mm_keep_best", mediaKeepBest _, mediaKeepBestSql),

@@ -261,8 +261,9 @@ class MultimodalSpec extends SparkSpec {
   test("property: N random media deltas chained through the warehouse update equal the from-scratch build") {
     // the multimodal rung of the ladder's induction step (VERDICT r14 #2):
     // random add/remove/change mixes, empty deltas and drained snapshots
-    // included — the rolled warehouse (hash index AND pair table) must
-    // land on the from-scratch build of the final snapshot
+    // included — the rolled warehouse (hash index AND pair table AND
+    // cluster manifest) must land on the from-scratch build of the final
+    // snapshot
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     def seqGen[A](gs: List[Gen[A]]): Gen[List[A]] =
       gs.foldRight(Gen.const(List.empty[A]))((g, acc) => for { h <- g; t <- acc } yield h :: t)
@@ -290,19 +291,27 @@ class MultimodalSpec extends SparkSpec {
       val snaps = chain.map(snapDf)
       var st = ckpt(Multimodal.MediaWarehouse(
         scratchHashes(snaps.head), scratchPairs(snaps.head)))
+      var manifest = Multimodal.mediaDupClustersOn(snaps.head).localCheckpoint()
       for ((prev, next) <- snaps.zip(snaps.tail)) {
-        val raw = Multimodal.mediaWarehouseUpdateOn(prev, next, st.hashes, st.pairs)
+        val (raw, m) = Multimodal.mediaClustersUpdateOn(
+          prev, next, st.hashes, st.pairs, manifest)
         val rolled = ckpt(raw)
-        st.release(); raw.release()
+        val mRolled = m.localCheckpoint()
+        st.release(); raw.release(); manifest.unpersist()
         st = rolled
+        manifest = mRolled
       }
       val (h, p) = collectWh(st)
+      val m = manifest.as[(Long, Long, Long, Boolean)].collect().toSeq.sorted
       st.release()
       val last = snaps.last
       val okH = h == scratchHashes(last).as[(Long, String, Long)].collect().toSet
       val okP = p == scratchPairs(last).as[(Long, Long, Long)].collect().toSet
+      val okM = m == Multimodal.mediaDupClustersOn(last)
+        .as[(Long, Long, Long, Boolean)].collect().toSeq.sorted
       spark.catalog.clearCache()
-      Prop(okH) :| "hash index drifted" && Prop(okP) :| "pair table drifted"
+      Prop(okH) :| "hash index drifted" && Prop(okP) :| "pair table drifted" &&
+        Prop(okM) :| "cluster manifest drifted"
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(4), prop)
     assert(res.passed, res.status.toString)
