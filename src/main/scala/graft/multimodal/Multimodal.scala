@@ -1000,8 +1000,11 @@ object Multimodal {
     * `dd_keep_best`'s score-based election, and the survivorship input a
     * multimodal curation run feeds its manifest. One |clusters|-keyed hash
     * aggregate over the manifest-joined byte counts; no pairwise work. */
-  def mediaKeepBestOn(docs: DataFrame): DataFrame =
-    mediaDupClustersOn(docs)
+  /** Keep-best election from an EXISTING cluster manifest (the
+    * composition seam [[mmPipelineManifestOn]] reads, so the composed
+    * pipeline can never disagree with the registered election). */
+  def mediaKeepBestFrom(manifest: DataFrame, docs: DataFrame): DataFrame =
+    manifest
       .join(mediaMetaOn(docs).select(col("doc_id"), col("n_bytes")), Seq("doc_id"))
       .filter(col("cluster_size") > 1)
       .groupBy("cluster_id")
@@ -1014,27 +1017,38 @@ object Multimodal {
         col("cluster_size"), (col("cluster_size") - lit(1L)).as("n_removed"))
       .orderBy("cluster_id")
 
+  def mediaKeepBestOn(docs: DataFrame): DataFrame =
+    mediaKeepBestFrom(mediaDupClustersOn(docs), docs)
+
   def mediaKeepBest(spark: SparkSession, dir: String): DataFrame =
     mediaKeepBestOn(Tables.documents(spark, dir))
 
-  val mediaKeepBestSql: String =
-    s"""WITH RECURSIVE ${mediaClusterCtesFor("documents")},
-       |meta AS (
+  /** The election as CTEs over `comp`/`sizes` (relations `meta`, `kbr`,
+    * `kb`) — composed by the keep-best oracle AND the pipeline-manifest
+    * oracle so the election arithmetic cannot drift between them. */
+  private def mediaKbCtesFor(rel: String): String =
+    s"""meta AS (
        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-       |  FROM documents),
-       |j AS (
+       |  FROM $rel),
+       |kbj AS (
        |  SELECT c.cluster_id, c.doc_id, m.n_bytes, s.cluster_size
        |  FROM comp c
        |  JOIN sizes s ON c.cluster_id = s.cluster_id
        |  JOIN meta m ON c.doc_id = m.doc_id
        |  WHERE s.cluster_size > 1),
-       |r AS (
+       |kbr AS (
        |  SELECT *, row_number() OVER (PARTITION BY cluster_id
        |                               ORDER BY n_bytes DESC, doc_id ASC) AS rn
-       |  FROM j)
-       |SELECT cluster_id, doc_id AS keep_doc_id, n_bytes AS keep_bytes,
+       |  FROM kbj),
+       |kb AS (SELECT cluster_id, doc_id AS keep_doc_id, n_bytes AS keep_bytes,
+       |              cluster_size FROM kbr WHERE rn = 1)""".stripMargin
+
+  val mediaKeepBestSql: String =
+    s"""WITH RECURSIVE ${mediaClusterCtesFor("documents")},
+       |${mediaKbCtesFor("documents")}
+       |SELECT cluster_id, keep_doc_id, keep_bytes,
        |       cluster_size, cluster_size - 1 AS n_removed
-       |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+       |FROM kb ORDER BY cluster_id""".stripMargin
 
   // ---------------------------------------------- image-text alignment gate
   /** CLIP-style cross-modal alignment filter (Radford et al. 2021; the
@@ -1144,47 +1158,44 @@ object Multimodal {
     * stage, and each gate keeps its own registered plan. */
   def mmPipelineManifestOn(docs: DataFrame, embeddings: DataFrame): DataFrame = {
     val af = alignFilterOn(docs, embeddings)
-    val qual = dctBandPairsOn(docs)
-      .filter(col("hamming") <= lit(DctHamMax)).select("doc_a", "doc_b")
-      // |pairs| is tiny next to the corpus; checkpoint so the banded-join
-      // subtree isn't re-planned once per consuming branch below
-      .localCheckpoint()
-    val members = qual.select(col("doc_a").as("doc_id"))
-      .union(qual.select(col("doc_b").as("doc_id"))).distinct()
-      .withColumn("nd_member", lit(true))
-    val droppedNd = qual.select(col("doc_b").as("doc_id")).distinct()
-      .withColumn("nd_dropped", lit(true))
-    af.join(members, Seq("doc_id"), "left")
-      .join(droppedNd, Seq("doc_id"), "left")
+    // the registered cluster manifest + the registered keep-best election
+    // — the same entry points `mm_dup_clusters`/`mm_keep_best` run, so
+    // the composed manifest can never disagree with them. Checkpointed:
+    // the CC loop must not re-run per consuming branch.
+    val clusters = mediaDupClustersOn(docs)
+      .select("doc_id", "cluster_id", "cluster_size").localCheckpoint()
+    val kb = mediaKeepBestFrom(clusters, docs).select("cluster_id", "keep_doc_id")
+    val survivor = col("cluster_size") === lit(1L) || col("keep_doc_id") === col("doc_id")
+    af.join(clusters, Seq("doc_id"))
+      .join(kb, Seq("cluster_id"), "left")
       .select(col("doc_id"), col("media_type"), col("align_cos"),
         col("keep").as("pass_align"),
-        coalesce(col("nd_member"), lit(false)).as("has_neardup"),
-        (!coalesce(col("nd_dropped"), lit(false))).as("is_media_canonical"),
-        (col("keep") && !coalesce(col("nd_dropped"), lit(false))).as("mm_kept"))
+        (col("cluster_size") > 1).as("has_neardup"),
+        survivor.as("is_survivor"),
+        (col("keep") && survivor).as("mm_kept"))
       .orderBy("doc_id")
   }
 
   def mmPipelineManifest(spark: SparkSession, dir: String): DataFrame =
     mmPipelineManifestOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
 
-  /** Oracle: the two gates' OWN oracle SQLs composed — [[alignFilterSql]]
-    * embedded whole as the `af` CTE, the pair relation via the shared
-    * [[dctPairsCtesBodyFor]] chain — then the same keep-smallest-id
-    * survivorship join (the `pipelineManifestCtesFor` discipline). */
+  /** Oracle: the gates' OWN oracle SQLs composed — [[alignFilterSql]]
+    * embedded whole as the `af` CTE, the cluster closure via the shared
+    * [[mediaClusterCtesFor]] chain, the election via the shared
+    * [[mediaKbCtesFor]] CTEs — then the same survivorship join (the
+    * `pipelineManifestCtesFor` discipline). */
   val mmPipelineManifestSql: String =
-    s"""WITH ${dctPairsCtesBodyFor("documents")},
-       |qual AS (SELECT doc_a, doc_b FROM pairs WHERE hamming <= $DctHamMax),
-       |af AS ($alignFilterSql),
-       |mem AS (SELECT DISTINCT doc_id FROM
-       |          (SELECT doc_a AS doc_id FROM qual UNION ALL SELECT doc_b FROM qual)),
-       |nd AS (SELECT DISTINCT doc_b AS doc_id FROM qual)
+    s"""WITH RECURSIVE ${mediaClusterCtesFor("documents")},
+       |${mediaKbCtesFor("documents")},
+       |af AS ($alignFilterSql)
        |SELECT a.doc_id, a.media_type, a.align_cos, a.keep AS pass_align,
-       |       (mem.doc_id IS NOT NULL) AS has_neardup,
-       |       (nd.doc_id IS NULL) AS is_media_canonical,
-       |       (a.keep AND nd.doc_id IS NULL) AS mm_kept
+       |       (s.cluster_size > 1) AS has_neardup,
+       |       (s.cluster_size = 1 OR kb.keep_doc_id = a.doc_id) AS is_survivor,
+       |       (a.keep AND (s.cluster_size = 1 OR kb.keep_doc_id = a.doc_id)) AS mm_kept
        |FROM af a
-       |LEFT JOIN mem ON a.doc_id = mem.doc_id
-       |LEFT JOIN nd ON a.doc_id = nd.doc_id
+       |JOIN comp c ON a.doc_id = c.doc_id
+       |JOIN sizes s ON c.cluster_id = s.cluster_id
+       |LEFT JOIN kb ON c.cluster_id = kb.cluster_id
        |ORDER BY a.doc_id""".stripMargin
 
   val all: Seq[Q] = Seq(

@@ -427,7 +427,7 @@ class MultimodalSpec extends SparkSpec {
     val docs = graft.ops.Tables.documents(spark, dir)
     val emb = graft.ops.Tables.embeddings(spark, dir)
     val m = Multimodal.mmPipelineManifestOn(docs, emb)
-      .select("doc_id", "pass_align", "has_neardup", "is_media_canonical", "mm_kept")
+      .select("doc_id", "pass_align", "has_neardup", "is_survivor", "mm_kept")
       .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
       .map(r => r._1 -> r).toMap
     // pass_align must equal the registered gate verbatim
@@ -435,17 +435,22 @@ class MultimodalSpec extends SparkSpec {
       .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
     assert(m.keySet === af.keySet)
     assert(m.forall { case (id, r) => r._2 === af(id) }, "pass_align drifted from mm_align_filter")
-    // survivorship must equal the registered pair relation's greater endpoints
-    val pairs = Multimodal.dctDedup(spark, dir)
-      .as[(Long, Long, Long)].collect()
-    val dropped = pairs.map(_._2).toSet
-    val members = (pairs.map(_._1) ++ pairs.map(_._2)).toSet
+    // survivorship must equal the registered cluster manifest + election
+    val clusters = Multimodal.mediaDupClusters(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val sizeOf = clusters.map(c => c._1 -> c._3).toMap
+    val keepOf = Multimodal.mediaKeepBest(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .flatMap { case (cid, keep, _, _, _) =>
+        clusters.filter(_._2 == cid).map(c => c._1 -> keep) }.toMap
     m.foreach { case (id, r) =>
-      assert(r._3 === members.contains(id), s"has_neardup drifted for $id")
-      assert(r._4 === !dropped.contains(id), s"is_media_canonical drifted for $id")
+      assert(r._3 === (sizeOf(id) > 1L), s"has_neardup drifted for $id")
+      val surv = sizeOf(id) == 1L || keepOf.get(id).contains(id)
+      assert(r._4 === surv, s"is_survivor drifted for $id")
       assert(r._5 === (r._2 && r._4), s"mm_kept is not the gate conjunction for $id")
     }
-    assert(members.nonEmpty, "no near-dup pairs at sf0.001 — survivorship check was vacuous")
+    assert(m.values.exists(_._3), "no multi-doc cluster at sf0.001 — survivorship was vacuous")
+    assert(m.values.exists(r => r._3 && !r._4), "no cluster loser — the election was vacuous")
   }
 }
 

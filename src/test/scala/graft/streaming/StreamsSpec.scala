@@ -1367,6 +1367,94 @@ class StreamsSpec extends SparkSpec {
       s"timeout failed to flush ${(mustEmit -- streamed).take(5)}")
   }
 
+  test("property: sessionize under out-of-order delivery and a NONZERO watermark delay seals exactly the gap-merge over non-late rows") {
+    // the session-family instance of the watermark contract the as-of
+    // property pins: random events randomly assigned to three
+    // micro-batches (arrival order decoupled from event time) under a
+    // nonzero delay. Expected: admission uses the one-batch-lagged
+    // watermark; the emitted set equals the gap-merge sessionization of
+    // the SURVIVORS restricted to sessions the final watermark sealed
+    // (end + gap < wm). Event times sit on a 13-minute grid and delays on
+    // 7.5/22.5 minutes, so neither the admission compare, the merge
+    // compare (2 steps < gap < 3 steps) nor the seal compare can tie.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val Step = 780L * 1000000 // 13 min in µs; SessionGapUs = 30 min
+    val ev = for {
+      u <- Gen.choose(0L, 2L)
+      k <- Gen.choose(1L, 12L)
+      v <- Gen.choose(0, 9)
+      b <- Gen.choose(0, 2)
+    } yield (u, k * Step, v.toDouble, b)
+    val input = for {
+      evs <- Gen.listOfN(24, ev)
+      delayMs <- Gen.oneOf(450000L, 1350000L) // 7.5 / 22.5 min
+    } yield (evs, delayMs)
+    var run = 0
+    var sawLateDrop = false
+    var sawSealed = false
+    val prop = Prop.forAllNoShrink(input) { case (evs, delayMs) =>
+      run += 1
+      val base = Files.createTempDirectory("graft_ooo_sess").toString
+      Files.createDirectories(Paths.get(s"$base/in"))
+      (0 to 2).foreach { b =>
+        val tmp = s"$base/tmp$b"
+        evs.filter(_._4 == b).map { case (u, ts, v, _) => (u, ts, v) }
+          .toDF("user_id", "ts_us", "value")
+          .coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+        Files.move(part.toPath, Paths.get(s"$base/in/b$b.parquet"), StandardCopyOption.ATOMIC_MOVE)
+        Thread.sleep(20)
+      }
+      // lagged-admission watermark simulation (the as-of property's model)
+      var wmEvict = 0L
+      var wmLate = 0L
+      var maxSeen = Long.MinValue
+      val surv = Seq.newBuilder[(Long, Long, Double)]
+      (0 to 2).foreach { b =>
+        val batch = evs.filter(_._4 == b)
+        surv ++= batch.filter(_._2 >= wmLate).map { case (u, ts, v, _) => (u, ts, v) }
+        if (batch.nonEmpty) maxSeen = math.max(maxSeen, batch.map(_._2).max)
+        wmLate = wmEvict
+        if (maxSeen != Long.MinValue)
+          wmEvict = math.max(wmEvict, math.max(0L, (maxSeen / 1000L - delayMs) * 1000L))
+      }
+      val survRows = surv.result()
+      if (survRows.size < evs.size) sawLateDrop = true
+      // gap-merge sessionization of the survivors, in plain Scala
+      val sessions = survRows.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+        val sorted = es.map(e => (e._2, e._3)).sortBy(_._1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Double)]
+        sorted.foreach { case (ts, v) =>
+          if (out.nonEmpty && ts - out.last._3 <= Streams.SessionGapUs) {
+            val l = out.last
+            out(out.length - 1) = (u, l._2, ts, l._4 + 1, l._5 + v)
+          } else out += ((u, ts, ts, 1L, v))
+        }
+        out
+      }
+      val wantSealed = sessions
+        .filter(s => s._3 + Streams.SessionGapUs < wmEvict)
+        .map(s => (s._1, s._2, s._3, s._4, s._5)).toSet
+      if (wantSealed.nonEmpty) sawSealed = true
+      val stream = spark.readStream.schema("user_id LONG, ts_us LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+        .as[Streams.SessionEvent]
+      val got = Streams.runToMemory(spark,
+          Streams.sessionize(stream, s"$delayMs milliseconds").toDF(), s"ooo_sess_$run")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      spark.catalog.dropTempView(s"ooo_sess_$run")
+      Prop(got == wantSealed) :| (s"sessions drifted: missing ${(wantSealed -- got).take(2)} " +
+        s"extra ${(got -- wantSealed).take(2)} wm=$wmEvict surv=${survRows.size}/${evs.size}")
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+    assert(sawLateDrop, "no sample dropped a late row — the property never left the delay-0 regime")
+    assert(sawSealed, "no sample sealed a session — the parity was vacuous")
+  }
+
   test("transformWithState sessionize matches flatMapGroupsWithState on the same micro-batches") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = Files.createTempDirectory("graft_tws_stream").toString
