@@ -748,6 +748,104 @@ object Multimodal {
     (wh, manifest)
   }
 
+  /** The full media-manifest warehouse of one snapshot: the (hash index,
+    * pair table) dedup state, the cluster manifest, the per-doc alignment
+    * verdicts and the byte counts — everything [[mmManifestFromState]]
+    * needs to assemble the composed manifest WITHOUT reading a payload or
+    * a caption. [[mediaManifestUpdateOn]] both consumes and produces it,
+    * so daily media snapshots roll manifest state exactly as the text
+    * family's [[graft.ext.Corpus.ManifestWarehouse]] does. */
+  case class MediaManifestWarehouse(wh: MediaWarehouse, clusters: DataFrame,
+                                    af: DataFrame, bytes: DataFrame) {
+    /** The composed per-doc manifest, assembled from state alone. */
+    def manifest: DataFrame = mmManifestFromState(af, clusters, bytes)
+    def release(): Unit = {
+      wh.release()
+      Seq(clusters, af, bytes).foreach(_.unpersist())
+    }
+  }
+
+  /** One incremental hop of the COMPOSED media manifest (the `mm` twin of
+    * [[graft.ext.Corpus.manifestWarehouseUpdateOn]]): membership state
+    * (clusters, election) reconciles via the shared component update; the
+    * doc-local state — alignment verdict (a pure function of (caption,
+    * embedding): re-scored only for the fresh slice) and byte count —
+    * carries for unchanged docs. The ONLY text the update reads beyond
+    * the delta classify is the fresh slice's captions; untouched
+    * documents' verdicts, bytes, cells and clusters are warehouse reads.
+    * Exact by composition: each state table individually lands on its
+    * from-scratch value, and the assembly is deterministic in them. */
+  def mediaManifestUpdateOn(oldDocs: DataFrame, newDocs: DataFrame,
+                            oldHashes: DataFrame, oldPairs: DataFrame,
+                            oldClusters: DataFrame,
+                            afOld: DataFrame, nbOld: DataFrame,
+                            embeddings: DataFrame,
+                            hamMax: Int = DctHamMax,
+                            precomputedDelta: Option[DataFrame] = None,
+                            precomputedFreshHashes: Option[DataFrame] = None): MediaManifestWarehouse = {
+    val delta = precomputedDelta.getOrElse(
+      mediaDeltaOn(oldDocs, newDocs).localCheckpoint())
+    val (wh, clusters) = mediaClustersUpdateOn(oldDocs, newDocs, oldHashes,
+      oldPairs, oldClusters, hamMax, Some(delta), precomputedFreshHashes)
+    val gone = delta.filter(col("status").isin("removed", "changed")).select("doc_id")
+    val fresh = delta.filter(col("status").isin("added", "changed")).select("doc_id")
+    val freshDocs = newDocs.join(fresh, Seq("doc_id"), "left_semi").localCheckpoint()
+    val afNew = afOld.join(gone, Seq("doc_id"), "left_anti")
+      .unionByName(alignFilterOn(freshDocs, embeddings))
+    val nbNew = nbOld.join(gone, Seq("doc_id"), "left_anti")
+      .unionByName(mediaMetaOn(freshDocs).select(col("doc_id"), col("n_bytes")))
+    MediaManifestWarehouse(wh, clusters, afNew, nbNew)
+  }
+
+  /** Frozen doc-local manifest state (alignment verdicts, byte counts) of
+    * the simulated OLD snapshot — the companion of [[frozenMediaBase]] for
+    * the composed-manifest rows. */
+  private val mediaManifestBaseCache =
+    new graft.ops.FrozenCaches.Memo[Int, (String, String)](
+      beforeClear = _.forEach(p =>
+        graft.ops.FrozenCaches.deleteTree(
+          java.nio.file.Paths.get(p._1).getParent.toString)),
+      label = "mm_manifest_base")
+
+  private[graft] def frozenMediaManifestBase(spark: SparkSession, dir: String): (String, String) =
+    mediaManifestBaseCache.get(dir, AlignDim) {
+      val old = graft.ext.Corpus.deltaOldSlice(Tables.documents(spark, dir))
+      val emb = Tables.embeddings(spark, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_mm_manifest_base").toString
+      alignFilterOn(old, emb).write.parquet(s"$base/af.parquet")
+      mediaMetaOn(old).select(col("doc_id"), col("n_bytes"))
+        .write.parquet(s"$base/nb.parquet")
+      (s"$base/af.parquet", s"$base/nb.parquet")
+    }
+
+  /** Registered incremental COMPOSED media manifest — the full `mm` twin
+    * of `t_manifest_incremental`: one snapshot delta drives the dedup
+    * warehouse, the cluster manifest, the alignment-verdict carry and the
+    * byte-count carry, and the manifest a multimodal training run
+    * consumes reassembles from state. Oracle: the composed from-scratch
+    * stage oracles over the NEW snapshot — no incremental formulation
+    * anywhere. */
+  def mediaManifestIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val old = graft.ext.Corpus.deltaOldSlice(docs)
+    val nw = graft.ext.Corpus.deltaNewSlice(docs)
+    val (hPath, pPath, mPath) = frozenMediaBase(spark, dir)
+    val (afPath, nbPath) = frozenMediaManifestBase(spark, dir)
+    mediaManifestUpdateOn(old, nw,
+      spark.read.parquet(hPath), spark.read.parquet(pPath),
+      spark.read.parquet(mPath),
+      spark.read.parquet(afPath), spark.read.parquet(nbPath),
+      Tables.embeddings(spark, dir)).manifest
+  }
+
+  // lazy: composes alignFilterSqlFor, whose AlignDim/AlignMin vals sit
+  // later in this object — eager init here would fold zeros into the SQL
+  lazy val mediaManifestIncrementalSql: String =
+    s"""WITH RECURSIVE newsnap AS (
+       |  SELECT doc_id, ${graft.ext.Corpus.deltaNewTextSql} AS text, source
+       |  FROM documents WHERE ${graft.ext.Corpus.deltaNewWhereSql}),
+       |${mmManifestBodyFor("newsnap")}""".stripMargin
+
   /** Frozen media warehouse of the simulated OLD snapshot (hash index +
     * pair table), built once per corpus — what a media ingest pipeline has
     * on disk when a new snapshot lands, so the registered incremental row
@@ -842,27 +940,34 @@ object Multimodal {
     * ([[graft.ext.Dedup.rolledFinalSlice]]) — one timeline across text
     * and media, as the manifest family already shares with dedup. */
   private val mediaRolledCache =
-    new graft.ops.FrozenCaches.Memo[Int, (String, String, String)](
+    new graft.ops.FrozenCaches.Memo[Int, (String, String, String, String, String)](
       beforeClear = _.forEach(p =>
         graft.ops.FrozenCaches.deleteTree(
           java.nio.file.Paths.get(p._1).getParent.toString)),
       label = "mm_rolled_base")
 
-  private[graft] def frozenMediaRolled(spark: SparkSession, dir: String): (String, String, String) =
+  private[graft] def frozenMediaRolled(spark: SparkSession, dir: String)
+      : (String, String, String, String, String) =
     mediaRolledCache.get(dir, DctHamMax) {
       val docs = Tables.documents(spark, dir)
       val s0 = graft.ext.Corpus.deltaOldSlice(docs)
       val s1 = graft.ext.Corpus.deltaNewSlice(docs)
       val (hPath, pPath, mPath) = frozenMediaBase(spark, dir)
-      val (w1, m1) = mediaClustersUpdateOn(s0, s1,
+      val (afPath, nbPath) = frozenMediaManifestBase(spark, dir)
+      val w1 = mediaManifestUpdateOn(s0, s1,
         spark.read.parquet(hPath), spark.read.parquet(pPath),
-        spark.read.parquet(mPath))
+        spark.read.parquet(mPath),
+        spark.read.parquet(afPath), spark.read.parquet(nbPath),
+        Tables.embeddings(spark, dir))
       val base = java.nio.file.Files.createTempDirectory("graft_mm_rolled").toString
-      w1.hashes.write.parquet(s"$base/hashes.parquet")
-      w1.pairs.write.parquet(s"$base/pairs.parquet")
-      m1.orderBy("doc_id").write.parquet(s"$base/manifest.parquet")
+      w1.wh.hashes.write.parquet(s"$base/hashes.parquet")
+      w1.wh.pairs.write.parquet(s"$base/pairs.parquet")
+      w1.clusters.orderBy("doc_id").write.parquet(s"$base/manifest.parquet")
+      w1.af.write.parquet(s"$base/af.parquet")
+      w1.bytes.write.parquet(s"$base/nb.parquet")
       w1.release()
-      (s"$base/hashes.parquet", s"$base/pairs.parquet", s"$base/manifest.parquet")
+      (s"$base/hashes.parquet", s"$base/pairs.parquet", s"$base/manifest.parquet",
+        s"$base/af.parquet", s"$base/nb.parquet")
     }
 
   /** Registered steady-state rolled update: hop 2 of the media ingestion
@@ -874,7 +979,7 @@ object Multimodal {
     val docs = Tables.documents(spark, dir)
     val s1 = graft.ext.Corpus.deltaNewSlice(docs)
     val s2 = graft.ext.Dedup.rolledFinalSlice(docs)
-    val (hPath, pPath, _) = frozenMediaRolled(spark, dir)
+    val (hPath, pPath, _, _, _) = frozenMediaRolled(spark, dir)
     mediaWarehouseUpdateOn(s1, s2,
         spark.read.parquet(hPath), spark.read.parquet(pPath))
       .pairs.orderBy("doc_a", "doc_b")
@@ -913,11 +1018,40 @@ object Multimodal {
     val docs = Tables.documents(spark, dir)
     val s1 = graft.ext.Corpus.deltaNewSlice(docs)
     val s2 = graft.ext.Dedup.rolledFinalSlice(docs)
-    val (hPath, pPath, mPath) = frozenMediaRolled(spark, dir)
+    val (hPath, pPath, mPath, _, _) = frozenMediaRolled(spark, dir)
     mediaClustersUpdateOn(s1, s2,
         spark.read.parquet(hPath), spark.read.parquet(pPath),
         spark.read.parquet(mPath))
       ._2.orderBy("doc_id")
+  }
+
+  /** Registered steady-state rolled COMPOSED manifest: hop 2 of the media
+    * manifest warehouse FROM the frozen rolled state (dedup + clusters +
+    * verdicts + bytes as produced by hop 1), against the shared rolled
+    * final snapshot. Oracle: the composed from-scratch stage oracles over
+    * that snapshot. */
+  def mediaManifestRolled(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val s1 = graft.ext.Corpus.deltaNewSlice(docs)
+    val s2 = graft.ext.Dedup.rolledFinalSlice(docs)
+    val (hPath, pPath, mPath, afPath, nbPath) = frozenMediaRolled(spark, dir)
+    mediaManifestUpdateOn(s1, s2,
+      spark.read.parquet(hPath), spark.read.parquet(pPath),
+      spark.read.parquet(mPath),
+      spark.read.parquet(afPath), spark.read.parquet(nbPath),
+      Tables.embeddings(spark, dir)).manifest
+  }
+
+  lazy val mediaManifestRolledSql: String = {
+    val mod = graft.ext.Corpus.DeltaMod
+    s"""WITH RECURSIVE s2 AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % $mod = ${graft.ext.Corpus.DeltaChanged} THEN text || ' [rev2]'
+       |              WHEN doc_id % $mod = ${graft.ext.Dedup.RolledChanged2} THEN text || ' [rev3]'
+       |              ELSE text END AS text,
+       |         source
+       |  FROM documents WHERE doc_id % $mod <> ${graft.ext.Dedup.RolledRemoved2}),
+       |${mmManifestBodyFor("s2")}""".stripMargin
   }
 
   val mediaClustersRolledSql: String = {
@@ -1000,12 +1134,13 @@ object Multimodal {
     * `dd_keep_best`'s score-based election, and the survivorship input a
     * multimodal curation run feeds its manifest. One |clusters|-keyed hash
     * aggregate over the manifest-joined byte counts; no pairwise work. */
-  /** Keep-best election from an EXISTING cluster manifest (the
-    * composition seam [[mmPipelineManifestOn]] reads, so the composed
-    * pipeline can never disagree with the registered election). */
-  def mediaKeepBestFrom(manifest: DataFrame, docs: DataFrame): DataFrame =
+  /** Keep-best election from an EXISTING cluster manifest and an existing
+    * (doc_id, n_bytes) table — the pure-state form the incremental
+    * manifest composes (byte counts are warehouse state there, so the
+    * election reads no payload). */
+  def mediaKeepBestFromBytes(manifest: DataFrame, bytes: DataFrame): DataFrame =
     manifest
-      .join(mediaMetaOn(docs).select(col("doc_id"), col("n_bytes")), Seq("doc_id"))
+      .join(bytes.select(col("doc_id"), col("n_bytes")), Seq("doc_id"))
       .filter(col("cluster_size") > 1)
       .groupBy("cluster_id")
       .agg(
@@ -1016,6 +1151,13 @@ object Multimodal {
       .select(col("cluster_id"), col("keep_doc_id"), col("keep_bytes"),
         col("cluster_size"), (col("cluster_size") - lit(1L)).as("n_removed"))
       .orderBy("cluster_id")
+
+  /** Keep-best election from an EXISTING cluster manifest (the
+    * composition seam [[mmPipelineManifestOn]] reads, so the composed
+    * pipeline can never disagree with the registered election). */
+  def mediaKeepBestFrom(manifest: DataFrame, docs: DataFrame): DataFrame =
+    mediaKeepBestFromBytes(manifest,
+      mediaMetaOn(docs).select(col("doc_id"), col("n_bytes")))
 
   def mediaKeepBestOn(docs: DataFrame): DataFrame =
     mediaKeepBestFrom(mediaDupClustersOn(docs), docs)
@@ -1109,13 +1251,13 @@ object Multimodal {
   def alignFilter(spark: SparkSession, dir: String): DataFrame =
     alignFilterOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
 
-  val alignFilterSql: String = {
+  def alignFilterSqlFor(rel: String): String = {
     import graft.ext.{Dedup, Similarity, Text}
     s"""WITH th AS (
        |  SELECT doc_id, source,
        |         list_transform(${Text.tokensSql("text")},
        |                        t -> ${Dedup.baseHashSql("'at:' || t")}) AS th
-       |  FROM documents),
+       |  FROM $rel),
        |cap AS MATERIALIZED (
        |  SELECT doc_id, source,
        |         list_transform(range(1, ${AlignDim + 1}), j -> CAST(
@@ -1139,6 +1281,8 @@ object Multimodal {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  val alignFilterSql: String = alignFilterSqlFor("documents")
+
   // --------------------------------------------- multimodal pipeline manifest
   /** The composed per-document manifest a MULTIMODAL training run consumes
     * (VERDICT r13 #3) — the media twin of `t_pipeline_manifest`, zero own
@@ -1156,17 +1300,18 @@ object Multimodal {
     * Scale shape: one id-keyed gate join + one banded pair join + two
     * |pair|-bounded anti-join-shaped left joins — no corpus × corpus
     * stage, and each gate keeps its own registered plan. */
-  def mmPipelineManifestOn(docs: DataFrame, embeddings: DataFrame): DataFrame = {
-    val af = alignFilterOn(docs, embeddings)
-    // the registered cluster manifest + the registered keep-best election
-    // — the same entry points `mm_dup_clusters`/`mm_keep_best` run, so
-    // the composed manifest can never disagree with them. Checkpointed:
-    // the CC loop must not re-run per consuming branch.
-    val clusters = mediaDupClustersOn(docs)
-      .select("doc_id", "cluster_id", "cluster_size").localCheckpoint()
-    val kb = mediaKeepBestFrom(clusters, docs).select("cluster_id", "keep_doc_id")
+  /** Compose the manifest from STATE tables alone — alignment verdicts
+    * (doc_id, media_type, align_cos, keep), a cluster manifest, and byte
+    * counts — reading no payload and no text: the form the incremental
+    * update emits, and what [[mmPipelineManifestOn]] instantiates with
+    * the from-scratch state. */
+  def mmManifestFromState(af: DataFrame, clusters: DataFrame, bytes: DataFrame): DataFrame = {
+    // checkpointed: the cluster subtree (possibly a CC loop) must not
+    // re-run per consuming branch
+    val cl = clusters.select("doc_id", "cluster_id", "cluster_size").localCheckpoint()
+    val kb = mediaKeepBestFromBytes(cl, bytes).select("cluster_id", "keep_doc_id")
     val survivor = col("cluster_size") === lit(1L) || col("keep_doc_id") === col("doc_id")
-    af.join(clusters, Seq("doc_id"))
+    af.join(cl, Seq("doc_id"))
       .join(kb, Seq("cluster_id"), "left")
       .select(col("doc_id"), col("media_type"), col("align_cos"),
         col("keep").as("pass_align"),
@@ -1176,6 +1321,13 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  def mmPipelineManifestOn(docs: DataFrame, embeddings: DataFrame): DataFrame =
+    // the registered cluster manifest + the registered keep-best election
+    // — the same entry points `mm_dup_clusters`/`mm_keep_best` run, so
+    // the composed manifest can never disagree with them
+    mmManifestFromState(alignFilterOn(docs, embeddings), mediaDupClustersOn(docs),
+      mediaMetaOn(docs).select(col("doc_id"), col("n_bytes")))
+
   def mmPipelineManifest(spark: SparkSession, dir: String): DataFrame =
     mmPipelineManifestOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
 
@@ -1184,10 +1336,15 @@ object Multimodal {
     * [[mediaClusterCtesFor]] chain, the election via the shared
     * [[mediaKbCtesFor]] CTEs — then the same survivorship join (the
     * `pipelineManifestCtesFor` discipline). */
-  val mmPipelineManifestSql: String =
-    s"""WITH RECURSIVE ${mediaClusterCtesFor("documents")},
-       |${mediaKbCtesFor("documents")},
-       |af AS ($alignFilterSql)
+  /** The full composed-manifest CTE chain + final select over a snapshot
+    * relation — shared by the registered manifest, the incremental row's
+    * from-scratch oracle, and the rolled row's, so none can drift. The
+    * caller supplies the leading `WITH RECURSIVE` (and any snapshot CTE
+    * before this chain). */
+  private def mmManifestBodyFor(rel: String): String =
+    s"""${mediaClusterCtesFor(rel)},
+       |${mediaKbCtesFor(rel)},
+       |af AS (${alignFilterSqlFor(rel)})
        |SELECT a.doc_id, a.media_type, a.align_cos, a.keep AS pass_align,
        |       (s.cluster_size > 1) AS has_neardup,
        |       (s.cluster_size = 1 OR kb.keep_doc_id = a.doc_id) AS is_survivor,
@@ -1197,6 +1354,8 @@ object Multimodal {
        |JOIN sizes s ON c.cluster_id = s.cluster_id
        |LEFT JOIN kb ON c.cluster_id = kb.cluster_id
        |ORDER BY a.doc_id""".stripMargin
+
+  val mmPipelineManifestSql: String = "WITH RECURSIVE " + mmManifestBodyFor("documents")
 
   val all: Seq[Q] = Seq(
     Q("mm_media_meta", mediaMeta _, mediaMetaSql),
@@ -1213,6 +1372,8 @@ object Multimodal {
     Q("mm_dup_clusters", mediaDupClusters _, mediaDupClustersSql),
     Q("mm_hamming_curve", hammingCurve _, hammingCurveSql),
     Q("mm_keep_best", mediaKeepBest _, mediaKeepBestSql),
+    Q("mm_manifest_incremental", mediaManifestIncremental _, mediaManifestIncrementalSql),
+    Q("mm_manifest_rolled", mediaManifestRolled _, mediaManifestRolledSql),
     Q("mm_pipeline_manifest", mmPipelineManifest _, mmPipelineManifestSql),
   )
 }

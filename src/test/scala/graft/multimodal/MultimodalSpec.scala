@@ -410,6 +410,47 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("media manifest update: fresh captions re-score, carried verdicts survive, composition equals from-scratch") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.ops.Tables.documents(spark, dir)
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    val old = graft.ext.Corpus.deltaOldSlice(docs)
+    val nw = graft.ext.Corpus.deltaNewSlice(docs)
+    val afOld = Multimodal.alignFilterOn(old, emb).localCheckpoint()
+    val w = Multimodal.mediaManifestUpdateOn(old, nw,
+      scratchHashes(old).localCheckpoint(),
+      scratchPairs(old).localCheckpoint(),
+      Multimodal.mediaDupClustersOn(old).localCheckpoint(),
+      afOld,
+      Multimodal.mediaMetaOn(old).select(col("doc_id"), col("n_bytes")).localCheckpoint(),
+      emb)
+    val got = w.manifest.collect().map(_.toSeq).toSeq
+    val want = Multimodal.mmPipelineManifestOn(nw, emb).collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got === want,
+      "updated composed manifest drifted from the from-scratch composition")
+    // the changed class genuinely re-scored: its caption text moved, so at
+    // least one changed doc's alignment cosine differs from its old value
+    val changed = Multimodal.mediaDeltaOn(old, nw)
+      .filter(col("status") === "changed").select("doc_id")
+      .as[Long].collect().toSet
+    assert(changed.nonEmpty)
+    val oldCos = afOld.select("doc_id", "align_cos").as[(Long, Double)].collect().toMap
+    val newCos = w.af.select("doc_id", "align_cos").as[(Long, Double)].collect().toMap
+    assert(changed.exists(id => oldCos.get(id) != newCos.get(id)),
+      "no changed doc moved its alignment cosine — the re-score was vacuous")
+    // carried (unchanged, still-present) docs kept their verdicts
+    // bit-identically; removed docs' rows are gone from the state
+    val removed = Multimodal.mediaDeltaOn(old, nw)
+      .filter(col("status") === "removed").select("doc_id")
+      .as[Long].collect().toSet
+    val carried = oldCos.keySet -- changed -- removed
+    assert(carried.nonEmpty && carried.forall(id =>
+      newCos.get(id).contains(oldCos(id))), "a carried verdict drifted")
+    assert(removed.forall(id => !newCos.contains(id)), "a removed doc's verdict survived")
+    w.release()
+    spark.catalog.clearCache()
+  }
+
   test("steady-state media update plan reads FROZEN rolled warehouse state, not a rebuild") {
     val dir = "/root/testdata/sf0.001"
     val p = Multimodal.mediaDedupRolled(spark, dir).queryExecution.executedPlan.toString
