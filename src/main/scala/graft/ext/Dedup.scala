@@ -192,7 +192,7 @@ object Dedup {
        |${p}sh AS (SELECT doc_id, ${shingles3Sql("t")} AS shingles FROM ${p}toks),
        |${p}ex AS (SELECT doc_id, unnest(shingles) AS s FROM ${p}sh),
        |${p}h AS (SELECT doc_id, ${baseHashSql("s")} AS hh FROM ${p}ex),
-       |${p}mh AS (
+       |${p}mh AS MATERIALIZED (
        |  SELECT doc_id,
        |         $mhCols
        |  FROM ${p}h GROUP BY doc_id)""".stripMargin
@@ -206,7 +206,7 @@ object Dedup {
       val cols = (0 until rowsPerBand).map(k => s"mh_${j * rowsPerBand + k}").mkString(", ")
       s"SELECT doc_id, $j AS band_idx, md5(concat_ws(',', $cols)) AS sig FROM ${p}mh"
     }.mkString("\n  UNION ALL\n  ")
-    s"""${p}bands AS (
+    s"""${p}bands AS MATERIALIZED (
        |  $bandSelects)""".stripMargin
   }
 
@@ -1317,18 +1317,18 @@ object Dedup {
        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM bands l JOIN bands r ON l.band_idx = r.band_idx AND l.sig = r.sig AND l.doc_id < r.doc_id
        |  GROUP BY 1, 2),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT c.doc_a, c.doc_b
        |  FROM cand c JOIN mh x ON c.doc_a = x.doc_id JOIN mh y ON c.doc_b = y.doc_id
        |  WHERE ${agreeSql(NumHashes)} >= $ClusterEstMin),
-       |sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+       |sym AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM edges
        |        UNION ALL SELECT doc_b, doc_a FROM edges),
        |reach(src, dst) AS (
        |  SELECT doc_id, doc_id FROM $from
        |  UNION
        |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
-       |comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
-       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)""".stripMargin
+       |comp AS MATERIALIZED (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+       |sizes AS MATERIALIZED (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)""".stripMargin
 
   private def dupClustersCtes: String = dupClustersCtesFor("documents")
 

@@ -558,7 +558,7 @@ object Multimodal {
        |      * ($bLit)[CAST(k % 8 + 1 AS BIGINT)][CAST(q % 8 + 1 AS BIGINT)]
        |      * p[CAST(q + 1 AS BIGINT)])) AS BIGINT)) AS y
        |  FROM px),
-       |ph AS (
+       |ph AS MATERIALIZED (
        |  SELECT doc_id,
        |         coalesce(list_aggregate(list_transform(generate_series(0, 63), i ->
        |           CASE WHEN y[CAST(i + 1 AS BIGINT)] * 63 > (CAST(list_sum(y) AS BIGINT) - y[1])
@@ -566,7 +566,7 @@ object Multimodal {
        |                          ELSE (1::BIGINT << CAST(i AS INT)) END
        |                ELSE 0 END), 'bit_or'), 0) AS phash
        |  FROM co),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  SELECT doc_id, phash, k AS band_idx, (phash >> (k * $bandBits)) & $mask AS band
        |  FROM ph, (SELECT unnest([$ks]) AS k)),
        |pairs AS (
@@ -1110,15 +1110,15 @@ object Multimodal {
     * convention). */
   private def mediaClusterCtesFor(rel: String): String =
     s"""${dctPairsCtesBodyFor(rel)},
-       |qual AS (SELECT doc_a, doc_b FROM pairs WHERE hamming <= $DctHamMax),
-       |sym AS (SELECT doc_a AS a, doc_b AS b FROM qual
+       |qual AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs WHERE hamming <= $DctHamMax),
+       |sym AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM qual
        |        UNION ALL SELECT doc_b, doc_a FROM qual),
        |reach(src, dst) AS (
        |  SELECT doc_id, doc_id FROM $rel
        |  UNION
        |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
-       |comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
-       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)""".stripMargin
+       |comp AS MATERIALIZED (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+       |sizes AS MATERIALIZED (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)""".stripMargin
 
   val mediaDupClustersSql: String =
     s"""WITH RECURSIVE ${mediaClusterCtesFor("documents")}
