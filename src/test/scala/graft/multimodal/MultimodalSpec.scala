@@ -451,6 +451,67 @@ class MultimodalSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("property: N random deltas chained through the MANIFEST warehouse equal the from-scratch composition") {
+    // the composed-manifest completion of the media induction: the other
+    // chain property rolls (hashes, pairs, clusters); this one rolls the
+    // full MediaManifestWarehouse — verdicts and byte counts carried
+    // doc-locally, membership reconciled — and requires the ASSEMBLED
+    // manifest to land on the from-scratch composition of the final
+    // snapshot. Embeddings are static across snapshots (the image tower's
+    // output table), as in the registered rows.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val rnd = new scala.util.Random(7)
+    val emb = (1L to 9L).map { id =>
+      (id, Array.fill(Multimodal.AlignDim)(rnd.nextFloat() * 2f - 1f), 0)
+    }.toDF("vec_id", "embedding", "label").localCheckpoint()
+    def seqGen[A](gs: List[Gen[A]]): Gen[List[A]] =
+      gs.foldRight(Gen.const(List.empty[A]))((g, acc) => for { h <- g; t <- acc } yield h :: t)
+    def stepGen(cur: Map[Long, String]): Gen[Map[Long, String]] =
+      seqGen((1L to 9L).toList.map { id =>
+        cur.get(id) match {
+          case Some(t) => Gen.frequency(
+            2 -> Gen.const(id -> Option.empty[String]),
+            3 -> Gen.oneOf(mediaPool.filterNot(_ == t)).map(nt => id -> Option(nt)),
+            5 -> Gen.const(id -> Option(t)))
+          case None => Gen.frequency(
+            3 -> Gen.oneOf(mediaPool).map(nt => id -> Option(nt)),
+            7 -> Gen.const(id -> Option.empty[String]))
+        }
+      }).map(_.collect { case (id, Some(t)) => id -> t }.toMap)
+    val chainGen = for {
+      s0 <- stepGen((1L to 9L).map(_ -> mediaPool.head).toMap)
+      s1 <- stepGen(s0)
+      s2 <- stepGen(s1)
+    } yield List(s0, s1, s2)
+    def fromScratch(d: org.apache.spark.sql.DataFrame) = Multimodal.MediaManifestWarehouse(
+      Multimodal.MediaWarehouse(scratchHashes(d), scratchPairs(d)),
+      Multimodal.mediaDupClustersOn(d),
+      Multimodal.alignFilterOn(d, emb),
+      Multimodal.mediaMetaOn(d).select(col("doc_id"), col("n_bytes")))
+    def ckpt(w: Multimodal.MediaManifestWarehouse) = Multimodal.MediaManifestWarehouse(
+      Multimodal.MediaWarehouse(w.wh.hashes.localCheckpoint(), w.wh.pairs.localCheckpoint()),
+      w.clusters.localCheckpoint(), w.af.localCheckpoint(), w.bytes.localCheckpoint())
+    val prop = Prop.forAll(chainGen) { chain =>
+      val snaps = chain.map(snapDf)
+      var st = ckpt(fromScratch(snaps.head))
+      for ((prev, next) <- snaps.zip(snaps.tail)) {
+        val raw = Multimodal.mediaManifestUpdateOn(prev, next,
+          st.wh.hashes, st.wh.pairs, st.clusters, st.af, st.bytes, emb)
+        val rolled = ckpt(raw)
+        st.release(); raw.release()
+        st = rolled
+      }
+      val got = st.manifest.collect().map(_.toSeq).toSeq
+      st.release()
+      val want = Multimodal.mmPipelineManifestOn(snapDf(chain.last), emb)
+        .collect().map(_.toSeq).toSeq
+      spark.catalog.clearCache()
+      Prop(got == want) :| s"composed manifest drifted: got ${got.take(2)} want ${want.take(2)}"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(3), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("steady-state media update plan reads FROZEN rolled warehouse state, not a rebuild") {
     val dir = "/root/testdata/sf0.001"
     val p = Multimodal.mediaDedupRolled(spark, dir).queryExecution.executedPlan.toString
