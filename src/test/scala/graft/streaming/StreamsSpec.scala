@@ -481,6 +481,93 @@ class StreamsSpec extends SparkSpec {
     assert(sawEmit, "no sample emitted anything — the parity was vacuous")
   }
 
+  test("property: append-mode windowed aggregation under out-of-order delivery and a NONZERO delay seals exactly the non-late windows") {
+    // the AGGREGATION-family instance of the watermark contract: unlike
+    // the fMGWS operators (row-level admission on event time), a windowed
+    // aggregate admits a row iff its WINDOW is still open — a row older
+    // than the watermark whose window end is still ahead of it
+    // contributes normally. Model: row admitted at batch k iff
+    // win_end(ts) > wmLate_k (lagged, as everywhere); window emits iff
+    // win_end <= final wmEvict; an admitted row can never land in an
+    // already-emitted window (wmLate lags wmEvict by exactly the one
+    // batch). Events on whole minutes, delays on x.5 minutes, windows on
+    // 10-minute bounds — no comparison can tie.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val Min = 60L * 1000000
+    val Win = 10 * Min
+    val ev = for {
+      tpe <- Gen.oneOf("view", "click", "purchase")
+      m <- Gen.choose(1L, 40L)
+      v <- Gen.choose(0, 99)
+      b <- Gen.choose(0, 2)
+    } yield (tpe, m * Min, v.toDouble, b)
+    val input = for {
+      evs <- Gen.listOfN(30, ev)
+      delaySec <- Gen.oneOf(90L, 150L, 210L)
+    } yield (evs, delaySec)
+    var run = 0
+    var sawLateDrop = false
+    var sawEmit = false
+    val prop = Prop.forAllNoShrink(input) { case (evs, delaySec) =>
+      run += 1
+      val rows = evs.zipWithIndex.map { case ((t, ts, v, b), i) => (i.toLong, t, ts, v, b) }
+      val base = Files.createTempDirectory("graft_ooo_win").toString
+      Files.createDirectories(Paths.get(s"$base/in"))
+      (0 to 2).foreach { b =>
+        val tmp = s"$base/tmp$b"
+        rows.filter(_._5 == b)
+          .map { case (id, t, ts, v, _) => (id, t, new java.sql.Timestamp(ts / 1000), v) }
+          .toDF("event_id", "event_type", "ts", "value")
+          .coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+        Files.move(part.toPath, Paths.get(s"$base/in/b$b.parquet"), StandardCopyOption.ATOMIC_MOVE)
+        Thread.sleep(20)
+      }
+      // lagged-admission simulation, at WINDOW granularity
+      var wmEvict = 0L
+      var wmLate = 0L
+      var maxSeen = Long.MinValue
+      val admitted = Seq.newBuilder[(String, Long, Double)] // (type, win_start, value)
+      (0 to 2).foreach { b =>
+        val batch = rows.filter(_._5 == b)
+        admitted ++= batch
+          .filter(r => (r._3 / Win) * Win + Win > wmLate)
+          .map(r => (r._2, (r._3 / Win) * Win, r._4))
+        if (batch.nonEmpty) maxSeen = math.max(maxSeen, batch.map(_._3).max)
+        wmLate = wmEvict
+        if (maxSeen != Long.MinValue)
+          wmEvict = math.max(wmEvict, math.max(0L, (maxSeen / 1000L - delaySec * 1000L) * 1000L))
+      }
+      val adm = admitted.result()
+      if (adm.size < rows.size) sawLateDrop = true
+      val want = adm.groupBy(r => (r._2, r._1))
+        .filter { case ((ws, _), _) => ws + Win < wmEvict } // sealed windows only
+        .map { case ((ws, t), vs) =>
+          (ws, t, vs.size.toLong, math.round(vs.map(_._3).sum * 1e6) / 1e6) }.toSet
+      if (want.nonEmpty) sawEmit = true
+      val stream = spark.readStream
+        .schema("event_id LONG, event_type STRING, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+        .withWatermark("ts", s"$delaySec seconds")
+        .groupBy(window(col("ts"), "10 minutes").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        .select(unix_micros(col("win.start")).as("ws"), col("event_type"),
+          col("n_events"), col("sum_value"))
+      val got = Streams.runToMemory(spark, stream, s"ooo_win_$run") // Append mode
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1e6) / 1e6)).toSet
+      spark.catalog.dropTempView(s"ooo_win_$run")
+      Prop(got == want) :| (s"windows drifted: missing ${(want -- got).take(2)} " +
+        s"extra ${(got -- want).take(2)} wm=$wmEvict adm=${adm.size}/${rows.size}")
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+    assert(sawLateDrop, "no sample dropped a late row — the property never left the delay-0 regime")
+    assert(sawEmit, "no sample sealed a window — the parity was vacuous")
+  }
+
   test("streaming quantile sketch is bit-identical to the batch sketch (merge-order independence)") {
     // the time-sliced stream merges three micro-batch partials into the
     // state store in arrival order — a merge-order-DEPENDENT sketch
