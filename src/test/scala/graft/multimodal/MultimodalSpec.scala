@@ -521,6 +521,17 @@ class MultimodalSpec extends SparkSpec {
       "rolled row does not read the frozen rolled warehouse:\n" + p.take(3000))
     assert(!p.contains("graft_mm_incr_base"),
       "rolled row fell back to the BASE warehouse (bootstrap leak):\n" + p.take(3000))
+    // the composed-manifest rolled row: assembled from rolled state; the
+    // corpus-text reads (delta classify, fresh-slice captions/hashes) ran
+    // as delta-bounded checkpoints at construction, so the assembled plan
+    // holds NO documents scan and no bootstrap state
+    val pm = Multimodal.mediaManifestRolled(spark, dir).queryExecution.executedPlan.toString
+    assert(pm.contains("graft_mm_rolled"),
+      "manifest rolled row does not read the frozen rolled warehouse:\n" + pm.take(3000))
+    assert(!pm.contains("graft_mm_manifest_base") && !pm.contains("graft_mm_incr_base"),
+      "manifest rolled row fell back to bootstrap state:\n" + pm.take(3000))
+    assert(!pm.contains("documents.parquet"),
+      "steady-state manifest plan rescans the corpus:\n" + pm.take(3000))
     spark.catalog.clearCache()
   }
 
