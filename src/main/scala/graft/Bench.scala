@@ -60,21 +60,27 @@ object Bench {
       name -> times.min
     }.toMap.filterNot { case (name, _) => errored.contains(name) }
     // The driver records a bounded TAIL of this line, truncating the FRONT
-    // (round-6 record lost the total + the 7 earliest entries). Emit the
-    // per-query map cheapest-first so truncation can only drop the small
-    // entries, and repeat the total at the very end so it always survives.
-    val qs = results.toSeq.sortBy(_._2).map { case (k, v) => s"\"" + k + "\":" + v }
+    // (round-6 record lost the total + the 7 earliest entries; round 14
+    // the grown frozen_builds ledger pushed EVERY per-query number out of
+    // the surviving 2000-char tail). Field order is therefore
+    // survivability order, most-expendable first: the builds ledger, then
+    // the full per-query map (cheapest-first, so truncation drops the
+    // small entries), then — guaranteed inside any plausible tail — the
+    // top-10 slowest queries, the error list, and the total. Seconds are
+    // ms-rounded: sub-ms digits are noise and every byte saved keeps one
+    // more per-query entry alive.
+    def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
+    val qs = results.toSeq.sortBy(_._2).map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // errors sit AFTER the queries map: the driver keeps a bounded TAIL of
-    // this line, so anything before the map is the first thing truncated —
-    // the failure signal must live on the surviving end, next to total_sec
+    val slow = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) r3(results.values.sum) else 0.0
     val errs = errored.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // build order preserved: artifact -> (builder query, build seconds)
     val ledger = builds.map { case (a, q, s) =>
-      "{\"artifact\":\"" + a + "\",\"built_by\":\"" + q + "\",\"sec\":" + s + "}"
+      "{\"artifact\":\"" + a + "\",\"built_by\":\"" + q + "\",\"sec\":" + r3(s) + "}"
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs,"frozen_builds":$ledger,"errors":$errs,"n_errors":${errored.size},"total_sec":$total}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","frozen_builds":$ledger,"queries":$qs,"slowest":$slow,"errors":$errs,"n_errors":${errored.size},"total_sec":$total}""")
     spark.stop()
   }
 }

@@ -29,8 +29,18 @@ object FrozenCaches {
   def clearAll(): Unit = hooks.forEach(h => h())
 
   /** One frozen-artifact build event: which artifact, for which corpus,
-    * and how long the builder ran EXCLUSIVE of nested labeled builds —
-    * a builder that triggers another labeled memo's build (e.g. the
+    * and how long the builder ran EXCLUSIVE of nested labeled builds.
+    *
+    * Attribution is PER-THREAD: the exclusive-time accounting assumes a
+    * nested labeled build runs on the SAME thread as its parent (every
+    * current builder nests synchronously). A builder that triggered a
+    * labeled build from another thread (future, parallel collection)
+    * would double-count that time in both entries — if a builder ever
+    * needs cross-thread nesting, the in-flight stack must move to a
+    * structured-concurrency scope first.
+    *
+    * Exclusive means: a builder that triggers another labeled memo's
+    * build (e.g. the
     * manifest-base bootstrap touching the dup warehouse's `dup_incr_base`)
     * logs only its own time, and the nested build logs its own entry. This
     * makes the ledger ADDITIVE (artifact secs sum to total labeled build
@@ -45,9 +55,10 @@ object FrozenCaches {
   // Per-thread stack of in-flight LABELED builds: each frame accumulates
   // the wall time of nested labeled builds so the parent can subtract it.
   // Nesting is same-thread by construction (a builder body calls the
-  // nested memo synchronously); unlabeled builds don't push a frame, so
-  // their time stays inside the nearest labeled ancestor (it is invisible
-  // to the ledger either way).
+  // nested memo synchronously — see the BuildEvent scaladoc for the
+  // cross-thread caveat); unlabeled builds don't push a frame, so their
+  // time stays inside the nearest labeled ancestor (it is invisible to
+  // the ledger either way).
   private val inFlight = new ThreadLocal[java.util.ArrayDeque[Array[Double]]] {
     override def initialValue(): java.util.ArrayDeque[Array[Double]] =
       new java.util.ArrayDeque[Array[Double]]()
