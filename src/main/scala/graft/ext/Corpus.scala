@@ -154,7 +154,8 @@ object Corpus {
     * their text; only the narrow (lang, shard, doc_id, n_tok) manifest
     * shuffles through the prefix-sum window. [[seqPackDocRowsOn]] is the
     * tokenize-then-pack composition, so the two cannot drift. */
-  def seqPackDocRowsFromTokens(toks: DataFrame, nShards: Int = PackShards): DataFrame = {
+  def seqPackDocRowsFromTokens(toks: DataFrame, nShards: Int = PackShards,
+                               chunkTokens: Long = ContextTokens): DataFrame = {
     val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     toks
@@ -162,8 +163,12 @@ object Corpus {
         pmod(Dedup.baseHash(concat(lit("shard:"), col("doc_id").cast("string"))), lit(nShards.toLong)))
       .withColumn("cum_tok", sum("n_tok").over(w))
       // integral div (not double division + cast) — the packEfficiencyOn
-      // integer-exact rationale applies identically here
-      .withColumn("chunk_id", expr(s"(cum_tok - n_tok) div $ContextTokens"))
+      // integer-exact rationale applies identically here. chunkTokens is
+      // the chunk budget in the weight column's unit: context-length
+      // tokens for the text packer, payload BYTES for the media manifest
+      // (graft.multimodal.Multimodal.mmManifestFromState) — the prefix-sum
+      // chain is unit-agnostic.
+      .withColumn("chunk_id", expr(s"(cum_tok - n_tok) div $chunkTokens"))
       .select("lang", "shard", "doc_id", "n_tok", "cum_tok", "chunk_id")
   }
 
@@ -193,16 +198,29 @@ object Corpus {
     * — composed by [[seqPackShardedSql]] and the pipeline-manifest oracle
     * so the SQL side shares one chain exactly as the Spark side shares
     * [[seqPackDocRowsOn]]. */
-  def seqPackDocCtesSql(rel: String): String = {
+  def seqPackDocCtesSql(rel: String): String =
+    seqPackRowCtesSql(
+      s"""(SELECT lang, doc_id, CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tok
+         |   FROM $rel)""".stripMargin)
+
+  /** The packing chain over PRE-WEIGHTED rows — `rel` exposes (lang,
+    * doc_id, n_tok) — the SQL twin of [[seqPackDocRowsFromTokens]]'s
+    * seam: [[seqPackDocCtesSql]] composes it (tokenize-then-pack), and
+    * the media manifest oracle feeds payload bytes through it with its
+    * own chunk budget, so every packer shares ONE prefix-sum chain. */
+  def seqPackRowCtesSql(rel: String, chunkTokens: Long = ContextTokens): String = {
     val shard = s"${Dedup.baseHashSql("('shard:' || CAST(doc_id AS VARCHAR))")} % $PackShards"
     s"""ptoks AS (
-       |  SELECT lang, $shard AS shard, doc_id,
-       |         CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tok
+       |  SELECT lang, $shard AS shard, doc_id, n_tok
        |  FROM $rel),
-       |pdoc AS (
+       |pcum AS (
        |  SELECT lang, shard, doc_id, n_tok,
-       |         (CAST(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok) // $ContextTokens AS chunk_id
-       |  FROM ptoks)""".stripMargin
+       |         CAST(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+       |  FROM ptoks),
+       |pdoc AS (
+       |  SELECT lang, shard, doc_id, n_tok, cum_tok,
+       |         (cum_tok - n_tok) // $chunkTokens AS chunk_id
+       |  FROM pcum)""".stripMargin
   }
 
   /** Oracle twin of [[seqPackShardedOn]]: the shard is the same portable
@@ -438,16 +456,22 @@ object Corpus {
   val TrainPct = 90L
   val ValPct = 5L // test gets the remainder
 
+  /** The split assignment as a COLUMN over any frame exposing `text` —
+    * the ONE definition behind [[splitRowsOn]] and the media manifest's
+    * doc-local split state ([[graft.multimodal.Multimodal.mmDocLocalOn]],
+    * whose snapshot frames carry no lang column). */
+  def splitAssign: org.apache.spark.sql.Column = {
+    val h = pmod(Dedup.baseHash(concat(lit("split:"), md5(Text.normalized(col("text"))))), lit(100L))
+    when(h < lit(TrainPct), lit("train"))
+      .when(h < lit(TrainPct + ValPct), lit("val"))
+      .otherwise(lit("test"))
+  }
+
   /** Unsorted per-doc assignment — stateless row-local arithmetic, safe on
     * a streaming frame like the other manifest ops. */
-  def splitRowsOn(docs: DataFrame): DataFrame = {
-    val h = pmod(Dedup.baseHash(concat(lit("split:"), md5(Text.normalized(col("text"))))), lit(100L))
-    docs.select(col("doc_id"), col("lang"),
-      when(h < lit(TrainPct), lit("train"))
-        .when(h < lit(TrainPct + ValPct), lit("val"))
-        .otherwise(lit("test")).as("split"),
+  def splitRowsOn(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), splitAssign.as("split"),
       size(Text.tokens(col("text"))).cast("long").as("n_tok"))
-  }
 
   def splitOn(docs: DataFrame): DataFrame =
     splitRowsOn(docs).orderBy("doc_id")
@@ -455,21 +479,29 @@ object Corpus {
   def split(spark: SparkSession, dir: String): DataFrame =
     splitOn(Tables.documents(spark, dir))
 
+  /** The split hash (0..99) of a text expression and the CASE mapping a
+    * computed hash column to the split name — the two SQL pieces behind
+    * [[splitSqlFor]] and the media manifest's split CTE (which has no
+    * lang/n_tok columns), shared so the assignment rule cannot drift. */
+  def splitHashSql(textCol: String): String =
+    s"${Dedup.baseHashSql(s"('split:' || md5(lower(regexp_replace($textCol, '\\s+', ' ', 'g'))))")} % 100"
+
+  def splitCaseSql(h: String): String =
+    s"""CASE WHEN $h < $TrainPct THEN 'train'
+       |            WHEN $h < ${TrainPct + ValPct} THEN 'val'
+       |            ELSE 'test' END""".stripMargin
+
   /** Parameterized twin over an arbitrary snapshot relation (see
     * [[graft.ext.Text.textStatsSqlFor]]). */
-  def splitSqlFor(rel: String): String = {
-    val h = Dedup.baseHashSql("('split:' || md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))))")
+  def splitSqlFor(rel: String): String =
     s"""WITH hashed AS (
-       |  SELECT doc_id, lang, $h % 100 AS h,
+       |  SELECT doc_id, lang, ${splitHashSql("text")} AS h,
        |         CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tok
        |  FROM $rel)
        |SELECT doc_id, lang,
-       |       CASE WHEN h < $TrainPct THEN 'train'
-       |            WHEN h < ${TrainPct + ValPct} THEN 'val'
-       |            ELSE 'test' END AS split,
+       |       ${splitCaseSql("h")} AS split,
        |       n_tok
        |FROM hashed ORDER BY doc_id""".stripMargin
-  }
 
   val splitSql: String = splitSqlFor("documents")
 

@@ -164,6 +164,20 @@ object Multimodal {
         ceil(length(col("payload")) / lit(ChunkBytes.toDouble)).cast("long").as("n_chunks"),
         hex(encode(substring(col("text"), 1, 8), "UTF-8")).as("header_hex"))
 
+  /** Doc-LOCAL manifest state of one document: payload byte count (same
+    * expression as [[mediaMetaOn]]'s n_bytes) and the content-hash split
+    * assignment — every column a pure function of the document, so the
+    * incremental manifest recomputes this row only for the fresh slice
+    * and carries the rest ([[mediaManifestUpdateOn]]). The split is the
+    * registered `t_split` rule VERBATIM ([[graft.ext.Corpus.splitAssign]]
+    * — content-hash 90/5/5), so exact media duplicates land in one split
+    * and a re-ingest that assigns fresh doc_ids cannot move a payload
+    * across the train/test boundary. */
+  def mmDocLocalOn(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+      graft.ext.Corpus.splitAssign.as("split"))
+
   /** Per-document media FEATURE WAREHOUSE row: the metadata columns of
     * [[mediaMeta]] joined with the decoded (stub codec) + resized
     * per-document descriptor summary that `mm_feature_pipeline`
@@ -537,7 +551,15 @@ object Multimodal {
     * is the literal Long.MinValue — DuckDB refuses 1<<63 where the JVM
     * wraps), then the band/hamming pairing. [[dctDedupSql]] and
     * [[hammingCurveSql]] both COMPOSE this val (no string surgery on a
-    * finished query), so their pair semantics cannot drift. */
+    * finished query), so their pair semantics cannot drift.
+    *
+    * The basis matrix is hoisted into the one-row `dctb` CTE and read as
+    * a column inside the lambdas: spliced inline, DuckDB re-materializes
+    * the 8×8 literal on every lambda evaluation — 64·64·2 constructions
+    * per document — which made EACH oracle of this family cost ~70 s and
+    * the twelve of them 98% of the whole 915 s round-14 gate; the hoist
+    * is 240× on this stage (68.9 s → 0.28 s, bit-identical folds) and
+    * drops the family to seconds. */
   private[graft] def dctPairsCtesBodyFor(rel: String): String = {
     val bLit = DctBasis.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
     val bandBits = 64 / DctBands
@@ -551,13 +573,14 @@ object Multimodal {
        |  SELECT doc_id, list_transform(generate_series(0, 63), i ->
        |    CASE WHEN n = 0 OR $winCntSql = 0 THEN 0 ELSE $winSumSql // $winCntSql END) AS p
        |  FROM d),
+       |dctb AS (SELECT $bLit AS bb),
        |co AS (
        |  SELECT doc_id, list_transform(generate_series(0, 63), k ->
        |    CAST(list_sum(list_transform(generate_series(0, 63), q ->
-       |      ($bLit)[CAST(k // 8 + 1 AS BIGINT)][CAST(q // 8 + 1 AS BIGINT)]
-       |      * ($bLit)[CAST(k % 8 + 1 AS BIGINT)][CAST(q % 8 + 1 AS BIGINT)]
+       |      bb[CAST(k // 8 + 1 AS BIGINT)][CAST(q // 8 + 1 AS BIGINT)]
+       |      * bb[CAST(k % 8 + 1 AS BIGINT)][CAST(q % 8 + 1 AS BIGINT)]
        |      * p[CAST(q + 1 AS BIGINT)])) AS BIGINT)) AS y
-       |  FROM px),
+       |  FROM px, dctb),
        |ph AS MATERIALIZED (
        |  SELECT doc_id,
        |         coalesce(list_aggregate(list_transform(generate_series(0, 63), i ->
@@ -624,7 +647,17 @@ object Multimodal {
     * payload, and a byte-level change (case, whitespace) that text
     * normalization would erase still changes the decoded pixels and
     * therefore the DCT hash. NULL-payload docs coalesce to a sentinel, so
-    * fp nullness stays a pure presence signal. */
+    * fp nullness stays a pure presence signal.
+    *
+    * PRECONDITION — source immutability: the fingerprint covers the
+    * payload only, but carried warehouse state includes media_type and
+    * the alignment verdict, both functions of the `source` column. A doc
+    * whose source changed with an unchanged payload would classify as
+    * "unchanged" and carry a stale media_type/verdict. Snapshot
+    * reconciliation therefore assumes a doc's source never mutates
+    * (true of every snapshot this engine simulates and of any ingest
+    * where source is part of the document's identity); an ingest that
+    * can rewrite source must fold it into the fingerprint. */
   def mediaDeltaOn(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
     def fp(df: DataFrame) = df.select(col("doc_id"),
       coalesce(md5(encode(col("text"), "UTF-8")), lit("<null>")).as("fp"))
@@ -700,6 +733,14 @@ object Multimodal {
         val extra = pre.select("doc_id").join(fresh, Seq("doc_id"), "left_anti").limit(1).count()
         require(extra == 0,
           "precomputedFreshHashes contains doc_ids outside the added/changed slice")
+        // a DUPLICATE row per doc_id would pass both anti-join probes yet
+        // silently write two index rows for one object, corrupting rolled
+        // state (pairs are saved by dctCandidatesAgainst's distinct, the
+        // index is not) — fail loudly on that too
+        val dup = pre.groupBy("doc_id").count()
+          .filter(col("count") > 1).limit(1).count()
+        require(dup == 0,
+          "precomputedFreshHashes holds more than one row for some doc_id")
         pre
       case None =>
         dctHashOn(fromDocuments(newDocs.join(fresh, Seq("doc_id"), "left_semi"))).toDF()
@@ -750,18 +791,19 @@ object Multimodal {
 
   /** The full media-manifest warehouse of one snapshot: the (hash index,
     * pair table) dedup state, the cluster manifest, the per-doc alignment
-    * verdicts and the byte counts — everything [[mmManifestFromState]]
-    * needs to assemble the composed manifest WITHOUT reading a payload or
-    * a caption. [[mediaManifestUpdateOn]] both consumes and produces it,
-    * so daily media snapshots roll manifest state exactly as the text
-    * family's [[graft.ext.Corpus.ManifestWarehouse]] does. */
+    * verdicts and the doc-local (n_bytes, split) rows — everything
+    * [[mmManifestFromState]] needs to assemble the composed TRAINING
+    * manifest (verdicts + split + pack position) WITHOUT reading a
+    * payload or a caption. [[mediaManifestUpdateOn]] both consumes and
+    * produces it, so daily media snapshots roll manifest state exactly as
+    * the text family's [[graft.ext.Corpus.ManifestWarehouse]] does. */
   case class MediaManifestWarehouse(wh: MediaWarehouse, clusters: DataFrame,
-                                    af: DataFrame, bytes: DataFrame) {
+                                    af: DataFrame, docLocal: DataFrame) {
     /** The composed per-doc manifest, assembled from state alone. */
-    def manifest: DataFrame = mmManifestFromState(af, clusters, bytes)
+    def manifest: DataFrame = mmManifestFromState(af, clusters, docLocal)
     def release(): Unit = {
       wh.release()
-      Seq(clusters, af, bytes).foreach(_.unpersist())
+      Seq(clusters, af, docLocal).foreach(_.unpersist())
     }
   }
 
@@ -769,16 +811,17 @@ object Multimodal {
     * [[graft.ext.Corpus.manifestWarehouseUpdateOn]]): membership state
     * (clusters, election) reconciles via the shared component update; the
     * doc-local state — alignment verdict (a pure function of (caption,
-    * embedding): re-scored only for the fresh slice) and byte count —
-    * carries for unchanged docs. The ONLY text the update reads beyond
-    * the delta classify is the fresh slice's captions; untouched
-    * documents' verdicts, bytes, cells and clusters are warehouse reads.
-    * Exact by composition: each state table individually lands on its
+    * embedding): re-scored only for the fresh slice), byte count and
+    * split assignment (pure functions of the payload) — carries for
+    * unchanged docs. The ONLY text the update reads beyond the delta
+    * classify is the fresh slice's captions; untouched documents'
+    * verdicts, bytes, splits and clusters are warehouse reads. Exact by
+    * composition: each state table individually lands on its
     * from-scratch value, and the assembly is deterministic in them. */
   def mediaManifestUpdateOn(oldDocs: DataFrame, newDocs: DataFrame,
                             oldHashes: DataFrame, oldPairs: DataFrame,
                             oldClusters: DataFrame,
-                            afOld: DataFrame, nbOld: DataFrame,
+                            afOld: DataFrame, dlOld: DataFrame,
                             embeddings: DataFrame,
                             hamMax: Int = DctHamMax,
                             precomputedDelta: Option[DataFrame] = None,
@@ -792,14 +835,14 @@ object Multimodal {
     val freshDocs = newDocs.join(fresh, Seq("doc_id"), "left_semi").localCheckpoint()
     val afNew = afOld.join(gone, Seq("doc_id"), "left_anti")
       .unionByName(alignFilterOn(freshDocs, embeddings))
-    val nbNew = nbOld.join(gone, Seq("doc_id"), "left_anti")
-      .unionByName(mediaMetaOn(freshDocs).select(col("doc_id"), col("n_bytes")))
-    MediaManifestWarehouse(wh, clusters, afNew, nbNew)
+    val dlNew = dlOld.join(gone, Seq("doc_id"), "left_anti")
+      .unionByName(mmDocLocalOn(freshDocs))
+    MediaManifestWarehouse(wh, clusters, afNew, dlNew)
   }
 
-  /** Frozen doc-local manifest state (alignment verdicts, byte counts) of
-    * the simulated OLD snapshot — the companion of [[frozenMediaBase]] for
-    * the composed-manifest rows. */
+  /** Frozen doc-local manifest state (alignment verdicts, byte counts +
+    * split assignments) of the simulated OLD snapshot — the companion of
+    * [[frozenMediaBase]] for the composed-manifest rows. */
   private val mediaManifestBaseCache =
     new graft.ops.FrozenCaches.Memo[Int, (String, String)](
       beforeClear = _.forEach(p =>
@@ -813,9 +856,8 @@ object Multimodal {
       val emb = Tables.embeddings(spark, dir)
       val base = java.nio.file.Files.createTempDirectory("graft_mm_manifest_base").toString
       alignFilterOn(old, emb).write.parquet(s"$base/af.parquet")
-      mediaMetaOn(old).select(col("doc_id"), col("n_bytes"))
-        .write.parquet(s"$base/nb.parquet")
-      (s"$base/af.parquet", s"$base/nb.parquet")
+      mmDocLocalOn(old).write.parquet(s"$base/dl.parquet")
+      (s"$base/af.parquet", s"$base/dl.parquet")
     }
 
   /** Registered incremental COMPOSED media manifest — the full `mm` twin
@@ -964,10 +1006,10 @@ object Multimodal {
       w1.wh.pairs.write.parquet(s"$base/pairs.parquet")
       w1.clusters.orderBy("doc_id").write.parquet(s"$base/manifest.parquet")
       w1.af.write.parquet(s"$base/af.parquet")
-      w1.bytes.write.parquet(s"$base/nb.parquet")
+      w1.docLocal.write.parquet(s"$base/dl.parquet")
       w1.release()
       (s"$base/hashes.parquet", s"$base/pairs.parquet", s"$base/manifest.parquet",
-        s"$base/af.parquet", s"$base/nb.parquet")
+        s"$base/af.parquet", s"$base/dl.parquet")
     }
 
   /** Registered steady-state rolled update: hop 2 of the media ingestion
@@ -1192,6 +1234,69 @@ object Multimodal {
        |       cluster_size, cluster_size - 1 AS n_removed
        |FROM kb ORDER BY cluster_id""".stripMargin
 
+  /** ALIGNMENT-AWARE keep-best election: each multi-object cluster keeps
+    * the member whose (image, caption) alignment cosine is highest
+    * (smallest doc_id on ties) — the multimodal analog of
+    * `dd_keep_best`'s trained-quality election, and semantically the
+    * right survivorship for a training manifest: among visually
+    * near-identical objects, keep the one whose caption best describes
+    * it. [[mediaKeepBest]] (largest payload) remains the
+    * resolution-proxy sibling. Same scale shape: one |clusters|-keyed
+    * hash aggregate over the manifest-joined verdicts, no pairwise work.
+    *
+    * The pure-state form: `manifest` is a cluster manifest (doc_id,
+    * cluster_id, cluster_size), `af` the alignment verdict table — both
+    * warehouse state in the incremental family, so the election (and the
+    * composed manifest that consumes it, [[mmManifestFromState]]) reads
+    * no payload and no caption. */
+  def mediaKeepBestAlignedFrom(manifest: DataFrame, af: DataFrame): DataFrame =
+    manifest
+      .join(af.select(col("doc_id"), col("align_cos")), Seq("doc_id"))
+      .filter(col("cluster_size") > 1)
+      .groupBy("cluster_id")
+      .agg(
+        max_by(col("doc_id"),
+          struct(col("align_cos"), (lit(0L) - col("doc_id")).as("nid"))).as("keep_doc_id"),
+        max(col("align_cos")).as("keep_align_cos"),
+        min(col("cluster_size")).as("cluster_size"))
+      .select(col("cluster_id"), col("keep_doc_id"), col("keep_align_cos"),
+        col("cluster_size"), (col("cluster_size") - lit(1L)).as("n_removed"))
+      .orderBy("cluster_id")
+
+  def mediaKeepBestAlignedOn(docs: DataFrame, embeddings: DataFrame): DataFrame =
+    mediaKeepBestAlignedFrom(mediaDupClustersOn(docs), alignFilterOn(docs, embeddings))
+
+  def mediaKeepBestAligned(spark: SparkSession, dir: String): DataFrame =
+    mediaKeepBestAlignedOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+
+  /** The aligned election as CTEs over `comp`/`sizes` and an `af` CTE
+    * (relations `kaj`, `kar`, `ka`) — composed by the aligned-keep-best
+    * oracle AND every composed-manifest oracle so the election
+    * arithmetic cannot drift between them. */
+  private def mediaKbaCtesFor(rel: String): String =
+    s"""kaj AS (
+       |  SELECT c.cluster_id, c.doc_id, a.align_cos, s.cluster_size
+       |  FROM comp c
+       |  JOIN sizes s ON c.cluster_id = s.cluster_id
+       |  JOIN af a ON c.doc_id = a.doc_id
+       |  WHERE s.cluster_size > 1),
+       |kar AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |                               ORDER BY align_cos DESC, doc_id ASC) AS rn
+       |  FROM kaj),
+       |ka AS (SELECT cluster_id, doc_id AS keep_doc_id, align_cos AS keep_align_cos,
+       |              cluster_size FROM kar WHERE rn = 1)""".stripMargin
+
+  // lazy: composes alignFilterSqlFor, whose AlignDim/AlignMin vals sit
+  // later in this object — eager init here would fold zeros into the SQL
+  lazy val mediaKeepBestAlignedSql: String =
+    s"""WITH RECURSIVE ${mediaClusterCtesFor("documents")},
+       |af AS MATERIALIZED (${alignFilterSqlFor("documents")}),
+       |${mediaKbaCtesFor("documents")}
+       |SELECT cluster_id, keep_doc_id, keep_align_cos,
+       |       cluster_size, cluster_size - 1 AS n_removed
+       |FROM ka ORDER BY cluster_id""".stripMargin
+
   // ---------------------------------------------- image-text alignment gate
   /** CLIP-style cross-modal alignment filter (Radford et al. 2021; the
     * LAION curation recipe: keep an (image, caption) pair iff the cosine
@@ -1284,78 +1389,255 @@ object Multimodal {
   val alignFilterSql: String = alignFilterSqlFor("documents")
 
   // --------------------------------------------- multimodal pipeline manifest
-  /** The composed per-document manifest a MULTIMODAL training run consumes
-    * (VERDICT r13 #3) — the media twin of `t_pipeline_manifest`, zero own
-    * logic: the alignment verdict comes from the registered gate entry
-    * point [[alignFilterOn]] (CLIP-style cosine gate), and near-dup
-    * survivorship from the registered [[dctDedup]] pair relation (banded
-    * 64-bit DCT hash, hamming ≤ [[DctHamMax]]), with the same
-    * keep-smallest-id rule the family's `mm_phash_dedup`
-    * `canonical_doc_id` and the reference's keep-first dedup (§2 A2)
-    * already use: a document is media-canonical iff it is not the greater
-    * endpoint of any qualifying pair. The manifest spine is the alignment
-    * gate's domain — documents with media AND an embedding row (the
-    * image-tower output the gate scores against).
+  /** Media pack-chunk budget in payload BYTES — the media analog of the
+    * text packer's [[graft.ext.Corpus.ContextTokens]], at the same 4 KiB
+    * granularity the frame sampler chunks payloads by. */
+  val MediaPackChunkBytes: Long = ChunkBytes.toLong
+
+  /** Compose the full TRAINING manifest from STATE tables alone —
+    * alignment verdicts (doc_id, media_type, align_cos, keep), a cluster
+    * manifest, and the doc-local (n_bytes, split) rows — reading no
+    * payload and no caption: the form the incremental update emits, and
+    * what [[mmPipelineManifestOn]] instantiates with from-scratch state.
     *
-    * Scale shape: one id-keyed gate join + one banded pair join + two
-    * |pair|-bounded anti-join-shaped left joins — no corpus × corpus
-    * stage, and each gate keeps its own registered plan. */
-  /** Compose the manifest from STATE tables alone — alignment verdicts
-    * (doc_id, media_type, align_cos, keep), a cluster manifest, and byte
-    * counts — reading no payload and no text: the form the incremental
-    * update emits, and what [[mmPipelineManifestOn]] instantiates with
-    * the from-scratch state. */
-  def mmManifestFromState(af: DataFrame, clusters: DataFrame, bytes: DataFrame): DataFrame = {
+    * Zero own logic, every stage a registered entry point: the alignment
+    * verdict is [[alignFilterOn]]'s (CLIP-style cosine gate); near-dup
+    * membership is the [[mediaDupClustersOn]] manifest over the
+    * registered [[dctDedup]] pair relation; survivorship is the
+    * ALIGNMENT-AWARE election ([[mediaKeepBestAlignedFrom]] — each
+    * multi-object cluster keeps its best-captioned member, the media
+    * analog of `dd_keep_best`'s quality election; singletons survive);
+    * the split is the registered `t_split` content-hash rule carried in
+    * the doc-local state; and the pack position (shard, chunk_id) for
+    * `packed` docs (mm_kept ∧ train) runs the SAME sharded prefix-sum
+    * packer as `t_seq_pack_sharded` ([[graft.ext.Corpus
+    * .seqPackDocRowsFromTokens]]) with media_type as the stream key and
+    * payload bytes as the weight — so the media manifest reaches
+    * `t_pipeline_manifest`'s completeness: verdicts + split + pack
+    * position, everything a multimodal training run consumes.
+    *
+    * Scale shape: id-keyed joins of verdict-width frames (never text or
+    * payload), one |clusters|-keyed election aggregate, and pack windows
+    * bounded by (media_type, shard) over the packed subset only. */
+  def mmManifestFromState(af: DataFrame, clusters: DataFrame, docLocal: DataFrame): DataFrame = {
     // checkpointed: the cluster subtree (possibly a CC loop) must not
     // re-run per consuming branch
     val cl = clusters.select("doc_id", "cluster_id", "cluster_size").localCheckpoint()
-    val kb = mediaKeepBestFromBytes(cl, bytes).select("cluster_id", "keep_doc_id")
+    val ka = mediaKeepBestAlignedFrom(cl, af).select("cluster_id", "keep_doc_id")
     val survivor = col("cluster_size") === lit(1L) || col("keep_doc_id") === col("doc_id")
-    af.join(cl, Seq("doc_id"))
-      .join(kb, Seq("cluster_id"), "left")
+    // NOT checkpointed, deliberately: the verdict frame feeds the
+    // pack-input filter AND the final projection, but it is a narrow
+    // (id + verdict-bit) join cascade whose identical exchanges Spark
+    // reuses across the two branches — and keeping the lineage visible
+    // is what lets the steady-state plan pin (MultimodalSpec) PROVE the
+    // rolled row reads frozen warehouse state and never a corpus scan
+    // (a checkpoint here would truncate the evidence to an ExistingRDD)
+    val verdict = af.join(cl, Seq("doc_id"))
+      .join(ka, Seq("cluster_id"), "left")
+      .join(docLocal.select("doc_id", "n_bytes", "split"), Seq("doc_id"))
       .select(col("doc_id"), col("media_type"), col("align_cos"),
         col("keep").as("pass_align"),
         (col("cluster_size") > 1).as("has_neardup"),
         survivor.as("is_survivor"),
-        (col("keep") && survivor).as("mm_kept"))
+        (col("keep") && survivor).as("mm_kept"),
+        col("split"), col("n_bytes"))
+      .withColumn("packed", col("mm_kept") && col("split") === "train")
+    val pk = graft.ext.Corpus.seqPackDocRowsFromTokens(
+        verdict.filter(col("packed"))
+          .select(col("media_type").as("lang"), col("doc_id"),
+            col("n_bytes").as("n_tok")),
+        chunkTokens = MediaPackChunkBytes)
+      .select("doc_id", "shard", "chunk_id")
+    verdict.join(pk, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("media_type"), col("align_cos"),
+        col("pass_align"), col("has_neardup"), col("is_survivor"),
+        col("mm_kept"), col("split"), col("packed"),
+        coalesce(col("shard"), lit(-1L)).as("shard"),
+        coalesce(col("chunk_id"), lit(-1L)).as("chunk_id"))
       .orderBy("doc_id")
   }
 
   def mmPipelineManifestOn(docs: DataFrame, embeddings: DataFrame): DataFrame =
-    // the registered cluster manifest + the registered keep-best election
-    // — the same entry points `mm_dup_clusters`/`mm_keep_best` run, so
-    // the composed manifest can never disagree with them
+    // the registered cluster manifest + the registered aligned election —
+    // the same entry points `mm_dup_clusters`/`mm_keep_best_aligned` run,
+    // so the composed manifest can never disagree with them. The manifest
+    // spine is the alignment gate's domain: documents with media AND an
+    // embedding row (the image-tower output the gate scores against).
     mmManifestFromState(alignFilterOn(docs, embeddings), mediaDupClustersOn(docs),
-      mediaMetaOn(docs).select(col("doc_id"), col("n_bytes")))
+      mmDocLocalOn(docs))
 
   def mmPipelineManifest(spark: SparkSession, dir: String): DataFrame =
     mmPipelineManifestOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
 
-  /** Oracle: the gates' OWN oracle SQLs composed — [[alignFilterSql]]
-    * embedded whole as the `af` CTE, the cluster closure via the shared
-    * [[mediaClusterCtesFor]] chain, the election via the shared
-    * [[mediaKbCtesFor]] CTEs — then the same survivorship join (the
-    * `pipelineManifestCtesFor` discipline). */
   /** The full composed-manifest CTE chain + final select over a snapshot
     * relation — shared by the registered manifest, the incremental row's
-    * from-scratch oracle, and the rolled row's, so none can drift. The
+    * from-scratch oracle, and the rolled row's, so none can drift. Every
+    * stage embeds its own registered oracle: [[alignFilterSqlFor]] whole
+    * as the `af` CTE, the cluster closure via [[mediaClusterCtesFor]],
+    * the aligned election via [[mediaKbaCtesFor]], the split via the
+    * shared [[graft.ext.Corpus.splitHashSql]]/`splitCaseSql` pieces, and
+    * the pack chain via [[graft.ext.Corpus.seqPackRowCtesSql]] over the
+    * packed survivors (the `pipelineManifestCtesFor` discipline). The
     * caller supplies the leading `WITH RECURSIVE` (and any snapshot CTE
     * before this chain). */
   private def mmManifestBodyFor(rel: String): String =
     s"""${mediaClusterCtesFor(rel)},
-       |${mediaKbCtesFor(rel)},
-       |af AS (${alignFilterSqlFor(rel)})
-       |SELECT a.doc_id, a.media_type, a.align_cos, a.keep AS pass_align,
-       |       (s.cluster_size > 1) AS has_neardup,
-       |       (s.cluster_size = 1 OR kb.keep_doc_id = a.doc_id) AS is_survivor,
-       |       (a.keep AND (s.cluster_size = 1 OR kb.keep_doc_id = a.doc_id)) AS mm_kept
-       |FROM af a
-       |JOIN comp c ON a.doc_id = c.doc_id
-       |JOIN sizes s ON c.cluster_id = s.cluster_id
-       |LEFT JOIN kb ON c.cluster_id = kb.cluster_id
-       |ORDER BY a.doc_id""".stripMargin
+       |af AS MATERIALIZED (${alignFilterSqlFor(rel)}),
+       |${mediaKbaCtesFor(rel)},
+       |sph AS (SELECT doc_id, ${graft.ext.Corpus.splitHashSql("text")} AS h FROM $rel),
+       |sp AS (SELECT doc_id, ${graft.ext.Corpus.splitCaseSql("h")} AS split FROM sph),
+       |meta2 AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM $rel),
+       |verdict AS MATERIALIZED (
+       |  SELECT a.doc_id, a.media_type, a.align_cos, a.keep AS pass_align,
+       |         (s.cluster_size > 1) AS has_neardup,
+       |         (s.cluster_size = 1 OR ka.keep_doc_id = a.doc_id) AS is_survivor,
+       |         (a.keep AND (s.cluster_size = 1 OR ka.keep_doc_id = a.doc_id)) AS mm_kept,
+       |         sp.split,
+       |         (a.keep AND (s.cluster_size = 1 OR ka.keep_doc_id = a.doc_id)
+       |          AND sp.split = 'train') AS packed,
+       |         m.n_bytes
+       |  FROM af a
+       |  JOIN comp c ON a.doc_id = c.doc_id
+       |  JOIN sizes s ON c.cluster_id = s.cluster_id
+       |  LEFT JOIN ka ON c.cluster_id = ka.cluster_id
+       |  JOIN sp ON a.doc_id = sp.doc_id
+       |  JOIN meta2 m ON a.doc_id = m.doc_id),
+       |${graft.ext.Corpus.seqPackRowCtesSql(
+           "(SELECT media_type AS lang, doc_id, n_bytes AS n_tok FROM verdict WHERE packed)",
+           MediaPackChunkBytes)}
+       |SELECT v.doc_id, v.media_type, v.align_cos, v.pass_align,
+       |       v.has_neardup, v.is_survivor, v.mm_kept, v.split, v.packed,
+       |       coalesce(p.shard, -1) AS shard,
+       |       coalesce(p.chunk_id, -1) AS chunk_id
+       |FROM verdict v LEFT JOIN pdoc p ON v.doc_id = p.doc_id
+       |ORDER BY v.doc_id""".stripMargin
 
-  val mmPipelineManifestSql: String = "WITH RECURSIVE " + mmManifestBodyFor("documents")
+  lazy val mmPipelineManifestSql: String = "WITH RECURSIVE " + mmManifestBodyFor("documents")
+
+  // ---------------------------------------- media split hygiene + pack report
+  /** Media SPLIT-LEAKAGE audit — the multimodal twin of `t_split_leakage`:
+    * near-duplicate MEDIA pairs (the registered banded-DCT relation,
+    * hamming ≤ [[DctHamMax]]) that span train/val/test splits. The split
+    * is content-hashed over the payload, so EXACT duplicates can never
+    * leak — but perceptual near-duplicates (recompressions, brightness
+    * variants) hash to different splits at random, and an eval on such a
+    * test set silently becomes a memorization probe. Zero-fills all six
+    * split combinations; `is_leak` marks the cross-split rows that must
+    * be ~0 before a multimodal eval is trusted.
+    *
+    * Scale shape: two doc_id-keyed joins of the band-bounded pair table
+    * against the |corpus|-row split manifest, then a ≤6-group aggregate —
+    * identical to the text audit's. */
+  def mmSplitLeakageOn(docs: DataFrame): DataFrame = {
+    val sp = mmDocLocalOn(docs).select(col("doc_id"), col("split"))
+    val pairs = dctBandPairsOn(docs)
+      .filter(col("hamming") <= lit(DctHamMax.toLong))
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+    val names = Seq("test", "train", "val")
+    import docs.sparkSession.implicits._
+    val combos = (for { a <- names; b <- names if a <= b } yield (a, b))
+      .toDF("split_a", "split_b")
+    combos.join(pairs, Seq("split_a", "split_b"), "left")
+      .select(col("split_a"), col("split_b"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        (col("split_a") =!= col("split_b")).as("is_leak"))
+      .orderBy("split_a", "split_b")
+  }
+
+  def mmSplitLeakage(spark: SparkSession, dir: String): DataFrame =
+    mmSplitLeakageOn(Tables.documents(spark, dir))
+
+  val mmSplitLeakageSql: String =
+    s"""WITH ${dctPairsCtesBodyFor("documents")},
+       |ed AS (SELECT doc_a, doc_b FROM pairs WHERE hamming <= $DctHamMax),
+       |sph AS (SELECT doc_id, ${graft.ext.Corpus.splitHashSql("text")} AS h FROM documents),
+       |sp AS MATERIALIZED (SELECT doc_id, ${graft.ext.Corpus.splitCaseSql("h")} AS split FROM sph),
+       |lk AS (
+       |  SELECT least(a.split, b.split) AS split_a,
+       |         greatest(a.split, b.split) AS split_b
+       |  FROM ed JOIN sp a ON ed.doc_a = a.doc_id
+       |          JOIN sp b ON ed.doc_b = b.doc_id),
+       |combos AS (
+       |  SELECT a.s AS split_a, b.s AS split_b
+       |  FROM (SELECT unnest(['test', 'train', 'val']) AS s) a,
+       |       (SELECT unnest(['test', 'train', 'val']) AS s) b
+       |  WHERE a.s <= b.s)
+       |SELECT c.split_a, c.split_b,
+       |       CAST(coalesce(n.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |       c.split_a <> c.split_b AS is_leak
+       |FROM combos c LEFT JOIN (
+       |  SELECT split_a, split_b, count(*) AS n_pairs FROM lk GROUP BY 1, 2) n
+       |  ON c.split_a = n.split_a AND c.split_b = n.split_b
+       |ORDER BY c.split_a, c.split_b""".stripMargin
+
+  /** Media PACK-EFFICIENCY report — the multimodal twin of
+    * `t_pack_efficiency`, per media type over the sharded byte-packer
+    * ([[graft.ext.Corpus.seqPackDocRowsFromTokens]] with media_type as
+    * the stream key, payload bytes as the weight, [[MediaPackChunkBytes]]
+    * chunks — the registered manifest's packer verbatim): `fill_ratio`
+    * (bytes / chunks·budget; chunks never span shards, so each shard
+    * rounds up independently) and `split_ratio` (objects straddling a
+    * chunk boundary) — the two numbers a media shard config is tuned on.
+    * Same cumulative window as the packer, so the report can never
+    * disagree with the packing it describes. */
+  def mmPackEfficiencyOn(docs: DataFrame): DataFrame = {
+    val rows = graft.ext.Corpus.seqPackDocRowsFromTokens(
+      docs.select(mediaTypeCol.as("lang"), col("doc_id"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_tok")),
+      chunkTokens = MediaPackChunkBytes)
+    rows
+      .withColumn("end_chunk", expr(s"(cum_tok - 1) div $MediaPackChunkBytes"))
+      .withColumn("start_chunk", expr(s"(cum_tok - n_tok) div $MediaPackChunkBytes"))
+      .groupBy("lang", "shard")
+      .agg(count(lit(1)).as("n_objs"),
+        sum(when(col("end_chunk") > col("start_chunk"), 1L).otherwise(0L)).as("n_split_objs"),
+        sum("n_tok").as("bytes"))
+      .withColumn("chunks",
+        expr(s"(bytes + ${MediaPackChunkBytes - 1}) div $MediaPackChunkBytes"))
+      .groupBy(col("lang").as("media_type"))
+      .agg(sum("n_objs").as("n_objs"), sum("n_split_objs").as("n_split_objs"),
+        sum("bytes").as("total_bytes"), sum("chunks").as("n_chunks"))
+      .select(col("media_type"), col("n_objs"), col("n_split_objs"),
+        col("total_bytes"), col("n_chunks"),
+        when(col("total_bytes") === 0L, lit(0.0))
+          .otherwise(r6(col("total_bytes") /
+            (col("n_chunks") * lit(MediaPackChunkBytes)).cast("double"))).as("fill_ratio"),
+        r6(col("n_split_objs") / col("n_objs").cast("double")).as("split_ratio"))
+      .orderBy("media_type")
+  }
+
+  def mmPackEfficiency(spark: SparkSession, dir: String): DataFrame =
+    mmPackEfficiencyOn(Tables.documents(spark, dir))
+
+  val mmPackEfficiencySql: String = {
+    val b = MediaPackChunkBytes
+    s"""WITH mrows AS (
+       |  SELECT $mediaTypeSql AS lang, doc_id,
+       |         CAST(octet_length(encode(text)) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |${graft.ext.Corpus.seqPackRowCtesSql("mrows", b)},
+       |per AS (
+       |  SELECT lang, shard, count(*) AS n_objs,
+       |         CAST(sum(CASE WHEN (cum_tok - 1) // $b > (cum_tok - n_tok) // $b THEN 1 ELSE 0 END) AS BIGINT) AS n_split_objs,
+       |         CAST(sum(n_tok) AS BIGINT) AS bytes
+       |  FROM pdoc GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT lang AS media_type,
+       |         CAST(sum(n_objs) AS BIGINT) AS n_objs,
+       |         CAST(sum(n_split_objs) AS BIGINT) AS n_split_objs,
+       |         CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       |         CAST(sum((bytes + ${b - 1}) // $b) AS BIGINT) AS n_chunks
+       |  FROM per GROUP BY 1)
+       |SELECT media_type, n_objs, n_split_objs, total_bytes, n_chunks,
+       |       CASE WHEN total_bytes = 0 THEN 0.0
+       |            ELSE ${r6Sql(s"total_bytes / CAST(n_chunks * $b AS DOUBLE)")} END AS fill_ratio,
+       |       ${r6Sql("n_split_objs / CAST(n_objs AS DOUBLE)")} AS split_ratio
+       |FROM agg ORDER BY media_type""".stripMargin
+  }
 
   val all: Seq[Q] = Seq(
     Q("mm_media_meta", mediaMeta _, mediaMetaSql),
@@ -1372,8 +1654,11 @@ object Multimodal {
     Q("mm_dup_clusters", mediaDupClusters _, mediaDupClustersSql),
     Q("mm_hamming_curve", hammingCurve _, hammingCurveSql),
     Q("mm_keep_best", mediaKeepBest _, mediaKeepBestSql),
+    Q("mm_keep_best_aligned", mediaKeepBestAligned _, mediaKeepBestAlignedSql),
     Q("mm_manifest_incremental", mediaManifestIncremental _, mediaManifestIncrementalSql),
     Q("mm_manifest_rolled", mediaManifestRolled _, mediaManifestRolledSql),
     Q("mm_pipeline_manifest", mmPipelineManifest _, mmPipelineManifestSql),
+    Q("mm_split_leakage", mmSplitLeakage _, mmSplitLeakageSql),
+    Q("mm_pack_efficiency", mmPackEfficiency _, mmPackEfficiencySql),
   )
 }

@@ -422,7 +422,7 @@ class MultimodalSpec extends SparkSpec {
       scratchPairs(old).localCheckpoint(),
       Multimodal.mediaDupClustersOn(old).localCheckpoint(),
       afOld,
-      Multimodal.mediaMetaOn(old).select(col("doc_id"), col("n_bytes")).localCheckpoint(),
+      Multimodal.mmDocLocalOn(old).localCheckpoint(),
       emb)
     val got = w.manifest.collect().map(_.toSeq).toSeq
     val want = Multimodal.mmPipelineManifestOn(nw, emb).collect().map(_.toSeq).toSeq
@@ -454,11 +454,12 @@ class MultimodalSpec extends SparkSpec {
   test("property: N random deltas chained through the MANIFEST warehouse equal the from-scratch composition") {
     // the composed-manifest completion of the media induction: the other
     // chain property rolls (hashes, pairs, clusters); this one rolls the
-    // full MediaManifestWarehouse — verdicts and byte counts carried
-    // doc-locally, membership reconciled — and requires the ASSEMBLED
-    // manifest to land on the from-scratch composition of the final
-    // snapshot. Embeddings are static across snapshots (the image tower's
-    // output table), as in the registered rows.
+    // full MediaManifestWarehouse — verdicts, byte counts and split
+    // assignments carried doc-locally, membership reconciled — and
+    // requires the ASSEMBLED training manifest (survivorship + split +
+    // pack position) to land on the from-scratch composition of the
+    // final snapshot. Embeddings are static across snapshots (the image
+    // tower's output table), as in the registered rows.
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val rnd = new scala.util.Random(7)
     val emb = (1L to 9L).map { id =>
@@ -487,16 +488,16 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.MediaWarehouse(scratchHashes(d), scratchPairs(d)),
       Multimodal.mediaDupClustersOn(d),
       Multimodal.alignFilterOn(d, emb),
-      Multimodal.mediaMetaOn(d).select(col("doc_id"), col("n_bytes")))
+      Multimodal.mmDocLocalOn(d))
     def ckpt(w: Multimodal.MediaManifestWarehouse) = Multimodal.MediaManifestWarehouse(
       Multimodal.MediaWarehouse(w.wh.hashes.localCheckpoint(), w.wh.pairs.localCheckpoint()),
-      w.clusters.localCheckpoint(), w.af.localCheckpoint(), w.bytes.localCheckpoint())
+      w.clusters.localCheckpoint(), w.af.localCheckpoint(), w.docLocal.localCheckpoint())
     val prop = Prop.forAll(chainGen) { chain =>
       val snaps = chain.map(snapDf)
       var st = ckpt(fromScratch(snaps.head))
       for ((prev, next) <- snaps.zip(snaps.tail)) {
         val raw = Multimodal.mediaManifestUpdateOn(prev, next,
-          st.wh.hashes, st.wh.pairs, st.clusters, st.af, st.bytes, emb)
+          st.wh.hashes, st.wh.pairs, st.clusters, st.af, st.docLocal, emb)
         val rolled = ckpt(raw)
         st.release(); raw.release()
         st = rolled
@@ -548,12 +549,13 @@ class MultimodalSpec extends SparkSpec {
       .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
     assert(m.keySet === af.keySet)
     assert(m.forall { case (id, r) => r._2 === af(id) }, "pass_align drifted from mm_align_filter")
-    // survivorship must equal the registered cluster manifest + election
+    // survivorship must equal the registered cluster manifest + the
+    // registered ALIGNED election (mm_keep_best_aligned)
     val clusters = Multimodal.mediaDupClusters(spark, dir)
       .as[(Long, Long, Long, Boolean)].collect()
     val sizeOf = clusters.map(c => c._1 -> c._3).toMap
-    val keepOf = Multimodal.mediaKeepBest(spark, dir)
-      .as[(Long, Long, Long, Long, Long)].collect()
+    val keepOf = Multimodal.mediaKeepBestAligned(spark, dir)
+      .as[(Long, Long, Double, Long, Long)].collect()
       .flatMap { case (cid, keep, _, _, _) =>
         clusters.filter(_._2 == cid).map(c => c._1 -> keep) }.toMap
     m.foreach { case (id, r) =>
@@ -564,6 +566,93 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(m.values.exists(_._3), "no multi-doc cluster at sf0.001 — survivorship was vacuous")
     assert(m.values.exists(r => r._3 && !r._4), "no cluster loser — the election was vacuous")
+  }
+
+  test("aligned keep-best elects the best-captioned member; training columns compose t_split + the sharded packer") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.ops.Tables.documents(spark, dir)
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    // the election keeps max align_cos (min doc_id on ties) per multi-cluster
+    val cos = Multimodal.alignFilterOn(docs, emb)
+      .select("doc_id", "align_cos").as[(Long, Double)].collect().toMap
+    val clusters = Multimodal.mediaDupClusters(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val multi = clusters.groupBy(_._2).filter(_._2.length > 1)
+    val ka = Multimodal.mediaKeepBestAligned(spark, dir)
+      .as[(Long, Long, Double, Long, Long)].collect()
+    assert(ka.length === multi.size && ka.nonEmpty)
+    ka.foreach { case (cid, keep, kCos, size, removed) =>
+      val members = multi(cid).map(_._1)
+      val best = members.maxBy(d => (cos(d), -d))
+      assert(keep === best, s"cluster $cid elected $keep, expected $best")
+      assert(kCos === cos(best) && size === members.length.toLong && removed === size - 1)
+    }
+    // the manifest's training columns: split is the registered t_split
+    // rule verbatim; pack position exists iff packed (mm_kept ∧ train)
+    // and reproduces the registered sharded packer over payload bytes
+    val mrows = Multimodal.mmPipelineManifestOn(docs, emb).collect()
+    val splitOf = graft.ext.Corpus.splitRowsOn(docs)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val m = mrows.map(r => (r.getLong(0), r.getString(1), r.getBoolean(6),
+      r.getString(7), r.getBoolean(8), r.getLong(9), r.getLong(10))).toSeq
+    m.foreach { case (id, _, _, split, _, _, _) =>
+      assert(split === splitOf(id), s"split drifted from t_split for $id") }
+    m.foreach { case (id, _, kept, split, packed, shard, chunk) =>
+      assert(packed === (kept && split == "train"), s"packed gate drifted for $id")
+      assert(packed === (shard >= 0L && chunk >= 0L), s"pack position vs packed for $id")
+    }
+    val packedIds = m.filter(_._5).map(x => (x._1, x._6, x._7)).toSet
+    assert(packedIds.nonEmpty, "no packed survivor at sf0.001 — pack columns vacuous")
+    val nb = Multimodal.mmDocLocalOn(docs).select("doc_id", "n_bytes")
+      .as[(Long, Long)].collect().toMap
+    val want = graft.ext.Corpus.seqPackDocRowsFromTokens(
+        m.filter(_._5).map(x => (x._2, x._1, nb(x._1)))
+          .toDF("lang", "doc_id", "n_tok"),
+        chunkTokens = Multimodal.MediaPackChunkBytes)
+      .select("doc_id", "shard", "chunk_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(packedIds === want, "pack positions drifted from the registered packer")
+  }
+
+  test("day-zero bootstrap: K chunked ingest hops roll the COMPOSED manifest state from EMPTY to the one-shot composition") {
+    // the manifest twin of the dedup-warehouse day-zero spec: K updates of
+    // the FULL 5-table MediaManifestWarehouse from empty state, landing on
+    // the from-scratch composed training manifest of the full corpus
+    val full = (1L to 12L).map(id => id -> mediaPool((id % 4).toInt)).toMap
+    val chunks = full.keys.toSeq.sorted.grouped(4).toSeq // 3 chunk-deltas
+    val rnd = new scala.util.Random(11)
+    val emb = (1L to 12L).map { id =>
+      (id, Array.fill(Multimodal.AlignDim)(rnd.nextFloat() * 2f - 1f), 0)
+    }.toDF("vec_id", "embedding", "label").localCheckpoint()
+    val emptyDocs = snapDf(Map.empty)
+    def ckpt(w: Multimodal.MediaManifestWarehouse) = Multimodal.MediaManifestWarehouse(
+      Multimodal.MediaWarehouse(w.wh.hashes.localCheckpoint(), w.wh.pairs.localCheckpoint()),
+      w.clusters.localCheckpoint(), w.af.localCheckpoint(), w.docLocal.localCheckpoint())
+    var st = ckpt(Multimodal.MediaManifestWarehouse(
+      Multimodal.MediaWarehouse(scratchHashes(emptyDocs), scratchPairs(emptyDocs)),
+      Multimodal.mediaDupClustersOn(emptyDocs),
+      Multimodal.alignFilterOn(emptyDocs, emb),
+      Multimodal.mmDocLocalOn(emptyDocs)))
+    var seen = Map.empty[Long, String]
+    for (chunk <- chunks) {
+      val nextSeen = seen ++ chunk.map(id => id -> full(id))
+      val raw = Multimodal.mediaManifestUpdateOn(snapDf(seen), snapDf(nextSeen),
+        st.wh.hashes, st.wh.pairs, st.clusters, st.af, st.docLocal, emb)
+      val rolled = ckpt(raw)
+      st.release(); raw.release()
+      st = rolled
+      seen = nextSeen
+    }
+    val got = st.manifest.collect().map(_.toSeq).toSeq
+    st.release()
+    val want = Multimodal.mmPipelineManifestOn(snapDf(full), emb)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got === want,
+      "chunked manifest bootstrap diverged from the one-shot composition")
+    // the equality exercised real survivorship: some cluster loser exists
+    assert(want.exists(r => r(4) == true && r(5) == false),
+      "no cluster loser in the toy corpus — the election path was vacuous")
+    spark.catalog.clearCache()
   }
 }
 
