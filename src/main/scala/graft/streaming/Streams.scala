@@ -122,15 +122,15 @@ object Streams {
     * side — the unbounded-state hazard of naive stream joins is designed
     * out. At 100 TB both sides shuffle on user_id into the same state
     * partitions (RocksDB-backed), exactly the batch join's co-key. */
-  def clickViewJoin(events: DataFrame): DataFrame = {
+  def clickViewJoin(events: DataFrame, delay: String = "1 hour"): DataFrame = {
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
         col("event_id").as("view_event_id"), col("value").as("view_value"))
-      .withWatermark("v_ts", "1 hour")
+      .withWatermark("v_ts", delay)
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("click_event_id"))
-      .withWatermark("c_ts", "1 hour")
+      .withWatermark("c_ts", delay)
     clicks.join(views,
       col("c_user") === col("v_user") &&
         col("v_ts") <= col("c_ts") &&
@@ -175,15 +175,15 @@ object Streams {
     * against the batch [[graft.queries.Sessions.unattributedOn]] anti
     * join. State bounds are the inner join's: both sides keyed on user,
     * horizon-bounded by watermark + interval. */
-  def clickViewLeftJoin(events: DataFrame): DataFrame = {
+  def clickViewLeftJoin(events: DataFrame, delay: String = "1 hour"): DataFrame = {
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
         col("event_id").as("view_event_id"), col("value").as("view_value"))
-      .withWatermark("v_ts", "1 hour")
+      .withWatermark("v_ts", delay)
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("click_event_id"))
-      .withWatermark("c_ts", "1 hour")
+      .withWatermark("c_ts", delay)
     clicks.join(views,
         col("c_user") === col("v_user") &&
           col("v_ts") <= col("c_ts") &&

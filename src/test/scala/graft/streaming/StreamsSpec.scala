@@ -568,6 +568,153 @@ class StreamsSpec extends SparkSpec {
     assert(sawEmit, "no sample sealed a window — the parity was vacuous")
   }
 
+  test("property: out-of-order delivery under a NONZERO delay — stream-stream inner and left-outer joins equal the state-machine model") {
+    // The JOIN-family instance of the watermark contract (VERDICT r14 #4):
+    // the as-of and windowed-aggregation properties pin row admission and
+    // sealing; joins add a THIRD boundary — per-side STATE EVICTION,
+    // derived from the join condition (Spark's StreamingJoinHelper state
+    // value watermarks):
+    //   a view is removable once wm > v_ts + 30min (no admissible click
+    //     can still reach back to it); a click is removable once
+    //     wm > c_ts (no admissible view can still precede it);
+    // and the left-outer null row emits AT EVICTION of a never-matched
+    // click — or immediately, when a click is admitted already below the
+    // click-side state watermark (wmLate ≤ c_ts < wmEvict: the lagged
+    // admission lets it in, the state watermark keeps it out of the
+    // store) and matches nothing in its own batch. Model, with the
+    // lagged-admission split as everywhere: admitted at batch k iff
+    // ts >= wmLate_k; a pair emits in the batch its later member
+    // arrives, provided the earlier member is still in state (storage
+    // and end-of-batch eviction both use that batch's wmEvict); after
+    // the last data batch the engine runs one final no-data batch at
+    // the fully-advanced watermark, flushing the remaining evictions.
+    // Events on whole minutes, delays on half-minutes, the interval on a
+    // 30-minute bound — no comparison can tie.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val Min = 60L * 1000000
+    val IntervalUs = 30L * Min
+    val ev = for {
+      u <- Gen.choose(0L, 2L)
+      tpe <- Gen.oneOf("view", "click")
+      m <- Gen.choose(1L, 40L)
+      v <- Gen.choose(0, 99)
+      b <- Gen.choose(0, 2)
+    } yield (u, tpe, m * Min, v.toDouble, b)
+    val input = for {
+      evs <- Gen.listOfN(30, ev)
+      delaySec <- Gen.oneOf(90L, 150L, 210L)
+    } yield (evs, delaySec)
+    var run = 0
+    var sawLateDrop = false
+    var sawEmit = false
+    var sawNull = false
+    val prop = Prop.forAllNoShrink(input) { case (evs, delaySec) =>
+      run += 1
+      val rows = evs.zipWithIndex.map { case ((u, t, ts, v, b), i) =>
+        (i.toLong, u, t, ts, v, b) }
+      val base = Files.createTempDirectory("graft_ooo_join").toString
+      Files.createDirectories(Paths.get(s"$base/in"))
+      (0 to 2).foreach { b =>
+        val tmp = s"$base/tmp$b"
+        rows.filter(_._6 == b).map { case (id, u, t, ts, v, _) =>
+          (id, u, t, new java.sql.Timestamp(ts / 1000), v) }
+          .toDF("event_id", "user_id", "event_type", "ts", "value")
+          .coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+        Files.move(part.toPath, Paths.get(s"$base/in/b$b.parquet"), StandardCopyOption.ATOMIC_MOVE)
+        Thread.sleep(20)
+      }
+      def stream = spark.readStream
+        .schema("event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      val delay = s"$delaySec seconds"
+      // ---------------- the state-machine model
+      case class E(id: Long, u: Long, ts: Long, v: Double)
+      val batches = (0 to 2).map(b => rows.filter(_._6 == b))
+      var wmEvict = 0L
+      var wmLate = 0L
+      var maxV = Long.MinValue
+      var maxC = Long.MinValue
+      var viewState = Set.empty[E]
+      var clickState = Set.empty[E]
+      val inner = scala.collection.mutable.Set.empty[(Long, Long, Long, Long, Long, Double)]
+      val matched = scala.collection.mutable.Set.empty[Long]
+      val nulls = scala.collection.mutable.Set.empty[Long]
+      def joinable(c: E, v: E) =
+        c.u == v.u && v.ts <= c.ts && v.ts >= c.ts - IntervalUs
+      // data batches 0..2, then the engine's final no-data batch
+      (0 to 3).foreach { b =>
+        val batch = if (b < 3) batches(b) else Seq.empty
+        val vIn = batch.filter(r => r._3 == "view" && r._4 >= wmLate)
+          .map(r => E(r._1, r._2, r._4, r._5))
+        val cIn = batch.filter(r => r._3 == "click" && r._4 >= wmLate)
+          .map(r => E(r._1, r._2, r._4, r._5))
+        if (vIn.size + cIn.size < batch.size) sawLateDrop = true
+        // pairs available by end of batch: new clicks × (state ∪ new
+        // views) plus stored clicks × new views — each unordered pair once
+        for (c <- cIn; v <- viewState ++ vIn if joinable(c, v)) {
+          inner += ((c.id, c.u, c.ts, v.id, v.ts, v.v)); matched += c.id
+        }
+        for (c <- clickState; v <- vIn if joinable(c, v)) {
+          inner += ((c.id, c.u, c.ts, v.id, v.ts, v.v)); matched += c.id
+        }
+        // a click admitted below the state watermark is joined this batch
+        // but never stored: unmatched → its null row emits immediately
+        cIn.filter(c => c.ts < wmEvict && !matched.contains(c.id))
+          .foreach(c => nulls += c.id)
+        // storage + end-of-batch eviction, both at this batch's wmEvict;
+        // an unmatched click leaving state emits its null row
+        (clickState ++ cIn.filter(_.ts >= wmEvict)).foreach { c =>
+          if (c.ts < wmEvict && !matched.contains(c.id)) nulls += c.id
+        }
+        clickState = (clickState ++ cIn).filter(_.ts >= wmEvict)
+        viewState = (viewState ++ vIn).filter(_.ts >= wmEvict - IntervalUs)
+        // watermark advance: per-node (per-type) max minus delay, global
+        // = min across the two watermarked inputs; admission lags a batch
+        wmLate = wmEvict
+        val bv = batch.filter(_._3 == "view")
+        val bc = batch.filter(_._3 == "click")
+        if (bv.nonEmpty) maxV = math.max(maxV, bv.map(_._4).max)
+        if (bc.nonEmpty) maxC = math.max(maxC, bc.map(_._4).max)
+        def nodeWm(mx: Long) =
+          if (mx == Long.MinValue) 0L
+          else math.max(0L, (mx / 1000L - delaySec * 1000L) * 1000L)
+        wmEvict = math.max(wmEvict, math.min(nodeWm(maxV), nodeWm(maxC)))
+      }
+      // ---------------- the real runs
+      val gotInner = Streams.runToMemory(spark,
+          Streams.clickViewJoin(stream, delay), s"ooo_join_$run")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5)))
+      val gotLeft = Streams.runToMemory(spark,
+          Streams.clickViewLeftJoin(stream, delay), s"ooo_left_$run")
+        .collect()
+      val leftMatched = gotLeft.filter(!_.isNullAt(3))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5)))
+      val leftNulls = gotLeft.filter(_.isNullAt(3)).map(_.getLong(0))
+      Seq(s"ooo_join_$run", s"ooo_left_$run").foreach(spark.catalog.dropTempView(_))
+      if (gotInner.nonEmpty) sawEmit = true
+      if (leftNulls.nonEmpty) sawNull = true
+      val innerOk = gotInner.length == gotInner.distinct.length &&
+        gotInner.toSet == inner.toSet
+      val leftMatchedOk = leftMatched.length == leftMatched.distinct.length &&
+        leftMatched.toSet == inner.toSet
+      val nullsOk = leftNulls.length == leftNulls.distinct.length &&
+        leftNulls.toSet == nulls.toSet
+      (Prop(innerOk) :| s"inner drifted: missing ${(inner.toSet -- gotInner.toSet).take(2)} extra ${(gotInner.toSet -- inner.toSet).take(2)} wm=$wmEvict") &&
+        (Prop(leftMatchedOk) :| s"left-matched drifted: missing ${(inner.toSet -- leftMatched.toSet).take(2)} extra ${(leftMatched.toSet -- inner.toSet).take(2)}") &&
+        (Prop(nullsOk) :| s"null rows drifted: missing ${(nulls.toSet -- leftNulls.toSet).take(3)} extra ${(leftNulls.toSet -- nulls.toSet).take(3)} wm=$wmEvict")
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+    assert(sawLateDrop, "no sample dropped a late row — the property never left the delay-0 regime")
+    assert(sawEmit, "no sample emitted a joined pair — the parity was vacuous")
+    assert(sawNull, "no sample emitted a null row — the outer path was vacuous")
+  }
+
   test("streaming quantile sketch is bit-identical to the batch sketch (merge-order independence)") {
     // the time-sliced stream merges three micro-batch partials into the
     // state store in arrival order — a merge-order-DEPENDENT sketch
