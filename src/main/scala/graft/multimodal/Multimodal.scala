@@ -1480,7 +1480,7 @@ object Multimodal {
     * packed survivors (the `pipelineManifestCtesFor` discipline). The
     * caller supplies the leading `WITH RECURSIVE` (and any snapshot CTE
     * before this chain). */
-  private def mmManifestBodyFor(rel: String): String =
+  private def mmManifestCtesFor(rel: String): String =
     s"""${mediaClusterCtesFor(rel)},
        |af AS MATERIALIZED (${alignFilterSqlFor(rel)}),
        |${mediaKbaCtesFor(rel)},
@@ -1504,7 +1504,10 @@ object Multimodal {
        |  JOIN meta2 m ON a.doc_id = m.doc_id),
        |${graft.ext.Corpus.seqPackRowCtesSql(
            "(SELECT media_type AS lang, doc_id, n_bytes AS n_tok FROM verdict WHERE packed)",
-           MediaPackChunkBytes)}
+           MediaPackChunkBytes)}""".stripMargin
+
+  private def mmManifestBodyFor(rel: String): String =
+    s"""${mmManifestCtesFor(rel)}
        |SELECT v.doc_id, v.media_type, v.align_cos, v.pass_align,
        |       v.has_neardup, v.is_survivor, v.mm_kept, v.split, v.packed,
        |       coalesce(p.shard, -1) AS shard,
@@ -1639,6 +1642,60 @@ object Multimodal {
        |FROM agg ORDER BY media_type""".stripMargin
   }
 
+  /** Per-epoch training-order manifest over the PACKED MEDIA CHUNKS —
+    * the media twin of `t_epoch_shuffle`, completing the split → pack →
+    * shuffle triple: the trainer's read unit for media is the packed
+    * (media_type, pack_shard, chunk) byte-chunk the manifest emits, and
+    * each epoch gets its own deterministic pseudorandom permutation of
+    * those units via the engine-shared salt-keyed hash (salt
+    * "mep:&lt;epoch&gt;:" — order is a pure function of (corpus, epoch),
+    * reruns reproduce bit-for-bit, no RNG state anywhere). Same scale
+    * shape as the text shuffle: the shuffle shard is a hash mod needing
+    * no Spark shuffle; the rank window partitions by (epoch, shard). */
+  def mmEpochShuffleOn(docs: DataFrame, embeddings: DataFrame,
+                       epochs: Int = graft.ext.Corpus.ShuffleEpochs,
+                       shards: Int = graft.ext.Corpus.ShuffleShards): DataFrame = {
+    val chunks = mmPipelineManifestOn(docs, embeddings)
+      .filter(col("packed"))
+      .select(col("media_type"), col("shard").as("pack_shard"), col("chunk_id"))
+      .distinct()
+    val w = Window.partitionBy("epoch", "shard")
+      .orderBy(col("h"), col("media_type"), col("pack_shard"), col("chunk_id"))
+    chunks
+      .withColumn("epoch", explode(sequence(lit(1L), lit(epochs.toLong))))
+      .withColumn("h", graft.ext.Dedup.baseHash(
+        concat(lit("mep:"), col("epoch"), lit(":"), col("media_type"),
+          lit(":"), col("pack_shard"), lit(":"), col("chunk_id"))))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("epoch"), col("shard"), col("pos"),
+        col("media_type"), col("pack_shard"), col("chunk_id"))
+      .orderBy("epoch", "shard", "pos")
+  }
+
+  def mmEpochShuffle(spark: SparkSession, dir: String): DataFrame =
+    mmEpochShuffleOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+
+  /** Oracle: the shared manifest CTE chain down to `pdoc`, the distinct
+    * packed chunk units, then the identical salt-hash permutation. */
+  val mmEpochShuffleSql: String = {
+    val e = graft.ext.Corpus.ShuffleEpochs
+    val s = graft.ext.Corpus.ShuffleShards
+    val h = graft.ext.Dedup.baseHashSql(
+      "'mep:' || ep.epoch || ':' || c.media_type || ':' || c.pack_shard || ':' || c.chunk_id")
+    s"""WITH RECURSIVE ${mmManifestCtesFor("documents")},
+       |chunks AS (SELECT DISTINCT lang AS media_type, shard AS pack_shard, chunk_id FROM pdoc),
+       |ep AS (SELECT unnest(range(1, ${e + 1})) AS epoch),
+       |sbase AS (
+       |  SELECT ep.epoch, c.media_type, c.pack_shard, c.chunk_id, $h AS h
+       |  FROM chunks c CROSS JOIN ep)
+       |SELECT epoch, h % $s AS shard,
+       |       row_number() OVER (PARTITION BY epoch, h % $s
+       |                          ORDER BY h, media_type, pack_shard, chunk_id) AS pos,
+       |       media_type, pack_shard, chunk_id
+       |FROM sbase ORDER BY epoch, shard, pos""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("mm_media_meta", mediaMeta _, mediaMetaSql),
     Q("mm_align_filter", alignFilter _, alignFilterSql),
@@ -1660,5 +1717,6 @@ object Multimodal {
     Q("mm_pipeline_manifest", mmPipelineManifest _, mmPipelineManifestSql),
     Q("mm_split_leakage", mmSplitLeakage _, mmSplitLeakageSql),
     Q("mm_pack_efficiency", mmPackEfficiency _, mmPackEfficiencySql),
+    Q("mm_epoch_shuffle", mmEpochShuffle _, mmEpochShuffleSql),
   )
 }

@@ -614,6 +614,30 @@ class MultimodalSpec extends SparkSpec {
     assert(packedIds === want, "pack positions drifted from the registered packer")
   }
 
+  test("media epoch shuffle: each epoch permutes every packed chunk once, positions contiguous, epochs decorrelated") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.ops.Tables.documents(spark, dir)
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    val units = Multimodal.mmPipelineManifestOn(docs, emb)
+      .filter(col("packed"))
+      .select("media_type", "shard", "chunk_id").distinct().count()
+    assert(units > 1, "fewer than two packed chunks — the shuffle is untestable")
+    val out = Multimodal.mmEpochShuffleOn(docs, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        (r.getString(3), r.getLong(4), r.getLong(5))))
+    val byEpoch = out.groupBy(_._1)
+    assert(byEpoch.keySet === Set(1L, 2L))
+    byEpoch.foreach { case (ep, rows) =>
+      assert(rows.map(_._4).distinct.length.toLong === units, s"epoch $ep is not a permutation")
+      rows.groupBy(_._2).foreach { case (sh, srows) =>
+        val ps = srows.map(_._3).sorted
+        assert(ps === (1L to ps.length.toLong), s"epoch $ep shard $sh positions not contiguous")
+      }
+    }
+    def orderOf(ep: Long) = byEpoch(ep).sortBy(r => (r._2, r._3)).map(_._4).toSeq
+    assert(orderOf(1L) !== orderOf(2L), "epochs produced the identical chunk order")
+  }
+
   test("day-zero bootstrap: K chunked ingest hops roll the COMPOSED manifest state from EMPTY to the one-shot composition") {
     // the manifest twin of the dedup-warehouse day-zero spec: K updates of
     // the FULL 5-table MediaManifestWarehouse from empty state, landing on
