@@ -1169,17 +1169,17 @@ object Multimodal {
        |FROM comp c JOIN sizes s ON c.cluster_id = s.cluster_id
        |ORDER BY c.doc_id""".stripMargin
 
-  /** Keep-best election over the media clusters: each multi-object
-    * cluster keeps its LARGEST payload (the keep-the-highest-resolution
-    * rule of image dedup; the stub's n_bytes stands in for the decoded
-    * pixel count), smallest doc_id on ties — the media twin of
-    * `dd_keep_best`'s score-based election, and the survivorship input a
-    * multimodal curation run feeds its manifest. One |clusters|-keyed hash
-    * aggregate over the manifest-joined byte counts; no pairwise work. */
-  /** Keep-best election from an EXISTING cluster manifest and an existing
-    * (doc_id, n_bytes) table — the pure-state form the incremental
-    * manifest composes (byte counts are warehouse state there, so the
-    * election reads no payload). */
+  /** Keep-LARGEST-PAYLOAD election over the media clusters: each
+    * multi-object cluster keeps its biggest payload (the
+    * keep-the-highest-resolution rule of image dedup; the stub's n_bytes
+    * stands in for the decoded pixel count), smallest doc_id on ties.
+    * The RESOLUTION-PROXY election — the composed manifests' survivorship
+    * uses the alignment-aware [[mediaKeepBestAlignedFrom]] instead (keep
+    * the best-captioned member); this one stays registered as
+    * `mm_keep_best` for pipelines that curate on fidelity. One
+    * |clusters|-keyed hash aggregate over the manifest-joined byte
+    * counts; no pairwise work. Takes an existing (doc_id, n_bytes) table,
+    * so callers holding byte counts as warehouse state read no payload. */
   def mediaKeepBestFromBytes(manifest: DataFrame, bytes: DataFrame): DataFrame =
     manifest
       .join(bytes.select(col("doc_id"), col("n_bytes")), Seq("doc_id"))
@@ -1194,9 +1194,8 @@ object Multimodal {
         col("cluster_size"), (col("cluster_size") - lit(1L)).as("n_removed"))
       .orderBy("cluster_id")
 
-  /** Keep-best election from an EXISTING cluster manifest (the
-    * composition seam [[mmPipelineManifestOn]] reads, so the composed
-    * pipeline can never disagree with the registered election). */
+  /** Byte election from an EXISTING cluster manifest, deriving byte
+    * counts from the docs frame. */
   def mediaKeepBestFrom(manifest: DataFrame, docs: DataFrame): DataFrame =
     mediaKeepBestFromBytes(manifest,
       mediaMetaOn(docs).select(col("doc_id"), col("n_bytes")))
