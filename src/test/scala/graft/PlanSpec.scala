@@ -359,6 +359,35 @@ class PlanSpec extends SparkSpec {
       "pack window lost its (lang, shard) partitioning:\n" + p.take(3000))
   }
 
+  test("media training manifest: doc_id equi-joins, media_type-bounded pack windows, no cartesian") {
+    val p = plan(graft.multimodal.Multimodal.mmPipelineManifest(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // pack positions rejoin the verdict spine by doc_id
+    assert("\\[doc_id#\\d+L\\], \\[doc_id#\\d+L\\]".r.findAllIn(p).nonEmpty,
+      "pack rejoin lost its doc_id key:\n" + p.take(3000))
+    // pack windows are (media_type-as-lang, shard)-bounded, never global
+    assert(p.contains("hashpartitioning(lang"),
+      "media pack window lost its (media_type, shard) partitioning:\n" + p.take(3000))
+    spark.catalog.clearCache()
+  }
+
+  test("media epoch shuffle: rank windows partition by (epoch, shard), no cartesian") {
+    val p = plan(graft.multimodal.Multimodal.mmEpochShuffle(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("hashpartitioning(epoch"),
+      "chunk rank window lost its (epoch, shard) partitioning:\n" + p.take(3000))
+    spark.catalog.clearCache()
+  }
+
+  test("media split leakage: band-bounded pair table joins the split manifest by id, no cartesian") {
+    val p = plan(graft.multimodal.Multimodal.mmSplitLeakage(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // endpoint lookups key on the pair columns
+    assert("\\[doc_a#\\d+L\\], \\[doc_a#\\d+L\\]".r.findAllIn(p).nonEmpty ||
+      p.contains("doc_a"), "endpoint join lost its key:\n" + p.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // 100 TB shape: fact ⋈ selectively-filtered dim without broadcast. Spark
     // injects a bloom filter built from the dim keys into the fact scan, so

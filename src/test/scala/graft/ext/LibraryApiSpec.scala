@@ -213,6 +213,45 @@ class LibraryApiSpec extends SparkSpec {
     assert(row.getDouble(6) === graft.ops.Num.r6Double(1.0 / 3.0))
   }
 
+  test("property: budget-parameterized packer matches the exact prefix-sum model at any chunk budget") {
+    // the media manifest packs payload BYTES through the same chain with
+    // its own budget (Multimodal.MediaPackChunkBytes); this pins the
+    // parameterization itself — for ANY budget, within each (lang, shard)
+    // the cumulative weights are the doc_id-ordered running sum and
+    // chunk_id is the exact integral division of the pre-doc offset
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val rowGen = for {
+      lang <- Gen.oneOf("en", "de")
+      n <- Gen.choose(0L, 50L)
+    } yield (lang, n)
+    val input = for {
+      rows <- Gen.listOfN(40, rowGen)
+      budget <- Gen.choose(1L, 64L)
+    } yield (rows, budget)
+    val prop = Prop.forAll(input) { case (rows, budget) =>
+      val inRows = rows.zipWithIndex.map { case ((l, n), i) => (l, i.toLong, n) }
+      val toks = inRows.toDF("lang", "doc_id", "n_tok")
+      val out = Corpus.seqPackDocRowsFromTokens(toks, chunkTokens = budget).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))) // (lang, shard, doc_id, n_tok, cum, chunk)
+      // every input row appears exactly once, weight intact
+      val okCover = out.length == rows.length &&
+        out.map(r => (r._1, r._3, r._4)).sorted.toSeq ==
+          inRows.map { case (l, i, n) => (l, i, n) }.sorted.toSeq
+      // per (lang, shard): running sum in doc_id order, exact division
+      val okMath = out.groupBy(r => (r._1, r._2)).forall { case (_, g) =>
+        var cum = 0L
+        g.sortBy(_._3).forall { r =>
+          cum += r._4
+          r._5 == cum && r._6 == (cum - r._4) / budget
+        }
+      }
+      (Prop(okCover) :| "row coverage broke") && (Prop(okMath) :| "prefix-sum/chunk math broke")
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("split leakage report: six zero-filled combos, leak flag consistent, pair mass conserved") {
     val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
     val rep = Corpus.splitLeakageOn(docs).collect()
