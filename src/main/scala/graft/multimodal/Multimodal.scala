@@ -1355,9 +1355,13 @@ object Multimodal {
   def alignFilter(spark: SparkSession, dir: String): DataFrame =
     alignFilterOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
 
-  def alignFilterSqlFor(rel: String): String = {
-    import graft.ext.{Dedup, Similarity, Text}
-    s"""WITH th AS (
+  /** The caption-tower CTE chain (`th` → `cap`) over a snapshot relation
+    * — the ONE SQL definition of the feature-hashed text tower, composed
+    * by [[alignFilterSqlFor]] and the retrieval-eval oracle so the two
+    * towers cannot drift. */
+  private def captionCtesFor(rel: String): String = {
+    import graft.ext.{Dedup, Text}
+    s"""th AS (
        |  SELECT doc_id, source,
        |         list_transform(${Text.tokensSql("text")},
        |                        t -> ${Dedup.baseHashSql("'at:' || t")}) AS th
@@ -1368,7 +1372,12 @@ object Multimodal {
        |           len(list_filter(th, h -> h % $AlignDim = j - 1 AND (h // $AlignDim) % 2 = 0))
        |           - len(list_filter(th, h -> h % $AlignDim = j - 1 AND (h // $AlignDim) % 2 = 1))
        |           AS DOUBLE)) AS cap
-       |  FROM th),
+       |  FROM th)""".stripMargin
+  }
+
+  def alignFilterSqlFor(rel: String): String = {
+    import graft.ext.Similarity
+    s"""WITH ${captionCtesFor(rel)},
        |j AS (
        |  SELECT c.doc_id, c.source,
        |         ${Similarity.dotSql("c.cap", "e.embedding")} AS dp,
@@ -1386,6 +1395,103 @@ object Multimodal {
   }
 
   val alignFilterSql: String = alignFilterSqlFor("documents")
+
+  // ----------------------------------------------- cross-modal retrieval eval
+  /** Deterministic retrieval-probe sample: every [[RetrievalStride]]-th
+    * doc — the [[graft.ext.Similarity]] QueryStride convention. */
+  val RetrievalStride = 25
+
+  /** CLIP-style TEXT→IMAGE retrieval eval (the standard alignment-model
+    * metric, Radford et al. 2021 §3.1.3): for a deterministic sample of
+    * captions, rank EVERY media embedding by caption-tower cosine and
+    * report how often the caption's own media object ranks first / in
+    * the top 5 / top 10, plus the mean rank. This is the evaluation a
+    * curation run uses to decide whether the alignment gate's towers are
+    * good enough to gate on at all — the eval-side companion of
+    * `mm_align_filter`. (On the synthetic testdata the embeddings are
+    * random and uncorrelated with the hashed caption tower, so the
+    * registered row correctly reports chance level — mean rank ≈
+    * |corpus|/2; MultimodalSpec proves the metric discriminates by
+    * feeding aligned towers and reading recall 1.0.)
+    *
+    * Scale shape — deliberately NOT the rank-window form: the own-object
+    * rank is 1 + |strictly better others|, so the probe sample
+    * broadcasts, the corpus streams through ONE scan scoring each
+    * (object, probe) pair, and a partially-aggregated count per probe
+    * replaces the |corpus|·|probes|-row window shuffle the generic
+    * top-k needs. "Better" ties break by vec_id (the house rank
+    * tiebreak); cosines compare exactly across engines because both
+    * fold the same doubles in the same order ([[graft.ext.Similarity
+    * .dotSql]]). Degenerate towers (tokenless caption) score 0.0
+    * everywhere, so their rank is the id-tiebreak count — deterministic,
+    * never NaN. */
+  def mmRetrievalRecallOn(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    import graft.ext.Similarity
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nrm"))
+    // probe = caption tower of every stride-th doc THAT HAS a media
+    // embedding (no embedding row → no ground truth to rank)
+    val probes = captionEmbeddings(docs)
+      .filter(pmod(col("doc_id"), lit(RetrievalStride.toLong)) === lit(0L))
+      .select(col("doc_id").as("q_id"), col("cap"),
+        Similarity.norm(col("cap")).as("q_nrm"))
+    def cosOf(capC: Column, qn: Column, emb: Column, en: Column): Column =
+      when(qn > lit(0.0) && en > lit(0.0),
+        Similarity.dot(capC, emb) / (qn * en)).otherwise(lit(0.0))
+    val own = probes.join(e, col("q_id") === col("vec_id"))
+      .select(col("q_id"), col("cap"), col("q_nrm"),
+        cosOf(col("cap"), col("q_nrm"), col("embedding"), col("nrm")).as("own_cos"))
+    val ranks = e.join(broadcast(own), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosOf(col("cap"), col("q_nrm"), col("embedding"), col("nrm")))
+      .withColumn("better",
+        (col("cos") > col("own_cos") ||
+          (col("cos") === col("own_cos") && col("vec_id") < col("q_id"))).cast("long"))
+      .groupBy("q_id")
+      .agg((sum("better") + lit(1L)).as("rank"))
+    ranks.agg(count(lit(1)).as("n_queries"),
+        sum(when(col("rank") <= 1L, 1L).otherwise(0L)).as("h1"),
+        sum(when(col("rank") <= 5L, 1L).otherwise(0L)).as("h5"),
+        sum(when(col("rank") <= 10L, 1L).otherwise(0L)).as("h10"),
+        avg(col("rank")).as("mr"))
+      .select(col("n_queries"),
+        r6(col("h1") / col("n_queries").cast("double")).as("recall_at_1"),
+        r6(col("h5") / col("n_queries").cast("double")).as("recall_at_5"),
+        r6(col("h10") / col("n_queries").cast("double")).as("recall_at_10"),
+        r6(col("mr")).as("mean_rank"))
+  }
+
+  def mmRetrievalRecall(spark: SparkSession, dir: String): DataFrame =
+    mmRetrievalRecallOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+
+  /** Oracle: the shared caption-tower CTEs over the stride sample, the
+    * identical better-than-own count, the same r6 report. */
+  val mmRetrievalRecallSql: String = {
+    import graft.ext.Similarity
+    val cosSql = (cap: String, qn: String, emb: String, en: String) =>
+      s"CASE WHEN $qn > 0 AND $en > 0 THEN ${Similarity.dotSql(cap, emb)} / ($qn * $en) ELSE 0.0 END"
+    s"""WITH ${captionCtesFor(s"(SELECT * FROM documents WHERE doc_id % $RetrievalStride = 0)")},
+       |e AS (SELECT vec_id, embedding, ${Similarity.normSql("embedding")} AS nrm FROM embeddings),
+       |probes AS (
+       |  SELECT doc_id AS q_id, cap, ${Similarity.normSql("cap")} AS q_nrm FROM cap),
+       |own AS MATERIALIZED (
+       |  SELECT p.q_id, p.cap, p.q_nrm,
+       |         ${cosSql("p.cap", "p.q_nrm", "e.embedding", "e.nrm")} AS own_cos
+       |  FROM probes p JOIN e ON p.q_id = e.vec_id),
+       |ranks AS (
+       |  SELECT o.q_id,
+       |         1 + sum(CASE WHEN ${cosSql("o.cap", "o.q_nrm", "e.embedding", "e.nrm")} > o.own_cos
+       |                        OR (${cosSql("o.cap", "o.q_nrm", "e.embedding", "e.nrm")} = o.own_cos
+       |                            AND e.vec_id < o.q_id)
+       |                  THEN 1 ELSE 0 END) AS rank
+       |  FROM e JOIN own o ON e.vec_id <> o.q_id
+       |  GROUP BY o.q_id)
+       |SELECT count(*) AS n_queries,
+       |       ${r6Sql("sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)")} AS recall_at_1,
+       |       ${r6Sql("sum(CASE WHEN rank <= 5 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)")} AS recall_at_5,
+       |       ${r6Sql("sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)")} AS recall_at_10,
+       |       ${r6Sql("avg(rank)")} AS mean_rank
+       |FROM ranks""".stripMargin
+  }
 
   // --------------------------------------------- multimodal pipeline manifest
   /** Media pack-chunk budget in payload BYTES — the media analog of the
@@ -1717,5 +1823,6 @@ object Multimodal {
     Q("mm_split_leakage", mmSplitLeakage _, mmSplitLeakageSql),
     Q("mm_pack_efficiency", mmPackEfficiency _, mmPackEfficiencySql),
     Q("mm_epoch_shuffle", mmEpochShuffle _, mmEpochShuffleSql),
+    Q("mm_retrieval_recall", mmRetrievalRecall _, mmRetrievalRecallSql),
   )
 }

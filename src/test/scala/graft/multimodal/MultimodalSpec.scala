@@ -614,6 +614,31 @@ class MultimodalSpec extends SparkSpec {
     assert(packedIds === want, "pack positions drifted from the registered packer")
   }
 
+  test("retrieval recall: aligned towers score recall 1.0; anti-aligned probes rank last") {
+    // embeddings built FROM the caption tower itself: every probe's own
+    // media object is its exact nearest neighbor → recall@1 = 1.0
+    val ids = (0L to 7L).map(_ * Multimodal.RetrievalStride) // all sampled
+    val d = docs(ids.map(id => (id, s"spark window merge token$id count$id", s"s$id")): _*)
+    val caps = Multimodal.captionEmbeddings(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2).map(_.toFloat).toArray).toMap
+    val aligned = ids.map(id => (id, caps(id), "l0")).toDF("vec_id", "embedding", "label")
+    val r1 = Multimodal.mmRetrievalRecallOn(d, aligned).head()
+    assert(r1.getLong(0) === ids.length.toLong)
+    assert(r1.getDouble(1) === 1.0 && r1.getDouble(4) === 1.0,
+      s"aligned towers must retrieve their own object first: $r1")
+    // one probe's embedding negated: its own object becomes the WORST
+    // match, recall@1 drops by exactly one query, its rank is |corpus|
+    val spoiled = ids.map(id =>
+      (id, if (id == ids.head) caps(id).map(-_) else caps(id), "l0"))
+      .toDF("vec_id", "embedding", "label")
+    val r2 = Multimodal.mmRetrievalRecallOn(d, spoiled).head()
+    val n = ids.length
+    assert(r2.getDouble(1) === graft.ops.Num.r6Double((n - 1).toDouble / n),
+      s"spoiled probe still retrieves itself: $r2")
+    assert(r2.getDouble(4) === graft.ops.Num.r6Double(((n - 1).toDouble + n) / n),
+      s"spoiled probe's rank is not last: $r2")
+  }
+
   test("media epoch shuffle: each epoch permutes every packed chunk once, positions contiguous, epochs decorrelated") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.ops.Tables.documents(spark, dir)
