@@ -1396,6 +1396,108 @@ object Multimodal {
 
   val alignFilterSql: String = alignFilterSqlFor("documents")
 
+  // ------------------------------------------------- media curation funnel
+  /** Decode-quality gate thresholds (the LAION-style min-size / aspect
+    * filter): both decoded dims at least [[MinMediaDim]], aspect ratio at
+    * most 2 (integer cross-multiplication — no float enters the gate),
+    * and at least [[MinMediaBytes]] payload bytes. */
+  val MinMediaDim = 32
+  val MinMediaBytes = 16
+
+  /** The media CURATION FUNNEL — the multimodal twin of
+    * `t_curation_funnel`: one row per document with every gate bit and
+    * the FIRST-failing-gate drop attribution, in pipeline order:
+    *
+    *   1. `decode` — the decoder's dims clear the min-size/aspect gate
+    *      (runs the registered [[decodeFeatures]] codec path — the gate's
+    *      meaning IS "decode it and look");
+    *   2. `no_embedding` — the media-tower output exists (no embedding
+    *      row → nothing to align or retrieve);
+    *   3. `alignment` — the CLIP-style cosine gate ([[alignFilterOn]]);
+    *   4. `near_dup` — the aligned keep-best election chose another
+    *      cluster member.
+    *
+    * `kept` = all gates pass; `drop_reason` is NULL on kept rows (the
+    * text funnel's convention). Gate bits stay visible per row so the
+    * co-fire/attribution analyses the text family runs apply verbatim.
+    * Scale shape: one codec pass, then doc_id-keyed verdict joins —
+    * narrow frames, no corpus × corpus stage. */
+  def mmCurationFunnelOn(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val dims = decodeFeatures(fromDocuments(docs)).toDF()
+      .select(col("doc_id"), col("width"), col("height"))
+    val dl = mmDocLocalOn(docs).select(col("doc_id"), col("n_bytes"))
+    val af = alignFilterOn(docs, embeddings)
+      .select(col("doc_id"), col("keep"), lit(true).as("has_emb"))
+    val cl = mediaDupClustersOn(docs)
+      .select("doc_id", "cluster_id", "cluster_size").localCheckpoint()
+    val ka = mediaKeepBestAlignedFrom(cl, alignFilterOn(docs, embeddings))
+      .select("cluster_id", "keep_doc_id")
+    val lo = least(col("width"), col("height"))
+    val hi = greatest(col("width"), col("height"))
+    val pdc = lo >= lit(MinMediaDim) && hi <= lit(2) * lo &&
+      col("n_bytes") >= lit(MinMediaBytes.toLong)
+    val pe = coalesce(col("has_emb"), lit(false))
+    val pa = coalesce(col("keep"), lit(false))
+    val ps = col("cluster_size") === lit(1L) ||
+      coalesce(col("keep_doc_id") === col("doc_id"), lit(false))
+    docs.select(col("doc_id"), mediaTypeCol.as("media_type"))
+      .join(dims, Seq("doc_id"))
+      .join(dl, Seq("doc_id"))
+      .join(af, Seq("doc_id"), "left")
+      .join(cl, Seq("doc_id"))
+      .join(ka, Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("media_type"),
+        pdc.as("pass_decode"), pe.as("has_embedding"),
+        pa.as("pass_align"), ps.as("is_survivor"),
+        (pdc && pe && pa && ps).as("kept"),
+        when(!pdc, "decode").when(!pe, "no_embedding")
+          .when(!pa, "alignment").when(!ps, "near_dup").as("drop_reason"))
+      .orderBy("doc_id")
+  }
+
+  def mmCurationFunnel(spark: SparkSession, dir: String): DataFrame =
+    mmCurationFunnelOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+
+  /** Oracle: decoded dims re-derived from the payload bytes via the
+    * proven hex-slice route (the StubCodec arithmetic verbatim: width =
+    * 16 + byte0 % 128, height = 16 + byte1 % 128), the alignment gate's
+    * own SQL, the cluster closure + aligned election chains, then the
+    * same ordered CASE attribution. */
+  lazy val mmCurationFunnelSql: String =
+    s"""WITH RECURSIVE ${mediaClusterCtesFor("documents")},
+       |af AS MATERIALIZED (${alignFilterSqlFor("documents")}),
+       |${mediaKbaCtesFor("documents")},
+       |dm AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+       |  FROM documents),
+       |dims AS (
+       |  SELECT doc_id, n,
+       |         16 + CASE WHEN n = 0 THEN 0 ELSE ${byteAtSql("0")} % 128 END AS width,
+       |         16 + CASE WHEN n < 2 THEN 0 ELSE ${byteAtSql("1")} % 128 END AS height
+       |  FROM dm),
+       |gates AS (
+       |  SELECT d.doc_id,
+       |         $mediaTypeSql AS media_type,
+       |         (least(m.width, m.height) >= $MinMediaDim
+       |          AND greatest(m.width, m.height) <= 2 * least(m.width, m.height)
+       |          AND m.n >= $MinMediaBytes) AS pass_decode,
+       |         a.doc_id IS NOT NULL AS has_embedding,
+       |         coalesce(a.keep, FALSE) AS pass_align,
+       |         (s.cluster_size = 1 OR coalesce(ka.keep_doc_id = d.doc_id, FALSE)) AS is_survivor
+       |  FROM documents d
+       |  JOIN dims m ON d.doc_id = m.doc_id
+       |  LEFT JOIN af a ON d.doc_id = a.doc_id
+       |  JOIN comp c ON d.doc_id = c.doc_id
+       |  JOIN sizes s ON c.cluster_id = s.cluster_id
+       |  LEFT JOIN ka ON c.cluster_id = ka.cluster_id)
+       |SELECT doc_id, media_type, pass_decode, has_embedding, pass_align, is_survivor,
+       |       (pass_decode AND has_embedding AND pass_align AND is_survivor) AS kept,
+       |       CASE WHEN NOT pass_decode THEN 'decode'
+       |            WHEN NOT has_embedding THEN 'no_embedding'
+       |            WHEN NOT pass_align THEN 'alignment'
+       |            WHEN NOT is_survivor THEN 'near_dup' END AS drop_reason
+       |FROM gates ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------- cross-modal retrieval eval
   /** Deterministic retrieval-probe sample: every [[RetrievalStride]]-th
     * doc — the [[graft.ext.Similarity]] QueryStride convention. */
@@ -1824,5 +1926,6 @@ object Multimodal {
     Q("mm_pack_efficiency", mmPackEfficiency _, mmPackEfficiencySql),
     Q("mm_epoch_shuffle", mmEpochShuffle _, mmEpochShuffleSql),
     Q("mm_retrieval_recall", mmRetrievalRecall _, mmRetrievalRecallSql),
+    Q("mm_curation_funnel", mmCurationFunnel _, mmCurationFunnelSql),
   )
 }

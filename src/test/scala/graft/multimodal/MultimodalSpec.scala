@@ -614,6 +614,31 @@ class MultimodalSpec extends SparkSpec {
     assert(packedIds === want, "pack positions drifted from the registered packer")
   }
 
+  test("curation funnel: every drop reason attributes to its FIRST failing gate; kept rows pass all four") {
+    // toy corpus engineering one doc per failure class:
+    //  1 — healthy (kept); 2 — exact dup of 1 losing the aligned election
+    //      (near_dup); 3 — anti-aligned caption (alignment); 4 — no
+    //      embedding row (no_embedding); 5 — tiny payload (decode), which
+    //      must ALSO mask its missing embedding (first gate wins)
+    val base = "spark window merge table column join filter"
+    val d = docs((1L, base, "s"), (2L, base, "s"), (3L, base + " extra", "s"),
+      (4L, base + " other words", "s"), (5L, "abc", "s"))
+    val caps = Multimodal.captionEmbeddings(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2).map(_.toFloat).toArray).toMap
+    val emb = Seq(
+      (1L, caps(1L), "l0"),
+      (2L, caps(2L).map(v => v * 0.5f), "l0"), // aligned but weaker cosine? same direction → same cos; doc 1 wins the tie by id
+      (3L, caps(3L).map(-_), "l0"))            // anti-aligned
+      .toDF("vec_id", "embedding", "label")    // 4 and 5 have no row
+    val out = Multimodal.mmCurationFunnelOn(d, emb).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(6), Option(r.getString(7))))).toMap
+    assert(out(1L) === ((true, None)), s"doc 1: ${out(1L)}")
+    assert(out(2L) === ((false, Some("near_dup"))), s"doc 2: ${out(2L)}")
+    assert(out(3L) === ((false, Some("alignment"))), s"doc 3: ${out(3L)}")
+    assert(out(4L) === ((false, Some("no_embedding"))), s"doc 4: ${out(4L)}")
+    assert(out(5L) === ((false, Some("decode"))), s"doc 5: ${out(5L)}")
+  }
+
   test("retrieval recall: aligned towers score recall 1.0; anti-aligned probes rank last") {
     // embeddings built FROM the caption tower itself: every probe's own
     // media object is its exact nearest neighbor → recall@1 = 1.0
