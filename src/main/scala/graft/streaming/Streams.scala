@@ -94,9 +94,9 @@ object Streams {
     * watermark horizon, so state is bounded by (keys active per horizon)
     * instead of all-time distinct keys. The right tool when duplicates
     * cluster in time (retries, replays) — the common streaming case. */
-  def dedupKeysWithinWatermark(events: DataFrame): DataFrame =
+  def dedupKeysWithinWatermark(events: DataFrame, delay: String = "1 hour"): DataFrame =
     events
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
       .select(col("user_id"), col("event_type"), col("ts"))
 

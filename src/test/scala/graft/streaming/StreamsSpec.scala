@@ -757,6 +757,104 @@ class StreamsSpec extends SparkSpec {
     assert(n < total, s"$n = $total: suppressed nothing")
   }
 
+  test("property: watermark-bounded dedup under out-of-order delivery equals the first-occurrence expiry state machine") {
+    // the DEDUP-family instance of the watermark contract: a key's first
+    // admitted occurrence emits and opens a suppression interval expiring
+    // at ts_first + delay (SPARK-42931's contract — the interval is
+    // anchored to the FIRST event, duplicates do not extend it); while
+    // the key is in state every re-occurrence is silently suppressed;
+    // once the eviction watermark passes the expiry the key is forgotten
+    // and the NEXT occurrence emits again. Late rows (ts < the lagged
+    // admission watermark) drop before any of this. Grids are engineered
+    // tie-free: events on whole minutes, delays on odd multiples of 15 s,
+    // so expiries (:15 grid) can never equal watermarks (:45 grid) and
+    // admissions (:00) never tie either. At most ONE row per (key,
+    // batch) by construction — within-batch same-key order is the one
+    // thing Spark does not define, so the generator never relies on it.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val Min = 60L * 1000000
+    val keys = for { u <- 0L to 1L; t <- Seq("view", "click", "purchase") } yield (u, t)
+    val cellGen = Gen.frequency(
+      4 -> Gen.const(Option.empty[Long]),
+      6 -> Gen.choose(1L, 40L).map(m => Some(m * Min)))
+    def seqGen[A](gs: List[Gen[A]]): Gen[List[A]] =
+      gs.foldRight(Gen.const(List.empty[A]))((g, acc) => for { h <- g; t <- acc } yield h :: t)
+    val rowsGen = seqGen((for { k <- keys.toList; b <- List(0, 1, 2) } yield (k, b)).map {
+      case ((u, t), b) => cellGen.map(_.map(ts => (u, t, ts, b)))
+    }).map(_.flatten)
+    val input = for {
+      rows <- rowsGen
+      delaySec <- Gen.oneOf(75L, 135L, 195L)
+    } yield (rows, delaySec)
+    var run = 0
+    var sawLateDrop = false
+    var sawSuppress = false
+    var sawReemit = false
+    val prop = Prop.forAllNoShrink(input) { case (rows, delaySec) =>
+      run += 1
+      val base = Files.createTempDirectory("graft_ooo_dedup").toString
+      Files.createDirectories(Paths.get(s"$base/in"))
+      (0 to 2).foreach { b =>
+        val tmp = s"$base/tmp$b"
+        rows.filter(_._4 == b)
+          .map { case (u, t, ts, _) => (u, t, new java.sql.Timestamp(ts / 1000)) }
+          .toDF("user_id", "event_type", "ts")
+          .coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+        Files.move(part.toPath, Paths.get(s"$base/in/b$b.parquet"), StandardCopyOption.ATOMIC_MOVE)
+        Thread.sleep(20)
+      }
+      // ---------------- the model
+      var wmEvict = 0L
+      var wmLate = 0L
+      var maxSeen = Long.MinValue
+      var state = Map.empty[(Long, String), Long] // key -> expiry
+      val want = Seq.newBuilder[(Long, String, Long)]
+      (0 to 2).foreach { b =>
+        val batch = rows.filter(_._4 == b)
+        val admitted = batch.filter(_._3 >= wmLate)
+        if (admitted.size < batch.size) sawLateDrop = true
+        admitted.foreach { case (u, t, ts, _) =>
+          if (state.contains((u, t))) sawSuppress = true
+          else {
+            if (want.result().exists(r => r._1 == u && r._2 == t)) sawReemit = true
+            want += ((u, t, ts))
+            state += ((u, t) -> (ts + delaySec * 1000000L))
+          }
+        }
+        // eviction happens DURING batch b with the watermark in effect
+        // during b (computed from batches < b) — evicting with the value
+        // the next batch will see would forget keys one batch early and
+        // re-admit duplicates Spark still suppresses (the first failing
+        // counterexample of this property pinned exactly that ordering)
+        state = state.filter { case (_, exp) => exp >= wmEvict }
+        if (batch.nonEmpty) maxSeen = math.max(maxSeen, batch.map(_._3).max)
+        wmLate = wmEvict
+        if (maxSeen != Long.MinValue)
+          wmEvict = math.max(wmEvict, math.max(0L, (maxSeen / 1000L - delaySec * 1000L) * 1000L))
+      }
+      val got = Streams.runToMemory(spark,
+          Streams.dedupKeysWithinWatermark(
+            spark.readStream
+              .schema("user_id LONG, event_type STRING, ts TIMESTAMP")
+              .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
+            s"$delaySec seconds"), s"ooo_dedup_$run")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq.sorted
+      spark.catalog.dropTempView(s"ooo_dedup_$run")
+      val w = want.result().sorted
+      Prop(got == w) :| (s"dedup drifted: missing ${(w.toSet -- got.toSet).take(3)} " +
+        s"extra ${(got.toSet -- w.toSet).take(3)} wm=$wmEvict delay=${delaySec}s")
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+    assert(sawLateDrop, "no sample dropped a late row — the property never left the delay-0 regime")
+    assert(sawSuppress, "no sample suppressed a duplicate — the dedup path was vacuous")
+    assert(sawReemit, "no key ever re-emitted after expiry — the bounded-state path was vacuous")
+  }
+
   test("parquet sink with checkpoint persists the stream durably (production sink path)") {
     val base = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
     val q = Streams.tumblingCounts(Streams.readEventsStream(spark, sfDir))
