@@ -1426,11 +1426,13 @@ object Multimodal {
     val dims = decodeFeatures(fromDocuments(docs)).toDF()
       .select(col("doc_id"), col("width"), col("height"))
     val dl = mmDocLocalOn(docs).select(col("doc_id"), col("n_bytes"))
-    val af = alignFilterOn(docs, embeddings)
-      .select(col("doc_id"), col("keep"), lit(true).as("has_emb"))
+    // ONE caption-tower pass feeds both the gate bits and the election
+    // (two separate alignFilterOn calls would score every caption twice)
+    val afAll = alignFilterOn(docs, embeddings)
+    val af = afAll.select(col("doc_id"), col("keep"), lit(true).as("has_emb"))
     val cl = mediaDupClustersOn(docs)
       .select("doc_id", "cluster_id", "cluster_size").localCheckpoint()
-    val ka = mediaKeepBestAlignedFrom(cl, alignFilterOn(docs, embeddings))
+    val ka = mediaKeepBestAlignedFrom(cl, afAll)
       .select("cluster_id", "keep_doc_id")
     val lo = least(col("width"), col("height"))
     val hi = greatest(col("width"), col("height"))
