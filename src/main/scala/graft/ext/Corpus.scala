@@ -543,7 +543,16 @@ object Corpus {
   def splitLeakage(spark: SparkSession, dir: String): DataFrame =
     splitLeakageOn(Tables.documents(spark, dir))
 
-  val splitLeakageSql: String =
+  // LAZY by necessity (the pipelineManifestSql rationale): this val reads
+  // Dedup.ClusterEstMin, and Corpus's initializer can run INSIDE Dedup's
+  // (Dedup's decontamination SQLs read Corpus.BenchSlice), at which point
+  // ClusterEstMin's line has not executed and a strict interpolation
+  // freezes 0.0 into the WHERE clause. That exact fold shipped for
+  // fourteen rounds undetected — at sf0.01 no banded candidate falls
+  // below 0.5, so both engines agreed — and surfaced only when the gate
+  // ran at sf0.1 (one candidate pair at est_jaccard 0.4375).
+  // RegistrySpec's folding guard now pins the rendered literal.
+  lazy val splitLeakageSql: String =
     s"""WITH ed AS (
        |  SELECT doc_a, doc_b FROM (${Dedup.minhashLshSql})
        |  WHERE est_jaccard >= ${Dedup.ClusterEstMin}),
