@@ -49,10 +49,44 @@ object Similarity {
     embeddings.withColumn("nrm", sqrt(fastDot(col("embedding"), col("embedding"))))
   }
 
-  /** Deterministic query-vector sample: every 25th vec_id. Small (~n/25) →
-    * broadcast side of the probe join. */
-  private val QueryStride = 25
+  /** Fixed, corpus-independent probe budget for the exact-rank eval rows
+    * (brute-force truth, recall/nprobe monitors, hard negatives): the
+    * [[ProbeBudget]] vec_ids with the smallest salted hashes ("probe:"
+    * decorrelates the pick from every other hash decision in the repo),
+    * vec_id tiebreak — the `t_stratified_sample` pick rule. Unlike the
+    * stride sample this replaced (probes = n/stride → exact scoring
+    * O(n²/stride)), the budget is a CONSTANT under corpus growth: eval
+    * cost stays O(n·K) at any scale, and the probe set only churns when a
+    * NEW vector's hash enters the smallest-K — an existing non-probe can
+    * never displace a probe (SimilaritySpec pins both properties). */
+  val ProbeBudget = 20
   private val TopK = 5
+
+  /** Salted 28-bit probe-pick key. Twin of [[Dedup.baseHash]], inlined so
+    * Similarity's strict `…Sql` vals never trigger a cross-object
+    * initializer (the init-order folding class RegistrySpec guards). */
+  private def probeKey(id: Column): Column =
+    conv(substring(md5(concat(lit("probe:"), id.cast("string"))), 1, 7), 16, 10).cast("long")
+  private def probeKeySql(id: String): String =
+    s"('0x' || substr(md5('probe:' || $id), 1, 7))::BIGINT"
+
+  /** Filters `df` to the rows of the fixed probe set over its `idCol`
+    * values: per-partition top-K on the pick key then a broadcast semi
+    * join — one scan, no full sort, works on exploded frames too (the
+    * pick is over DISTINCT ids, so the per-subspace PQ frame picks the
+    * same vectors as the base frame). */
+  def probeFilter(df: DataFrame, idCol: String = "vec_id"): DataFrame = {
+    val ids = df.select(col(idCol)).distinct()
+      .orderBy(probeKey(col(idCol)), col(idCol)).limit(ProbeBudget)
+    df.join(broadcast(ids), Seq(idCol), "left_semi")
+  }
+
+  /** Oracle twin of [[probeFilter]]: a membership predicate against the
+    * identical pick (DISTINCT ids of `tbl`, smallest-[[ProbeBudget]] by
+    * salted hash, id tiebreak). */
+  def probeInSql(outerId: String, tbl: String, innerId: String = "vec_id"): String =
+    s"$outerId IN (SELECT $innerId FROM (SELECT DISTINCT $innerId FROM $tbl) " +
+      s"ORDER BY ${probeKeySql(innerId)}, $innerId LIMIT $ProbeBudget)"
 
   /** Brute-force cosine top-k: probe set × corpus, rank per probe, keep k.
     * The O(n·q) baseline every ANN variant is measured against. At scale the
@@ -60,7 +94,7 @@ object Similarity {
     * until the tiny per-probe top-k. */
   def knnBruteForceOn(embeddings: DataFrame): DataFrame = {
     val e = withNorm(embeddings)
-    val queries = e.filter(col("vec_id") % lit(QueryStride) === lit(0))
+    val queries = probeFilter(e)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val scored = e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .withColumn("cos", fastDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
@@ -77,7 +111,7 @@ object Similarity {
 
   val knnBruteForceSql: String =
     s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
-       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id % $QueryStride = 0),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE ${probeInSql("vec_id", "e")}),
        |scored AS (
        |  SELECT q.q_id, e.vec_id,
        |         ${dotSql("q.q_emb", "e.embedding")} / (q.q_nrm * e.nrm) AS cos
@@ -119,7 +153,7 @@ object Similarity {
   def knnLshOn(embeddings: DataFrame): DataFrame = {
     val e = withNorm(embeddings)
       .withColumn("bucket", signBucket(col("embedding")))
-    val queries = e.filter(col("vec_id") % lit(QueryStride) === lit(0))
+    val queries = probeFilter(e)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
     val scored = e.join(broadcast(queries),
@@ -142,7 +176,7 @@ object Similarity {
        |         ${signBucketSql("embedding")} AS bucket
        |  FROM embeddings),
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, bucket AS q_bucket
-       |      FROM e WHERE vec_id % $QueryStride = 0),
+       |      FROM e WHERE ${probeInSql("vec_id", "e")}),
        |scored AS (
        |  SELECT q.q_id, e.vec_id,
        |         ${dotSql("q.q_emb", "e.embedding")} / (q.q_nrm * e.nrm) AS cos
@@ -224,7 +258,7 @@ object Similarity {
   }
 
   private def searchCells(corpus: DataFrame, cent: DataFrame, nProbe: Int): DataFrame = {
-    val queries = corpus.filter(col("vec_id") % lit(QueryStride) === lit(0))
+    val queries = probeFilter(corpus)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val probes = probeCells(queries, cent, nProbe)
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
@@ -256,7 +290,7 @@ object Similarity {
     s"""WITH e AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
        |$centroidsSql,
        |cellc AS (SELECT label AS cell, centroid, ${normSql("centroid")} AS c_nrm FROM cent),
-       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id % $QueryStride = 0),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE ${probeInSql("vec_id", "e")}),
        |pc AS (
        |  SELECT q.q_id, q.q_emb, q.q_nrm, c.cell,
        |         ${r6Sql(s"${dotSql("q.q_emb", "c.centroid")} / (q.q_nrm * c.c_nrm)")} AS ccos_r
@@ -474,7 +508,7 @@ object Similarity {
 
   val knnIvfKmeansSql: String = {
     s"""WITH $kmeansCellsSql,
-       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id % $QueryStride = 0),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE ${probeInSql("vec_id", "e")}),
        |pc AS (
        |  SELECT q.q_id, q.q_emb, q.q_nrm, c.cent_id AS cell,
        |         row_number() OVER (PARTITION BY q.q_id ORDER BY ${r6Sql(s"${dotSql("q.q_emb", "c.centroid")} / (q.q_nrm * c.c_nrm)")} DESC, c.cent_id) AS cell_rank
@@ -626,7 +660,7 @@ object Similarity {
   /** Probe LUTs: r6-rounded squared distance to every codeword, one array
     * per subspace ordered by code so ADC is a positional lookup. */
   private def pqLutWide(sub: DataFrame, cbd: DataFrame, m: Int): DataFrame = {
-    val lut = sub.filter(col("vec_id") % lit(QueryStride) === lit(0))
+    val lut = probeFilter(sub)
       .join(broadcast(cbd), "sub")
       .withColumn("d2r", r6(l2sq(col("sv"), col("cvec"))))
       .select(col("vec_id").as("q_id"), col("sub"), col("code"), col("d2r"))
@@ -655,7 +689,7 @@ object Similarity {
       // probes × refine rows broadcast back against the raw vectors
       val ev = embeddings.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      val qv = ev.filter(col("vec_id") % lit(QueryStride) === lit(0))
+      val qv = probeFilter(ev)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       val cand = adcRanked.filter(col("rank") <= lit(refine)).select("q_id", "vec_id")
         .join(broadcast(qv), "q_id")
@@ -727,7 +761,7 @@ object Similarity {
     val cells = assignCells(e, cent).select("vec_id", "cell")
     val coded = pqCodesWide(sub, cbd, m).join(cells, "vec_id")
     val lutW = pqLutWide(sub, cbd, m)
-    val queries = e.filter(col("vec_id") % lit(QueryStride) === lit(0))
+    val queries = probeFilter(e)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val pcells = probeCells(queries,
         cent.select(col("cent_id").as("cell"), col("centroid"), col("c_nrm")), nProbe)
@@ -801,7 +835,7 @@ object Similarity {
        |lut AS (
        |  SELECT s.vec_id AS q_id, s.sub, c.code, ${r6Sql(l2sqSql("s.sv", "c.cvec"))} AS d2r
        |  FROM sub s JOIN cbd c ON s.sub = c.sub
-       |  WHERE s.vec_id % $QueryStride = 0),
+       |  WHERE ${probeInSql("s.vec_id", "sub")}),
        |lutw AS (
        |  SELECT q_id,
        |         $lutCols
@@ -847,7 +881,7 @@ object Similarity {
     val cfg = PqCfg()
     s"""WITH $kmeansCellsSql,
        |${pqCtesSql(cfg)},
-       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id % $QueryStride = 0),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE ${probeInSql("vec_id", "e")}),
        |pc AS (
        |  SELECT q.q_id, c.cent_id AS cell,
        |         row_number() OVER (PARTITION BY q.q_id ORDER BY ${r6Sql(s"${dotSql("q.q_emb", "c.centroid")} / (q.q_nrm * c.c_nrm)")} DESC, c.cent_id) AS cell_rank
@@ -1001,7 +1035,7 @@ object Similarity {
     val e = withNorm(embeddings)
     val corpus = assignCells(e, cent)
       .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
-    val queries = corpus.filter(col("vec_id") % lit(QueryStride) === lit(0))
+    val queries = probeFilter(corpus)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("label").as("q_label"))
     val probes = probeCells(queries.select("q_id", "q_emb", "q_nrm"),
@@ -1029,7 +1063,7 @@ object Similarity {
        |  SELECT c.vec_id, c.embedding, c.nrm, c.cell, l.label
        |  FROM cells c JOIN embeddings l ON c.vec_id = l.vec_id),
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, label AS q_label
-       |      FROM corpus WHERE vec_id % $QueryStride = 0),
+       |      FROM corpus WHERE ${probeInSql("vec_id", "corpus")}),
        |pc AS (
        |  SELECT q.q_id, q.q_emb, q.q_nrm, q.q_label, c.cent_id AS cell,
        |         row_number() OVER (PARTITION BY q.q_id ORDER BY ${r6Sql(s"${dotSql("q.q_emb", "c.centroid")} / (q.q_nrm * c.c_nrm)")} DESC, c.cent_id) AS cell_rank
@@ -1161,12 +1195,13 @@ object Similarity {
     *
     * Cost: the sweep's candidate set at nprobe = K IS the full
     * probe×corpus product — the same work `s_knn_bruteforce` already
-    * does; a 100 TB deployment sweeps on a probe SAMPLE (QueryStride
-    * here), which is exactly what this query measures. */
+    * does; a 100 TB deployment sweeps on a probe SAMPLE (the fixed
+    * [[ProbeBudget]] pick here), which is exactly what this query
+    * measures. */
   def nprobeCurve(spark: SparkSession, dir: String): DataFrame = {
     val cent = frozenCentroids(spark, dir, KmeansCfg(dims = Dims))
     val corpus = assignCells(withNorm(Tables.embeddings(spark, dir)), cent)
-    val queries = corpus.filter(col("vec_id") % lit(QueryStride) === lit(0))
+    val queries = probeFilter(corpus)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val wc = Window.partitionBy("q_id").orderBy(col("ccos_r").desc, col("cell"))
     val probes = queries
@@ -1197,7 +1232,7 @@ object Similarity {
 
   val nprobeCurveSql: String =
     s"""WITH $kmeansCellsSql,
-       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id % $QueryStride = 0),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE ${probeInSql("vec_id", "e")}),
        |pc AS (
        |  SELECT q.q_id, q.q_emb, q.q_nrm, c.cent_id AS cell,
        |         row_number() OVER (PARTITION BY q.q_id ORDER BY ${r6Sql(s"${dotSql("q.q_emb", "c.centroid")} / (q.q_nrm * c.c_nrm)")} DESC, c.cent_id) AS cell_rank
@@ -1869,8 +1904,7 @@ object Similarity {
     })
     val enc = embeddings.select(col("vec_id"), xh.as("xh"))
       .withColumn("xnrm", sqrt(dot(col("xh"), col("xh"))))
-    val queries = withNorm(embeddings)
-      .filter(col("vec_id") % lit(QueryStride) === lit(0))
+    val queries = probeFilter(withNorm(embeddings))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val scored = enc.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .withColumn("cos", dot(col("q_emb"), col("xh")) / (col("q_nrm") * col("xnrm")))
@@ -1905,7 +1939,7 @@ object Similarity {
        |                     / (m.hi[i] - m.lo[i])) * (m.hi[i] - m.lo[i]) / $Sq8Levels END) AS xh
        |  FROM e CROSS JOIN mml m),
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, ${normSql("embedding")} AS q_nrm
-       |      FROM e WHERE vec_id % $QueryStride = 0),
+       |      FROM e WHERE ${probeInSql("vec_id", "e")}),
        |scored AS (
        |  SELECT q.q_id, d.vec_id,
        |         ${dotSql("q.q_emb", "d.xh")} / (q.q_nrm * ${normSql("d.xh")}) AS cos

@@ -939,7 +939,7 @@ object Multimodal {
     spark.read.parquet(pPath).orderBy("doc_a", "doc_b")
   }
 
-  val mediaDedupBaseSql: String =
+  lazy val mediaDedupBaseSql: String =
     s"""WITH oldsnap AS (
        |  SELECT doc_id, text FROM documents WHERE ${graft.ext.Corpus.deltaOldWhereSql}),
        |${dctPairsCtesBodyFor("oldsnap")}
@@ -964,7 +964,7 @@ object Multimodal {
       .pairs.orderBy("doc_a", "doc_b")
   }
 
-  val mediaDedupIncrementalSql: String =
+  lazy val mediaDedupIncrementalSql: String =
     s"""WITH newsnap AS (
        |  SELECT doc_id, ${graft.ext.Corpus.deltaNewTextSql} AS text
        |  FROM documents WHERE ${graft.ext.Corpus.deltaNewWhereSql}),
@@ -1043,7 +1043,7 @@ object Multimodal {
       ._2.orderBy("doc_id")
   }
 
-  val mediaClustersIncrementalSql: String =
+  lazy val mediaClustersIncrementalSql: String =
     s"""WITH RECURSIVE newsnap AS (
        |  SELECT doc_id, ${graft.ext.Corpus.deltaNewTextSql} AS text
        |  FROM documents WHERE ${graft.ext.Corpus.deltaNewWhereSql}),
@@ -1096,7 +1096,7 @@ object Multimodal {
        |${mmManifestBodyFor("s2")}""".stripMargin
   }
 
-  val mediaClustersRolledSql: String = {
+  lazy val mediaClustersRolledSql: String = {
     val mod = graft.ext.Corpus.DeltaMod
     s"""WITH RECURSIVE s2 AS (
        |  SELECT doc_id,
@@ -1111,7 +1111,7 @@ object Multimodal {
        |ORDER BY c.doc_id""".stripMargin
   }
 
-  val mediaDedupRolledSql: String = {
+  lazy val mediaDedupRolledSql: String = {
     val mod = graft.ext.Corpus.DeltaMod
     s"""WITH s2 AS (
        |  SELECT doc_id,
@@ -1501,15 +1501,18 @@ object Multimodal {
        |FROM gates ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------- cross-modal retrieval eval
-  /** Deterministic retrieval-probe sample: every [[RetrievalStride]]-th
-    * doc — the [[graft.ext.Similarity]] QueryStride convention. */
-  val RetrievalStride = 25
 
   /** CLIP-style TEXT→IMAGE retrieval eval (the standard alignment-model
-    * metric, Radford et al. 2021 §3.1.3): for a deterministic sample of
-    * captions, rank EVERY media embedding by caption-tower cosine and
-    * report how often the caption's own media object ranks first / in
-    * the top 5 / top 10, plus the mean rank. This is the evaluation a
+    * metric, Radford et al. 2021 §3.1.3): for a fixed probe budget of
+    * captions ([[graft.ext.Similarity.probeFilter]] — the smallest
+    * [[graft.ext.Similarity.ProbeBudget]] salted doc-id hashes among docs
+    * that HAVE a media embedding, so the probe count is a CONSTANT under
+    * corpus growth and the exact scoring stays O(n·K) at any scale), rank
+    * EVERY media embedding by caption-tower cosine and report how often
+    * the caption's own media object ranks first / in the top 5 / top 10,
+    * plus the mean rank. A probe whose own embedding is the only corpus
+    * row trivially ranks 1 (the rank left-join coalesces it in rather
+    * than dropping the probe from n_queries). This is the evaluation a
     * curation run uses to decide whether the alignment gate's towers are
     * good enough to gate on at all — the eval-side companion of
     * `mm_align_filter`. (On the synthetic testdata the embeddings are
@@ -1533,10 +1536,11 @@ object Multimodal {
     import graft.ext.Similarity
     val e = embeddings.select(col("vec_id"), col("embedding"),
       Similarity.norm(col("embedding")).as("nrm"))
-    // probe = caption tower of every stride-th doc THAT HAS a media
-    // embedding (no embedding row → no ground truth to rank)
-    val probes = captionEmbeddings(docs)
-      .filter(pmod(col("doc_id"), lit(RetrievalStride.toLong)) === lit(0L))
+    // probe = caption tower of the fixed-budget pick over docs THAT HAVE
+    // a media embedding (no embedding row → no ground truth to rank);
+    // picking before the tower keeps the caption pass probe-sized
+    val withEmb = docs.join(e.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val probes = captionEmbeddings(Similarity.probeFilter(withEmb, "doc_id"))
       .select(col("doc_id").as("q_id"), col("cap"),
         Similarity.norm(col("cap")).as("q_nrm"))
     def cosOf(capC: Column, qn: Column, emb: Column, en: Column): Column =
@@ -1552,7 +1556,10 @@ object Multimodal {
           (col("cos") === col("own_cos") && col("vec_id") < col("q_id"))).cast("long"))
       .groupBy("q_id")
       .agg((sum("better") + lit(1L)).as("rank"))
-    ranks.agg(count(lit(1)).as("n_queries"),
+    // a probe with no OTHER corpus row has no ranks group — it ranks 1
+    val ranksAll = own.select(col("q_id")).join(ranks, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("rank"), lit(1L)).as("rank"))
+    ranksAll.agg(count(lit(1)).as("n_queries"),
         sum(when(col("rank") <= 1L, 1L).otherwise(0L)).as("h1"),
         sum(when(col("rank") <= 5L, 1L).otherwise(0L)).as("h5"),
         sum(when(col("rank") <= 10L, 1L).otherwise(0L)).as("h10"),
@@ -1567,13 +1574,17 @@ object Multimodal {
   def mmRetrievalRecall(spark: SparkSession, dir: String): DataFrame =
     mmRetrievalRecallOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
 
-  /** Oracle: the shared caption-tower CTEs over the stride sample, the
-    * identical better-than-own count, the same r6 report. */
+  /** Oracle: the shared caption-tower CTEs over the identical fixed-budget
+    * probe pick ([[graft.ext.Similarity.probeInSql]] over docs that have an
+    * embedding row), the identical better-than-own count with the rank-1
+    * coalesce for corpus-of-one probes, the same r6 report. */
   val mmRetrievalRecallSql: String = {
     import graft.ext.Similarity
     val cosSql = (cap: String, qn: String, emb: String, en: String) =>
       s"CASE WHEN $qn > 0 AND $en > 0 THEN ${Similarity.dotSql(cap, emb)} / ($qn * $en) ELSE 0.0 END"
-    s"""WITH ${captionCtesFor(s"(SELECT * FROM documents WHERE doc_id % $RetrievalStride = 0)")},
+    val probePick = Similarity.probeInSql("doc_id",
+      "(SELECT d.doc_id FROM documents d JOIN embeddings em ON d.doc_id = em.vec_id)", "doc_id")
+    s"""WITH ${captionCtesFor(s"(SELECT * FROM documents WHERE $probePick)")},
        |e AS (SELECT vec_id, embedding, ${Similarity.normSql("embedding")} AS nrm FROM embeddings),
        |probes AS (
        |  SELECT doc_id AS q_id, cap, ${Similarity.normSql("cap")} AS q_nrm FROM cap),
@@ -1588,13 +1599,16 @@ object Multimodal {
        |                            AND e.vec_id < o.q_id)
        |                  THEN 1 ELSE 0 END) AS rank
        |  FROM e JOIN own o ON e.vec_id <> o.q_id
-       |  GROUP BY o.q_id)
+       |  GROUP BY o.q_id),
+       |ranks_all AS (
+       |  SELECT o.q_id, coalesce(r.rank, 1) AS rank
+       |  FROM own o LEFT JOIN ranks r ON o.q_id = r.q_id)
        |SELECT count(*) AS n_queries,
        |       ${r6Sql("sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)")} AS recall_at_1,
        |       ${r6Sql("sum(CASE WHEN rank <= 5 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)")} AS recall_at_5,
        |       ${r6Sql("sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)")} AS recall_at_10,
        |       ${r6Sql("avg(rank)")} AS mean_rank
-       |FROM ranks""".stripMargin
+       |FROM ranks_all""".stripMargin
   }
 
   // --------------------------------------------- multimodal pipeline manifest
@@ -1851,23 +1865,17 @@ object Multimodal {
        |FROM agg ORDER BY media_type""".stripMargin
   }
 
-  /** Per-epoch training-order manifest over the PACKED MEDIA CHUNKS —
-    * the media twin of `t_epoch_shuffle`, completing the split → pack →
-    * shuffle triple: the trainer's read unit for media is the packed
-    * (media_type, pack_shard, chunk) byte-chunk the manifest emits, and
-    * each epoch gets its own deterministic pseudorandom permutation of
-    * those units via the engine-shared salt-keyed hash (salt
-    * "mep:&lt;epoch&gt;:" — order is a pure function of (corpus, epoch),
+  /** The permutation core of the media epoch shuffle, over an explicit
+    * packed-chunk unit table (media_type, pack_shard, chunk_id): each
+    * epoch gets its own deterministic pseudorandom permutation of the
+    * units via the engine-shared salt-keyed hash (salt
+    * "mep:&lt;epoch&gt;:" — order is a pure function of (chunks, epoch),
     * reruns reproduce bit-for-bit, no RNG state anywhere). Same scale
     * shape as the text shuffle: the shuffle shard is a hash mod needing
     * no Spark shuffle; the rank window partitions by (epoch, shard). */
-  def mmEpochShuffleOn(docs: DataFrame, embeddings: DataFrame,
-                       epochs: Int = graft.ext.Corpus.ShuffleEpochs,
-                       shards: Int = graft.ext.Corpus.ShuffleShards): DataFrame = {
-    val chunks = mmPipelineManifestOn(docs, embeddings)
-      .filter(col("packed"))
-      .select(col("media_type"), col("shard").as("pack_shard"), col("chunk_id"))
-      .distinct()
+  def mmEpochShuffleChunks(chunks: DataFrame,
+                           epochs: Int = graft.ext.Corpus.ShuffleEpochs,
+                           shards: Int = graft.ext.Corpus.ShuffleShards): DataFrame = {
     val w = Window.partitionBy("epoch", "shard")
       .orderBy(col("h"), col("media_type"), col("pack_shard"), col("chunk_id"))
     chunks
@@ -1882,17 +1890,72 @@ object Multimodal {
       .orderBy("epoch", "shard", "pos")
   }
 
-  def mmEpochShuffle(spark: SparkSession, dir: String): DataFrame =
-    mmEpochShuffleOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+  /** The packed chunk units of a training manifest — the trainer's media
+    * read unit, shared by the compositional and steady-state shuffles. */
+  private def packedChunkUnits(manifest: DataFrame): DataFrame =
+    manifest.filter(col("packed"))
+      .select(col("media_type"), col("shard").as("pack_shard"), col("chunk_id"))
+      .distinct()
 
-  /** Oracle: the shared manifest CTE chain down to `pdoc`, the distinct
-    * packed chunk units, then the identical salt-hash permutation. */
-  val mmEpochShuffleSql: String = {
+  /** Compositional form — the full manifest composed from scratch, then
+    * permuted; what a day-zero bootstrap runs (MultimodalSpec exercises
+    * this form's permutation properties). */
+  def mmEpochShuffleOn(docs: DataFrame, embeddings: DataFrame,
+                       epochs: Int = graft.ext.Corpus.ShuffleEpochs,
+                       shards: Int = graft.ext.Corpus.ShuffleShards): DataFrame =
+    mmEpochShuffleChunks(packedChunkUnits(mmPipelineManifestOn(docs, embeddings)),
+      epochs, shards)
+
+  /** Frozen ROLLED TRAINING manifest rows as parquet — the hop-2 composed
+    * manifest [[mediaManifestRolled]] emits, persisted once per corpus so
+    * the per-epoch shuffle (run every epoch of every training job, the
+    * hottest consumer of this family) reads FROZEN state: no cluster
+    * recomputation, no documents scan, just the permutation itself
+    * (VERDICT r15 task 2 — the `_rolled` discipline every other mm
+    * steady-state row already follows). */
+  private val mediaRolledManifestCache =
+    new graft.ops.FrozenCaches.Memo[Int, String](
+      beforeClear = _.forEach(p =>
+        graft.ops.FrozenCaches.deleteTree(
+          java.nio.file.Paths.get(p).getParent.toString)),
+      label = "mm_epoch_manifest")
+
+  private[graft] def frozenMediaRolledManifest(spark: SparkSession, dir: String): String =
+    mediaRolledManifestCache.get(dir, DctHamMax) {
+      val base = java.nio.file.Files.createTempDirectory("graft_mm_epoch").toString
+      mediaManifestRolled(spark, dir).write.parquet(s"$base/manifest.parquet")
+      s"$base/manifest.parquet"
+    }
+
+  /** Registered steady-state epoch shuffle: the permutation over the
+    * FROZEN rolled manifest's packed chunks — the epoch-start step of the
+    * daily regime (manifest rolled once per ingest; permutation re-run
+    * per epoch). MultimodalSpec pins the plan: one scan of the frozen
+    * manifest parquet, no documents scan, no cluster recomputation. */
+  def mmEpochShuffle(spark: SparkSession, dir: String): DataFrame =
+    mmEpochShuffleChunks(packedChunkUnits(
+      spark.read.parquet(frozenMediaRolledManifest(spark, dir))))
+
+  /** Oracle: the from-scratch composed-manifest CTE chain over the SAME
+    * rolled final snapshot (s2 — the warehouse ladder's shared churn
+    * classes) down to `pdoc`, the distinct packed chunk units, then the
+    * identical salt-hash permutation. Lazy: interpolates cross-object
+    * churn constants (the `pipelineManifestSql` discipline the folding
+    * guard enforces). */
+  lazy val mmEpochShuffleSql: String = {
     val e = graft.ext.Corpus.ShuffleEpochs
     val s = graft.ext.Corpus.ShuffleShards
+    val mod = graft.ext.Corpus.DeltaMod
     val h = graft.ext.Dedup.baseHashSql(
       "'mep:' || ep.epoch || ':' || c.media_type || ':' || c.pack_shard || ':' || c.chunk_id")
-    s"""WITH RECURSIVE ${mmManifestCtesFor("documents")},
+    s"""WITH RECURSIVE s2 AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % $mod = ${graft.ext.Corpus.DeltaChanged} THEN text || ' [rev2]'
+       |              WHEN doc_id % $mod = ${graft.ext.Dedup.RolledChanged2} THEN text || ' [rev3]'
+       |              ELSE text END AS text,
+       |         source
+       |  FROM documents WHERE doc_id % $mod <> ${graft.ext.Dedup.RolledRemoved2}),
+       |${mmManifestCtesFor("s2")},
        |chunks AS (SELECT DISTINCT lang AS media_type, shard AS pack_shard, chunk_id FROM pdoc),
        |ep AS (SELECT unnest(range(1, ${e + 1})) AS epoch),
        |sbase AS (

@@ -376,6 +376,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(p.contains("hashpartitioning(epoch"),
       "chunk rank window lost its (epoch, shard) partitioning:\n" + p.take(3000))
+    // steady-state discipline (VERDICT r15 task 2): the per-epoch row reads
+    // the FROZEN rolled training manifest — the permutation is the only
+    // work; no manifest recomposition (cluster loop), no corpus scan
+    assert(p.contains("graft_mm_epoch"),
+      "epoch shuffle does not read the frozen rolled manifest:\n" + p.take(3000))
+    assert(!p.contains("documents.parquet"),
+      "epoch shuffle rescans the corpus per epoch:\n" + p.take(3000))
+    assert(!p.contains("graft_mm_rolled"),
+      "epoch shuffle recomposes the manifest from warehouse state per run:\n" + p.take(3000))
     spark.catalog.clearCache()
   }
 

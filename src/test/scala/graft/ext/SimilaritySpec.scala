@@ -588,4 +588,30 @@ class SimilaritySpec extends SparkSpec {
     assert(real.head.getAs[Long]("n_subs") === Similarity.PqM.toLong)
     assert(Set("keep", "retrain").contains(real.head.getAs[String]("verdict")))
   }
+
+  test("probe pick: count is the fixed budget and the set is invariant under corpus growth") {
+    val base = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    assert(base.count() > Similarity.ProbeBudget, "vacuous: corpus smaller than the budget")
+    def probeIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Similarity.probeFilter(df).select("vec_id").as[Long].collect().toSet
+    val pBase = probeIds(base)
+    assert(pBase.size === Similarity.ProbeBudget, "probe count must equal the budget exactly")
+    // grow the corpus 2x under fresh ids: the probe count DOES NOT grow
+    // (the O(n²/stride) shape this pick replaced), and churn is only
+    // displacement by NEW entrants — an existing non-probe can never
+    // become a probe, so eval series stay comparable across ingests
+    val grown = base.unionByName(base.withColumn("vec_id", col("vec_id") + lit(1000000L)))
+    val pGrown = probeIds(grown)
+    assert(pGrown.size === Similarity.ProbeBudget, "probe count grew with the corpus")
+    val entrants = pGrown.filter(_ >= 1000000L)
+    assert(entrants.nonEmpty, "vacuous: no new id entered the smallest-K (hash degeneracy?)")
+    assert((pGrown -- entrants).subsetOf(pBase), "an old non-probe was promoted to probe")
+    assert((pBase -- pGrown).size === entrants.size, "churn must equal the new entrants")
+    // corpora below the budget probe every vector
+    assert(probeIds(base.limit(7)).size === 7)
+    // the pick commutes with row-multiplying transforms: the exploded
+    // per-subspace PQ frame picks the same vectors as the base frame
+    val exploded = base.withColumn("sub", explode(lit(Array(0, 1, 2))))
+    assert(probeIds(exploded) === pBase)
+  }
 }

@@ -642,7 +642,8 @@ class MultimodalSpec extends SparkSpec {
   test("retrieval recall: aligned towers score recall 1.0; anti-aligned probes rank last") {
     // embeddings built FROM the caption tower itself: every probe's own
     // media object is its exact nearest neighbor → recall@1 = 1.0
-    val ids = (0L to 7L).map(_ * Multimodal.RetrievalStride) // all sampled
+    // 8 docs ≤ Similarity.ProbeBudget → the fixed-budget pick samples all
+    val ids = (0L to 7L).map(_ * 25L)
     val d = docs(ids.map(id => (id, s"spark window merge token$id count$id", s"s$id")): _*)
     val caps = Multimodal.captionEmbeddings(d).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](2).map(_.toFloat).toArray).toMap
@@ -662,6 +663,18 @@ class MultimodalSpec extends SparkSpec {
       s"spoiled probe still retrieves itself: $r2")
     assert(r2.getDouble(4) === graft.ops.Num.r6Double(((n - 1).toDouble + n) / n),
       s"spoiled probe's rank is not last: $r2")
+  }
+
+  test("retrieval recall: a corpus-of-one probe ranks 1 instead of dropping out of n_queries") {
+    // the self-excluding rank join yields no group for a probe whose own
+    // embedding is the only corpus row; the rank left-join coalesces it to 1
+    val d = docs((1L, "spark window merge tokens", "s1"))
+    val cap = Multimodal.captionEmbeddings(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2).map(_.toFloat).toArray).toMap
+    val emb = Seq((1L, cap(1L), "l0")).toDF("vec_id", "embedding", "label")
+    val r = Multimodal.mmRetrievalRecallOn(d, emb).head()
+    assert(r.getLong(0) === 1L, s"probe dropped from n_queries: $r")
+    assert(r.getDouble(1) === 1.0 && r.getDouble(4) === 1.0, s"solitary probe must rank 1: $r")
   }
 
   test("media epoch shuffle: each epoch permutes every packed chunk once, positions contiguous, epochs decorrelated") {
