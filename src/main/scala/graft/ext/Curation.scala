@@ -229,7 +229,7 @@ object Curation {
   /** Oracle twin: the six REGISTERED oracle SQLs verbatim as subqueries
     * (subquery ORDER BYs are legal and ignored), joined on the train
     * spine. */
-  val curationFunnelSql: String =
+  lazy val curationFunnelSql: String =
     s"""WITH spine AS (
        |  SELECT doc_id, lang, source FROM documents
        |  WHERE doc_id % 10 <> ${Corpus.BenchSlice}),

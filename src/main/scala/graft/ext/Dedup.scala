@@ -303,7 +303,7 @@ object Dedup {
   def fuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame =
     fuzzyDecontaminateOn(Tables.documents(spark, dir))
 
-  val fuzzyDecontaminateSql: String =
+  lazy val fuzzyDecontaminateSql: String =
     s"""WITH tdocs AS (SELECT * FROM documents WHERE doc_id % 10 <> ${Corpus.BenchSlice}),
        |edocs AS (SELECT * FROM documents WHERE doc_id % 10 = ${Corpus.BenchSlice}),
        |${minhashSigCtes("t", "tdocs", NumHashes)},
@@ -1180,7 +1180,7 @@ object Dedup {
     spark.read.parquet(manifestPath).orderBy("doc_id")
   }
 
-  val dupClustersBaseSql: String =
+  lazy val dupClustersBaseSql: String =
     s"""WITH RECURSIVE oldsnap AS (
        |  SELECT doc_id, text FROM documents
        |  WHERE ${graft.ext.Corpus.deltaOldWhereSql}),
@@ -1291,7 +1291,7 @@ object Dedup {
 
   /** Oracle: deliberately the from-scratch closure over the final rolled
     * snapshot — no incremental formulation anywhere. */
-  val dupClustersRolledSql: String = {
+  lazy val dupClustersRolledSql: String = {
     val mod = graft.ext.Corpus.DeltaMod
     s"""WITH RECURSIVE s2 AS (
        |  SELECT doc_id,
@@ -1335,7 +1335,7 @@ object Dedup {
   /** Oracle: the from-scratch closure over the simulated NEW snapshot —
     * deliberately NOT an incremental formulation, so the incremental
     * plan's output must equal a full rebuild to pass. */
-  val dupClustersIncrementalSql: String = {
+  lazy val dupClustersIncrementalSql: String = {
     s"""WITH RECURSIVE newsnap AS (
        |  SELECT doc_id, ${graft.ext.Corpus.deltaNewTextSql} AS text
        |  FROM documents WHERE ${graft.ext.Corpus.deltaNewWhereSql}),

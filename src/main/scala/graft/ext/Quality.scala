@@ -247,7 +247,7 @@ object Quality {
   def ccnetBuckets(spark: SparkSession, dir: String): DataFrame =
     ccnetBucketsFrom(Text.lmFluency(spark, dir))
 
-  val ccnetBucketsSql: String =
+  lazy val ccnetBucketsSql: String =
     s"""WITH fl AS (SELECT * FROM (${Text.lmFluencySql}) WHERE n_bigrams > 0),
        |b AS (
        |  SELECT doc_id, lang, fluency,

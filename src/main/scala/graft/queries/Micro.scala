@@ -79,7 +79,7 @@ object Micro {
       .agg(count(lit(1)).as("n_customers"), r6(avg(col("c_acctbal"))).as("avg_balance"))
       .orderBy("category", "age_group")
 
-  val whenContainsSql: String =
+  lazy val whenContainsSql: String =
     s"""SELECT category, age_group, count(*) AS n_customers, ${r6Sql("avg(c_acctbal)")} AS avg_balance
        |FROM (SELECT ${Dims.categorySql} AS category, ${Dims.ageGroupSql} AS age_group, c_acctbal FROM customer)
        |WHERE age_group IS NOT NULL

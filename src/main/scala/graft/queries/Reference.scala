@@ -43,7 +43,7 @@ object Reference {
       .orderBy("category", "age_group", "bin_center")
   }
 
-  val a1Sql: String =
+  lazy val a1Sql: String =
     s"""WITH $agedSql,
        |fdim AS (
        |  SELECT * FROM (

@@ -130,7 +130,7 @@ object Relational {
       .agg(count(lit(1)).as("n_customers"), r6(sum(col("c_acctbal"))).as("sum_balance"))
       .orderBy(col("category").asc_nulls_first, col("age_group").asc_nulls_first)
 
-  val rollupAggSql: String =
+  lazy val rollupAggSql: String =
     s"""SELECT category, age_group, count(*) AS n_customers, ${r6Sql("sum(c_acctbal)")} AS sum_balance
        |FROM (SELECT ${Dims.categorySql} AS category, ${Dims.ageGroupSql} AS age_group, c_acctbal FROM customer)
        |WHERE age_group IS NOT NULL

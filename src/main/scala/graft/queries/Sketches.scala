@@ -52,7 +52,7 @@ object Sketches {
       .agg(count(lit(1)).as("n_customers"), r6(sum(col("c_acctbal"))).as("sum_balance"))
       .orderBy(col("category").asc_nulls_first, col("age_group").asc_nulls_first)
 
-  val cubeAggSql: String =
+  lazy val cubeAggSql: String =
     s"""SELECT category, age_group, count(*) AS n_customers, ${r6Sql("sum(c_acctbal)")} AS sum_balance
        |FROM (SELECT ${Dims.categorySql} AS category, ${Dims.ageGroupSql} AS age_group, c_acctbal FROM customer)
        |WHERE age_group IS NOT NULL
@@ -298,7 +298,7 @@ object Sketches {
         (col("exact_a") + col("exact_b") - col("exact_union")).as("exact_intersection"))
   }
 
-  val kmvOverlapSql: String = {
+  lazy val kmvOverlapSql: String = {
     import graft.ext.{Corpus, Text}
     val fpOld = s"coalesce(md5(${Text.normalizedSql("text")}), '<null>')"
     val fpNew = s"coalesce(md5(${Text.normalizedSql(Corpus.deltaNewTextSql)}), '<null>')"
