@@ -70,9 +70,11 @@ object Bench {
     // ms-rounded: sub-ms digits are noise and every byte saved keeps one
     // more per-query entry alive.
     def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
-    val qs = results.toSeq.sortBy(_._2).map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val slow = results.toSeq.sortBy(-_._2).take(10)
+    // (time, name) sort: ms-equal entries land in a byte-stable order, so
+    // record diffs across runs only show real movement
+    val qs = results.toSeq.sortBy { case (k, v) => (r3(v), k) }
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val slow = results.toSeq.sortBy { case (k, v) => (-r3(v), k) }.take(10)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) r3(results.values.sum) else 0.0
     val errs = errored.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

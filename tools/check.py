@@ -112,10 +112,13 @@ def main(sf_dir: str, out_dir: str, json_path: str | None) -> None:
 
 
 if __name__ == "__main__":
-    args = sys.argv[1:]
-    jp = None
-    if "--json" in args:
-        i = args.index("--json")
-        jp = args[i + 1]
-        args = args[:i] + args[i + 2:]
-    main(args[0], args[1], jp)
+    import argparse
+    ap = argparse.ArgumentParser(
+        description="DuckDB oracle compare of a graft.Verify dump "
+                    "(dtype-strict replica of the driver gate)")
+    ap.add_argument("sf_dir", help="testdata scale-factor dir, e.g. /root/testdata/sf0.01")
+    ap.add_argument("out_dir", help="graft.Verify output dir with <query>.parquet + oracle_sql.json")
+    ap.add_argument("--json", dest="json_path", default=None, metavar="PATH",
+                    help="also write the per-query correctness artifact (CHECK_rN.json)")
+    ns = ap.parse_args()
+    main(ns.sf_dir, ns.out_dir, ns.json_path)
