@@ -55,6 +55,13 @@ object Bench {
       // shuffle state — on a 48g heap GC otherwise never fires, and dozens
       // of queries' worth of leaked executor state slows the tail queries
       spark.catalog.clearCache()
+      // clearCache drops catalog-cached Datasets but NOT the RDD blocks
+      // eagerly-localCheckpoint'ed inside the warehouse/CC queries — those
+      // survive in the block manager until the driver GC happens to collect
+      // their RDD handles, and a 183-query suite accumulates hundreds
+      // (VERDICT r15 task 4: dd_clusters_rolled 3.2 s isolated vs 9.9 s
+      // in-suite). Release them explicitly between queries.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
       Thread.sleep(300) // let concurrent GC cycles finish outside the next query's timing
       name -> times.min

@@ -1422,18 +1422,16 @@ object Multimodal {
     * co-fire/attribution analyses the text family runs apply verbatim.
     * Scale shape: one codec pass, then doc_id-keyed verdict joins —
     * narrow frames, no corpus × corpus stage. */
-  def mmCurationFunnelOn(docs: DataFrame, embeddings: DataFrame): DataFrame = {
-    val dims = decodeFeatures(fromDocuments(docs)).toDF()
-      .select(col("doc_id"), col("width"), col("height"))
-    val dl = mmDocLocalOn(docs).select(col("doc_id"), col("n_bytes"))
-    // ONE caption-tower pass feeds both the gate bits and the election
-    // (two separate alignFilterOn calls would score every caption twice)
-    val afAll = alignFilterOn(docs, embeddings)
-    val af = afAll.select(col("doc_id"), col("keep"), lit(true).as("has_emb"))
-    val cl = mediaDupClustersOn(docs)
-      .select("doc_id", "cluster_id", "cluster_size").localCheckpoint()
-    val ka = mediaKeepBestAlignedFrom(cl, afAll)
-      .select("cluster_id", "keep_doc_id")
+  /** Final gate-bit assembly of the media curation funnel from its state
+    * frames — shared VERBATIM by the one-shot funnel and the streaming
+    * twin ([[graft.streaming.Streams.mmCurationFunnelBatches]]) so their
+    * verdicts cannot drift. `base` = (doc_id, media_type, width, height,
+    * n_bytes) doc-local feature rows ([[mmFunnelDocStateOn]]); `af` =
+    * (doc_id, keep) alignment verdicts (row present ⇔ embedding exists);
+    * `cl` = (doc_id, cluster_id, cluster_size) cluster manifest; `ka` =
+    * (cluster_id, keep_doc_id) election over multi-object clusters. */
+  private[graft] def mmFunnelAssemble(base: DataFrame, af: DataFrame,
+                                      cl: DataFrame, ka: DataFrame): DataFrame = {
     val lo = least(col("width"), col("height"))
     val hi = greatest(col("width"), col("height"))
     val pdc = lo >= lit(MinMediaDim) && hi <= lit(2) * lo &&
@@ -1442,10 +1440,9 @@ object Multimodal {
     val pa = coalesce(col("keep"), lit(false))
     val ps = col("cluster_size") === lit(1L) ||
       coalesce(col("keep_doc_id") === col("doc_id"), lit(false))
-    docs.select(col("doc_id"), mediaTypeCol.as("media_type"))
-      .join(dims, Seq("doc_id"))
-      .join(dl, Seq("doc_id"))
-      .join(af, Seq("doc_id"), "left")
+    base
+      .join(af.select(col("doc_id"), col("keep"), lit(true).as("has_emb")),
+        Seq("doc_id"), "left")
       .join(cl, Seq("doc_id"))
       .join(ka, Seq("cluster_id"), "left")
       .select(col("doc_id"), col("media_type"),
@@ -1455,6 +1452,32 @@ object Multimodal {
         when(!pdc, "decode").when(!pe, "no_embedding")
           .when(!pa, "alignment").when(!ps, "near_dup").as("drop_reason"))
       .orderBy("doc_id")
+  }
+
+  /** Doc-local funnel-state row: the decode-gate inputs (ONE codec pass at
+    * ingest) + media type + payload bytes — what the streaming funnel
+    * appends to its feature state per micro-batch, and the `base` frame of
+    * [[mmFunnelAssemble]]. Every column is a pure function of the
+    * document, so stream-time rows are final. */
+  private[graft] def mmFunnelDocStateOn(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), mediaTypeCol.as("media_type"))
+      .join(decodeFeatures(fromDocuments(docs)).toDF()
+        .select(col("doc_id"), col("width"), col("height")), Seq("doc_id"))
+      .join(mmDocLocalOn(docs).select(col("doc_id"), col("n_bytes")), Seq("doc_id"))
+
+  def mmCurationFunnelOn(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    // ONE caption-tower pass feeds both the gate bits and the election —
+    // checkpointed (like the cluster subtree below) so the one-pass claim
+    // is structural: without it Spark may re-evaluate the alignFilterOn
+    // subtree, internal global orderBy included, once per consuming
+    // branch unless exchange reuse happens to fire
+    val afAll = alignFilterOn(docs, embeddings).localCheckpoint()
+    val cl = mediaDupClustersOn(docs)
+      .select("doc_id", "cluster_id", "cluster_size").localCheckpoint()
+    val ka = mediaKeepBestAlignedFrom(cl, afAll)
+      .select("cluster_id", "keep_doc_id")
+    mmFunnelAssemble(mmFunnelDocStateOn(docs),
+      afAll.select(col("doc_id"), col("keep")), cl, ka)
   }
 
   def mmCurationFunnel(spark: SparkSession, dir: String): DataFrame =

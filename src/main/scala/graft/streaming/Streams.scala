@@ -803,6 +803,113 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** The full MEDIA curation funnel as one streaming ingest via
+    * foreachBatch — the multimodal twin of [[curationFunnelBatches]],
+    * closing the text/media streaming symmetry: the same per-stage entry
+    * points the batch funnel composes
+    * ([[graft.multimodal.Multimodal.mmCurationFunnelOn]]), over the
+    * cross-batch state a media ingest service keeps anyway, under
+    * `statePath`:
+    *
+    *  - `feat`: append-only doc-local feature rows — ONE codec pass per
+    *    object at ingest (decode-gate dims + media type + payload bytes,
+    *    the [[mediaFeatureBatches]] discipline);
+    *  - `af`: append-only alignment verdicts — per-batch caption-tower
+    *    scoring against the STATIC media-embedding table;
+    *  - `hashes` / `pairs`: the [[mediaDedupBatches]] DCT index and pair
+    *    log, advanced by the SAME delta-bounded reconcile the registered
+    *    `mm_clusters_incremental` runs (an added-only delta plus the
+    *    stream-time hashes — no stored payload is ever decoded twice);
+    *  - `clusters`: the rolling cluster manifest, rewritten per batch by
+    *    the shared delta-bounded component update (touched components
+    *    only, [[graft.ext.Dedup.componentUpdateFrom]]).
+    *
+    * Unlike the text funnel's keep-FIRST canonical gate, the media
+    * election is keep-BEST-ALIGNED — a later-arriving near-dup with a
+    * better caption DISPLACES an earlier survivor — so per-doc verdicts
+    * are not final at first emission. Each micro-batch therefore emits
+    * verdict rows for every doc in a cluster the batch touched (every
+    * touched cluster contains a batch doc, so the revision set is
+    * |batch|-cluster-bounded), and the stream's contract is
+    * LAST-WRITE-WINS: folding emissions in batch order yields doc-for-doc
+    * the one-shot batch funnel over all docs seen — StreamsSpec pins the
+    * parity including a cross-batch displacement flipping an earlier
+    * batch's survivor to a near_dup drop.
+    *
+    * At 100 TB each batch costs one codec pass over the batch, one
+    * band-bucket join of |batch| hashes against the index, and a CC
+    * update bounded to touched components — never a corpus rescan; the
+    * verdict assembly joins only the touched clusters' members. */
+  def mmCurationFunnelBatches(docs: DataFrame, embeddings: DataFrame, statePath: String,
+                              trigger: org.apache.spark.sql.streaming.Trigger =
+                                org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                             (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+  {
+    val M = graft.multimodal.Multimodal
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF().persist()
+        // doc-local state rows: one codec pass + one caption-tower pass,
+        // both batch-sized and final (checkpointed — each feeds the state
+        // append AND the verdict assembly)
+        val featNew = M.mmFunnelDocStateOn(b).localCheckpoint()
+        val afNew = M.alignFilterOn(b, embeddings)
+          .select(col("doc_id"), col("align_cos"), col("keep")).localCheckpoint()
+        // dedup + cluster reconcile: the registered incremental algorithm
+        // with its streamed-ingest seams (added-only delta, stream hashes)
+        val delta = b.select(col("doc_id")).withColumn("status", lit("added"))
+          .localCheckpoint()
+        val newFp = M.dctHashOn(M.fromDocuments(b)).toDF().localCheckpoint()
+        val oldHashes = readStateIfExists(spark, s"$statePath/hashes")
+          .getOrElse(newFp.limit(0))
+        val oldPairs = readStateIfExists(spark, s"$statePath/pairs")
+          .getOrElse(M.dctCandidatesAgainst(newFp.limit(0), newFp.limit(0)))
+        val oldManifest = readStateIfExists(spark, s"$statePath/clusters")
+          .getOrElse(b.select(col("doc_id")).limit(0)
+            .withColumn("cluster_id", lit(0L)).withColumn("cluster_size", lit(1L))
+            .withColumn("is_canonical", lit(true)))
+        val (_, _, keptPairs, freshPairs) = M.mediaWarehouseUpdateParts(
+          b, b, oldHashes, oldPairs,
+          precomputedDelta = Some(delta), precomputedFreshHashes = Some(newFp))
+        // materialized: read below AND overwrites its own source parquet
+        val manifest = graft.ext.Dedup.componentUpdateFrom(
+            oldManifest.select("doc_id", "cluster_id", "cluster_size", "is_canonical"),
+            delta, keptPairs.select("doc_a", "doc_b"), freshPairs.select("doc_a", "doc_b"))
+          .localCheckpoint()
+        // revision set: every member of a cluster holding a batch doc
+        val touched = manifest
+          .join(b.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select("cluster_id").distinct()
+        val revised = manifest.join(touched, Seq("cluster_id"), "left_semi")
+          .select("doc_id", "cluster_id", "cluster_size").localCheckpoint()
+        // full doc-local state views (prior + this batch) for the shared
+        // assembly — feature reads are revision-set-bounded via semi-join
+        val feat = readStateIfExists(spark, s"$statePath/feat")
+          .map(_.unionByName(featNew)).getOrElse(featNew.toDF())
+        val af = readStateIfExists(spark, s"$statePath/af")
+          .map(_.unionByName(afNew)).getOrElse(afNew.toDF())
+        val ka = M.mediaKeepBestAlignedFrom(revised, af)
+          .select("cluster_id", "keep_doc_id")
+        val base = feat.join(revised.select("doc_id"), Seq("doc_id"), "left_semi")
+        try onBatch(
+          M.mmFunnelAssemble(base, af.select("doc_id", "keep"), revised, ka), id)
+        finally {
+          featNew.write.mode("append").parquet(s"$statePath/feat")
+          afNew.write.mode("append").parquet(s"$statePath/af")
+          // added-only stream: the index append and the fresh-pair append
+          // ARE the reconciled warehouse (kept pairs never shrink)
+          newFp.write.mode("append").parquet(s"$statePath/hashes")
+          freshPairs.write.mode("append").parquet(s"$statePath/pairs")
+          manifest.write.mode("overwrite").parquet(s"$statePath/clusters")
+          b.unpersist()
+          ()
+        }
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   // ------------------------------------------------ forward as-of (stream)
   case class AsofEvent(event_id: Long, user_id: Long, event_type: String,
                        ts_us: Long, value: Double)

@@ -1313,6 +1313,79 @@ class StreamsSpec extends SparkSpec {
       s"missing: ${(batch -- buf.toSet).take(3)}; extra: ${(buf.toSet -- batch).take(3)}")
   }
 
+  test("streaming MEDIA curation funnel matches the batch run doc for doc (last-write-wins), " +
+      "including a cross-batch near-dup displacement") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_mmfunnel_stream").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    val M = graft.multimodal.Multimodal
+    def mkDocs(rows: (Long, String, String)*) =
+      rows.map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // docs 2 and 5 carry IDENTICAL payloads (DCT hamming 0 → one cluster)
+    // but arrive in DIFFERENT micro-batches
+    val dupText = "spark window merge tokens arrive twice across batches"
+    val docs = mkDocs(
+      (1L, "spark partitions shuffle exchange broadcast one", "s1"),
+      (2L, dupText, "s2"),
+      (3L, "catalyst codegen pushdown pruning vectors three", "s3"),
+      (4L, "watermark state store eviction timers four", "s4"),
+      (5L, dupText, "s2"),
+      (6L, "adaptive execution skew salt rebalance six", "s6"))
+    val caps = M.captionEmbeddings(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2).map(_.toFloat).toArray).toMap
+    // doc 5's embedding IS its caption tower (align_cos 1.0); doc 2's is
+    // the same tower with one nonzero coordinate doubled — still a
+    // strictly positive cosine (dot = |v|² + vᵢ² > 0) but strictly below
+    // 1.0, so the later-arriving doc 5 wins the aligned election
+    def perturb(v: Array[Float]): Array[Float] = {
+      val i = v.indexWhere(_ != 0f)
+      require(i >= 0, "degenerate caption tower (all zeros)")
+      val out = v.clone(); out(i) = out(i) * 2f; out
+    }
+    val emb = Seq(
+      (1L, caps(1L), "l0"), (2L, perturb(caps(2L)), "l0"), (3L, caps(3L), "l0"),
+      (4L, caps(4L), "l0"), (5L, caps(5L), "l0"), (6L, caps(6L), "l0"))
+      .toDF("vec_id", "embedding", "label")
+    // vacuity guards: both near-dups pass alignment, doc 5 strictly better
+    val af = M.alignFilterOn(docs, emb).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(af(2L)._2 && af(5L)._2, s"both dup docs must pass alignment: $af")
+    assert(af(5L)._1 > af(2L)._1, s"doc 5 must out-align doc 2 for the displacement: $af")
+    Seq((0, Seq(1L, 2L, 3L)), (1, Seq(4L, 5L, 6L))).foreach { case (p, ids) =>
+      val tmp = s"$base/tmp$p"
+      docs.filter(col("doc_id").isin(ids: _*)).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$base/in/b$p.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(20) // distinct mtimes → deterministic file-source order
+    }
+    val perBatch = scala.collection.mutable.Map.empty[Long, Seq[Seq[Any]]]
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = Streams.mmCurationFunnelBatches(stream, emb, s"$base/state") { (out, id) =>
+      val rows = out.collect().map(_.toSeq).toSeq
+      perBatch.synchronized { perBatch(id) = rows }
+    }
+    q.awaitTermination()
+    // the streaming contract: revisions supersede — fold last-write-wins
+    val folded = perBatch.toSeq.sortBy(_._1).flatMap(_._2)
+      .foldLeft(Map.empty[Any, Seq[Any]]) { (m, r) => m + (r.head -> r) }
+    val batchRun = M.mmCurationFunnelOn(docs, emb).collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    assert(batchRun.map(_.head).toSet === folded.keySet, "doc coverage differs")
+    assert(folded.values.toSet === batchRun.toSet,
+      s"missing: ${(batchRun.toSet -- folded.values.toSet).take(3)}; " +
+        s"extra: ${(folded.values.toSet -- batchRun.toSet).take(3)}")
+    // the displacement actually happened ACROSS batches: batch 0 judged
+    // doc 2 a kept survivor; doc 5's arrival revised it to a near_dup drop
+    val b0doc2 = perBatch(0L).find(_.head == 2L).get
+    assert(b0doc2(6) == true, s"doc 2 must be kept in batch 0: $b0doc2")
+    assert(perBatch(1L).exists(_.head == 2L),
+      "batch 1 did not re-emit doc 2 — the revision mechanism never fired")
+    val fin2 = folded(2L)
+    assert(fin2(6) == false && fin2(7) == "near_dup", s"doc 2 must end displaced: $fin2")
+  }
+
   test("streaming decontamination across micro-batches matches the batch run doc for doc") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = Files.createTempDirectory("graft_decon_stream").toString
