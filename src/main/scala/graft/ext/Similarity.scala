@@ -88,6 +88,30 @@ object Similarity {
     s"$outerId IN (SELECT $innerId FROM (SELECT DISTINCT $innerId FROM $tbl) " +
       s"ORDER BY ${probeKeySql(innerId)}, $innerId LIMIT $ProbeBudget)"
 
+  /** The fixed eval probe set as a first-class MANIFEST table
+    * (probe_rank, vec_id) — the pick every exact-rank eval row draws from,
+    * directly hash-verified instead of only indirectly through its eleven
+    * consumers. An eval-infra owner reads (and ships) this table to know
+    * exactly which vectors every recall series is measured on. */
+  def probeSetOn(embeddings: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("pkey"), col("vec_id"))
+    embeddings.select(col("vec_id"))
+      .withColumn("pkey", probeKey(col("vec_id")))
+      .orderBy(col("pkey"), col("vec_id")).limit(ProbeBudget)
+      // global window over the ≤ ProbeBudget surviving rows only
+      .withColumn("probe_rank", row_number().over(w).cast("long"))
+      .select(col("probe_rank"), col("vec_id"))
+      .orderBy("probe_rank")
+  }
+
+  def probeSet(spark: SparkSession, dir: String): DataFrame =
+    probeSetOn(Tables.embeddings(spark, dir))
+
+  val probeSetSql: String =
+    s"""SELECT CAST(row_number() OVER (ORDER BY ${probeKeySql("vec_id")}, vec_id) AS BIGINT) AS probe_rank,
+       |       vec_id
+       |FROM embeddings ORDER BY probe_rank LIMIT $ProbeBudget""".stripMargin
+
   /** Brute-force cosine top-k: probe set × corpus, rank per probe, keep k.
     * The O(n·q) baseline every ANN variant is measured against. At scale the
     * probe side broadcasts and the corpus streams — one scan, no shuffle
@@ -1953,6 +1977,7 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("s_probe_set", probeSet _, probeSetSql),
     Q("s_knn_bruteforce", knnBruteForce _, knnBruteForceSql),
     Q("s_knn_sq8", knnSq8 _, knnSq8Sql),
     Q("s_ivf_balance", ivfBalance _, ivfBalanceSql),

@@ -1634,6 +1634,96 @@ object Multimodal {
        |FROM ranks_all""".stripMargin
   }
 
+  /** The IMAGE→TEXT retrieval direction — CLIP evals report BOTH (Radford
+    * et al. 2021 table conventions): each probed MEDIA embedding ranks
+    * every caption tower in the gallery (docs that have an embedding row),
+    * and the metric is how often its own caption ranks first / top-5 /
+    * top-10 plus the mean rank. Probes are the SAME fixed pick as the
+    * text→image row, so the two directions report on the same doc pairs;
+    * same 1 + |strictly-better others| broadcast-probe shape (the gallery
+    * streams, partial aggregation, no rank-window shuffle), same rank-1
+    * coalesce for a gallery-of-one probe. The caption tower runs over the
+    * GALLERY here (|corpus| towers, the mm_align_filter cost), not the
+    * probe set — that's inherent to the direction. */
+  def mmRetrievalRecallI2tOn(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    import graft.ext.Similarity
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nrm"))
+    val withEmb = docs.join(e.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val gallery = captionEmbeddings(withEmb)
+      .select(col("doc_id"), col("cap"), Similarity.norm(col("cap")).as("c_nrm"))
+    val probes = Similarity.probeFilter(withEmb, "doc_id").select(col("doc_id"))
+      .join(e, col("doc_id") === col("vec_id"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    def cosOf(capC: Column, cn: Column, emb: Column, qn: Column): Column =
+      when(cn > lit(0.0) && qn > lit(0.0),
+        Similarity.dot(capC, emb) / (cn * qn)).otherwise(lit(0.0))
+    val own = probes.join(gallery, col("q_id") === col("doc_id"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        cosOf(col("cap"), col("c_nrm"), col("q_emb"), col("q_nrm")).as("own_cos"))
+    val ranks = gallery.join(broadcast(own), col("doc_id") =!= col("q_id"))
+      .withColumn("cos", cosOf(col("cap"), col("c_nrm"), col("q_emb"), col("q_nrm")))
+      .withColumn("better",
+        (col("cos") > col("own_cos") ||
+          (col("cos") === col("own_cos") && col("doc_id") < col("q_id"))).cast("long"))
+      .groupBy("q_id")
+      .agg((sum("better") + lit(1L)).as("rank"))
+    val ranksAll = own.select(col("q_id")).join(ranks, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("rank"), lit(1L)).as("rank"))
+    ranksAll.agg(count(lit(1)).as("n_queries"),
+        sum(when(col("rank") <= 1L, 1L).otherwise(0L)).as("h1"),
+        sum(when(col("rank") <= 5L, 1L).otherwise(0L)).as("h5"),
+        sum(when(col("rank") <= 10L, 1L).otherwise(0L)).as("h10"),
+        avg(col("rank")).as("mr"))
+      .select(col("n_queries"),
+        r6(col("h1") / col("n_queries").cast("double")).as("recall_at_1"),
+        r6(col("h5") / col("n_queries").cast("double")).as("recall_at_5"),
+        r6(col("h10") / col("n_queries").cast("double")).as("recall_at_10"),
+        r6(col("mr")).as("mean_rank"))
+  }
+
+  def mmRetrievalRecallI2t(spark: SparkSession, dir: String): DataFrame =
+    mmRetrievalRecallI2tOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+
+  /** Oracle: the caption-tower chain over the full gallery, the identical
+    * probe pick (shared subquery text with the t2i oracle), the same
+    * better-than-own count with the gallery-side doc_id tiebreak and the
+    * rank-1 coalesce, the same r6 report. */
+  val mmRetrievalRecallI2tSql: String = {
+    import graft.ext.Similarity
+    val cosSql = (cap: String, cn: String, emb: String, qn: String) =>
+      s"CASE WHEN $cn > 0 AND $qn > 0 THEN ${Similarity.dotSql(cap, emb)} / ($cn * $qn) ELSE 0.0 END"
+    val withEmb = "(SELECT d.* FROM documents d JOIN embeddings em ON d.doc_id = em.vec_id)"
+    val probePick = Similarity.probeInSql("e.vec_id",
+      "(SELECT d.doc_id FROM documents d JOIN embeddings em ON d.doc_id = em.vec_id)", "doc_id")
+    s"""WITH ${captionCtesFor(withEmb)},
+       |e AS (SELECT vec_id, embedding, ${Similarity.normSql("embedding")} AS nrm FROM embeddings),
+       |gal AS (SELECT doc_id, cap, ${Similarity.normSql("cap")} AS c_nrm FROM cap),
+       |probes AS (
+       |  SELECT e.vec_id AS q_id, e.embedding AS q_emb, e.nrm AS q_nrm FROM e WHERE $probePick),
+       |own AS MATERIALIZED (
+       |  SELECT p.q_id, p.q_emb, p.q_nrm,
+       |         ${cosSql("g.cap", "g.c_nrm", "p.q_emb", "p.q_nrm")} AS own_cos
+       |  FROM probes p JOIN gal g ON p.q_id = g.doc_id),
+       |ranks AS (
+       |  SELECT o.q_id,
+       |         1 + sum(CASE WHEN ${cosSql("g.cap", "g.c_nrm", "o.q_emb", "o.q_nrm")} > o.own_cos
+       |                        OR (${cosSql("g.cap", "g.c_nrm", "o.q_emb", "o.q_nrm")} = o.own_cos
+       |                            AND g.doc_id < o.q_id)
+       |                  THEN 1 ELSE 0 END) AS rank
+       |  FROM gal g JOIN own o ON g.doc_id <> o.q_id
+       |  GROUP BY o.q_id),
+       |ranks_all AS (
+       |  SELECT o.q_id, coalesce(r.rank, 1) AS rank
+       |  FROM own o LEFT JOIN ranks r ON o.q_id = r.q_id)
+       |SELECT count(*) AS n_queries,
+       |       ${r6Sql("sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)")} AS recall_at_1,
+       |       ${r6Sql("sum(CASE WHEN rank <= 5 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)")} AS recall_at_5,
+       |       ${r6Sql("sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)")} AS recall_at_10,
+       |       ${r6Sql("avg(rank)")} AS mean_rank
+       |FROM ranks_all""".stripMargin
+  }
+
   // --------------------------------------------- multimodal pipeline manifest
   /** Media pack-chunk budget in payload BYTES — the media analog of the
     * text packer's [[graft.ext.Corpus.ContextTokens]], at the same 4 KiB
@@ -2014,6 +2104,7 @@ object Multimodal {
     Q("mm_pack_efficiency", mmPackEfficiency _, mmPackEfficiencySql),
     Q("mm_epoch_shuffle", mmEpochShuffle _, mmEpochShuffleSql),
     Q("mm_retrieval_recall", mmRetrievalRecall _, mmRetrievalRecallSql),
+    Q("mm_retrieval_recall_i2t", mmRetrievalRecallI2t _, mmRetrievalRecallI2tSql),
     Q("mm_curation_funnel", mmCurationFunnel _, mmCurationFunnelSql),
   )
 }

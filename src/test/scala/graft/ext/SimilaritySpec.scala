@@ -142,7 +142,7 @@ class SimilaritySpec extends SparkSpec {
     val emb = graft.ops.Tables.embeddings(spark, dir)
     // exact squared-L2 top-5 baseline (same probes/tiebreaks as knnPqOn)
     val e = emb.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-    val q = e.filter(col("vec_id") % 25 === 0).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val q = Similarity.probeFilter(e).select(col("vec_id").as("q_id"), col("v").as("qv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("d2").asc, col("vec_id"))
     val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
@@ -249,7 +249,8 @@ class SimilaritySpec extends SparkSpec {
       for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
       d / (math.sqrt(na) * math.sqrt(nb))
     }
-    val expected = e.filter(_._1 % 25 == 0).flatMap { case (q, qe, ql) =>
+    val probeIds = Similarity.probeFilter(emb).select("vec_id").as[Long].collect().toSet
+    val expected = e.filter(r => probeIds(r._1)).flatMap { case (q, qe, ql) =>
       e.filter(o => o._1 != q && o._3 != ql)
         .map(o => (o._1, o._3, cos(qe, o._2)))
         .sortBy(t => (-t._3, t._1)).take(5).zipWithIndex

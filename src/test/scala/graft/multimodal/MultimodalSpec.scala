@@ -652,6 +652,11 @@ class MultimodalSpec extends SparkSpec {
     assert(r1.getLong(0) === ids.length.toLong)
     assert(r1.getDouble(1) === 1.0 && r1.getDouble(4) === 1.0,
       s"aligned towers must retrieve their own object first: $r1")
+    // the image→text direction on the same aligned corpus: recall 1.0 too
+    val ri1 = Multimodal.mmRetrievalRecallI2tOn(d, aligned).head()
+    assert(ri1.getLong(0) === ids.length.toLong)
+    assert(ri1.getDouble(1) === 1.0 && ri1.getDouble(4) === 1.0,
+      s"aligned embeddings must retrieve their own caption first (i2t): $ri1")
     // one probe's embedding negated: its own object becomes the WORST
     // match, recall@1 drops by exactly one query, its rank is |corpus|
     val spoiled = ids.map(id =>
@@ -663,6 +668,13 @@ class MultimodalSpec extends SparkSpec {
       s"spoiled probe still retrieves itself: $r2")
     assert(r2.getDouble(4) === graft.ops.Num.r6Double(((n - 1).toDouble + n) / n),
       s"spoiled probe's rank is not last: $r2")
+    // the spoiled probe ranks last in the i2t direction too (its caption is
+    // unchanged, so every OTHER probe's own caption still ranks first)
+    val ri2 = Multimodal.mmRetrievalRecallI2tOn(d, spoiled).head()
+    assert(ri2.getDouble(1) === graft.ops.Num.r6Double((n - 1).toDouble / n),
+      s"spoiled probe still retrieves its caption (i2t): $ri2")
+    assert(ri2.getDouble(4) === graft.ops.Num.r6Double(((n - 1).toDouble + n) / n),
+      s"spoiled probe's caption rank is not last (i2t): $ri2")
   }
 
   test("retrieval recall: a corpus-of-one probe ranks 1 instead of dropping out of n_queries") {
@@ -675,6 +687,9 @@ class MultimodalSpec extends SparkSpec {
     val r = Multimodal.mmRetrievalRecallOn(d, emb).head()
     assert(r.getLong(0) === 1L, s"probe dropped from n_queries: $r")
     assert(r.getDouble(1) === 1.0 && r.getDouble(4) === 1.0, s"solitary probe must rank 1: $r")
+    val ri = Multimodal.mmRetrievalRecallI2tOn(d, emb).head()
+    assert(ri.getLong(0) === 1L && ri.getDouble(1) === 1.0,
+      s"solitary probe must rank 1 in the i2t direction too: $ri")
   }
 
   test("media epoch shuffle: each epoch permutes every packed chunk once, positions contiguous, epochs decorrelated") {
