@@ -120,7 +120,7 @@ object Corpus {
   def seqPack(spark: SparkSession, dir: String): DataFrame =
     seqPackOn(Tables.documents(spark, dir))
 
-  val seqPackSql: String =
+  lazy val seqPackSql: String =
     s"""WITH toks AS (
        |  SELECT lang, doc_id, CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tok
        |  FROM documents),
@@ -279,7 +279,7 @@ object Corpus {
   def packEfficiency(spark: SparkSession, dir: String): DataFrame =
     packEfficiencyOn(Tables.documents(spark, dir))
 
-  val packEfficiencySql: String =
+  lazy val packEfficiencySql: String =
     s"""WITH toks AS (
        |  SELECT lang, doc_id, CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tok
        |  FROM documents),
@@ -416,7 +416,7 @@ object Corpus {
        |       contamination <= $MaxContamination AS keep
        |FROM scored ORDER BY doc_id""".stripMargin
 
-  val decontaminateSql: String =
+  lazy val decontaminateSql: String =
     s"""WITH toks AS (SELECT doc_id, ${Text.tokensSql("text")} AS t FROM documents),
        |g AS (SELECT doc_id, unnest(${Dedup.shingles3Sql("t")}) AS gram FROM toks),
        |gh AS (SELECT doc_id, ${Dedup.baseHashSql("gram")} AS h FROM g),
@@ -596,7 +596,7 @@ object Corpus {
   def lengthBuckets(spark: SparkSession, dir: String): DataFrame =
     lengthBucketsOn(Tables.documents(spark, dir))
 
-  val lengthBucketsSql: String =
+  lazy val lengthBucketsSql: String =
     s"""WITH toks AS (
        |  SELECT lang, CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tok FROM documents),
        |b AS (SELECT lang, n_tok, least(${LengthBuckets - 1}, n_tok // $LengthBucketWidth) AS bucket FROM toks)
@@ -635,7 +635,7 @@ object Corpus {
   def lengthQuantiles(spark: SparkSession, dir: String): DataFrame =
     lengthQuantilesOn(Tables.documents(spark, dir))
 
-  val lengthQuantilesSql: String = {
+  lazy val lengthQuantilesSql: String = {
     val ntok = s"CAST(len(${Text.tokensSql("text")}) AS BIGINT)"
     val est = graft.functions.QuantileSketch.estimateSql(
       "n_tok", s"(SELECT lang, $ntok AS n_tok FROM documents)", "lang")
@@ -1008,7 +1008,7 @@ object Corpus {
     dsirTop(dsirScoreAgainstOn(docs, rows.toDF("b", "w"), DsirTargetSource))
   }
 
-  val dsirSelectSql: String =
+  lazy val dsirSelectSql: String =
     s"""WITH tok AS (
        |  SELECT doc_id, lang, source,
        |         ${Dedup.baseHashSql("t.tok")} % $DsirBuckets AS b
@@ -1102,7 +1102,7 @@ object Corpus {
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
     stratifiedSampleOn(Tables.documents(spark, dir))
 
-  val stratifiedSampleSql: String =
+  lazy val stratifiedSampleSql: String =
     s"""WITH counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM documents GROUP BY lang),
        |tot AS (SELECT CAST(sum(n_l) AS BIGINT) AS n FROM counts),
        |alloc0 AS (
@@ -1165,7 +1165,7 @@ object Corpus {
   def batchManifest(spark: SparkSession, dir: String): DataFrame =
     batchManifestOn(Tables.documents(spark, dir))
 
-  val batchManifestSql: String =
+  lazy val batchManifestSql: String =
     s"""WITH base AS (
        |  SELECT doc_id, lang,
        |         CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tok
@@ -1477,7 +1477,7 @@ object Corpus {
     snapshotDeltaOn(deltaOldSlice(docs), deltaNewSlice(docs))
   }
 
-  val snapshotDeltaSql: String =
+  lazy val snapshotDeltaSql: String =
     s"""WITH o AS (
        |  SELECT doc_id, coalesce(md5(${Text.normalizedSql("text")}), '<null>') AS fp
        |  FROM documents WHERE $deltaOldWhereSql),
@@ -1593,7 +1593,7 @@ object Corpus {
     * plumbing): each arm re-derives its rows from the raw snapshots, so
     * the Spark side's delta-driven assembly must land on the same
     * history. */
-  val scd2HistorySql: String =
+  lazy val scd2HistorySql: String =
     s"""WITH o AS (
        |  SELECT doc_id, coalesce(md5(${Text.normalizedSql("text")}), '<null>') AS fp
        |  FROM documents WHERE $deltaOldWhereSql),
@@ -1614,7 +1614,7 @@ object Corpus {
 
   /** Deliberately NOT an incremental formulation: the full refreshed
     * snapshot, which the MERGE output must equal. */
-  val applyDeltaSql: String =
+  lazy val applyDeltaSql: String =
     s"""WITH nw AS (
        |  SELECT doc_id, $deltaNewTextSql AS text,
        |         lang, source
@@ -1737,7 +1737,7 @@ object Corpus {
     psiDriftOn(deltaOldSlice(docs), deltaNewSlice(docs))
   }
 
-  val psiDriftSql: String = {
+  lazy val psiDriftSql: String = {
     val ntok = s"CAST(len(${Text.tokensSql("text")}) AS BIGINT)"
     def bucketCte(name: String, where: String, text: String) =
       s"""$name AS (
@@ -1885,7 +1885,7 @@ object Corpus {
 
   /** Deliberately the REBUILT view over the new snapshot, never an
     * incremental formulation. */
-  val ivmStatsSql: String =
+  lazy val ivmStatsSql: String =
     s"""WITH nw AS (
        |  SELECT doc_id, $deltaNewTextSql AS text,
        |         lang, source
@@ -1931,7 +1931,7 @@ object Corpus {
   def epochShuffle(spark: SparkSession, dir: String): DataFrame =
     epochShuffleOn(Tables.documents(spark, dir))
 
-  val epochShuffleSql: String =
+  lazy val epochShuffleSql: String =
     s"""WITH ep AS (SELECT unnest(range(1, ${ShuffleEpochs + 1})) AS epoch),
        |base AS (
        |  SELECT ep.epoch, d.doc_id,

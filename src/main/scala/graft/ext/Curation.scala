@@ -302,7 +302,7 @@ object Curation {
     // vs 3.6-3.8 s isolated — this freeze removes the shape entirely)
     gatePatternsFrom(frozenFunnelRows(spark, dir))
 
-  val gatePatternsSql: String =
+  lazy val gatePatternsSql: String =
     s"""WITH fun AS (SELECT * FROM ($curationFunnelSql)),
        |g AS (
        |  SELECT pass_quality, pass_repetition, is_fluent, pass_classifier,

@@ -362,7 +362,7 @@ object Dedup {
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
     ngramNoveltyOn(Tables.documents(spark, dir))
 
-  val ngramNoveltySql: String =
+  lazy val ngramNoveltySql: String =
     s"""WITH toks AS (SELECT doc_id, ${Text.tokensSql("text")} AS t FROM documents),
        |sh AS (SELECT doc_id, unnest(${shingles3Sql("t")}) AS s FROM toks),
        |h AS (SELECT doc_id, ${baseHashSql("s")} AS h FROM sh),
@@ -431,7 +431,7 @@ object Dedup {
   private def fpSql: String = (0 until SimBits)
     .map(b => s"(CASE WHEN w_$b > 0 THEN ${bitValueSql(b)} ELSE 0 END)").reduce((a, b) => s"($a + $b)")
 
-  val simhashSql: String = {
+  lazy val simhashSql: String = {
     val votes = (0 until SimBits).map(voteSql).mkString(",\n         ")
     s"""WITH ex AS (
        |  SELECT doc_id, unnest(${Text.tokensSql("text")}) AS tok FROM documents),
@@ -490,7 +490,7 @@ object Dedup {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     simhashPairsOn(Tables.documents(spark, dir))
 
-  val simhashPairsSql: String = {
+  lazy val simhashPairsSql: String = {
     val votes = (0 until SimBits).map(voteSql).mkString(",\n         ")
     val bandBits = SimBits / SimBands
     val mask = (1L << bandBits) - 1
@@ -572,7 +572,7 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardOn(Tables.documents(spark, dir))
 
-  val ngramJaccardSql: String = {
+  lazy val ngramJaccardSql: String = {
     s"""WITH toks AS (SELECT doc_id, lang, ${Text.tokensSql("text")} AS t FROM documents),
        |docs AS (
        |  SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tok, ${grams2Sql("t")} AS grams
@@ -695,7 +695,7 @@ object Dedup {
   def spanCoverage(spark: SparkSession, dir: String): DataFrame =
     spanCoverageOn(Tables.documents(spark, dir))
 
-  val spanCoverageSql: String =
+  lazy val spanCoverageSql: String =
     s"""WITH toks AS (SELECT doc_id, ${Text.tokensSql("text")} AS t FROM documents),
        |base AS (
        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
@@ -753,7 +753,7 @@ object Dedup {
 
   /** DuckDB list_filter's optional lambda index is 1-BASED (Spark's is
     * 0-based) — hence the `i - 1`. */
-  val spanTrimSql: String =
+  lazy val spanTrimSql: String =
     s"""WITH toks AS (SELECT doc_id, ${Text.tokensSql("text")} AS t FROM documents),
        |g AS (SELECT doc_id, ${Text.ngramsSql("t", SpanK)} AS g FROM toks),
        |sp0 AS (SELECT doc_id, unnest(range(0, len(g))) AS pos, unnest(g) AS gram FROM g),
@@ -1602,7 +1602,7 @@ object Dedup {
   /** Oracle twin: the SHARED coarse-quantizer CTEs ([[Similarity.kmeansCellsSql]]
     * — identical text to the IVF/IVF-PQ oracles, so the clusters cannot
     * drift), then the in-cluster pair filter and keep-first verdict. */
-  val semDedupSql: String =
+  lazy val semDedupSql: String =
     s"""WITH ${Similarity.kmeansCellsSql},
        |dup AS (
        |  SELECT l.vec_id, min(r.vec_id) AS dup_of
@@ -1647,7 +1647,7 @@ object Dedup {
   def lshRecall(spark: SparkSession, dir: String): DataFrame =
     lshRecallOn(Tables.documents(spark, dir))
 
-  val lshRecallSql: String =
+  lazy val lshRecallSql: String =
     s"""WITH ${minhashCandCtes(NumHashes, NumBands)},
        |etoks AS (SELECT doc_id, lang, ${Text.tokensSql("text")} AS t FROM documents),
        |edocs AS (

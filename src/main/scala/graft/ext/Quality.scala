@@ -107,7 +107,7 @@ object Quality {
   private val stopListSql =
     GopherStops.map(s => s"'$s'").mkString("[", ", ", "]")
 
-  val gopherRulesSql: String =
+  lazy val gopherRulesSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, text, ${Text.tokensSql("text")} AS t,
        |         string_split(text, chr(10)) AS lines
@@ -474,7 +474,7 @@ object Quality {
   /** Shared CTE chain ending in relation `scored` (doc_id, lang, source,
     * n_feats, score) — the trained model + scoring pass, used verbatim by
     * the gate oracle and the calibration oracle so the two cannot drift. */
-  private val qsScoredCtesSql: String = {
+  private lazy val qsScoredCtesSql: String = {
     val s = 1L << QsScaleBits
     s"""src AS (SELECT doc_id, source, ${Text.tokensSql("text")} AS t FROM documents),
        |f AS MATERIALIZED (

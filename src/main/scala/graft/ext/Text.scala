@@ -341,7 +341,7 @@ object Text {
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
     winnowFingerprintsOn(Tables.documents(spark, dir))
 
-  val winnowFingerprintsSql: String = {
+  lazy val winnowFingerprintsSql: String = {
     val tokH = s"list_transform(${tokensSql("text")}, t -> ${graft.ext.Dedup.baseHashSql("t")})"
     val poly = (1 until RollW).foldLeft("th[i+1]") { (acc, k) => s"(($acc * $RollB + th[i+${k + 1}]) % $RollP)" }
     s"""WITH th0 AS (SELECT doc_id, $tokH AS th FROM documents),
@@ -638,7 +638,7 @@ object Text {
   def tfidfKeywords(spark: SparkSession, dir: String): DataFrame =
     tfidfKeywordsOn(Tables.documents(spark, dir))
 
-  val tfidfKeywordsSql: String =
+  lazy val tfidfKeywordsSql: String =
     s"""WITH tf AS (
        |  SELECT doc_id, term, count(*) AS tf
        |  FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents)
@@ -1110,7 +1110,7 @@ object Text {
   def bm25TopK(spark: SparkSession, dir: String): DataFrame =
     bm25TopKOn(Tables.documents(spark, dir))
 
-  val bm25TopKSql: String = {
+  lazy val bm25TopKSql: String = {
     val values = Bm25Queries
       .map { case (qid, t) => s"(CAST($qid AS BIGINT), '$t')" }.mkString(", ")
     val scoreSql = s"""ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))

@@ -1601,7 +1601,7 @@ object Multimodal {
     * probe pick ([[graft.ext.Similarity.probeInSql]] over docs that have an
     * embedding row), the identical better-than-own count with the rank-1
     * coalesce for corpus-of-one probes, the same r6 report. */
-  val mmRetrievalRecallSql: String = {
+  lazy val mmRetrievalRecallSql: String = {
     import graft.ext.Similarity
     val cosSql = (cap: String, qn: String, emb: String, en: String) =>
       s"CASE WHEN $qn > 0 AND $en > 0 THEN ${Similarity.dotSql(cap, emb)} / ($qn * $en) ELSE 0.0 END"
@@ -1689,7 +1689,7 @@ object Multimodal {
     * probe pick (shared subquery text with the t2i oracle), the same
     * better-than-own count with the gallery-side doc_id tiebreak and the
     * rank-1 coalesce, the same r6 report. */
-  val mmRetrievalRecallI2tSql: String = {
+  lazy val mmRetrievalRecallI2tSql: String = {
     import graft.ext.Similarity
     val cosSql = (cap: String, cn: String, emb: String, qn: String) =>
       s"CASE WHEN $cn > 0 AND $qn > 0 THEN ${Similarity.dotSql(cap, emb)} / ($cn * $qn) ELSE 0.0 END"
@@ -1890,7 +1890,7 @@ object Multimodal {
   def mmSplitLeakage(spark: SparkSession, dir: String): DataFrame =
     mmSplitLeakageOn(Tables.documents(spark, dir))
 
-  val mmSplitLeakageSql: String =
+  lazy val mmSplitLeakageSql: String =
     s"""WITH ${dctPairsCtesBodyFor("documents")},
        |ed AS (SELECT doc_a, doc_b FROM pairs WHERE hamming <= $DctHamMax),
        |sph AS (SELECT doc_id, ${graft.ext.Corpus.splitHashSql("text")} AS h FROM documents),
@@ -1952,7 +1952,7 @@ object Multimodal {
   def mmPackEfficiency(spark: SparkSession, dir: String): DataFrame =
     mmPackEfficiencyOn(Tables.documents(spark, dir))
 
-  val mmPackEfficiencySql: String = {
+  lazy val mmPackEfficiencySql: String = {
     val b = MediaPackChunkBytes
     s"""WITH mrows AS (
        |  SELECT $mediaTypeSql AS lang, doc_id,

@@ -41,7 +41,7 @@ object Micro {
       .select("event_id", "push_id", "h", "m", "minute_of_day", "bin_label", "value_clipped")
       .orderBy("event_id")
 
-  val derivedColsSql: String =
+  lazy val derivedColsSql: String =
     s"""SELECT event_id,
        |       CAST(user_id AS VARCHAR) || '_' || event_type AS push_id,
        |       hour(ts) AS h, minute(ts) AS m,
@@ -153,7 +153,7 @@ object Micro {
       .agg(count(lit(1)).as("n_items"), r6(avg(col("l_extendedprice"))).as("avg_price"))
       .orderBy("qty_bin")
 
-  val cutRightClosedSql: String =
+  lazy val cutRightClosedSql: String =
     s"""SELECT qty_bin, count(*) AS n_items, ${r6Sql("avg(l_extendedprice)")} AS avg_price
        |FROM (SELECT ${Binning.cutRightClosedSql("l_quantity", 10.0, 50.0)} AS qty_bin, l_extendedprice FROM lineitem)
        |WHERE qty_bin IS NOT NULL

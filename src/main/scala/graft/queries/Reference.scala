@@ -100,7 +100,7 @@ object Reference {
       .orderBy("minute_bin")
   }
 
-  val b1Sql: String =
+  lazy val b1Sql: String =
     s"""WITH pushes AS (
        |  SELECT $pushKeySql AS push_id,
        |         min(epoch_us(ts)) AS posted_us

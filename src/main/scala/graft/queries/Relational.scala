@@ -275,7 +275,7 @@ object Relational {
         count(lit(1)).as("n_lineitems"))
       .orderBy("r_name", "p_brand")
 
-  val starJoinSql: String =
+  lazy val starJoinSql: String =
     s"""SELECT r_name, p_brand,
        |       CAST(sum(${Num.centsSql("l_extendedprice * (1.0 - l_discount)", 10000.0)}) AS BIGINT) / 10000.0 AS revenue,
        |       count(*) AS n_lineitems
@@ -349,7 +349,7 @@ object Relational {
       .orderBy("o_custkey", "day", "o_orderkey")
   }
 
-  val rangeFrameSql: String =
+  lazy val rangeFrameSql: String =
     s"""WITH o AS (
       |  SELECT o_custkey, o_orderkey,
       |         datediff('day', DATE '1990-01-01', o_orderdate) AS day,
@@ -380,7 +380,7 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  val pricingSummarySql: String =
+  lazy val pricingSummarySql: String =
     s"""SELECT l_returnflag, l_linestatus,
        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        |       CAST(sum(${Num.centsSql("l_extendedprice", 10000.0)}) AS BIGINT) / 10000.0 AS sum_base_price,

@@ -111,7 +111,7 @@ object Sketches {
       .orderBy("event_type")
   }
 
-  val saltedJoinSql: String = {
+  lazy val saltedJoinSql: String = {
     val values = TypeWeights
       .map { case (t, w) => s"('$t', CAST($w AS BIGINT))" }.mkString(", ")
     s"""WITH dim(event_type, weight) AS (VALUES $values)
@@ -192,7 +192,7 @@ object Sketches {
       .orderBy("event_type")
   }
 
-  val quantileSketchSql: String = {
+  lazy val quantileSketchSql: String = {
     val est = graft.functions.QuantileSketch.estimateSql(
       "cents",
       s"(SELECT event_type, ${graft.ops.Num.centsSql("value")} AS cents FROM events)",
@@ -387,7 +387,7 @@ object Sketches {
       .orderBy("event_type")
   }
 
-  val quantileShardsSql: String = {
+  lazy val quantileShardsSql: String = {
     val est = graft.functions.QuantileSketch.estimateSql(
       "cents",
       s"(SELECT event_type, ${graft.ops.Num.centsSql("value")} AS cents FROM events)",

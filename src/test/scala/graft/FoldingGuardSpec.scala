@@ -20,21 +20,19 @@ import java.io.File
   * dependent correctness is not correctness, so the rule is now total and
   * needs no hand-kept registry:
   *
-  *  1. NO strict val may interpolate a cross-object strict or lazy val —
-  *     every such site must be a `lazy val` (forced at first runtime use,
-  *     when every object initializer has completed; round 16 converted
-  *     the sixteen existing sites);
+  *  1. NO strict val may interpolate ANY cross-object member — val, lazy
+  *     val, or def (zero-arg or called): a def's OUTPUT is frozen into
+  *     the caller just the same, computed against whatever mid-init state
+  *     the target object happens to be in. Every such site must be a
+  *     `lazy val`, forced at first runtime use when every object
+  *     initializer has completed (round 16 converted all 41 sites);
   *  2. NO strict val may interpolate a SAME-object strict val declared on
   *     a later line (the same freeze, no cycle needed).
   *
-  * `def`s and literal `final val`s are exempt: a cross-object def-CALL
-  * from a strict val triggers the target object's full initializer on a
-  * fresh stack (correct unless the cycle re-enters the caller, which rule
-  * 1 prevents for val-carried state), and a literal `final val` is a
-  * compile-time constant with no field initialization at all
-  * ([[graft.ext.Similarity]] `Sq8Levels`). The runtime oracle gate then
-  * value-pins the rendered strings end-to-end (RegistrySpec + the DuckDB
-  * compare), closing the def-mediated residue along the driver's actual
+  * Literal `final val`s are exempt: a compile-time constant has no field
+  * initialization at all ([[graft.ext.Similarity]] `Sq8Levels`). The
+  * runtime oracle gate then value-pins the rendered strings end-to-end
+  * (RegistrySpec + the DuckDB compare) along the driver's actual
   * initialization path.
   */
 class FoldingGuardSpec extends org.scalatest.funsuite.AnyFunSuite {
@@ -92,12 +90,12 @@ class FoldingGuardSpec extends org.scalatest.funsuite.AnyFunSuite {
 
   private def crossValRefs(m: Member, index: Map[String, Map[String, Member]]) = for {
     r <- crossRe.findAllMatchIn(m.body).toSeq
-    if r.group(3).isEmpty && r.group(1) != m.obj
+    if r.group(1) != m.obj
     objMembers <- index.get(r.group(1)).toSeq
-    t <- objMembers.get(r.group(2)).toSeq if t.kind == "val" || t.kind == "lazy"
+    t <- objMembers.get(r.group(2)).toSeq if t.kind != "const"
   } yield t
 
-  test("no strict val interpolates a cross-object val (lazy or strict) — make it a lazy val") {
+  test("no strict val interpolates any cross-object member — make it a lazy val") {
     val bad = for {
       m <- members if m.kind == "val"
       t <- crossValRefs(m, byObj)
@@ -133,12 +131,14 @@ class FoldingGuardSpec extends org.scalatest.funsuite.AnyFunSuite {
     val bySample = sample.map(m => m.name -> m).toMap
     assert(bySample("AConst").kind == "val" && bySample("BConst").kind == "const")
     assert(bySample("okSql").kind == "lazy" && bySample("badSql").kind == "val")
-    // rule 1 fires on the strict val's cross-object VAL ref, not the def call
+    // rule 1 fires on BOTH the strict val's cross-object val ref AND its
+    // cross-object def call (the def's output freezes just the same)
     val hits = crossValRefs(bySample("badSql"), index).map(t => (t.obj, t.name))
-    assert(hits == Seq(("Corpus", "DeltaChanged")), s"got $hits")
+    assert(hits == Seq(("Corpus", "DeltaChanged"), ("Dedup", "baseHashSql")), s"got $hits")
     // the lazy caller is exempt from rule 1 (only strict vals are scanned)
     val rule1 = sample.filter(_.kind == "val").flatMap(m => crossValRefs(m, index))
-    assert(rule1.map(t => (t.obj, t.name)) == Seq(("Corpus", "DeltaChanged")))
+    assert(rule1.map(t => (t.obj, t.name)) ==
+      Seq(("Corpus", "DeltaChanged"), ("Dedup", "baseHashSql")))
     // rule 2 fires on the same-object forward ref
     val fwd = selfRe.findAllMatchIn(bySample("badSql").body).map(_.group(1)).toSeq
       .flatMap(n => bySample.get(n)).filter(t => t.kind == "val" && t.line > bySample("badSql").line)
