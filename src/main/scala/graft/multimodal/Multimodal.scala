@@ -545,6 +545,81 @@ object Multimodal {
       .orderBy("hamming")
   }
 
+  // --------------------------------------------- media decontamination
+  /** Media benchmark DECONTAMINATION — the multimodal twin of
+    * `t_decontaminate_fuzzy` (GPT-3 App. C's discipline carried to the
+    * media modality): a training-set media object whose payload is a
+    * PERCEPTUAL near-dup of an eval-suite object (banded DCT hash,
+    * hamming ≤ `hamMax`) turns the eval into a memorization probe —
+    * recompressions and brightness variants of a benchmark image defeat
+    * exact-hash matching exactly as light edits defeat exact n-grams for
+    * text. Output is a full train-side manifest: (doc_id, n_eval_matches,
+    * min_hamming, keep) for EVERY training object; `min_hamming` is 64
+    * (the hash width — farther than any real pair) when no banded
+    * candidate matched.
+    *
+    * 100 TB design, as in the text twin: eval suites are tiny next to the
+    * corpus, so the eval band table BROADCASTS and the candidate join is
+    * band-bucketed on the corpus side — one codec pass per side, zero
+    * corpus-sized joins, and the final manifest join carries
+    * (doc_id, long, long), never a payload. */
+  def mediaDecontaminateAgainstOn(train: DataFrame, evalDocs: DataFrame,
+                                  hamMax: Int = DctHamMax): DataFrame = {
+    val bt = dctBands(dctHashOn(fromDocuments(train)).toDF())
+    val be = dctBands(dctHashOn(fromDocuments(evalDocs)).toDF())
+      .select(col("doc_id").as("eval_id"), col("phash").as("e_phash"),
+        col("band_idx"), col("band"))
+    val hits = bt.join(broadcast(be), Seq("band_idx", "band"))
+      .select(col("doc_id"), col("eval_id"),
+        bit_count(col("phash").bitwiseXOR(col("e_phash"))).cast("long").as("hamming"))
+      .distinct() // a pair can collide in several bands; hamming is pair-functional
+      .filter(col("hamming") <= lit(hamMax.toLong))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_eval_matches"), min(col("hamming")).as("min_hamming"))
+    train.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_eval_matches"), lit(0L)).as("n_eval_matches"),
+        coalesce(col("min_hamming"), lit(64L)).as("min_hamming"),
+        col("n_eval_matches").isNull.as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Registered form: the deterministic doc_id slice stands in as the eval
+    * set — the SAME [[graft.ext.Corpus.BenchSlice]] as `t_decontaminate` /
+    * `t_decontaminate_fuzzy`, so the text and media contamination
+    * manifests are directly comparable row-for-row. */
+  def mediaDecontaminateOn(docs: DataFrame): DataFrame =
+    mediaDecontaminateAgainstOn(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(graft.ext.Corpus.BenchSlice)),
+      docs.filter(pmod(col("doc_id"), lit(10)) === lit(graft.ext.Corpus.BenchSlice)))
+
+  def mediaDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    mediaDecontaminateOn(Tables.documents(spark, dir))
+
+  /** Oracle: the shared hash/band chain over ALL documents (the two
+    * slices partition it), cross-slice banded candidates, the identical
+    * min-hamming manifest. Lazy per the folding-guard rule. */
+  lazy val mediaDecontaminateSql: String =
+    s"""WITH ${dctPairsCtesBodyFor("documents")},
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id, r.doc_id AS eval_id,
+       |         bit_count(xor(l.phash, r.phash)) AS hamming
+       |  FROM bands l JOIN bands r ON l.band_idx = r.band_idx AND l.band = r.band
+       |  WHERE l.doc_id % 10 <> ${graft.ext.Corpus.BenchSlice}
+       |    AND r.doc_id % 10 = ${graft.ext.Corpus.BenchSlice}),
+       |hits AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_matches,
+       |         CAST(min(hamming) AS BIGINT) AS min_hamming
+       |  FROM cand WHERE hamming <= $DctHamMax GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(h.n_eval_matches, 0) AS n_eval_matches,
+       |       coalesce(h.min_hamming, 64) AS min_hamming,
+       |       h.doc_id IS NULL AS keep
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> ${graft.ext.Corpus.BenchSlice}) d
+       |LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** The shared WITH…pairs CTE chain of the perceptual-hash family —
     * pixels via the proven hex-slice route, the flat Q14 integer DCT with
     * the SAME spliced basis constants, bit_or-folded bits (bit 63's value
@@ -1483,6 +1558,60 @@ object Multimodal {
   def mmCurationFunnel(spark: SparkSession, dir: String): DataFrame =
     mmCurationFunnelOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
 
+  /** Joint distribution of the four media gate verdicts PER MEDIA TYPE —
+    * the `t_gate_patterns` twin: which gate combinations co-fire for
+    * which modality (a pattern failing only alignment for audio suggests
+    * a tower problem; everything failing together is genuine junk). One
+    * aggregate over the funnel's verdict bits: ≤ |types|·2⁴ pattern rows
+    * with counts and corpus shares (the share window is bounded by that
+    * row count, so the single-partition window is fine). */
+  def mmGatePatternsFrom(funnel: DataFrame): DataFrame = {
+    val w = Window.partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    funnel
+      .groupBy("media_type", "pass_decode", "has_embedding", "pass_align",
+        "is_survivor", "kept")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share", r6(col("n_docs").cast("double") / sum(col("n_docs")).over(w)))
+      .orderBy(col("n_docs").desc, col("media_type"), col("pass_decode"),
+        col("has_embedding"), col("pass_align"), col("is_survivor"))
+  }
+
+  /** Frozen funnel verdict rows per corpus — the text family's
+    * `frozenFunnelRows` discipline: the report row reads the manifest the
+    * suite already paid for instead of re-composing the four gate
+    * subplans per consumer. */
+  private val mmFunnelRowsCache =
+    new graft.ops.FrozenCaches.Memo[Int, String](
+      beforeClear = _.forEach(p =>
+        graft.ops.FrozenCaches.deleteTree(
+          java.nio.file.Paths.get(p).getParent.toString)),
+      label = "mm_funnel_rows")
+
+  private def frozenMmFunnelRows(spark: SparkSession, dir: String): DataFrame = {
+    val path = mmFunnelRowsCache.get(dir, DctHamMax) {
+      val base = java.nio.file.Files.createTempDirectory("graft_mm_funnel").toString
+      mmCurationFunnel(spark, dir).write.parquet(s"$base/rows.parquet")
+      s"$base/rows.parquet"
+    }
+    spark.read.parquet(path)
+  }
+
+  def mmGatePatterns(spark: SparkSession, dir: String): DataFrame =
+    mmGatePatternsFrom(frozenMmFunnelRows(spark, dir))
+
+  /** Oracle embeds the funnel oracle, so the report cannot drift from the
+    * verdicts it summarizes. Lazy per the folding-guard rule. */
+  lazy val mmGatePatternsSql: String =
+    s"""WITH fun AS (SELECT * FROM ($mmCurationFunnelSql)),
+       |g AS (
+       |  SELECT media_type, pass_decode, has_embedding, pass_align, is_survivor, kept,
+       |         count(*) AS n_docs
+       |  FROM fun GROUP BY 1, 2, 3, 4, 5, 6)
+       |SELECT media_type, pass_decode, has_embedding, pass_align, is_survivor, kept, n_docs,
+       |       ${r6Sql("CAST(n_docs AS DOUBLE) / sum(n_docs) OVER ()")} AS share
+       |FROM g
+       |ORDER BY n_docs DESC, media_type, pass_decode, has_embedding, pass_align, is_survivor""".stripMargin
+
   /** Oracle: decoded dims re-derived from the payload bytes via the
     * proven hex-slice route (the StubCodec arithmetic verbatim: width =
     * 16 + byte0 % 128, height = 16 + byte1 % 128), the alignment gate's
@@ -2088,6 +2217,7 @@ object Multimodal {
     Q("mm_frame_sample", frameSample _, frameSampleSql),
     Q("mm_phash_dedup", phashDedup _, phashDedupSql),
     Q("mm_dct_dedup", dctDedup _, dctDedupSql),
+    Q("mm_decontaminate", mediaDecontaminate _, mediaDecontaminateSql),
     Q("mm_dedup_base", mediaDedupBase _, mediaDedupBaseSql),
     Q("mm_dedup_incremental", mediaDedupIncremental _, mediaDedupIncrementalSql),
     Q("mm_dedup_rolled", mediaDedupRolled _, mediaDedupRolledSql),
@@ -2106,5 +2236,6 @@ object Multimodal {
     Q("mm_retrieval_recall", mmRetrievalRecall _, mmRetrievalRecallSql),
     Q("mm_retrieval_recall_i2t", mmRetrievalRecallI2t _, mmRetrievalRecallI2tSql),
     Q("mm_curation_funnel", mmCurationFunnel _, mmCurationFunnelSql),
+    Q("mm_gate_patterns", mmGatePatterns _, mmGatePatternsSql),
   )
 }

@@ -286,6 +286,28 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Streaming MEDIA decontamination via foreachBatch — the multimodal
+    * twin of [[fuzzyDecontaminateBatches]]: each micro-batch of arriving
+    * training media is judged against the STATIC eval suite by the same
+    * [[graft.multimodal.Multimodal.mediaDecontaminateAgainstOn]] the batch
+    * job runs (banded DCT perceptual hashes, min-hamming manifest). The
+    * verdict is per-train-object against the fixed eval hash set, so the
+    * operator is STATELESS across batches and the union of batch outputs
+    * is row-identical to the one-shot run over all documents seen
+    * (StreamsSpec parity). The eval hashes recompute per trigger here; a
+    * long-running ingest hashes that tiny set once and closes over it. */
+  def mediaDecontaminateBatches(docs: DataFrame, evalDocs: DataFrame,
+                                trigger: org.apache.spark.sql.streaming.Trigger =
+                                  org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                               (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        onBatch(graft.multimodal.Multimodal
+          .mediaDecontaminateAgainstOn(batch.toDF(), evalDocs), id)
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming chunk ingestion via foreachBatch: arriving documents are cut
     * into their overlapping windows by the same
     * [[graft.ext.Corpus.chunkWindowsOn]] the batch job runs — chunk

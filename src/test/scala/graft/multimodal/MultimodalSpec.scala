@@ -151,6 +151,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dctHash(Array.emptyByteArray) === 0L)
   }
 
+  test("media decontamination: an eval-payload copy in the train slice is flagged, clean docs keep") {
+    val bs = graft.ext.Corpus.BenchSlice
+    val evalId = bs.toLong            // doc_id % 10 == BenchSlice → eval slice
+    val evalId2 = bs.toLong + 10L
+    val benchText = "benchmark item: translate the following sentence into french please"
+    val d = docs(
+      (1L, benchText, "web"),                                     // train: EXACT eval copy
+      (2L, "an ordinary training document about spark shuffles", "web"),
+      (3L, "another clean training document about partitions", "web"),
+      (evalId, benchText, "bench"),
+      (evalId2, "a second benchmark item nothing in train matches", "bench"))
+    val out = Multimodal.mediaDecontaminateOn(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // manifest covers EXACTLY the train slice
+    assert(out.keySet === Set(1L, 2L, 3L), s"manifest rows: ${out.keySet}")
+    // the payload copy is contaminated at hamming 0 (identical DCT hash)
+    assert(out(1L) === ((1L, 0L, false)), s"copy not flagged: ${out(1L)}")
+    // clean docs keep with the no-candidate sentinel
+    assert(out(2L) === ((0L, 64L, true)) && out(3L) === ((0L, 64L, true)),
+      s"clean docs flagged: ${out(2L)} ${out(3L)}")
+  }
+
   test("phash: identical payloads collide, a shifted-brightness payload diverges, empty is 0") {
     // all-ASCII text whose byte windows have distinct means
     val a = "aaaa bbbb cccc dddd eeee ffff gggg zzzz".getBytes("UTF-8")
@@ -675,6 +697,20 @@ class MultimodalSpec extends SparkSpec {
       s"spoiled probe still retrieves its caption (i2t): $ri2")
     assert(ri2.getDouble(4) === graft.ops.Num.r6Double(((n - 1).toDouble + n) / n),
       s"spoiled probe's caption rank is not last (i2t): $ri2")
+  }
+
+  test("mm gate patterns: counts partition the corpus, shares sum to 1, kept bit consistent") {
+    val dir = "/root/testdata/sf0.001"
+    val fun = Multimodal.mmCurationFunnel(spark, dir)
+    val pats = Multimodal.mmGatePatternsFrom(fun).collect()
+    assert(pats.length > 1, "degenerate: a single gate pattern")
+    assert(pats.map(_.getLong(6)).sum === fun.count(), "pattern counts do not partition the corpus")
+    assert(math.abs(pats.map(_.getDouble(7)).sum - 1.0) < 1e-4, "shares do not sum to 1")
+    pats.foreach { r =>
+      assert(r.getBoolean(5) === (r.getBoolean(1) && r.getBoolean(2)
+        && r.getBoolean(3) && r.getBoolean(4)), s"kept bit inconsistent: $r")
+    }
+    spark.catalog.clearCache()
   }
 
   test("retrieval recall: a corpus-of-one probe ranks 1 instead of dropping out of n_queries") {

@@ -1386,6 +1386,38 @@ class StreamsSpec extends SparkSpec {
     assert(fin2(6) == false && fin2(7) == "near_dup", s"doc 2 must end displaced: $fin2")
   }
 
+  test("streaming MEDIA decontamination across micro-batches matches the batch run doc for doc") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_mmdecon_stream").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val train = docs.filter(col("doc_id") % 10 =!= lit(graft.ext.Corpus.BenchSlice))
+    val evalDocs = docs.filter(col("doc_id") % 10 === lit(graft.ext.Corpus.BenchSlice))
+    Seq(0, 1).foreach { p =>
+      val tmp = s"$base/tmp$p"
+      train.filter(col("doc_id") % 2 === p).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$base/in/b$p.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(20)
+    }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Boolean)]
+    val stream = spark.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = Streams.mediaDecontaminateBatches(stream, evalDocs) { (scored, _) =>
+      val rows = scored.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      buf.synchronized { buf ++= rows }
+    }
+    q.awaitTermination()
+    val batch = graft.multimodal.Multimodal.mediaDecontaminateAgainstOn(train, evalDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(batch.exists(!_._4), "degenerate corpus: no media contamination at this SF")
+    assert(buf.size === buf.toSet.size, "an object was judged in more than one micro-batch")
+    assert(buf.toSet === batch,
+      s"missing: ${(batch -- buf.toSet).take(3)}; extra: ${(buf.toSet -- batch).take(3)}")
+  }
+
   test("streaming decontamination across micro-batches matches the batch run doc for doc") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = Files.createTempDirectory("graft_decon_stream").toString
