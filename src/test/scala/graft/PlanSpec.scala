@@ -388,6 +388,28 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("media decontamination: eval band table broadcasts, candidates band-bucketed, no cartesian") {
+    val p = plan(graft.multimodal.Multimodal.mediaDecontaminate(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the eval side is the broadcast side of the band-keyed candidate join
+    assert(p.contains("BroadcastHashJoin"), "eval bands not broadcast:\n" + p.take(3000))
+    spark.catalog.clearCache()
+  }
+
+  test("retrieval recall (both directions): probes broadcast, no cartesian, no rank-window shuffle") {
+    Seq(graft.multimodal.Multimodal.mmRetrievalRecall(spark, dir),
+        graft.multimodal.Multimodal.mmRetrievalRecallI2t(spark, dir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p.take(3000))
+      // the <>-keyed probe join is a broadcast nested loop over the tiny
+      // fixed probe set — the corpus/gallery side streams
+      assert(p.contains("BroadcastNestedLoopJoin"), "probe side not broadcast:\n" + p.take(3000))
+      // rank is 1 + count(better): no row_number window over corpus×probes
+      assert(!p.contains("row_number"), "rank-window shuffle crept back in:\n" + p.take(3000))
+    }
+    spark.catalog.clearCache()
+  }
+
   test("media split leakage: band-bounded pair table joins the split manifest by id, no cartesian") {
     val p = plan(graft.multimodal.Multimodal.mmSplitLeakage(spark, dir))
     assert(!p.contains("CartesianProduct"), p.take(3000))
