@@ -410,6 +410,15 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("mm gate patterns: rides the frozen funnel rows, never re-composes the gates") {
+    val p = plan(graft.multimodal.Multimodal.mmGatePatterns(spark, dir))
+    assert(p.contains("graft_mm_funnel"),
+      "gate patterns do not read the frozen funnel rows:\n" + p.take(3000))
+    assert(!p.contains("documents.parquet"),
+      "gate patterns re-scan the corpus:\n" + p.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("media split leakage: band-bounded pair table joins the split manifest by id, no cartesian") {
     val p = plan(graft.multimodal.Multimodal.mmSplitLeakage(spark, dir))
     assert(!p.contains("CartesianProduct"), p.take(3000))
