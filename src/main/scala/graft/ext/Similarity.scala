@@ -71,10 +71,11 @@ object Similarity {
     s"('0x' || substr(md5('probe:' || $id), 1, 7))::BIGINT"
 
   /** Filters `df` to the rows of the fixed probe set over its `idCol`
-    * values: per-partition top-K on the pick key then a broadcast semi
-    * join — one scan, no full sort, works on exploded frames too (the
-    * pick is over DISTINCT ids, so the per-subspace PQ frame picks the
-    * same vectors as the base frame). */
+    * values: one id-distinct exchange (8-byte rows — the only corpus-wide
+    * movement, and it makes the pick correct on exploded frames: the
+    * per-subspace PQ frame picks the same vectors as the base frame),
+    * then a per-partition top-K on the pick key (TakeOrderedAndProject —
+    * never a full sort) and a broadcast semi join back. */
   def probeFilter(df: DataFrame, idCol: String = "vec_id"): DataFrame = {
     val ids = df.select(col(idCol)).distinct()
       .orderBy(probeKey(col(idCol)), col(idCol)).limit(ProbeBudget)
