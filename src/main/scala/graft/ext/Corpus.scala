@@ -505,6 +505,58 @@ object Corpus {
 
   val splitSql: String = splitSqlFor("documents")
 
+  // ------------------------------------------------- leakage-safe split
+  /** LEAKAGE-SAFE split manifest — the REPAIR for what `t_split_leakage`
+    * audits: every member of a near-dup cluster (the registered
+    * `dd_dup_clusters` manifest) inherits the split of its cluster
+    * CANONICAL's content hash, so near-duplicates cannot span
+    * train/val/test BY CONSTRUCTION. The per-doc content-hash rule
+    * ([[splitAssign]]) already pins exact duplicates together (identical
+    * text → identical hash → identical split); what it cannot pin is
+    * near-duplicates — lightly edited copies hash independently and land
+    * across the boundary at random, which is exactly the leakage the
+    * audit rows count. `moved` marks members whose own-hash split
+    * differs from the inherited one — the docs a split MIGRATION
+    * actually touches.
+    *
+    * 100 TB shape: the cluster manifest is frozen warehouse state (the
+    * SAME materialized dup manifest `dd_dup_clusters` reads); the
+    * canonical's split is one |clusters|-row doc_id-keyed join, the
+    * member fan-out one cluster_id-keyed join — nothing wider than
+    * (id, id, split) moves after the per-doc hash. */
+  def splitSafeOn(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val sp = docs.select(col("doc_id"), splitAssign.as("own_split"))
+    val m = clusters.select("doc_id", "cluster_id")
+    val canon = m.filter(col("doc_id") === col("cluster_id")).select(col("cluster_id"))
+      .join(sp.select(col("doc_id").as("cluster_id"), col("own_split").as("split")),
+        Seq("cluster_id"))
+    m.join(canon, Seq("cluster_id"))
+      .join(sp, Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("split"),
+        (col("split") =!= col("own_split")).as("moved"))
+      .orderBy("doc_id")
+  }
+
+  def splitSafe(spark: SparkSession, dir: String): DataFrame =
+    splitSafeOn(Tables.documents(spark, dir), Dedup.dupClusters(spark, dir))
+
+  /** Oracle: the exact recursive cluster closure + the shared split
+    * pieces; canonical split re-derived from the canonical's own text.
+    * Lazy per the folding-guard rule. */
+  lazy val splitSafeSql: String =
+    s"""WITH RECURSIVE ${Dedup.dupClustersCtesFor("documents")},
+       |sph AS (SELECT doc_id, ${splitHashSql("text")} AS h FROM documents),
+       |sp AS (SELECT doc_id, ${splitCaseSql("h")} AS split FROM sph),
+       |canon AS (
+       |  SELECT c.cluster_id, sp.split
+       |  FROM comp c JOIN sp ON c.doc_id = sp.doc_id
+       |  WHERE c.doc_id = c.cluster_id)
+       |SELECT c.doc_id, c.cluster_id, cn.split AS split, (cn.split <> o.split) AS moved
+       |FROM comp c
+       |JOIN canon cn ON c.cluster_id = cn.cluster_id
+       |JOIN sp o ON c.doc_id = o.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   // ------------------------------------------------- split leakage audit
   /** Split-hygiene audit: near-duplicate pairs that SPAN train/val/test
     * splits — the eval-contamination check a pipeline runs after
@@ -2692,6 +2744,7 @@ object Corpus {
     Q("t_ivm_stats", ivmStats _, ivmStatsSql),
     Q("t_temp_mix", tempMix _, tempMixSql),
     Q("t_split", split _, splitSql),
+    Q("t_split_safe", splitSafe _, splitSafeSql),
     Q("t_split_leakage", splitLeakage _, splitLeakageSql),
     Q("t_length_buckets", lengthBuckets _, lengthBucketsSql),
     Q("t_length_quantiles", lengthQuantiles _, lengthQuantilesSql),

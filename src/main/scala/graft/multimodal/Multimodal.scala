@@ -2019,6 +2019,47 @@ object Multimodal {
   def mmSplitLeakage(spark: SparkSession, dir: String): DataFrame =
     mmSplitLeakageOn(Tables.documents(spark, dir))
 
+  /** LEAKAGE-SAFE media split — the REPAIR for what `mm_split_leakage`
+    * audits, the `t_split_safe` twin: every member of a perceptual
+    * near-dup cluster (the registered banded-DCT `mm_dup_clusters`
+    * relation) inherits the split of its cluster canonical's content
+    * hash. The content-hash rule pins exact payload copies together, but
+    * recompressions/brightness variants hash independently — the DCT
+    * hash is invariant to them, so the cluster is the right inheritance
+    * unit. `moved` marks the members a split migration touches. Same
+    * (id, id, split)-width joins as the text twin. */
+  def mmSplitSafeOn(docs: DataFrame): DataFrame = {
+    val sp = docs.select(col("doc_id"), graft.ext.Corpus.splitAssign.as("own_split"))
+    val m = mediaDupClustersOn(docs).select("doc_id", "cluster_id")
+    val canon = m.filter(col("doc_id") === col("cluster_id")).select(col("cluster_id"))
+      .join(sp.select(col("doc_id").as("cluster_id"), col("own_split").as("split")),
+        Seq("cluster_id"))
+    m.join(canon, Seq("cluster_id"))
+      .join(sp, Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("split"),
+        (col("split") =!= col("own_split")).as("moved"))
+      .orderBy("doc_id")
+  }
+
+  def mmSplitSafe(spark: SparkSession, dir: String): DataFrame =
+    mmSplitSafeOn(Tables.documents(spark, dir))
+
+  /** Oracle: the exact recursive media cluster closure + the shared split
+    * pieces. Lazy per the folding-guard rule. */
+  lazy val mmSplitSafeSql: String =
+    s"""WITH RECURSIVE ${mediaClusterCtesFor("documents")},
+       |sph AS (SELECT doc_id, ${graft.ext.Corpus.splitHashSql("text")} AS h FROM documents),
+       |sp AS (SELECT doc_id, ${graft.ext.Corpus.splitCaseSql("h")} AS split FROM sph),
+       |canon AS (
+       |  SELECT c.cluster_id, sp.split
+       |  FROM comp c JOIN sp ON c.doc_id = sp.doc_id
+       |  WHERE c.doc_id = c.cluster_id)
+       |SELECT c.doc_id, c.cluster_id, cn.split AS split, (cn.split <> o.split) AS moved
+       |FROM comp c
+       |JOIN canon cn ON c.cluster_id = cn.cluster_id
+       |JOIN sp o ON c.doc_id = o.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   lazy val mmSplitLeakageSql: String =
     s"""WITH ${dctPairsCtesBodyFor("documents")},
        |ed AS (SELECT doc_a, doc_b FROM pairs WHERE hamming <= $DctHamMax),
@@ -2231,6 +2272,7 @@ object Multimodal {
     Q("mm_manifest_rolled", mediaManifestRolled _, mediaManifestRolledSql),
     Q("mm_pipeline_manifest", mmPipelineManifest _, mmPipelineManifestSql),
     Q("mm_split_leakage", mmSplitLeakage _, mmSplitLeakageSql),
+    Q("mm_split_safe", mmSplitSafe _, mmSplitSafeSql),
     Q("mm_pack_efficiency", mmPackEfficiency _, mmPackEfficiencySql),
     Q("mm_epoch_shuffle", mmEpochShuffle _, mmEpochShuffleSql),
     Q("mm_retrieval_recall", mmRetrievalRecall _, mmRetrievalRecallSql),

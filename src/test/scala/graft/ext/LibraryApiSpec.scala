@@ -159,6 +159,28 @@ class LibraryApiSpec extends SparkSpec {
     assert(a === b, "split depends on input ordering")
   }
 
+  test("leakage-safe split: clusters are split-homogeneous, canonicals never move, singletons keep their own split") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val clusters = Dedup.dupClustersOn(docs)
+    val safe = Corpus.splitSafeOn(docs, clusters)
+    // exhaustive: one row per doc
+    assert(safe.count() === docs.count())
+    // the whole point: no cluster spans splits
+    val mixed = safe.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("k")).filter(col("k") > 1).count()
+    assert(mixed === 0L, "a near-dup cluster spans splits under the safe assignment")
+    // a canonical inherits its own hash — it can never be the moved one
+    val canonMoved = safe.filter(col("doc_id") === col("cluster_id") && col("moved")).count()
+    assert(canonMoved === 0L, "a cluster canonical was marked moved")
+    // singletons: safe split == the registered per-doc split
+    val own = Corpus.splitOn(docs).select(col("doc_id"), col("split").as("own"))
+    val single = clusters.filter(col("cluster_size") === 1).select("doc_id")
+    val drift = safe.join(single, Seq("doc_id"), "left_semi")
+      .join(own, Seq("doc_id")).filter(col("split") =!= col("own")).count()
+    assert(drift === 0L, "a singleton's safe split differs from its own split")
+    spark.catalog.clearCache()
+  }
+
   test("source drift: shares sum to 1 per side, vanished and new cells zero-fill with signed drift") {
     val old = Seq((1L, "t", "en", "a"), (2L, "t", "en", "a"), (3L, "t", "en", "b"), (4L, "t", "en", "b"))
       .toDF("doc_id", "text", "lang", "source")

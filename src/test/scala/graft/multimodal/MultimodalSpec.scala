@@ -173,6 +173,37 @@ class MultimodalSpec extends SparkSpec {
       s"clean docs flagged: ${out(2L)} ${out(3L)}")
   }
 
+  test("mm split safe: a brightness-shifted near-dup is pulled into its canonical's split") {
+    import graft.ext.Corpus
+    // +1 on every payload byte is a constant brightness shift: the DCT
+    // hash is invariant (AC rows sum to zero in Q14) so the pair is a
+    // hamming-0 near-dup — but the CONTENT hash changes, so the per-doc
+    // split rule can put the twins on opposite sides of the boundary.
+    // That is exactly the leak mm_split_leakage counts and this repairs.
+    def shift(s: String): String = s.map(c => (c + 1).toChar)
+    val cands = (0 until 60).map(i => s"spark media near dup payload variant word$i tail tokens")
+    val shifted = cands.map(shift)
+    val sp = (cands ++ shifted).toDF("text")
+      .select(Corpus.splitAssign.as("s")).as[String].collect()
+    val pick = (0 until 60).find { i =>
+      sp(i) != sp(60 + i) &&
+        Multimodal.dctHash(cands(i).getBytes("UTF-8")) ==
+          Multimodal.dctHash(shifted(i).getBytes("UTF-8"))
+    }
+    assert(pick.isDefined, "vacuous: no shifted twin crossed the split boundary in 60 tries")
+    val i = pick.get
+    val d = docs((1L, cands(i), "s1"), (2L, shifted(i), "s1"),
+      (3L, "an unrelated clean media document entirely", "s3"))
+    val out = Multimodal.mmSplitSafeOn(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getBoolean(3)))).toMap
+    // the twins form one cluster under canonical 1 and share ITS split
+    assert(out(1L)._1 === 1L && out(2L)._1 === 1L, s"twins did not cluster: $out")
+    assert(out(1L)._2 === sp(i) && out(2L)._2 === sp(i), s"cluster split is not the canonical's: $out")
+    // only the non-canonical twin moved; the clean singleton kept its own
+    assert(!out(1L)._3 && out(2L)._3, s"moved flags wrong: $out")
+    assert(!out(3L)._3)
+  }
+
   test("phash: identical payloads collide, a shifted-brightness payload diverges, empty is 0") {
     // all-ASCII text whose byte windows have distinct means
     val a = "aaaa bbbb cccc dddd eeee ffff gggg zzzz".getBytes("UTF-8")
