@@ -61,6 +61,12 @@ object Bench {
       // their RDD handles, and a 183-query suite accumulates hundreds
       // (VERDICT r15 task 4: dd_clusters_rolled 3.2 s isolated vs 9.9 s
       // in-suite). Release them explicitly between queries.
+      // INVARIANT (ADVICE r16): no query may hand a persisted/checkpointed
+      // DataFrame to a LATER query — FrozenCaches.Memo values must be
+      // parquet paths or plain values, never cached frames. This blanket
+      // unpersist would drop such a frame's blocks with no lineage
+      // fallback (localCheckpoint severs it), failing the later query
+      // with a confusing checkpoint-block-not-found error.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
       Thread.sleep(300) // let concurrent GC cycles finish outside the next query's timing

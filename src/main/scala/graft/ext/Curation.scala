@@ -290,9 +290,12 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("share",
         graft.ops.Num.r6(col("n_docs").cast("double") / sum(col("n_docs")).over(w)))
+      // `kept` closes the sort key (ADVICE r16): it is in the GROUP BY, and
+      // omitting it makes byte-stable order depend on kept staying a pure
+      // function of the other gate bits — true today, not guaranteed
       .orderBy(col("n_docs").desc, col("pass_quality"), col("pass_repetition"),
         col("is_fluent"), col("pass_classifier"), col("pass_decontam"),
-        col("is_canonical"))
+        col("is_canonical"), col("kept"))
   }
 
   def gatePatterns(spark: SparkSession, dir: String): DataFrame =
@@ -313,7 +316,7 @@ object Curation {
        |       ${graft.ops.Num.r6Sql("CAST(n_docs AS DOUBLE) / sum(n_docs) OVER ()")} AS share
        |FROM g
        |ORDER BY n_docs DESC, pass_quality, pass_repetition, is_fluent,
-       |         pass_classifier, pass_decontam, is_canonical""".stripMargin
+       |         pass_classifier, pass_decontam, is_canonical, kept""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("t_curation_funnel", curationFunnel _, curationFunnelSql),

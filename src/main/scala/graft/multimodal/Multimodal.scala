@@ -1572,8 +1572,9 @@ object Multimodal {
         "is_survivor", "kept")
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("share", r6(col("n_docs").cast("double") / sum(col("n_docs")).over(w)))
+      // `kept` closes the sort key (ADVICE r16; the t_gate_patterns rule)
       .orderBy(col("n_docs").desc, col("media_type"), col("pass_decode"),
-        col("has_embedding"), col("pass_align"), col("is_survivor"))
+        col("has_embedding"), col("pass_align"), col("is_survivor"), col("kept"))
   }
 
   /** Frozen funnel verdict rows per corpus — the text family's
@@ -1610,7 +1611,7 @@ object Multimodal {
        |SELECT media_type, pass_decode, has_embedding, pass_align, is_survivor, kept, n_docs,
        |       ${r6Sql("CAST(n_docs AS DOUBLE) / sum(n_docs) OVER ()")} AS share
        |FROM g
-       |ORDER BY n_docs DESC, media_type, pass_decode, has_embedding, pass_align, is_survivor""".stripMargin
+       |ORDER BY n_docs DESC, media_type, pass_decode, has_embedding, pass_align, is_survivor, kept""".stripMargin
 
   /** Oracle: decoded dims re-derived from the payload bytes via the
     * proven hex-slice route (the StubCodec arithmetic verbatim: width =

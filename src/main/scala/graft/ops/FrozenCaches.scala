@@ -20,7 +20,13 @@ package graft.ops
   * Each hosting object registers its clear hook at class-init; hooks also
   * best-effort delete any temp-dir artifacts they own (the dup-cluster
   * manifest parquet), so [[clearAll]] doubles as cleanup for long-lived
-  * sessions. */
+  * sessions.
+  *
+  * INVARIANT: memo values must be parquet paths or plain values, NEVER
+  * persisted/checkpointed DataFrames. [[graft.Bench]] blanket-unpersists
+  * every persistent RDD between queries; a cached frame carried across
+  * queries would lose its blocks with no lineage fallback and fail a
+  * later query with checkpoint-block-not-found. */
 object FrozenCaches {
   private val hooks = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
 

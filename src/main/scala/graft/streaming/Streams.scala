@@ -527,11 +527,17 @@ object Streams {
         // the same full-corpus calibration)
         val classifier = graft.ext.Quality.qsKeepWithThreshold(
           train, qsWeights, qsThreshold._1, qsThreshold._2)
-        try onBatch(
-          graft.ext.Curation.curationFunnelAgainstHashesOn(train, census, evalHashes, canon,
-            classifier), id)
-        finally {
+        try {
+          onBatch(
+            graft.ext.Curation.curationFunnelAgainstHashesOn(train, census, evalHashes, canon,
+              classifier), id)
+          // state advances ONLY after the batch body succeeds: foreachBatch
+          // re-runs a failed batch, and a pre-advanced fingerprint log would
+          // feed the retry its own rows (harmless here only because the
+          // canonical election is min-over-duplicates; the discipline is
+          // kept uniform with the media funnel, where it is load-bearing)
           fps.write.mode("append").parquet(fpPath)
+        } finally {
           b.unpersist()
           ()
         }
@@ -914,9 +920,17 @@ object Streams {
         val ka = M.mediaKeepBestAlignedFrom(revised, af)
           .select("cluster_id", "keep_doc_id")
         val base = feat.join(revised.select("doc_id"), Seq("doc_id"), "left_semi")
-        try onBatch(
-          M.mmFunnelAssemble(base, af.select("doc_id", "keep"), revised, ka), id)
-        finally {
+        try {
+          onBatch(
+            M.mmFunnelAssemble(base, af.select("doc_id", "keep"), revised, ka), id)
+          // state advances ONLY after the batch body succeeds (ADVICE r16):
+          // foreachBatch re-runs a failed batch, and these appends are NOT
+          // idempotent — duplicate feat/af rows would emit duplicate verdict
+          // rows, and a pre-advanced hash index would pair the retried batch
+          // against its own first attempt, silently breaking the documented
+          // last-write-wins parity. A crash BETWEEN onBatch and these writes
+          // still re-emits the batch's verdicts on retry (at-least-once
+          // output, the foreachBatch contract); state stays consistent.
           featNew.write.mode("append").parquet(s"$statePath/feat")
           afNew.write.mode("append").parquet(s"$statePath/af")
           // added-only stream: the index append and the fresh-pair append
@@ -924,6 +938,7 @@ object Streams {
           newFp.write.mode("append").parquet(s"$statePath/hashes")
           freshPairs.write.mode("append").parquet(s"$statePath/pairs")
           manifest.write.mode("overwrite").parquet(s"$statePath/clusters")
+        } finally {
           b.unpersist()
           ()
         }

@@ -71,20 +71,45 @@ class FoldingGuardSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
-  private lazy val members: Seq[Member] = scalaFiles(new File("src/main/scala/graft")).flatMap { f =>
+  private def readUtf8(f: File): String =
     // UTF_8-decode with replacement: one source file carries bytes the
     // platform default charset rejects
-    parse("", f.getPath, new String(java.nio.file.Files.readAllBytes(f.toPath),
-      java.nio.charset.StandardCharsets.UTF_8))
-  }
+    new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  private lazy val members: Seq[Member] =
+    scalaFiles(new File("src/main/scala/graft")).flatMap(f => parse("", f.getPath, readUtf8(f)))
+
+  /** Members of objects NESTED inside a top-level object (ADVICE r16:
+    * memberRe's two-space anchor skips them) — each nested block is
+    * dedented by its extra indentation and re-parsed under the nested
+    * object's name, so rules 1-2 apply at any nesting depth the codebase
+    * actually uses (one level today: [[graft.multimodal.Multimodal.StubCodec]]). */
+  private lazy val nestedMembers: Seq[Member] =
+    scalaFiles(new File("src/main/scala/graft")).flatMap { f =>
+      val lines = readUtf8(f).split("\n", -1).toVector
+      val nestedRe = """^(\s+)(?:private(?:\[\w+\])?\s+)?object\s+(\w+)""".r
+      lines.zipWithIndex.flatMap { case (l, i) =>
+        nestedRe.findFirstMatchIn(l).toSeq.flatMap { m =>
+          val pad = m.group(1)
+          val body = lines.drop(i + 1).takeWhile(b => !b.startsWith(pad + "}"))
+          parse(m.group(2), s"${f.getPath}:${i + 1}(nested)",
+            body.map(_.stripPrefix(pad)).mkString("\n"))
+        }
+      }
+    }
+
+  private lazy val allMembers: Seq[Member] = members ++ nestedMembers
 
   private lazy val byObj: Map[String, Map[String, Member]] =
-    members.groupBy(_.obj).map { case (o, ms) => o -> ms.map(m => m.name -> m).toMap }
+    allMembers.groupBy(_.obj).map { case (o, ms) => o -> ms.map(m => m.name -> m).toMap }
 
   // ${...Obj.member} — greedy dotted prefix so the LAST two segments are
-  // captured (handles ${graft.ext.Corpus.DeltaChanged}); a trailing '('
-  // marks a call — a def by construction, exempt
-  private val crossRe = """\$\{(?:\w+\.)*(\w+)\.(\w+)(\(?)""".r
+  // captured (handles ${graft.ext.Corpus.DeltaChanged}). Plain refs and
+  // def CALLS are flagged alike: a def's output is frozen into the caller
+  // just the same, computed against mid-init target state (rule 1 above;
+  // the self-check pins a baseHashSql("q") call firing).
+  private val crossRe = """\$\{(?:\w+\.)*(\w+)\.(\w+)""".r
   // $name / ${name} — the same-object shorthand
   private val selfRe = """\$\{?(\w+)\}?""".r
 
@@ -97,7 +122,7 @@ class FoldingGuardSpec extends org.scalatest.funsuite.AnyFunSuite {
 
   test("no strict val interpolates any cross-object member — make it a lazy val") {
     val bad = for {
-      m <- members if m.kind == "val"
+      m <- allMembers if m.kind == "val"
       t <- crossValRefs(m, byObj)
     } yield s"  ${m.file}:${m.line} val ${m.name} -> ${t.obj}.${t.name} (${t.kind})"
     assert(bad.isEmpty,
@@ -108,10 +133,10 @@ class FoldingGuardSpec extends org.scalatest.funsuite.AnyFunSuite {
 
   test("no strict val interpolates a later-declared strict val of its own object") {
     val bad = for {
-      m <- members if m.kind == "val"
+      m <- allMembers if m.kind == "val"
       r <- selfRe.findAllMatchIn(m.body).map(_.group(1)).toSeq.distinct
       t <- byObj.getOrElse(m.obj, Map.empty).get(r).toSeq
-      if t.kind == "val" && t.line > m.line
+      if t.kind == "val" && t.line > m.line && t.file == m.file
     } yield s"  ${m.file}:${m.line} val ${m.name} -> forward $$$r (declared at :${t.line})"
     assert(bad.isEmpty,
       "same-object forward interpolation freezes the type default — move the " +
@@ -143,6 +168,33 @@ class FoldingGuardSpec extends org.scalatest.funsuite.AnyFunSuite {
     val fwd = selfRe.findAllMatchIn(bySample("badSql").body).map(_.group(1)).toSeq
       .flatMap(n => bySample.get(n)).filter(t => t.kind == "val" && t.line > bySample("badSql").line)
     assert(fwd.map(_.name) == Seq("LaterVal"), s"got $fwd")
+  }
+
+  test("nested-object self-check: nested members are scanned, offenders detected") {
+    // the one real nested object is covered
+    assert(nestedMembers.exists(m => m.obj == "StubCodec" && m.name == "decode"),
+      s"nested scan lost StubCodec.decode — got ${nestedMembers.map(m => s"${m.obj}.${m.name}")}")
+    // a synthetic nested offender is detected by the same machinery: the
+    // dedent-and-reparse path classifies its strict val and rule 1 fires
+    val lines =
+      """object Outer {
+        |  object Inner {
+        |    val badSql = s"x ${graft.ext.Corpus.DeltaChanged} y"
+        |    lazy val okSql = s"x ${graft.ext.Corpus.DeltaChanged} y"
+        |  }
+        |}""".stripMargin.split("\n", -1).toVector
+    val nestedRe = """^(\s+)(?:private(?:\[\w+\])?\s+)?object\s+(\w+)""".r
+    val inner = lines.zipWithIndex.flatMap { case (l, i) =>
+      nestedRe.findFirstMatchIn(l).toSeq.flatMap { m =>
+        val pad = m.group(1)
+        val body = lines.drop(i + 1).takeWhile(b => !b.startsWith(pad + "}"))
+        parse(m.group(2), "fake.scala(nested)", body.map(_.stripPrefix(pad)).mkString("\n"))
+      }
+    }
+    val byName = inner.map(m => m.name -> m).toMap
+    assert(byName("badSql").kind == "val" && byName("okSql").kind == "lazy", s"got $inner")
+    val hits = crossValRefs(byName("badSql"), byObj).map(t => (t.obj, t.name))
+    assert(hits == Seq(("Corpus", "DeltaChanged")), s"got $hits")
   }
 
   test("scan self-check: the known member classifications hold in the real tree") {
