@@ -524,18 +524,31 @@ object Corpus {
     * canonical's split is one |clusters|-row doc_id-keyed join, the
     * member fan-out one cluster_id-keyed join — nothing wider than
     * (id, id, split) moves after the per-doc hash. */
-  def splitSafeOn(docs: DataFrame, clusters: DataFrame): DataFrame = {
-    val sp = docs.select(col("doc_id"), splitAssign.as("own_split"))
+  /** Cluster-inherited split assignment — the ONE definition behind
+    * `t_split_safe`, `mm_split_safe` AND the composed training manifests'
+    * split columns (both families), so the repair the audits point at and
+    * the split a training run actually reads cannot drift. `clusters` is
+    * a cluster manifest (doc_id, cluster_id; canonical = doc_id ==
+    * cluster_id — the min-label CC convention), `ownSp` the per-doc
+    * content-hash assignment (doc_id, own_split). Returns (doc_id,
+    * cluster_id, split, own_split), unsorted. Scale shape: the canonical
+    * lookup is one |clusters|-row doc_id-keyed join, the member fan-out
+    * one cluster_id-keyed join — nothing wider than (id, id, split). */
+  def inheritedSplitFrom(clusters: DataFrame, ownSp: DataFrame): DataFrame = {
     val m = clusters.select("doc_id", "cluster_id")
     val canon = m.filter(col("doc_id") === col("cluster_id")).select(col("cluster_id"))
-      .join(sp.select(col("doc_id").as("cluster_id"), col("own_split").as("split")),
+      .join(ownSp.select(col("doc_id").as("cluster_id"), col("own_split").as("split")),
         Seq("cluster_id"))
     m.join(canon, Seq("cluster_id"))
-      .join(sp, Seq("doc_id"))
+      .join(ownSp, Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("split"), col("own_split"))
+  }
+
+  def splitSafeOn(docs: DataFrame, clusters: DataFrame): DataFrame =
+    inheritedSplitFrom(clusters, docs.select(col("doc_id"), splitAssign.as("own_split")))
       .select(col("doc_id"), col("cluster_id"), col("split"),
         (col("split") =!= col("own_split")).as("moved"))
       .orderBy("doc_id")
-  }
 
   def splitSafe(spark: SparkSession, dir: String): DataFrame =
     splitSafeOn(Tables.documents(spark, dir), Dedup.dupClusters(spark, dir))

@@ -371,6 +371,26 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("media cluster family rides the frozen manifest: no pair build or CC loop downstream") {
+    // the direct read (the Dedup.dupClusters discipline, VERDICT r16 task 2)
+    val pc = plan(graft.multimodal.Multimodal.mediaDupClusters(spark, dir))
+    assert(pc.contains("graft_mm_cluster_manifest"),
+      "media cluster manifest is not a warehouse read:\n" + pc.take(3000))
+    // downstream rows read the manifest TABLE: the frozen scan appears and
+    // the banded-DCT pair build (a typed MapPartitions payload decode)
+    // does not — previously each of these re-ran the full pair + CC loop
+    Seq(graft.multimodal.Multimodal.mediaKeepBest(spark, dir),
+        graft.multimodal.Multimodal.mediaKeepBestAligned(spark, dir),
+        graft.multimodal.Multimodal.mmSplitSafe(spark, dir)).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("graft_mm_cluster_manifest"),
+        "cluster consumer does not read the frozen manifest:\n" + p.take(3000))
+      assert(!p.contains("MapPartitions"),
+        "cluster consumer re-decodes payloads (pair build crept back):\n" + p.take(3000))
+    }
+    spark.catalog.clearCache()
+  }
+
   test("media epoch shuffle: rank windows partition by (epoch, shard), no cartesian") {
     val p = plan(graft.multimodal.Multimodal.mmEpochShuffle(spark, dir))
     assert(!p.contains("CartesianProduct"), p.take(3000))
