@@ -491,6 +491,23 @@ object Corpus {
        |            WHEN $h < ${TrainPct + ValPct} THEN 'val'
        |            ELSE 'test' END""".stripMargin
 
+  /** The cluster-INHERITED split as a CTE chain over a snapshot `rel`
+    * (with text) and a cluster relation `dcRel` (doc_id, cluster_id;
+    * canonical = doc_id == cluster_id): `spo` is the per-doc content-hash
+    * split, `spc` each cluster's canonical split, `sp` the (doc_id,
+    * split) every member inherits — the SQL twin of
+    * [[inheritedSplitFrom]], composed by the split-safe oracles AND both
+    * composed-manifest oracle chains so the leakage-safe rule cannot
+    * drift between the audit repair and the shipped artifact. */
+  def inheritedSplitCtesFor(rel: String, dcRel: String): String =
+    s"""sph AS (SELECT doc_id, ${splitHashSql("text")} AS h FROM $rel),
+       |spo AS (SELECT doc_id, ${splitCaseSql("h")} AS split FROM sph),
+       |spc AS (SELECT d.cluster_id, spo.split
+       |        FROM $dcRel d JOIN spo ON d.doc_id = spo.doc_id
+       |        WHERE d.doc_id = d.cluster_id),
+       |sp AS (SELECT d.doc_id, spc.split AS split
+       |       FROM $dcRel d JOIN spc ON d.cluster_id = spc.cluster_id)""".stripMargin
+
   /** Parameterized twin over an arbitrary snapshot relation (see
     * [[graft.ext.Text.textStatsSqlFor]]). */
   def splitSqlFor(rel: String): String =
@@ -558,16 +575,11 @@ object Corpus {
     * Lazy per the folding-guard rule. */
   lazy val splitSafeSql: String =
     s"""WITH RECURSIVE ${Dedup.dupClustersCtesFor("documents")},
-       |sph AS (SELECT doc_id, ${splitHashSql("text")} AS h FROM documents),
-       |sp AS (SELECT doc_id, ${splitCaseSql("h")} AS split FROM sph),
-       |canon AS (
-       |  SELECT c.cluster_id, sp.split
-       |  FROM comp c JOIN sp ON c.doc_id = sp.doc_id
-       |  WHERE c.doc_id = c.cluster_id)
+       |${inheritedSplitCtesFor("documents", "comp")}
        |SELECT c.doc_id, c.cluster_id, cn.split AS split, (cn.split <> o.split) AS moved
        |FROM comp c
-       |JOIN canon cn ON c.cluster_id = cn.cluster_id
-       |JOIN sp o ON c.doc_id = o.doc_id
+       |JOIN spc cn ON c.cluster_id = cn.cluster_id
+       |JOIN spo o ON c.doc_id = o.doc_id
        |ORDER BY c.doc_id""".stripMargin
 
   // ------------------------------------------------- split leakage audit
@@ -1993,20 +2005,101 @@ object Corpus {
       .orderBy("epoch", "shard", "pos")
   }
 
-  def epochShuffle(spark: SparkSession, dir: String): DataFrame =
-    epochShuffleOn(Tables.documents(spark, dir))
+  /** The permutation core over an explicit packed-chunk unit table (lang,
+    * pack_shard, chunk_id) — the text twin of
+    * [[graft.multimodal.Multimodal.mmEpochShuffleChunks]], salt "tep:".
+    * A text trainer reads `t_pipeline_manifest`'s packed (shard, chunk)
+    * units, not raw documents, so the REGISTERED shuffle permutes chunk
+    * units; the doc-level [[epochShuffleOn]] stays as the library form
+    * for unpacked corpora. */
+  def epochShuffleChunks(chunks: DataFrame, epochs: Int = ShuffleEpochs,
+                         shards: Int = ShuffleShards): DataFrame = {
+    val w = Window.partitionBy("epoch", "shard")
+      .orderBy(col("h"), col("lang"), col("pack_shard"), col("chunk_id"))
+    chunks
+      .withColumn("epoch", explode(sequence(lit(1L), lit(epochs.toLong))))
+      .withColumn("h", Dedup.baseHash(
+        concat(lit("tep:"), col("epoch"), lit(":"), col("lang"),
+          lit(":"), col("pack_shard"), lit(":"), col("chunk_id"))))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("epoch"), col("shard"), col("pos"),
+        col("lang"), col("pack_shard"), col("chunk_id"))
+      .orderBy("epoch", "shard", "pos")
+  }
 
-  lazy val epochShuffleSql: String =
-    s"""WITH ep AS (SELECT unnest(range(1, ${ShuffleEpochs + 1})) AS epoch),
-       |base AS (
-       |  SELECT ep.epoch, d.doc_id,
-       |         ${Dedup.baseHashSql("'ep:' || ep.epoch || ':' || d.doc_id")} AS h
-       |  FROM documents d CROSS JOIN ep)
+  /** Packed chunk units of a composed manifest — the trainer's read
+    * unit, shared by the compositional and steady-state shuffles. */
+  def packedChunkUnitsOf(manifest: DataFrame): DataFrame =
+    manifest.filter(col("packed"))
+      .select(col("lang"), col("shard").as("pack_shard"), col("chunk_id"))
+      .distinct()
+
+  /** Day-zero compositional form: a freshly composed manifest, permuted —
+    * what a bootstrap runs before any warehouse exists. */
+  def epochShuffleManifestOn(manifest: DataFrame, epochs: Int = ShuffleEpochs,
+                             shards: Int = ShuffleShards): DataFrame =
+    epochShuffleChunks(packedChunkUnitsOf(manifest), epochs, shards)
+
+  /** Frozen ROLLED composed-manifest rows as parquet — what
+    * [[manifestRolled]] emits, persisted once per corpus so the per-epoch
+    * shuffle (run at every epoch start of every training job, the hottest
+    * consumer of this family) reads FROZEN state: no manifest
+    * recomposition, no corpus scan, just the permutation (the
+    * `mm_epoch_shuffle` discipline, VERDICT r16 task 6). */
+  private val rolledManifestRowsCache = new graft.ops.FrozenCaches.Memo[Unit, String](
+    beforeClear = _.forEach(p =>
+      graft.ops.FrozenCaches.deleteTree(java.nio.file.Paths.get(p).getParent.toString)),
+    label = "t_epoch_manifest")
+
+  private[graft] def frozenRolledManifestRows(spark: SparkSession, dir: String): String =
+    rolledManifestRowsCache.get(dir, ()) {
+      val base = java.nio.file.Files.createTempDirectory("graft_t_epoch").toString
+      manifestRolled(spark, dir).write.parquet(s"$base/manifest.parquet")
+      s"$base/manifest.parquet"
+    }
+
+  /** Registered steady-state epoch shuffle: the permutation over the
+    * FROZEN rolled training manifest's packed chunks — the epoch-start
+    * step of the daily regime (manifest rolled once per ingest;
+    * permutation re-run per epoch). PlanSpec pins: one frozen-parquet
+    * scan, no documents scan, no manifest recomposition. */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame =
+    epochShuffleChunks(packedChunkUnitsOf(
+      spark.read.parquet(frozenRolledManifestRows(spark, dir))))
+
+  /** Oracle: the from-scratch composed-manifest chain over the SAME
+    * rolled final snapshot down to `pdoc`, the distinct packed chunk
+    * units, then the identical salt-hash permutation. Lazy: interpolates
+    * cross-object churn constants (the folding-guard rule). */
+  lazy val epochShuffleSql: String = {
+    val (mod, chg, chg2, rem2) = (DeltaMod, DeltaChanged,
+      graft.ext.Dedup.RolledChanged2, graft.ext.Dedup.RolledRemoved2)
+    val h = Dedup.baseHashSql(
+      "'tep:' || ep.epoch || ':' || c.lang || ':' || c.pack_shard || ':' || c.chunk_id")
+    s"""WITH oldsnap AS (
+       |  SELECT doc_id, text, lang, source FROM documents WHERE $deltaOldWhereSql),
+       |rolledsnap AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % $mod = $chg THEN text || ' [rev2]'
+       |              WHEN doc_id % $mod = $chg2 THEN text || ' [rev3]'
+       |              ELSE text END AS text,
+       |         lang, source
+       |  FROM documents WHERE doc_id % $mod <> $rem2),
+       |${pipelineManifestCtesFor("rolledsnap", "oldsnap")},
+       |chunks AS (
+       |  SELECT DISTINCT v.lang, p.shard AS pack_shard, p.chunk_id
+       |  FROM verdict v JOIN pdoc p ON v.doc_id = p.doc_id WHERE v.packed),
+       |ep AS (SELECT unnest(range(1, ${ShuffleEpochs + 1})) AS epoch),
+       |sbase AS (
+       |  SELECT ep.epoch, c.lang, c.pack_shard, c.chunk_id, $h AS h
+       |  FROM chunks c CROSS JOIN ep)
        |SELECT epoch, h % $ShuffleShards AS shard,
        |       row_number() OVER (PARTITION BY epoch, h % $ShuffleShards
-       |                          ORDER BY h, doc_id) AS pos,
-       |       doc_id
-       |FROM base ORDER BY epoch, shard, pos""".stripMargin
+       |                          ORDER BY h, lang, pack_shard, chunk_id) AS pos,
+       |       lang, pack_shard, chunk_id
+       |FROM sbase ORDER BY epoch, shard, pos""".stripMargin
+  }
 
   // --------------------------------------------- end-to-end pipeline manifest
   /** The assembly pipeline composed end to end into ONE per-document
@@ -2014,7 +2107,10 @@ object Corpus {
     * corpus document, what the mix decided (`n_copies`), what the curation
     * funnel decided (`kept` / `drop_reason`, with 'bench_slice' marking
     * docs outside the funnel's training pool), whether quality-aware dedup
-    * chose it as its cluster's survivor, which split it landed in, and —
+    * chose it as its cluster's survivor, which split it landed in (the
+    * LEAKAGE-SAFE cluster-inherited assignment — the `t_split_safe` rule,
+    * so the artifact a training run reads cannot place near-duplicates
+    * across the train/test boundary), and —
     * for documents that survive EVERY stage and land in train — the
     * (shard, chunk_id) pack position of the composed survivor stream
     * (sentinel −1 on non-packed rows: the no-nullable-BIGINT convention).
@@ -2062,6 +2158,20 @@ object Corpus {
   private def assembleManifest(spine: DataFrame, mx: DataFrame, fn: DataFrame,
                                dc: DataFrame, kb: DataFrame, sp: DataFrame,
                                packTok: DataFrame => DataFrame): DataFrame = {
+    // the manifest ships the LEAKAGE-SAFE split (VERDICT r16 task 1): `sp`
+    // carries the per-doc content-hash assignment (doc-local warehouse
+    // state), and every cluster member INHERITS its canonical's — the
+    // `t_split_safe` rule, one definition ([[inheritedSplitFrom]]) — so
+    // near-duplicates cannot span train/val/test in the artifact a
+    // training run actually reads. Canonical churn between snapshots can
+    // MOVE a member's inherited split; `t_manifest_delta`'s split_moved
+    // class tracks exactly that. The own-split coalesce fallback fires
+    // only for spine docs absent from the cluster manifest (none via the
+    // registered entry points — CC covers every doc; belt for library
+    // callers handing partial cluster state).
+    val inh = inheritedSplitFrom(dc,
+        sp.select(col("doc_id"), col("split").as("own_split")))
+      .select(col("doc_id"), col("split").as("safe_split"))
     // checkpointed: the verdict frame feeds the pack-input filter AND the
     // final projection (the scd2HistoryOn two-consumer discipline)
     val verdict = spine
@@ -2070,12 +2180,13 @@ object Corpus {
       .join(dc, Seq("doc_id"), "left")
       .join(kb, Seq("cluster_id"), "left")
       .join(sp, Seq("doc_id"), "left")
+      .join(inh, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"), col("source"),
         coalesce(col("n_copies"), lit(0L)).as("n_copies"),
         coalesce(col("f_kept"), lit(false)).as("kept"),
         when(col("f_kept").isNull, lit("bench_slice")).otherwise(col("f_reason")).as("drop_reason"),
         (col("doc_id") === col("keep_doc_id")).as("is_survivor"),
-        col("split"))
+        coalesce(col("safe_split"), col("split")).as("split"))
       .withColumn("packed",
         col("n_copies") > 0 && col("kept") && col("is_survivor") && col("split") === "train")
       .localCheckpoint(eager = false)
@@ -2106,7 +2217,7 @@ object Corpus {
        |fn AS (SELECT doc_id, kept, drop_reason FROM (${graft.ext.Curation.curationFunnelSql})),
        |dc AS (SELECT doc_id, cluster_id FROM (${graft.ext.Dedup.dupClustersSql})),
        |kb AS (SELECT cluster_id, keep_doc_id FROM (${graft.ext.Dedup.keepBestSql})),
-       |sp AS (SELECT doc_id, split FROM ($splitSql)),
+       |${inheritedSplitCtesFor("documents", "dc")},
        |verdict AS (
        |  SELECT d.doc_id, d.lang, d.source,
        |         coalesce(mx.n_copies, 0) AS n_copies,
@@ -2147,7 +2258,7 @@ object Corpus {
        |fn AS (SELECT doc_id, kept, drop_reason FROM (${graft.ext.Curation.curationFunnelSqlFor(spine, model)})),
        |dc AS (SELECT doc_id, cluster_id FROM (${graft.ext.Dedup.dupClustersSqlFor(spine)})),
        |kb AS (SELECT cluster_id, keep_doc_id FROM (${graft.ext.Dedup.keepBestSqlFor(spine)})),
-       |sp AS (SELECT doc_id, split FROM (${splitSqlFor(spine)})),
+       |${inheritedSplitCtesFor(spine, "dc")},
        |verdict AS (
        |  SELECT d.doc_id, d.lang, d.source,
        |         coalesce(mx.n_copies, 0) AS n_copies,
@@ -2164,7 +2275,14 @@ object Corpus {
        |  LEFT JOIN kb ON dc.cluster_id = kb.cluster_id
        |  LEFT JOIN sp ON d.doc_id = sp.doc_id),
        |${seqPackDocCtesSql(
-           s"(SELECT d.lang, d.doc_id, d.text FROM $spine d JOIN verdict v ON d.doc_id = v.doc_id WHERE v.packed)")}
+           s"(SELECT d.lang, d.doc_id, d.text FROM $spine d JOIN verdict v ON d.doc_id = v.doc_id WHERE v.packed)")}""".stripMargin
+
+  /** [[pipelineManifestCtesFor]] + the manifest's final SELECT — what the
+    * three registered manifest oracles splice; the CTE-only form exists so
+    * the epoch-shuffle oracle can compose the SAME chain down to `pdoc`
+    * and permute the chunk units instead. */
+  private def pipelineManifestBodyFor(spine: String, model: String): String =
+    s"""${pipelineManifestCtesFor(spine, model)}
        |SELECT v.doc_id, v.lang, v.source, v.n_copies, v.kept, v.drop_reason,
        |       v.is_survivor, v.split, v.packed,
        |       coalesce(p.shard, -1) AS shard,
@@ -2178,8 +2296,10 @@ object Corpus {
     * gate bits (quality/repetition rule gates; fluency vs the given
     * census; classifier vs the given weights and calibration pair;
     * decontamination vs the given eval shingle set), plus the mix copy
-    * count, content fingerprint, keep-best quality score, split
-    * assignment and token count. Every column is a pure function of the
+    * count, content fingerprint, keep-best quality score, OWN split
+    * assignment (doc-local content hash; the manifest assembly inherits
+    * the cluster canonical's — membership state, not stored here) and
+    * token count. Every column is a pure function of the
     * document and the frozen models, so a snapshot delta invalidates
     * exactly the delta's rows — the property the whole update rests on.
     * Gate bits are NULL on the bench slice (the funnel never judges it),
@@ -2312,7 +2432,7 @@ object Corpus {
   lazy val manifestBaseSql: String =
     s"""WITH oldsnap AS (
        |  SELECT doc_id, text, lang, source FROM documents WHERE $deltaOldWhereSql),
-       |${pipelineManifestCtesFor("oldsnap", "oldsnap")}""".stripMargin
+       |${pipelineManifestBodyFor("oldsnap", "oldsnap")}""".stripMargin
 
   /** Incremental pipeline-manifest update — the 100 TB ingestion shape of
     * the flagship `t_pipeline_manifest`: instead of re-gating, re-scoring,
@@ -2522,7 +2642,7 @@ object Corpus {
        |newsnap AS (
        |  SELECT doc_id, $deltaNewTextSql AS text, lang, source
        |  FROM documents WHERE $deltaNewWhereSql),
-       |${pipelineManifestCtesFor("newsnap", "oldsnap")}""".stripMargin
+       |${pipelineManifestBodyFor("newsnap", "oldsnap")}""".stripMargin
 
   /** Frozen ROLLED manifest warehouse: the s1 snapshot's per-doc feature
     * table, keep-best election and assembled manifest as PRODUCED BY the
@@ -2607,7 +2727,7 @@ object Corpus {
        |              ELSE text END AS text,
        |         lang, source
        |  FROM documents WHERE doc_id % $mod <> $rem2),
-       |${pipelineManifestCtesFor("rolledsnap", "oldsnap")}""".stripMargin
+       |${pipelineManifestBodyFor("rolledsnap", "oldsnap")}""".stripMargin
   }
 
   /** Frozen NEW-snapshot manifest table — the incremental update's output
@@ -2696,8 +2816,8 @@ object Corpus {
        |newsnap AS (
        |  SELECT doc_id, $deltaNewTextSql AS text, lang, source
        |  FROM documents WHERE $deltaNewWhereSql),
-       |oldm AS (SELECT * FROM (WITH ${pipelineManifestCtesFor("oldsnap", "oldsnap")})),
-       |newm AS (SELECT * FROM (WITH ${pipelineManifestCtesFor("newsnap", "oldsnap")})),
+       |oldm AS (SELECT * FROM (WITH ${pipelineManifestBodyFor("oldsnap", "oldsnap")})),
+       |newm AS (SELECT * FROM (WITH ${pipelineManifestBodyFor("newsnap", "oldsnap")})),
        |classified AS (
        |  SELECT CASE
        |           WHEN o.doc_id IS NULL THEN 'added'
@@ -2714,6 +2834,124 @@ object Corpus {
        |SELECT change_class, count(*) AS n_docs,
        |       CAST(sum(CASE WHEN kept_after THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_after
        |FROM classified GROUP BY 1 ORDER BY change_class""".stripMargin
+
+  // ------------------------------------------------ gate-rate drift monitor
+  /** Per-gate FIRE-RATE drift between the two registered snapshots under
+    * the SAME frozen models — VERDICT r16 task 5: `t_psi_drift` watches
+    * the length SHAPE, but the funnel's verdict DISTRIBUTION was
+    * unmonitored, and a frozen model on a drifting corpus silently
+    * changes keep rates. One row per funnel gate (the drop_reason
+    * vocabulary) carrying each snapshot's fire rate — the share of JUDGED
+    * docs the gate rejects, independent of the funnel's first-match
+    * attribution — the signed delta, and a stable/shifted verdict at
+    * [[GateDriftShift]]; plus the 'kept' row, whose rate is the
+    * end-to-end KEEP rate (share surviving every gate). All seven rows
+    * always emit (the zero-fill discipline: a gate that never fires still
+    * shows its zero).
+    *
+    * Composition: zero own gate logic — the bits are the funnel's frozen
+    * warehouse feature rows ([[manifestDocFeatures]], the same state the
+    * manifest family carries), recomposed with the funnel's own coalesce
+    * convention; the oracle re-derives both snapshots' bits through the
+    * parameterized funnel oracle. Scale shape: one narrow aggregate per
+    * frozen feature table, then a 7-row join. */
+  val GateDriftShift = 0.05
+
+  def gateDriftFrom(featOld: DataFrame, featNew: DataFrame): DataFrame = {
+    def rates(f: DataFrame, suffix: String): DataFrame = {
+      val judged = f.filter(pmod(col("doc_id"), lit(10L)) =!= lit(BenchSlice))
+      val pq = coalesce(col("pass_quality"), lit(false))
+      val pr = coalesce(col("pass_repetition"), lit(false))
+      val pf = coalesce(col("is_fluent"), lit(false))
+      val pg = coalesce(col("pass_classifier"), lit(false))
+      val pd = coalesce(col("pass_decontam"), lit(false))
+      val pc = coalesce(col("is_canonical"), lit(false))
+      // the funnel's OWN verdict composition — not a re-derivation
+      val (kept, _) = graft.ext.Curation.verdictExprs(pq, pr, pf, pg, pd, pc)
+      judged.agg(
+          count(lit(1)).as("n"),
+          sum((!pq).cast("long")).as("g_quality"),
+          sum((!pr).cast("long")).as("g_repetition"),
+          sum((!pf).cast("long")).as("g_fluency"),
+          sum((!pg).cast("long")).as("g_classifier"),
+          sum((!pd).cast("long")).as("g_contamination"),
+          sum((!pc).cast("long")).as("g_duplicate"),
+          sum(kept.cast("long")).as("g_kept"))
+        .select(expr(
+          "stack(7, 'classifier', g_classifier, 'contamination', g_contamination, " +
+            "'duplicate', g_duplicate, 'fluency', g_fluency, 'kept', g_kept, " +
+            "'quality', g_quality, 'repetition', g_repetition) AS (gate, fired)"),
+          col("n"))
+        .select(col("gate"), col("n").as(s"n_$suffix"),
+          (col("fired").cast("double") / col("n")).as(s"rate_$suffix"))
+    }
+    rates(featOld, "old").join(rates(featNew, "new"), Seq("gate"))
+      .select(col("gate"), col("n_old"), col("n_new"),
+        graft.ops.Num.r6(col("rate_old")).as("rate_old"),
+        graft.ops.Num.r6(col("rate_new")).as("rate_new"),
+        graft.ops.Num.r6(col("rate_new") - col("rate_old")).as("rate_delta"),
+        (abs(col("rate_new") - col("rate_old")) >= lit(GateDriftShift)).as("shifted"))
+      .orderBy("gate")
+  }
+
+  def gateDrift(spark: SparkSession, dir: String): DataFrame = {
+    val (base, _, _) = frozenManifestBase(spark, dir)
+    val rb = frozenRolledManifestBase(spark, dir)
+    gateDriftFrom(
+      spark.read.parquet(s"$base/features.parquet"),
+      spark.read.parquet(s"$rb/features.parquet"))
+  }
+
+  /** Oracle: both snapshots' gate bits re-derived from scratch through
+    * the parameterized funnel oracle (models pinned to the old snapshot —
+    * the train-once contract), each unpivoted by 7-way union, then the
+    * identical rate arithmetic. Lazy per the folding-guard rule. */
+  lazy val gateDriftSql: String = {
+    def side(rel: String): String =
+      s"""(SELECT 'classifier' AS gate, n, g_classifier AS fired FROM $rel
+         |   UNION ALL SELECT 'contamination', n, g_contamination FROM $rel
+         |   UNION ALL SELECT 'duplicate', n, g_duplicate FROM $rel
+         |   UNION ALL SELECT 'fluency', n, g_fluency FROM $rel
+         |   UNION ALL SELECT 'kept', n, g_kept FROM $rel
+         |   UNION ALL SELECT 'quality', n, g_quality FROM $rel
+         |   UNION ALL SELECT 'repetition', n, g_repetition FROM $rel)""".stripMargin
+    s"""WITH oldsnap AS (
+       |  SELECT doc_id, text, lang, source FROM documents WHERE $deltaOldWhereSql),
+       |newsnap AS (
+       |  SELECT doc_id, $deltaNewTextSql AS text, lang, source
+       |  FROM documents WHERE $deltaNewWhereSql),
+       |fo AS (SELECT * FROM (${graft.ext.Curation.curationFunnelSqlFor("oldsnap", "oldsnap")})),
+       |fn2 AS (SELECT * FROM (${graft.ext.Curation.curationFunnelSqlFor("newsnap", "oldsnap")})),
+       |ro AS (
+       |  SELECT count(*) AS n,
+       |         sum(CASE WHEN NOT pass_quality THEN 1 ELSE 0 END) AS g_quality,
+       |         sum(CASE WHEN NOT pass_repetition THEN 1 ELSE 0 END) AS g_repetition,
+       |         sum(CASE WHEN NOT is_fluent THEN 1 ELSE 0 END) AS g_fluency,
+       |         sum(CASE WHEN NOT pass_classifier THEN 1 ELSE 0 END) AS g_classifier,
+       |         sum(CASE WHEN NOT pass_decontam THEN 1 ELSE 0 END) AS g_contamination,
+       |         sum(CASE WHEN NOT is_canonical THEN 1 ELSE 0 END) AS g_duplicate,
+       |         sum(CASE WHEN kept THEN 1 ELSE 0 END) AS g_kept
+       |  FROM fo),
+       |rn AS (
+       |  SELECT count(*) AS n,
+       |         sum(CASE WHEN NOT pass_quality THEN 1 ELSE 0 END) AS g_quality,
+       |         sum(CASE WHEN NOT pass_repetition THEN 1 ELSE 0 END) AS g_repetition,
+       |         sum(CASE WHEN NOT is_fluent THEN 1 ELSE 0 END) AS g_fluency,
+       |         sum(CASE WHEN NOT pass_classifier THEN 1 ELSE 0 END) AS g_classifier,
+       |         sum(CASE WHEN NOT pass_decontam THEN 1 ELSE 0 END) AS g_contamination,
+       |         sum(CASE WHEN NOT is_canonical THEN 1 ELSE 0 END) AS g_duplicate,
+       |         sum(CASE WHEN kept THEN 1 ELSE 0 END) AS g_kept
+       |  FROM fn2),
+       |go AS ${side("ro")},
+       |gn AS ${side("rn")}
+       |SELECT go.gate, CAST(go.n AS BIGINT) AS n_old, CAST(gn.n AS BIGINT) AS n_new,
+       |       ${graft.ops.Num.r6Sql("go.fired / CAST(go.n AS DOUBLE)")} AS rate_old,
+       |       ${graft.ops.Num.r6Sql("gn.fired / CAST(gn.n AS DOUBLE)")} AS rate_new,
+       |       ${graft.ops.Num.r6Sql("gn.fired / CAST(gn.n AS DOUBLE) - go.fired / CAST(go.n AS DOUBLE)")} AS rate_delta,
+       |       abs(gn.fired / CAST(gn.n AS DOUBLE) - go.fired / CAST(go.n AS DOUBLE)) >= $GateDriftShift AS shifted
+       |FROM go JOIN gn ON go.gate = gn.gate
+       |ORDER BY go.gate""".stripMargin
+  }
 
   /** Full from-scratch manifest rebuild of an arbitrary snapshot under
     * GIVEN frozen models — the Spark-side ground truth the incremental
@@ -2767,6 +3005,7 @@ object Corpus {
     Q("t_pipeline_manifest", pipelineManifest _, pipelineManifestSql),
     Q("t_manifest_base", manifestBase _, manifestBaseSql),
     Q("t_manifest_delta", manifestDelta _, manifestDeltaSql),
+    Q("t_gate_drift", gateDrift _, gateDriftSql),
     Q("t_manifest_incremental", manifestIncremental _, manifestIncrementalSql),
     Q("t_manifest_rolled", manifestRolled _, manifestRolledSql),
     Q("t_pack_efficiency", packEfficiency _, packEfficiencySql),

@@ -169,10 +169,14 @@ object Multimodal {
     * assignment — every column a pure function of the document, so the
     * incremental manifest recomputes this row only for the fresh slice
     * and carries the rest ([[mediaManifestUpdateOn]]). The split is the
-    * registered `t_split` rule VERBATIM ([[graft.ext.Corpus.splitAssign]]
-    * — content-hash 90/5/5), so exact media duplicates land in one split
-    * and a re-ingest that assigns fresh doc_ids cannot move a payload
-    * across the train/test boundary. */
+    * doc's OWN registered `t_split` rule ([[graft.ext.Corpus.splitAssign]]
+    * — content-hash 90/5/5): exact media duplicates land in one split and
+    * a re-ingest that assigns fresh doc_ids cannot move a payload across
+    * the train/test boundary. It is deliberately the doc-LOCAL half of
+    * the story — the composed manifest ([[mmManifestFromState]]) inherits
+    * each cluster's canonical's own split so perceptual near-dups cannot
+    * span splits either; storing the own split keeps this row a pure
+    * function of the document (the carry contract). */
   def mmDocLocalOn(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
@@ -1912,8 +1916,9 @@ object Multimodal {
     * ALIGNMENT-AWARE election ([[mediaKeepBestAlignedFrom]] — each
     * multi-object cluster keeps its best-captioned member, the media
     * analog of `dd_keep_best`'s quality election; singletons survive);
-    * the split is the registered `t_split` content-hash rule carried in
-    * the doc-local state; and the pack position (shard, chunk_id) for
+    * the split is the LEAKAGE-SAFE `mm_split_safe` rule — the doc-local
+    * content-hash assignment carried in state, inherited from each
+    * cluster's canonical; and the pack position (shard, chunk_id) for
     * `packed` docs (mm_kept ∧ train) runs the SAME sharded prefix-sum
     * packer as `t_seq_pack_sharded` ([[graft.ext.Corpus
     * .seqPackDocRowsFromTokens]]) with media_type as the stream key and
@@ -1929,6 +1934,17 @@ object Multimodal {
     // re-run per consuming branch
     val cl = clusters.select("doc_id", "cluster_id", "cluster_size").localCheckpoint()
     val ka = mediaKeepBestAlignedFrom(cl, af).select("cluster_id", "keep_doc_id")
+    // the manifest ships the LEAKAGE-SAFE split (VERDICT r16 task 1):
+    // docLocal carries the doc-local content-hash assignment; every
+    // cluster member inherits its canonical's — the `mm_split_safe` rule,
+    // one definition across both families. Cluster churn between
+    // snapshots can move a member's inherited split; the delta audit's
+    // split_moved class tracks it. Coalesce fallback: spine docs absent
+    // from the cluster manifest keep their own split (none via the
+    // registered entry points — CC covers every doc).
+    val inh = graft.ext.Corpus.inheritedSplitFrom(cl,
+        docLocal.select(col("doc_id"), col("split").as("own_split")))
+      .select(col("doc_id"), col("split").as("safe_split"))
     val survivor = col("cluster_size") === lit(1L) || col("keep_doc_id") === col("doc_id")
     // NOT checkpointed, deliberately: the verdict frame feeds the
     // pack-input filter AND the final projection, but it is a narrow
@@ -1940,12 +1956,13 @@ object Multimodal {
     val verdict = af.join(cl, Seq("doc_id"))
       .join(ka, Seq("cluster_id"), "left")
       .join(docLocal.select("doc_id", "n_bytes", "split"), Seq("doc_id"))
+      .join(inh, Seq("doc_id"), "left")
       .select(col("doc_id"), col("media_type"), col("align_cos"),
         col("keep").as("pass_align"),
         (col("cluster_size") > 1).as("has_neardup"),
         survivor.as("is_survivor"),
         (col("keep") && survivor).as("mm_kept"),
-        col("split"), col("n_bytes"))
+        coalesce(col("safe_split"), col("split")).as("split"), col("n_bytes"))
       .withColumn("packed", col("mm_kept") && col("split") === "train")
     val pk = graft.ext.Corpus.seqPackDocRowsFromTokens(
         verdict.filter(col("packed"))
@@ -1995,8 +2012,7 @@ object Multimodal {
     s"""${mediaClusterCtesFor(rel)},
        |af AS MATERIALIZED (${alignFilterSqlFor(rel)}),
        |${mediaKbaCtesFor(rel)},
-       |sph AS (SELECT doc_id, ${graft.ext.Corpus.splitHashSql("text")} AS h FROM $rel),
-       |sp AS (SELECT doc_id, ${graft.ext.Corpus.splitCaseSql("h")} AS split FROM sph),
+       |${graft.ext.Corpus.inheritedSplitCtesFor(rel, "comp")},
        |meta2 AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM $rel),
        |verdict AS MATERIALIZED (
        |  SELECT a.doc_id, a.media_type, a.align_cos, a.keep AS pass_align,
@@ -2094,16 +2110,11 @@ object Multimodal {
     * pieces. Lazy per the folding-guard rule. */
   lazy val mmSplitSafeSql: String =
     s"""WITH RECURSIVE ${mediaClusterCtesFor("documents")},
-       |sph AS (SELECT doc_id, ${graft.ext.Corpus.splitHashSql("text")} AS h FROM documents),
-       |sp AS (SELECT doc_id, ${graft.ext.Corpus.splitCaseSql("h")} AS split FROM sph),
-       |canon AS (
-       |  SELECT c.cluster_id, sp.split
-       |  FROM comp c JOIN sp ON c.doc_id = sp.doc_id
-       |  WHERE c.doc_id = c.cluster_id)
+       |${graft.ext.Corpus.inheritedSplitCtesFor("documents", "comp")}
        |SELECT c.doc_id, c.cluster_id, cn.split AS split, (cn.split <> o.split) AS moved
        |FROM comp c
-       |JOIN canon cn ON c.cluster_id = cn.cluster_id
-       |JOIN sp o ON c.doc_id = o.doc_id
+       |JOIN spc cn ON c.cluster_id = cn.cluster_id
+       |JOIN spo o ON c.doc_id = o.doc_id
        |ORDER BY c.doc_id""".stripMargin
 
   lazy val mmSplitLeakageSql: String =

@@ -255,6 +255,15 @@ class PlanSpec extends SparkSpec {
     // exactly one rangepartitioning: the presentation sort AFTER ranking
     assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1,
       "extra global sort:\n" + p.take(3000))
+    // steady-state discipline (VERDICT r16 task 6, the mm_epoch_shuffle
+    // rule): the per-epoch row reads the FROZEN rolled training manifest's
+    // packed chunks — the permutation is the only work; no manifest
+    // recomposition, no corpus scan
+    assert(p.contains("graft_t_epoch"),
+      "epoch shuffle does not read the frozen rolled manifest:\n" + p.take(3000))
+    assert(!p.contains("documents.parquet"),
+      "epoch shuffle rescans the corpus per epoch:\n" + p.take(3000))
+    spark.catalog.clearCache()
   }
 
   test("as-of join: one user-keyed shuffle for the carry-forward window, no range join anywhere") {

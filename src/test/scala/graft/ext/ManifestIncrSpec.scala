@@ -41,6 +41,167 @@ class ManifestIncrSpec extends SparkSpec {
     assert(statuses === Set("added", "removed", "changed", "unchanged"))
   }
 
+  test("canonical churn MOVES members' inherited splits; the delta audit tracks them as split_moved") {
+    // VERDICT r16 task 1, the subtle half of the incremental contract:
+    // the manifest's split is CLUSTER-INHERITED, so churn that re-elects
+    // a canonical moves UNTOUCHED members' splits — rows whose own text
+    // never changed. The registered 6% churn happens not to flip any
+    // canonical at sf0.001, so the flip is ENGINEERED: find a multi-doc
+    // cluster holding a member whose own split differs from its
+    // canonical's, remove EXACTLY the canonical, and require (a) the
+    // warehouse update to land every survivor on the from-scratch value,
+    // (b) at least one untouched member's split to MOVE, and (c) the
+    // delta classifier to report the pure movers as split_moved.
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val (base, thrTot, thrN) = Corpus.frozenManifestBase(spark, dir)
+    val census = spark.read.parquet(s"$base/census.parquet")
+    val weights = spark.read.parquet(s"$base/weights.parquet")
+    val evalh = spark.read.parquet(s"$base/evalh.parquet")
+    // from-scratch warehouse of the FULL corpus under the frozen models
+    val canon = Text.fingerprintOn(docs)
+      .select(col("doc_id"), (col("is_canonical") === lit(1L)).as("is_canonical"))
+    val feat0 = Corpus.manifestDocFeatures(docs, census, weights, thrTot, thrN, evalh)
+      .join(canon, Seq("doc_id")).localCheckpoint()
+    val sigs0 = Dedup.minhashSigsOn(docs).localCheckpoint()
+    val edges0 = Dedup.dupEdgesOn(docs).localCheckpoint()
+    val dm0 = Dedup.dupClustersOn(docs).localCheckpoint()
+    val kb0 = Dedup.keepBestFrom(dm0, feat0.select("doc_id", "quality_score"))
+      .localCheckpoint()
+    // the engineered pick: smallest cluster id with a split-discordant member
+    val own = feat0.select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    val members = dm0.select("doc_id", "cluster_id").as[(Long, Long)].collect()
+      .groupBy(_._2).map { case (c, ms) => c -> ms.map(_._1).sorted }
+    val pick = members.toSeq.sortBy(_._1).collectFirst {
+      case (cid, ms) if ms.length > 1 && ms.exists(m => own(m) != own(cid)) => (cid, ms)
+    }
+    assert(pick.nonEmpty,
+      "no split-discordant multi-doc cluster at sf0.001 — the flip cannot be engineered")
+    val (cid, ms) = pick.get
+    val s1 = docs.filter(col("doc_id") =!= lit(cid))
+    val m0 = Corpus.manifestRebuildOn(docs, census, weights, thrTot, thrN, evalh)
+      .localCheckpoint()
+    val raw = Corpus.manifestWarehouseUpdateOn(spark, docs, s1,
+      featOld = feat0, kbOld = kb0, dupManifestOld = dm0, dupEdgesOld = edges0,
+      dupSigsOld = sigs0, census = census, weights = weights,
+      thrTot = thrTot, thrN = thrN, evalh = evalh)
+    val m1 = raw.manifest.localCheckpoint()
+    raw.release()
+    // (a) exactness under the engineered churn
+    val want = rows(Corpus.manifestRebuildOn(s1, census, weights, thrTot, thrN, evalh))
+    assert(rows(m1) === want, "update drifted from the rebuild under a canonical removal")
+    spark.catalog.clearCache()
+    // (b) an untouched member moved, and only cluster members moved
+    val movedIds = m1.select(col("doc_id"), col("split"))
+      .join(m0.select(col("doc_id"), col("split").as("old_split")), Seq("doc_id"))
+      .filter(col("split") =!= col("old_split"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(movedIds.nonEmpty, "removing the canonical moved no member's inherited split")
+    assert(movedIds.subsetOf(ms.toSet - cid),
+      s"split moves leaked outside the engineered cluster: $movedIds vs ${ms.toSet - cid}")
+    // (c) the pure movers (same verdict, same reason) classify split_moved
+    val stable = m1.select(col("doc_id"), col("kept"), col("drop_reason"), col("n_copies"))
+      .join(m0.select(col("doc_id"), col("kept").as("k0"),
+        col("drop_reason").as("r0"), col("n_copies").as("c0")), Seq("doc_id"))
+      .filter(col("kept") <=> col("k0") && col("drop_reason") <=> col("r0")
+        && col("n_copies") <=> col("c0"))
+      .select("doc_id").as[Long].collect().toSet
+    val pure = movedIds.intersect(stable)
+    assert(pure.nonEmpty, "every mover also flipped its verdict — split_moved untestable here")
+    val report = Corpus.manifestDeltaFrom(m0, m1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report.getOrElse("split_moved", 0L) === pure.size.toLong,
+      s"delta audit mis-counted the engineered migration: $report, expected ${pure.size}")
+    spark.catalog.clearCache()
+  }
+
+  test("manifest split hygiene: zero near-dup pairs span splits in the shipped manifests") {
+    // what t_split_leakage audits, re-run over the artifacts' OWN split
+    // columns: both endpoints of every near-dup edge share a cluster, so
+    // the inherited split makes every edge split-homogeneous BY
+    // CONSTRUCTION — the round's point, proven on the shipped outputs.
+    val docs = Tables.documents(spark, dir)
+    val sp = Corpus.pipelineManifest(spark, dir).select(col("doc_id"), col("split"))
+      .localCheckpoint()
+    val edges = Dedup.dupEdgesOn(docs).localCheckpoint()
+    assert(edges.count() > 0, "no near-dup edges at sf0.001 — hygiene check vacuous")
+    val leaks = edges
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(leaks === 0L, s"$leaks near-dup pairs span splits in t_pipeline_manifest")
+    spark.catalog.clearCache()
+    // media twin over the banded-DCT pair relation; endpoints missing an
+    // embedding row sit outside the manifest spine (inner joins drop them)
+    val M = graft.multimodal.Multimodal
+    val msp = M.mmPipelineManifest(spark, dir).select(col("doc_id"), col("split"))
+      .localCheckpoint()
+    val mpairs = M.dctBandPairsOn(docs)
+      .filter(col("hamming") <= lit(M.DctHamMax.toLong)).localCheckpoint()
+    assert(mpairs.count() > 0, "no DCT near-dup pairs at sf0.001 — media hygiene check vacuous")
+    val mleaks = mpairs
+      .join(msp.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(msp.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(mleaks === 0L, s"$mleaks DCT near-dup pairs span splits in mm_pipeline_manifest")
+    spark.catalog.clearCache()
+  }
+
+  test("text epoch shuffle (chunk form): each epoch permutes every packed chunk once, positions contiguous, epochs decorrelated") {
+    // the day-zero compositional form over the from-scratch composed
+    // manifest — the text twin of MultimodalSpec's media shuffle spec
+    // (VERDICT r16 task 6: the registered row rides the frozen rolled
+    // manifest; this pins the permutation semantics both forms share)
+    val manifest = Corpus.pipelineManifest(spark, dir).localCheckpoint()
+    val units = Corpus.packedChunkUnitsOf(manifest).count()
+    assert(units > 1, "fewer than two packed chunks — the shuffle is untestable")
+    val out = Corpus.epochShuffleManifestOn(manifest).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        (r.getString(3), r.getLong(4), r.getLong(5))))
+    val byEpoch = out.groupBy(_._1)
+    assert(byEpoch.keySet === Set(1L, 2L))
+    byEpoch.foreach { case (ep, rows) =>
+      assert(rows.map(_._4).distinct.length.toLong === units, s"epoch $ep is not a permutation")
+      rows.groupBy(_._2).foreach { case (sh, srows) =>
+        val ps = srows.map(_._3).sorted
+        assert(ps === (1L to ps.length.toLong), s"epoch $ep shard $sh positions not contiguous")
+      }
+    }
+    def orderOf(ep: Long) = byEpoch(ep).sortBy(r => (r._2, r._3)).map(_._4).toSeq
+    assert(orderOf(1L) !== orderOf(2L), "epochs produced the identical chunk order")
+    spark.catalog.clearCache()
+  }
+
+  test("gate drift: an engineered quality-rate flip reads shifted; untouched gates read stable") {
+    import spark.implicits._
+    def feats(rows: Seq[(Long, Boolean)]): DataFrame =
+      rows.toDF("doc_id", "pass_quality")
+        .withColumn("pass_repetition", lit(true))
+        .withColumn("is_fluent", lit(true))
+        .withColumn("pass_classifier", lit(true))
+        .withColumn("pass_decontam", lit(true))
+        .withColumn("is_canonical", lit(true))
+    val ids = (0L until 20L).map(i => i * 10L + 1L) // never the bench slice
+    val old = feats(ids.map(_ -> true))
+    // churn class: half the corpus fails the quality gate in the new snapshot
+    val nw = feats(ids.zipWithIndex.map { case (id, i) => id -> (i % 2 == 1) })
+    val out = Corpus.gateDriftFrom(old, nw).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(out.keySet === Set("classifier", "contamination", "duplicate",
+      "fluency", "kept", "quality", "repetition"), "zero-fill lost a gate row")
+    assert(out("quality") === ((20L, 20L, 0.0, 0.5, 0.5, true)), out("quality").toString)
+    assert(out("kept") === ((20L, 20L, 1.0, 0.5, -0.5, true)), out("kept").toString)
+    Seq("classifier", "contamination", "duplicate", "fluency", "repetition").foreach { g =>
+      assert(out(g) === ((20L, 20L, 0.0, 0.0, 0.0, false)), s"$g drifted: ${out(g)}")
+    }
+    // the bench slice never enters the rates
+    val withBench = feats(Seq(7L -> false) ++ ids.map(_ -> true))
+    val n = Corpus.gateDriftFrom(withBench, withBench).head().getLong(1)
+    assert(n === 20L, "a bench-slice doc leaked into the judged pool")
+  }
+
   test("no-churn update is a fixpoint: every manifest row carries through unchanged") {
     val docs = Tables.documents(spark, dir)
     val old = Corpus.deltaOldSlice(docs)

@@ -621,7 +621,7 @@ class MultimodalSpec extends SparkSpec {
     assert(m.values.exists(r => r._3 && !r._4), "no cluster loser — the election was vacuous")
   }
 
-  test("aligned keep-best elects the best-captioned member; training columns compose t_split + the sharded packer") {
+  test("aligned keep-best elects the best-captioned member; training columns compose mm_split_safe + the sharded packer") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.ops.Tables.documents(spark, dir)
     val emb = graft.ops.Tables.embeddings(spark, dir)
@@ -640,16 +640,26 @@ class MultimodalSpec extends SparkSpec {
       assert(keep === best, s"cluster $cid elected $keep, expected $best")
       assert(kCos === cos(best) && size === members.length.toLong && removed === size - 1)
     }
-    // the manifest's training columns: split is the registered t_split
-    // rule verbatim; pack position exists iff packed (mm_kept ∧ train)
-    // and reproduces the registered sharded packer over payload bytes
+    // the manifest's training columns: split is the LEAKAGE-SAFE
+    // registered mm_split_safe rule verbatim (cluster-inherited; VERDICT
+    // r16 task 1) — with singletons still on their own t_split hash; pack
+    // position exists iff packed (mm_kept ∧ train) and reproduces the
+    // registered sharded packer over payload bytes
     val mrows = Multimodal.mmPipelineManifestOn(docs, emb).collect()
-    val splitOf = graft.ext.Corpus.splitRowsOn(docs)
+    val splitOf = Multimodal.mmSplitSafeOn(docs)
       .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val ownOf = graft.ext.Corpus.splitRowsOn(docs)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val singletons = clusters.filter(_._3 == 1L).map(_._1).toSet
     val m = mrows.map(r => (r.getLong(0), r.getString(1), r.getBoolean(6),
       r.getString(7), r.getBoolean(8), r.getLong(9), r.getLong(10))).toSeq
     m.foreach { case (id, _, _, split, _, _, _) =>
-      assert(split === splitOf(id), s"split drifted from t_split for $id") }
+      assert(split === splitOf(id), s"split drifted from mm_split_safe for $id")
+      if (singletons(id))
+        assert(split === ownOf(id), s"a singleton's manifest split left its own t_split hash: $id")
+    }
+    assert(m.exists { case (id, _, _, split, _, _, _) => split != ownOf(id) },
+      "no manifest member inherited a different split — the leakage repair was vacuous here")
     m.foreach { case (id, _, kept, split, packed, shard, chunk) =>
       assert(packed === (kept && split == "train"), s"packed gate drifted for $id")
       assert(packed === (shard >= 0L && chunk >= 0L), s"pack position vs packed for $id")
