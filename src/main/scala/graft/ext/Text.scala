@@ -1136,6 +1136,220 @@ object Text {
        |FROM rk WHERE rank <= $Bm25TopK ORDER BY query_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------ hybrid retrieval (RRF)
+  /** Reciprocal-rank fusion of the library's two retrieval systems over
+    * the SHARED fixed probe set (VERDICT r16 task 4): for each probe
+    * document, the DENSE list is brute-force embedding cosine (the
+    * `s_knn_brute` convention: cos desc, id tiebreak) and the SPARSE list
+    * is more-like-this BM25 — the probe doc's distinct tokens as the
+    * query against the corpus, through the registered `t_bm25_topk`
+    * machinery — each to depth [[HybridDepth]], self excluded from both.
+    * Fusion is the standard RRF: score(d) = Σ_sys 1/([[RrfK]] + rank_sys)
+    * with an absent system contributing 0 — a row-local expression over
+    * the full-outer-joined rank lists (exactly two terms, so no float
+    * summation-order hazard), ranked on the house r9/doc_id key. A doc
+    * both systems rank high outranks any single-system winner at the same
+    * rank by construction (1/(K+r) + 1/(K+r') > 1/(K+r) — RrfSpec pins
+    * it).
+    *
+    * 100 TB shape: probes and their term vocabulary are broadcast-sized
+    * (ProbeBudget docs); the dense pass is one corpus scan against the
+    * broadcast probe matrix, the sparse pass one postings scan
+    * pre-filtered to the broadcast vocabulary; the fusion joins two
+    * (probes × depth)-sized rank lists — model-sized, not corpus-sized. */
+  val RrfK = 60L
+  val HybridDepth = 20
+  val HybridTopK = 5
+
+  private def hybridDense(embeddings: DataFrame): DataFrame = {
+    import graft.ext.Similarity
+    val e = Similarity.withNorm(embeddings)
+    val probes = Similarity.probeFilter(e)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        Similarity.fastDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("r_dense", row_number().over(w).cast("long"))
+      .filter(col("r_dense") <= lit(HybridDepth.toLong))
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("r_dense"))
+  }
+
+  private def hybridSparse(docs: DataFrame, probeIds: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    // the probe doc's DISTINCT tokens are its query — more-like-this
+    val qt = toks.join(broadcast(probeIds), col("doc_id") === col("q_id"))
+      .select(col("q_id").as("query_id"), explode(array_distinct(col("t"))).as("term"))
+    val dl = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val tf = toks.select(col("doc_id"), explode(col("t")).as("term"))
+      .join(broadcast(qt.select("term").distinct()), Seq("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist() // feeds the df census AND the scoring join; vocab-bounded
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(Num.r9(col("score")).desc, col("doc_id"))
+    bm25ScoreTail(tf, dl, dft, stats, qt)
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("r_sparse", row_number().over(w).cast("long"))
+      .filter(col("r_sparse") <= lit(HybridDepth.toLong))
+      .select(col("query_id").as("q_id"), col("doc_id"), col("r_sparse"))
+  }
+
+  /** The fusion core over two explicit rank lists (q_id, doc_id,
+    * r_dense/r_sparse) — public so RrfSpec can drive engineered lists. */
+  def rrfFuse(dense: DataFrame, sparse: DataFrame, topK: Int = HybridTopK): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(Num.r9(col("rrf")).desc, col("doc_id"))
+    dense.join(sparse, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("r_dense")).cast("double"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_sparse")).cast("double"), lit(0.0)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= lit(topK.toLong))
+  }
+
+  def hybridRrfOn(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val probeIds = graft.ext.Similarity.probeFilter(embeddings)
+      .select(col("vec_id").as("q_id"))
+    rrfFuse(hybridDense(embeddings), hybridSparse(docs, probeIds))
+      .select(col("q_id").as("query_id"), col("rank"), col("doc_id"),
+        coalesce(col("r_dense"), lit(-1L)).as("r_dense"),
+        coalesce(col("r_sparse"), lit(-1L)).as("r_sparse"),
+        r6(col("rrf")).as("rrf_score"))
+      .orderBy("query_id", "rank")
+  }
+
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame =
+    hybridRrfOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+
+  /** The dense + sparse + fused CTE chain shared by both hybrid oracles:
+    * relations `d` (q_id, doc_id, r_dense), `s` (…, r_sparse), `f`
+    * (fused scores) and `rk` (fused ranks). */
+  private def hybridCtes: String = {
+    val scoreSql = s"""ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+         * tf.tf * ${Bm25K1 + 1.0} / (tf.tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl.dl / st.avgdl))"""
+    s"""e AS (SELECT vec_id, embedding, ${graft.ext.Similarity.normSql("embedding")} AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e
+       |      WHERE ${graft.ext.Similarity.probeInSql("vec_id", "e")}),
+       |dscored AS (
+       |  SELECT q.q_id, e.vec_id AS doc_id,
+       |         ${graft.ext.Similarity.dotSql("q.q_emb", "e.embedding")} / (q.q_nrm * e.nrm) AS cos
+       |  FROM e JOIN q ON e.vec_id <> q.q_id),
+       |d AS (SELECT q_id, doc_id, r_dense FROM (
+       |        SELECT q_id, doc_id,
+       |               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS r_dense
+       |        FROM dscored) WHERE r_dense <= $HybridDepth),
+       |toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+       |qt AS (SELECT DISTINCT q.q_id AS query_id, term
+       |       FROM q JOIN (SELECT doc_id, unnest(t) AS term FROM toks) x ON x.doc_id = q.q_id),
+       |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*) AS tf
+       |       FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+       |       WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (
+       |  SELECT qt.query_id AS q_id, tf.doc_id, sum($scoreSql) AS score
+       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+       |  WHERE tf.doc_id <> qt.query_id
+       |  GROUP BY 1, 2),
+       |s AS (SELECT q_id, doc_id, r_sparse FROM (
+       |        SELECT q_id, doc_id,
+       |               row_number() OVER (PARTITION BY q_id ORDER BY ${Num.r9Sql("score")} DESC, doc_id) AS r_sparse
+       |        FROM sc) WHERE r_sparse <= $HybridDepth),
+       |f AS (
+       |  SELECT coalesce(d.q_id, s.q_id) AS q_id, coalesce(d.doc_id, s.doc_id) AS doc_id,
+       |         d.r_dense, s.r_sparse,
+       |         coalesce(1.0 / CAST($RrfK + d.r_dense AS DOUBLE), 0.0)
+       |           + coalesce(1.0 / CAST($RrfK + s.r_sparse AS DOUBLE), 0.0) AS rrf
+       |  FROM d FULL OUTER JOIN s ON d.q_id = s.q_id AND d.doc_id = s.doc_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |         ORDER BY ${Num.r9Sql("rrf")} DESC, doc_id) AS rank FROM f)""".stripMargin
+  }
+
+  lazy val hybridRrfSql: String =
+    s"""WITH $hybridCtes
+       |SELECT q_id AS query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       |       coalesce(r_dense, -1) AS r_dense, coalesce(r_sparse, -1) AS r_sparse,
+       |       ${r6Sql("rrf")} AS rrf_score
+       |FROM rk WHERE rank <= $HybridTopK ORDER BY query_id, rank""".stripMargin
+
+  /** Hybrid retrieval EVAL: micro-averaged same-label recall@k of each
+    * half and the fusion over the shared probes — relevance = the
+    * embedding table's own label column (the supervision it carries),
+    * n_possible = Σ_q min(k, |same-label others|), one integer-exact
+    * division per row. Reports whether fusion actually buys recall over
+    * either half alone on this corpus. */
+  def hybridRecallOn(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    import graft.ext.Similarity
+    val k = HybridTopK
+    val probeIds = Similarity.probeFilter(embeddings).select(col("vec_id").as("q_id"))
+    val dense = hybridDense(embeddings).localCheckpoint()   // probes × depth
+    val sparse = hybridSparse(docs, probeIds).localCheckpoint()
+    val fused = rrfFuse(dense, sparse).select(col("q_id"), col("doc_id"), col("rank"))
+    val lab = embeddings.select(col("vec_id").as("doc_id"), col("label"))
+    val qlab = Similarity.probeFilter(embeddings)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    val poss = embeddings.select(col("vec_id"), col("label"))
+      .join(broadcast(qlab), col("vec_id") =!= col("q_id") && col("label") === col("q_label"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_rel"))
+    val totals = qlab.join(poss, Seq("q_id"), "left")
+      .select(least(lit(k.toLong), coalesce(col("n_rel"), lit(0L))).as("p"))
+      .agg(sum(col("p")).as("n_possible"), count(lit(1)).as("n_queries"))
+    def sys(list: DataFrame, rankCol: String, name: String): DataFrame =
+      list.filter(col(rankCol) <= lit(k.toLong))
+        .join(lab, Seq("doc_id"))
+        .join(broadcast(qlab), Seq("q_id"))
+        .agg(sum((col("label") === col("q_label")).cast("long")).as("h"))
+        .select(lit(name).as("system"), coalesce(col("h"), lit(0L)).as("n_hits"))
+    sys(dense, "r_dense", "dense")
+      .unionByName(sys(sparse, "r_sparse", "sparse"))
+      .unionByName(sys(fused, "rank", "fused"))
+      .crossJoin(totals)
+      .select(col("system"), lit(k.toLong).as("k"), col("n_queries"),
+        col("n_hits"), col("n_possible"),
+        when(col("n_possible") === lit(0L), lit(0.0))
+          .otherwise(r6(col("n_hits").cast("double") / col("n_possible"))).as("recall"))
+      .orderBy("system")
+  }
+
+  def hybridRecall(spark: SparkSession, dir: String): DataFrame =
+    hybridRecallOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+
+  lazy val hybridRecallSql: String = {
+    val k = HybridTopK
+    s"""WITH $hybridCtes,
+       |lab AS (SELECT vec_id AS doc_id, label FROM embeddings),
+       |qlab AS (SELECT q_id, label AS q_label FROM q JOIN lab ON q.q_id = lab.doc_id),
+       |poss AS (
+       |  SELECT ql.q_id, count(*) AS n_rel
+       |  FROM embeddings x JOIN qlab ql ON x.vec_id <> ql.q_id AND x.label = ql.q_label
+       |  GROUP BY 1),
+       |totals AS (
+       |  SELECT CAST(sum(least($k, coalesce(p.n_rel, 0))) AS BIGINT) AS n_possible,
+       |         count(*) AS n_queries
+       |  FROM qlab LEFT JOIN poss p ON qlab.q_id = p.q_id),
+       |hd AS (SELECT 'dense' AS system,
+       |              CAST(coalesce(sum(CASE WHEN l.label = ql.q_label THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits
+       |       FROM d JOIN lab l ON d.doc_id = l.doc_id JOIN qlab ql ON d.q_id = ql.q_id
+       |       WHERE d.r_dense <= $k),
+       |hs AS (SELECT 'sparse' AS system,
+       |              CAST(coalesce(sum(CASE WHEN l.label = ql.q_label THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits
+       |       FROM s JOIN lab l ON s.doc_id = l.doc_id JOIN qlab ql ON s.q_id = ql.q_id
+       |       WHERE s.r_sparse <= $k),
+       |hf AS (SELECT 'fused' AS system,
+       |              CAST(coalesce(sum(CASE WHEN l.label = ql.q_label THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits
+       |       FROM rk JOIN lab l ON rk.doc_id = l.doc_id JOIN qlab ql ON rk.q_id = ql.q_id
+       |       WHERE rk.rank <= $k),
+       |u AS (SELECT * FROM hd UNION ALL SELECT * FROM hs UNION ALL SELECT * FROM hf)
+       |SELECT u.system, CAST($k AS BIGINT) AS k, t.n_queries, u.n_hits, t.n_possible,
+       |       CASE WHEN t.n_possible = 0 THEN 0.0
+       |            ELSE ${r6Sql("u.n_hits / CAST(t.n_possible AS DOUBLE)")} END AS recall
+       |FROM u CROSS JOIN totals t
+       |ORDER BY u.system""".stripMargin
+  }
+
   // ------------------------------------------------ wordpiece segmentation
   /** Greedy longest-match wordpiece segmentation against a FROZEN,
     * corpus-derived vocabulary — applying a tokenizer, not just counting
@@ -1480,10 +1694,315 @@ object Text {
        |       array_to_string(${bpeSymsOf("seg")}, ' ') AS segmentation
        |FROM seg$BpeMerges ORDER BY word""".stripMargin
 
+  // ---------------------------------------- unigram-LM tokenizer (SentencePiece-style)
+  /** Unigram language-model tokenizer (Kudo 2018, arXiv:1804.10959 — the
+    * SentencePiece algorithm), completing the tokenizer trio next to BPE
+    * and wordpiece: a SEED vocabulary of frequent substrings is refined by
+    * EM — each round Viterbi-segments the lexicon under the current piece
+    * probabilities (hard EM, the Viterbi-training variant), re-estimates
+    * probabilities from the frequency-weighted piece usage, and prunes
+    * multi-char pieces that no best path uses (single chars never prune:
+    * the coverage floor). Segmentation is the apply step under the final
+    * frozen vocabulary.
+    *
+    * Float discipline (VERDICT r16 task 3): a piece's score is the
+    * MICRONAT integer floor(ln(cnt/total)·1e6 + 0.5) — one float op per
+    * (piece, round), re-verified by the oracle gate at both SFs; every
+    * Viterbi path comparison downstream is an INTEGER sum, so EM ulps
+    * cannot flip a piece. Ties (equal integer path score) break toward
+    * the longer FINAL piece, recursively — a unique path: the DP at each
+    * position compares (score, piece-length) against predecessors whose
+    * own best is unique by induction; equivalently (the oracle's form)
+    * the max-score path minimizing the REVERSED start-position list.
+    *
+    * Scale shape (the BPE discipline): ONE corpus-linear census builds
+    * the word-frequency lexicon; every EM round is lexicon-sized. The
+    * Viterbi DP is a row-local FOLD over word positions against the
+    * broadcast piece→weight map — no loop rounds, no shuffle, no
+    * per-character join cascade; a round's only aggregates are the
+    * piece-usage count and the probability renormalization (model-sized).
+    * The oracle instead ENUMERATES all segmentations per word (recursive
+    * CTE) and picks the same maximum — tractable because the lexicon is
+    * census-sized, and semantically the closure the DP computes. */
+  val UniMaxPiece = 4
+  val UniSeedTop = 24
+  val UniEmRounds = 2
+
+  /** (piece, cnt) seed: every substring (len ≤ [[UniMaxPiece]]) of every
+    * lexicon word, corpus-frequency weighted; all single chars plus the
+    * top [[UniSeedTop]] multi-char pieces (cnt desc, piece asc —
+    * integer-exact). */
+  private def uniSeedOn(lex: DataFrame): DataFrame = {
+    val subs = lex
+      .select(col("w"), col("freq"), explode(sequence(lit(1), length(col("w")))).as("p"))
+      .select(col("w"), col("freq"), col("p"), explode(sequence(lit(1), lit(UniMaxPiece))).as("l"))
+      .filter(col("p") + col("l") - lit(1) <= length(col("w")))
+      .select(col("w").substr(col("p"), col("l")).as("piece"), col("freq"))
+      .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+      .persist() // feeds the char floor AND the top-K pick
+    val multi = subs.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece")).limit(UniSeedTop)
+    subs.filter(length(col("piece")) === 1).unionByName(multi)
+  }
+
+  /** Micronat weights from counts — the ONE float op of the trainer. */
+  private def uniWeighted(vocab: DataFrame): DataFrame = {
+    val tot = vocab.agg(sum(col("cnt")).as("tot"))
+    vocab.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        floor(log(col("cnt").cast("double") / col("tot")) * lit(1e6) + lit(0.5))
+          .cast("long").as("wgt"))
+  }
+
+  /** Viterbi best segmentation of every lexicon word under a weighted
+    * vocabulary — the integer DP as one row-local fold. Returns
+    * (w, freq, starts) where starts are the 1-based piece start
+    * positions of the unique best path. */
+  private def uniViterbiOn(lex: DataFrame, vocab: DataFrame): DataFrame = {
+    val vm = vocab.agg(map_from_entries(collect_list(struct(col("piece"), col("wgt")))).as("vm"))
+    val n = length(col("w"))
+    val dp = aggregate(
+      sequence(lit(2), n + lit(1)),
+      array(struct(lit(0L).as("score"), array().cast("array<int>").as("starts"))),
+      (acc: Column, p: Column) => {
+        val cands = filter(
+          transform(sequence(lit(1), least(lit(UniMaxPiece), p - lit(1))),
+            l => {
+              val j = (p - l).cast("int")
+              val prev = element_at(acc, j)
+              val wgt = element_at(col("vm"), col("w").substr(j, l.cast("int")))
+              when(wgt.isNotNull, struct(
+                (prev.getField("score") + wgt).as("score"),
+                l.as("l"),
+                concat(prev.getField("starts"), array(j)).as("starts")))
+            }),
+          c => c.isNotNull)
+        // struct max = (score, then piece length); ties cannot reach the
+        // starts field (same l ⇒ same predecessor ⇒ identical candidate)
+        val best = array_max(cands)
+        concat(acc, array(struct(best.getField("score").as("score"),
+          best.getField("starts").as("starts"))))
+      })
+    lex.crossJoin(broadcast(vm))
+      .select(col("w"), col("freq"),
+        element_at(dp, (n + lit(1)).cast("int")).getField("starts").as("starts"))
+  }
+
+  /** Piece strings of a (w, starts) row — start-delta substrings. */
+  private def uniPieces: Column = {
+    val s = col("starts")
+    transform(sequence(lit(1), size(s)), i =>
+      col("w").substr(element_at(s, i),
+        coalesce(element_at(s, i + lit(1)), length(col("w")) + lit(1)) - element_at(s, i)))
+  }
+
+  /** The EM trainer over a caller-supplied corpus — compositional form;
+    * the registered rows replay the FROZEN vocabulary. */
+  def unigramTrainOn(docs: DataFrame, rounds: Int = UniEmRounds): DataFrame = {
+    val lex = bpeLexicon(docs).select("w", "freq").persist()
+    var vocab = uniWeighted(uniSeedOn(lex)).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val counts = uniViterbiOn(lex, vocab)
+        .select(col("freq"), explode(uniPieces).as("piece"))
+        .groupBy("piece").agg(sum(col("freq")).as("used"))
+      vocab = uniWeighted(
+        vocab.select("piece").join(counts, Seq("piece"), "left")
+          .select(col("piece"),
+            (coalesce(col("used"), lit(0L)) +
+              when(length(col("piece")) === 1, lit(1L)).otherwise(lit(0L))).as("cnt"))
+          .filter(col("cnt") > lit(0L)))
+        .localCheckpoint()
+    }
+    vocab.select(col("piece"), length(col("piece")).cast("long").as("n_chars"),
+        col("cnt"), col("wgt").as("weight"))
+      .orderBy("piece")
+  }
+
+  /** Frozen trained vocabulary per (corpus, knobs) — model-sized, the
+    * bpe_merges convention. */
+  private val uniCache =
+    new graft.ops.FrozenCaches.Memo[(Int, Int, Int), Seq[(String, Long, Long, Long)]](
+      label = "unigram_vocab")
+
+  private def frozenUnigram(spark: SparkSession, dir: String): Seq[(String, Long, Long, Long)] =
+    uniCache.get(dir, (UniMaxPiece, UniSeedTop, UniEmRounds)) {
+      unigramTrainOn(Tables.documents(spark, dir)).collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    }
+
+  def unigramTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    frozenUnigram(spark, dir).toDF("piece", "n_chars", "cnt", "weight")
+      .orderBy("piece")
+  }
+
+  /** The apply step: the corpus lexicon Viterbi-segmented under a given
+    * trained vocabulary (piece, weight). */
+  def unigramSegmentFrom(docs: DataFrame, vocab: DataFrame): DataFrame =
+    uniViterbiOn(bpeLexicon(docs).select("w", "freq"), vocab)
+      .select(col("w").as("word"), length(col("w")).cast("long").as("n_chars"),
+        size(col("starts")).cast("long").as("n_pieces"),
+        concat_ws(" ", uniPieces).as("segmentation"))
+      .orderBy("word")
+
+  def unigramSegmentOn(docs: DataFrame, rounds: Int = UniEmRounds): DataFrame =
+    unigramSegmentFrom(docs,
+      unigramTrainOn(docs, rounds).select(col("piece"), col("weight").as("wgt")))
+
+  def unigramSegment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    unigramSegmentFrom(Tables.documents(spark, dir),
+      frozenUnigram(spark, dir).toDF("piece", "n_chars", "cnt", "wgt")
+        .select("piece", "wgt"))
+  }
+
+  /** The shared oracle CTE chain: seed → (paths/best/counts/vocab) per
+    * unrolled EM round (the Lloyd/BPE idiom; paths enumerate ALL
+    * segmentations recursively, best picks max score then min reversed
+    * starts — the DP's unique path). Emits `uvoc$r` for each round r and
+    * `useg` (w, freq, starts, n_pieces, segmentation) under the final
+    * vocabulary. Must be opened with WITH RECURSIVE. */
+  private def uniCtes: String = {
+    def wgtSql(rel: String): String =
+      s"""SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+         |       CAST(floor(ln(cnt / CAST(t.tot AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS wgt
+         |FROM $rel, (SELECT sum(cnt) AS tot FROM $rel) t""".stripMargin
+    def pathsSql(r: Int): String =
+      s"""upaths$r(w, freq, p, score, starts) AS (
+         |  SELECT w, freq, CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST([] AS BIGINT[]) FROM uwords
+         |  UNION ALL
+         |  SELECT pa.w, pa.freq, pa.p + v.l, pa.score + v.wgt, list_append(pa.starts, pa.p)
+         |  FROM upaths$r pa
+         |  JOIN (SELECT piece, wgt, length(piece) AS l FROM uvoc$r) v
+         |    ON pa.p + v.l - 1 <= length(pa.w)
+         |   AND substr(pa.w, CAST(pa.p AS INT), CAST(v.l AS INT)) = v.piece),
+         |ubest$r AS MATERIALIZED (
+         |  SELECT w, freq, starts FROM (
+         |    SELECT w, freq, starts,
+         |           row_number() OVER (PARTITION BY w
+         |             ORDER BY score DESC, list_reverse(starts)) AS rn
+         |    FROM upaths$r WHERE p = length(w) + 1)
+         |  WHERE rn = 1)""".stripMargin
+    def piecesOf(rel: String): String =
+      s"""unnest(list_transform(starts, (st, i) ->
+         |  substr(w, CAST(st AS INT),
+         |         CAST(coalesce(starts[CAST(i + 1 AS INT)], length(w) + 1) - st AS INT))))""".stripMargin
+    val rounds = (0 until UniEmRounds).map { r =>
+      s"""${pathsSql(r)},
+         |ucnt$r AS (
+         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS used
+         |  FROM (SELECT freq, ${piecesOf(s"ubest$r")} AS piece FROM ubest$r)
+         |  GROUP BY 1),
+         |uvc${r + 1} AS (
+         |  SELECT v.piece,
+         |         coalesce(c.used, 0) + CASE WHEN length(v.piece) = 1 THEN 1 ELSE 0 END AS cnt
+         |  FROM uvoc$r v LEFT JOIN ucnt$r c ON v.piece = c.piece
+         |  WHERE coalesce(c.used, 0) + CASE WHEN length(v.piece) = 1 THEN 1 ELSE 0 END > 0),
+         |uvoc${r + 1} AS MATERIALIZED (${wgtSql(s"uvc${r + 1}")})""".stripMargin
+    }.mkString(",\n")
+    s"""uwords AS MATERIALIZED (
+       |  SELECT t.tok AS w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM documents, unnest(${tokensSql("text")}) AS t(tok)
+       |  WHERE regexp_matches(t.tok, '^[a-z0-9]+$$')
+       |  GROUP BY 1),
+       |usub AS MATERIALIZED (
+       |  SELECT substr(w, CAST(p.p AS INT), CAST(l.l AS INT)) AS piece,
+       |         CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM uwords, unnest(range(1, length(w) + 1)) AS p(p),
+       |       unnest(range(1, ${UniMaxPiece + 1})) AS l(l)
+       |  WHERE p.p + l.l - 1 <= length(w)
+       |  GROUP BY 1),
+       |useed AS MATERIALIZED (
+       |  SELECT piece, cnt FROM usub WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (SELECT piece, cnt FROM usub WHERE length(piece) >= 2
+       |                          ORDER BY cnt DESC, piece LIMIT $UniSeedTop)),
+       |uvoc0 AS MATERIALIZED (${wgtSql("useed")}),
+       |$rounds,
+       |${pathsSql(UniEmRounds)},
+       |useg AS MATERIALIZED (
+       |  SELECT w, freq, starts, CAST(len(starts) AS BIGINT) AS n_pieces,
+       |         array_to_string(list_transform(starts, (st, i) ->
+       |           substr(w, CAST(st AS INT),
+       |                  CAST(coalesce(starts[CAST(i + 1 AS INT)], length(w) + 1) - st AS INT))), ' ')
+       |           AS segmentation
+       |  FROM ubest$UniEmRounds)""".stripMargin
+  }
+
+  lazy val unigramTrainSql: String =
+    s"""WITH RECURSIVE $uniCtes
+       |SELECT piece, CAST(length(piece) AS BIGINT) AS n_chars, cnt, wgt AS weight
+       |FROM uvoc$UniEmRounds ORDER BY piece""".stripMargin
+
+  lazy val unigramSegmentSql: String =
+    s"""WITH RECURSIVE $uniCtes
+       |SELECT w AS word, CAST(length(w) AS BIGINT) AS n_chars, n_pieces, segmentation
+       |FROM useg ORDER BY word""".stripMargin
+
+  // ------------------------------------- tokenizer fertility comparison
+  /** The three learned tokenizers compared on the SAME per-lang token
+    * stream (the BPE-safe `^[a-z0-9]+$` subset, so every tokenizer
+    * segments the identical word multiset): subwords per word under each
+    * frozen model — the table a pipeline owner reads to pick the
+    * tokenizer (and budget the token count) for a given language mix.
+    * One corpus-linear stream pass per tokenizer against its broadcast
+    * lexicon; n_words agrees across tokenizers by construction. */
+  def tokenizerFertilityFrom(docs: DataFrame, bpeLex: DataFrame,
+                             uniLex: DataFrame, wpLex: DataFrame): DataFrame = {
+    val stream = docs.select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .persist() // three joins, one stream pass each; released by the bench
+    def side(lex: DataFrame, name: String): DataFrame =
+      stream.join(broadcast(lex.select(col("word").as("w"), col("n_pieces"))), Seq("w"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_subwords"))
+        .select(lit(name).as("tokenizer"), col("lang"), col("n_words"), col("n_subwords"),
+          r6(col("n_subwords").cast("double") / col("n_words")).as("fertility"))
+    side(bpeLex, "bpe")
+      .unionByName(side(uniLex, "unigram"))
+      .unionByName(side(wpLex, "wordpiece"))
+      .orderBy("tokenizer", "lang")
+  }
+
+  def tokenizerFertilityOn(docs: DataFrame): DataFrame =
+    tokenizerFertilityFrom(docs, bpeSegmentOn(docs), unigramSegmentOn(docs), wordpieceOn(docs))
+
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    // frozen models: the BPE merge table and the unigram vocabulary replay
+    val docs = Tables.documents(spark, dir)
+    tokenizerFertilityFrom(docs, bpeSegment(spark, dir), unigramSegment(spark, dir),
+      wordpiece(spark, dir))
+  }
+
+  lazy val tokenizerFertilitySql: String =
+    s"""WITH stream AS (
+       |  SELECT lang, t.tok AS w
+       |  FROM documents, unnest(${tokensSql("text")}) AS t(tok)
+       |  WHERE regexp_matches(t.tok, '^[a-z0-9]+$$')),
+       |bseg AS (SELECT word AS w, n_pieces FROM ($bpeSegmentSql)),
+       |useg2 AS (SELECT word AS w, n_pieces FROM ($unigramSegmentSql)),
+       |wseg AS (SELECT word AS w, n_pieces FROM ($wordpieceSql)),
+       |sides AS (
+       |  SELECT 'bpe' AS tokenizer, s.lang, count(*) AS n_words,
+       |         CAST(sum(b.n_pieces) AS BIGINT) AS n_subwords
+       |  FROM stream s JOIN bseg b ON s.w = b.w GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'unigram', s.lang, count(*), CAST(sum(u.n_pieces) AS BIGINT)
+       |  FROM stream s JOIN useg2 u ON s.w = u.w GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'wordpiece', s.lang, count(*), CAST(sum(p.n_pieces) AS BIGINT)
+       |  FROM stream s JOIN wseg p ON s.w = p.w GROUP BY 2)
+       |SELECT tokenizer, lang, n_words, n_subwords,
+       |       ${r6Sql("n_subwords / CAST(n_words AS DOUBLE)")} AS fertility
+       |FROM sides ORDER BY tokenizer, lang""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t_text_stats", textStats _, textStatsSql),
     Q("t_bpe_train", bpeTrain _, bpeTrainSql),
     Q("t_bpe_segment", bpeSegment _, bpeSegmentSql),
+    Q("t_unigram_train", unigramTrain _, unigramTrainSql),
+    Q("t_unigram_segment", unigramSegment _, unigramSegmentSql),
+    Q("t_tokenizer_fertility", tokenizerFertility _, tokenizerFertilitySql),
     Q("t_wordpiece", wordpiece _, wordpieceSql),
     Q("t_wordpiece_fertility", wordpieceFertility _, wordpieceFertilitySql),
     Q("t_quality_filter", qualityFilter _, qualityFilterSql),
@@ -1503,5 +2022,7 @@ object Text {
     Q("t_vocab_coverage", vocabCoverage _, vocabCoverageSql),
     Q("t_bigram_pmi", bigramPmi _, bigramPmiSql),
     Q("t_bm25_topk", bm25TopK _, bm25TopKSql),
+    Q("t_hybrid_rrf", hybridRrf _, hybridRrfSql),
+    Q("t_hybrid_recall", hybridRecall _, hybridRecallSql),
   )
 }

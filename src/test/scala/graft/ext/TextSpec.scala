@@ -369,6 +369,108 @@ class TextSpec extends SparkSpec {
     assert(out2 === Seq((1L, 1L), (2L, 2L)), s"shorter doc must outrank: $out2")
   }
 
+  test("RRF fusion: a doc both systems rank outranks every single-system winner; absent ranks contribute zero") {
+    // q=1: doc 100 is MEDIOCRE in both systems (rank 3 dense, rank 4
+    // sparse); docs 101/102 top one system each and are absent from the
+    // other. RRF must put the both-system doc first:
+    // 1/63 + 1/64 ≈ 0.0315 > 1/61 ≈ 0.0164.
+    val dense = Seq((1L, 101L, 1L), (1L, 100L, 3L), (1L, 103L, 2L))
+      .toDF("q_id", "doc_id", "r_dense")
+    val sparse = Seq((1L, 102L, 1L), (1L, 100L, 4L), (1L, 104L, 2L))
+      .toDF("q_id", "doc_id", "r_sparse")
+    val out = Text.rrfFuse(dense, sparse)
+      .select("q_id", "doc_id", "rank")
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(out.head === ((1L, 100L, 1L)),
+      s"the doc ranked by BOTH systems must fuse first: ${out.toSeq}")
+    // single-system ties (1/61 each) break by doc_id: 101 before 102
+    assert(out.slice(1, 3).map(_._2).toSeq === Seq(101L, 102L), out.toSeq.toString)
+    // registered row: sentinel -1 marks the absent system, never null
+    val real = Text.hybridRrf(spark, "/root/testdata/sf0.001")
+    val rows = real.select("r_dense", "r_sparse")
+      .as[(Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall { case (a, b) => a >= -1L && b >= -1L })
+    assert(rows.exists(_._1 == -1L) || rows.exists(_._2 == -1L),
+      "no single-system row at sf0.001 — the outer-join path is vacuous")
+    assert(rows.exists { case (a, b) => a > 0L && b > 0L },
+      "no both-system row at sf0.001 — fusion is vacuous")
+    spark.catalog.clearCache()
+  }
+
+  test("hybrid recall: hit counts bounded by possible, every system row present") {
+    val out = Text.hybridRecall(spark, "/root/testdata/sf0.001")
+      .select("system", "k", "n_queries", "n_hits", "n_possible", "recall")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSet === Set("dense", "sparse", "fused"))
+    out.foreach { case (s, k, nq, h, p, r) =>
+      assert(k === Text.HybridTopK.toLong)
+      assert(nq > 0L && h >= 0L && h <= p, s"$s: hits $h outside [0, $p]")
+      assert(r >= 0.0 && r <= 1.0, s"$s recall $r outside [0,1]")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("unigram Viterbi: max-score path wins; score ties prefer the longer FINAL piece") {
+    def docs(rows: (Long, String)*) =
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    // 'ab' at -15 beats two chars at -20: "abab" → "ab ab"
+    val v1 = Seq(("a", -10L), ("b", -10L), ("ab", -15L)).toDF("piece", "wgt")
+    val s1 = Text.unigramSegmentFrom(docs(1L -> "abab"), v1)
+      .select("word", "segmentation").as[(String, String)].collect().toMap
+    assert(s1("abab") === "ab ab", s1.toString)
+    // all segmentations of "aaa" under {a:-10, aa:-20} score -30 — the
+    // tie must resolve toward the longer final piece: "a aa"
+    val v2 = Seq(("a", -10L), ("aa", -20L)).toDF("piece", "wgt")
+    val s2 = Text.unigramSegmentFrom(docs(1L -> "aaa"), v2)
+      .select("word", "segmentation").as[(String, String)].collect().toMap
+    assert(s2("aaa") === "a aa", s2.toString)
+    spark.catalog.clearCache()
+  }
+
+  test("unigram EM: coverage is total, unused multi-char pieces prune, chars survive") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    val vocab = Text.unigramTrainOn(docs)
+      .select("piece", "n_chars", "cnt").as[(String, Long, Long)].collect()
+    assert(vocab.nonEmpty && vocab.exists(_._2 > 1L),
+      "EM kept no multi-char piece — the trainer degenerated to chars")
+    // pruning is real: the seed held UniSeedTop multi-char pieces, the
+    // survivors are strictly fewer (some substrings lose every Viterbi path)
+    assert(vocab.count(_._2 > 1L) < Text.UniSeedTop,
+      s"no multi-char piece pruned: ${vocab.count(_._2 > 1L)}")
+    assert(vocab.filter(_._2 > 1L).forall(_._3 > 0L), "a kept multi-char piece has zero usage")
+    // segmentation under the trained vocab reconstructs every word exactly
+    val seg = Text.unigramSegmentOn(docs)
+      .select("word", "segmentation", "n_pieces").as[(String, String, Long)].collect()
+    assert(seg.nonEmpty)
+    seg.foreach { case (w, s, k) =>
+      assert(s.split(" ").mkString === w, s"segmentation does not tile '$w': '$s'")
+      assert(s.split(" ").length.toLong === k)
+    }
+    // every char of every word is in the vocab (the [UNK]-free closure)
+    val pieces = vocab.map(_._1).toSet
+    seg.foreach { case (w, _, _) =>
+      w.foreach(c => assert(pieces.contains(c.toString), s"char '$c' missing from vocab")) }
+    spark.catalog.clearCache()
+  }
+
+  test("tokenizer fertility: the three tokenizers see the identical word multiset per lang") {
+    val out = Text.tokenizerFertility(spark, "/root/testdata/sf0.001")
+      .select("tokenizer", "lang", "n_words", "n_subwords", "fertility")
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSet === Set("bpe", "unigram", "wordpiece"))
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      assert(rows.map(_._3).distinct.length === 1,
+        s"$lang: tokenizers disagree on the shared stream size: $rows")
+    }
+    out.foreach { case (t, l, nw, ns, f) =>
+      assert(nw > 0 && ns >= nw, s"$t/$l: fewer subwords than words")
+      assert(f >= 1.0, s"$t/$l fertility $f < 1")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("BM25 on real data: ranked scores are positive, non-increasing, and bounded to top-k") {
     val got = Text.bm25TopK(spark, "/root/testdata/sf0.001")
       .select("query_id", "rank", "score")
