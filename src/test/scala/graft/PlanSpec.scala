@@ -439,6 +439,51 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("gate drift: reads the frozen feature warehouses, never the corpus text") {
+    val p = plan(graft.ext.Corpus.gateDrift(spark, dir))
+    // both snapshots' gate bits come from frozen manifest-family state
+    assert(p.contains("graft_manifest_base"),
+      "old-snapshot rates do not read the frozen base features:\n" + p.take(3000))
+    assert(p.contains("graft_manifest_rolled"),
+      "new-snapshot rates do not read the frozen rolled features:\n" + p.take(3000))
+    assert(!p.contains("documents.parquet"),
+      "gate drift re-scans the corpus:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    spark.catalog.clearCache()
+  }
+
+  test("hybrid RRF: probe sides broadcast, no cartesian, postings vocab-filtered") {
+    Seq(graft.ext.Text.hybridRrf(spark, dir),
+        graft.ext.Text.hybridRecall(spark, dir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p.take(3000))
+      // the dense pass joins the corpus against the BROADCAST probe matrix
+      // (<>-keyed → nested loop); every sparse-side model join broadcasts
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        "dense probe side not broadcast:\n" + p.take(3000))
+      assert(p.contains("BroadcastHashJoin"),
+        "sparse model/vocab joins not broadcast:\n" + p.take(3000))
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("unigram segment: frozen vocab replays as a local table, one lexicon census scan") {
+    val p = plan(graft.ext.Text.unigramSegment(spark, dir))
+    // the trained vocabulary is model-sized driver state (the bpe_merges
+    // convention) — it must enter the plan as a local table, not retrain
+    assert(p.contains("LocalTableScan") || p.contains("ReusedExchange"),
+      "frozen vocab did not replay:\n" + p.take(3000))
+    // at most one corpus read reaches the plan: the lexicon census —
+    // either its parquet scan, or the trainer's persisted lexicon served
+    // back from cache (an InMemoryTableScan whose printed relation
+    // repeats the path, so the TEXT bound is 2 mentions; the census is
+    // one subtree either way and no second consumer of docs exists)
+    assert("documents\\.parquet".r.findAllIn(p).size <= 2,
+      "segment re-scans the corpus beyond the one lexicon census:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("mm gate patterns: rides the frozen funnel rows, never re-composes the gates") {
     val p = plan(graft.multimodal.Multimodal.mmGatePatterns(spark, dir))
     assert(p.contains("graft_mm_funnel"),
