@@ -1208,19 +1208,43 @@ object Text {
       .filter(col("rank") <= lit(topK.toLong))
   }
 
-  def hybridRrfOn(docs: DataFrame, embeddings: DataFrame): DataFrame = {
-    val probeIds = graft.ext.Similarity.probeFilter(embeddings)
-      .select(col("vec_id").as("q_id"))
-    rrfFuse(hybridDense(embeddings), hybridSparse(docs, probeIds))
-      .select(col("q_id").as("query_id"), col("rank"), col("doc_id"),
+  private def rrfProject(fused: DataFrame): DataFrame =
+    fused.select(col("q_id").as("query_id"), col("rank"), col("doc_id"),
         coalesce(col("r_dense"), lit(-1L)).as("r_dense"),
         coalesce(col("r_sparse"), lit(-1L)).as("r_sparse"),
         r6(col("rrf")).as("rrf_score"))
       .orderBy("query_id", "rank")
+
+  def hybridRrfOn(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val probeIds = graft.ext.Similarity.probeFilter(embeddings)
+      .select(col("vec_id").as("q_id"))
+    rrfProject(rrfFuse(hybridDense(embeddings), hybridSparse(docs, probeIds)))
   }
 
-  def hybridRrf(spark: SparkSession, dir: String): DataFrame =
-    hybridRrfOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+  /** Frozen per-corpus rank lists of the two retrieval systems — each is
+    * (probes × depth)-sized, a MODEL (the bpe_merges convention), so the
+    * suite pays the corpus-scan dense pass and the tokenize+postings
+    * sparse pass once, not once per hybrid row. */
+  private val hybridCache = new graft.ops.FrozenCaches.Memo[
+      (Int, Int), (Seq[(Long, Long, Long)], Seq[(Long, Long, Long)])](
+    label = "hybrid_lists")
+
+  private def frozenHybridLists(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val (d, s) = hybridCache.get(dir, (HybridDepth, graft.ext.Similarity.ProbeBudget)) {
+      val docs = Tables.documents(spark, dir)
+      val emb = Tables.embeddings(spark, dir)
+      val probeIds = graft.ext.Similarity.probeFilter(emb).select(col("vec_id").as("q_id"))
+      (hybridDense(emb).as[(Long, Long, Long)].collect().toSeq,
+        hybridSparse(docs, probeIds).as[(Long, Long, Long)].collect().toSeq)
+    }
+    (d.toDF("q_id", "doc_id", "r_dense"), s.toDF("q_id", "doc_id", "r_sparse"))
+  }
+
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val (d, s) = frozenHybridLists(spark, dir)
+    rrfProject(rrfFuse(d, s))
+  }
 
   /** The dense + sparse + fused CTE chain shared by both hybrid oracles:
     * relations `d` (q_id, doc_id, r_dense), `s` (…, r_sparse), `f`
@@ -1282,11 +1306,18 @@ object Text {
     * division per row. Reports whether fusion actually buys recall over
     * either half alone on this corpus. */
   def hybridRecallOn(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val probeIds = graft.ext.Similarity.probeFilter(embeddings)
+      .select(col("vec_id").as("q_id"))
+    hybridRecallFrom(embeddings,
+      hybridDense(embeddings).localCheckpoint(),   // probes × depth
+      hybridSparse(docs, probeIds).localCheckpoint())
+  }
+
+  /** The eval over caller-supplied (frozen) rank lists. */
+  def hybridRecallFrom(embeddings: DataFrame, dense: DataFrame,
+                       sparse: DataFrame): DataFrame = {
     import graft.ext.Similarity
     val k = HybridTopK
-    val probeIds = Similarity.probeFilter(embeddings).select(col("vec_id").as("q_id"))
-    val dense = hybridDense(embeddings).localCheckpoint()   // probes × depth
-    val sparse = hybridSparse(docs, probeIds).localCheckpoint()
     val fused = rrfFuse(dense, sparse).select(col("q_id"), col("doc_id"), col("rank"))
     val lab = embeddings.select(col("vec_id").as("doc_id"), col("label"))
     val qlab = Similarity.probeFilter(embeddings)
@@ -1314,8 +1345,10 @@ object Text {
       .orderBy("system")
   }
 
-  def hybridRecall(spark: SparkSession, dir: String): DataFrame =
-    hybridRecallOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+  def hybridRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (d, s) = frozenHybridLists(spark, dir)
+    hybridRecallFrom(Tables.embeddings(spark, dir), d, s)
+  }
 
   lazy val hybridRecallSql: String = {
     val k = HybridTopK
@@ -1771,7 +1804,11 @@ object Text {
               val j = (p - l).cast("int")
               val prev = element_at(acc, j)
               val wgt = element_at(col("vm"), col("w").substr(j, l.cast("int")))
-              when(wgt.isNotNull, struct(
+              // prev-score guard: under a caller-supplied vocab a position
+              // can be UNREACHABLE (its dp entry is the null max of an
+              // empty candidate set) — extending it would smuggle a
+              // null-score struct into later comparisons
+              when(wgt.isNotNull && prev.getField("score").isNotNull, struct(
                 (prev.getField("score") + wgt).as("score"),
                 l.as("l"),
                 concat(prev.getField("starts"), array(j)).as("starts")))
@@ -1837,9 +1874,14 @@ object Text {
   }
 
   /** The apply step: the corpus lexicon Viterbi-segmented under a given
-    * trained vocabulary (piece, weight). */
+    * trained vocabulary (piece, weight). A word the vocabulary cannot
+    * fully cover (possible only for caller-supplied vocabs — trained
+    * vocabularies carry the single-char coverage floor) has no complete
+    * path and is OMITTED, matching the oracle twin's semantics, instead
+    * of surfacing a null-starts garbage row. */
   def unigramSegmentFrom(docs: DataFrame, vocab: DataFrame): DataFrame =
     uniViterbiOn(bpeLexicon(docs).select("w", "freq"), vocab)
+      .filter(col("starts").isNotNull)
       .select(col("w").as("word"), length(col("w")).cast("long").as("n_chars"),
         size(col("starts")).cast("long").as("n_pieces"),
         concat_ws(" ", uniPieces).as("segmentation"))

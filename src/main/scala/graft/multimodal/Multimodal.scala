@@ -1579,15 +1579,18 @@ object Multimodal {
     * the FROZEN manifest, so the funnel pays a parquet read, not a CC
     * loop). */
   def mmCurationFunnelFrom(docs: DataFrame, embeddings: DataFrame,
-                           clusters: DataFrame): DataFrame = {
+                           clusters: DataFrame,
+                           checkpointClusters: Boolean = true): DataFrame = {
     // ONE caption-tower pass feeds both the gate bits and the election —
-    // checkpointed (like the cluster subtree below) so the one-pass claim
-    // is structural: without it Spark may re-evaluate the alignFilterOn
-    // subtree, internal global orderBy included, once per consuming
-    // branch unless exchange reuse happens to fire
+    // checkpointed so the one-pass claim is structural: without it Spark
+    // may re-evaluate the alignFilterOn subtree, internal global orderBy
+    // included, once per consuming branch unless exchange reuse happens
+    // to fire. The cluster frame checkpoints only when COMPUTED (the
+    // mmManifestFromState rationale): a frozen parquet read re-scans
+    // cheaply per branch and stays visible to plan pins
     val afAll = alignFilterOn(docs, embeddings).localCheckpoint()
-    val cl = clusters
-      .select("doc_id", "cluster_id", "cluster_size").localCheckpoint()
+    val cl0 = clusters.select("doc_id", "cluster_id", "cluster_size")
+    val cl = if (checkpointClusters) cl0.localCheckpoint() else cl0
     val ka = mediaKeepBestAlignedFrom(cl, afAll)
       .select("cluster_id", "keep_doc_id")
     mmFunnelAssemble(mmFunnelDocStateOn(docs),
@@ -1599,7 +1602,7 @@ object Multimodal {
 
   def mmCurationFunnel(spark: SparkSession, dir: String): DataFrame =
     mmCurationFunnelFrom(Tables.documents(spark, dir), Tables.embeddings(spark, dir),
-      frozenMediaClusters(spark, dir))
+      frozenMediaClusters(spark, dir), checkpointClusters = false)
 
   /** Joint distribution of the four media gate verdicts PER MEDIA TYPE —
     * the `t_gate_patterns` twin: which gate combinations co-fire for
@@ -1929,10 +1932,17 @@ object Multimodal {
     * Scale shape: id-keyed joins of verdict-width frames (never text or
     * payload), one |clusters|-keyed election aggregate, and pack windows
     * bounded by (media_type, shard) over the packed subset only. */
-  def mmManifestFromState(af: DataFrame, clusters: DataFrame, docLocal: DataFrame): DataFrame = {
-    // checkpointed: the cluster subtree (possibly a CC loop) must not
-    // re-run per consuming branch
-    val cl = clusters.select("doc_id", "cluster_id", "cluster_size").localCheckpoint()
+  def mmManifestFromState(af: DataFrame, clusters: DataFrame, docLocal: DataFrame,
+                          checkpointClusters: Boolean = true): DataFrame = {
+    // checkpointed when the cluster subtree is COMPUTED (a CC loop must
+    // not re-run per consuming branch — the update paths); a frozen
+    // parquet manifest passes checkpointClusters=false: re-scanning the
+    // table per branch is the point of freezing it, the copy would waste
+    // a corpus-sized materialization, and skipping the checkpoint keeps
+    // the frozen scan VISIBLE to the plan pin (a localCheckpoint would
+    // truncate the evidence to an ExistingRDD)
+    val cl0 = clusters.select("doc_id", "cluster_id", "cluster_size")
+    val cl = if (checkpointClusters) cl0.localCheckpoint() else cl0
     val ka = mediaKeepBestAlignedFrom(cl, af).select("cluster_id", "keep_doc_id")
     // the manifest ships the LEAKAGE-SAFE split (VERDICT r16 task 1):
     // docLocal carries the doc-local content-hash assignment; every
@@ -1991,11 +2001,13 @@ object Multimodal {
   def mmPipelineManifest(spark: SparkSession, dir: String): DataFrame =
     // the registered form serves the FROZEN cluster manifest into the
     // shared state assembly — the one-shot rebuild then differs from the
-    // incremental family only in where the OTHER state tables come from
+    // incremental family only in where the OTHER state tables come from;
+    // no cluster checkpoint: the parquet scan per branch IS the design
     mmManifestFromState(
       alignFilterOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir)),
       frozenMediaClusters(spark, dir),
-      mmDocLocalOn(Tables.documents(spark, dir)))
+      mmDocLocalOn(Tables.documents(spark, dir)),
+      checkpointClusters = false)
 
   /** The full composed-manifest CTE chain + final select over a snapshot
     * relation — shared by the registered manifest, the incremental row's

@@ -928,9 +928,12 @@ object Streams {
           // idempotent — duplicate feat/af rows would emit duplicate verdict
           // rows, and a pre-advanced hash index would pair the retried batch
           // against its own first attempt, silently breaking the documented
-          // last-write-wins parity. A crash BETWEEN onBatch and these writes
-          // still re-emits the batch's verdicts on retry (at-least-once
-          // output, the foreachBatch contract); state stays consistent.
+          // last-write-wins parity. This reorder closes the common failure
+          // (the batch body itself), NOT the residual window: a crash
+          // BETWEEN these five writes still double-appends the earlier ones
+          // on retry. Exactly-once state advance needs batch-id-keyed
+          // idempotent writes (per-batch subdirs + a committed manifest) —
+          // a deployment concern documented here rather than hidden.
           featNew.write.mode("append").parquet(s"$statePath/feat")
           afNew.write.mode("append").parquet(s"$statePath/af")
           // added-only stream: the index append and the fresh-pair append

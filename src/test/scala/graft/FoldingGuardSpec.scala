@@ -170,6 +170,18 @@ class FoldingGuardSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(fwd.map(_.name) == Seq("LaterVal"), s"got $fwd")
   }
 
+  test("nested object names stay disjoint from top-level objects (index shadowing guard)") {
+    // byObj keys members by BARE object name; a nested object sharing a
+    // top-level object's name would merge into (and partially shadow) the
+    // real object's member map, silently weakening rule 1's lookup. Keep
+    // the namespaces disjoint rather than qualify — one nested object
+    // exists today and new ones should pick fresh names.
+    val tops = members.map(_.obj).toSet
+    val clash = nestedMembers.map(_.obj).toSet.intersect(tops)
+    assert(clash.isEmpty,
+      s"nested objects shadow top-level objects in the guard index: $clash — rename them")
+  }
+
   test("nested-object self-check: nested members are scanned, offenders detected") {
     // the one real nested object is covered
     assert(nestedMembers.exists(m => m.obj == "StubCodec" && m.name == "decode"),

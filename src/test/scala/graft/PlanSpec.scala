@@ -390,13 +390,21 @@ class PlanSpec extends SparkSpec {
     // does not — previously each of these re-ran the full pair + CC loop
     Seq(graft.multimodal.Multimodal.mediaKeepBest(spark, dir),
         graft.multimodal.Multimodal.mediaKeepBestAligned(spark, dir),
-        graft.multimodal.Multimodal.mmSplitSafe(spark, dir)).foreach { df =>
+        graft.multimodal.Multimodal.mmSplitSafe(spark, dir),
+        // the composed manifest consumes the frozen manifest UNCHECKPOINTED
+        // so the scan stays visible here (no payload decode in its tree)
+        graft.multimodal.Multimodal.mmPipelineManifest(spark, dir)).foreach { df =>
       val p = plan(df)
       assert(p.contains("graft_mm_cluster_manifest"),
         "cluster consumer does not read the frozen manifest:\n" + p.take(3000))
       assert(!p.contains("MapPartitions"),
         "cluster consumer re-decodes payloads (pair build crept back):\n" + p.take(3000))
     }
+    // the funnel decodes per-doc BY DESIGN (the decode gate) — pin only
+    // that its cluster side is the frozen read, not a fresh pair build
+    val pf = plan(graft.multimodal.Multimodal.mmCurationFunnel(spark, dir))
+    assert(pf.contains("graft_mm_cluster_manifest"),
+      "funnel cluster side does not read the frozen manifest:\n" + pf.take(3000))
     spark.catalog.clearCache()
   }
 
@@ -452,18 +460,29 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("hybrid RRF: probe sides broadcast, no cartesian, postings vocab-filtered") {
+  test("hybrid RRF: registered rows replay frozen rank lists; compositional build broadcasts") {
+    // registered rows: both rank lists are frozen models — the plan is a
+    // local-table fusion, no corpus scan, no tokenize, no cosine pass
     Seq(graft.ext.Text.hybridRrf(spark, dir),
         graft.ext.Text.hybridRecall(spark, dir)).foreach { df =>
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), p.take(3000))
-      // the dense pass joins the corpus against the BROADCAST probe matrix
-      // (<>-keyed → nested loop); every sparse-side model join broadcasts
-      assert(p.contains("BroadcastNestedLoopJoin"),
-        "dense probe side not broadcast:\n" + p.take(3000))
-      assert(p.contains("BroadcastHashJoin"),
-        "sparse model/vocab joins not broadcast:\n" + p.take(3000))
+      assert(p.contains("LocalTableScan"),
+        "frozen rank lists did not replay:\n" + p.take(3000))
+      assert(!p.contains("documents.parquet"),
+        "registered hybrid row re-scans the corpus:\n" + p.take(3000))
     }
+    // compositional form: the dense pass joins the corpus against the
+    // BROADCAST probe matrix (<>-keyed → nested loop); the sparse-side
+    // model joins broadcast
+    val docs = graft.ops.Tables.documents(spark, dir)
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    val pc = plan(graft.ext.Text.hybridRrfOn(docs, emb))
+    assert(!pc.contains("CartesianProduct"), pc.take(3000))
+    assert(pc.contains("BroadcastNestedLoopJoin"),
+      "dense probe side not broadcast:\n" + pc.take(3000))
+    assert(pc.contains("BroadcastHashJoin"),
+      "sparse model/vocab joins not broadcast:\n" + pc.take(3000))
     spark.catalog.clearCache()
   }
 
