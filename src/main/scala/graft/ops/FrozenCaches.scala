@@ -302,10 +302,18 @@ object FrozenCaches {
     }
   }
 
+  /** Store directory name for a label: prefixed `graft_<label>` so a
+    * store-backed parquet scan carries the same `graft_…` marker near the
+    * FRONT of its path as a freshly built temp-dir artifact — the
+    * plan-pin specs match that marker in the FileScan location, which
+    * explain truncates to ~100 chars (the lineage/generation hashes would
+    * push a suffix marker past the cut). */
+  private def labelDir(label: String): String = "graft_" + label
+
   private def storeLoad[V](root: java.nio.file.Path, label: String,
                            lineage: String, gen: String): Option[V] = try {
     import java.nio.file.Files
-    val genDir = root.resolve(label).resolve(lineage).resolve(gen)
+    val genDir = root.resolve(labelDir(label)).resolve(lineage).resolve(gen)
     if (!Files.exists(genDir.resolve("_frozen_ok"))) None
     else {
       val in = new java.io.ObjectInputStream(
@@ -329,7 +337,7 @@ object FrozenCaches {
                               lineage: String, gen: String, dir: String,
                               v: V): Option[V] = {
     import java.nio.file.Files
-    val lineageDir = root.resolve(label).resolve(lineage)
+    val lineageDir = root.resolve(labelDir(label)).resolve(lineage)
     val genDir = lineageDir.resolve(gen)
     var tmp: java.nio.file.Path = null
     var movedFrom: String = null
@@ -341,11 +349,16 @@ object FrozenCaches {
       val v2 = roots match {
         case Nil => v
         case r :: _ =>
-          moveTree(java.nio.file.Paths.get(r), tmp.resolve("r0"))
+          // keep the temp root's BASENAME (`graft_<label>…`): the plan-pin
+          // specs prove frozen-warehouse reads by matching that marker in
+          // the scan path, and a store-relocated artifact must carry the
+          // same evidence as a freshly built one
+          val base = java.nio.file.Paths.get(r).getFileName.toString
+          moveTree(java.nio.file.Paths.get(r), tmp.resolve(base))
           movedFrom = r
           // remap against the FINAL location; valid the moment tmp is
           // renamed to genDir (inside the memo lock, so no reader races)
-          remapPaths(v, r, genDir.resolve("r0").toString).asInstanceOf[V]
+          remapPaths(v, r, genDir.resolve(base).toString).asInstanceOf[V]
       }
       val out = new java.io.ObjectOutputStream(
         Files.newOutputStream(tmp.resolve("value.bin")))
@@ -360,8 +373,10 @@ object FrozenCaches {
           val theirs = storeLoad[V](root, label, lineage, gen)
           if (theirs.isEmpty) {
             // theirs is unreadable; restore our temp root and stay in-JVM
-            if (movedFrom != null)
-              moveTree(tmp.resolve("r0"), java.nio.file.Paths.get(movedFrom))
+            if (movedFrom != null) {
+              val from = java.nio.file.Paths.get(movedFrom)
+              moveTree(tmp.resolve(from.getFileName.toString), from)
+            }
             deleteTree(tmp.toString)
             return None
           }
@@ -382,10 +397,12 @@ object FrozenCaches {
       case _: Throwable =>
         // best-effort rollback so the in-JVM value's paths stay live
         try {
-          if (movedFrom != null && tmp != null &&
-              Files.exists(tmp.resolve("r0")) &&
-              !Files.exists(java.nio.file.Paths.get(movedFrom)))
-            moveTree(tmp.resolve("r0"), java.nio.file.Paths.get(movedFrom))
+          if (movedFrom != null && tmp != null) {
+            val from = java.nio.file.Paths.get(movedFrom)
+            val staged = tmp.resolve(from.getFileName.toString)
+            if (Files.exists(staged) && !Files.exists(from))
+              moveTree(staged, from)
+          }
           if (tmp != null) deleteTree(tmp.toString)
         } catch { case _: Throwable => () }
         None
