@@ -40,9 +40,36 @@ object Bench {
     // round's bench diff to re-derive it (VERDICT r11 task 3).
     ops.FrozenCaches.drainBuildLog() // warmup-phase builds attribute to "warmup"
     val builds = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
+    // Per-query shuffle/spill/peak-memory accounting (VERDICT r17 task 7):
+    // on a shared noisy box, seconds drift with load but BYTES are
+    // deterministic per plan — a scale regression (new shuffle, new spill)
+    // shows up here even when the wall-clock hides it. Task-end events are
+    // summed by a listener; the post-query 300 ms GC sleep doubles as the
+    // listener-bus flush window, so per-query deltas (covering BOTH timed
+    // runs) are attributed to the right query in practice. Diagnostics,
+    // not a gate — a late-flushed event lands in the next query's bucket
+    // at worst.
+    import java.util.concurrent.atomic.AtomicLong
+    val (mRead, mWrite, mSpill, mPeak) =
+      (new AtomicLong, new AtomicLong, new AtomicLong, new AtomicLong)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          mRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          mWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          mSpill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          mPeak.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
+        }
+      }
+    })
+    def mb(bytes: Long): Double = math.round(bytes / 1048.576) / 1000.0
+    val io = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double, Double)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      val (r0, w0, s0) = (mRead.get(), mWrite.get(), mSpill.get())
+      mPeak.set(0L)
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => errored += name }
@@ -70,6 +97,8 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
       Thread.sleep(300) // let concurrent GC cycles finish outside the next query's timing
+      io(name) = (mb(mRead.get() - r0), mb(mWrite.get() - w0),
+        mb(mSpill.get() - s0), mb(mPeak.get()))
       name -> times.min
     }.toMap.filterNot { case (name, _) => errored.contains(name) }
     // The driver records a bounded TAIL of this line, truncating the FRONT
@@ -95,7 +124,15 @@ object Bench {
     val ledger = builds.map { case (a, q, s) =>
       "{\"artifact\":\"" + a + "\",\"built_by\":\"" + q + "\",\"sec\":" + r3(s) + "}"
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","frozen_builds":$ledger,"queries":$qs,"slowest":$slow,"errors":$errs,"n_errors":${errored.size},"total_sec":$total}""")
+    // per-query [shuffle read, shuffle write, spill, peak exec memory] in
+    // MB over the query's two timed runs — expendable zone (before the
+    // per-query seconds); totals repeat in the guaranteed tail below
+    val ioJson = io.toSeq.sortBy(_._1)
+      .map { case (k, (r, w, s, p)) => "\"" + k + "\":[" + r + "," + w + "," + s + "," + p + "]" }
+      .mkString("{", ",", "}")
+    def r1(v: Double): Double = math.round(v * 10.0) / 10.0
+    val ioTotals = s""""shuffle_read_mb":${r1(io.valuesIterator.map(_._1).sum)},"shuffle_write_mb":${r1(io.valuesIterator.map(_._2).sum)},"spill_mb":${r1(io.valuesIterator.map(_._3).sum)},"peak_mem_mb_max":${r1(io.valuesIterator.map(_._4).foldLeft(0.0)(math.max))}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","frozen_builds":$ledger,"io_mb":$ioJson,"queries":$qs,"slowest":$slow,"errors":$errs,"n_errors":${errored.size},$ioTotals,"total_sec":$total}""")
     spark.stop()
   }
 }
