@@ -498,15 +498,24 @@ object Corpus {
     * split) every member inherits — the SQL twin of
     * [[inheritedSplitFrom]], composed by the split-safe oracles AND both
     * composed-manifest oracle chains so the leakage-safe rule cannot
-    * drift between the audit repair and the shipped artifact. */
+    * drift between the audit repair and the shipped artifact. `sp`
+    * covers EVERY doc of `rel`, falling back to the doc's own
+    * content-hash split when it is absent from `dcRel` (or its
+    * canonical is) — mirroring the Scala manifests'
+    * coalesce(safe_split, own_split) belt (Corpus/Multimodal), so the
+    * twin contract holds even for library callers handing partial
+    * cluster state (ADVICE r17: the twins previously diverged there —
+    * registered entries were unaffected because CC covers every doc). */
   def inheritedSplitCtesFor(rel: String, dcRel: String): String =
     s"""sph AS (SELECT doc_id, ${splitHashSql("text")} AS h FROM $rel),
        |spo AS (SELECT doc_id, ${splitCaseSql("h")} AS split FROM sph),
        |spc AS (SELECT d.cluster_id, spo.split
        |        FROM $dcRel d JOIN spo ON d.doc_id = spo.doc_id
        |        WHERE d.doc_id = d.cluster_id),
-       |sp AS (SELECT d.doc_id, spc.split AS split
-       |       FROM $dcRel d JOIN spc ON d.cluster_id = spc.cluster_id)""".stripMargin
+       |sp AS (SELECT spo.doc_id, coalesce(spc.split, spo.split) AS split
+       |       FROM spo
+       |       LEFT JOIN $dcRel d ON spo.doc_id = d.doc_id
+       |       LEFT JOIN spc ON d.cluster_id = spc.cluster_id)""".stripMargin
 
   /** Parameterized twin over an arbitrary snapshot relation (see
     * [[graft.ext.Text.textStatsSqlFor]]). */
@@ -2168,7 +2177,9 @@ object Corpus {
     // class tracks exactly that. The own-split coalesce fallback fires
     // only for spine docs absent from the cluster manifest (none via the
     // registered entry points — CC covers every doc; belt for library
-    // callers handing partial cluster state).
+    // callers handing partial cluster state). The SQL twin's `sp` CTE
+    // carries the SAME fallback ([[inheritedSplitCtesFor]]), so the twin
+    // contract holds under partial cluster state too.
     val inh = inheritedSplitFrom(dc,
         sp.select(col("doc_id"), col("split").as("own_split")))
       .select(col("doc_id"), col("split").as("safe_split"))

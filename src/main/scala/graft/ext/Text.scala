@@ -1181,10 +1181,14 @@ object Text {
     val qt = toks.join(broadcast(probeIds), col("doc_id") === col("q_id"))
       .select(col("q_id").as("query_id"), explode(array_distinct(col("t"))).as("term"))
     val dl = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    // feeds the df census AND the scoring join — deliberately NOT
+    // persisted (ADVICE r17: a lazy library path must not leak a cache it
+    // can never release): the two consumers contain the IDENTICAL
+    // tf-aggregate Exchange subtree, so ReuseExchange dedups it and the
+    // tokenize+postings scan runs once per materialization anyway
     val tf = toks.select(col("doc_id"), explode(col("t")).as("term"))
       .join(broadcast(qt.select("term").distinct()), Seq("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist() // feeds the df census AND the scoring join; vocab-bounded
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val w = Window.partitionBy("query_id")
@@ -1773,9 +1777,14 @@ object Text {
       .select(col("w").substr(col("p"), col("l")).as("piece"), col("freq"))
       .groupBy("piece").agg(sum(col("freq")).as("cnt"))
       .persist() // feeds the char floor AND the top-K pick
-    val multi = subs.filter(length(col("piece")) >= 2)
-      .orderBy(col("cnt").desc, col("piece")).limit(UniSeedTop)
-    subs.filter(length(col("piece")) === 1).unionByName(multi)
+    // the seed is model-sized (chars + UniSeedTop rows): materialize it
+    // eagerly so the substring cache can be released HERE instead of
+    // leaking into a long-lived session (ADVICE r17)
+    try subs.filter(length(col("piece")) === 1)
+      .unionByName(subs.filter(length(col("piece")) >= 2)
+        .orderBy(col("cnt").desc, col("piece")).limit(UniSeedTop))
+      .localCheckpoint()
+    finally subs.unpersist(blocking = false)
   }
 
   /** Micronat weights from counts — the ONE float op of the trainer. */
@@ -1837,22 +1846,27 @@ object Text {
     * the registered rows replay the FROZEN vocabulary. */
   def unigramTrainOn(docs: DataFrame, rounds: Int = UniEmRounds): DataFrame = {
     val lex = bpeLexicon(docs).select("w", "freq").persist()
-    var vocab = uniWeighted(uniSeedOn(lex)).localCheckpoint()
-    for (_ <- 1 to rounds) {
-      val counts = uniViterbiOn(lex, vocab)
-        .select(col("freq"), explode(uniPieces).as("piece"))
-        .groupBy("piece").agg(sum(col("freq")).as("used"))
-      vocab = uniWeighted(
-        vocab.select("piece").join(counts, Seq("piece"), "left")
-          .select(col("piece"),
-            (coalesce(col("used"), lit(0L)) +
-              when(length(col("piece")) === 1, lit(1L)).otherwise(lit(0L))).as("cnt"))
-          .filter(col("cnt") > lit(0L)))
-        .localCheckpoint()
-    }
-    vocab.select(col("piece"), length(col("piece")).cast("long").as("n_chars"),
-        col("cnt"), col("wgt").as("weight"))
-      .orderBy("piece")
+    // every lex consumer (seed + each EM round) lands in an EAGER
+    // localCheckpoint, so the lexicon cache is released before returning
+    // (ADVICE r17) — the returned frame depends only on the final vocab
+    try {
+      var vocab = uniWeighted(uniSeedOn(lex)).localCheckpoint()
+      for (_ <- 1 to rounds) {
+        val counts = uniViterbiOn(lex, vocab)
+          .select(col("freq"), explode(uniPieces).as("piece"))
+          .groupBy("piece").agg(sum(col("freq")).as("used"))
+        vocab = uniWeighted(
+          vocab.select("piece").join(counts, Seq("piece"), "left")
+            .select(col("piece"),
+              (coalesce(col("used"), lit(0L)) +
+                when(length(col("piece")) === 1, lit(1L)).otherwise(lit(0L))).as("cnt"))
+            .filter(col("cnt") > lit(0L)))
+          .localCheckpoint()
+      }
+      vocab.select(col("piece"), length(col("piece")).cast("long").as("n_chars"),
+          col("cnt"), col("wgt").as("weight"))
+        .orderBy("piece")
+    } finally lex.unpersist(blocking = false)
   }
 
   /** Frozen trained vocabulary per (corpus, knobs) — model-sized, the
@@ -1993,17 +2007,23 @@ object Text {
                              uniLex: DataFrame, wpLex: DataFrame): DataFrame = {
     val stream = docs.select(col("lang"), explode(tokens(col("text"))).as("w"))
       .filter(col("w").rlike("^[a-z0-9]+$"))
-      .persist() // three joins, one stream pass each; released by the bench
+      .persist() // three joins, one stream pass each
     def side(lex: DataFrame, name: String): DataFrame =
       stream.join(broadcast(lex.select(col("word").as("w"), col("n_pieces"))), Seq("w"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_subwords"))
         .select(lit(name).as("tokenizer"), col("lang"), col("n_words"), col("n_subwords"),
           r6(col("n_subwords").cast("double") / col("n_words")).as("fertility"))
-    side(bpeLex, "bpe")
+    // the comparison table is (3 × langs) rows: materialize it eagerly so
+    // the corpus-sized token-stream cache is released HERE rather than
+    // left for the bench's blanket unpersist (ADVICE r17 — a notebook
+    // session would accumulate one stream cache per call)
+    try side(bpeLex, "bpe")
       .unionByName(side(uniLex, "unigram"))
       .unionByName(side(wpLex, "wordpiece"))
       .orderBy("tokenizer", "lang")
+      .localCheckpoint()
+    finally stream.unpersist(blocking = false)
   }
 
   def tokenizerFertilityOn(docs: DataFrame): DataFrame =

@@ -180,6 +180,17 @@ class FoldingGuardSpec extends org.scalatest.funsuite.AnyFunSuite {
     val clash = nestedMembers.map(_.obj).toSet.intersect(tops)
     assert(clash.isEmpty,
       s"nested objects shadow top-level objects in the guard index: $clash — rename them")
+    // ADVICE r17: two NESTED objects sharing a bare name in different
+    // files would also merge member maps in byObj and could mask a rule-1
+    // offender. Rule 2 is already file-guarded (t.file == m.file), so the
+    // remaining hole is exactly this collision — keep nested names
+    // globally unique rather than qualify the index (the codebase has one
+    // nested object; new ones pick fresh names or this fails loudly).
+    val nestedDup = nestedMembers.groupBy(_.obj)
+      .map { case (o, ms) => o -> ms.map(_.file).toSet }
+      .filter(_._2.size > 1)
+    assert(nestedDup.isEmpty,
+      s"same-named nested objects in different files merge in the guard index: $nestedDup — rename them")
   }
 
   test("nested-object self-check: nested members are scanned, offenders detected") {
