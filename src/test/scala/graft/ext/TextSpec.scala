@@ -410,6 +410,49 @@ class TextSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("hybrid against: user-query path ranks the query's own-embedding doc dense-first") {
+    val out = Text.hybridAgainst(spark, "/root/testdata/sf0.001")
+      .select("query_id", "rank", "doc_id", "r_dense", "r_sparse", "rrf_score")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    val qids = Text.Bm25Queries.map(_._1).distinct.sorted
+    // exactly topK fused rows per query, ranks 1..K
+    qids.foreach { q =>
+      val ranks = out.filter(_._1 == q).map(_._2).sorted.toSeq
+      assert(ranks === (1L to Text.HybridTopK.toLong),
+        s"query $q fused ranks: $ranks")
+    }
+    // sentinel convention inherited from the fixed-probe row
+    assert(out.forall { r => r._4 >= -1L && r._5 >= -1L &&
+      r._4 <= Text.HybridDepth.toLong && r._5 <= Text.HybridDepth.toLong })
+    // score form: the query VECTOR is the embedding of vec_id == q_id, so
+    // that pair's cosine is exactly 1.0 and maximal for its query (no
+    // self exclusion on the user-supplied path: queries are external
+    // objects, every corpus doc is a candidate)
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+      .join(graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+    val queries = Text.Bm25Queries.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (q, ts) => (q, ts.map(_._2).mkString(" ")) }
+      .toDF("q_id", "q_text")
+      .join(graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .filter(col("vec_id") <= 2L)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), Seq("q_id"))
+    val (dft, stats) = Text.bm25StatsOn(docs)
+    val scores = Text.hybridScoreAgainstOn(docs, queries, dft, stats)
+      .select("query_id", "doc_id", "cos", "bm25", "n_terms_hit")
+      .as[(Long, Long, Double, Double, Long)].collect()
+    qids.foreach { q =>
+      val mine = scores.filter(_._1 == q)
+      assert(mine.nonEmpty)
+      val self = mine.find(_._2 == q).get
+      assert(self._3 === 1.0, s"query $q self-cosine ${self._3} != 1")
+      assert(mine.forall(_._3 <= self._3 + 1e-9), s"query $q: a doc outscores self-cosine")
+      assert(mine.exists(_._5 > 0L), s"query $q: no sparse term hit at sf0.001")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("unigram Viterbi: max-score path wins; score ties prefer the longer FINAL piece") {
     def docs(rows: (Long, String)*) =
       rows.toDF("doc_id", "text")
