@@ -2253,6 +2253,84 @@ object Corpus {
        |FROM verdict v LEFT JOIN pdoc p ON v.doc_id = p.doc_id
        |ORDER BY v.doc_id""".stripMargin
 
+  // --------------------------------- published manifest (layout read side)
+  /** The composed manifest PUBLISHED as a laid-out catalog table —
+    * partitioned by split, bucketed+sorted by doc_id
+    * ([[graft.sources.Formats.writePartitionedBucketed]]) — and the
+    * consumer read that proves the layout pays (VERDICT r17 task 5): a
+    * trainer-side rejoin (manifest ⨝ documents on doc_id) where the
+    * manifest side needs NO exchange (the bucketed scan already hash-
+    * distributes on the join key) and the split filter prunes val/test at
+    * the DIRECTORY level (PartitionFilters in the scan, not a post-scan
+    * filter) — both pinned in PlanSpec.
+    *
+    * Published once per (JVM, corpus): bucket metadata lives in the
+    * session catalog, and this environment's in-memory catalog does not
+    * survive the JVM — a production deployment points the same writer at
+    * a persistent metastore and publishes once per snapshot. At 100 TB
+    * the published manifest is the artifact every downstream trainer and
+    * eval harness reads instead of re-running the composition, and the
+    * bucket count scales with the cluster (buckets ≈ shuffle
+    * parallelism), not with this row's demo constant. */
+  val ManifestPublishBuckets = 8
+  private val publishCache = new graft.ops.FrozenCaches.Memo[Int, String]()
+
+  private def publishedManifest(spark: SparkSession, dir: String): String =
+    publishCache.get(dir, ManifestPublishBuckets) {
+      val tbl = "graft_manifest_pub_" + java.lang.Long.toHexString(
+        java.lang.Integer.toUnsignedLong(dir.hashCode))
+      // a PREVIOUS JVM's publish leaves its warehouse directory behind
+      // while the in-memory catalog forgets the table — managed CTAS then
+      // refuses the location. Drop both sides before (re)publishing; with
+      // a persistent metastore the DROP alone would carry the directory.
+      // (Local-filesystem warehouse only — a remote warehouse is managed
+      // by its metastore and never hits the orphan-directory case.)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      try {
+        val u = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+        if (u.getScheme == null || u.getScheme == "file")
+          graft.ops.FrozenCaches.deleteTree(
+            java.nio.file.Paths.get(u.getPath).resolve(tbl).toString)
+      } catch { case _: Throwable => () }
+      graft.sources.Formats.writePartitionedBucketed(
+        pipelineManifest(spark, dir), tbl, "split", Seq("doc_id"),
+        ManifestPublishBuckets)
+      tbl
+    }
+
+  /** Registered consumer over the published table: per-shard totals of
+    * the packed train partition after the doc_id rejoin — what a trainer
+    * dashboard reads to budget shard work. */
+  def manifestConsume(spark: SparkSession, dir: String): DataFrame = {
+    val m = spark.table(publishedManifest(spark, dir))
+      .filter(col("split") === "train" && col("packed"))
+      .select("doc_id", "shard", "chunk_id")
+    val d = Tables.documents(spark, dir).select("doc_id", "lang", "n_chars")
+    m.join(d, Seq("doc_id"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("chunk_id")).as("n_chunks"),
+        sum(col("n_chars")).as("n_chars_total"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("shard")
+  }
+
+  /** Oracle: the same consumer aggregate over the composed manifest
+    * directly — published table ≡ composed manifest (the
+    * `t_pipeline_manifest` gate proves the composition; this row proves
+    * the LAYOUT read side returns identical rows). Lazy per the
+    * folding-guard rule. */
+  lazy val manifestConsumeSql: String =
+    s"""WITH man AS (
+       |  SELECT doc_id, shard, chunk_id FROM ($pipelineManifestSql)
+       |  WHERE split = 'train' AND packed)
+       |SELECT m.shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(DISTINCT m.chunk_id) AS BIGINT) AS n_chunks,
+       |       CAST(sum(d.n_chars) AS BIGINT) AS n_chars_total,
+       |       CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs
+       |FROM man m JOIN documents d ON m.doc_id = d.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------- incremental pipeline manifest
   /** The parameterized manifest composition: [[pipelineManifestSql]]'s
     * body with every stage oracle re-pointed at a `spine` snapshot
@@ -3014,6 +3092,7 @@ object Corpus {
     Q("t_seq_pack", seqPack _, seqPackSql),
     Q("t_seq_pack_sharded", seqPackSharded _, seqPackShardedSql),
     Q("t_pipeline_manifest", pipelineManifest _, pipelineManifestSql),
+    Q("t_manifest_consume", manifestConsume _, manifestConsumeSql),
     Q("t_manifest_base", manifestBase _, manifestBaseSql),
     Q("t_manifest_delta", manifestDelta _, manifestDeltaSql),
     Q("t_gate_drift", gateDrift _, gateDriftSql),

@@ -90,6 +90,22 @@ object Formats {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Partitioned AND bucketed catalog table — the publish layout for a
+    * table with one coarse filter column and one hot join key: directory-
+    * level partition pruning on `partCol` (a consumer filtering one
+    * partition never lists the others) plus shuffle-free `bucketCols`
+    * joins within each partition. The composed training manifest is the
+    * canonical case: partition by split (a trainer reads train/, an eval
+    * harness val/), bucket+sort by doc_id (every consumer rejoin). */
+  def writePartitionedBucketed(df: DataFrame, table: String, partCol: String,
+                               bucketCols: Seq[String], nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partCol)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Range-clustered parquet: rows are range-partitioned into `nFiles` by
     * `clusterCols` and sorted within each file, so every file (and every
     * row group inside it) covers a narrow key range. Selective scans then

@@ -460,6 +460,26 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("published manifest: bucketed read joins shuffle-free, split filter prunes partitions") {
+    val p = plan(graft.ext.Corpus.manifestConsume(spark, dir))
+    // the manifest side MUST use the bucketed layout: Spark marks the scan
+    // Bucketed: true only when the planner consumed the bucket
+    // distribution (i.e. the doc_id join needed no exchange on this side —
+    // had it shuffled, the scan would read "Bucketed: false (disabled by
+    // query planner)")
+    assert(p.contains("Bucketed: true"),
+      "manifest scan does not ride the bucketed layout:\n" + p.take(3000))
+    assert(!p.contains("Bucketed: false"),
+      "a bucketed scan was planned but disabled:\n" + p.take(3000))
+    // split=train is a PARTITION filter (directory pruning), not a
+    // post-scan predicate over data rows
+    assert(p.contains("PartitionFilters: [") &&
+      p.replaceAll("\n", " ").matches(".*PartitionFilters: \\[[^\\]]*split[^\\]]*train.*"),
+      "split filter did not reach PartitionFilters:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("hybrid RRF: registered rows replay frozen rank lists; compositional build broadcasts") {
     // registered rows: both rank lists are frozen models — the plan is a
     // local-table fusion, no corpus scan, no tokenize, no cosine pass
@@ -483,6 +503,17 @@ class PlanSpec extends SparkSpec {
       "dense probe side not broadcast:\n" + pc.take(3000))
     assert(pc.contains("BroadcastHashJoin"),
       "sparse model/vocab joins not broadcast:\n" + pc.take(3000))
+    // user-supplied-query path: frozen q-stats replay as local tables, the
+    // query matrix broadcasts against the data scan (|rows| × |queries|
+    // BNLJ — query-count-bounded), the sparse model joins broadcast
+    val pa = plan(graft.ext.Text.hybridAgainst(spark, dir))
+    assert(!pa.contains("CartesianProduct"), pa.take(3000))
+    assert(pa.contains("LocalTableScan"),
+      "frozen hybrid q-stats did not replay:\n" + pa.take(3000))
+    assert(pa.contains("BroadcastNestedLoopJoin"),
+      "query matrix not broadcast on the dense side:\n" + pa.take(3000))
+    assert(pa.contains("BroadcastHashJoin"),
+      "sparse model/vocab joins not broadcast:\n" + pa.take(3000))
     spark.catalog.clearCache()
   }
 
