@@ -32,6 +32,88 @@ object Streams {
     if (fs.exists(p)) Some(spark.read.parquet(path)) else None
   }
 
+  // --------------------------------- batch-id-keyed idempotent state
+  /** Exactly-once state advance for the stateful foreachBatch loops
+    * ([[minhashDedupBatches]], [[mediaDedupBatches]],
+    * [[mmCurationFunnelBatches]] — VERDICT r17 task 4): foreachBatch
+    * guarantees at-least-once INVOCATION, so a crash after some state
+    * writes re-runs the batch, and a plain `mode(append)` would
+    * double-ingest the earlier writes. State is therefore keyed by batch
+    * id:
+    *
+    *  - each batch writes its contribution under `<root>/<name>/b<id>`
+    *    with `mode(overwrite)` — a retry clobbers only its OWN partial
+    *    leftovers, never a neighbor batch's rows;
+    *  - a commit marker `<root>/_commits/<id>` is written once, AFTER
+    *    every write of the batch succeeded — the transaction boundary;
+    *  - readers union only COMMITTED batches with id < their own, so a
+    *    retried batch (committed or not) recomputes bit-identical
+    *    emissions from bit-identical inputs and rewrites bit-identical
+    *    state. Replay is idempotent end to end, the re-emitted output
+    *    satisfying foreachBatch's at-least-once sink contract.
+    *
+    * Everything goes through the path's own Hadoop filesystem, so local
+    * temp dirs and object stores behave the same. Marker files are
+    * per-batch and tiny; snapshot-type state (the funnel's cluster
+    * manifest) stores one snapshot per batch dir and reads the LATEST
+    * committed one, with superseded snapshots pruned after commit. */
+  private def stateFs(spark: SparkSession, root: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def committedIds(spark: SparkSession, root: String): Set[Long] = {
+    val fs = stateFs(spark, root)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/_commits")
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).toSeq
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption).toSet
+  }
+
+  private def commitBatch(spark: SparkSession, root: String, id: Long): Unit = {
+    val fs = stateFs(spark, root)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$root/_commits/$id"), true)
+    out.close()
+  }
+
+  private def writeBatchState(df: DataFrame, root: String, name: String, id: Long): Unit =
+    df.write.mode("overwrite").parquet(s"$root/$name/b$id")
+
+  /** Union of `name` contributions from committed batches BEFORE `id`
+    * (exclusive — a retried batch must not read its own first attempt). */
+  private def committedStateBefore(spark: SparkSession, root: String, name: String,
+                                   id: Long, committed: Set[Long]): Option[DataFrame] = {
+    val dirs = committed.filter(_ < id).toSeq.sorted.map(j => s"$root/$name/b$j")
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+
+  /** Latest committed snapshot of `name` before `id` (snapshot-type state:
+    * each batch dir holds a full rewrite, not a delta). */
+  private def committedSnapshotBefore(spark: SparkSession, root: String, name: String,
+                                      id: Long, committed: Set[Long]): Option[DataFrame] = {
+    val before = committed.filter(_ < id)
+    if (before.isEmpty) None
+    else Some(spark.read.parquet(s"$root/$name/b${before.max}"))
+  }
+
+  /** Best-effort prune of snapshot dirs superseded by the just-committed
+    * `id` — storage hygiene only; correctness never depends on it (readers
+    * pick the latest committed id regardless). The IMMEDIATE predecessor
+    * is kept: a post-commit crash can still retry batch `id`, and that
+    * retry reads the latest committed snapshot BELOW id. Only the engine's
+    * current batch is ever retried, so snapshots below the predecessor are
+    * unreachable and safe to drop. */
+  private def pruneSnapshotsBefore(spark: SparkSession, root: String, name: String,
+                                   id: Long, committed: Set[Long]): Unit =
+    try {
+      val before = committed.filter(_ < id)
+      if (before.nonEmpty) {
+        val fs = stateFs(spark, root)
+        before.filter(_ < before.max).foreach { j =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$root/$name/b$j"), true)
+        }
+      }
+    } catch { case _: Throwable => () }
+
   /** events.parquet schema with ts as raw TIMESTAMP(NANOS) int64 (read as
     * long via the same legacy conf Tables.events uses, then truncated to a
     * micros timestamp). */
@@ -424,13 +506,43 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Streaming HYBRID scoring via foreachBatch: arriving documents (one
+    * row per doc with BOTH modalities — doc_id, text, embedding) are
+    * scored against a FROZEN query table and frozen BM25 statistics
+    * through [[graft.ext.Text.hybridScoreAgainstOn]] — the deployment
+    * shape of hybrid retrieval ingest, where the query set and the sparse
+    * model are broadcast-sized state and new data streams through a
+    * stateless dense-cosine + sparse-BM25 scoring pass. Union of batch
+    * outputs equals the one-shot form over all rows seen (StreamsSpec
+    * parity); global per-query ranking/fusion is the consumer's final
+    * aggregate ([[graft.ext.Text.hybridAgainstOn]]), exactly the
+    * [[bm25Batches]] top-k convention. */
+  def hybridScoreBatches(rows: DataFrame, queries: DataFrame,
+                         dft: DataFrame, stats: DataFrame,
+                         trigger: org.apache.spark.sql.streaming.Trigger =
+                           org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                        (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    // the dense half needs the native float_dot: register BEFORE start so
+    // the streaming query's cloned session state inherits it (a session
+    // without GraftExtensions only carries imperative registrations made
+    // before the clone)
+    graft.functions.GraftFunctions.register(rows.sparkSession)
+    rows.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        onBatch(graft.ext.Text.hybridScoreAgainstOn(batch.toDF(), queries, dft, stats), id)
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** Incremental MinHash near-dup detection via foreachBatch: each
     * micro-batch's documents are signed with the SAME
     * [[graft.ext.Dedup.minhashSigsOn]] the batch job uses, banded against
     * the union of the persisted signature table and the batch itself, and
     * every candidate pair involving a new document is emitted with its
-    * estimated Jaccard; the new signatures are then appended to the
-    * signature table at `sigPath`. Signatures are deterministic functions
+    * estimated Jaccard; the new signatures then join the signature table
+    * at `sigPath` under their batch id (the exactly-once state contract
+    * above). Signatures are deterministic functions
     * of the text, so each unordered pair is emitted EXACTLY once — in the
     * micro-batch its later member arrives — and the union of all batch
     * outputs equals the one-shot batch [[graft.ext.Dedup.minhashLshOn]]
@@ -452,21 +564,35 @@ object Streams {
                          (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val D = graft.ext.Dedup
-        val spark = batch.sparkSession
-        // persisted: consumed by its own bands, the union's bands, both
-        // est-jaccard rejoins, and the state append
-        val newSigs = D.minhashSigsOn(batch.toDF(), numHashes).persist()
-        val old = readStateIfExists(spark, sigPath)
-        val all = old.map(_.unionByName(newSigs)).getOrElse(newSigs.toDF())
-        val cand = D.minhashCandidatesAgainst(newSigs, all, numHashes, numBands)
-        onBatch(D.minhashEstJaccard(cand, all, numHashes), id)
-        newSigs.write.mode("append").parquet(sigPath)
-        newSigs.unpersist()
-        ()
+        minhashDedupBatchBody(batch.toDF(), id, sigPath, numHashes, numBands)(onBatch)
       }
       .trigger(trigger)
       .start()
+
+  /** The per-batch body of [[minhashDedupBatches]], factored out so
+    * StreamsSpec can REPLAY a batch id (simulated foreachBatch retry) and
+    * assert state + emission are identical. */
+  private[graft] def minhashDedupBatchBody(b: DataFrame, id: Long, sigPath: String,
+                                           numHashes: Int, numBands: Int)
+                                          (onBatch: (DataFrame, Long) => Unit): Unit = {
+    val D = graft.ext.Dedup
+    val spark = b.sparkSession
+    // persisted: consumed by its own bands, the union's bands, both
+    // est-jaccard rejoins, and the state write
+    val newSigs = D.minhashSigsOn(b, numHashes).persist()
+    // exactly-once: signatures of COMMITTED batches before this id
+    // only — a retry recomputes the identical pair set and rewrites
+    // its own batch dir (see the batch-id-keyed state contract above)
+    val committed = committedIds(spark, sigPath)
+    val old = committedStateBefore(spark, sigPath, "sigs", id, committed)
+    val all = old.map(_.unionByName(newSigs)).getOrElse(newSigs.toDF())
+    val cand = D.minhashCandidatesAgainst(newSigs, all, numHashes, numBands)
+    onBatch(D.minhashEstJaccard(cand, all, numHashes), id)
+    writeBatchState(newSigs, sigPath, "sigs", id)
+    commitBatch(spark, sigPath, id)
+    newSigs.unpersist()
+    ()
+  }
 
   /** The full curation funnel as one streaming ingest via foreachBatch —
     * the five gates of [[graft.ext.Curation.curationFunnelOn]] composed per
@@ -514,7 +640,8 @@ object Streams {
         // the batch funnel's fingerprint window keeps NULL fps together)
         val fps = b.select(col("doc_id"),
           coalesce(md5(graft.ext.Text.normalized(col("text"))), lit("<null>")).as("fp"))
-        val prior = readStateIfExists(spark, fpPath)
+        val committed = committedIds(spark, fpPath)
+        val prior = committedStateBefore(spark, fpPath, "fps", id, committed)
         val seen = prior.map(_.unionByName(fps)).getOrElse(fps)
         val canon = fps
           .join(seen.groupBy("fp").agg(min(col("doc_id")).as("canonical_doc_id")), "fp")
@@ -531,12 +658,14 @@ object Streams {
           onBatch(
             graft.ext.Curation.curationFunnelAgainstHashesOn(train, census, evalHashes, canon,
               classifier), id)
-          // state advances ONLY after the batch body succeeds: foreachBatch
-          // re-runs a failed batch, and a pre-advanced fingerprint log would
-          // feed the retry its own rows (harmless here only because the
-          // canonical election is min-over-duplicates; the discipline is
-          // kept uniform with the media funnel, where it is load-bearing)
-          fps.write.mode("append").parquet(fpPath)
+          // batch-id-keyed state (the exactly-once contract above): a
+          // retried batch reads only committed-before-id fingerprints and
+          // rewrites its own dir. Double-reading its first attempt would
+          // actually be harmless HERE (canonical election is min-over-
+          // duplicates) — the discipline is kept uniform with the media
+          // funnel, where it is load-bearing.
+          writeBatchState(fps, fpPath, "fps", id)
+          commitBatch(spark, fpPath, id)
         } finally {
           b.unpersist()
           ()
@@ -796,8 +925,9 @@ object Streams {
     * [[graft.multimodal.Multimodal.dctHashOn]] the batch job uses, banded
     * against the union of the persisted hash index at `hashPath` and the
     * batch itself, and every near-dup pair (hamming ≤ `hamMax`) involving
-    * a new object is emitted; the new hashes are then appended to the
-    * index. Hashes are deterministic functions of the payload, so each
+    * a new object is emitted; the new hashes then join the index under
+    * their batch id (the exactly-once state contract above). Hashes are
+    * deterministic functions of the payload, so each
     * unordered pair is emitted EXACTLY once — in the micro-batch its later
     * member arrives — and the union of batch outputs equals the one-shot
     * `mm_dct_dedup` over all objects seen (StreamsSpec parity). Assumes
@@ -820,11 +950,15 @@ object Streams {
         // state append — released per batch (the minhashDedupBatches
         // discipline)
         val newFp = M.dctHashOn(M.fromDocuments(batch.toDF())).toDF().persist()
-        val old = readStateIfExists(spark, hashPath)
+        // exactly-once: committed-before-id index only; retry replays
+        // idempotently (batch-id-keyed state contract)
+        val committed = committedIds(spark, hashPath)
+        val old = committedStateBefore(spark, hashPath, "hashes", id, committed)
         val all = old.map(_.unionByName(newFp)).getOrElse(newFp.toDF())
         onBatch(M.dctCandidatesAgainst(newFp, all)
           .filter(col("hamming") <= lit(hamMax)), id)
-        newFp.write.mode("append").parquet(hashPath)
+        writeBatchState(newFp, hashPath, "hashes", id)
+        commitBatch(spark, hashPath, id)
         newFp.unpersist()
         ()
       }
@@ -873,11 +1007,23 @@ object Streams {
                                 org.apache.spark.sql.streaming.Trigger.AvailableNow())
                              (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
   {
-    val M = graft.multimodal.Multimodal
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val spark = batch.sparkSession
-        val b = batch.toDF().persist()
+        mmCurationFunnelBatchBody(batch.toDF(), embeddings, statePath, id)(onBatch)
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  /** The per-batch body of [[mmCurationFunnelBatches]], factored out so
+    * StreamsSpec can REPLAY a batch id (simulated foreachBatch retry) and
+    * assert the five state components + the emission are identical. */
+  private[graft] def mmCurationFunnelBatchBody(batchDf: DataFrame, embeddings: DataFrame,
+                                               statePath: String, id: Long)
+                                              (onBatch: (DataFrame, Long) => Unit): Unit = {
+    val M = graft.multimodal.Multimodal
+    val spark = batchDf.sparkSession
+    val b = batchDf.persist()
         // doc-local state rows: one codec pass + one caption-tower pass,
         // both batch-sized and final (checkpointed — each feeds the state
         // append AND the verdict assembly)
@@ -889,11 +1035,15 @@ object Streams {
         val delta = b.select(col("doc_id")).withColumn("status", lit("added"))
           .localCheckpoint()
         val newFp = M.dctHashOn(M.fromDocuments(b)).toDF().localCheckpoint()
-        val oldHashes = readStateIfExists(spark, s"$statePath/hashes")
+        // exactly-once: every state view is scoped to batches COMMITTED
+        // before this id (batch-id-keyed state contract) — a retried
+        // batch, committed or not, sees the identical prior state
+        val committed = committedIds(spark, statePath)
+        val oldHashes = committedStateBefore(spark, statePath, "hashes", id, committed)
           .getOrElse(newFp.limit(0))
-        val oldPairs = readStateIfExists(spark, s"$statePath/pairs")
+        val oldPairs = committedStateBefore(spark, statePath, "pairs", id, committed)
           .getOrElse(M.dctCandidatesAgainst(newFp.limit(0), newFp.limit(0)))
-        val oldManifest = readStateIfExists(spark, s"$statePath/clusters")
+        val oldManifest = committedSnapshotBefore(spark, statePath, "clusters", id, committed)
           .getOrElse(b.select(col("doc_id")).limit(0)
             .withColumn("cluster_id", lit(0L)).withColumn("cluster_size", lit(1L))
             .withColumn("is_canonical", lit(true)))
@@ -913,9 +1063,9 @@ object Streams {
           .select("doc_id", "cluster_id", "cluster_size").localCheckpoint()
         // full doc-local state views (prior + this batch) for the shared
         // assembly — feature reads are revision-set-bounded via semi-join
-        val feat = readStateIfExists(spark, s"$statePath/feat")
+        val feat = committedStateBefore(spark, statePath, "feat", id, committed)
           .map(_.unionByName(featNew)).getOrElse(featNew.toDF())
-        val af = readStateIfExists(spark, s"$statePath/af")
+        val af = committedStateBefore(spark, statePath, "af", id, committed)
           .map(_.unionByName(afNew)).getOrElse(afNew.toDF())
         val ka = M.mediaKeepBestAlignedFrom(revised, af)
           .select("cluster_id", "keep_doc_id")
@@ -923,31 +1073,28 @@ object Streams {
         try {
           onBatch(
             M.mmFunnelAssemble(base, af.select("doc_id", "keep"), revised, ka), id)
-          // state advances ONLY after the batch body succeeds (ADVICE r16):
-          // foreachBatch re-runs a failed batch, and these appends are NOT
-          // idempotent — duplicate feat/af rows would emit duplicate verdict
-          // rows, and a pre-advanced hash index would pair the retried batch
-          // against its own first attempt, silently breaking the documented
-          // last-write-wins parity. This reorder closes the common failure
-          // (the batch body itself), NOT the residual window: a crash
-          // BETWEEN these five writes still double-appends the earlier ones
-          // on retry. Exactly-once state advance needs batch-id-keyed
-          // idempotent writes (per-batch subdirs + a committed manifest) —
-          // a deployment concern documented here rather than hidden.
-          featNew.write.mode("append").parquet(s"$statePath/feat")
-          afNew.write.mode("append").parquet(s"$statePath/af")
-          // added-only stream: the index append and the fresh-pair append
+          // EXACTLY-ONCE state advance (VERDICT r17 task 4, closing the
+          // window the r16 reorder left open): the five writes land in
+          // batch-id-keyed dirs (self-overwriting on retry, invisible to
+          // readers), and the batch becomes state only when the commit
+          // marker lands — one atomic-enough boundary instead of five
+          // sequential appends. A crash ANYWHERE before the marker leaves
+          // prior state untouched; the retry recomputes this batch from
+          // the same committed-before-id views and rewrites bit-identical
+          // dirs. StreamsSpec replays a batch to pin it.
+          writeBatchState(featNew, statePath, "feat", id)
+          writeBatchState(afNew, statePath, "af", id)
+          // added-only stream: the index write and the fresh-pair write
           // ARE the reconciled warehouse (kept pairs never shrink)
-          newFp.write.mode("append").parquet(s"$statePath/hashes")
-          freshPairs.write.mode("append").parquet(s"$statePath/pairs")
-          manifest.write.mode("overwrite").parquet(s"$statePath/clusters")
+          writeBatchState(newFp, statePath, "hashes", id)
+          writeBatchState(freshPairs, statePath, "pairs", id)
+          writeBatchState(manifest, statePath, "clusters", id)
+          commitBatch(spark, statePath, id)
+          pruneSnapshotsBefore(spark, statePath, "clusters", id, committed)
         } finally {
           b.unpersist()
           ()
         }
-      }
-      .trigger(trigger)
-      .start()
   }
 
   // ------------------------------------------------ forward as-of (stream)

@@ -1386,6 +1386,87 @@ class StreamsSpec extends SparkSpec {
     assert(fin2(6) == false && fin2(7) == "near_dup", s"doc 2 must end displaced: $fin2")
   }
 
+  test("exactly-once state: a replayed funnel batch (retry before AND after commit) " +
+      "rewrites identical state and re-emits identical rows") {
+    import java.nio.file.{Files, Paths}
+    val M = graft.multimodal.Multimodal
+    def mkDocs(rows: (Long, String, String)*) =
+      rows.map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dupText = "spark window merge tokens arrive twice across batches"
+    val docs = mkDocs(
+      (1L, "spark partitions shuffle exchange broadcast one", "s1"),
+      (2L, dupText, "s2"),
+      (3L, "catalyst codegen pushdown pruning vectors three", "s3"),
+      (4L, "watermark state store eviction timers four", "s4"),
+      (5L, dupText, "s2"),
+      (6L, "adaptive execution skew salt rebalance six", "s6"))
+    val caps = M.captionEmbeddings(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2).map(_.toFloat).toArray).toMap
+    val emb = (1L to 6L).map(i => (i, caps(i), "l0")).toDF("vec_id", "embedding", "label")
+    val sp = Files.createTempDirectory("graft_replay_funnel").toString
+    val emit = scala.collection.mutable.Map.empty[String, Set[Seq[Any]]]
+    def run(b: org.apache.spark.sql.DataFrame, id: Long, tag: String): Unit =
+      Streams.mmCurationFunnelBatchBody(b, emb, sp, id) { (o, _) =>
+        emit(tag) = o.collect().map(_.toSeq).toSet
+      }
+    run(docs.filter(col("doc_id") <= 3L), 0L, "b0")
+    run(docs.filter(col("doc_id") > 3L), 1L, "b1")
+    def component(n: String): Set[Seq[Any]] =
+      spark.read.parquet(s"$sp/$n/b0", s"$sp/$n/b1").collect().map(_.toSeq).toSet
+    def clusters(): Set[Seq[Any]] =
+      spark.read.parquet(s"$sp/clusters/b1").collect().map(_.toSeq).toSet
+    val names = Seq("feat", "af", "hashes", "pairs")
+    val before = names.map(n => n -> component(n)).toMap
+    val clustersBefore = clusters()
+    assert(emit("b1").nonEmpty && before.values.forall(_.nonEmpty))
+    // 1. retry AFTER commit: a crash after the marker but before the
+    // engine's own checkpoint ack re-runs the SAME batch id
+    run(docs.filter(col("doc_id") > 3L), 1L, "b1-post")
+    assert(emit("b1-post") === emit("b1"), "post-commit replay emitted different rows")
+    names.foreach(n => assert(component(n) === before(n), s"$n state changed on replay"))
+    assert(clusters() === clustersBefore, "cluster snapshot changed on replay")
+    // 2. retry BEFORE commit: simulate a crash between the state writes
+    // and the marker — drop the marker, leave the (now-stale) batch dirs
+    Files.delete(Paths.get(s"$sp/_commits/1"))
+    run(docs.filter(col("doc_id") > 3L), 1L, "b1-pre")
+    assert(emit("b1-pre") === emit("b1"), "pre-commit replay emitted different rows")
+    names.foreach(n => assert(component(n) === before(n), s"$n state changed on uncommitted replay"))
+    assert(clusters() === clustersBefore)
+    assert(Files.exists(Paths.get(s"$sp/_commits/1")), "replay did not re-commit")
+    spark.catalog.clearCache()
+  }
+
+  test("exactly-once state: minhash dedup replay emits the identical pair set, one signature copy per batch") {
+    import java.nio.file.{Files, Paths}
+    val D = graft.ext.Dedup
+    val sp = Files.createTempDirectory("graft_replay_minhash").toString
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val emit = scala.collection.mutable.Map.empty[String, Set[Seq[Any]]]
+    def run(b: org.apache.spark.sql.DataFrame, id: Long, tag: String): Unit =
+      Streams.minhashDedupBatchBody(b, id, sp, D.NumHashes, D.NumBands) { (o, _) =>
+        emit(tag) = o.collect().map(_.toSeq).toSet
+      }
+    run(docs.filter(col("doc_id") % 2 === 0), 0L, "b0")
+    run(docs.filter(col("doc_id") % 2 === 1), 1L, "b1")
+    def sigs(): Seq[Seq[Any]] =
+      spark.read.parquet(s"$sp/sigs/b0", s"$sp/sigs/b1").collect().map(_.toSeq).toSeq
+    val before = sigs()
+    assert(before.size === before.toSet.size && before.nonEmpty)
+    // post-commit retry
+    run(docs.filter(col("doc_id") % 2 === 1), 1L, "b1-post")
+    assert(emit("b1-post") === emit("b1"))
+    assert(sigs().sortBy(_.head.toString) === before.sortBy(_.head.toString),
+      "signature state changed on replay (a plain append would have doubled it)")
+    // pre-commit retry
+    Files.delete(Paths.get(s"$sp/_commits/1"))
+    run(docs.filter(col("doc_id") % 2 === 1), 1L, "b1-pre")
+    assert(emit("b1-pre") === emit("b1"))
+    assert(sigs().sortBy(_.head.toString) === before.sortBy(_.head.toString))
+    spark.catalog.clearCache()
+  }
+
   test("streaming MEDIA decontamination across micro-batches matches the batch run doc for doc") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = Files.createTempDirectory("graft_mmdecon_stream").toString
@@ -2116,6 +2197,49 @@ class StreamsSpec extends SparkSpec {
     spark.catalog.clearCache()
     assert(batch.nonEmpty, "degenerate corpus: no query term hits")
     assert(buf.size === buf.toSet.size, "a (query, doc) hit was scored twice")
+    assert(buf.toSet === batch,
+      s"missing: ${(batch -- buf.toSet).take(3)}; extra: ${(buf.toSet -- batch).take(3)}")
+  }
+
+  test("streaming hybrid scoring against frozen queries/stats matches the batch run pair for pair") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_hybrid_stream").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    val rows = graft.ops.Tables.documents(spark, sfDir).select("doc_id", "text")
+      .join(graft.ops.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+    // frozen state: the query table (text + vector) and the BM25 stats
+    val queries = graft.ext.Text.Bm25Queries.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (q, ts) => (q, ts.map(_._2).mkString(" ")) }
+      .toDF("q_id", "q_text")
+      .join(graft.ops.Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") <= 2L)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), Seq("q_id"))
+      .persist()
+    val (dft0, stats0) = graft.ext.Text.bm25StatsOn(
+      graft.ops.Tables.documents(spark, sfDir))
+    val dft = dft0.persist(); val stats = stats0.persist()
+    Seq(0, 1).foreach { p =>
+      val tmp = s"$base/tmp$p"
+      rows.filter(col("doc_id") % 2 === p).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$base/in/b$p.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(20)
+    }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double, Long)]
+    val stream = spark.readStream.schema(rows.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = Streams.hybridScoreBatches(stream, queries, dft, stats) { (out, _) =>
+      val got = out.as[(Long, Long, Double, Double, Long)].collect()
+      buf.synchronized { buf ++= got }
+    }
+    q.awaitTermination()
+    val batch = graft.ext.Text.hybridScoreAgainstOn(rows, queries, dft, stats)
+      .as[(Long, Long, Double, Double, Long)].collect().toSet
+    Seq(queries, dft, stats).foreach(_.unpersist())
+    spark.catalog.clearCache()
+    assert(batch.nonEmpty, "degenerate corpus: no scored pairs")
+    assert(buf.size === buf.toSet.size, "a (query, doc) pair was scored twice")
     assert(buf.toSet === batch,
       s"missing: ${(batch -- buf.toSet).take(3)}; extra: ${(buf.toSet -- batch).take(3)}")
   }
