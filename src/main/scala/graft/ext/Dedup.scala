@@ -826,6 +826,33 @@ object Dedup {
       .filter(col("est_jaccard") >= lit(ClusterEstMin))
       .select("doc_a", "doc_b")
 
+  /** Round count of the LAST [[propagateComponents]] run in this JVM —
+    * a diagnostics/spec hook (DedupSpec's O(log n) chain bound, the
+    * CcSkewStudy), not part of the operator API. */
+  private[graft] val lastPropagationRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  // Env-gated (GRAFT_CC_DEBUG) per-round shuffle meter for the CC loop:
+  // task-end shuffle read/write sums plus the max single-task shuffle
+  // read — the number that exposes a hot-label partition (one task
+  // draining an entire skewed key) that round totals would hide.
+  private val ccMeterOn = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val ccRead = new java.util.concurrent.atomic.AtomicLong
+  private val ccWrite = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val ccMaxTaskRead = new java.util.concurrent.atomic.AtomicLong
+  private def ensureCcMeter(sc: org.apache.spark.SparkContext): Unit =
+    if (ccMeterOn.compareAndSet(false, true))
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            val r = m.shuffleReadMetrics.totalBytesRead
+            ccRead.addAndGet(r)
+            ccWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            ccMaxTaskRead.accumulateAndGet(r, Math.max(_, _))
+          }
+        }
+      })
+
   /** Min-label propagation + pointer jumping over (ids, pair edges) — the
     * loop of [[dupClustersOn]], shared with the incremental update so the
     * two can never disagree on clustering semantics. Returns the manifest
@@ -847,7 +874,13 @@ object Dedup {
     }
     var curSum = labelSum(comp)
     var changed = 1L
+    var rounds = 0
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    if (debug) ensureCcMeter(sym.sparkSession.sparkContext)
     while (changed > 0) {
+      rounds += 1
+      val (r0, w0) = (ccRead.get(), ccWrite.get())
+      if (debug) ccMaxTaskRead.set(0L)
       val nbrMin = sym
         .join(comp.select(col("doc_id").as("nbr"), col("comp").as("nbr_comp")),
           col("doc_b") === col("nbr"))
@@ -870,8 +903,11 @@ object Dedup {
       val next = if (checkpointRounds) jumped.localCheckpoint() else jumped.persist()
       val tCkpt = System.nanoTime()
       val nextSum = labelSum(next)
-      if (sys.env.contains("GRAFT_CC_DEBUG")) {
-        println(f"CC_ROUND ckpt=${(tCkpt - t0) / 1e9}%.2f sum=${(System.nanoTime() - tCkpt) / 1e9}%.2f")
+      if (debug) {
+        val mb = 1024.0 * 1024.0
+        println(f"CC_ROUND $rounds%d ckpt=${(tCkpt - t0) / 1e9}%.2f sum=${(System.nanoTime() - tCkpt) / 1e9}%.2f " +
+          f"shuf_read=${(ccRead.get() - r0) / mb}%.1fMB shuf_write=${(ccWrite.get() - w0) / mb}%.1fMB " +
+          f"max_task_read=${ccMaxTaskRead.get() / mb}%.1fMB")
         if (sys.env.contains("GRAFT_CC_PLAN"))
           println(jumped.queryExecution.executedPlan.toString.take(6000))
       }
@@ -880,6 +916,7 @@ object Dedup {
       comp.unpersist()
       comp = next
     }
+    lastPropagationRounds.set(rounds)
     // sym fed only the loop, and the final comp cache is already
     // materialized (labelSum aggregated over every partition) — drop the
     // edge cache now; worst case under later eviction is a recompute

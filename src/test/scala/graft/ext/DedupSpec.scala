@@ -624,4 +624,27 @@ class DedupSpec extends SparkSpec {
     assert(recall === want)
     assert(recall >= 0.0 && recall <= 1.0)
   }
+
+  test("cc property: a diameter-n chain converges in O(log n) rounds to the exact min-label result") {
+    // the chain i—(i+1) is the worst case for label propagation (one
+    // component, diameter n); pointer jumping must close it in ~log₂(n)
+    // rounds, not n — the property behind the loop's no-iteration-cap
+    // exactness claim and the CcSkewStudy numbers in BASELINE.md
+    for (n <- Seq(64L, 512L)) {
+      val ids = spark.range(n).select(col("id").as("doc_id"))
+      val pairs = spark.range(n - 1)
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      val out = Dedup.propagateComponents(ids, pairs, checkpointRounds = true)
+        .select("doc_id", "cluster_id", "cluster_size", "is_canonical").collect()
+      assert(out.length == n)
+      assert(out.forall(r => r.getLong(1) == 0L && r.getLong(2) == n),
+        s"n=$n: not one min-labeled component")
+      assert(out.count(_.getBoolean(3)) == 1)
+      val rounds = Dedup.lastPropagationRounds.get()
+      val log2n = 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+      assert(rounds <= 2 * log2n + 2,
+        s"n=$n: $rounds rounds exceeds the O(log n) bound ${2 * log2n + 2}")
+    }
+    spark.catalog.clearCache()
+  }
 }
