@@ -1754,6 +1754,15 @@ object Text {
     * constant. The merge table itself is model-sized (≤ [[BpeMerges]]
     * rows). The oracle unrolls the same rounds as a CTE chain (the Lloyd
     * -iteration oracle idiom). */
+  /** ORACLE-CHECKABLE ceiling, not a capability limit: the DuckDB oracle
+    * unrolls one CTE per merge round, so the registered row trains at 10.
+    * Production vocabularies come through the `nMerges` knob — beyond the
+    * ceiling the gate is property-based (TextSpec: the n-merge table is a
+    * PREFIX of the (n+k)-merge table, segmentations reassemble their
+    * words, per-word piece counts are monotone non-increasing in merge
+    * count) and the cost shape is measured by
+    * [[graft.tools.TokenizerScaleStudy]] (driver jobs scale with merges,
+    * per-merge wall is lexicon-bounded — flat across 10× corpus). */
   val BpeMerges = 10
   val BpeMinPair = 2L
 
@@ -1937,6 +1946,13 @@ object Text {
     * CTE) and picks the same maximum — tractable because the lexicon is
     * census-sized, and semantically the closure the DP computes. */
   val UniMaxPiece = 4
+  /** ORACLE-CHECKABLE ceiling (the oracle enumerates all segmentations
+    * per word): the registered row seeds 24 multi-char pieces. Production
+    * vocabularies come through `unigramTrainOn`'s `seedTop` knob — beyond
+    * the ceiling the gate is property-based (TextSpec: single-char
+    * coverage floor intact, segmentations reassemble, aggregate fertility
+    * non-increasing in seed size) with the cost shape measured by
+    * [[graft.tools.TokenizerScaleStudy]]. */
   val UniSeedTop = 24
   val UniEmRounds = 2
 
@@ -1944,7 +1960,7 @@ object Text {
     * lexicon word, corpus-frequency weighted; all single chars plus the
     * top [[UniSeedTop]] multi-char pieces (cnt desc, piece asc —
     * integer-exact). */
-  private def uniSeedOn(lex: DataFrame): DataFrame = {
+  private def uniSeedOn(lex: DataFrame, seedTop: Int = UniSeedTop): DataFrame = {
     val subs = lex
       .select(col("w"), col("freq"), explode(sequence(lit(1), length(col("w")))).as("p"))
       .select(col("w"), col("freq"), col("p"), explode(sequence(lit(1), lit(UniMaxPiece))).as("l"))
@@ -1952,12 +1968,12 @@ object Text {
       .select(col("w").substr(col("p"), col("l")).as("piece"), col("freq"))
       .groupBy("piece").agg(sum(col("freq")).as("cnt"))
       .persist() // feeds the char floor AND the top-K pick
-    // the seed is model-sized (chars + UniSeedTop rows): materialize it
+    // the seed is model-sized (chars + seedTop rows): materialize it
     // eagerly so the substring cache can be released HERE instead of
     // leaking into a long-lived session (ADVICE r17)
     try subs.filter(length(col("piece")) === 1)
       .unionByName(subs.filter(length(col("piece")) >= 2)
-        .orderBy(col("cnt").desc, col("piece")).limit(UniSeedTop))
+        .orderBy(col("cnt").desc, col("piece")).limit(seedTop))
       .localCheckpoint()
     finally subs.unpersist(blocking = false)
   }
@@ -2019,13 +2035,14 @@ object Text {
 
   /** The EM trainer over a caller-supplied corpus — compositional form;
     * the registered rows replay the FROZEN vocabulary. */
-  def unigramTrainOn(docs: DataFrame, rounds: Int = UniEmRounds): DataFrame = {
+  def unigramTrainOn(docs: DataFrame, rounds: Int = UniEmRounds,
+                     seedTop: Int = UniSeedTop): DataFrame = {
     val lex = bpeLexicon(docs).select("w", "freq").persist()
     // every lex consumer (seed + each EM round) lands in an EAGER
     // localCheckpoint, so the lexicon cache is released before returning
     // (ADVICE r17) — the returned frame depends only on the final vocab
     try {
-      var vocab = uniWeighted(uniSeedOn(lex)).localCheckpoint()
+      var vocab = uniWeighted(uniSeedOn(lex, seedTop)).localCheckpoint()
       for (_ <- 1 to rounds) {
         val counts = uniViterbiOn(lex, vocab)
           .select(col("freq"), explode(uniPieces).as("piece"))

@@ -453,6 +453,69 @@ class TextSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("production-scale tokenizer knobs: BPE-256 and unigram-1024 hold the property gates " +
+      "beyond the oracle ceiling") {
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+    // --- BPE at 25× the oracle ceiling (the oracle unrolls one CTE per
+    // merge and stops being tractable; properties take over) ---
+    val m10 = Text.bpeTrainOn(docs, Text.BpeMerges).collect().map(_.toSeq)
+    val m256 = Text.bpeTrainOn(docs, 256).collect().map(_.toSeq)
+    assert(m256.length <= 256 && m256.length > m10.length,
+      s"sf0.001 lexicon exhausted merges at ${m256.length} — raise corpus or lower the knob")
+    // sequential greedy is PREFIX-stable: the 10-merge table IS the first
+    // 10 rows of the 256-merge table (what makes the oracle-scale gate
+    // meaningful for the production table)
+    assert(m256.take(m10.length).toSeq === m10.toSeq, "merge prefix diverged")
+    m256.zipWithIndex.foreach { case (r, i) =>
+      assert(r.head == (i + 1).toLong, s"rank gap at $i: $r")
+      assert(r(3) == s"${r(1)}${r(2)}", s"merged != left+right: $r")
+    }
+    val pairs256 = m256.map(r => (r(1).asInstanceOf[String], r(2).asInstanceOf[String]))
+    val s256 = Text.bpeSegmentFrom(docs, pairs256)
+      .select("word", "n_pieces", "segmentation")
+      .as[(String, Long, String)].collect()
+    // well-formedness: every segmentation reassembles its word
+    s256.foreach { case (w, n, seg) =>
+      assert(seg.split(" ").mkString("") === w, s"$w segmented to $seg")
+      assert(seg.split(" ").length.toLong === n)
+    }
+    // monotone: more merges can only merge further — per-word piece count
+    // non-increasing from the 10-merge to the 256-merge segmentation
+    val s10 = Text.bpeSegmentFrom(docs, pairs256.take(m10.length))
+      .select("word", "n_pieces").as[(String, Long)].collect().toMap
+    s256.foreach { case (w, n, _) =>
+      assert(n <= s10(w), s"$w: 256-merge pieces $n > 10-merge ${s10(w)}")
+    }
+    spark.catalog.clearCache()
+    // --- unigram LM at 42× the seed ceiling ---
+    val v1k = Text.unigramTrainOn(docs, seedTop = 1024)
+      .select("piece", "weight").as[(String, Long)].collect()
+    val vocab1k = v1k.map(_._1).toSet
+    // the single-char coverage floor survives EM pruning: every character
+    // of the lexicon is segmentable
+    val lexChars = Text.bpeSegmentFrom(docs, Nil).select("word").as[String]
+      .collect().flatMap(_.toSeq).toSet
+    lexChars.foreach(c => assert(vocab1k.contains(c.toString), s"char $c lost from vocab"))
+    val seg1k = Text.unigramSegmentFrom(docs,
+      v1k.toSeq.toDF("piece", "wgt"))
+      .select("word", "n_pieces", "segmentation").as[(String, Long, String)].collect()
+    seg1k.foreach { case (w, n, seg) =>
+      assert(seg.split(" ").mkString("") === w, s"$w segmented to $seg")
+      assert(seg.split(" ").length.toLong === n)
+    }
+    // aggregate fertility is non-increasing in seed size: a 1024-piece
+    // vocabulary segments the same word multiset into no more pieces than
+    // the 24-piece one (both carry the char floor, so coverage is equal)
+    val segSmall = Text.unigramSegmentOn(docs).select("word", "n_pieces")
+      .as[(String, Long)].collect()
+    assert(seg1k.map(_._1).toSet === segSmall.map(_._1).toSet, "word coverage differs")
+    val total1k = seg1k.map(_._2).sum
+    val totalSmall = segSmall.map(_._2).sum
+    assert(total1k <= totalSmall,
+      s"aggregate fertility rose with vocab size: $total1k > $totalSmall")
+    spark.catalog.clearCache()
+  }
+
   test("unigram Viterbi: max-score path wins; score ties prefer the longer FINAL piece") {
     def docs(rows: (Long, String)*) =
       rows.toDF("doc_id", "text")
