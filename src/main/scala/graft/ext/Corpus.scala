@@ -2277,8 +2277,12 @@ object Corpus {
 
   private def publishedManifest(spark: SparkSession, dir: String): String =
     publishCache.get(dir, ManifestPublishBuckets) {
-      val tbl = "graft_manifest_pub_" + java.lang.Long.toHexString(
-        java.lang.Integer.toUnsignedLong(dir.hashCode))
+      // content-hash of the corpus PATH (not String.hashCode: two colliding
+      // dirs in one JVM would silently serve each other's manifest)
+      val tbl = "graft_manifest_pub_" + java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"${b & 0xff}%02x").mkString
       // a PREVIOUS JVM's publish leaves its warehouse directory behind
       // while the in-memory catalog forgets the table — managed CTAS then
       // refuses the location. Drop both sides before (re)publishing; with

@@ -835,12 +835,17 @@ object Dedup {
   // task-end shuffle read/write sums plus the max single-task shuffle
   // read — the number that exposes a hot-label partition (one task
   // draining an entire skewed key) that round totals would hide.
-  private val ccMeterOn = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // keyed by applicationId so a restarted SparkContext in the same JVM
+  // gets its own listener (a stale registration would silently report
+  // 0 MB rounds); bytes from CONCURRENT non-CC jobs do land in the
+  // deltas — the study runs the loop alone, and the lines are debug
+  // output, not a gate
+  private val ccMeterApp = new java.util.concurrent.atomic.AtomicReference[String](null)
   private val ccRead = new java.util.concurrent.atomic.AtomicLong
   private val ccWrite = new java.util.concurrent.atomic.AtomicLong
   private[graft] val ccMaxTaskRead = new java.util.concurrent.atomic.AtomicLong
   private def ensureCcMeter(sc: org.apache.spark.SparkContext): Unit =
-    if (ccMeterOn.compareAndSet(false, true))
+    if (ccMeterApp.getAndSet(sc.applicationId) != sc.applicationId)
       sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = t.taskMetrics

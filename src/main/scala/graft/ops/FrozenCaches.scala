@@ -236,7 +236,14 @@ object FrozenCaches {
         val tooOld =
           try Files.getLastModifiedTime(gen).toMillis < cutoff
           catch { case _: Throwable => false }
-        val halfWritten = gen.getFileName.toString.startsWith(".tmp")
+        // abandoned staging dirs only: another JVM may be MID-PERSIST
+        // right now (its staged tree is already moved here), so a fresh
+        // .tmp dir must survive the sweep — an hour-old one is a crash
+        // leftover, not an in-flight publish
+        val halfWritten = gen.getFileName.toString.startsWith(".tmp") &&
+          (try Files.getLastModifiedTime(gen).toMillis <
+            System.currentTimeMillis() - 3600L * 1000
+           catch { case _: Throwable => false })
         if (corpusGone || tooOld || halfWritten) deleteTree(gen.toString)
       }
       if (children(lineage).isEmpty) Files.deleteIfExists(lineage)
@@ -358,7 +365,18 @@ object FrozenCaches {
           movedFrom = r
           // remap against the FINAL location; valid the moment tmp is
           // renamed to genDir (inside the memo lock, so no reader races)
-          remapPaths(v, r, genDir.resolve(base).toString).asInstanceOf[V]
+          val remapped = remapPaths(v, r, genDir.resolve(base).toString).asInstanceOf[V]
+          // remapPaths covers the value SHAPES memos hold today (String,
+          // TupleN, Seq) while stringsIn — which decided the relocation —
+          // walks every Product/Iterable. If a future memo value shape
+          // slips through the remap, publishing it would store dead
+          // paths: verify nothing still points at the moved root and
+          // abort (the catch below rolls the move back, the memo stays
+          // in-JVM) rather than persist a broken artifact.
+          if (stringsIn(remapped).exists(s => s == r || s.startsWith(r + "/")))
+            throw new IllegalStateException(
+              s"memo value shape not covered by remapPaths (root $r) — extend remapPaths")
+          remapped
       }
       val out = new java.io.ObjectOutputStream(
         Files.newOutputStream(tmp.resolve("value.bin")))
@@ -472,8 +490,8 @@ object FrozenCaches {
           if (label == null || sig == 0L) None
           else for (root <- storeRoot; salt <- codeSalt)
             yield (root,
-              sha(dir + " " + String.valueOf(k)),
-              sha(java.lang.Long.toHexString(sig) + " " + salt))
+              sha(dir + "\u0000" + String.valueOf(k)),
+              sha(java.lang.Long.toHexString(sig) + "\u0000" + salt))
         storeNames.flatMap { case (root, lin, gen) =>
           storeLoad[V](root, label, lin, gen)
         } match {

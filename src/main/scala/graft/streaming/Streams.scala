@@ -56,7 +56,17 @@ object Streams {
     * temp dirs and object stores behave the same. Marker files are
     * per-batch and tiny; snapshot-type state (the funnel's cluster
     * manifest) stores one snapshot per batch dir and reads the LATEST
-    * committed one, with superseded snapshots pruned after commit. */
+    * committed one, with superseded snapshots pruned after commit.
+    *
+    * Known cost at very long stream lifetimes: delta-type components
+    * accumulate one directory per committed batch, and each batch's
+    * read lists them all — O(B) listings per batch, O(B²) over the
+    * stream. A production deployment bounds B with periodic compaction
+    * (rewrite committed dirs `b0..bK` into one dir committed under a
+    * fresh id, then retire the originals — the same transaction
+    * boundary makes the rewrite safe) or degrades the state to a real
+    * table format; at micro-batch counts these tests and the registered
+    * ingest shapes run at, the listing cost is noise. */
   private def stateFs(spark: SparkSession, root: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -85,6 +95,27 @@ object Streams {
     val dirs = committed.filter(_ < id).toSeq.sorted.map(j => s"$root/$name/b$j")
     if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
   }
+
+  /** Cross-RUN base offset, computed ONCE at stream-build time: a NEW
+    * streaming query over an existing state root restarts the engine's
+    * batch ids at 0, so raw ids would both ignore committed history
+    * (nothing < 0) and CLOBBER the first run's `b0`. Offsetting by
+    * max(committed)+1 restores the old append layout's cross-run
+    * incremental semantics — a later run reads every prior run's
+    * committed state as history and writes fresh dirs — while keeping
+    * within-run retries id-stable (the engine re-delivers the same id;
+    * the base is fixed for the query's lifetime). */
+  private def batchIdBase(spark: SparkSession, root: String): Long =
+    committedIds(spark, root).foldLeft(-1L)(math.max) + 1
+
+  /** PUBLIC committed-state reader — the supported way for an external
+    * consumer to read a loop's cross-batch state (`sigs`, `hashes`,
+    * `feat`, `af`, `pairs`): unions exactly the batches whose commit
+    * marker exists. Reading the raw directory tree instead would bypass
+    * the commit protocol and see a crashed batch's uncommitted writes.
+    * None = no committed state yet. */
+  def readCommittedState(spark: SparkSession, root: String, name: String): Option[DataFrame] =
+    committedStateBefore(spark, root, name, Long.MaxValue, committedIds(spark, root))
 
   /** Latest committed snapshot of `name` before `id` (snapshot-type state:
     * each batch dir holds a full rewrite, not a delta). */
@@ -561,13 +592,17 @@ object Streams {
                           numBands: Int = graft.ext.Dedup.NumBands,
                           trigger: org.apache.spark.sql.streaming.Trigger =
                             org.apache.spark.sql.streaming.Trigger.AvailableNow())
-                         (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+                         (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    // a NEW query's engine ids restart at 0: offset by the committed
+    // history so prior runs' state is read, never clobbered ([[batchIdBase]])
+    val base = batchIdBase(docs.sparkSession, sigPath)
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        minhashDedupBatchBody(batch.toDF(), id, sigPath, numHashes, numBands)(onBatch)
+        minhashDedupBatchBody(batch.toDF(), base + id, sigPath, numHashes, numBands)(onBatch)
       }
       .trigger(trigger)
       .start()
+  }
 
   /** The per-batch body of [[minhashDedupBatches]], factored out so
     * StreamsSpec can REPLAY a batch id (simulated foreachBatch retry) and
@@ -628,8 +663,11 @@ object Streams {
     // ONCE for the stream's lifetime (persisted on first batch) instead of
     // re-tokenizing and re-distincting the eval docs every micro-batch
     val evalHashes = graft.ext.Corpus.evalShingleHashes(evalDocs).persist()
+    // cross-run id offset — see [[batchIdBase]]
+    val base = batchIdBase(docs.sparkSession, fpPath)
     docs.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id0: Long) =>
+        val id = base + id0
         val spark = batch.sparkSession
         // persisted: feeds the fingerprint log, the canonical join, and
         // every gate's scan of the batch
@@ -941,9 +979,12 @@ object Streams {
                         hamMax: Int = graft.multimodal.Multimodal.DctHamMax,
                         trigger: org.apache.spark.sql.streaming.Trigger =
                           org.apache.spark.sql.streaming.Trigger.AvailableNow())
-                       (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+                       (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    // cross-run id offset — see [[batchIdBase]]
+    val base = batchIdBase(docs.sparkSession, hashPath)
     docs.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id0: Long) =>
+        val id = base + id0
         val M = graft.multimodal.Multimodal
         val spark = batch.sparkSession
         // persisted: consumed by its own bands, the union's bands, and the
@@ -964,6 +1005,7 @@ object Streams {
       }
       .trigger(trigger)
       .start()
+  }
 
   /** The full MEDIA curation funnel as one streaming ingest via
     * foreachBatch — the multimodal twin of [[curationFunnelBatches]],
@@ -1007,9 +1049,11 @@ object Streams {
                                 org.apache.spark.sql.streaming.Trigger.AvailableNow())
                              (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
   {
+    // cross-run id offset — see [[batchIdBase]]
+    val base = batchIdBase(docs.sparkSession, statePath)
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        mmCurationFunnelBatchBody(batch.toDF(), embeddings, statePath, id)(onBatch)
+        mmCurationFunnelBatchBody(batch.toDF(), embeddings, statePath, base + id)(onBatch)
       }
       .trigger(trigger)
       .start()

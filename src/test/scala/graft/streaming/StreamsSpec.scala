@@ -1153,8 +1153,12 @@ class StreamsSpec extends SparkSpec {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
     val q = Streams.mediaDedupBatches(stream, s"$base/dayindex") { (_, _) => () }
     q.awaitTermination()
-    // the stream hashed every fresh object, exactly once each
-    val streamed = spark.read.parquet(s"$base/dayindex")
+    // the stream hashed every fresh object, exactly once each — read
+    // through the COMMITTED-state reader (the supported consumer path
+    // under the batch-id-keyed layout; a raw directory read would bypass
+    // the commit protocol)
+    val streamed = Streams.readCommittedState(spark, s"$base/dayindex", "hashes")
+      .getOrElse(fail("no committed day-index state"))
     val fedIds = streamed.select("doc_id").collect().map(_.getLong(0)).toSeq
     val freshIds = fresh.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(freshIds.nonEmpty && fedIds.toSet === freshIds && fedIds.size === freshIds.size)
@@ -1465,6 +1469,48 @@ class StreamsSpec extends SparkSpec {
     assert(emit("b1-pre") === emit("b1"))
     assert(sigs().sortBy(_.head.toString) === before.sortBy(_.head.toString))
     spark.catalog.clearCache()
+  }
+
+  test("exactly-once state: a SECOND streaming query over the same state root reads history " +
+      "and never clobbers it (cross-run id offset)") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_xrun_minhash").toString
+    val sigPath = s"$base/sigs"
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    // two SEPARATE streaming queries (new engine id space each), one
+    // half of the corpus each — the restarted-ingest shape
+    Seq(0, 1).foreach { p =>
+      val in = s"$base/in$p"
+      Files.createDirectories(Paths.get(in))
+      val tmp = s"$base/tmp$p"
+      docs.filter(col("doc_id") % 2 === p).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$in/b.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      val stream = spark.readStream.schema(documentsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = Streams.minhashDedupBatches(stream, sigPath) { (pairs, _) =>
+        val rows = pairs.select("doc_a", "doc_b", "est_jaccard")
+          .as[(Long, Long, Double)].collect()
+        buf.synchronized { buf ++= rows }
+      }
+      q.awaitTermination()
+    }
+    // both runs' state dirs coexist: run 2's engine batch 0 landed at the
+    // OFFSET id, not on top of run 1's b0
+    assert(Files.exists(Paths.get(s"$sigPath/sigs/b0")) &&
+      Files.exists(Paths.get(s"$sigPath/sigs/b1")),
+      "second run clobbered or skipped the first run's committed state")
+    val oneShot = graft.ext.Dedup.minhashLshOn(docs)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    spark.catalog.clearCache()
+    assert(buf.size === buf.toSet.size, "a pair double-emitted across runs")
+    assert(buf.toSet === oneShot,
+      s"missing: ${(oneShot -- buf.toSet).take(3)}; extra: ${(buf.toSet -- oneShot).take(3)}")
+    assert(buf.exists { case (a, b, _) => a % 2 != b % 2 },
+      "no cross-run pair — the second run never read the first run's committed history")
   }
 
   test("streaming MEDIA decontamination across micro-batches matches the batch run doc for doc") {
