@@ -23,6 +23,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// The cross-JVM frozen-artifact store is OFF by default (bench/verify runs
+// must compute from their inputs); tests opt in so its contract stays spec'd.
+Test / javaOptions += "-Dgraft.frozen.dir=" +
+  file("target/frozen-store-test").getAbsolutePath
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

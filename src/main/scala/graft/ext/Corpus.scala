@@ -2425,6 +2425,38 @@ object Corpus {
       .join(spn, Seq("doc_id"))
   }
 
+  /** Diagnostics seam for [[graft.tools.FeatProfile]]: each subplan of
+    * [[manifestDocFeatures]] over the registered fresh slice, named, so a
+    * study can time them independently. Not part of any query. */
+  private[graft] def featProfileProbe(spark: SparkSession,
+                                      dir: String): Seq[(String, () => DataFrame)] = {
+    val docs = Tables.documents(spark, dir)
+    val old = deltaOldSlice(docs)
+    val nw = deltaNewSlice(docs)
+    val (base, thrTot, thrN) = frozenManifestBase(spark, dir)
+    val census = spark.read.parquet(s"$base/census.parquet")
+    val weights = spark.read.parquet(s"$base/weights.parquet")
+    val evalh = spark.read.parquet(s"$base/evalh.parquet")
+    val delta = snapshotDeltaOn(old, nw).localCheckpoint()
+    val fresh = delta.filter(col("status").isin("added", "changed")).select("doc_id")
+    val snap = nw.join(fresh, Seq("doc_id"), "left_semi").localCheckpoint()
+    val train = snap.filter(pmod(col("doc_id"), lit(10L)) =!= lit(BenchSlice))
+    Seq(
+      "quality" -> (() => graft.ext.Text.qualityFilterRowsOn(train)),
+      "repetition" -> (() => graft.ext.Text.repetitionStatsOn(train)),
+      "fluency" -> (() => graft.ext.Text.lmFluencyAgainstOn(train, census)),
+      "classifier" -> (() => graft.ext.Quality.qsKeepWithThreshold(train, weights, thrTot, thrN)),
+      "decontam" -> (() => decontaminateAgainstHashesOn(train, evalh)),
+      "textstats" -> (() => graft.ext.Text.textStatsRowsOn(snap)),
+      "split" -> (() => splitRowsOn(snap)),
+      "mixcopies" -> (() => mixCopiesOn(snap)),
+      "fp" -> (() => snap.select(col("doc_id"),
+        md5(graft.ext.Text.normalized(col("text"))).as("fp"))),
+      "all_joined" -> (() => manifestDocFeatures(snap, census, weights, thrTot, thrN, evalh)),
+      "all_ckpt" -> (() => manifestDocFeatures(snap, census, weights, thrTot, thrN, evalh)
+        .withColumn("is_canonical", lit(null).cast("boolean")).localCheckpoint()))
+  }
+
   /** The frozen funnel-verdict recomposition from warehouse gate bits and
     * a CURRENT canonical verdict — [[graft.ext.Curation.verdictExprs]],
     * the SAME expression definition the one-shot funnel composes, so a
@@ -2639,15 +2671,17 @@ object Corpus {
                                 census: DataFrame, weights: DataFrame,
                                 thrTot: Long, thrN: Long, evalh: DataFrame,
                                 precomputedFeatFresh: Option[DataFrame] = None): ManifestWarehouse = {
-    val delta = snapshotDeltaOn(old, nw).localCheckpoint()
+    val delta = graft.ops.Prof(spark, "mwu: delta ckpt")(
+      snapshotDeltaOn(old, nw).localCheckpoint())
     val gone = delta.filter(col("status").isin("removed", "changed")).select("doc_id")
     val fresh = delta.filter(col("status").isin("added", "changed")).select("doc_id")
     // the ONLY text the update reads beyond the delta classify —
     // checkpointed EAGERLY so the eight per-doc feature subplans read the
     // materialized |delta|-sized slice instead of each re-scanning the
     // corpus parquet through its own semi-join
-    val freshDocs = nw.join(fresh, Seq("doc_id"), "left_semi").localCheckpoint()
-    val featFresh = (precomputedFeatFresh match {
+    val freshDocs = graft.ops.Prof(spark, "mwu: freshDocs ckpt")(
+      nw.join(fresh, Seq("doc_id"), "left_semi").localCheckpoint())
+    val featFresh0 = (precomputedFeatFresh match {
       case Some(pre) =>
         // coverage fail-fast (|delta|-bounded job): a supplied frame
         // missing an added/changed doc_id would silently drop that doc
@@ -2661,7 +2695,8 @@ object Corpus {
       case None => manifestDocFeatures(freshDocs, census, weights, thrTot, thrN, evalh)
     })
       .withColumn("is_canonical", lit(null).cast("boolean")) // re-elected below
-      .localCheckpoint()
+    val featFresh = graft.ops.Prof(spark, "mwu: featFresh ckpt")(
+      featFresh0.localCheckpoint())
     // the carried majority: one anti join of narrow warehouse rows
     val featNew = featOld.join(gone, Seq("doc_id"), "left_anti")
       .unionByName(featFresh)
@@ -2669,8 +2704,9 @@ object Corpus {
     // exact-dup canonical re-election inside TOUCHED fingerprint groups
     // only: a group's minimum can move iff the delta added or removed one
     // of its members; every other doc carries its stored verdict
-    val touchedFp = featOld.join(gone, Seq("doc_id"), "left_semi").select("fp")
-      .unionByName(featFresh.select("fp")).distinct().localCheckpoint()
+    val touchedFp = graft.ops.Prof(spark, "mwu: touchedFp ckpt")(
+      featOld.join(gone, Seq("doc_id"), "left_semi").select("fp")
+        .unionByName(featFresh.select("fp")).distinct().localCheckpoint())
     val reElect = featNew.select("doc_id", "fp")
       .join(touchedFp, Seq("fp"), "left_semi")
       .groupBy("fp").agg(min("doc_id").as("canon_id"))
@@ -2703,10 +2739,10 @@ object Corpus {
         Seq("doc_id"), "left")
       .filter(col("old_cid").isNull || col("new_cid") =!= col("old_cid"))
       .select("doc_id")
-    val touchedClusters = dcNew
+    val touchedClusters = graft.ops.Prof(spark, "mwu: touchedClusters ckpt")(dcNew
       .join(fresh.unionByName(membersOfGone).unionByName(movedIds).distinct(),
         Seq("doc_id"), "left_semi")
-      .select("cluster_id").distinct().localCheckpoint()
+      .select("cluster_id").distinct().localCheckpoint())
     val kbTouched = graft.ext.Dedup.keepBestFrom(
       dcNew.join(touchedClusters, Seq("cluster_id"), "left_semi"),
       featCanon.select("doc_id", "quality_score"))

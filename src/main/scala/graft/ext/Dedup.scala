@@ -865,7 +865,19 @@ object Dedup {
   private[graft] def propagateComponents(ids: DataFrame, pairs: DataFrame,
                                   checkpointRounds: Boolean): DataFrame = {
     val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a"))).persist()
-    var comp = ids.select(col("doc_id"), col("doc_id").as("comp")).persist()
+    // Only nodes with at least one edge can ever change label — a node
+    // absent from the edge table is its own singleton component by
+    // construction. Excluding singletons from the loop state means every
+    // round's join/aggregate/jump shuffles only the CLUSTERED minority
+    // (most of a deduped corpus is singleton at any scale; sf0.1: 490 of
+    // 5,000 docs carry an edge), instead of dragging every doc through
+    // every round to conclude nothing. Singletons rejoin after the loop
+    // with comp = own id — exactly the label the loop would have left
+    // them. The label-sum convergence invariant is unaffected (it only
+    // ever watched rows that could move).
+    val edgeIds = sym.select(col("doc_a").as("doc_id")).distinct()
+    var comp = ids.join(edgeIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("doc_id").as("comp")).persist()
     // convergence via the label-sum invariant: every step can only DECREASE
     // a node's label, so sum(comp) is strictly decreasing until the
     // fixpoint and equality means no node moved — one cheap aggregate per
@@ -905,12 +917,18 @@ object Dedup {
           col("a.comp") === col("p_id"))
         .select(col("a.doc_id").as("doc_id"), col("p_comp").as("comp"))
       val t0 = System.nanoTime()
-      val next = if (checkpointRounds) jumped.localCheckpoint() else jumped.persist()
-      val tCkpt = System.nanoTime()
-      val nextSum = labelSum(next)
+      // LAZY checkpoint/persist: the convergence aggregate right below is
+      // the round's one action and materializes the cached blocks as it
+      // sums them — an eager checkpoint here would run the identical plan
+      // as a SEPARATE job first (round 18: two driver actions per round
+      // collapsed to one; same blocks, same lineage cut).
+      val next = if (checkpointRounds) jumped.localCheckpoint(eager = false)
+                 else jumped.persist()
+      val nextSum = graft.ops.Prof(ids.sparkSession, s"cc: round $rounds")(
+        labelSum(next))
       if (debug) {
         val mb = 1024.0 * 1024.0
-        println(f"CC_ROUND $rounds%d ckpt=${(tCkpt - t0) / 1e9}%.2f sum=${(System.nanoTime() - tCkpt) / 1e9}%.2f " +
+        println(f"CC_ROUND $rounds%d round=${(System.nanoTime() - t0) / 1e9}%.2f " +
           f"shuf_read=${(ccRead.get() - r0) / mb}%.1fMB shuf_write=${(ccWrite.get() - w0) / mb}%.1fMB " +
           f"max_task_read=${ccMaxTaskRead.get() / mb}%.1fMB")
         if (sys.env.contains("GRAFT_CC_PLAN"))
@@ -940,6 +958,14 @@ object Dedup {
       .join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      // edge-less nodes sat out the loop (they cannot move); each is its
+      // own singleton component, exactly what the loop would have emitted.
+      // Anti-join against the CACHED final comp (its doc_id set IS
+      // ids ∩ edge endpoints), not against edgeIds — edgeIds' lineage
+      // reaches through the just-unpersisted sym into the full edge build
+      .unionByName(ids.join(comp.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("cluster_id"),
+          lit(1L).as("cluster_size"), lit(true).as("is_canonical")))
   }
 
   /** Incremental dup-cluster manifest update — the 100 TB ingestion shape:
@@ -1037,7 +1063,8 @@ object Dedup {
     // storage is cheap at any corpus scale; only corpus-sized `mh` keeps
     // persist + lineage (recompute-on-eviction matters there).
     val delta = precomputedDelta.getOrElse(
-      graft.ext.Corpus.snapshotDeltaOn(oldDocs, newDocs).localCheckpoint())
+      graft.ops.Prof(oldDocs.sparkSession, "dwu: delta ckpt")(
+        graft.ext.Corpus.snapshotDeltaOn(oldDocs, newDocs).localCheckpoint()))
     val gone = delta.filter(col("status").isin("removed", "changed")).select("doc_id")
     val fresh = delta.filter(col("status").isin("added", "changed")).select("doc_id")
 
@@ -1057,12 +1084,13 @@ object Dedup {
     // without materialization the signature/band-probe subplan above it
     // runs once per consumer (measured: the probe re-ran inside the final
     // untouched anti-join's lineage, doubling the whole update)
-    val freshEdges = minhashEstJaccard(
+    val freshEdges = graft.ops.Prof(oldDocs.sparkSession, "dwu: freshEdges ckpt")(
+      minhashEstJaccard(
         minhashCandidatesAgainst(mh.join(fresh, "doc_id"), mh, numHashes, numBands),
         mh, numHashes)
       .filter(col("est_jaccard") >= lit(ClusterEstMin))
       .select("doc_a", "doc_b")
-      .localCheckpoint()
+      .localCheckpoint())
 
     // old edges that survive the delta: neither endpoint removed/changed
     val keptEdges = oldEdges
@@ -1107,34 +1135,38 @@ object Dedup {
           .distinct(),
         "doc_id")
       .select("cluster_id").distinct()
-      .localCheckpoint()
+    val touchedCompsCk = graft.ops.Prof(oldManifest.sparkSession, "cuf: touchedComps ckpt")(
+      touchedComps.localCheckpoint())
 
     // the sub-problem: surviving members of touched components + added
     // docs; checkpointed so the CC loop's rounds start from leaf scans
-    val subIds = oldManifest.join(touchedComps, "cluster_id")
+    val subIds = graft.ops.Prof(oldManifest.sparkSession, "cuf: subIds ckpt")(
+      oldManifest.join(touchedCompsCk, "cluster_id")
       .select("doc_id")
       .join(delta.filter(col("status") === "removed").select("doc_id"), Seq("doc_id"), "left_anti")
       .union(delta.filter(col("status") === "added").select("doc_id"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint())
     // a kept edge's endpoints share one old component, so filtering doc_a
     // against touched members keeps exactly the touched components' edges
-    val subEdges = keptEdges
-      .join(oldManifest.join(touchedComps, "cluster_id").select(col("doc_id").as("doc_a")), "doc_a")
+    val subEdges = graft.ops.Prof(oldManifest.sparkSession, "cuf: subEdges ckpt")(
+      keptEdges
+      .join(oldManifest.join(touchedCompsCk, "cluster_id").select(col("doc_id").as("doc_a")), "doc_a")
       .select("doc_a", "doc_b")
       .union(freshEdges.select("doc_a", "doc_b"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint())
 
     // an edgeless sub-problem (pure additions/removals with no near-dup
     // pairing — the quiet-ingestion case) needs no propagation loop at
     // all: every member is its own singleton cluster
     val recomputed =
-      if (subEdges.count() == 0)
+      if (graft.ops.Prof(oldManifest.sparkSession, "cuf: subEdges count")(
+            subEdges.count()) == 0)
         subIds.select(col("doc_id"), col("doc_id").as("cluster_id"),
           lit(1L).as("cluster_size"), lit(true).as("is_canonical"))
       else propagateComponents(subIds, subEdges, checkpointRounds)
-    oldManifest.join(touchedComps, Seq("cluster_id"), "left_anti")
+    oldManifest.join(touchedCompsCk, Seq("cluster_id"), "left_anti")
       .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
       .unionByName(recomputed.select("doc_id", "cluster_id", "cluster_size", "is_canonical"))
   }

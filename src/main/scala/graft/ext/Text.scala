@@ -450,25 +450,35 @@ object Text {
   val TopTokenMax = 0.25
   val Top2GramMax = 0.18
 
+  /** Max multiplicity of any element of `arr` (0 on empty), computed
+    * ROW-LOCALLY as the longest run of a sorted copy. The repetition
+    * metrics are per-document facts, but the explode → groupBy(doc_id,
+    * token) → groupBy(doc_id) → join formulation paid two exchanges per
+    * metric to compute them (round 18: manifestDocFeatures' composed
+    * feature plan carried 43 exchanges at 200 fresh docs). The sorted-run
+    * fold yields the identical integer with ZERO exchanges — "most
+    * frequent element's count" needs no cross-row state. Same trade
+    * [[textStatsRowsOn]] already makes (aggregate/filter HOFs over the
+    * token array beat shuffles; at corpus scale the removed shuffles
+    * carried (doc_id, token) pairs — corpus-token-proportional bytes). */
+  private def maxRunCount(arr: Column): Column =
+    aggregate(array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("prev") === x, acc.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      })
+      .getField("best")
+
   def repetitionStatsOn(docs: DataFrame): DataFrame = {
-    val base = docs
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .withColumn("n_tokens", size(col("t")).cast("long"))
-    val uni = base
-      .select(col("doc_id"), explode(col("t")).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_distinct"), max(col("c")).as("top_token_c"))
-    val g2 = base
-      .select(col("doc_id"), explode(ngrams(col("t"), 2)).as("gram"))
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max(col("c")).as("top_gram_c"))
-    base.select("doc_id", "n_tokens")
-      .join(uni, Seq("doc_id"), "left")
-      .join(g2, Seq("doc_id"), "left")
-      .withColumn("n_distinct", coalesce(col("n_distinct"), lit(0L)))
-      .withColumn("top_token_c", coalesce(col("top_token_c"), lit(0L)))
-      .withColumn("top_gram_c", coalesce(col("top_gram_c"), lit(0L)))
+    val t = tokens(col("text"))
+    docs
+      .select(col("doc_id"), size(t).cast("long").as("n_tokens"),
+        size(array_distinct(t)).cast("long").as("n_distinct"),
+        maxRunCount(t).as("top_token_c"),
+        maxRunCount(ngrams(t, 2)).as("top_gram_c"))
       .withColumn("dup_token_frac",
         coalesce(r6(lit(1.0) - col("n_distinct") / nullif(col("n_tokens"), lit(0L))), lit(0.0)))
       .withColumn("top_token_frac",
@@ -1604,49 +1614,42 @@ object Text {
       .select(col("w"), explode(sequence(lit(1), length(col("w")))).as("i"))
       .select(expr("substring(w, i, 1)").as("piece")).distinct()
     val vocab = chars.union(top).distinct()
-    // best (longest) vocabulary match per (word, position)
-    val best = words
-      .select(col("w"), explode(sequence(lit(1), length(col("w")))).as("p"))
-      .select(col("w"), col("p"),
-        explode(sequence(lit(1), lit(maxPiece))).as("l"))
-      .filter(col("p") + col("l") - lit(1) <= length(col("w")))
-      .withColumn("cand", expr("substring(w, p, l)"))
-      .join(broadcast(vocab), col("cand") === col("piece"))
-      .groupBy("w", "p").agg(max(col("l")).as("bl"))
-      .persist()
-    // pointer doubling over next(p) = p + bl(p): after k rounds `reach`
-    // holds every cut position within 2^k greedy steps of the word start.
-    // An empty lexicon (no docs, or all texts tokenless) yields a NULL max
-    // — degrade to the empty result like every other *On operator.
-    val maxLenRow = words.agg(max(length(col("w")))).head()
-    if (maxLenRow.isNullAt(0))
-      return words.select(col("w").as("word"), lit(0L).as("n_chars"),
-        lit(0L).as("n_pieces"), lit("").as("segmentation")).limit(0)
-    val maxLen = maxLenRow.getInt(0)
-    val rounds = math.max(1,
-      math.ceil(math.log(maxLen + 1.0) / math.log(2.0)).toInt)
-    var f = best.select(col("w"), col("p"), (col("p") + col("bl")).as("np"))
-      .localCheckpoint()
-    var reach = words.select(col("w"), lit(1).as("p")).localCheckpoint()
-    for (_ <- 1 to rounds) {
-      reach = reach.union(
-          reach.join(f, Seq("w", "p")).select(col("w"), col("np").as("p")))
-        .distinct().localCheckpoint()
-      f = f.join(f.select(col("w"), col("p").as("np"), col("np").as("np2")),
-          Seq("w", "np"))
-        .select(col("w"), col("p"), col("np2").as("np"))
-        .localCheckpoint()
-    }
-    val seg = reach.join(best, Seq("w", "p"))
-      .select(col("w"), col("p"), expr("substring(w, p, bl)").as("piece"))
-      .groupBy("w")
-      .agg(count(lit(1)).as("n_pieces"),
-        concat_ws(" ",
-          expr("transform(array_sort(collect_list(struct(p, piece))), x -> x.piece)"))
-          .as("segmentation"))
-    words.select(col("w").as("word"), length(col("w")).cast("long").as("n_chars"))
-      .join(seg, col("word") === col("w"))
-      .select(col("word"), col("n_chars"), col("n_pieces"), col("segmentation"))
+    // The greedy longest-match walk as ONE row-local fold against the
+    // broadcast vocabulary set — the [[uniViterbiOn]] mechanism (round 18;
+    // previously a (word, position, length) candidate explode + two
+    // persists + a log(maxLen)-round pointer-doubling loop of per-round
+    // localCheckpoints). Greedy cuts are inherently sequential per word
+    // and words are lexicon rows, so the walk is exactly a fold: at each
+    // position on the cut path, take the longest vocab piece (the former
+    // `best` table's max l) and jump past it. A position no vocab piece
+    // covers stalls the walk — unreachable here because every character
+    // of every lexicon word is in `chars` — mirroring the old plan, where
+    // a cut with no `best` row dropped out of the reach join.
+    val vs = vocab
+      .agg(map_from_entries(collect_list(struct(col("piece"), lit(true)))).as("vs"))
+    val w = col("w")
+    val n = length(w)
+    def bl(pos: Column): Column = coalesce(
+      (maxPiece to 1 by -1).map { l =>
+        when(pos + lit(l) - lit(1) <= n &&
+          element_at(col("vs"), w.substr(pos, lit(l))).isNotNull, lit(l))
+      }: _*)
+    val walk = aggregate(
+      sequence(lit(1), n),
+      struct(lit(1).as("pos"), lit(0L).as("np"), lit("").as("seg")),
+      (acc, i) => {
+        val step = bl(acc.getField("pos"))
+        when(i === acc.getField("pos") && step.isNotNull,
+          struct((acc.getField("pos") + step).as("pos"),
+            (acc.getField("np") + lit(1L)).as("np"),
+            concat(acc.getField("seg"),
+              when(acc.getField("np") > lit(0L), lit(" ")).otherwise(lit("")),
+              w.substr(acc.getField("pos"), step)).as("seg")))
+          .otherwise(acc)
+      })
+    words.crossJoin(broadcast(vs))
+      .select(w.as("word"), n.cast("long").as("n_chars"),
+        walk.getField("np").as("n_pieces"), walk.getField("seg").as("segmentation"))
       .orderBy("word")
   }
 
@@ -2197,25 +2200,34 @@ object Text {
     * lexicon; n_words agrees across tokenizers by construction. */
   def tokenizerFertilityFrom(docs: DataFrame, bpeLex: DataFrame,
                              uniLex: DataFrame, wpLex: DataFrame): DataFrame = {
-    val stream = docs.select(col("lang"), explode(tokens(col("text"))).as("w"))
+    // ONE corpus pass: aggregate the token stream to the per-(lang, word)
+    // census up front — lexicon×lang-sized — and run the three tokenizer
+    // comparisons over the census (round 18; previously the corpus-sized
+    // (lang, w) stream was persisted and re-passed once per tokenizer).
+    // n_words = Σcnt and n_subwords = Σcnt·n_pieces reproduce the
+    // stream-join integers exactly: a lang has a matched occurrence iff
+    // it has a matched census word, so the group sets agree too.
+    val census = docs.select(col("lang"), explode(tokens(col("text"))).as("w"))
       .filter(col("w").rlike("^[a-z0-9]+$"))
-      .persist() // three joins, one stream pass each
+      .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      .persist() // three joins, one census pass each
     def side(lex: DataFrame, name: String): DataFrame =
-      stream.join(broadcast(lex.select(col("word").as("w"), col("n_pieces"))), Seq("w"))
+      census.join(broadcast(lex.select(col("word").as("w"), col("n_pieces"))), Seq("w"))
         .groupBy("lang")
-        .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_subwords"))
+        .agg(sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * col("n_pieces")).as("n_subwords"))
         .select(lit(name).as("tokenizer"), col("lang"), col("n_words"), col("n_subwords"),
           r6(col("n_subwords").cast("double") / col("n_words")).as("fertility"))
     // the comparison table is (3 × langs) rows: materialize it eagerly so
-    // the corpus-sized token-stream cache is released HERE rather than
-    // left for the bench's blanket unpersist (ADVICE r17 — a notebook
-    // session would accumulate one stream cache per call)
+    // the census cache is released HERE rather than left for the bench's
+    // blanket unpersist (ADVICE r17 — a notebook session would accumulate
+    // one cache per call)
     try side(bpeLex, "bpe")
       .unionByName(side(uniLex, "unigram"))
       .unionByName(side(wpLex, "wordpiece"))
       .orderBy("tokenizer", "lang")
       .localCheckpoint()
-    finally stream.unpersist(blocking = false)
+    finally census.unpersist(blocking = false)
   }
 
   def tokenizerFertilityOn(docs: DataFrame): DataFrame =

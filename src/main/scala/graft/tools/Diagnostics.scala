@@ -74,6 +74,96 @@ object ExplainSome {
   }
 }
 
+/** Per-job wall-clock profile of a registry query — the measurement behind
+  * the round-18 job-count work on the incremental/rolled warehouse family:
+  * those queries are many small reconciliation jobs, so the optimization
+  * lever is JOB COUNT and per-job overhead, which per-query seconds and
+  * shuffle bytes cannot separate. Runs each named query twice (run 2 =
+  * the bench's steady state, frozen artifacts warm) and prints, for the
+  * second run, every Spark job with its wall ms and call site.
+  * `runMain graft.tools.JobProfile <sfDir> <name>[,<name>...]` */
+object JobProfile {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, namesCsv) = args
+    val spark = Tools.session()
+    spark.range(1000000).selectExpr("sum(id)").collect() // JIT warmup
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String, Int, Int)]()
+    val taskCount = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        starts.put(j.jobId, (System.nanoTime(),
+          Option(j.properties.getProperty("spark.job.description"))
+            .orElse(Option(j.properties.getProperty("callSite.short")))
+            .getOrElse("?"), taskCount.get()))
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        taskCount.incrementAndGet(); ()
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val s = starts.remove(j.jobId)
+        if (s != null)
+          done.add((j.jobId, (System.nanoTime() - s._1) / 1e6, s._2,
+            0, taskCount.get() - s._3))
+      }
+    })
+    namesCsv.split(",").foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      (1 to 2).foreach { run =>
+        done.clear()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        // the listener bus drains asynchronously; give it a beat
+        Thread.sleep(500)
+        import scala.jdk.CollectionConverters._
+        val jobs = done.asScala.toSeq.sortBy(_._1)
+        println(f"== $name run $run: wall=$dt%.2f s, jobs=${jobs.size}, " +
+          f"job_ms_sum=${jobs.map(_._2).sum}%.0f, tasks=${jobs.map(_._5).sum}")
+        if (run == 2)
+          jobs.foreach { case (id, ms, site, _, tasks) =>
+            println(f"  job $id%4d $ms%8.1f ms $tasks%4d tasks  $site") }
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        System.gc(); Thread.sleep(300)
+      }
+    }
+    spark.stop()
+  }
+}
+
+/** Stage-level timing of [[graft.ext.Corpus.manifestDocFeatures]]'s
+  * subplans over the registered fresh slice — the measurement behind the
+  * round-18 feature-pass fusion: the composed checkpoint showed 10 s
+  * (23 jobs) at sf0.1 in JobProfile, and this isolates which of the eight
+  * doc-local passes pays it.
+  * `runMain graft.tools.FeatProfile [sfDir]` */
+object FeatProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = Tools.session()
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    import graft.ops.Tables
+    val docs = Tables.documents(spark, sfDir)
+    val probe = graft.ext.Corpus.featProfileProbe(spark, sfDir)
+    (1 to 2).foreach { run =>
+      probe.foreach { case (name, mk) =>
+        val t0 = System.nanoTime()
+        val df = mk()
+        val n = df.count()
+        println(f"FEAT run$run $name%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
+        if (run == 2 && sys.env.contains("GRAFT_FEAT_PLAN")) {
+          df.collect()
+          println(s"----- $name executed plan -----")
+          println(df.queryExecution.executedPlan.toString)
+        }
+      }
+      spark.catalog.clearCache()
+      System.gc(); Thread.sleep(300)
+    }
+    spark.stop()
+  }
+}
+
 /** recall@5 of every ANN variant against the brute-force top-5 on a testdata
   * dir (arg 0, default sf0.01): the per-probe |bf ∩ variant| / 5, averaged.
   * PQ variants rank by L2 rather than cosine, so a recall below 1.0 mixes
