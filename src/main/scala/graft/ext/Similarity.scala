@@ -814,8 +814,27 @@ object Similarity {
       pqSub(emb, pcfg.m, pcfg.dims / pcfg.m), NProbe, pcfg)
   }
 
-  def knnPq(spark: SparkSession, dir: String): DataFrame =
-    knnPqOn(Tables.embeddings(spark, dir))
+  /** Frozen-model form of the flat-PQ scan, mirroring [[knnIvfPq]]: the
+    * codebook trains once per (corpus, knobs) and every invocation after
+    * that is encode + LUT + ADC + re-rank only (round 18 — this row was
+    * the last PQ consumer still re-running Lloyd per invocation; the
+    * oracle still trains from scratch in SQL, proving the replayed
+    * codebook byte-equal). [[knnPqOn]] keeps the self-training
+    * compositional form. */
+  def knnPq(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = PqCfg()
+    val emb = Tables.embeddings(spark, dir)
+    val sub = pqSub(emb, cfg.m, cfg.dims / cfg.m)
+    val cbd = frozenCodebook(spark, dir, cfg)
+    val codesW = pqCodesWide(sub, cbd, cfg.m)
+    val lutW = pqLutWide(sub, cbd, cfg.m)
+    val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
+    val adcRanked = codesW.crossJoin(broadcast(lutW))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc", adcCol(cfg.m))
+      .withColumn("rank", row_number().over(w).cast("long")) // DuckDB ranks are BIGINT
+    pqFinish(emb, adcRanked, cfg.refine)
+  }
 
   /** Oracle twin of [[pqSub]]/[[pqCodebook]]/[[pqCodesWide]]/[[pqLutWide]]:
     * CTEs `sub`, `cb0..cbN`, `cbd`, `enc`, `codesw`, `lutw` — shared by the

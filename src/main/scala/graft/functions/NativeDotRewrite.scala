@@ -42,6 +42,19 @@ object NativeDotRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  // merge function is exactly (acc, v) -> acc + v
+  private def isPlainSum(add: Add, acc: NamedLambdaVariable, v: NamedLambdaVariable): Boolean =
+    (add.left, add.right) match {
+      case (l: NamedLambdaVariable, r: NamedLambdaVariable) =>
+        l.exprId == acc.exprId && r.exprId == v.exprId
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case ArrayAggregate(
           ZipWith(a, b,
@@ -56,14 +69,36 @@ object NativeDotRewrite extends Rule[LogicalPlan] {
               l.exprId == x.exprId && r.exprId == y.exprId
             case _ => false
           }) &&
-          // merge function is exactly (acc, v) -> acc + v
-          ((add.left, add.right) match {
-            case (l: NamedLambdaVariable, r: NamedLambdaVariable) =>
-              l.exprId == acc.exprId && r.exprId == v.exprId
-            case _ => false
-          }) &&
+          isPlainSum(add, acc, v) &&
           // finish function is the identity
           fin.exprId == fa.exprId =>
       FloatDot(a, b)
+
+    // the squared-L2 fold over two double arrays —
+    //   aggregate(zip_with(a, b, (x, y) -> (x-y)*(x-y)), 0.0, (acc, v) -> acc + v)
+    // (what [[graft.ext.Similarity.l2sq]] builds) — into the native
+    // [[DoubleL2Sq]] expression; same bit-identity argument as FloatDot
+    case ArrayAggregate(
+          ZipWith(a, b,
+            LambdaFunction(m: Multiply, Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+          Literal(0.0, DoubleType),
+          LambdaFunction(add: Add, Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
+          LambdaFunction(fin: NamedLambdaVariable, Seq(fa: NamedLambdaVariable), _))
+        if isDoubleArray(a) && isDoubleArray(b) &&
+          // element function is exactly (x, y) -> (x - y) * (x - y)
+          ((m.left, m.right) match {
+            case (sl: Subtract, sr: Subtract) =>
+              (sl.left, sl.right, sr.left, sr.right) match {
+                case (l1: NamedLambdaVariable, r1: NamedLambdaVariable,
+                      l2: NamedLambdaVariable, r2: NamedLambdaVariable) =>
+                  l1.exprId == x.exprId && r1.exprId == y.exprId &&
+                    l2.exprId == x.exprId && r2.exprId == y.exprId
+                case _ => false
+              }
+            case _ => false
+          }) &&
+          isPlainSum(add, acc, v) &&
+          fin.exprId == fa.exprId =>
+      DoubleL2Sq(a, b)
   }
 }

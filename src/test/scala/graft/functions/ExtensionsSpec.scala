@@ -54,6 +54,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaRule.toSeq === viaFold.toSeq)
   }
 
+  test("optimizer rewrites the declarative squared-L2 fold to native double_l2sq") {
+    import org.apache.spark.sql.functions.{col, transform}
+    // parquet-backed double arrays, like pqSub builds them
+    def sub(s: SparkSession) =
+      graft.ops.Tables.embeddings(s, "/root/testdata/sf0.001")
+        .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+        .select(graft.ext.Similarity.l2sq(col("v"), col("v")).as("d"))
+    val df = sub(spark)
+    assert(df.queryExecution.optimizedPlan.toString.contains("double_l2sq"),
+      df.queryExecution.optimizedPlan.toString)
+    // the rewritten plan computes the identical values to the interpreted
+    // fold (the shared SparkSpec session has no extensions, so no rewrite)
+    assert(df.collect().map(_.getDouble(0)).toSeq ===
+      sub(graft.SparkSpec.session).collect().map(_.getDouble(0)).toSeq)
+  }
+
+  test("double_l2sq preserves NULL semantics on ragged and null-element arrays") {
+    import org.apache.spark.sql.functions.col
+    val mk = (s: SparkSession) => {
+      import s.implicits._
+      Seq((Array(1.0, 2.0), Array(3.0))).toDF("a", "b")
+        .select(graft.ext.Similarity.l2sq(col("a"), col("b")).as("d"))
+    }
+    assert(mk(spark).head().isNullAt(0), "rewritten path must null-out")
+    assert(mk(graft.SparkSpec.session).head().isNullAt(0), "interpreted path nulls out")
+  }
+
   test("the rewrite preserves NULL semantics on ragged arrays") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
