@@ -2400,29 +2400,44 @@ object Corpus {
   private[graft] def manifestDocFeatures(snap: DataFrame, census: DataFrame,
                                          weights: DataFrame, thrTot: Long, thrN: Long,
                                          evalh: DataFrame): DataFrame = {
-    val train = snap.filter(pmod(col("doc_id"), lit(10L)) =!= lit(BenchSlice))
-    val q = graft.ext.Text.qualityFilterRowsOn(train)
-      .select(col("doc_id"), lit(true).as("pass_quality"))
-    val r = graft.ext.Text.repetitionStatsOn(train)
-      .select(col("doc_id"), col("keep").as("pass_repetition"))
+    val isTrain = pmod(col("doc_id"), lit(10L)) =!= lit(BenchSlice)
+    val train = snap.filter(isTrain)
+    // the three gates that genuinely need cross-row state (the broadcast
+    // census / weight table / eval shingle set) stay per-feature joins
     val f = graft.ext.Text.lmFluencyAgainstOn(train, census)
       .select(col("doc_id"), col("is_fluent"))
     val g = graft.ext.Quality.qsKeepWithThreshold(train, weights, thrTot, thrN)
     val d = decontaminateAgainstHashesOn(train, evalh)
       .select(col("doc_id"), col("keep").as("pass_decontam"))
-    val ts = graft.ext.Text.textStatsRowsOn(snap).select(col("doc_id"), col("quality_score"))
-    val spn = splitRowsOn(snap).select("doc_id", "split", "n_tok")
-    val mxc = mixCopiesOn(snap).select("doc_id", "n_copies")
-    snap.select(col("doc_id"), col("lang"), col("source"),
-        md5(graft.ext.Text.normalized(col("text"))).as("fp"))
-      .join(mxc, Seq("doc_id"))
-      .join(q, Seq("doc_id"), "left")
-      .join(r, Seq("doc_id"), "left")
+    // every other feature is DOC-LOCAL: one projection over the snapshot
+    // (round 18 — previously five more per-feature frames were joined
+    // back on doc_id; the composed plan carried 43 exchanges for a
+    // 200-doc fresh slice). The column definitions are the SAME shared
+    // expressions the registered per-stage queries project
+    // ([[graft.ext.Text.textStatsCols]]/[[graft.ext.Text.repetitionCols]],
+    // [[mixCopiesOn]], [[splitAssign]]), so fusion cannot drift from the
+    // stage operators. Gate-bit value contract preserved exactly: TRUE or
+    // NULL for pass_quality (the old left join of a FILTERED frame never
+    // produced false), true/false for pass_repetition on the train slice,
+    // NULL on the bench slice for both (the funnel never judges it).
+    val local = mixCopiesOn(snap)
+      .select(col("doc_id") +: col("lang") +: col("source") +: col("text") +:
+        col("n_copies") +: graft.ext.Text.textStatsCols: _*)
+      .withColumn("pass_quality",
+        when(isTrain && graft.ext.Text.qualityPassCol, lit(true)))
+      .withColumn("pass_repetition",
+        when(isTrain, graft.ext.Text.repetitionKeepCol))
+      .withColumn("fp", md5(graft.ext.Text.normalized(col("text"))))
+      .withColumn("split", splitAssign)
+      .withColumn("n_tok", size(graft.ext.Text.tokens(col("text"))).cast("long"))
+    local
       .join(f, Seq("doc_id"), "left")
       .join(g, Seq("doc_id"), "left")
       .join(d, Seq("doc_id"), "left")
-      .join(ts, Seq("doc_id"))
-      .join(spn, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("fp"),
+        col("n_copies"), col("pass_quality"), col("pass_repetition"),
+        col("is_fluent"), col("pass_classifier"), col("pass_decontam"),
+        col("quality_score"), col("split"), col("n_tok"))
   }
 
   /** Diagnostics seam for [[graft.tools.FeatProfile]]: each subplan of

@@ -52,33 +52,44 @@ object Text {
   /** Unsorted per-doc stats — pure row-local projections, so the frame
     * streams unchanged (the quality filter's streaming twin builds on
     * this); the registry query adds the presentation sort. */
-  def textStatsRowsOn(docs: DataFrame): DataFrame = {
+  /** The per-doc stat COLUMNS over `col("text")` — ONE definition,
+    * projected by [[textStatsRowsOn]] and composed inline by the manifest
+    * feature fusion (round 18:
+    * [[graft.ext.Corpus.manifestDocFeatures]] computes all doc-local
+    * features in a single projection instead of joining per-feature
+    * frames), so the two can never drift.
+    * nullif guards: x / 0 must be NULL (the coerce-to-null convention and
+    * the DuckDB behavior) even on a stock session with ANSI mode ON —
+    * library callers' sessions don't get the harness's ansi=false. */
+  private[graft] def textStatsCols: Seq[Column] = {
     val toks = tokens(col("text"))
+    val nTokens = size(toks).cast("long")
+    val lenChars = length(col("text")).cast("long")
     val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
-    val stopHits = size(filter(toks, t => t.isInCollection(stopwords))).cast("long")
-    val base = docs
-      .withColumn("n_tokens", size(toks).cast("long"))
-      .withColumn("len_chars", length(col("text")).cast("long"))
-      .withColumn("sum_token_len", sumLen)
-      .withColumn("n_punct", regexp_count(col("text"), lit(punctClass)).cast("long"))
-      .withColumn("n_stop", stopHits)
-      // nullif guards: x / 0 must be NULL (the coerce-to-null convention and
-      // the DuckDB behavior) even on a stock session with ANSI mode ON —
-      // library callers' sessions don't get the harness's ansi=false
-      .withColumn("avg_token_len", col("sum_token_len") / nullif(col("n_tokens"), lit(0L)))
-      .withColumn("punct_ratio", col("n_punct") / nullif(col("len_chars"), lit(0L)))
-      .withColumn("stop_ratio", col("n_stop") / nullif(col("n_tokens"), lit(0L)))
-    base
-      .withColumn("quality_score", r6(
-        (least(lit(1.0), col("n_tokens") / lit(100.0))
-          + (lit(1.0) - least(lit(1.0), col("punct_ratio") * lit(10.0)))
-          + least(lit(1.0), col("stop_ratio") * lit(5.0))) / lit(3.0)))
-      .select(col("doc_id"), col("n_tokens"), col("len_chars"),
-        r6(col("avg_token_len")).as("avg_token_len"),
-        r6(col("punct_ratio")).as("punct_ratio"),
-        r6(col("stop_ratio")).as("stop_ratio"),
-        col("quality_score"))
+    val nPunct = regexp_count(col("text"), lit(punctClass)).cast("long")
+    val nStop = size(filter(toks, t => t.isInCollection(stopwords))).cast("long")
+    val avgLen = sumLen / nullif(nTokens, lit(0L))
+    val punct = nPunct / nullif(lenChars, lit(0L))
+    val stop = nStop / nullif(nTokens, lit(0L))
+    val qs = r6(
+      (least(lit(1.0), nTokens / lit(100.0))
+        + (lit(1.0) - least(lit(1.0), punct * lit(10.0)))
+        + least(lit(1.0), stop * lit(5.0))) / lit(3.0))
+    Seq(nTokens.as("n_tokens"), lenChars.as("len_chars"),
+      r6(avgLen).as("avg_token_len"), r6(punct).as("punct_ratio"),
+      r6(stop).as("stop_ratio"), qs.as("quality_score"))
   }
+
+  /** The quality-gate predicate over [[textStatsCols]] OUTPUT columns
+    * (the r6-rounded ratios, exactly what the registered filter compares)
+    * — shared by [[qualityFilterRowsOn]] and the manifest feature fusion. */
+  private[graft] def qualityPassCol: Column =
+    col("n_tokens") >= lit(MinTokens) &&
+      (col("punct_ratio") < lit(MaxPunctRatio) || col("punct_ratio").isNull) &&
+      col("quality_score") >= lit(MinQuality)
+
+  def textStatsRowsOn(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +: textStatsCols: _*)
 
   def textStatsOn(docs: DataFrame): DataFrame =
     textStatsRowsOn(docs).orderBy("doc_id")
@@ -408,9 +419,7 @@ object Text {
     * asserts the parity). The registry query adds the presentation sort. */
   def qualityFilterRowsOn(docs: DataFrame): DataFrame =
     textStatsRowsOn(docs)
-      .filter(col("n_tokens") >= lit(MinTokens) &&
-        (col("punct_ratio") < lit(MaxPunctRatio) || col("punct_ratio").isNull) &&
-        col("quality_score") >= lit(MinQuality))
+      .filter(qualityPassCol)
       .select("doc_id", "n_tokens", "punct_ratio", "quality_score")
 
   def qualityFilterOn(docs: DataFrame): DataFrame =
@@ -472,32 +481,36 @@ object Text {
       })
       .getField("best")
 
-  def repetitionStatsOn(docs: DataFrame): DataFrame = {
+  /** The repetition-gate COLUMNS over `col("text")` — one definition,
+    * projected by [[repetitionStatsOn]] and composed inline by the
+    * manifest feature fusion (the [[textStatsCols]] convention). */
+  private[graft] def repetitionCols: Seq[Column] = {
     val t = tokens(col("text"))
-    docs
-      .select(col("doc_id"), size(t).cast("long").as("n_tokens"),
-        size(array_distinct(t)).cast("long").as("n_distinct"),
-        maxRunCount(t).as("top_token_c"),
-        maxRunCount(ngrams(t, 2)).as("top_gram_c"))
-      .withColumn("dup_token_frac",
-        coalesce(r6(lit(1.0) - col("n_distinct") / nullif(col("n_tokens"), lit(0L))), lit(0.0)))
-      .withColumn("top_token_frac",
-        coalesce(r6(col("top_token_c") / nullif(col("n_tokens"), lit(0L))), lit(0.0)))
-      // overlapping occurrences each count 2 tokens, so the raw share can
-      // exceed 1 on degenerate docs ("a a a a") — cap at 1.0. NB least()
-      // skips NULLs on both engines, so the zero-token case needs an
-      // explicit guard, not coalesce-after-least.
-      .withColumn("top_2gram_frac",
-        when(col("n_tokens") === 0, lit(0.0))
-          .otherwise(r6(least(lit(1.0), col("top_gram_c") * lit(2.0) / col("n_tokens")))))
-      .withColumn("keep",
-        col("dup_token_frac") <= lit(DupTokenMax) &&
-          col("top_token_frac") <= lit(TopTokenMax) &&
-          col("top_2gram_frac") <= lit(Top2GramMax))
-      .select("doc_id", "n_tokens", "n_distinct", "top_token_c", "top_gram_c",
-        "dup_token_frac", "top_token_frac", "top_2gram_frac", "keep")
-      .orderBy("doc_id")
+    val nTokens = size(t).cast("long")
+    val nDistinct = size(array_distinct(t)).cast("long")
+    val topTok = maxRunCount(t)
+    val topGram = maxRunCount(ngrams(t, 2))
+    val dupFrac = coalesce(r6(lit(1.0) - nDistinct / nullif(nTokens, lit(0L))), lit(0.0))
+    val topTokFrac = coalesce(r6(topTok / nullif(nTokens, lit(0L))), lit(0.0))
+    // overlapping occurrences each count 2 tokens, so the raw share can
+    // exceed 1 on degenerate docs ("a a a a") — cap at 1.0. NB least()
+    // skips NULLs on both engines, so the zero-token case needs an
+    // explicit guard, not coalesce-after-least.
+    val top2Frac = when(nTokens === 0, lit(0.0))
+      .otherwise(r6(least(lit(1.0), topGram * lit(2.0) / nTokens)))
+    val keep = dupFrac <= lit(DupTokenMax) &&
+      topTokFrac <= lit(TopTokenMax) && top2Frac <= lit(Top2GramMax)
+    Seq(nTokens.as("n_tokens"), nDistinct.as("n_distinct"),
+      topTok.as("top_token_c"), topGram.as("top_gram_c"),
+      dupFrac.as("dup_token_frac"), topTokFrac.as("top_token_frac"),
+      top2Frac.as("top_2gram_frac"), keep.as("keep"))
   }
+
+  /** Just the keep/drop verdict of [[repetitionCols]], for composition. */
+  private[graft] def repetitionKeepCol: Column = repetitionCols.last
+
+  def repetitionStatsOn(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +: repetitionCols: _*).orderBy("doc_id")
 
   def repetitionStats(spark: SparkSession, dir: String): DataFrame =
     repetitionStatsOn(Tables.documents(spark, dir))
