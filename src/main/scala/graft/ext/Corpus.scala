@@ -2166,36 +2166,60 @@ object Corpus {
     * avoids re-reading untouched text. */
   private def assembleManifest(spine: DataFrame, mx: DataFrame, fn: DataFrame,
                                dc: DataFrame, kb: DataFrame, sp: DataFrame,
-                               packTok: DataFrame => DataFrame): DataFrame = {
-    // the manifest ships the LEAKAGE-SAFE split (VERDICT r16 task 1): `sp`
-    // carries the per-doc content-hash assignment (doc-local warehouse
-    // state), and every cluster member INHERITS its canonical's — the
-    // `t_split_safe` rule, one definition ([[inheritedSplitFrom]]) — so
-    // near-duplicates cannot span train/val/test in the artifact a
-    // training run actually reads. Canonical churn between snapshots can
-    // MOVE a member's inherited split; `t_manifest_delta`'s split_moved
-    // class tracks exactly that. The own-split coalesce fallback fires
-    // only for spine docs absent from the cluster manifest (none via the
-    // registered entry points — CC covers every doc; belt for library
-    // callers handing partial cluster state). The SQL twin's `sp` CTE
-    // carries the SAME fallback ([[inheritedSplitCtesFor]]), so the twin
-    // contract holds under partial cluster state too.
+                               packTok: DataFrame => DataFrame): DataFrame =
+    // the full-rebuild form: the doc-local verdict inputs arrive as
+    // SEPARATE stage frames (the registered per-stage entry points), so
+    // they compose by doc_id-keyed left joins into the pre-verdict spine;
+    // the warehouse update feeds [[assembleManifestPre]] directly from its
+    // feature table (one projection, no joins — the inputs are columns of
+    // the SAME frame there). Join order vs the pre-r18 form: sp moved
+    // before dc/kb — all are 1:1 doc_id-keyed left joins, so the composed
+    // values (and the doc_id-sorted output) are unchanged.
+    assembleManifestPre(
+      spine
+        .join(mx, Seq("doc_id"), "left")
+        .join(fn, Seq("doc_id"), "left")
+        .join(sp, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("source"),
+          coalesce(col("n_copies"), lit(0L)).as("n_copies"),
+          coalesce(col("f_kept"), lit(false)).as("kept"),
+          when(col("f_kept").isNull, lit("bench_slice")).otherwise(col("f_reason")).as("drop_reason"),
+          col("split")),
+      dc, kb, packTok)
+
+  /** The shared assembly TAIL: takes the pre-verdict spine — one frame
+    * already carrying every DOC-LOCAL verdict column (doc_id, lang,
+    * source, n_copies, kept, drop_reason, own split) — and attaches the
+    * three genuinely CROSS-ROW inputs: the cluster manifest, the
+    * keep-best election, and the cluster-inherited split.
+    *
+    * The manifest ships the LEAKAGE-SAFE split (VERDICT r16 task 1): the
+    * spine's `split` carries the per-doc content-hash assignment
+    * (doc-local warehouse state), and every cluster member INHERITS its
+    * canonical's — the `t_split_safe` rule, one definition
+    * ([[inheritedSplitFrom]]) — so near-duplicates cannot span
+    * train/val/test in the artifact a training run reads. Canonical churn
+    * between snapshots can MOVE a member's inherited split;
+    * `t_manifest_delta`'s split_moved class tracks exactly that. The
+    * own-split coalesce fallback fires only for spine docs absent from
+    * the cluster manifest (none via the registered entry points — CC
+    * covers every doc; belt for library callers handing partial cluster
+    * state). The SQL twin's `sp` CTE carries the SAME fallback
+    * ([[inheritedSplitCtesFor]]), so the twin contract holds under
+    * partial cluster state too. */
+  private def assembleManifestPre(pre: DataFrame, dc: DataFrame, kb: DataFrame,
+                                  packTok: DataFrame => DataFrame): DataFrame = {
     val inh = inheritedSplitFrom(dc,
-        sp.select(col("doc_id"), col("split").as("own_split")))
+        pre.select(col("doc_id"), col("split").as("own_split")))
       .select(col("doc_id"), col("split").as("safe_split"))
     // checkpointed: the verdict frame feeds the pack-input filter AND the
     // final projection (the scd2HistoryOn two-consumer discipline)
-    val verdict = spine
-      .join(mx, Seq("doc_id"), "left")
-      .join(fn, Seq("doc_id"), "left")
+    val verdict = pre
       .join(dc, Seq("doc_id"), "left")
       .join(kb, Seq("cluster_id"), "left")
-      .join(sp, Seq("doc_id"), "left")
       .join(inh, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"), col("source"),
-        coalesce(col("n_copies"), lit(0L)).as("n_copies"),
-        coalesce(col("f_kept"), lit(false)).as("kept"),
-        when(col("f_kept").isNull, lit("bench_slice")).otherwise(col("f_reason")).as("drop_reason"),
+      .select(col("doc_id"), col("lang"), col("source"), col("n_copies"),
+        col("kept"), col("drop_reason"),
         (col("doc_id") === col("keep_doc_id")).as("is_survivor"),
         coalesce(col("safe_split"), col("split")).as("split"))
       .withColumn("packed",
@@ -2210,6 +2234,24 @@ object Corpus {
         coalesce(col("shard"), lit(-1L)).as("shard"),
         coalesce(col("chunk_id"), lit(-1L)).as("chunk_id"))
       .orderBy("doc_id")
+  }
+
+  /** The pre-verdict spine as ONE projection of a [[manifestDocFeatures]]
+    * (+ is_canonical) feature frame — the warehouse paths' form of the
+    * doc-local verdict columns. Same definitions the join form composes:
+    * [[graft.ext.Curation.verdictExprs]] via [[manifestFunnelFrom]]'s
+    * column seam for kept/drop_reason (bench-slice docs — which the
+    * funnel never judges — report kept=false / 'bench_slice', exactly the
+    * left join's NULL coalescing), n_copies carried as stored (never NULL
+    * by [[mixCopiesOn]] construction; coalesce kept as belt). */
+  private def manifestPreFromFeatures(feats: DataFrame): DataFrame = {
+    val isTrain = pmod(col("doc_id"), lit(10L)) =!= lit(BenchSlice)
+    val (fk, fr) = funnelVerdictCols
+    feats.select(col("doc_id"), col("lang"), col("source"),
+      coalesce(col("n_copies"), lit(0L)).as("n_copies"),
+      when(isTrain, fk).otherwise(lit(false)).as("kept"),
+      when(isTrain, fr).otherwise(lit("bench_slice")).as("drop_reason"),
+      col("split"))
   }
 
   /** Oracle: the five registered stage oracles verbatim as subqueries,
@@ -2403,12 +2445,9 @@ object Corpus {
     val isTrain = pmod(col("doc_id"), lit(10L)) =!= lit(BenchSlice)
     val train = snap.filter(isTrain)
     // the three gates that genuinely need cross-row state (the broadcast
-    // census / weight table / eval shingle set) stay per-feature joins
-    val f = graft.ext.Text.lmFluencyAgainstOn(train, census)
-      .select(col("doc_id"), col("is_fluent"))
-    val g = graft.ext.Quality.qsKeepWithThreshold(train, weights, thrTot, thrN)
-    val d = decontaminateAgainstHashesOn(train, evalh)
-      .select(col("doc_id"), col("keep").as("pass_decontam"))
+    // census / weight table / eval shingle set), fused into ONE union +
+    // ONE doc_id aggregation ([[gateVerdictsOn]], round 18)
+    val fgd = gateVerdictsOn(train, census, weights, thrTot, thrN, evalh)
     // every other feature is DOC-LOCAL: one projection over the snapshot
     // (round 18 — previously five more per-feature frames were joined
     // back on doc_id; the composed plan carried 43 exchanges for a
@@ -2431,13 +2470,78 @@ object Corpus {
       .withColumn("split", splitAssign)
       .withColumn("n_tok", size(graft.ext.Text.tokens(col("text"))).cast("long"))
     local
-      .join(f, Seq("doc_id"), "left")
-      .join(g, Seq("doc_id"), "left")
-      .join(d, Seq("doc_id"), "left")
+      .join(fgd, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"), col("source"), col("fp"),
         col("n_copies"), col("pass_quality"), col("pass_repetition"),
         col("is_fluent"), col("pass_classifier"), col("pass_decontam"),
         col("quality_score"), col("split"), col("n_tok"))
+  }
+
+  /** The three MODEL-JOINED gate verdicts — fluency vs the heavy-gram
+    * census, classifier vs the trained weights + frozen calibration,
+    * decontamination vs the eval shingle set — computed in ONE pass:
+    * each gate's per-item stream (bigrams / hashed features / shingle
+    * hashes) broadcast-joins its model WITHOUT a shuffle, the three item
+    * streams union, and a single doc_id aggregation produces every
+    * gate's counters (guide §2.3/§2.4: three identical-keyed exchanges
+    * and three verdict back-joins collapse into one of each; round 18).
+    *
+    * Bit-exactness: every aggregate is a LONG sum/count — order-free —
+    * and each verdict reproduces its operator's expression verbatim over
+    * those exact integers: fluency = r6(mass/n_bigrams) vs
+    * [[graft.ext.Text.FluencyMin]] with the 0-bigram doc NULL-scoring to
+    * false ([[graft.ext.Text.lmFluencyAgainstOn]]); classifier =
+    * cross-multiplied decimal compare
+    * ([[graft.ext.Quality.qsKeepWithThreshold]]; the weight table covers
+    * all [[graft.ext.Quality.QsBuckets]] buckets, so the left join
+    * matches exactly the rows the original inner join kept);
+    * decontamination = r6(n_contaminated/n_grams) ≤ [[MaxContamination]]
+    * with 0-shingle docs clean ([[decontaminateAgainstHashesOn]]).
+    * Coverage: every branch uses explode_outer, so every train doc owns
+    * a row in every branch — the fused frame covers the identical doc
+    * set the three per-gate frames covered. */
+  private def gateVerdictsOn(train: DataFrame, census: DataFrame,
+                             weights: DataFrame, thrTot: Long, thrN: Long,
+                             evalh: DataFrame): DataFrame = {
+    import graft.ext.{Dedup, Quality, Text}
+    val toks = Text.tokens(col("text"))
+    def longNulls(names: String*) = names.map(n => lit(null).cast("long").as(n))
+    val fItems = train.select(col("doc_id"),
+        explode_outer(Text.ngrams(toks, 2)).as("gram"))
+      .join(broadcast(census), Seq("gram"), "left")
+      .select(Seq(col("doc_id"),
+        when(col("gram").isNotNull, lit(1L)).as("nb"),
+        when(col("gram").isNotNull, coalesce(col("n"), lit(1L))).as("mass")) ++
+        longNulls("score", "ng", "nc"): _*)
+    val qItems = train.select(col("doc_id"),
+        explode_outer(concat(toks, Text.ngrams(toks, 2))).as("f"))
+      .withColumn("b", pmod(Dedup.baseHash(col("f")), lit(Quality.QsBuckets.toLong)))
+      .join(broadcast(weights.select(col("b"), col("w"))), Seq("b"), "left")
+      .select(Seq(col("doc_id")) ++ longNulls("nb", "mass") ++ Seq(
+        col("w").as("score")) ++
+        longNulls("ng", "nc"): _*)
+    val dItems = train.select(col("doc_id"),
+        explode_outer(Dedup.shingles3(toks)).as("gram"))
+      .withColumn("h", Dedup.baseHash(col("gram")))
+      .join(broadcast(evalh.withColumn("hit", lit(1L))), Seq("h"), "left")
+      .select(Seq(col("doc_id")) ++ longNulls("nb", "mass", "score") ++ Seq(
+        when(col("gram").isNotNull, lit(1L)).as("ng"),
+        when(col("gram").isNotNull,
+          when(col("hit").isNotNull, lit(1L)).otherwise(lit(0L))).as("nc")): _*)
+    val fluency = graft.ops.Num.r6(col("mass").cast("double") / col("n_bigrams"))
+    val contamination = when(coalesce(col("n_grams"), lit(0L)) === lit(0L), lit(0.0))
+      .otherwise(graft.ops.Num.r6(col("n_contaminated") / col("n_grams")))
+    fItems.unionByName(qItems).unionByName(dItems)
+      .groupBy("doc_id")
+      .agg(sum("nb").as("n_bigrams"), sum("mass").as("mass"),
+        sum("score").as("score"),
+        sum("ng").as("n_grams"), sum("nc").as("n_contaminated"))
+      .select(col("doc_id"),
+        coalesce(fluency >= lit(Text.FluencyMin), lit(false)).as("is_fluent"),
+        (coalesce(col("score"), lit(0L)).cast("decimal(38,0)")
+          * lit(thrN).cast("decimal(38,0)")
+          > lit(thrTot).cast("decimal(38,0)")).as("pass_classifier"),
+        (contamination <= lit(MaxContamination)).as("pass_decontam"))
   }
 
   /** Diagnostics seam for [[graft.tools.FeatProfile]]: each subplan of
@@ -2479,16 +2583,23 @@ object Corpus {
     * rides separately because it is membership state the delta update
     * re-elects. */
   private def manifestFunnelFrom(feats: DataFrame): DataFrame = {
-    val (kept, reason) = graft.ext.Curation.verdictExprs(
+    val (kept, reason) = funnelVerdictCols
+    feats.filter(pmod(col("doc_id"), lit(10L)) =!= lit(BenchSlice))
+      .select(col("doc_id"), kept.as("f_kept"), reason.as("f_reason"))
+  }
+
+  /** The (kept, drop_reason) column pair over a feature frame's stored
+    * gate bits — ONE definition ([[graft.ext.Curation.verdictExprs]])
+    * shared by [[manifestFunnelFrom]] and the fused pre-verdict spine
+    * ([[manifestPreFromFeatures]]), so the two forms cannot drift. */
+  private def funnelVerdictCols: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =
+    graft.ext.Curation.verdictExprs(
       coalesce(col("pass_quality"), lit(false)),
       coalesce(col("pass_repetition"), lit(false)),
       coalesce(col("is_fluent"), lit(false)),
       coalesce(col("pass_classifier"), lit(false)),
       coalesce(col("pass_decontam"), lit(false)),
       coalesce(col("is_canonical"), lit(false)))
-    feats.filter(pmod(col("doc_id"), lit(10L)) =!= lit(BenchSlice))
-      .select(col("doc_id"), kept.as("f_kept"), reason.as("f_reason"))
-  }
 
   /** Frozen warehouse state of the manifest-update family over the
     * simulated OLD snapshot, built once per corpus: the trained models
@@ -2542,14 +2653,10 @@ object Corpus {
       val kb = spark.read.parquet(s"$base/kb.parquet")
       // the assembled base manifest — the t_manifest_base output and the
       // carried-row source of the incremental update
-      assembleManifest(
-        spine = feats.select("doc_id", "lang", "source"),
-        mx = feats.filter(col("n_copies") > 0).select("doc_id", "n_copies"),
-        fn = manifestFunnelFrom(feats)
-          .select(col("doc_id"), col("f_kept"), col("f_reason")),
+      assembleManifestPre(
+        pre = manifestPreFromFeatures(feats),
         dc = spark.read.parquet(mPath).select("doc_id", "cluster_id"),
         kb = kb.select("cluster_id", "keep_doc_id"),
-        sp = feats.select("doc_id", "split"),
         packTok = ids => feats.select("doc_id", "lang", "n_tok").join(ids, Seq("doc_id")))
         .write.parquet(s"$base/manifest.parquet")
       old.unpersist()
@@ -2767,14 +2874,13 @@ object Corpus {
       .join(dcNew.filter(col("is_canonical")).select("cluster_id"), Seq("cluster_id"), "left_semi")
       .join(touchedClusters, Seq("cluster_id"), "left_anti")
       .unionByName(kbTouched)
-    val manifest = assembleManifest(
-      spine = featCanon.select("doc_id", "lang", "source"),
-      mx = featCanon.filter(col("n_copies") > 0).select("doc_id", "n_copies"),
-      fn = manifestFunnelFrom(featCanon)
-        .select(col("doc_id"), col("f_kept"), col("f_reason")),
+    // every doc-local verdict input is a column of featCanon: ONE
+    // projection feeds the assembly tail (round 18 — the join form paid
+    // four featCanon re-reads composed back on doc_id for nothing)
+    val manifest = assembleManifestPre(
+      pre = manifestPreFromFeatures(featCanon),
       dc = dcNew.select("doc_id", "cluster_id"),
       kb = kbNew.select("cluster_id", "keep_doc_id"),
-      sp = featCanon.select("doc_id", "split"),
       packTok = ids => featCanon.select("doc_id", "lang", "n_tok").join(ids, Seq("doc_id")))
     ManifestWarehouse(featCanon, kbNew,
       dupNew.copy(manifest = dcNew), manifest)

@@ -912,10 +912,19 @@ object Multimodal {
     val gone = delta.filter(col("status").isin("removed", "changed")).select("doc_id")
     val fresh = delta.filter(col("status").isin("added", "changed")).select("doc_id")
     val freshDocs = newDocs.join(fresh, Seq("doc_id"), "left_semi").localCheckpoint()
+    // lazily checkpointed (the text family's featNew/featCanon lineage
+    // discipline): each state table feeds TWO consumers inside the
+    // assembly (af → the aligned election AND the verdict join; docLocal
+    // → the inherited split AND the verdict join), so without the
+    // checkpoint the fresh-slice scoring subtrees re-execute once per
+    // consuming branch. One materialization at the first action, leaf
+    // references after; corpus-sized but narrow (ids + verdict bits).
     val afNew = afOld.join(gone, Seq("doc_id"), "left_anti")
-      .unionByName(alignFilterOn(freshDocs, embeddings))
+      .unionByName(alignFilterRowsOn(freshDocs, embeddings))
+      .localCheckpoint(eager = false)
     val dlNew = dlOld.join(gone, Seq("doc_id"), "left_anti")
       .unionByName(mmDocLocalOn(freshDocs))
+      .localCheckpoint(eager = false)
     MediaManifestWarehouse(wh, clusters, afNew, dlNew)
   }
 
@@ -934,7 +943,7 @@ object Multimodal {
       val old = graft.ext.Corpus.deltaOldSlice(Tables.documents(spark, dir))
       val emb = Tables.embeddings(spark, dir)
       val base = java.nio.file.Files.createTempDirectory("graft_mm_manifest_base").toString
-      alignFilterOn(old, emb).write.parquet(s"$base/af.parquet")
+      alignFilterRowsOn(old, emb).write.parquet(s"$base/af.parquet")
       mmDocLocalOn(old).write.parquet(s"$base/dl.parquet")
       (s"$base/af.parquet", s"$base/dl.parquet")
     }
@@ -1356,7 +1365,10 @@ object Multimodal {
     * warehouse state in the incremental family, so the election (and the
     * composed manifest that consumes it, [[mmManifestFromState]]) reads
     * no payload and no caption. */
-  def mediaKeepBestAlignedFrom(manifest: DataFrame, af: DataFrame): DataFrame =
+  /** Unsorted election rows — the composition seam (manifest assembly and
+    * funnel join the election by cluster_id; only the registered listing
+    * pays the presentation sort). */
+  def mediaKeepBestAlignedRowsFrom(manifest: DataFrame, af: DataFrame): DataFrame =
     manifest
       .join(af.select(col("doc_id"), col("align_cos")), Seq("doc_id"))
       .filter(col("cluster_size") > 1)
@@ -1368,14 +1380,16 @@ object Multimodal {
         min(col("cluster_size")).as("cluster_size"))
       .select(col("cluster_id"), col("keep_doc_id"), col("keep_align_cos"),
         col("cluster_size"), (col("cluster_size") - lit(1L)).as("n_removed"))
-      .orderBy("cluster_id")
+
+  def mediaKeepBestAlignedFrom(manifest: DataFrame, af: DataFrame): DataFrame =
+    mediaKeepBestAlignedRowsFrom(manifest, af).orderBy("cluster_id")
 
   def mediaKeepBestAlignedOn(docs: DataFrame, embeddings: DataFrame): DataFrame =
-    mediaKeepBestAlignedFrom(mediaDupClustersOn(docs), alignFilterOn(docs, embeddings))
+    mediaKeepBestAlignedFrom(mediaDupClustersOn(docs), alignFilterRowsOn(docs, embeddings))
 
   def mediaKeepBestAligned(spark: SparkSession, dir: String): DataFrame =
     mediaKeepBestAlignedFrom(frozenMediaClusters(spark, dir),
-      alignFilterOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir)))
+      alignFilterRowsOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir)))
 
   /** The aligned election as CTEs over `comp`/`sizes` and an `af` CTE
     * (relations `kaj`, `kar`, `ka`) — composed by the aligned-keep-best
@@ -1444,7 +1458,14 @@ object Multimodal {
       .select(col("doc_id"), col("source"), cap.as("cap"))
   }
 
-  def alignFilterOn(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+  /** Unsorted alignment verdicts — the composition seam: every consumer
+    * that joins or aggregates the verdicts (the manifest family, the
+    * elections, the funnel, the streaming twins) reads this form, so the
+    * presentation sort is paid only by the registered listing
+    * ([[alignFilterOn]]) instead of being embedded — as a global range
+    * exchange — inside every composed plan (guide §2.4: an orderBy used
+    * only for output determinism is an Exchange you did not need). */
+  def alignFilterRowsOn(docs: DataFrame, embeddings: DataFrame): DataFrame = {
     import graft.ext.Similarity
     val emb = embeddings.select(col("vec_id").as("doc_id"), col("embedding"))
     captionEmbeddings(docs).join(emb, Seq("doc_id"))
@@ -1458,8 +1479,10 @@ object Multimodal {
         when(col("nc") > lit(0.0) && col("ne") > lit(0.0),
           r6(col("dp") / (col("nc") * col("ne")))).otherwise(lit(0.0)).as("align_cos"))
       .withColumn("keep", col("align_cos") > lit(AlignMin))
-      .orderBy("doc_id")
   }
+
+  def alignFilterOn(docs: DataFrame, embeddings: DataFrame): DataFrame =
+    alignFilterRowsOn(docs, embeddings).orderBy("doc_id")
 
   def alignFilter(spark: SparkSession, dir: String): DataFrame =
     alignFilterOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
@@ -1588,10 +1611,10 @@ object Multimodal {
     // to fire. The cluster frame checkpoints only when COMPUTED (the
     // mmManifestFromState rationale): a frozen parquet read re-scans
     // cheaply per branch and stays visible to plan pins
-    val afAll = alignFilterOn(docs, embeddings).localCheckpoint()
+    val afAll = alignFilterRowsOn(docs, embeddings).localCheckpoint()
     val cl0 = clusters.select("doc_id", "cluster_id", "cluster_size")
     val cl = if (checkpointClusters) cl0.localCheckpoint() else cl0
-    val ka = mediaKeepBestAlignedFrom(cl, afAll)
+    val ka = mediaKeepBestAlignedRowsFrom(cl, afAll)
       .select("cluster_id", "keep_doc_id")
     mmFunnelAssemble(mmFunnelDocStateOn(docs),
       afAll.select(col("doc_id"), col("keep")), cl, ka)
@@ -1943,7 +1966,7 @@ object Multimodal {
     // truncate the evidence to an ExistingRDD)
     val cl0 = clusters.select("doc_id", "cluster_id", "cluster_size")
     val cl = if (checkpointClusters) cl0.localCheckpoint() else cl0
-    val ka = mediaKeepBestAlignedFrom(cl, af).select("cluster_id", "keep_doc_id")
+    val ka = mediaKeepBestAlignedRowsFrom(cl, af).select("cluster_id", "keep_doc_id")
     // the manifest ships the LEAKAGE-SAFE split (VERDICT r16 task 1):
     // docLocal carries the doc-local content-hash assignment; every
     // cluster member inherits its canonical's — the `mm_split_safe` rule,
@@ -1995,7 +2018,7 @@ object Multimodal {
     // so the composed manifest can never disagree with them. The manifest
     // spine is the alignment gate's domain: documents with media AND an
     // embedding row (the image-tower output the gate scores against).
-    mmManifestFromState(alignFilterOn(docs, embeddings), mediaDupClustersOn(docs),
+    mmManifestFromState(alignFilterRowsOn(docs, embeddings), mediaDupClustersOn(docs),
       mmDocLocalOn(docs))
 
   def mmPipelineManifest(spark: SparkSession, dir: String): DataFrame =
@@ -2004,7 +2027,7 @@ object Multimodal {
     // incremental family only in where the OTHER state tables come from;
     // no cluster checkpoint: the parquet scan per branch IS the design
     mmManifestFromState(
-      alignFilterOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir)),
+      alignFilterRowsOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir)),
       frozenMediaClusters(spark, dir),
       mmDocLocalOn(Tables.documents(spark, dir)),
       checkpointClusters = false)
