@@ -340,7 +340,10 @@ object Corpus {
 
   /** Scoring against an already-built hash set — shared by the one-shot
     * form and the frozen registered query. */
-  def decontaminateAgainstHashesOn(train: DataFrame, benchHashes: DataFrame): DataFrame = {
+  /** Unsorted scoring rows — the composition seam (the funnel joins the
+    * verdicts on doc_id; only the registered listing pays the
+    * presentation sort). */
+  def decontaminateAgainstHashesRowsOn(train: DataFrame, benchHashes: DataFrame): DataFrame = {
     // explode_outer keeps shingle-less docs in the output with n_grams = 0
     val tg = train.select(col("doc_id"),
         explode_outer(Dedup.shingles3(graft.ext.Text.tokens(col("text")))).as("gram"))
@@ -355,13 +358,21 @@ object Corpus {
     counted
       .select(col("doc_id"), col("n_grams"), col("n_contaminated"), col("contamination"),
         (col("contamination") <= lit(MaxContamination)).as("keep"))
-      .orderBy("doc_id")
   }
+
+  def decontaminateAgainstHashesOn(train: DataFrame, benchHashes: DataFrame): DataFrame =
+    decontaminateAgainstHashesRowsOn(train, benchHashes).orderBy("doc_id")
 
   def decontaminateOn(docs: DataFrame): DataFrame =
     decontaminateAgainstOn(
       docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(BenchSlice)),
       docs.filter(pmod(col("doc_id"), lit(10)) === lit(BenchSlice)))
+
+  /** Unsorted twin of [[decontaminateOn]] — the composition seam. */
+  def decontaminateRowsOn(docs: DataFrame): DataFrame =
+    decontaminateAgainstHashesRowsOn(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= lit(BenchSlice)),
+      evalShingleHashes(docs.filter(pmod(col("doc_id"), lit(10)) === lit(BenchSlice))))
 
   /** Frozen eval-shingle hash set per corpus (train-once contract, same
     * as the fluency census): the registered query and the funnel family
@@ -381,7 +392,12 @@ object Corpus {
   }
 
   def decontaminate(spark: SparkSession, dir: String): DataFrame =
-    decontaminateAgainstHashesOn(
+    decontaminateRows(spark, dir).orderBy("doc_id")
+
+  /** Unsorted frozen-set scoring — [[decontaminate]] minus the
+    * presentation sort, for composing consumers (the funnel build). */
+  def decontaminateRows(spark: SparkSession, dir: String): DataFrame =
+    decontaminateAgainstHashesRowsOn(
       Tables.documents(spark, dir)
         .filter(pmod(col("doc_id"), lit(10)) =!= lit(BenchSlice)),
       frozenEvalHashes(spark, dir))
@@ -2639,7 +2655,7 @@ object Corpus {
       // per-doc feature warehouse + the base canonical verdict
       val census = spark.read.parquet(s"$base/census.parquet")
       val evalh = spark.read.parquet(s"$base/evalh.parquet")
-      val canon = graft.ext.Text.fingerprintOn(old)
+      val canon = graft.ext.Text.fingerprintRowsOn(old)
         .select(col("doc_id"), (col("is_canonical") === lit(1L)).as("is_canonical"))
       manifestDocFeatures(old, census, weights, thrTot, thrN, evalh)
         .join(canon, Seq("doc_id"))
@@ -3216,7 +3232,7 @@ object Corpus {
                                      weights: DataFrame, thrTot: Long, thrN: Long,
                                      evalh: DataFrame): DataFrame = {
     val train = snap.filter(pmod(col("doc_id"), lit(10L)) =!= lit(BenchSlice))
-    val canon = graft.ext.Text.fingerprintOn(snap)
+    val canon = graft.ext.Text.fingerprintRowsOn(snap)
       .select(col("doc_id"), (col("is_canonical") === lit(1L)).as("is_canonical"))
     val fn = graft.ext.Curation.curationFunnelAgainstHashesRowsOn(
         train, census, evalh, canon,

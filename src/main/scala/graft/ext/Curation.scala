@@ -42,11 +42,11 @@ object Curation {
   def curationFunnelRowsOn(docs: DataFrame): DataFrame = {
     val train = docs.filter(pmod(col("doc_id"), lit(10L)) =!= lit(Corpus.BenchSlice))
     funnelTail(train,
-      f = Text.lmFluencyOn(docs).select(col("doc_id"), col("is_fluent")),
-      g = Quality.qualityScoreOn(docs)
+      f = Text.lmFluencyRowsOn(docs).select(col("doc_id"), col("is_fluent")),
+      g = Quality.qualityScoreRowsOn(docs)
         .select(col("doc_id"), col("keep").as("pass_classifier")),
-      d = Corpus.decontaminateOn(docs).select(col("doc_id"), col("keep").as("pass_decontam")),
-      c = Text.fingerprintOn(docs)
+      d = Corpus.decontaminateRowsOn(docs).select(col("doc_id"), col("keep").as("pass_decontam")),
+      c = Text.fingerprintRowsOn(docs)
         .select(col("doc_id"), (col("is_canonical") === lit(1L)).as("is_canonical")))
   }
 
@@ -78,9 +78,9 @@ object Curation {
                                         evalHashes: DataFrame, canon: DataFrame,
                                         classifier: DataFrame): DataFrame =
     funnelTail(train,
-      f = Text.lmFluencyAgainstOn(train, census).select(col("doc_id"), col("is_fluent")),
+      f = Text.lmFluencyAgainstRowsOn(train, census).select(col("doc_id"), col("is_fluent")),
       g = classifier.select(col("doc_id"), col("pass_classifier")),
-      d = Corpus.decontaminateAgainstHashesOn(train, evalHashes)
+      d = Corpus.decontaminateAgainstHashesRowsOn(train, evalHashes)
         .select(col("doc_id"), col("keep").as("pass_decontam")),
       c = canon.select(col("doc_id"), col("is_canonical")))
 
@@ -139,12 +139,12 @@ object Curation {
     val docs = Tables.documents(spark, dir)
     val train = docs.filter(pmod(col("doc_id"), lit(10L)) =!= lit(Corpus.BenchSlice))
     funnelTail(train,
-      f = Text.lmFluency(spark, dir).select(col("doc_id"), col("is_fluent")),
-      g = Quality.qualityScore(spark, dir)
+      f = Text.lmFluencyRows(spark, dir).select(col("doc_id"), col("is_fluent")),
+      g = Quality.qualityScoreRows(spark, dir)
         .select(col("doc_id"), col("keep").as("pass_classifier")),
-      d = Corpus.decontaminate(spark, dir)
+      d = Corpus.decontaminateRows(spark, dir)
         .select(col("doc_id"), col("keep").as("pass_decontam")),
-      c = Text.fingerprintOn(docs)
+      c = Text.fingerprintRowsOn(docs)
         .select(col("doc_id"), (col("is_canonical") === lit(1L)).as("is_canonical")))
   }
 

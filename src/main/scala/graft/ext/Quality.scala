@@ -222,7 +222,11 @@ object Quality {
     * [[Text.lmFluencyAgainstOn]] output schema) — split out so the
     * registered query can ride the FROZEN heavy-gram census instead of
     * re-running the census aggregation on every invocation. */
-  def ccnetBucketsFrom(fluency: DataFrame): DataFrame = {
+  /** Unsorted bucket rows — the composition seam ([[ccnetMixFrom]] and
+    * any per-bucket aggregate consume these; the ntile ordering inside
+    * the window is its own deterministic sort, so input/output order is
+    * irrelevant to the values). */
+  def ccnetBucketsRowsFrom(fluency: DataFrame): DataFrame = {
     val w = Window.partitionBy("lang")
       .orderBy(col("fluency").desc_nulls_last, col("doc_id"))
     fluency
@@ -232,8 +236,10 @@ object Quality {
         when(col("tercile") === 1, lit("head"))
           .when(col("tercile") === 2, lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
-      .orderBy("doc_id")
   }
+
+  def ccnetBucketsFrom(fluency: DataFrame): DataFrame =
+    ccnetBucketsRowsFrom(fluency).orderBy("doc_id")
 
   /** Per-language head/middle/tail terciles over the LM-fluency score
     * ([[Text.lmFluencyOn]] — higher = more common bigrams = CCNet's
@@ -242,10 +248,10 @@ object Quality {
     * break on doc_id so the ntile boundary is deterministic on both
     * engines. */
   def ccnetBucketsOn(docs: DataFrame): DataFrame =
-    ccnetBucketsFrom(Text.lmFluencyOn(docs))
+    ccnetBucketsFrom(Text.lmFluencyRowsOn(docs))
 
   def ccnetBuckets(spark: SparkSession, dir: String): DataFrame =
-    ccnetBucketsFrom(Text.lmFluency(spark, dir))
+    ccnetBucketsFrom(Text.lmFluencyRows(spark, dir))
 
   lazy val ccnetBucketsSql: String =
     s"""WITH fl AS (SELECT * FROM (${Text.lmFluencySql}) WHERE n_bigrams > 0),
@@ -282,10 +288,10 @@ object Quality {
   }
 
   def ccnetMixOn(docs: DataFrame): DataFrame =
-    ccnetMixFrom(ccnetBucketsFrom(Text.lmFluencyOn(docs)))
+    ccnetMixFrom(ccnetBucketsRowsFrom(Text.lmFluencyRowsOn(docs)))
 
   def ccnetMix(spark: SparkSession, dir: String): DataFrame =
-    ccnetMixFrom(ccnetBucketsFrom(Text.lmFluency(spark, dir)))
+    ccnetMixFrom(ccnetBucketsRowsFrom(Text.lmFluencyRows(spark, dir)))
 
   val ccnetMixSql: String = {
     val h = Dedup.baseHashSql("('ccmix:' || CAST(doc_id AS VARCHAR))")
@@ -357,7 +363,7 @@ object Quality {
     * (sum, count) aggregate broadcast back over the scored frame: O(1)
     * threshold state regardless of corpus size (a median would need a
     * corpus-wide value collection). */
-  def qsScoreAgainstOn(docs: DataFrame, weights: DataFrame): DataFrame = {
+  def qsScoreAgainstRowsOn(docs: DataFrame, weights: DataFrame): DataFrame = {
     // two consumers (threshold aggregate + final projection): checkpoint so
     // the feature explode + broadcast join + per-doc aggregate runs ONCE.
     // localCheckpoint, not persist — blocks free via the ContextCleaner when
@@ -374,8 +380,19 @@ object Quality {
       .select(col("doc_id"), col("lang"), col("source"), col("n_feats"), col("score"),
         (col("score").cast("decimal(38,0)") * col("n_tot").cast("decimal(38,0)")
           > col("tot_score").cast("decimal(38,0)")).as("keep"))
-      .orderBy("doc_id")
   }
+
+  def qsScoreAgainstOn(docs: DataFrame, weights: DataFrame): DataFrame =
+    qsScoreAgainstRowsOn(docs, weights).orderBy("doc_id")
+
+  /** Unsorted classifier-gate rows over the frozen weights — the
+    * composition seam (the funnel joins the verdicts on doc_id; only the
+    * registered listing pays the presentation sort). */
+  def qualityScoreRows(spark: SparkSession, dir: String): DataFrame =
+    qsScoreAgainstRowsOn(Tables.documents(spark, dir), frozenQsWeights(spark, dir))
+
+  def qualityScoreRowsOn(docs: DataFrame, posSource: String = QsPosSource): DataFrame =
+    qsScoreAgainstRowsOn(docs, qsWeightsOn(docs, posSource))
 
   def qualityScoreOn(docs: DataFrame, posSource: String = QsPosSource): DataFrame =
     qsScoreAgainstOn(docs, qsWeightsOn(docs, posSource))

@@ -287,15 +287,20 @@ object Text {
     * Spark's replace-all default). */
   def normalizedSql(e: String): String = s"lower(regexp_replace($e, '\\s+', ' ', 'g'))"
 
-  def fingerprintOn(docs: DataFrame): DataFrame = {
+  /** Unsorted fingerprint rows — the composition seam (the funnel's
+    * canonical gate and the manifest-base feature build join these on
+    * doc_id; only the registered listing pays the presentation sort). */
+  def fingerprintRowsOn(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("fp")
     docs
       .withColumn("fp", md5(normalized(col("text"))))
       .withColumn("canonical_doc_id", min(col("doc_id")).over(w))
       .withColumn("is_canonical", when(col("doc_id") === col("canonical_doc_id"), lit(1L)).otherwise(lit(0L)))
       .select("doc_id", "fp", "canonical_doc_id", "is_canonical")
-      .orderBy("doc_id")
   }
+
+  def fingerprintOn(docs: DataFrame): DataFrame =
+    fingerprintRowsOn(docs).orderBy("doc_id")
 
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprintOn(Tables.documents(spark, dir))
@@ -776,7 +781,10 @@ object Text {
   /** Score documents against a FIXED heavy-gram census (the deployment
     * entry point: the census trains once, then any amount of new text
     * streams through — see Streams.fluencyBatches). */
-  def lmFluencyAgainstOn(docs: DataFrame, heavy: DataFrame): DataFrame = {
+  /** Unsorted scoring rows — the composition seam (the funnel and the
+    * ccnet bucket family consume the verdicts by join/aggregate; only the
+    * registered listing pays the presentation sort). */
+  def lmFluencyAgainstRowsOn(docs: DataFrame, heavy: DataFrame): DataFrame = {
     val scored = fluencyGrams(docs).join(broadcast(heavy), Seq("gram"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
@@ -788,8 +796,13 @@ object Text {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("fluency"),
         coalesce(col("fluency") >= lit(FluencyMin), lit(false)).as("is_fluent"))
-      .orderBy("doc_id")
   }
+
+  def lmFluencyAgainstOn(docs: DataFrame, heavy: DataFrame): DataFrame =
+    lmFluencyAgainstRowsOn(docs, heavy).orderBy("doc_id")
+
+  def lmFluencyRowsOn(docs: DataFrame): DataFrame =
+    lmFluencyAgainstRowsOn(docs, fluencyCensusOn(docs))
 
   def lmFluencyOn(docs: DataFrame): DataFrame =
     lmFluencyAgainstOn(docs, fluencyCensusOn(docs))
@@ -801,13 +814,18 @@ object Text {
   private val fluencyCensusCache =
     new graft.ops.FrozenCaches.Memo[Unit, Seq[(String, Long)]](label = "fluency_census")
 
-  def lmFluency(spark: SparkSession, dir: String): DataFrame = {
+  def lmFluency(spark: SparkSession, dir: String): DataFrame =
+    lmFluencyRows(spark, dir).orderBy("doc_id")
+
+  /** Unsorted frozen-census scoring — the registered [[lmFluency]] minus
+    * the presentation sort, for composing consumers (the funnel build). */
+  def lmFluencyRows(spark: SparkSession, dir: String): DataFrame = {
     val rows = fluencyCensusCache.get(dir, ()) {
       fluencyCensusOn(Tables.documents(spark, dir)).collect().toSeq
         .map(r => (r.getString(0), r.getLong(1)))
     }
     import spark.implicits._
-    lmFluencyAgainstOn(Tables.documents(spark, dir), rows.toDF("gram", "n"))
+    lmFluencyAgainstRowsOn(Tables.documents(spark, dir), rows.toDF("gram", "n"))
   }
 
   /** [[lmFluencySql]] split across two snapshot relations: the heavy-gram
