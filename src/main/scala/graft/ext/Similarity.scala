@@ -82,6 +82,24 @@ object Similarity {
     df.join(broadcast(ids), Seq(idCol), "left_semi")
   }
 
+  /** The probe-id pick of `df` as its own frame — compute it ONCE per
+    * query invocation and hand it to every probe-filtered subplan
+    * ([[probeFilterWith]]) so a query composing several such frames (the
+    * PQ chain probe-filters three: the LUT build, the query table, the
+    * re-rank vectors) pays the id-distinct pick once, not once per
+    * consumer (round 18). Eagerly checkpointed: ≤ [[ProbeBudget]] rows.
+    * Identical pick to [[probeFilter]]'s by construction (same distinct,
+    * same key, same tiebreak, same budget). */
+  private def probeIds(df: DataFrame, idCol: String = "vec_id"): DataFrame =
+    df.select(col(idCol)).distinct()
+      .orderBy(probeKey(col(idCol)), col(idCol)).limit(ProbeBudget)
+      .localCheckpoint()
+
+  /** [[probeFilter]] against an already-picked id frame (must be the
+    * [[probeIds]] of a frame with the SAME id set). */
+  private def probeFilterWith(df: DataFrame, ids: DataFrame, idCol: String = "vec_id"): DataFrame =
+    df.join(broadcast(ids.toDF(idCol)), Seq(idCol), "left_semi")
+
   /** Oracle twin of [[probeFilter]]: a membership predicate against the
     * identical pick (DISTINCT ids of `tbl`, smallest-[[ProbeBudget]] by
     * salted hash, id tiebreak). */
@@ -684,8 +702,9 @@ object Similarity {
 
   /** Probe LUTs: r6-rounded squared distance to every codeword, one array
     * per subspace ordered by code so ADC is a positional lookup. */
-  private def pqLutWide(sub: DataFrame, cbd: DataFrame, m: Int): DataFrame = {
-    val lut = probeFilter(sub)
+  private def pqLutWide(sub: DataFrame, cbd: DataFrame, m: Int,
+                        pids: DataFrame): DataFrame = {
+    val lut = probeFilterWith(sub, pids)
       .join(broadcast(cbd), "sub")
       .withColumn("d2r", r6(l2sq(col("sv"), col("cvec"))))
       .select(col("vec_id").as("q_id"), col("sub"), col("code"), col("d2r"))
@@ -705,7 +724,8 @@ object Similarity {
     * `refine` ≤ 0, else the exact squared-L2 re-rank of the top `refine`
     * ADC candidates per probe (exact folds are bit-deterministic, so no
     * rounding enters the final ranking key). */
-  private def pqFinish(embeddings: DataFrame, adcRanked: DataFrame, refine: Int): DataFrame =
+  private def pqFinish(embeddings: DataFrame, adcRanked: DataFrame, refine: Int,
+                       pids: DataFrame): DataFrame =
     if (refine <= 0)
       adcRanked.filter(col("rank") <= lit(TopK))
         .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), r6(col("adc")).as("dist_sq"))
@@ -714,7 +734,7 @@ object Similarity {
       // probes × refine rows broadcast back against the raw vectors
       val ev = embeddings.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      val qv = probeFilter(ev)
+      val qv = probeFilterWith(ev, pids)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       val cand = adcRanked.filter(col("rank") <= lit(refine)).select("q_id", "vec_id")
         .join(broadcast(qv), "q_id")
@@ -733,8 +753,9 @@ object Similarity {
     val subDim = dims / m
     val sub = pqSub(embeddings, m, subDim)
     val cbd = pqCodebook(sub, k, iters, subDim)
+    val pids = probeIds(embeddings)
     val codesW = pqCodesWide(sub, cbd, m)
-    val lutW = pqLutWide(sub, cbd, m)
+    val lutW = pqLutWide(sub, cbd, m, pids)
     // flat ADC: one pass over the ENTIRE coded corpus per probe — the
     // exhaustive-PQ baseline; [[knnIvfPqOn]] is the cell-bounded scale form
     val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
@@ -742,7 +763,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adc", adcCol(m))
       .withColumn("rank", row_number().over(w).cast("long")) // DuckDB ranks are BIGINT
-    pqFinish(embeddings, adcRanked, refine)
+    pqFinish(embeddings, adcRanked, refine, pids)
   }
 
   /** IVF-PQ (Jégou et al. 2011, the IVFADC system): the k-means coarse
@@ -783,10 +804,11 @@ object Similarity {
                           sub: DataFrame, nProbe: Int, pcfg: PqCfg): DataFrame = {
     import pcfg.{m, refine}
     val e = withNorm(embeddings)
+    val pids = probeIds(embeddings)
     val cells = assignCells(e, cent).select("vec_id", "cell")
     val coded = pqCodesWide(sub, cbd, m).join(cells, "vec_id")
-    val lutW = pqLutWide(sub, cbd, m)
-    val queries = probeFilter(e)
+    val lutW = pqLutWide(sub, cbd, m, pids)
+    val queries = probeFilterWith(e, pids)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val pcells = probeCells(queries,
         cent.select(col("cent_id").as("cell"), col("centroid"), col("c_nrm")), nProbe)
@@ -798,7 +820,7 @@ object Similarity {
       .join(broadcast(lutW), Seq("q_id"))
       .withColumn("adc", adcCol(m))
       .withColumn("rank", row_number().over(w).cast("long")) // DuckDB ranks are BIGINT
-    pqFinish(embeddings, adcRanked, refine)
+    pqFinish(embeddings, adcRanked, refine, pids)
   }
 
   def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
@@ -826,14 +848,15 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
     val sub = pqSub(emb, cfg.m, cfg.dims / cfg.m)
     val cbd = frozenCodebook(spark, dir, cfg)
+    val pids = probeIds(emb)
     val codesW = pqCodesWide(sub, cbd, cfg.m)
-    val lutW = pqLutWide(sub, cbd, cfg.m)
+    val lutW = pqLutWide(sub, cbd, cfg.m, pids)
     val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
     val adcRanked = codesW.crossJoin(broadcast(lutW))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adc", adcCol(cfg.m))
       .withColumn("rank", row_number().over(w).cast("long")) // DuckDB ranks are BIGINT
-    pqFinish(emb, adcRanked, cfg.refine)
+    pqFinish(emb, adcRanked, cfg.refine, pids)
   }
 
   /** Oracle twin of [[pqSub]]/[[pqCodebook]]/[[pqCodesWide]]/[[pqLutWide]]:

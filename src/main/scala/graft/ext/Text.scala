@@ -1487,7 +1487,11 @@ object Text {
   def hybridAgainstOn(rows: DataFrame, queries: DataFrame,
                       dft: DataFrame, stats: DataFrame,
                       depth: Int = HybridDepth, topK: Int = HybridTopK): DataFrame = {
-    val sc = hybridPairScores(rows, queries, dft, stats)
+    // two consumers (dense rank list + sparse rank list): checkpointed so
+    // the pair-scoring subtree (corpus tokenize + dense scoring + BM25
+    // tail) runs once, not once per rank list (the scd2HistoryOn
+    // discipline; lazy — one materialization at the first action)
+    val sc = hybridPairScores(rows, queries, dft, stats).localCheckpoint(eager = false)
     val wd = Window.partitionBy("query_id").orderBy(col("cos").desc, col("doc_id"))
     val ws = Window.partitionBy("query_id")
       .orderBy(Num.r9(col("score")).desc, col("doc_id"))
