@@ -1548,6 +1548,18 @@ object Text {
     hybridAgainstOn(rows, hybridFixedQueries(spark, dir), dft, stats)
   }
 
+  /** The registered row's pair-scoring frame alone — package-visible so
+    * PlanSpec can pin the scoring plan itself (the qsRawScores
+    * convention: the public row checkpoints the scores, so the final
+    * frame's plan no longer shows the scoring subtree). */
+  private[graft] def hybridAgainstScores(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.documents(spark, dir).select("doc_id", "text")
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+    val (dft, stats) = frozenHybridQStats(spark, dir)
+    hybridPairScores(rows, hybridFixedQueries(spark, dir), dft, stats)
+  }
+
   /** Oracle: the same dense cross-score + frozen-convention sparse score
     * (stats inline over the identical corpus ≡ the frozen model), ranked
     * and fused with the registered [[hybridRrfSql]] keys. */

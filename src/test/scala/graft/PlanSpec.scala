@@ -505,8 +505,12 @@ class PlanSpec extends SparkSpec {
       "sparse model/vocab joins not broadcast:\n" + pc.take(3000))
     // user-supplied-query path: frozen q-stats replay as local tables, the
     // query matrix broadcasts against the data scan (|rows| × |queries|
-    // BNLJ — query-count-bounded), the sparse model joins broadcast
-    val pa = plan(graft.ext.Text.hybridAgainst(spark, dir))
+    // BNLJ — query-count-bounded), the sparse model joins broadcast.
+    // Pinned on the pair-scoring frame ITSELF (the qsRawScores
+    // convention): the registered row checkpoints the scores — round 18,
+    // the two rank lists each consumed the subtree — so the composed
+    // plan truncates to an ExistingRDD and carries no scoring evidence.
+    val pa = plan(graft.ext.Text.hybridAgainstScores(spark, dir))
     assert(!pa.contains("CartesianProduct"), pa.take(3000))
     assert(pa.contains("LocalTableScan"),
       "frozen hybrid q-stats did not replay:\n" + pa.take(3000))
@@ -514,6 +518,9 @@ class PlanSpec extends SparkSpec {
       "query matrix not broadcast on the dense side:\n" + pa.take(3000))
     assert(pa.contains("BroadcastHashJoin"),
       "sparse model/vocab joins not broadcast:\n" + pa.take(3000))
+    // the composed row still must not go cartesian
+    val paFull = plan(graft.ext.Text.hybridAgainst(spark, dir))
+    assert(!paFull.contains("CartesianProduct"), paFull.take(3000))
     spark.catalog.clearCache()
   }
 

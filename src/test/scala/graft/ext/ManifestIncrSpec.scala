@@ -661,4 +661,51 @@ class ManifestIncrSpec extends SparkSpec {
       "steady-state plan references a text column:\n" + p.take(3000))
     spark.catalog.clearCache()
   }
+
+  test("fused gate pass equals the three standalone gate operators, edge docs included") {
+    // round 18: manifestDocFeatures computes fluency/classifier/decontam
+    // in ONE union + ONE doc_id aggregation (gateVerdictsOn). This pins
+    // the fused verdicts doc-for-doc against the standalone operators —
+    // including the engineered edge docs each gate NULL-handles
+    // differently: <2 tokens (no bigrams → not fluent), empty text (no
+    // features → score 0; no shingles → clean), one-word text.
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val edge = Seq(
+      (900001L, "solo", "de", "web"),              // 1 token: no bigram, no shingle
+      (900002L, "", "en", "web"),                  // empty: no tokens at all
+      (900003L, "two words", "en", "web"),         // 1 bigram, no 3-shingle
+      (900004L, "three word text", "en", "web"))   // exactly one 3-shingle
+      .toDF("doc_id", "text", "lang", "source")
+    val snap = docs.select("doc_id", "text", "lang", "source").unionByName(edge)
+      .localCheckpoint()
+    val train = snap.filter(pmod(col("doc_id"), lit(10L)) =!= lit(Corpus.BenchSlice))
+    val (base, thrTot, thrN) = Corpus.frozenManifestBase(spark, dir)
+    val census = spark.read.parquet(s"$base/census.parquet")
+    val weights = spark.read.parquet(s"$base/weights.parquet")
+    val evalh = spark.read.parquet(s"$base/evalh.parquet")
+    val fused = Corpus.manifestDocFeatures(snap, census, weights, thrTot, thrN, evalh)
+      .select("doc_id", "is_fluent", "pass_classifier", "pass_decontam")
+      .collect().map(r => r.getLong(0) -> (r.get(1), r.get(2), r.get(3))).toMap
+    val f = Text.lmFluencyAgainstRowsOn(train, census)
+      .select("doc_id", "is_fluent").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    val g = Quality.qsKeepWithThreshold(train, weights, thrTot, thrN)
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    val d = Corpus.decontaminateAgainstHashesRowsOn(train, evalh)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    val trainIds = train.select("doc_id").as[Long].collect().toSet
+    assert(fused.keySet === snap.select("doc_id").as[Long].collect().toSet)
+    assert(Seq(900001L, 900002L, 900003L, 900004L).forall(trainIds.contains))
+    trainIds.foreach { id =>
+      assert(fused(id) === ((f(id), g(id), d(id))),
+        s"fused gate verdicts drifted for doc $id")
+    }
+    // bench-slice docs are never judged: all three verdicts NULL
+    (fused.keySet -- trainIds).foreach { id =>
+      assert(fused(id) === ((null, null, null)), s"bench doc $id got judged")
+    }
+    spark.catalog.clearCache()
+  }
 }
